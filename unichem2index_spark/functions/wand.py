@@ -1,0 +1,179 @@
+"""Block-max WAND top-k kernel (pure Python; runs per doc-shard inside
+``applyInPandas``).
+
+This is the query half the reference delegates to Lucene (the BM25 scorer
+behind extractor/loader.go:260-261). Algorithm: WAND pivot selection with
+term-level max-score upper bounds, refined by per-block max scores (BMW);
+exact rescoring at the pivot. Safety: candidates are pruned only when their
+upper bound is STRICTLY below the current threshold, so results are exactly
+the brute-force top-k including (score desc, doc_id asc) tie-breaks.
+"""
+
+from __future__ import annotations
+
+import heapq
+from bisect import bisect_left
+from dataclasses import dataclass, field
+
+from unichem2index_spark.functions.bm25 import score_term
+from unichem2index_spark.functions.codec import PostingBlock
+
+INF = float("inf")
+
+
+@dataclass
+class TermBlocks:
+    """One term's posting blocks within one shard, sorted by block_id."""
+
+    term: str
+    idf: float
+    max_doc_ids: list[int]  # per block
+    block_max_scores: list[float]  # per block
+    enc_blocks: list[tuple[bytes, bytes, bytes]]  # (doc_gaps, tfs, dls)
+    # iterator state
+    bi: int = 0  # current block index
+    pi: int = 0  # position within decoded block
+    _decoded: PostingBlock | None = field(default=None, repr=False)
+    max_score: float = 0.0
+
+    def __post_init__(self):
+        self.max_score = max(self.block_max_scores) if self.block_max_scores else 0.0
+
+    # -- cursor ------------------------------------------------------------
+    def _block(self) -> PostingBlock:
+        if self._decoded is None:
+            self._decoded = PostingBlock.decode(*self.enc_blocks[self.bi])
+        return self._decoded
+
+    def cur_doc(self) -> float:
+        if self.bi >= len(self.enc_blocks):
+            return INF
+        return self._block().doc_ids[self.pi]
+
+    def cur_block_max(self) -> float:
+        if self.bi >= len(self.enc_blocks):
+            return 0.0
+        return self.block_max_scores[self.bi]
+
+    def cur_block_last_doc(self) -> float:
+        if self.bi >= len(self.enc_blocks):
+            return INF
+        return self.max_doc_ids[self.bi]
+
+    def advance_to(self, target: int) -> None:
+        """Move cursor to first doc_id >= target (block skipping via
+        max_doc_id metadata — decodes only the landing block)."""
+        if self.bi >= len(self.enc_blocks):
+            return
+        if self.max_doc_ids[self.bi] < target:
+            nb = bisect_left(self.max_doc_ids, target, self.bi + 1)
+            self.bi, self.pi, self._decoded = nb, 0, None
+            if self.bi >= len(self.enc_blocks):
+                return
+        blk = self._block()
+        self.pi = bisect_left(blk.doc_ids, target, self.pi)
+        if self.pi >= len(blk.doc_ids):  # target beyond this block's docs
+            self.bi += 1
+            self.pi = 0
+            self._decoded = None
+            if self.bi < len(self.enc_blocks):
+                self.advance_to(target)
+
+    def score_at(self, doc_id: int, avgdl: float) -> float:
+        """Exact contribution if cursor is on doc_id, else 0."""
+        if self.cur_doc() != doc_id:
+            return 0.0
+        blk = self._block()
+        return score_term(blk.tfs[self.pi], blk.dls[self.pi], avgdl, self.idf)
+
+
+def wand_topk(
+    terms: list[TermBlocks], avgdl: float, k: int
+) -> list[tuple[int, float]]:
+    """Exact top-k (doc_id, score) over the given term cursors.
+
+    Returns sorted by (score desc, doc_id asc).
+    """
+    if k <= 0 or not terms:
+        return []
+    # heap of (score, -doc_id): heap[0] is the currently-worst kept result
+    heap: list[tuple[float, int]] = []
+    threshold = -INF
+
+    live = [t for t in terms if t.enc_blocks]
+    while True:
+        live = [t for t in live if t.cur_doc() != INF]
+        if not live:
+            break
+        live.sort(key=lambda t: t.cur_doc())
+        # WAND pivot: smallest doc where the sum of term max-scores could
+        # beat the threshold.
+        # >= not >: a doc whose bound EQUALS the threshold can still enter
+        # the top-k through the doc_id-asc tie-break.
+        acc = 0.0
+        pivot_idx = -1
+        for i, t in enumerate(live):
+            acc += t.max_score
+            if acc >= threshold:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no doc can make it into the top-k
+        pivot_doc = int(live[pivot_idx].cur_doc())
+
+        if live[0].cur_doc() == pivot_doc:
+            # Block-max refinement: sum of CURRENT block maxima for terms
+            # whose cursor sits at the pivot's block range.
+            bm_sum = 0.0
+            for t in live:
+                if t.cur_doc() > pivot_doc:
+                    break
+                bm_sum += t.cur_block_max()
+            if len(heap) >= k and bm_sum < threshold:
+                # BMW next-candidate (Ding & Suel): skip to the shallowest
+                # aligned block boundary + 1, but never past the first
+                # non-aligned cursor — docs beyond it can score through
+                # terms whose block maxima were NOT in bm_sum.
+                boundary = min(
+                    t.cur_block_last_doc() for t in live if t.cur_doc() <= pivot_doc
+                )
+                nxt_other = min(
+                    (t.cur_doc() for t in live if t.cur_doc() > pivot_doc),
+                    default=INF,
+                )
+                target = min(boundary + 1, nxt_other)
+                if target == INF:
+                    break
+                target = int(target)
+                for t in live:
+                    if t.cur_doc() < target:
+                        t.advance_to(target)
+                continue
+            # Full evaluation at the pivot.
+            s = 0.0
+            for t in live:
+                if t.cur_doc() == pivot_doc:
+                    s += t.score_at(pivot_doc, avgdl)
+            cand = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+            if len(heap) >= k:
+                threshold = heap[0][0]
+            for t in live:
+                if t.cur_doc() == pivot_doc:
+                    t.advance_to(pivot_doc + 1)
+        else:
+            # Advance a term that is STRICTLY before the pivot (else no
+            # progress); among those, the one with the largest max_score
+            # (classic WAND advance heuristic).
+            lag = max(
+                (t for t in live if t.cur_doc() < pivot_doc),
+                key=lambda t: t.max_score,
+            )
+            lag.advance_to(pivot_doc)
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out

@@ -1,0 +1,420 @@
+"""Distributed inverted-index build (the reference's extract->index half,
+re-expressed Spark-first).
+
+Reference lifecycle (SURVEY.md §3.1): range-partitioned scan -> streaming
+group-by -> bulk upserts into Elasticsearch. Ours:
+
+    read parquet/Iceberg
+      -> tokenize (JVM regexp, whole-stage codegen; Arrow UDF variant avail)
+      -> SPIMI posting runs per input partition        (mapInPandas)
+      -> skew-aware shuffle on (shard, term)           (doc-sharded: a heavy
+         term like "the" splits across all shards — the salt IS the doc
+         shard, so no single reducer ever sees a full stopword posting list)
+      -> k-way sorted merge of runs into varbyte block-max blocks
+                                                        (applyInPandas)
+      -> segments + term_stats + docs + stats + lineage (SegmentStore)
+
+Resumable (T1, extractor/init.go:128-151 analog): lineage rows mark done
+shards; a restart skips them and dynamic partition overwrite keeps shard
+rebuilds idempotent (doc_as_upsert analog, extractor/loader.go:186).
+"""
+
+from __future__ import annotations
+
+import heapq
+import time
+from collections import Counter
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from unichem2index_spark.functions import bm25
+from unichem2index_spark.functions.codec import (
+    BLOCK_SIZE,
+    PostingBlock,
+    chunk_postings,
+    vb_decode,
+    vb_encode,
+    delta_encode,
+    delta_decode,
+)
+from unichem2index_spark.functions.tokenize import tokens_col
+from unichem2index_spark.schemas import RUN_SCHEMA, SEGMENT_SCHEMA
+from unichem2index_spark.sources.tables import SegmentStore
+
+# Max buffered postings per SPIMI run before a flush — bounds executor
+# memory per task regardless of corpus size (the SPIMI invariant).
+MAX_RUN_POSTINGS = 2_000_000
+
+
+# --------------------------------------------------------------------------
+# Stage 0: tokenization + forward/doc tables (exact, JVM-side)
+# --------------------------------------------------------------------------
+def tokenized_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """doc_id, tokens, doclen (+ passthrough lang/source when present)."""
+    keep = [c for c in ("lang", "source") if c in df.columns]
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens_col(text_col).alias("tokens"),
+        *keep,
+    ).withColumn("doclen", F.size("tokens").cast("long"))
+
+
+def docs_table(tok: DataFrame) -> DataFrame:
+    keep = [c for c in ("lang", "source") if c in tok.columns]
+    return tok.select("doc_id", "doclen", *keep)
+
+
+def exact_postings(tok: DataFrame) -> DataFrame:
+    """Uncompressed postings via plain DataFrame ops (correctness spine;
+    replaces the reference's sort-based streaming group-by A1 with Spark's
+    order-free hash aggregation — SURVEY.md §2.4)."""
+    return (
+        tok.select("doc_id", "doclen", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doclen")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "doclen")
+    )
+
+
+def corpus_stats(tok: DataFrame) -> dict:
+    """N/avgdl/total_tokens/vocab. avgdl is computed as exact integer sum
+    divided once, so every engine (Spark, DuckDB, Python oracle) gets the
+    bit-identical double."""
+    row = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doclen").alias("total_tokens"),
+    ).collect()[0]
+    n_docs, total = row.n_docs, row.total_tokens or 0
+    return {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total),
+        "avgdl": (float(total) / float(n_docs)) if n_docs else 0.0,
+    }
+
+
+def idf_col(n_docs: int) -> F.Column:
+    """Shared idf expression. Deliberately log(1+x), NOT log1p: every
+    engine (Spark, DuckDB ln(1+x), Python math.log(1+x)) evaluates the
+    same floating-point expression tree."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+
+
+def term_stats_from_runs(runs: DataFrame, n_docs: int) -> DataFrame:
+    """term, df, cf, idf — aggregated from SPIMI runs (each doc appears in
+    exactly one run per term, so sum(n_docs) == df). Valid only when the
+    runs cover the FULL corpus."""
+    return (
+        runs.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("idf", idf_col(n_docs))
+    )
+
+
+def term_stats_from_corpus(tok: DataFrame, n_docs: int) -> DataFrame:
+    """Corpus-global term stats straight from tokenized docs (used when a
+    build starts with a shard subset — df/idf must never be partial)."""
+    return (
+        exact_postings(tok)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .withColumn("idf", idf_col(n_docs))
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage 1: SPIMI posting runs (mapInPandas over input partitions)
+# --------------------------------------------------------------------------
+RUN_WITH_CF_SCHEMA = T.StructType(
+    list(RUN_SCHEMA.fields) + [T.StructField("cf", T.LongType(), False)]
+)
+
+
+def _spimi_partition(
+    batches: Iterator[pd.DataFrame], n_shards: int, max_run_postings: int
+) -> Iterator[pd.DataFrame]:
+    """Build in-memory per-shard term dictionaries for one input partition,
+    flushing bounded sorted runs (SPIMI). Emits RUN_WITH_CF_SCHEMA rows."""
+    # acc[(shard, term)] -> [(doc_id, tf, dl), ...]
+    acc: dict[tuple[int, str], list[tuple[int, int, int]]] = {}
+    pending = 0
+
+    def flush() -> pd.DataFrame:
+        nonlocal acc, pending
+        rows = []
+        for (shard, term), posts in acc.items():
+            posts.sort(key=lambda p: p[0])
+            ids = [p[0] for p in posts]
+            tfs = [p[1] for p in posts]
+            dls = [p[2] for p in posts]
+            rows.append(
+                {
+                    "shard": shard,
+                    "term": term,
+                    "run_id": ids[0],  # unique: doc sets are disjoint
+                    "n_docs": len(ids),
+                    "doc_gaps": vb_encode(delta_encode(ids)),
+                    "tfs": vb_encode(tfs),
+                    "dls": vb_encode(dls),
+                    "cf": int(sum(tfs)),
+                }
+            )
+        acc = {}
+        pending = 0
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "shard", "term", "run_id", "n_docs",
+                "doc_gaps", "tfs", "dls", "cf",
+            ],
+        )
+
+    for pdf in batches:
+        for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+            toks = list(tokens) if tokens is not None else []
+            dl = len(toks)
+            shard = int(doc_id) % n_shards
+            for term, tf in Counter(toks).items():
+                acc.setdefault((shard, term), []).append((int(doc_id), tf, dl))
+                pending += 1
+        if pending >= max_run_postings:
+            yield flush()
+    if acc:
+        yield flush()
+
+
+def spimi_runs(
+    tok: DataFrame,
+    n_shards: int,
+    max_run_postings: int = MAX_RUN_POSTINGS,
+) -> DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _spimi_partition(batches, n_shards, max_run_postings)
+
+    return tok.select("doc_id", "tokens").mapInPandas(fn, RUN_WITH_CF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stage 2: k-way sorted merge into block-max segments (applyInPandas)
+# --------------------------------------------------------------------------
+def _merge_group(
+    pdf: pd.DataFrame, avgdl: float, block_size: int
+) -> pd.DataFrame:
+    """Merge one (shard, term)'s sorted runs into final encoded blocks."""
+    shard = int(pdf["shard"].iloc[0])
+    term = str(pdf["term"].iloc[0])
+    idf_t = float(pdf["idf"].iloc[0])
+    runs = []
+    for gaps, tfs, dls in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
+        blk = PostingBlock.decode(bytes(gaps), bytes(tfs), bytes(dls))
+        runs.append(list(zip(blk.doc_ids, blk.tfs, blk.dls)))
+    merged = list(heapq.merge(*runs, key=lambda p: p[0]))  # k-way by doc_id
+    ids = [p[0] for p in merged]
+    tfs = [p[1] for p in merged]
+    dls = [p[2] for p in merged]
+    out = []
+    for block_id, blk in enumerate(chunk_postings(ids, tfs, dls, block_size)):
+        gaps_b, tfs_b, dls_b = blk.encode()
+        bms = max(
+            bm25.score_term(tf, dl, avgdl, idf_t)
+            for tf, dl in zip(blk.tfs, blk.dls)
+        )
+        out.append(
+            {
+                "shard": shard,
+                "term": term,
+                "block_id": block_id,
+                "n_docs": len(blk.doc_ids),
+                "max_doc_id": blk.doc_ids[-1],
+                "doc_gaps": gaps_b,
+                "tfs": tfs_b,
+                "dls": dls_b,
+                "block_max_tf": int(max(blk.tfs)),
+                "block_min_dl": int(min(blk.dls)),
+                "block_max_score": bms,
+            }
+        )
+    return pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+
+def merge_runs_to_segments(
+    runs: DataFrame,
+    term_stats: DataFrame,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """groupBy(shard, term) k-way merge. The (shard, term) key is the
+    skew-aware shuffle: per-group size is bounded by shard size, never by a
+    term's global df — 'the' with df≈N still splits into n_shards groups."""
+    enriched = runs.join(term_stats.select("term", "idf"), "term")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_group(pdf, avgdl, block_size)
+
+    return enriched.groupBy("shard", "term").applyInPandas(fn, SEGMENT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Orchestration: full/partial build with lineage + resume
+# --------------------------------------------------------------------------
+@dataclass
+class BuildResult:
+    store: SegmentStore
+    n_docs: int
+    avgdl: float
+    built_shards: list[int]
+    elapsed_sec: float
+
+
+def build_index(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    block_size: int = BLOCK_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    resume: bool = False,
+    shard_filter: Iterable[int] | None = None,
+    build_id: str = "build",
+) -> BuildResult:
+    """End-to-end index build.
+
+    ``shard_filter`` limits the build to a shard subset (used by tests to
+    simulate a mid-build failure); ``resume=True`` skips shards already
+    marked done in lineage — together they reproduce the reference's
+    watermark-resume contract (T1).
+    """
+    t0 = time.time()
+    store = SegmentStore(out_dir)
+    tok = tokenized_docs(source, id_col=id_col, text_col=text_col)
+
+    target = set(range(n_shards))
+    if shard_filter is not None:
+        target &= set(shard_filter)
+    if resume:
+        target -= store.done_shards(spark)
+    target_shards = sorted(target)
+    if not target_shards:
+        mf = store.read_manifest()
+        return BuildResult(store, mf["n_docs"], mf["avgdl"], [], 0.0)
+
+    # Corpus-level stats always reflect the FULL corpus (scores must not
+    # depend on which shards were rebuilt when).
+    stats = corpus_stats(tok)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    if n_docs == 0:
+        # Degenerate empty corpus: write schema-bearing empty artifacts so
+        # the index opens and queries return empty instead of crashing.
+        from unichem2index_spark.schemas import (
+            DOCS_SCHEMA,
+            LINEAGE_SCHEMA,
+            SEGMENT_SCHEMA,
+            TERM_STATS_SCHEMA,
+        )
+
+        empty_seg = spark.createDataFrame([], SEGMENT_SCHEMA).repartition(1)
+        empty_seg.write.mode("overwrite").parquet(store.path("segments"))
+        store.write_table(
+            spark.createDataFrame([], TERM_STATS_SCHEMA).repartition(1),
+            "term_stats",
+        )
+        store.write_table(
+            spark.createDataFrame([], DOCS_SCHEMA).repartition(1), "docs"
+        )
+        store.write_table(
+            spark.createDataFrame([], LINEAGE_SCHEMA).repartition(1), "lineage"
+        )
+        store.write_manifest(
+            {
+                "n_docs": 0,
+                "avgdl": 0.0,
+                "total_tokens": 0,
+                "n_shards": n_shards,
+                "block_size": block_size,
+                "format": "parquet-v1",
+            }
+        )
+        return BuildResult(store, 0, 0.0, target_shards, time.time() - t0)
+
+    partial = len(target_shards) < n_shards
+    full_tok = tok
+    if partial:
+        tok = tok.where((F.col("doc_id") % n_shards).isin(target_shards))
+    tok = tok.cache()
+
+    runs = spimi_runs(tok, n_shards).cache()
+    # df/idf must be corpus-GLOBAL, whatever shard subset this build
+    # touches: reuse frozen stats if present, else compute from the full
+    # corpus (from runs when they cover it — cheaper, same result).
+    if store.exists("term_stats"):
+        tstats = store.read(spark, "term_stats")
+    else:
+        tstats = (
+            term_stats_from_runs(runs, n_docs)
+            if not partial
+            else term_stats_from_corpus(full_tok, n_docs)
+        )
+        store.write_table(tstats, "term_stats")
+        tstats = store.read(spark, "term_stats")
+
+    segments = merge_runs_to_segments(runs, tstats, avgdl, block_size)
+    store.write_segments(segments)
+
+    # Forward docs table always covers the FULL corpus (written once).
+    if not store.exists("docs"):
+        store.write_table(docs_table(full_tok), "docs")
+
+    # Lineage/metrics per shard, written AFTER segments land (atomic-last,
+    # SURVEY.md §7 hard-point 5).
+    seg_read = store.read(spark, "segments").where(
+        F.col("shard").isin(target_shards)
+    )
+    lineage = (
+        seg_read.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("postings"),
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum(
+                F.length("doc_gaps") + F.length("tfs") + F.length("dls")
+            ).alias("bytes"),
+        )
+        .withColumn("build_id", F.lit(build_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn("elapsed_sec", F.lit(time.time() - t0))
+    )
+    docs_per_shard = (
+        tok.groupBy((F.col("doc_id") % n_shards).cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    lineage = lineage.join(docs_per_shard, "shard", "left").select(
+        "shard", "build_id", "status",
+        F.coalesce("docs", F.lit(0)).alias("docs"),
+        "postings", "blocks", "bytes", "elapsed_sec",
+    )
+    store.append_lineage(lineage)
+
+    store.write_manifest(
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "total_tokens": stats["total_tokens"],
+            "n_shards": n_shards,
+            "block_size": block_size,
+            "format": "parquet-v1",
+        }
+    )
+    tok.unpersist()
+    runs.unpersist()
+    return BuildResult(store, n_docs, avgdl, target_shards, time.time() - t0)

@@ -1,0 +1,200 @@
+"""Query engine: BM25 top-k (exact DataFrame path + block-max WAND over
+compressed segments) and the analytics ops the reference issues against its
+ES index (extractor/loader.go:239-379).
+
+Scale notes
+-----------
+* The WAND path reads only the query terms' segment rows: ``term IN (...)``
+  is pushed to the parquet scan (min/max row-group pruning; on Iceberg,
+  file-level pruning), so a 5-term query touches 5 posting lists per shard,
+  never the corpus.
+* Each shard evaluates top-k locally (document-sharded index — the same
+  distribution Lucene/ES uses) and only n_shards*k candidate rows reach the
+  global merge, which TakeOrderedAndProject handles on the driver.
+* The exact path is one shuffle (groupBy doc_id) over postings of the query
+  terms only; it exists as the correctness spine / DuckDB-oracle twin.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unichem2index_spark.functions import bm25
+from unichem2index_spark.functions.wand import TermBlocks, wand_topk
+from unichem2index_spark.operators.build import (
+    corpus_stats,
+    exact_postings,
+    tokenized_docs,
+)
+from unichem2index_spark.schemas import TOPK_SCHEMA
+from unichem2index_spark.sources.tables import SegmentStore
+
+
+# --------------------------------------------------------------------------
+# Exact DataFrame scorer (no index needed — correctness spine)
+# --------------------------------------------------------------------------
+def bm25_scores_from_corpus(
+    docs_df: DataFrame, terms: list[str]
+) -> DataFrame:
+    """(doc_id, score) for every matching doc, computed with pure DataFrame
+    ops from the raw corpus. Mirrors the DuckDB oracle SQL expression by
+    expression so the driver hash-compare is exact."""
+    uniq = sorted(set(terms))
+    tok = tokenized_docs(docs_df)
+    stats = corpus_stats(tok)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    post = exact_postings(tok)
+    # df must be computed over ALL postings (corpus-global), then filtered.
+    tstats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qpost = post.where(F.col("term").isin(uniq)).join(
+        F.broadcast(tstats.where(F.col("term").isin(uniq))), "term"
+    )
+    scored = qpost.select(
+        "doc_id",
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(bm25.K1)
+                    * (
+                        F.lit(1.0 - bm25.B)
+                        + F.lit(bm25.B) * F.col("doclen") / F.lit(avgdl)
+                    )
+                )
+            )
+        ).alias("contrib"),
+    )
+    return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def bm25_topk_exact(docs_df: DataFrame, terms: list[str], k: int) -> DataFrame:
+    """Top-k by (score desc, doc_id asc); score rounded to 6 dp for stable
+    cross-engine comparison."""
+    return (
+        bm25_scores_from_corpus(docs_df, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Block-max WAND over compressed segments
+# --------------------------------------------------------------------------
+@dataclass
+class IndexHandle:
+    store: SegmentStore
+    n_docs: int
+    avgdl: float
+    n_shards: int
+
+    @staticmethod
+    def open(spark: SparkSession, index_dir: str) -> "IndexHandle":
+        store = SegmentStore(index_dir)
+        mf = store.read_manifest()
+        return IndexHandle(store, mf["n_docs"], mf["avgdl"], mf["n_shards"])
+
+    def segments(self, spark: SparkSession) -> DataFrame:
+        return self.store.read(spark, "segments")
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return self.store.read(spark, "term_stats")
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return self.store.read(spark, "docs")
+
+
+def _wand_shard_fn(idfs: dict[str, float], avgdl: float, k: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        cursors = []
+        for term, grp in pdf.groupby("term", sort=True):
+            grp = grp.sort_values("block_id")
+            cursors.append(
+                TermBlocks(
+                    term=str(term),
+                    idf=idfs[str(term)],
+                    max_doc_ids=[int(x) for x in grp["max_doc_id"]],
+                    block_max_scores=[float(x) for x in grp["block_max_score"]],
+                    enc_blocks=list(
+                        zip(
+                            (bytes(b) for b in grp["doc_gaps"]),
+                            (bytes(b) for b in grp["tfs"]),
+                            (bytes(b) for b in grp["dls"]),
+                        )
+                    ),
+                )
+            )
+        top = wand_topk(cursors, avgdl, k)
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    return fn
+
+
+def bm25_topk_wand(
+    spark: SparkSession, index: IndexHandle, terms: list[str], k: int
+) -> DataFrame:
+    """BM25 top-k via per-shard block-max WAND + global candidate merge.
+
+    Rank- and score-identical to :func:`bm25_topk_exact` (same frozen
+    formula, same tie-break); verified in tests against the Python oracle.
+    """
+    uniq = sorted(set(terms))
+    # Tiny driver-side lookup: idf for <= |query| terms (broadcast analog).
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if not idfs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs)))
+    per_shard = seg.groupBy("shard").applyInPandas(
+        _wand_shard_fn(idfs, index.avgdl, k), TOPK_SCHEMA
+    )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytics parity ops (extractor/loader.go:239-379)
+# --------------------------------------------------------------------------
+def index_count(spark: SparkSession, index: IndexHandle) -> DataFrame:
+    """A3: ES _count analog (extractor/loader.go:239-254)."""
+    return index.docs(spark).agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+def last_doc_id(spark: SparkSession, index: IndexHandle) -> DataFrame:
+    """W2: last-indexed id — match_all + sort desc + size 1
+    (extractor/loader.go:256-286). max() instead of global sort."""
+    return index.docs(spark).agg(F.max("doc_id").alias("last_doc_id"))
+
+
+def counts_by_source(
+    spark: SparkSession, index: IndexHandle, size: int = 3000
+) -> DataFrame:
+    """A6: terms aggregation — doc count per source, ordered, top-N
+    (extractor/loader.go:340-379). Deterministic tie-break on the key."""
+    return (
+        index.docs(spark)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("source"))
+        .limit(size)
+    )

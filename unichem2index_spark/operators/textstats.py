@@ -1,0 +1,107 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side expressions (no Python workers); each has an exact DuckDB
+oracle twin in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unichem2index_spark.functions.hashing import FP_MULT, MOD
+from unichem2index_spark.functions.tokenize import tokens_col
+from unichem2index_spark.operators.dedup import vocab_ids
+
+# Marker-word sets for the n-gram/stopword language heuristic. The corpus
+# vocabulary is English-ish, so real-language discrimination is synthetic —
+# what matters is that the heuristic is deterministic and engine-identical.
+EN_MARKERS = ["the", "a", "of", "and", "is"]
+DE_MARKERS = ["der", "die", "das", "und", "ist"]
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def _tok(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", tokens_col("text").alias("tokens"), "text")
+
+
+def lang_id(spark: SparkSession, t) -> DataFrame:
+    """Marker-word-ratio language ID: en vs de vs unknown."""
+    d = _tok(t["documents"])
+    en = F.size(F.filter("tokens", lambda x: x.isin(EN_MARKERS)))
+    de = F.size(F.filter("tokens", lambda x: x.isin(DE_MARKERS)))
+    n = F.size("tokens")
+    return d.select(
+        "doc_id",
+        F.round(en / F.greatest(n, F.lit(1)), 6).alias("en_ratio"),
+        F.when(en > de, "en").when(de > en, "de").otherwise("und").alias(
+            "pred_lang"
+        ),
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, t) -> DataFrame:
+    """Heuristic quality score: token count, mean token length, stopword
+    ratio, alpha-char ratio → linear score (deterministic double math)."""
+    d = _tok(t["documents"])
+    n = F.size("tokens")
+    tok_chars = F.aggregate(
+        F.transform("tokens", lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    stop = F.size(F.filter("tokens", lambda x: x.isin(STOPWORDS)))
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    out = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(tok_chars / F.greatest(n.cast("double"), F.lit(1.0)), 6).alias(
+            "mean_tok_len"
+        ),
+        F.round(
+            stop.cast("double") / F.greatest(n.cast("double"), F.lit(1.0)), 6
+        ).alias("stop_ratio"),
+        F.round(
+            alpha.cast("double")
+            / F.greatest(F.length("text").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("alpha_ratio"),
+    )
+    score = (
+        F.when(F.col("n_tokens").between(20, 400), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("stop_ratio").between(0.05, 0.6), F.lit(0.3)).otherwise(
+            F.lit(0.0)
+        )
+        + F.round(F.col("alpha_ratio") * 0.3, 6)
+    )
+    return out.withColumn("quality", F.round(score, 6)).orderBy("doc_id")
+
+
+def token_counts(spark: SparkSession, t) -> DataFrame:
+    """Token counting two ways: whitespace split vs regex tokenizer."""
+    d = t["documents"]
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    rx = F.size(tokens_col("text"))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        rx.alias("regex_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(spark: SparkSession, t) -> DataFrame:
+    """Position-weighted rolling fingerprint over dense token ids —
+    order-sensitive, engine-identical integer math (functions.hashing)."""
+    d = _tok(t["documents"])
+    ids = vocab_ids(d.select("doc_id", "tokens"))
+    pos = d.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+    weighted = pos.join(F.broadcast(ids), "term").select(
+        "doc_id", ((F.col("pos") + 1) * (F.col("token_id") + 1)).alias("w")
+    )
+    return (
+        weighted.groupBy("doc_id")
+        .agg(((F.sum("w") * F.lit(FP_MULT)) % F.lit(MOD)).alias("fingerprint"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,557 @@
+"""DuckDB oracle SQL for every SQL-expressible query in
+``__spark_entry__.queries()``.
+
+Each statement is the *same computation* as its Spark twin, expression by
+expression: identical tokenizer regex, identical BM25 float expression tree,
+identical hash constants (functions/hashing.py — the SQL is generated from
+the same Python lists), identical rounding at emit boundaries, identical
+ORDER BY tie-breaks. Tables available as DuckDB views: region nation
+customer supplier part orders lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from unichem2index_spark.functions.hashing import (
+    BAND_SIZE,
+    FP_MULT,
+    MINHASH_A,
+    MINHASH_B,
+    MOD,
+    NUM_HASHES,
+    SIMHASH_P,
+)
+from unichem2index_spark.functions.tokenize import TOKEN_PATTERN
+
+TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+# Shared corpus CTEs for the index family.
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, len({TOKS}) AS doclen FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         sum(doclen) AS total_tokens,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM tok
+),
+post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf FROM post GROUP BY term
+)
+"""
+
+
+def bm25_sql(terms: list[str], k: int) -> str:
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+TERM_STATS = f"""
+WITH {_TOK_CTE},
+s AS (SELECT n_docs FROM stats)
+SELECT d.term, d.df, CAST(d.cf AS BIGINT) AS cf,
+       round(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)), 6) AS idf
+FROM dfs d CROSS JOIN s
+ORDER BY d.term
+"""
+
+CORPUS_STATS = f"""
+WITH {_TOK_CTE}
+SELECT s.n_docs, CAST(s.total_tokens AS BIGINT) AS total_tokens,
+       (SELECT count(*) FROM dfs) AS vocab_size,
+       round(s.avgdl, 6) AS avgdl
+FROM stats s
+"""
+
+DOC_LENGTHS = f"""
+SELECT doc_id, len({TOKS}) AS doclen FROM documents ORDER BY doc_id
+"""
+
+POSTINGS_SAMPLE = f"""
+WITH post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+)
+SELECT term, doc_id, tf FROM post
+WHERE term IN ('merge', 'dup')
+ORDER BY term, doc_id
+"""
+
+INDEX_COUNT = "SELECT count(*) AS doc_count FROM documents"
+
+LAST_DOC_ID = "SELECT max(doc_id) AS last_doc_id FROM documents"
+
+COUNTS_BY_SOURCE = """
+SELECT source, count(*) AS doc_count
+FROM documents
+GROUP BY source
+ORDER BY doc_count DESC, source ASC
+LIMIT 3000
+"""
+
+MAX_DATES = """
+WITH m AS (
+  SELECT max(CASE WHEN event_type = 'purchase' THEN ts END) AS max_purchase_ts,
+         max(CASE WHEN event_type = 'click' THEN ts END) AS max_click_ts
+  FROM events
+)
+SELECT max_purchase_ts, max_click_ts,
+       least(max_purchase_ts, max_click_ts) AS oldest_ts
+FROM m
+"""
+
+WINDOWED_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# ------------------------------------------------------------------ parity
+THREEWAY_JOIN = """
+SELECT n.n_name AS nation, count(*) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+SEMI_JOIN_RECENT = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+ORDER BY c_custkey
+"""
+
+DIM_JOIN_2KEY = """
+WITH dim AS (
+  SELECT l_orderkey, l_partkey, sum(l_quantity) AS qty_total
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_orderkey, l.l_partkey, count(*) AS n_lines,
+       round(min(d.qty_total), 2) AS qty_total
+FROM lineitem l
+JOIN dim d ON l.l_orderkey = d.l_orderkey AND l.l_partkey = d.l_partkey
+WHERE d.qty_total > 90
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+MAP_LOOKUP_JOIN = """
+WITH counts AS (SELECT source, count(*) AS doc_count FROM documents GROUP BY 1),
+dim AS (
+  SELECT source, count(*) AS n_langs
+  FROM (SELECT DISTINCT source, lang FROM documents) GROUP BY 1
+)
+SELECT d.source, d.n_langs, coalesce(c.doc_count, 0) AS doc_count
+FROM dim d LEFT JOIN counts c USING (source)
+ORDER BY d.source
+"""
+
+FILTER_FLAG_COERCE = """
+SELECT event_id, user_id, (value > 50) AS is_big, round(value, 2) AS value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+NULL_DEFAULTING = """
+SELECT event_id, coalesce(props, '{}') AS props_def,
+       coalesce(value, 0.0) AS value_def
+FROM events
+ORDER BY event_id
+LIMIT 2000
+"""
+
+SOURCELESS_FLAG = """
+WITH agg AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT c.c_custkey, coalesce(a.n_orders, 0) AS n_orders,
+       (coalesce(a.n_orders, 0) = 0) AS is_sourceless
+FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+ORDER BY c.c_custkey
+"""
+
+RANGE_SCAN = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id BETWEEN 100 AND 299
+ORDER BY doc_id
+"""
+
+GROUP_COLLECT = """
+SELECT o_custkey, count(*) AS n_orders,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 3
+ORDER BY o_custkey
+"""
+
+COUNT_DISTINCT_KEYS = """
+SELECT count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders
+"""
+
+TERMS_AGG = """
+SELECT event_type, count(*) AS doc_count FROM events
+GROUP BY event_type
+ORDER BY doc_count DESC, event_type ASC
+LIMIT 3000
+"""
+
+TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+TOPN_PER_GROUP = """
+WITH r AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+)
+SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM r WHERE rn <= 3
+ORDER BY o_orderstatus, rn
+"""
+
+LAST_KEY_TOP1 = """
+SELECT doc_id, source FROM documents ORDER BY doc_id DESC LIMIT 1
+"""
+
+RECONCILE_COUNTS = """
+SELECT count(*) AS missing_keys FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+"""
+
+# ---------------------------------------------------------- F1-F5 splitter
+# The layered-key expression, DuckDB dialect (Spark twin: parity._KEY_EXPR).
+KEY_EXPR_DUCK = (
+    "concat('KEY=1S/C', CAST(doc_id % 40 + 1 AS VARCHAR), "
+    "'H', CAST(doc_id % 60 + 1 AS VARCHAR), "
+    "CASE WHEN doc_id % 5 = 0 THEN concat('.', CAST(doc_id % 3 + 2 AS VARCHAR), "
+    "'C2H4') ELSE '' END, "
+    "'/c', CAST(doc_id % 99 + 1 AS VARCHAR), "
+    "CASE WHEN doc_id % 2 = 0 THEN concat('/h', CAST(doc_id % 20 + 1 AS VARCHAR), 'H') "
+    "ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN '/q+1' ELSE '' END, "
+    "CASE WHEN doc_id % 6 = 0 THEN '/b1/t2/m01/s1' ELSE '' END)"
+)
+
+KEY_SPLIT = f"""
+WITH keyed AS (SELECT doc_id, {KEY_EXPR_DUCK} AS key FROM documents),
+ex AS (
+  SELECT doc_id, key,
+    regexp_extract(key, '^KEY=([^/]+)', 1) AS version,
+    regexp_extract(key, '^KEY=[^/]+/([^/]*)', 1) AS formula,
+    regexp_extract(key, '/c([^/]*)', 1) AS layer_c,
+    regexp_extract(key, '/h([^/]*)', 1) AS layer_h,
+    regexp_extract(key, '/q([^/]*)', 1) AS layer_q,
+    regexp_extract(key, '/b([^/]*)', 1) AS layer_b,
+    regexp_extract(key, '/t([^/]*)', 1) AS layer_t,
+    regexp_extract(key, '/m([^/]*)', 1) AS layer_m,
+    regexp_extract(key, '/s([^/]*)', 1) AS layer_s
+  FROM keyed
+)
+SELECT doc_id, version, formula, layer_c, layer_h, layer_q,
+       concat(layer_b, layer_t, layer_m, layer_s) AS full_stereo,
+       (concat('KEY=', version,
+         CASE WHEN formula <> '' THEN concat('/', formula) ELSE '' END,
+         CASE WHEN layer_c <> '' THEN concat('/c', layer_c) ELSE '' END,
+         CASE WHEN layer_h <> '' THEN concat('/h', layer_h) ELSE '' END,
+         CASE WHEN layer_q <> '' THEN concat('/q', layer_q) ELSE '' END,
+         CASE WHEN layer_b <> '' THEN concat('/b', layer_b) ELSE '' END,
+         CASE WHEN layer_t <> '' THEN concat('/t', layer_t) ELSE '' END,
+         CASE WHEN layer_m <> '' THEN concat('/m', layer_m) ELSE '' END,
+         CASE WHEN layer_s <> '' THEN concat('/s', layer_s) ELSE '' END
+       ) = key) AS roundtrip_ok
+FROM ex
+ORDER BY doc_id
+"""
+
+# ------------------------------------------------------------------ dedup
+DEDUP_EXACT = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM documents
+)
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies, md5(text) AS text_md5
+FROM doubled
+GROUP BY text
+ORDER BY keeper_doc_id
+"""
+
+_VOCAB_CTES = f"""
+tokset AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS token_id
+  FROM (SELECT DISTINCT term FROM tokset)
+),
+ids AS (
+  SELECT t.doc_id, v.token_id FROM tokset t JOIN vocab v USING (term)
+)
+"""
+
+
+def minhash_lsh_sql(threshold: float = 0.8) -> str:
+    sig_cols = ",\n    ".join(
+        f"min(({a} * (token_id + 1) + {b}) % {MOD}) AS m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band_idx, concat_ws('_', "
+        + ", ".join(f"m{bi * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ") AS band_val FROM sig"
+        for bi in range(n_bands)
+    )
+    return f"""
+WITH {_VOCAB_CTES},
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM ids GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(DISTINCT a.band_idx) AS n_bands
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS inter
+  FROM cand c
+  JOIN ids ia ON c.doc_a = ia.doc_id
+  JOIN ids ib ON c.doc_b = ib.doc_id AND ia.token_id = ib.token_id
+  GROUP BY 1, 2, 3
+)
+SELECT i.doc_a, i.doc_b, i.n_bands,
+       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_groups_sql() -> str:
+    half = MOD // 2
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(cnt * (CASE WHEN ((token_id + 1) * {p}) % {MOD} >= {half} "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(SIMHASH_P)
+    )
+    return f"""
+WITH counts AS (
+  SELECT doc_id, term, count(*) AS cnt FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS token_id
+  FROM (SELECT DISTINCT term FROM counts)
+),
+idc AS (
+  SELECT c.doc_id, v.token_id, c.cnt FROM counts c JOIN vocab v USING (term)
+),
+sims AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+  FROM idc GROUP BY doc_id
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM sims
+GROUP BY simhash
+HAVING count(*) > 1
+ORDER BY simhash
+"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(len(toks) - 2),
+        i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+    ELSE CAST([] AS VARCHAR[]) END
+  ) AS shingle
+  FROM tok
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a
+  JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+           AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS shared_shingles,
+       round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+COSINE_TOPK = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+c AS (SELECT vec_id, v FROM emb WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))),
+           6) AS cosine
+  FROM c CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+# -------------------------------------------------------------- text stats
+LANG_ID = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS de,
+    len(toks) AS n
+  FROM tok
+)
+SELECT doc_id,
+       round(en / greatest(n, 1), 6) AS en_ratio,
+       CASE WHEN en > de THEN 'en' WHEN de > en THEN 'de' ELSE 'und' END AS pred_lang
+FROM m
+ORDER BY doc_id
+"""
+
+QUALITY_SCORE = f"""
+WITH tok AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mean_tok_len,
+    round(CAST(len(list_filter(toks,
+          x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+          / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS stop_ratio,
+    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio
+  FROM tok
+)
+SELECT doc_id, n_tokens, mean_tok_len, stop_ratio, alpha_ratio,
+  round(
+    (CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
+    + round(alpha_ratio * 0.3, 6),
+  6) AS quality
+FROM m
+ORDER BY doc_id
+"""
+
+TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len({TOKS}) AS BIGINT) AS regex_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+ORDER BY doc_id
+"""
+
+DOC_FINGERPRINT = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS token_id
+  FROM (SELECT DISTINCT unnest(toks) AS term FROM tok)
+),
+pos AS (
+  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term FROM tok
+),
+w AS (
+  SELECT p.doc_id, (p.pos + 1) * (v.token_id + 1) AS w
+  FROM pos p JOIN vocab v USING (term)
+)
+SELECT doc_id, CAST((sum(w) * {FP_MULT}) % {MOD} AS BIGINT) AS fingerprint
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+BINARY_META = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+ORDER BY media_id
+"""

@@ -1,0 +1,106 @@
+"""Incremental / streaming semantics (SURVEY.md §2.8).
+
+The reference is batch with explicit incremental machinery:
+
+* T1 high-watermark resume (extractor/init.go:128-151): re-extract from
+  ``max(doc_id) - overlap`` — :func:`watermark_increment`.
+* T2 late-data repair with a fixed 15-day lookback
+  (extractor/init.go:153-210) — :func:`lookback_repair_frame`.
+* T3 upsert idempotency (doc_as_upsert, extractor/loader.go:186) —
+  :func:`upsert_merge` (dedup-by-key MERGE semantics).
+
+Plus a true Structured Streaming path: :func:`stream_windowed_counts`
+(file-source readStream + watermark + tumbling window), used for streaming
+ingest of new webtext partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def watermark_increment(
+    source: DataFrame, indexed_docs: DataFrame, overlap: int = 10
+) -> DataFrame:
+    """T1: rows with doc_id >= max(indexed) - overlap (the reference's
+    ``[last-10, last+10M)`` update window, extractor/init.go:148-149)."""
+    last = indexed_docs.agg(F.max("doc_id").alias("m"))
+    return source.join(F.broadcast(last)).where(
+        F.col("doc_id") >= F.col("m") - overlap
+    ).drop("m")
+
+
+def lookback_repair_frame(
+    source: DataFrame,
+    ts_col: str,
+    max_indexed_ts,
+    lookback_days: int = 15,
+) -> DataFrame:
+    """T2: everything updated since (index max ts - lookback) —
+    extractor/init.go:195-205's semi-join input."""
+    cutoff = F.lit(max_indexed_ts) - F.expr(f"INTERVAL {lookback_days} DAYS")
+    return source.where(
+        F.col(ts_col).isNotNull() & (F.col(ts_col) >= cutoff)
+    )
+
+
+def upsert_merge(
+    current: DataFrame, updates: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """T3: MERGE-style upsert — updates win over current on key collisions.
+
+    On Iceberg this is ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT
+    MATCHED INSERT``; expressed here engine-neutrally as a
+    prioritized dedup (no full-table rewrite semantics implied)."""
+    tagged = updates.withColumn("_prio", F.lit(0)).unionByName(
+        current.withColumn("_prio", F.lit(1))
+    )
+    w = W.partitionBy(key).orderBy("_prio")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "15 days",
+):
+    """Structured Streaming: file source → watermark → tumbling-window
+    counts per lang. Callers attach their own sink/trigger
+    (tests use ``availableNow`` + memory sink)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "lang",
+            "n_docs",
+        )
+    )
+
+
+def batch_windowed_counts(spark: SparkSession, t) -> DataFrame:
+    """Batch twin of the streaming aggregation (oracle-checkable):
+    tumbling 1-hour windows over events."""
+    return (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("window_start", "event_type")
+    )
