@@ -1,38 +1,252 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the sf0.001
+documents corpus and run a BM25 top-k query through the block-max WAND
+path. ``queries()`` / ``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2 (+ the training-data-pipeline ops), each
+checked against DuckDB at sf0.01 by the driver.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unichem2index_spark import oracles
+from unichem2index_spark.functions.tokenize import tokens_col
+from unichem2index_spark.operators import dedup, multimodal, parity
+from unichem2index_spark.operators import query as Q
+from unichem2index_spark.operators import similarity, textstats
+from unichem2index_spark.operators.build import (
+    build_index,
+    corpus_stats,
+    exact_postings,
+    idf_col,
+    tokenized_docs,
+)
+from unichem2index_spark.sources.tables import load_tables
+from unichem2index_spark.streaming.incremental import batch_windowed_counts
+
+FLAGSHIP_TERMS = ["the", "merge", "vector"]
+FLAGSHIP_K = 12
+RARE_TERMS = ["dup", "spark", "nosuchterm"]
+
+
+# --------------------------------------------------------------------------
+# Index plumbing: build (or reuse) a segment index for a given sf_dir.
+# --------------------------------------------------------------------------
+def _index_for(spark: SparkSession, sf_dir: str) -> Q.IndexHandle:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"u2i_index_{tag}")
+    store_manifest = os.path.join(out, "manifest.json")
+    if not os.path.exists(store_manifest):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(spark, docs, out, n_shards=8, build_id="entry")
+    return Q.IndexHandle.open(spark, out)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full index build + WAND BM25 top-k on sf0.001."""
+    idx = _index_for(spark, "/root/testdata/sf0.001")
+    return Q.bm25_topk_wand(spark, idx, FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+# --------------------------------------------------------------------------
+# queries()
+# --------------------------------------------------------------------------
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_bm25_topk(spark, sf_dir):
+    return Q.bm25_topk_exact(_docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_bm25_topk_wand(spark, sf_dir):
+    """Same query through the compressed-segment WAND path — the oracle is
+    the SAME SQL as the exact path (rank identity is the whole point)."""
+    return Q.bm25_topk_wand(spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_bm25_rare_terms(spark, sf_dir):
+    return Q.bm25_topk_exact(_docs(spark, sf_dir), RARE_TERMS, 10)
+
+
+def q_term_stats(spark, sf_dir):
+    tok = tokenized_docs(_docs(spark, sf_dir))
+    stats = corpus_stats(tok)
+    return (
+        exact_postings(tok)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .withColumn("idf", F.round(idf_col(stats["n_docs"]), 6))
+        .orderBy("term")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    tok = tokenized_docs(_docs(spark, sf_dir))
+    post = exact_postings(tok)
+    return tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doclen").alias("total_tokens"),
+    ).crossJoin(post.agg(F.countDistinct("term").alias("vocab_size"))).select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avgdl"),
+    )
+
+
+def q_doc_lengths(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.size(tokens_col("text")).cast("long").alias("doclen"))
+        .orderBy("doc_id")
+    )
+
+
+def q_postings_sample(spark, sf_dir):
+    tok = tokenized_docs(_docs(spark, sf_dir))
+    return (
+        exact_postings(tok)
+        .where(F.col("term").isin(["merge", "dup"]))
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
+def q_index_count(spark, sf_dir):
+    return _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+def q_last_doc_id(spark, sf_dir):
+    return _docs(spark, sf_dir).agg(F.max("doc_id").alias("last_doc_id"))
+
+
+def q_counts_by_source(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("source"))
+        .limit(3000)
+    )
+
+
+def _wrap(fn):
+    def run(spark, sf_dir):
+        return fn(spark, load_tables(spark, sf_dir))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- index / BM25 family (SURVEY §2.4-2.5, W4, A2-A6) --------------
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_rare_terms": q_bm25_rare_terms,
+        "term_stats": q_term_stats,
+        "corpus_stats": q_corpus_stats,
+        "doc_lengths": q_doc_lengths,
+        "postings_sample": q_postings_sample,
+        "index_count": q_index_count,
+        "last_doc_id": q_last_doc_id,
+        "counts_by_source": q_counts_by_source,
+        "max_dates": _wrap(parity.max_dates),
+        "windowed_counts": _wrap(batch_windowed_counts),
+        # -- parity ops (SURVEY §2.2-2.6) -----------------------------------
+        "threeway_join": _wrap(parity.threeway_join),
+        "semi_join_recent": _wrap(parity.semi_join_recent),
+        "dim_join_2key": _wrap(parity.dim_join_2key),
+        "map_lookup_join": _wrap(parity.map_lookup_join),
+        "filter_flag_coerce": _wrap(parity.filter_flag_coerce),
+        "null_defaulting": _wrap(parity.null_defaulting),
+        "sourceless_flag": _wrap(parity.sourceless_flag),
+        "range_scan": _wrap(parity.range_scan),
+        "group_collect": _wrap(parity.group_collect),
+        "count_distinct_keys": _wrap(parity.count_distinct_keys),
+        "terms_agg": _wrap(parity.terms_agg),
+        "tpch_q1": _wrap(parity.tpch_q1),
+        "topn_per_group": _wrap(parity.topn_per_group),
+        "last_key_top1": _wrap(parity.last_key_top1),
+        "reconcile_counts": _wrap(parity.reconcile_counts),
+        # -- F1-F5 layered-key splitter (SURVEY §2.7) -----------------------
+        "key_split": _wrap(parity.key_split),
+        "key_components": _wrap(parity.key_components),  # rows-only (UDTF)
+        # -- dedup / training-data ops --------------------------------------
+        "dedup_exact": lambda s, d: dedup.dedup_exact(s, load_tables(s, d)),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
+            s, load_tables(s, d)
+        ),
+        "simhash_groups": lambda s, d: dedup.simhash_groups(s, load_tables(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: dedup.ngram_jaccard_pairs(
+            s, load_tables(s, d)
+        ),
+        "cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(
+            s, load_tables(s, d)
+        ),
+        "cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(
+            s, load_tables(s, d)
+        ),  # rows-only (approximate by design)
+        # -- text analysis ---------------------------------------------------
+        "lang_id": _wrap(textstats.lang_id),
+        "quality_score": _wrap(textstats.quality_score),
+        "token_counts": _wrap(textstats.token_counts),
+        "doc_fingerprint": _wrap(textstats.doc_fingerprint),
+        # -- multimodal binary plumbing --------------------------------------
+        "binary_meta": _wrap(multimodal.binary_meta),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": oracles.bm25_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "bm25_topk_wand": oracles.bm25_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "bm25_rare_terms": oracles.bm25_sql(RARE_TERMS, 10),
+        "term_stats": oracles.TERM_STATS,
+        "corpus_stats": oracles.CORPUS_STATS,
+        "doc_lengths": oracles.DOC_LENGTHS,
+        "postings_sample": oracles.POSTINGS_SAMPLE,
+        "index_count": oracles.INDEX_COUNT,
+        "last_doc_id": oracles.LAST_DOC_ID,
+        "counts_by_source": oracles.COUNTS_BY_SOURCE,
+        "max_dates": oracles.MAX_DATES,
+        "windowed_counts": oracles.WINDOWED_COUNTS,
+        "threeway_join": oracles.THREEWAY_JOIN,
+        "semi_join_recent": oracles.SEMI_JOIN_RECENT,
+        "dim_join_2key": oracles.DIM_JOIN_2KEY,
+        "map_lookup_join": oracles.MAP_LOOKUP_JOIN,
+        "filter_flag_coerce": oracles.FILTER_FLAG_COERCE,
+        "null_defaulting": oracles.NULL_DEFAULTING,
+        "sourceless_flag": oracles.SOURCELESS_FLAG,
+        "range_scan": oracles.RANGE_SCAN,
+        "group_collect": oracles.GROUP_COLLECT,
+        "count_distinct_keys": oracles.COUNT_DISTINCT_KEYS,
+        "terms_agg": oracles.TERMS_AGG,
+        "tpch_q1": oracles.TPCH_Q1,
+        "topn_per_group": oracles.TOPN_PER_GROUP,
+        "last_key_top1": oracles.LAST_KEY_TOP1,
+        "reconcile_counts": oracles.RECONCILE_COUNTS,
+        "key_split": oracles.KEY_SPLIT,
+        # key_components: rows-only (Arrow UDTF fan-out, not SQL-expressible)
+        "dedup_exact": oracles.DEDUP_EXACT,
+        "minhash_lsh_pairs": oracles.minhash_lsh_sql(),
+        "simhash_groups": oracles.simhash_groups_sql(),
+        "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
+        "cosine_topk": oracles.COSINE_TOPK,
+        # cosine_topk_lsh: rows-only (approximate recall by design)
+        "lang_id": oracles.LANG_ID,
+        "quality_score": oracles.QUALITY_SCORE,
+        "token_counts": oracles.TOKEN_COUNTS,
+        "doc_fingerprint": oracles.DOC_FINGERPRINT,
+        "binary_meta": oracles.BINARY_META,
+    }

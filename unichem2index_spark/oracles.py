@@ -511,9 +511,9 @@ m AS (
 )
 SELECT doc_id, n_tokens, mean_tok_len, stop_ratio, alpha_ratio,
   round(
-    (CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.4 ELSE 0.0 END)
-    + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END)
-    + round(alpha_ratio * 0.3, 6),
+    (CASE WHEN n_tokens BETWEEN 20 AND 400 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+    + (CASE WHEN stop_ratio BETWEEN 0.05 AND 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+    + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 8.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
   6) AS quality
 FROM m
 ORDER BY doc_id
