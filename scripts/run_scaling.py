@@ -1,0 +1,139 @@
+"""Two-parallelism scaling evidence for the north rule.
+
+The rule's N->4N-executor criterion can't use a real cluster in this
+sandbox; per the driver instruction we run the IDENTICAL spark-submit job
+(--py-files zip, jobs/index_job.py) on the IDENTICAL input at local[8] and
+local[32] and report throughput at both plus scaling efficiency
+(= (tp_32/tp_8)/4, target >= 0.8) into BENCH.md.
+
+Usage: python scripts/run_scaling.py [--docs 200000] [--shards 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def gen_input(path: str, n_docs: int) -> float:
+    from unichem2index_spark.session import get_spark
+    from unichem2index_spark.synth import gen_webtext_dist
+
+    spark = get_spark("gen-webtext", master="local[32]")
+    t0 = time.time()
+    gen_webtext_dist(spark, n_docs, seed=42, num_partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return time.time() - t0
+
+
+def run_level(cores: int, input_path: str, shards: int, zip_path: str) -> dict:
+    out_dir = tempfile.mkdtemp(prefix=f"u2i_scale_{cores}_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    metrics_path = os.path.join(tempfile.gettempdir(), f"u2i_metrics_{cores}.json")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--conf", "spark.sql.shuffle.partitions=%d" % max(32, cores * 2),
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4096",
+        "--py-files", zip_path,
+        os.path.join(ROOT, "jobs", "index_job.py"),
+        "--input", input_path,
+        "--out", out_dir,
+        "--n-shards", str(shards),
+        "--queries", "20",
+        "--metrics-out", metrics_path,
+    ]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=ROOT)
+    with open(metrics_path) as f:
+        m = json.load(f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    m["cores"] = cores
+    return m
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    args = ap.parse_args()
+
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "package_pyfiles.py")],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+
+    input_path = os.path.join(
+        tempfile.gettempdir(), f"u2i_scaling_webtext_{args.docs}"
+    )
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        gen_s = gen_input(input_path, args.docs)
+        print(f"generated {args.docs} docs in {gen_s:.1f}s -> {input_path}")
+
+    lo, hi = args.levels
+    m_lo = run_level(lo, input_path, args.shards, zip_path)
+    m_hi = run_level(hi, input_path, args.shards, zip_path)
+
+    factor = hi / lo
+    eff = (m_hi["build_docs_per_sec"] / m_lo["build_docs_per_sec"]) / factor
+    report = {
+        "n_docs": args.docs,
+        "levels": {str(lo): m_lo, str(hi): m_hi},
+        "speedup": round(m_hi["build_docs_per_sec"] / m_lo["build_docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+
+    with open(os.path.join(ROOT, "BENCH.md"), "w") as f:
+        f.write(render_bench_md(report))
+    print("wrote BENCH.md")
+
+
+def render_bench_md(r: dict) -> str:
+    lo, hi = sorted(r["levels"], key=int)
+    a, b = r["levels"][lo], r["levels"][hi]
+    return f"""# BENCH — scaling evidence (north-rule two-cluster-size criterion)
+
+Same `spark-submit --py-files dist/unichem2index_spark.zip jobs/index_job.py`
+job, same deterministic input ({r['n_docs']:,} synthetic Common-Crawl-style
+webtext docs, seed=42), two parallelism levels on one host (sandbox stand-in
+for N vs 4N executors, per driver instruction).
+
+Pipeline measured: dedup -> Arrow-UDF HTML extract -> deterministic doc_id ->
+SPIMI posting runs -> skew-aware (shard,term) shuffle -> k-way merge ->
+varbyte block-max segments + lineage; then the frozen 20-query reference set
+via block-max WAND.
+
+| level | build docs/sec | build sec | query p50 (s) | query p95 (s) |
+|---|---|---|---|---|
+| local[{lo}] | {a['build_docs_per_sec']:,} | {a['build_sec']} | {a['query_p50_sec']} | {a['query_p95_sec']} |
+| local[{hi}] | {b['build_docs_per_sec']:,} | {b['build_sec']} | {b['query_p50_sec']} | {b['query_p95_sec']} |
+
+- **Speedup {lo}->{hi} cores:** {r['speedup']}x (ideal {int(int(hi)/int(lo))}x)
+- **Scaling efficiency:** **{r['scaling_efficiency']}** (target >= {r['target']}) -> {"PASS" if r['pass'] else "FAIL"}
+- Rank identity: every query's top-k (docIDs AND scores) matches the exact
+  DataFrame scorer and the pure-Python BM25 oracle — `python -m pytest -x -q`
+  (tests/test_build_query.py, tests/test_wand_pure.py, tests/test_ingest.py).
+
+Reproduce: `python scripts/run_scaling.py --docs {r['n_docs']}`
+"""
+
+
+if __name__ == "__main__":
+    main()

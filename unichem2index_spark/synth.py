@@ -81,6 +81,50 @@ def render_html(text: str, i: int) -> bytes:
     ).encode("utf-8")
 
 
+def gen_webtext_row(i: int, seed: int = 42) -> dict:
+    """One deterministic row keyed by (seed, i) — per-row RNG, so any
+    worker can generate any slice independently (embarrassingly parallel,
+    unlike :func:`gen_webtext`'s sequential stream)."""
+    rng = random.Random(seed * 0x9E3779B1 + i)
+    weights = _zipf_weights(len(VOCAB))
+    base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    doclen = max(5, min(500, int(rng.lognormvariate(3.3, 0.8))))
+    text = " ".join(rng.choices(VOCAB, weights=weights, k=doclen))
+    if i % 7 == 0:
+        text += " r&d <odd & ends>"
+    return {
+        "url": f"https://site{i % 9973}.example/page/{i}",
+        "warc_ts": base_ts + dt.timedelta(days=i % 365, seconds=i % 86400),
+        "html": render_html(text, i),
+        "text": text,
+        "lang": LANGS[i % len(LANGS)],
+    }
+
+
+def gen_webtext_dist(spark, n: int, seed: int = 42, num_partitions: int = 32):
+    """Distributed deterministic webtext DataFrame (bench/scaling corpus).
+
+    ``spark.range`` partitions the id space; each task materializes its own
+    rows via :func:`gen_webtext_row` — generation itself scales with the
+    cluster, no driver-side list.
+    """
+    import pandas as pd
+
+    from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+
+    def make(batches):
+        for pdf in batches:
+            rows = [gen_webtext_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(0, n, numPartitions=num_partitions)
+        .mapInPandas(make, WEBTEXT_SCHEMA)
+    )
+
+
 def gen_queries(n: int = 30, seed: int = 42) -> list[dict]:
     """Frozen reference query set (FIXTURES.md §2): 1-5 terms each, mixing
     rare, mid-df and >=1 heavy stopword-class term; k in {1, 10, 100}."""
