@@ -141,6 +141,39 @@ def q_counts_by_source(spark, sf_dir):
     )
 
 
+def q_index_update_lifecycle(spark, sf_dir):
+    """Rows-only lifecycle op (reference -u update mode, main.go:112-115):
+    build a webtext index, add an incremental generation (replacements get
+    tombstones, new urls get new doc_ids), compact, and return the top-k —
+    deterministic by construction (seeded synth corpus, frozen query)."""
+    import datetime as dt
+    import shutil
+
+    from unichem2index_spark.operators.ingest import build_index_from_webtext
+    from unichem2index_spark.operators.update import add_generation, compact
+    from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+    from unichem2index_spark.synth import gen_webtext, gen_webtext_row
+
+    out = os.path.join(tempfile.gettempdir(), "u2i_lifecycle_idx")
+    shutil.rmtree(out, ignore_errors=True)
+    base_rows = gen_webtext(150, seed=42)
+    base = spark.createDataFrame(base_rows, schema=WEBTEXT_SCHEMA)
+    build_index_from_webtext(spark, base, out, n_shards=4)
+
+    upd_rows = []
+    for j, r in enumerate(base_rows[:30]):
+        nr = gen_webtext_row(5_000 + j, seed=9)
+        nr["url"] = r["url"]
+        nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=400)
+        upd_rows.append(nr)
+    upd_rows += [gen_webtext_row(6_000 + j, seed=9) for j in range(20)]
+    upd = spark.createDataFrame(upd_rows, schema=WEBTEXT_SCHEMA)
+    add_generation(spark, out, upd, build_id="entry-upd")
+    compact(spark, out)
+    idx = Q.IndexHandle.open(spark, out)
+    return Q.bm25_topk_wand(spark, idx, FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
 def _wrap(fn):
     def run(spark, sf_dir):
         return fn(spark, load_tables(spark, sf_dir))
@@ -163,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counts_by_source": q_counts_by_source,
         "max_dates": _wrap(parity.max_dates),
         "windowed_counts": _wrap(batch_windowed_counts),
+        "index_update_lifecycle": q_index_update_lifecycle,  # rows-only
         # -- parity ops (SURVEY §2.2-2.6) -----------------------------------
         "threeway_join": _wrap(parity.threeway_join),
         "semi_join_recent": _wrap(parity.semi_join_recent),

@@ -44,7 +44,8 @@ def run_level(cores: int, input_path: str, shards: int, zip_path: str) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--conf", "spark.sql.shuffle.partitions=%d" % max(32, cores * 2),
+        # Fixed across levels — the ONLY variable between runs is cores.
+        "--conf", "spark.sql.shuffle.partitions=128",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.driver.memory=16g",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4096",

@@ -1,0 +1,156 @@
+"""Incremental generations + tombstones + compaction (the reference's -u
+update mode, main.go:112-115, as a native index op).
+
+Contract under test:
+* after add_generation: queries see new docs, never tombstoned ones;
+  stats cover every physical posting (tombstones included) — verified
+  against a pure-Python oracle built under the same contract;
+* after compact: results are rank+score identical to a FRESH index built
+  over the live corpus (same doc_ids).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unichem2index_spark.functions.bm25 import Bm25Oracle
+from unichem2index_spark.functions.tokenize import tokenize
+from unichem2index_spark.operators import query as Q
+from unichem2index_spark.operators.build import build_index
+from unichem2index_spark.operators.ingest import build_index_from_webtext, webtext_docs
+from unichem2index_spark.operators.update import add_generation, compact
+from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+from unichem2index_spark.synth import gen_webtext, gen_webtext_row
+
+QUERIES = [(["the", "merge"], 10), (["vector", "dup", "the"], 25), (["spark"], 5)]
+
+
+@pytest.fixture(scope="module")
+def updated_index(spark, tmp_path_factory):
+    """Base build (300 docs) + one generation (100 new docs, 40 of which
+    replace existing urls)."""
+    base_rows = gen_webtext(300, seed=42)
+    base = spark.createDataFrame(base_rows, schema=WEBTEXT_SCHEMA).repartition(5)
+    out = str(tmp_path_factory.mktemp("gen_index"))
+    build_index_from_webtext(spark, base, out, n_shards=4)
+
+    # 40 replacements (same urls, new text+ts) + 60 brand-new urls.
+    import datetime as dt
+
+    upd_rows = []
+    for j, r in enumerate(base_rows[:40]):
+        nr = gen_webtext_row(10_000 + j, seed=7)
+        nr["url"] = r["url"]
+        nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=400)
+        upd_rows.append(nr)
+    for j in range(60):
+        upd_rows.append(gen_webtext_row(20_000 + j, seed=7))
+    upd = spark.createDataFrame(upd_rows, schema=WEBTEXT_SCHEMA).repartition(3)
+
+    res = add_generation(spark, out, upd, build_id="t-upd")
+    return out, base, upd, res
+
+
+def test_update_result_counts(spark, updated_index):
+    out, base, upd, res = updated_index
+    assert res.gen == 1
+    assert res.n_new_docs == 100
+    assert res.n_replaced == 40
+    handle = Q.IndexHandle.open(spark, out)
+    assert handle.multi_gen
+    # live docs = 300 - 40 + 100
+    assert handle.docs(spark).count() == 360
+    # physical postings cover 400 docs (tombstones still indexed)
+    assert handle.n_docs == 400
+    assert len(handle.deleted_ids(spark)) == 40
+
+
+def test_updated_query_matches_oracle(spark, updated_index):
+    out, base, upd, res = updated_index
+    handle = Q.IndexHandle.open(spark, out)
+
+    # Build the physical corpus the index holds: original 300 docs (ids as
+    # built) + the 100 new docs (ids continuing), then the oracle with
+    # stats over all 400 but tombstoned excluded from candidates.
+    base_docs = webtext_docs(base).select("doc_id", "text", "url").collect()
+    um = handle.store.read(spark, "url_map")
+    new_ids = {
+        r.url: r.doc_id
+        for r in um.where(F.col("doc_id") >= 300).collect()
+    }
+    upd_texts = {
+        r.url: r.text
+        for r in upd.select("url", "text").collect()
+    }
+    corpus = [(r.doc_id, tokenize(r.text)) for r in base_docs]
+    corpus += [(new_ids[u], tokenize(t)) for u, t in upd_texts.items()]
+    assert len(corpus) == 400
+    oracle = Bm25Oracle(corpus)
+    deleted = handle.deleted_ids(spark)
+
+    for terms, k in QUERIES:
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.bm25_topk_wand(spark, handle, terms, k).collect()
+        ]
+        full = oracle.topk(terms, k + len(deleted))
+        exp = [(d, round(s, 6)) for d, s in full if d not in deleted][:k]
+        assert got == exp, f"query {terms} k={k}"
+
+
+def test_compact_equals_fresh_build(spark, updated_index, tmp_path_factory):
+    out, base, upd, res = updated_index
+    stats = compact(spark, out)
+    assert stats["n_live"] == 360
+    assert stats["n_deleted_dropped"] == 40
+
+    handle = Q.IndexHandle.open(spark, out)
+    assert not handle.multi_gen
+    assert handle.n_docs == 360
+    assert not handle.store.exists("deletes")
+
+    # Fresh index over the live corpus with the SAME doc_ids.
+    um = handle.store.read(spark, "url_map").select("doc_id", "url")
+    live_docs = handle.store.read(spark, "docs")
+    # Rebuild text per live doc from the fixtures:
+    base_texts = {r["url"]: r["text"] for r in base.select("url", "text").collect()}
+    upd_texts = {r["url"]: r["text"] for r in upd.select("url", "text").collect()}
+    rows = []
+    for r in um.collect():
+        text = upd_texts.get(r.url, base_texts.get(r.url))
+        rows.append((r.doc_id, text))
+    fresh_df = spark.createDataFrame(rows, "doc_id long, text string")
+    fresh_out = str(tmp_path_factory.mktemp("fresh"))
+    build_index(spark, fresh_df, fresh_out, n_shards=4)
+    fresh = Q.IndexHandle.open(spark, fresh_out)
+    assert fresh.n_docs == 360
+    assert abs(fresh.avgdl - handle.avgdl) < 1e-9
+
+    for terms, k in QUERIES:
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.bm25_topk_wand(spark, handle, terms, k).collect()
+        ]
+        exp = [
+            (r.doc_id, r.score)
+            for r in Q.bm25_topk_wand(spark, fresh, terms, k).collect()
+        ]
+        assert got == exp, f"query {terms} k={k}"
+
+
+def test_compact_is_idempotent(spark, updated_index):
+    out, *_ = updated_index
+    handle_before = Q.IndexHandle.open(spark, out)
+    before = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_wand(spark, handle_before, ["the", "merge"], 10).collect()
+    ]
+    stats = compact(spark, out)
+    assert stats["n_deleted_dropped"] == 0
+    handle = Q.IndexHandle.open(spark, out)
+    after = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_wand(spark, handle, ["the", "merge"], 10).collect()
+    ]
+    assert before == after

@@ -88,14 +88,23 @@ class TermBlocks:
 
 
 def wand_topk(
-    terms: list[TermBlocks], avgdl: float, k: int
+    terms: list[TermBlocks],
+    avgdl: float,
+    k: int,
+    deleted: frozenset[int] | set[int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) over the given term cursors.
+
+    ``deleted``: tombstoned doc_ids (Lucene live-docs analog) — their
+    postings are still in the blocks (until compaction) but they are
+    skipped at evaluation, never entering the top-k. Bound sums may still
+    include them; that only loosens pruning, never correctness.
 
     Returns sorted by (score desc, doc_id asc).
     """
     if k <= 0 or not terms:
         return []
+    deleted = deleted or frozenset()
     # heap of (score, -doc_id): heap[0] is the currently-worst kept result
     heap: list[tuple[float, int]] = []
     threshold = -INF
@@ -148,6 +157,11 @@ def wand_topk(
                 for t in live:
                     if t.cur_doc() < target:
                         t.advance_to(target)
+                continue
+            if pivot_doc in deleted:
+                for t in live:
+                    if t.cur_doc() == pivot_doc:
+                        t.advance_to(pivot_doc + 1)
                 continue
             # Full evaluation at the pivot.
             s = 0.0

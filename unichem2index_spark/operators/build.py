@@ -90,12 +90,14 @@ def corpus_stats(tok: DataFrame) -> dict:
     row = tok.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doclen").alias("total_tokens"),
+        F.max("doc_id").alias("max_doc_id"),
     ).collect()[0]
     n_docs, total = row.n_docs, row.total_tokens or 0
     return {
         "n_docs": int(n_docs),
         "total_tokens": int(total),
         "avgdl": (float(total) / float(n_docs)) if n_docs else 0.0,
+        "max_doc_id": int(row.max_doc_id) if row.max_doc_id is not None else -1,
     }
 
 
@@ -208,7 +210,7 @@ def spimi_runs(
 # Stage 2: k-way sorted merge into block-max segments (applyInPandas)
 # --------------------------------------------------------------------------
 def _merge_group(
-    pdf: pd.DataFrame, avgdl: float, block_size: int
+    pdf: pd.DataFrame, avgdl: float, block_size: int, gen: int = 0
 ) -> pd.DataFrame:
     """Merge one (shard, term)'s sorted runs into final encoded blocks."""
     shard = int(pdf["shard"].iloc[0])
@@ -231,6 +233,7 @@ def _merge_group(
         )
         out.append(
             {
+                "gen": gen,
                 "shard": shard,
                 "term": term,
                 "block_id": block_id,
@@ -252,6 +255,7 @@ def merge_runs_to_segments(
     term_stats: DataFrame,
     avgdl: float,
     block_size: int = BLOCK_SIZE,
+    gen: int = 0,
 ) -> DataFrame:
     """groupBy(shard, term) k-way merge. The (shard, term) key is the
     skew-aware shuffle: per-group size is bounded by shard size, never by a
@@ -259,7 +263,7 @@ def merge_runs_to_segments(
     enriched = runs.join(term_stats.select("term", "idf"), "term")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_group(pdf, avgdl, block_size)
+        return _merge_group(pdf, avgdl, block_size, gen)
 
     return enriched.groupBy("shard", "term").applyInPandas(fn, SEGMENT_SCHEMA)
 
@@ -343,7 +347,9 @@ def build_index(
                 "total_tokens": 0,
                 "n_shards": n_shards,
                 "block_size": block_size,
-                "format": "parquet-v1",
+                "format": "parquet-v2",
+                "next_doc_id": 0,
+                "generations": [0],
             }
         )
         return BuildResult(store, 0, 0.0, target_shards, time.time() - t0)
@@ -412,7 +418,9 @@ def build_index(
             "total_tokens": stats["total_tokens"],
             "n_shards": n_shards,
             "block_size": block_size,
-            "format": "parquet-v1",
+            "format": "parquet-v2",
+            "next_doc_id": stats["max_doc_id"] + 1,
+            "generations": [0],
         }
     )
     tok.unpersist()

@@ -97,12 +97,23 @@ class IndexHandle:
     n_docs: int
     avgdl: float
     n_shards: int
+    generations: list[int] | None = None
 
     @staticmethod
     def open(spark: SparkSession, index_dir: str) -> "IndexHandle":
         store = SegmentStore(index_dir)
         mf = store.read_manifest()
-        return IndexHandle(store, mf["n_docs"], mf["avgdl"], mf["n_shards"])
+        return IndexHandle(
+            store,
+            mf["n_docs"],
+            mf["avgdl"],
+            mf["n_shards"],
+            mf.get("generations", [0]),
+        )
+
+    @property
+    def multi_gen(self) -> bool:
+        return len(self.generations or [0]) > 1
 
     def segments(self, spark: SparkSession) -> DataFrame:
         return self.store.read(spark, "segments")
@@ -111,20 +122,60 @@ class IndexHandle:
         return self.store.read(spark, "term_stats")
 
     def docs(self, spark: SparkSession) -> DataFrame:
-        return self.store.read(spark, "docs")
+        d = self.store.read(spark, "docs")
+        return self._drop_deleted(spark, d)
+
+    def deleted_ids(self, spark: SparkSession) -> frozenset[int]:
+        """Tombstoned doc_ids (empty for an index never updated). At real
+        cluster scale this becomes a per-shard bitmap file colocated with
+        the segments; the frozenset form is the sandbox-scale stand-in."""
+        if not self.store.exists("deletes"):
+            return frozenset()
+        return frozenset(
+            r.doc_id for r in self.store.read(spark, "deletes").collect()
+        )
+
+    def _drop_deleted(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        if not self.store.exists("deletes"):
+            return df
+        dele = self.store.read(spark, "deletes").select("doc_id")
+        return df.join(F.broadcast(dele), "doc_id", "left_anti")
 
 
-def _wand_shard_fn(idfs: dict[str, float], avgdl: float, k: int):
+def _wand_shard_fn(
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    use_stored_bounds: bool = True,
+    deleted: frozenset[int] = frozenset(),
+):
+    """Per-shard WAND kernel.
+
+    ``use_stored_bounds=False`` (multi-generation / post-update indexes):
+    stored block_max_score was computed with build-time idf/avgdl, which
+    drift as generations are added — recompute a safe bound from the
+    monotone pair (block_max_tf, block_min_dl) under CURRENT stats instead.
+    Exact rescoring always uses current stats either way.
+    """
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = []
         for term, grp in pdf.groupby("term", sort=True):
-            grp = grp.sort_values("block_id")
+            grp = grp.sort_values(["gen", "block_id"])
+            idf_t = idfs[str(term)]
+            if use_stored_bounds:
+                bounds = [float(x) for x in grp["block_max_score"]]
+            else:
+                bounds = [
+                    bm25.max_score_bound(int(mt), int(md), avgdl, idf_t)
+                    for mt, md in zip(grp["block_max_tf"], grp["block_min_dl"])
+                ]
             cursors.append(
                 TermBlocks(
                     term=str(term),
-                    idf=idfs[str(term)],
+                    idf=idf_t,
                     max_doc_ids=[int(x) for x in grp["max_doc_id"]],
-                    block_max_scores=[float(x) for x in grp["block_max_score"]],
+                    block_max_scores=bounds,
                     enc_blocks=list(
                         zip(
                             (bytes(b) for b in grp["doc_gaps"]),
@@ -134,7 +185,7 @@ def _wand_shard_fn(idfs: dict[str, float], avgdl: float, k: int):
                     ),
                 )
             )
-        top = wand_topk(cursors, avgdl, k)
+        top = wand_topk(cursors, avgdl, k, deleted=deleted)
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -161,9 +212,19 @@ def bm25_topk_wand(
     idfs = {r.term: float(r.idf) for r in ts}
     if not idfs:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    deleted = index.deleted_ids(spark)
     seg = index.segments(spark).where(F.col("term").isin(list(idfs)))
     per_shard = seg.groupBy("shard").applyInPandas(
-        _wand_shard_fn(idfs, index.avgdl, k), TOPK_SCHEMA
+        _wand_shard_fn(
+            idfs,
+            index.avgdl,
+            k,
+            # stored bounds are tight AND valid only while stats match the
+            # build; any later generation invalidates them.
+            use_stored_bounds=not index.multi_gen,
+            deleted=deleted,
+        ),
+        TOPK_SCHEMA,
     )
     return (
         per_shard.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -55,9 +55,12 @@ RUN_SCHEMA = T.StructType(
 )
 
 # Final compressed block-max segments (our Lucene-segment analog;
-# SURVEY.md §1.1 'Inverted index' row).
+# SURVEY.md §1.1 'Inverted index' row). ``gen`` is the segment generation:
+# incremental updates append new generations (Lucene flush analog) and
+# compaction folds them back to gen 0 (merge analog).
 SEGMENT_SCHEMA = T.StructType(
     [
+        T.StructField("gen", T.IntegerType(), False),
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("block_id", T.IntegerType(), False),
@@ -111,6 +114,15 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("blocks", T.LongType(), False),
         T.StructField("bytes", T.LongType(), False),
         T.StructField("elapsed_sec", T.DoubleType(), False),
+    ]
+)
+
+# Tombstoned doc_ids (doc_as_upsert replace analog, extractor/loader.go:186;
+# Lucene live-docs bitmap analog). Postings stay in place until compaction.
+DELETES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("gen", T.IntegerType(), False),
     ]
 )
 

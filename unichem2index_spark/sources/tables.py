@@ -87,9 +87,26 @@ class SegmentStore:
         (
             df.write.mode(mode)
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("shard")
+            .partitionBy("gen", "shard")
             .parquet(self.path("segments"))
         )
+
+    def append_table(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def remove_table(self, name: str) -> None:
+        """Drop a staged/retired table (Iceberg: DROP TABLE)."""
+        import shutil
+
+        shutil.rmtree(self.path(name), ignore_errors=True)
+
+    def swap_table(self, staged: str, live: str) -> None:
+        """Promote a fully-written staged table over the live one (Iceberg:
+        atomic snapshot swap; parquet fallback: rename-after-write)."""
+        import shutil
+
+        shutil.rmtree(self.path(live), ignore_errors=True)
+        os.rename(self.path(staged), self.path(live))
 
     def write_table(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self.path(name))
