@@ -313,6 +313,11 @@ def build_index(
         mf = store.read_manifest()
         return BuildResult(store, mf["n_docs"], mf["avgdl"], [], 0.0)
 
+    # Cache BEFORE the stats pass: tokenization (and everything upstream —
+    # extraction, the doc-id shuffle) materializes exactly once; the 4-5
+    # downstream jobs (runs, docs, lineage, url_map) read the cache.
+    tok = tok.cache()
+
     # Corpus-level stats always reflect the FULL corpus (scores must not
     # depend on which shards were rebuilt when).
     stats = corpus_stats(tok)
@@ -358,7 +363,6 @@ def build_index(
     full_tok = tok
     if partial:
         tok = tok.where((F.col("doc_id") % n_shards).isin(target_shards))
-    tok = tok.cache()
 
     runs = spimi_runs(tok, n_shards).cache()
     # df/idf must be corpus-GLOBAL, whatever shard subset this build
@@ -423,6 +427,6 @@ def build_index(
             "generations": [0],
         }
     )
-    tok.unpersist()
+    full_tok.unpersist()
     runs.unpersist()
     return BuildResult(store, n_docs, avgdl, target_shards, time.time() - t0)

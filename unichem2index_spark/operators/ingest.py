@@ -7,18 +7,26 @@ transforms each; here the transform is the HTML extractor instead of the
 InChI divider) re-expressed Spark-first:
 
     webtext
-      -> dedup by url, keep latest warc_ts        (T3 upsert semantics,
-                                                   extractor/loader.go:186)
       -> extract_text (Arrow pandas_udf, byte-identical to the pure oracle)
-      -> deterministic dense doc_id = rank of url  (stable across ANY
-         parallelism — required for rank-identical BM25 results)
+         FIRST, map-side — the heavy html binary never crosses a shuffle
+      -> ONE range shuffle on url: dedup-by-url (latest warc_ts wins,
+         T3 upsert semantics, extractor/loader.go:186) + deterministic
+         dense doc_id = rank of url, fused in a single mapInPandas pass
       -> build_index (SPIMI -> skew-aware shuffle -> block-max segments)
 
-Scale note on doc_id assignment: a global ``row_number() OVER (ORDER BY
-url)`` funnels the corpus through ONE reducer. Instead we range-partition
-by url, count rows per partition (tiny driver-side list), and add the
-exclusive prefix-sum offset to each partition-local rank — every stage
-stays fully parallel and the result is the identical dense rank by url.
+Scale notes
+-----------
+* A global ``row_number() OVER (ORDER BY url)`` funnels the corpus through
+  ONE reducer. Instead: range-partition by url (parallel sample-based
+  partitioner), count kept rows per partition (tiny driver-side list), and
+  add the exclusive prefix-sum offset to each partition-local rank — every
+  stage stays fully parallel and the result is the identical dense rank.
+* Extraction before the shuffle cuts shuffle bytes ~5-10x (html >> text)
+  and is the right order at 10^12 docs: the binary column is dropped at
+  the scan-adjacent stage, never serialized again.
+* Dedup and rank share the same range shuffle: same-url rows are
+  guaranteed co-located and ordered, so "keep newest per url" is a local
+  streaming pass, not a second window shuffle.
 """
 
 from __future__ import annotations
@@ -31,19 +39,6 @@ from pyspark.sql import Window as W
 
 from unichem2index_spark.functions.extract import extract_text_udf
 from unichem2index_spark.operators.build import BuildResult, build_index
-
-
-def dedup_latest_by_url(webtext: DataFrame) -> DataFrame:
-    """One row per url, newest warc_ts wins (ties: stable on url only —
-    identical urls with identical ts are exact duplicates by contract).
-    The reference gets the same idempotency from doc_as_upsert keyed bulks.
-    """
-    w = W.partitionBy("url").orderBy(F.desc_nulls_last("warc_ts"))
-    return (
-        webtext.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
 
 
 def extracted_webtext(webtext: DataFrame) -> DataFrame:
@@ -64,42 +59,82 @@ def extracted_webtext(webtext: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None = None) -> DataFrame:
-    """Deterministic dense doc_id = rank of ``key`` (0-based), computed
-    without a global single-reducer sort.
+def dedup_latest_by_url(webtext: DataFrame) -> DataFrame:
+    """One row per url, newest warc_ts wins (window form — used standalone;
+    the ingest hot path fuses this into the doc-id shuffle instead)."""
+    w = W.partitionBy("url").orderBy(F.desc_nulls_last("warc_ts"))
+    return (
+        webtext.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_and_assign_doc_ids(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str | None = "warc_ts",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused dedup-by-key + deterministic dense doc_id = rank of ``key``.
 
     1. ``repartitionByRange(key)``: partitions hold disjoint, ordered key
-       ranges (parallel sample-based partitioner).
-    2. Per-partition sort + local 0-based index (mapInPandas, streaming).
-    3. Partition row-counts -> exclusive prefix sums on the driver
-       (one tiny list, never row data) -> broadcast offsets.
+       ranges; same-key rows co-locate.
+    2. Per-partition sort (key asc, ts desc) + streaming keep-first-per-key
+       + local 0-based index over KEPT rows (one mapInPandas pass).
+    3. Kept-row counts -> exclusive prefix sums on the driver (one tiny
+       list, never row data) -> broadcast offsets.
 
-    The result equals ``row_number() OVER (ORDER BY key) - 1`` for unique
-    keys under ANY parallelism — the property BM25 rank-identity needs
-    (SURVEY.md §7 hard-point 2).
+    Equals ``row_number() OVER (ORDER BY key) - 1`` over the deduped set
+    under ANY parallelism — the property BM25 rank-identity needs
+    (SURVEY.md §7 hard-point 2). Ties on (key, ts): smallest remaining
+    column tuple wins (fully deterministic).
     """
-    sc = df.sparkSession
+    if ts_col is None:
+        ts_col = key  # degenerate: no dedup ordering column
     if num_partitions:
         ranged = df.repartitionByRange(num_partitions, key)
     else:
         ranged = df.repartitionByRange(key)
-    ranged = ranged.sortWithinPartitions(key).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    other = [c for c in df.columns if c not in (key, ts_col)]
+    ranged = ranged.sortWithinPartitions(
+        F.asc(key), F.desc_nulls_last(ts_col), *[F.asc(c) for c in other]
+    ).withColumn("_pid", F.spark_partition_id())
     # Persist so the count pass and the rank pass see the SAME range
-    # boundaries (and the extractor UDF upstream runs once, not twice).
-    # At cluster scale this would be StorageLevel.DISK_ONLY or a checkpoint.
+    # boundaries (and upstream extraction runs once, not twice). At cluster
+    # scale this would be StorageLevel.DISK_ONLY or a checkpoint.
     ranged = ranged.persist()
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)] + list(ranged.schema.fields)
+    )
+
+    def keep_first_with_rank(batches):
+        seen = 0
+        last_key = None
+        for pdf in batches:
+            keys = pdf[key]
+            keep_mask = []
+            for k in keys:
+                keep_mask.append(k != last_key)
+                last_key = k
+            kept = pdf[pd.Series(keep_mask, index=pdf.index)].copy()
+            n = len(kept)
+            kept.insert(0, "doc_id", range(seen, seen + n))
+            seen += n
+            yield kept
+
+    with_rank = ranged.mapInPandas(keep_first_with_rank, out_schema)
 
     counts = {
         r._pid: r.n
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in with_rank.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_df = sc.createDataFrame(
+    off_df = df.sparkSession.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()],
         T.StructType(
             [
@@ -108,21 +143,6 @@ def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None =
             ]
         ),
     )
-
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(ranged.schema.fields)
-    )
-
-    def add_local_rank(batches):
-        seen = 0
-        for pdf in batches:
-            n = len(pdf)
-            pdf = pdf.copy()
-            pdf.insert(0, "doc_id", range(seen, seen + n))
-            seen += n
-            yield pdf
-
-    with_rank = ranged.mapInPandas(add_local_rank, out_schema)
     return (
         with_rank.join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", F.col("doc_id") + F.col("_offset"))
@@ -130,12 +150,21 @@ def assign_doc_ids(df: DataFrame, key: str = "url", num_partitions: int | None =
     )
 
 
+def assign_doc_ids(
+    df: DataFrame, key: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic dense doc_id = rank of unique ``key`` (no dedup)."""
+    return dedup_and_assign_doc_ids(
+        df, key=key, ts_col=None, num_partitions=num_partitions
+    )
+
+
 def webtext_docs(webtext: DataFrame) -> DataFrame:
-    """Full ingest transform: dedup -> extract -> doc_id. Output columns:
-    ``doc_id, url, warc_ts, text, lang, source`` (source = url host, the
-    per-source analytics key — counts_by_source analog)."""
-    extracted = extracted_webtext(dedup_latest_by_url(webtext))
-    with_ids = assign_doc_ids(extracted, key="url")
+    """Full ingest transform: extract -> fused dedup+doc_id (one shuffle).
+    Output columns: ``doc_id, url, warc_ts, text, lang, source``
+    (source = url host, the per-source analytics key)."""
+    extracted = extracted_webtext(webtext)
+    with_ids = dedup_and_assign_doc_ids(extracted, key="url", ts_col="warc_ts")
     return with_ids.select(
         "doc_id",
         "url",

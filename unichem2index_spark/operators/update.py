@@ -46,8 +46,7 @@ from unichem2index_spark.operators.build import (
     tokenized_docs,
 )
 from unichem2index_spark.operators.ingest import (
-    assign_doc_ids,
-    dedup_latest_by_url,
+    dedup_and_assign_doc_ids,
     extracted_webtext,
 )
 from unichem2index_spark.schemas import (
@@ -89,10 +88,9 @@ def add_generation(
     gen = max(mf.get("generations", [0])) + 1
     next_id = mf["next_doc_id"]
 
-    incoming = extracted_webtext(dedup_latest_by_url(new_webtext))
-    with_ids = assign_doc_ids(incoming, key="url").withColumn(
-        "doc_id", F.col("doc_id") + F.lit(next_id)
-    )
+    with_ids = dedup_and_assign_doc_ids(
+        extracted_webtext(new_webtext), key="url", ts_col="warc_ts"
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(next_id))
     new_docs = with_ids.select(
         "doc_id",
         "url",
