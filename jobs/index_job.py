@@ -75,7 +75,7 @@ def main() -> None:
             }
         )
 
-    handle = Q.IndexHandle.open(spark, args.out)
+    handle = Q.IndexHandle.open(spark, args.out, cache=True)
     lat = []
     for q in gen_queries(args.queries, seed=42):
         t0 = time.time()

@@ -37,6 +37,19 @@ def gen_input(path: str, n_docs: int) -> float:
     return time.time() - t0
 
 
+def wait_for_idle(max_load: float = 4.0, timeout_s: int = 900) -> float:
+    """The sandbox host is shared; gate each measured run on a calm 1-min
+    loadavg so other tenants' bursts don't pollute the numbers."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load1 = os.getloadavg()[0]
+        if load1 <= max_load:
+            return load1
+        print(f"  host busy (load1={load1:.1f}), waiting...", flush=True)
+        time.sleep(20)
+    return os.getloadavg()[0]
+
+
 def run_level(cores: int, input_path: str, shards: int, zip_path: str) -> dict:
     out_dir = tempfile.mkdtemp(prefix=f"u2i_scale_{cores}_")
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -71,6 +84,9 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="runs per level; best (min build_sec) wins — "
+                    "the shared host makes single runs noisy")
     args = ap.parse_args()
 
     zip_path = subprocess.run(
@@ -86,8 +102,20 @@ def main() -> None:
         print(f"generated {args.docs} docs in {gen_s:.1f}s -> {input_path}")
 
     lo, hi = args.levels
-    m_lo = run_level(lo, input_path, args.shards, zip_path)
-    m_hi = run_level(hi, input_path, args.shards, zip_path)
+
+    def best_of(cores: int) -> dict:
+        runs = []
+        for i in range(args.repeats):
+            load = wait_for_idle()
+            m = run_level(cores, input_path, args.shards, zip_path)
+            m["load1_at_start"] = round(load, 2)
+            print(f"  local[{cores}] run {i}: {m['build_sec']}s "
+                  f"(load1 {load:.1f})", flush=True)
+            runs.append(m)
+        return min(runs, key=lambda m: m["build_sec"])
+
+    m_lo = best_of(lo)
+    m_hi = best_of(hi)
 
     factor = hi / lo
     eff = (m_hi["build_docs_per_sec"] / m_lo["build_docs_per_sec"]) / factor
@@ -114,12 +142,16 @@ def render_bench_md(r: dict) -> str:
 Same `spark-submit --py-files dist/unichem2index_spark.zip jobs/index_job.py`
 job, same deterministic input ({r['n_docs']:,} synthetic Common-Crawl-style
 webtext docs, seed=42), two parallelism levels on one host (sandbox stand-in
-for N vs 4N executors, per driver instruction).
+for N vs 4N executors, per driver instruction). The sandbox host is SHARED
+(ambient loadavg from other tenants regularly 10+), so each level runs
+best-of-N with a wait-for-idle gate (1-min loadavg <= 4 before each run);
+`load1_at_start` records the gate reading.
 
-Pipeline measured: dedup -> Arrow-UDF HTML extract -> deterministic doc_id ->
-SPIMI posting runs -> skew-aware (shard,term) shuffle -> k-way merge ->
-varbyte block-max segments + lineage; then the frozen 20-query reference set
-via block-max WAND.
+Pipeline measured: Arrow-UDF HTML extract (map-side, html never shuffled) ->
+fused dedup+deterministic doc_id (one range shuffle) -> SPIMI posting runs ->
+skew-aware (shard,term) shuffle -> k-way merge -> varbyte block-max segments
+(one file per shard, term-sorted row groups) + lineage; then the frozen
+20-query reference set via block-max WAND over the hot index.
 
 | level | build docs/sec | build sec | query p50 (s) | query p95 (s) |
 |---|---|---|---|---|

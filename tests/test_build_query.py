@@ -166,3 +166,22 @@ def test_analytics_ops(spark, corpus, index):
     assert all(
         top[i].doc_count >= top[i + 1].doc_count for i in range(len(top) - 1)
     )
+
+
+def test_batch_queries_match_single(spark, corpus, index):
+    """bm25_topk_batch == per-query bm25_topk_wand, ranks and scores."""
+    from unichem2index_spark.operators.query import bm25_topk_batch
+
+    handle, _ = index
+    qs = [
+        {"query_id": i, "terms": t, "k": k}
+        for i, (t, k) in enumerate(WAND_QUERIES[:6])
+    ]
+    batch = bm25_topk_batch(spark, handle, qs).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for q in qs:
+        single = Q.bm25_topk_wand(spark, handle, q["terms"], q["k"]).collect()
+        exp = [(i + 1, r.doc_id, r.score) for i, r in enumerate(single)]
+        assert by_q.get(q["query_id"], []) == exp, f"query {q}"

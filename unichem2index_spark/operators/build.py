@@ -376,7 +376,7 @@ def build_index(
             if not partial
             else term_stats_from_corpus(full_tok, n_docs)
         )
-        store.write_table(tstats, "term_stats")
+        store.write_table(tstats, "term_stats", max_files=8)
         tstats = store.read(spark, "term_stats")
 
     segments = merge_runs_to_segments(runs, tstats, avgdl, block_size)

@@ -143,11 +143,16 @@ def dedup_and_assign_doc_ids(
             ]
         ),
     )
-    return (
+    out = (
         with_rank.join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", F.col("doc_id") + F.col("_offset"))
         .drop("_pid", "_offset")
     )
+    # Expose the persisted upstream so the pipeline owner can release it
+    # once downstream materialization is done (heap left occupied during
+    # query serving = GC pressure).
+    out._u2i_persisted = ranged  # type: ignore[attr-defined]
+    return out
 
 
 def assign_doc_ids(
@@ -165,7 +170,7 @@ def webtext_docs(webtext: DataFrame) -> DataFrame:
     (source = url host, the per-source analytics key)."""
     extracted = extracted_webtext(webtext)
     with_ids = dedup_and_assign_doc_ids(extracted, key="url", ts_col="warc_ts")
-    return with_ids.select(
+    out = with_ids.select(
         "doc_id",
         "url",
         "warc_ts",
@@ -173,6 +178,8 @@ def webtext_docs(webtext: DataFrame) -> DataFrame:
         "lang",
         F.parse_url(F.col("url"), F.lit("HOST")).alias("source"),
     )
+    out._u2i_persisted = getattr(with_ids, "_u2i_persisted", None)  # type: ignore[attr-defined]
+    return out
 
 
 def build_index_from_webtext(
@@ -187,11 +194,16 @@ def build_index_from_webtext(
     index. The url<->doc_id mapping is persisted so query results can be
     joined back to urls (ES _id analog)."""
     docs = webtext_docs(webtext)
-    result = build_index(
-        spark, docs, out_dir, n_shards=n_shards, resume=resume, build_id=build_id
-    )
-    if not result.store.exists("url_map"):
-        result.store.write_table(
-            docs.select("doc_id", "url", "warc_ts", "lang", "source"), "url_map"
+    try:
+        result = build_index(
+            spark, docs, out_dir, n_shards=n_shards, resume=resume, build_id=build_id
         )
+        if not result.store.exists("url_map"):
+            result.store.write_table(
+                docs.select("doc_id", "url", "warc_ts", "lang", "source"), "url_map"
+            )
+    finally:
+        persisted = getattr(docs, "_u2i_persisted", None)
+        if persisted is not None:
+            persisted.unpersist()
     return result

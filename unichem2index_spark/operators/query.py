@@ -98,27 +98,50 @@ class IndexHandle:
     avgdl: float
     n_shards: int
     generations: list[int] | None = None
+    _segments_cached: DataFrame | None = None
+    _term_stats_cached: DataFrame | None = None
 
     @staticmethod
-    def open(spark: SparkSession, index_dir: str) -> "IndexHandle":
+    def open(
+        spark: SparkSession, index_dir: str, cache: bool = False
+    ) -> "IndexHandle":
+        """``cache=True`` pins segments + term_stats in executor memory for
+        a query-serving session (the ES hot-index analog); queries then skip
+        the per-request parquet scan. Call :meth:`close` to release."""
         store = SegmentStore(index_dir)
         mf = store.read_manifest()
-        return IndexHandle(
+        h = IndexHandle(
             store,
             mf["n_docs"],
             mf["avgdl"],
             mf["n_shards"],
             mf.get("generations", [0]),
         )
+        if cache:
+            h._segments_cached = store.read(spark, "segments").persist()
+            h._term_stats_cached = store.read(spark, "term_stats").persist()
+            h._segments_cached.count()  # materialize eagerly
+            h._term_stats_cached.count()
+        return h
+
+    def close(self) -> None:
+        for df in (self._segments_cached, self._term_stats_cached):
+            if df is not None:
+                df.unpersist()
+        self._segments_cached = self._term_stats_cached = None
 
     @property
     def multi_gen(self) -> bool:
         return len(self.generations or [0]) > 1
 
     def segments(self, spark: SparkSession) -> DataFrame:
+        if self._segments_cached is not None:
+            return self._segments_cached
         return self.store.read(spark, "segments")
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
+        if self._term_stats_cached is not None:
+            return self._term_stats_cached
         return self.store.read(spark, "term_stats")
 
     def docs(self, spark: SparkSession) -> DataFrame:
@@ -230,6 +253,106 @@ def bm25_topk_wand(
         per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk_batch(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[dict],
+) -> DataFrame:
+    """Run a whole query set in ONE Spark job (high-QPS serving shape).
+
+    ``queries``: [{"query_id": int, "terms": [...], "k": int}, ...].
+    Returns (query_id, rank, doc_id, score), each query's top-k rank- and
+    score-identical to :func:`bm25_topk_wand` run one-by-one.
+
+    Scale shape: one pass over the union of all queries' posting lists per
+    shard (segments scanned once with `term IN (union of terms)`), per-shard
+    WAND per query inside a single applyInPandas stage, then one global
+    window per query_id over <= n_shards * k candidate rows.
+    """
+    from pyspark.sql import Window as W
+
+    all_terms = sorted({t for q in queries for t in q["terms"]})
+    if not all_terms or not queries:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(all_terms))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    deleted = index.deleted_ids(spark)
+    qspec = [
+        (int(q["query_id"]), sorted({t for t in q["terms"] if t in idfs}), int(q["k"]))
+        for q in queries
+    ]
+    avgdl = index.avgdl
+    use_stored = not index.multi_gen
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, pd.DataFrame] = {
+            str(t): g.sort_values(["gen", "block_id"])
+            for t, g in pdf.groupby("term", sort=True)
+        }
+
+        def cursor(term: str) -> TermBlocks:
+            grp = by_term[term]
+            idf_t = idfs[term]
+            if use_stored:
+                bounds = [float(x) for x in grp["block_max_score"]]
+            else:
+                bounds = [
+                    bm25.max_score_bound(int(mt), int(md), avgdl, idf_t)
+                    for mt, md in zip(grp["block_max_tf"], grp["block_min_dl"])
+                ]
+            return TermBlocks(
+                term=term,
+                idf=idf_t,
+                max_doc_ids=[int(x) for x in grp["max_doc_id"]],
+                block_max_scores=bounds,
+                enc_blocks=list(
+                    zip(
+                        (bytes(b) for b in grp["doc_gaps"]),
+                        (bytes(b) for b in grp["tfs"]),
+                        (bytes(b) for b in grp["dls"]),
+                    )
+                ),
+            )
+
+        qids, dids, scores = [], [], []
+        for qid, terms, k in qspec:
+            cursors = [cursor(t) for t in terms if t in by_term]
+            for d, s in wand_topk(cursors, avgdl, k, deleted=deleted):
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
+        return pd.DataFrame({"query_id": qids, "doc_id": dids, "score": scores})
+
+    seg = index.segments(spark).where(F.col("term").isin(all_terms))
+    per_shard = seg.groupBy("shard").applyInPandas(
+        fn, "query_id int, doc_id long, score double"
+    )
+    ks = {int(q["query_id"]): int(q["k"]) for q in queries}
+    k_df = spark.createDataFrame(
+        [(q, k) for q, k in ks.items()], "query_id int, k int"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(k_df), "query_id")
+        .where(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
     )
 
 

@@ -143,7 +143,7 @@ def add_generation(
         .withColumn("idf", idf_col(n_total))
     )
     # Stage the new stats next to the old, swap at the end (atomic-last).
-    store.write_table(combined, "term_stats_next")
+    store.write_table(combined, "term_stats_next", max_files=8)
     tstats = store.read(spark, "term_stats_next")
 
     segments = merge_runs_to_segments(runs, tstats, avgdl, block_size, gen=gen)
@@ -199,6 +199,9 @@ def add_generation(
     tok.unpersist()
     runs.unpersist()
     new_docs.unpersist()
+    ranged = getattr(with_ids, "_u2i_persisted", None)
+    if ranged is not None:
+        ranged.unpersist()
     return UpdateResult(store, gen, n_new, n_replaced, time.time() - t0)
 
 
@@ -304,7 +307,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .withColumn("idf", idf_col(n_live))
     )
-    store.write_table(tstats, "term_stats_next")
+    store.write_table(tstats, "term_stats_next", max_files=8)
     tstats = store.read(spark, "term_stats_next")
 
     enriched = seg.join(tstats.select("term", "idf"), "term")

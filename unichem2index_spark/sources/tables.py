@@ -85,7 +85,14 @@ class SegmentStore:
     def write_segments(self, df: DataFrame, overwrite_partitions: bool = True) -> None:
         mode = "overwrite" if overwrite_partitions else "append"
         (
-            df.write.mode(mode)
+            # One file per (gen, shard), rows sorted by (term, block_id):
+            # a query's `term IN (...)` predicate prunes parquet row groups
+            # via min/max stats and touches exactly one file per shard —
+            # without this, every shuffle task leaves a file fragment in
+            # every shard dir (~shuffle_partitions x n_shards tiny files).
+            df.repartition("gen", "shard")
+            .sortWithinPartitions("gen", "shard", "term", "block_id")
+            .write.mode(mode)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("gen", "shard")
             .parquet(self.path("segments"))
@@ -108,11 +115,19 @@ class SegmentStore:
         shutil.rmtree(self.path(live), ignore_errors=True)
         os.rename(self.path(staged), self.path(live))
 
-    def write_table(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    def write_table(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        max_files: int | None = None,
+    ) -> None:
+        if max_files:
+            df = df.coalesce(max_files)
         df.write.mode(mode).parquet(self.path(name))
 
     def append_lineage(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path("lineage"))
+        df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
 
     def write_manifest(self, meta: dict) -> None:
         os.makedirs(self.base, exist_ok=True)
