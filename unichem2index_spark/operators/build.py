@@ -313,10 +313,16 @@ def build_index(
         mf = store.read_manifest()
         return BuildResult(store, mf["n_docs"], mf["avgdl"], [], 0.0)
 
-    # Cache BEFORE the stats pass: tokenization (and everything upstream —
+    # Persist BEFORE the stats pass: tokenization (and everything upstream —
     # extraction, the doc-id shuffle) materializes exactly once; the 4-5
-    # downstream jobs (runs, docs, lineage, url_map) read the cache.
-    tok = tok.cache()
+    # downstream jobs (runs, docs, lineage, url_map) read it back. DISK_ONLY
+    # deliberately: the token arrays explode into tens of millions of small
+    # JVM objects as an in-memory columnar cache — building that under 32
+    # concurrent tasks is GC-bound (measured 9x slower than the disk write),
+    # while local-disk re-reads are sub-second.
+    from pyspark import StorageLevel
+
+    tok = tok.persist(StorageLevel.DISK_ONLY)
 
     # Corpus-level stats always reflect the FULL corpus (scores must not
     # depend on which shards were rebuilt when).

@@ -101,9 +101,13 @@ def dedup_and_assign_doc_ids(
         F.asc(key), F.desc_nulls_last(ts_col), *[F.asc(c) for c in other]
     ).withColumn("_pid", F.spark_partition_id())
     # Persist so the count pass and the rank pass see the SAME range
-    # boundaries (and upstream extraction runs once, not twice). At cluster
-    # scale this would be StorageLevel.DISK_ONLY or a checkpoint.
-    ranged = ranged.persist()
+    # boundaries (and upstream extraction runs once, not twice). DISK_ONLY:
+    # building an in-memory object cache of the full corpus is GC-bound at
+    # high task concurrency; local-disk re-reads are cheap and this is also
+    # the only level that holds at cluster scale.
+    from pyspark import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.DISK_ONLY)
 
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType(), False)] + list(ranged.schema.fields)
