@@ -61,7 +61,6 @@ def run_level(cores: int, input_path: str, shards: int, zip_path: str) -> dict:
         "--conf", "spark.sql.shuffle.partitions=128",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.driver.memory=24g",
-        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4096",
         "--py-files", zip_path,
         os.path.join(ROOT, "jobs", "index_job.py"),
         "--input", input_path,
