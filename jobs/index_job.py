@@ -76,6 +76,10 @@ def main() -> None:
         )
 
     handle = Q.IndexHandle.open(spark, args.out, cache=True)
+    if args.queries:
+        # Untimed warmup: first query pays python-worker fleet cold start,
+        # which is session overhead, not per-query serving latency.
+        Q.bm25_topk_wand(spark, handle, ["the"], 1).collect()
     lat = []
     for q in gen_queries(args.queries, seed=42):
         t0 = time.time()
