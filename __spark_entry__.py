@@ -44,7 +44,17 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Q.IndexHandle:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"u2i_index_{tag}")
     store_manifest = os.path.join(out, "manifest.json")
-    if not os.path.exists(store_manifest):
+    fresh = False
+    if os.path.exists(store_manifest):
+        import json as _json
+        import shutil as _shutil
+
+        with open(store_manifest) as f:
+            if _json.load(f).get("format") == "parquet-v2":
+                fresh = True
+            else:  # stale layout from an older build — rebuild
+                _shutil.rmtree(out, ignore_errors=True)
+    if not fresh:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_index(spark, docs, out, n_shards=8, build_id="entry")
     return Q.IndexHandle.open(spark, out)
