@@ -102,7 +102,9 @@ def doc_fingerprint(spark: SparkSession, t) -> DataFrame:
     d = _tok(t["documents"])
     ids = vocab_ids(d.select("doc_id", "tokens"))
     pos = d.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
-    weighted = pos.join(F.broadcast(ids), "term").select(
+    # No broadcast hint: AQE broadcasts small vocabularies, shuffle-joins
+    # web-scale ones.
+    weighted = pos.join(ids, "term").select(
         "doc_id", ((F.col("pos") + 1) * (F.col("token_id") + 1)).alias("w")
     )
     return (

@@ -421,13 +421,13 @@ ORDER BY simhash
 """
 
 
-def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(threshold: float = 0.5, df_cap: int = 50) -> str:
     return f"""
 WITH tok AS (
-  SELECT doc_id, source, {TOKS} AS toks FROM documents
+  SELECT doc_id, {TOKS} AS toks FROM documents
 ),
 sh AS (
-  SELECT DISTINCT doc_id, source, unnest(
+  SELECT DISTINCT doc_id, unnest(
     CASE WHEN len(toks) >= 3 THEN
       list_transform(range(len(toks) - 2),
         i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
@@ -436,11 +436,22 @@ sh AS (
   FROM tok
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+rare AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+  ) WHERE df <= {df_cap}
+),
+blocked AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a
+  JOIN blocked b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a
-  JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
-           AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh ia ON c.doc_a = ia.doc_id
+  JOIN sh ib ON c.doc_b = ib.doc_id AND ia.shingle = ib.shingle
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS shared_shingles,
