@@ -50,7 +50,7 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Q.IndexHandle:
         import shutil as _shutil
 
         with open(store_manifest) as f:
-            if _json.load(f).get("format") == "parquet-v2":
+            if _json.load(f).get("format") == "parquet-v3":
                 fresh = True
             else:  # stale layout from an older build — rebuild
                 _shutil.rmtree(out, ignore_errors=True)

@@ -209,21 +209,19 @@ def spimi_runs(
 # --------------------------------------------------------------------------
 # Stage 2: k-way sorted merge into block-max segments (applyInPandas)
 # --------------------------------------------------------------------------
-def _merge_group(
-    pdf: pd.DataFrame, avgdl: float, block_size: int, gen: int = 0
-) -> pd.DataFrame:
-    """Merge one (shard, term)'s sorted runs into final encoded blocks."""
-    shard = int(pdf["shard"].iloc[0])
-    term = str(pdf["term"].iloc[0])
-    idf_t = float(pdf["idf"].iloc[0])
-    runs = []
-    for gaps, tfs, dls in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
-        blk = PostingBlock.decode(bytes(gaps), bytes(tfs), bytes(dls))
-        runs.append(list(zip(blk.doc_ids, blk.tfs, blk.dls)))
-    merged = list(heapq.merge(*runs, key=lambda p: p[0]))  # k-way by doc_id
-    ids = [p[0] for p in merged]
-    tfs = [p[1] for p in merged]
-    dls = [p[2] for p in merged]
+def encode_segment_rows(
+    shard: int,
+    term: str,
+    idf_t: float,
+    ids: list[int],
+    tfs: list[int],
+    dls: list[int],
+    avgdl: float,
+    block_size: int,
+    gen: int,
+) -> list[dict]:
+    """Chunk one (shard, term)'s doc-sorted postings into encoded
+    block-max segment rows (shared by build merge and compaction)."""
     out = []
     for block_id, blk in enumerate(chunk_postings(ids, tfs, dls, block_size)):
         gaps_b, tfs_b, dls_b = blk.encode()
@@ -247,6 +245,32 @@ def _merge_group(
                 "block_max_score": bms,
             }
         )
+    return out
+
+
+def _merge_group(
+    pdf: pd.DataFrame, avgdl: float, block_size: int, gen: int = 0
+) -> pd.DataFrame:
+    """Merge one (shard, term)'s sorted runs into final encoded blocks."""
+    shard = int(pdf["shard"].iloc[0])
+    term = str(pdf["term"].iloc[0])
+    idf_t = float(pdf["idf"].iloc[0])
+    runs = []
+    for gaps, tfs, dls in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
+        blk = PostingBlock.decode(bytes(gaps), bytes(tfs), bytes(dls))
+        runs.append(list(zip(blk.doc_ids, blk.tfs, blk.dls)))
+    merged = list(heapq.merge(*runs, key=lambda p: p[0]))  # k-way by doc_id
+    out = encode_segment_rows(
+        shard,
+        term,
+        idf_t,
+        [p[0] for p in merged],
+        [p[1] for p in merged],
+        [p[2] for p in merged],
+        avgdl,
+        block_size,
+        gen,
+    )
     return pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
 
@@ -301,7 +325,6 @@ def build_index(
     """
     t0 = time.time()
     store = SegmentStore(out_dir)
-    tok = tokenized_docs(source, id_col=id_col, text_col=text_col)
 
     target = set(range(n_shards))
     if shard_filter is not None:
@@ -312,6 +335,23 @@ def build_index(
     if not target_shards:
         mf = store.read_manifest()
         return BuildResult(store, mf["n_docs"], mf["avgdl"], [], 0.0)
+
+    partial = len(target_shards) < n_shards
+    # When frozen full-corpus artifacts already exist (a resumed or
+    # shard-subset rebuild), push the shard predicate ABOVE tokenization:
+    # it only needs doc_id, so non-target rows are never tokenized (or
+    # extracted) at all — a partial rebuild reads only its shards' docs.
+    have_frozen = (
+        partial
+        and store.exists()  # manifest
+        and store.exists("term_stats")
+        and store.exists("docs")
+    )
+    if have_frozen:
+        source = source.where(
+            (F.col(id_col) % n_shards).isin(target_shards)
+        )
+    tok = tokenized_docs(source, id_col=id_col, text_col=text_col)
 
     # Persist BEFORE the stats pass: tokenization (and everything upstream —
     # extraction, the doc-id shuffle) materializes exactly once; the 4-5
@@ -325,8 +365,18 @@ def build_index(
     tok = tok.persist(StorageLevel.DISK_ONLY)
 
     # Corpus-level stats always reflect the FULL corpus (scores must not
-    # depend on which shards were rebuilt when).
-    stats = corpus_stats(tok)
+    # depend on which shards were rebuilt when): frozen manifest stats when
+    # available, else computed from the (full) tokenized corpus.
+    if have_frozen:
+        mf_prev = store.read_manifest()
+        stats = {
+            "n_docs": mf_prev["n_docs"],
+            "avgdl": mf_prev["avgdl"],
+            "total_tokens": mf_prev["total_tokens"],
+            "max_doc_id": mf_prev["next_doc_id"] - 1,
+        }
+    else:
+        stats = corpus_stats(tok)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
     if n_docs == 0:
@@ -345,8 +395,11 @@ def build_index(
             spark.createDataFrame([], TERM_STATS_SCHEMA).repartition(1),
             "term_stats",
         )
+        empty_docs_schema = T.StructType(
+            list(DOCS_SCHEMA.fields) + [T.StructField("gen", T.IntegerType(), False)]
+        )
         store.write_table(
-            spark.createDataFrame([], DOCS_SCHEMA).repartition(1), "docs"
+            spark.createDataFrame([], empty_docs_schema).repartition(1), "docs"
         )
         store.write_table(
             spark.createDataFrame([], LINEAGE_SCHEMA).repartition(1), "lineage"
@@ -358,17 +411,27 @@ def build_index(
                 "total_tokens": 0,
                 "n_shards": n_shards,
                 "block_size": block_size,
-                "format": "parquet-v2",
+                "format": "parquet-v3",
                 "next_doc_id": 0,
                 "generations": [0],
+                "tables": {},
             }
         )
         return BuildResult(store, 0, 0.0, target_shards, time.time() - t0)
 
-    partial = len(target_shards) < n_shards
     full_tok = tok
-    if partial:
+    if partial and not have_frozen:
+        # First partial build (no frozen artifacts yet): the full corpus
+        # was tokenized for stats; narrow to the target shards here.
         tok = tok.where((F.col("doc_id") % n_shards).isin(target_shards))
+
+    # Forward docs table always covers the FULL corpus — written BEFORE
+    # segments so a mid-build crash leaves the frozen stats a resumed
+    # build needs (gen-partitioned; incremental updates add generations).
+    if not store.exists("docs"):
+        store.write_gen_partition(
+            docs_table(full_tok).withColumn("gen", F.lit(0)), "docs"
+        )
 
     runs = spimi_runs(tok, n_shards).cache()
     # df/idf must be corpus-GLOBAL, whatever shard subset this build
@@ -387,10 +450,6 @@ def build_index(
 
     segments = merge_runs_to_segments(runs, tstats, avgdl, block_size)
     store.write_segments(segments)
-
-    # Forward docs table always covers the FULL corpus (written once).
-    if not store.exists("docs"):
-        store.write_table(docs_table(full_tok), "docs")
 
     # Lineage/metrics per shard, written AFTER segments land (atomic-last,
     # SURVEY.md §7 hard-point 5).
@@ -421,6 +480,9 @@ def build_index(
     )
     store.append_lineage(lineage)
 
+    prev_tables = (
+        store.read_manifest().get("tables", {}) if store.exists() else {}
+    )
     store.write_manifest(
         {
             "n_docs": n_docs,
@@ -428,9 +490,10 @@ def build_index(
             "total_tokens": stats["total_tokens"],
             "n_shards": n_shards,
             "block_size": block_size,
-            "format": "parquet-v2",
+            "format": "parquet-v3",
             "next_doc_id": stats["max_doc_id"] + 1,
             "generations": [0],
+            "tables": prev_tables,
         }
     )
     full_tok.unpersist()

@@ -203,8 +203,10 @@ def build_index_from_webtext(
             spark, docs, out_dir, n_shards=n_shards, resume=resume, build_id=build_id
         )
         if not result.store.exists("url_map"):
-            result.store.write_table(
-                docs.select("doc_id", "url", "warc_ts", "lang", "source"), "url_map"
+            result.store.write_gen_partition(
+                docs.select("doc_id", "url", "warc_ts", "lang", "source")
+                .withColumn("gen", F.lit(0)),
+                "url_map",
             )
     finally:
         persisted = getattr(docs, "_u2i_persisted", None)

@@ -118,7 +118,7 @@ class IndexHandle:
             mf.get("generations", [0]),
         )
         if cache:
-            h._segments_cached = store.read(spark, "segments").persist()
+            h._segments_cached = h.segments(spark).persist()
             h._term_stats_cached = store.read(spark, "term_stats").persist()
             h._segments_cached.count()  # materialize eagerly
             h._term_stats_cached.count()
@@ -135,9 +135,13 @@ class IndexHandle:
         return len(self.generations or [0]) > 1
 
     def segments(self, spark: SparkSession) -> DataFrame:
+        """Committed generations only: partitions written by an in-flight
+        or crashed update are pruned by the gen filter."""
         if self._segments_cached is not None:
             return self._segments_cached
-        return self.store.read(spark, "segments")
+        return self.store.read_committed(
+            spark, "segments", self.generations or [0]
+        )
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         if self._term_stats_cached is not None:
@@ -145,24 +149,78 @@ class IndexHandle:
         return self.store.read(spark, "term_stats")
 
     def docs(self, spark: SparkSession) -> DataFrame:
-        d = self.store.read(spark, "docs")
+        d = self.store.read_committed(
+            spark, "docs", self.generations or [0]
+        ).drop("gen")
         return self._drop_deleted(spark, d)
 
-    def deleted_ids(self, spark: SparkSession) -> frozenset[int]:
-        """Tombstoned doc_ids (empty for an index never updated). At real
-        cluster scale this becomes a per-shard bitmap file colocated with
-        the segments; the frozenset form is the sandbox-scale stand-in."""
+    def deletes(self, spark: SparkSession) -> DataFrame | None:
+        """Committed tombstones as a (doc_id) DataFrame; None if the index
+        has no deletes table. Never collected to the driver."""
         if not self.store.exists("deletes"):
-            return frozenset()
-        return frozenset(
-            r.doc_id for r in self.store.read(spark, "deletes").collect()
+            return None
+        return self.store.read_committed(
+            spark, "deletes", self.generations or [0]
+        ).select("doc_id")
+
+    def deletes_by_shard(self, spark: SparkSession) -> DataFrame:
+        """(shard, doc_id) tombstones for per-shard cogrouping — the
+        executor-side analog of Lucene's per-segment live-docs bitmap
+        (shard = doc_id % n_shards, the index's doc-sharding function).
+        Empty DataFrame when the index has no tombstones."""
+        dele = self.deletes(spark)
+        if dele is None:
+            return spark.createDataFrame([], "shard int, doc_id long")
+        return dele.select(
+            (F.col("doc_id") % self.n_shards).cast("int").alias("shard"),
+            "doc_id",
         )
 
+    def deleted_ids(self, spark: SparkSession) -> frozenset[int]:
+        """Diagnostics/test helper ONLY (drivers a collect): the query and
+        update paths use :meth:`deletes` / :meth:`deletes_by_shard`."""
+        dele = self.deletes(spark)
+        if dele is None:
+            return frozenset()
+        return frozenset(r.doc_id for r in dele.collect())
+
     def _drop_deleted(self, spark: SparkSession, df: DataFrame) -> DataFrame:
-        if not self.store.exists("deletes"):
+        dele = self.deletes(spark)
+        if dele is None:
             return df
-        dele = self.store.read(spark, "deletes").select("doc_id")
-        return df.join(F.broadcast(dele), "doc_id", "left_anti")
+        # No broadcast hint: AQE broadcasts small tombstone sets, shuffle
+        # anti-joins the 10^8-row update waves that would OOM a driver.
+        return df.join(dele, "doc_id", "left_anti")
+
+
+def _cursors_from_group(
+    grp: pd.DataFrame,
+    term: str,
+    idf_t: float,
+    avgdl: float,
+    use_stored_bounds: bool,
+) -> TermBlocks:
+    grp = grp.sort_values(["gen", "block_id"])
+    if use_stored_bounds:
+        bounds = [float(x) for x in grp["block_max_score"]]
+    else:
+        bounds = [
+            bm25.max_score_bound(int(mt), int(md), avgdl, idf_t)
+            for mt, md in zip(grp["block_max_tf"], grp["block_min_dl"])
+        ]
+    return TermBlocks(
+        term=term,
+        idf=idf_t,
+        max_doc_ids=[int(x) for x in grp["max_doc_id"]],
+        block_max_scores=bounds,
+        enc_blocks=list(
+            zip(
+                (bytes(b) for b in grp["doc_gaps"]),
+                (bytes(b) for b in grp["tfs"]),
+                (bytes(b) for b in grp["dls"]),
+            )
+        ),
+    )
 
 
 def _wand_shard_fn(
@@ -170,9 +228,9 @@ def _wand_shard_fn(
     avgdl: float,
     k: int,
     use_stored_bounds: bool = True,
-    deleted: frozenset[int] = frozenset(),
 ):
-    """Per-shard WAND kernel.
+    """Per-shard WAND kernel (cogrouped with the shard's tombstones —
+    the delete set rides the shuffle, never the driver or UDF closures).
 
     ``use_stored_bounds=False`` (multi-generation / post-update indexes):
     stored block_max_score was computed with build-time idf/avgdl, which
@@ -181,33 +239,20 @@ def _wand_shard_fn(
     Exact rescoring always uses current stats either way.
     """
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        cursors = []
-        for term, grp in pdf.groupby("term", sort=True):
-            grp = grp.sort_values(["gen", "block_id"])
-            idf_t = idfs[str(term)]
-            if use_stored_bounds:
-                bounds = [float(x) for x in grp["block_max_score"]]
-            else:
-                bounds = [
-                    bm25.max_score_bound(int(mt), int(md), avgdl, idf_t)
-                    for mt, md in zip(grp["block_max_tf"], grp["block_min_dl"])
-                ]
-            cursors.append(
-                TermBlocks(
-                    term=str(term),
-                    idf=idf_t,
-                    max_doc_ids=[int(x) for x in grp["max_doc_id"]],
-                    block_max_scores=bounds,
-                    enc_blocks=list(
-                        zip(
-                            (bytes(b) for b in grp["doc_gaps"]),
-                            (bytes(b) for b in grp["tfs"]),
-                            (bytes(b) for b in grp["dls"]),
-                        )
-                    ),
-                )
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        cursors = [
+            _cursors_from_group(
+                grp, str(term), idfs[str(term)], avgdl, use_stored_bounds
             )
+            for term, grp in pdf.groupby("term", sort=True)
+        ]
         top = wand_topk(cursors, avgdl, k, deleted=deleted)
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
@@ -223,6 +268,8 @@ def bm25_topk_wand(
 
     Rank- and score-identical to :func:`bm25_topk_exact` (same frozen
     formula, same tie-break); verified in tests against the Python oracle.
+    Tombstones are cogrouped per shard (doc-sharded live-docs bitmap
+    analog) — nothing about the delete set ever reaches the driver.
     """
     uniq = sorted(set(terms))
     # Tiny driver-side lookup: idf for <= |query| terms (broadcast analog).
@@ -235,19 +282,21 @@ def bm25_topk_wand(
     idfs = {r.term: float(r.idf) for r in ts}
     if not idfs:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    deleted = index.deleted_ids(spark)
     seg = index.segments(spark).where(F.col("term").isin(list(idfs)))
-    per_shard = seg.groupBy("shard").applyInPandas(
-        _wand_shard_fn(
-            idfs,
-            index.avgdl,
-            k,
-            # stored bounds are tight AND valid only while stats match the
-            # build; any later generation invalidates them.
-            use_stored_bounds=not index.multi_gen,
-            deleted=deleted,
-        ),
-        TOPK_SCHEMA,
+    per_shard = (
+        seg.groupBy("shard")
+        .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+        .applyInPandas(
+            _wand_shard_fn(
+                idfs,
+                index.avgdl,
+                k,
+                # stored bounds are tight AND valid only while stats match
+                # the build; any later generation invalidates them.
+                use_stored_bounds=not index.multi_gen,
+            ),
+            TOPK_SCHEMA,
+        )
     )
     return (
         per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -286,7 +335,6 @@ def bm25_topk_batch(
         .collect()
     )
     idfs = {r.term: float(r.idf) for r in ts}
-    deleted = index.deleted_ids(spark)
     qspec = [
         (int(q["query_id"]), sorted({t for t in q["terms"] if t in idfs}), int(q["k"]))
         for q in queries
@@ -294,39 +342,25 @@ def bm25_topk_batch(
     avgdl = index.avgdl
     use_stored = not index.multi_gen
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        by_term: dict[str, pd.DataFrame] = {
-            str(t): g.sort_values(["gen", "block_id"])
-            for t, g in pdf.groupby("term", sort=True)
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        groups: dict[str, pd.DataFrame] = {
+            str(t): g for t, g in pdf.groupby("term", sort=True)
         }
-
-        def cursor(term: str) -> TermBlocks:
-            grp = by_term[term]
-            idf_t = idfs[term]
-            if use_stored:
-                bounds = [float(x) for x in grp["block_max_score"]]
-            else:
-                bounds = [
-                    bm25.max_score_bound(int(mt), int(md), avgdl, idf_t)
-                    for mt, md in zip(grp["block_max_tf"], grp["block_min_dl"])
-                ]
-            return TermBlocks(
-                term=term,
-                idf=idf_t,
-                max_doc_ids=[int(x) for x in grp["max_doc_id"]],
-                block_max_scores=bounds,
-                enc_blocks=list(
-                    zip(
-                        (bytes(b) for b in grp["doc_gaps"]),
-                        (bytes(b) for b in grp["tfs"]),
-                        (bytes(b) for b in grp["dls"]),
-                    )
-                ),
-            )
-
         qids, dids, scores = [], [], []
         for qid, terms, k in qspec:
-            cursors = [cursor(t) for t in terms if t in by_term]
+            # Fresh TermBlocks per query: wand_topk advances cursor state.
+            cursors = [
+                _cursors_from_group(groups[t], t, idfs[t], avgdl, use_stored)
+                for t in terms
+                if t in groups
+            ]
             for d, s in wand_topk(cursors, avgdl, k, deleted=deleted):
                 qids.append(qid)
                 dids.append(d)
@@ -334,8 +368,10 @@ def bm25_topk_batch(
         return pd.DataFrame({"query_id": qids, "doc_id": dids, "score": scores})
 
     seg = index.segments(spark).where(F.col("term").isin(all_terms))
-    per_shard = seg.groupBy("shard").applyInPandas(
-        fn, "query_id int, doc_id long, score double"
+    per_shard = (
+        seg.groupBy("shard")
+        .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+        .applyInPandas(fn, "query_id int, doc_id long, score double")
     )
     ks = {int(q["query_id"]): int(q["k"]) for q in queries}
     k_df = spark.createDataFrame(

@@ -12,17 +12,29 @@ module implements that contract natively:
   posting physically in the index — including tombstoned docs, exactly like
   Lucene's BM25 stats before a merge — so scoring is well-defined and
   reproducible at any point between compactions.
-* :func:`compact` — fold all generations into gen 0: decode, drop
-  tombstoned postings, re-chunk, recompute stats over live docs only.
-  After compaction, scores equal a fresh build over the live corpus
-  (same doc_ids — compaction never renumbers).
+* :func:`compact` — fold all generations into gen 0: decode postings to
+  rows, anti-join the tombstones executor-side, re-chunk, recompute stats
+  over live docs only. After compaction, scores equal a fresh build over
+  the live corpus (same doc_ids — compaction never renumbers).
+
+Crash-safety (the SegmentStore commit protocol):
+
+* every table an update touches is either written as THIS generation's
+  partitions (segments/docs/url_map/deletes — invisible to readers until
+  the manifest names the generation, and idempotent to retry via dynamic
+  partition overwrite) or staged as a fresh version path (term_stats)
+  that the manifest flips atomically;
+* compaction stages segments/term_stats/docs/url_map as new versions and
+  promotes ALL of them in the single manifest write, so no reader ever
+  sees gen-0 blocks scored under stats the manifest doesn't match.
 
 Scale notes: each stage is the same shuffle shape as the base build
 (mapInPandas decode → groupBy(shard, term) applyInPandas re-chunk); the
-deletes set rides along as a broadcast (per-shard bitmap files at real
-scale). Generations are separate parquet partitions (``gen=<g>/shard=<s>``)
-so queries prune by term within every generation independently and a
-generation append never rewrites existing files — object-store friendly.
+tombstones are a DataFrame anti-join / per-shard cogroup — never a
+driver-side collect. Generations are separate parquet partitions
+(``gen=<g>/shard=<s>``) so queries prune by term within every generation
+independently and a generation append never rewrites existing files —
+object-store friendly.
 """
 
 from __future__ import annotations
@@ -35,25 +47,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from unichem2index_spark.functions import bm25
-from unichem2index_spark.functions.codec import PostingBlock, chunk_postings
+from unichem2index_spark.functions.codec import PostingBlock
 from unichem2index_spark.operators.build import (
     docs_table,
+    encode_segment_rows,
     idf_col,
     merge_runs_to_segments,
     spimi_runs,
-    term_stats_from_runs,
     tokenized_docs,
 )
 from unichem2index_spark.operators.ingest import (
     dedup_and_assign_doc_ids,
     extracted_webtext,
 )
-from unichem2index_spark.schemas import (
-    DELETES_SCHEMA,
-    SEGMENT_SCHEMA,
-    TERM_STATS_SCHEMA,
-)
+from unichem2index_spark.schemas import SEGMENT_SCHEMA
 from unichem2index_spark.sources.tables import SegmentStore
 
 
@@ -66,12 +73,23 @@ class UpdateResult:
     elapsed_sec: float
 
 
-def _current_url_map(spark: SparkSession, store: SegmentStore) -> DataFrame:
-    """url -> live doc_id (tombstoned mappings excluded)."""
-    um = store.read(spark, "url_map")
-    if store.exists("deletes"):
-        dele = store.read(spark, "deletes").select("doc_id")
-        um = um.join(F.broadcast(dele), "doc_id", "left_anti")
+def _committed_deletes(
+    spark: SparkSession, store: SegmentStore, gens: list[int]
+) -> DataFrame | None:
+    """doc_ids tombstoned by a COMMITTED generation (None if no deletes)."""
+    if not store.exists("deletes"):
+        return None
+    return store.read_committed(spark, "deletes", gens).select("doc_id")
+
+
+def _live_url_map(
+    spark: SparkSession, store: SegmentStore, gens: list[int]
+) -> DataFrame:
+    """url -> live doc_id over committed generations only."""
+    um = store.read_committed(spark, "url_map", gens)
+    dele = _committed_deletes(spark, store, gens)
+    if dele is not None:
+        um = um.join(dele, "doc_id", "left_anti")
     return um
 
 
@@ -85,8 +103,16 @@ def add_generation(
     store = SegmentStore(index_dir)
     mf = store.read_manifest()
     n_shards, block_size = mf["n_shards"], mf["block_size"]
-    gen = max(mf.get("generations", [0])) + 1
+    committed = mf.get("generations", [0])
+    gen = max(committed) + 1
     next_id = mf["next_doc_id"]
+
+    if mf["n_docs"] == 0:
+        # Degenerate empty index: replace the schema-bearing empty
+        # placeholder files with the gen-partitioned layout this write
+        # path produces.
+        for name in ("segments", "docs", "url_map"):
+            store.remove_table(store._resolve(name))
 
     with_ids = dedup_and_assign_doc_ids(
         extracted_webtext(new_webtext), key="url", ts_col="warc_ts"
@@ -99,174 +125,175 @@ def add_generation(
         "lang",
         F.parse_url(F.col("url"), F.lit("HOST")).alias("source"),
     ).persist()
+    tok = runs = None
+    try:
+        tok = tokenized_docs(new_docs).persist()
+        batch = tok.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doclen").alias("tt"),
+            F.max("doc_id").alias("mx"),
+        ).collect()[0]
+        n_new, new_tokens = int(batch.n), int(batch.tt or 0)
+        if n_new == 0:
+            return UpdateResult(store, gen, 0, 0, time.time() - t0)
 
-    # Tombstone live docs whose url is being replaced (doc_as_upsert).
-    # Materialized EAGERLY: the plan reads url_map, which gains this very
-    # batch's rows below — a lazy re-evaluation would tombstone the new docs.
-    replaced_rows = (
-        _current_url_map(spark, store)
-        .join(new_docs.select(F.col("url").alias("u")), F.col("url") == F.col("u"), "left_semi")
-        .select("doc_id")
-        .withColumn("gen", F.lit(gen))
-        .collect()
-    )
-    n_replaced = len(replaced_rows)
-
-    tok = tokenized_docs(new_docs).persist()
-    batch = tok.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("doclen").alias("tt"),
-        F.max("doc_id").alias("mx"),
-    ).collect()[0]
-    n_new, new_tokens = int(batch.n), int(batch.tt or 0)
-    if n_new == 0:
-        return UpdateResult(store, gen, 0, 0, time.time() - t0)
-
-    # Index-wide stats: every posting physically present counts (tombstoned
-    # docs included until compaction — the Lucene pre-merge contract).
-    n_total = mf["n_docs"] + n_new
-    total_tokens = mf["total_tokens"] + new_tokens
-    avgdl = float(total_tokens) / float(n_total)
-
-    runs = spimi_runs(tok, n_shards).persist()
-    delta_stats = runs.groupBy("term").agg(
-        F.sum("n_docs").alias("df_d"), F.sum("cf").alias("cf_d")
-    )
-    old_stats = store.read(spark, "term_stats").select("term", "df", "cf")
-    combined = (
-        old_stats.join(delta_stats, "term", "full_outer")
-        .select(
-            "term",
-            (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
-            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_d", F.lit(0))).alias("cf"),
+        # Tombstone live docs whose url is being replaced (doc_as_upsert).
+        # Reads are gen-gated to COMMITTED generations, so this stays
+        # stable however late it evaluates; the write lands in this
+        # generation's partition (invisible until the commit below, and a
+        # retry overwrites it).
+        replaced = (
+            _live_url_map(spark, store, committed)
+            .join(
+                new_docs.select(F.col("url").alias("u")),
+                F.col("url") == F.col("u"),
+                "left_semi",
+            )
+            .select("doc_id")
+            .withColumn("gen", F.lit(gen))
         )
-        .withColumn("idf", idf_col(n_total))
-    )
-    # Stage the new stats next to the old, swap at the end (atomic-last).
-    store.write_table(combined, "term_stats_next", max_files=8)
-    tstats = store.read(spark, "term_stats_next")
-
-    segments = merge_runs_to_segments(runs, tstats, avgdl, block_size, gen=gen)
-    store.write_segments(segments)
-
-    store.append_table(docs_table(tok), "docs")
-    store.append_table(
-        new_docs.select("doc_id", "url", "warc_ts", "lang", "source"), "url_map"
-    )
-    if n_replaced:
-        store.append_table(
-            spark.createDataFrame(replaced_rows, DELETES_SCHEMA), "deletes"
+        store.write_gen_partition(replaced, "deletes")
+        n_replaced = int(
+            store.read(spark, "deletes").where(F.col("gen") == gen).count()
         )
 
-    seg_read = store.read(spark, "segments").where(F.col("gen") == gen)
-    lineage = (
-        seg_read.groupBy("shard")
-        .agg(
-            F.sum("n_docs").alias("postings"),
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum(
-                F.length("doc_gaps") + F.length("tfs") + F.length("dls")
-            ).alias("bytes"),
-        )
-        .withColumn("build_id", F.lit(f"{build_id}-g{gen}"))
-        .withColumn("status", F.lit("done"))
-        .withColumn("elapsed_sec", F.lit(time.time() - t0))
-    )
-    docs_per_shard = tok.groupBy(
-        (F.col("doc_id") % n_shards).cast("int").alias("shard")
-    ).agg(F.count(F.lit(1)).alias("docs"))
-    lineage = lineage.join(docs_per_shard, "shard", "left").select(
-        "shard", "build_id", "status",
-        F.coalesce("docs", F.lit(0)).alias("docs"),
-        "postings", "blocks", "bytes", "elapsed_sec",
-    )
-    store.append_lineage(lineage)
+        # Index-wide stats: every posting physically present counts
+        # (tombstoned docs included until compaction — the Lucene
+        # pre-merge contract).
+        n_total = mf["n_docs"] + n_new
+        total_tokens = mf["total_tokens"] + new_tokens
+        avgdl = float(total_tokens) / float(n_total)
 
-    # Swap stats + manifest last: a crash before this point leaves the old
-    # manifest/stats valid and the new gen partitions unreferenced (the
-    # resume/idempotency contract, SURVEY.md §7 hard-point 5).
-    store.swap_table("term_stats_next", "term_stats")
-    mf.update(
-        {
-            "n_docs": n_total,
-            "total_tokens": total_tokens,
-            "avgdl": avgdl,
-            "next_doc_id": int(batch.mx) + 1,
-            "generations": sorted(set(mf.get("generations", [0])) | {gen}),
-        }
-    )
-    store.write_manifest(mf)
-    tok.unpersist()
-    runs.unpersist()
-    new_docs.unpersist()
-    ranged = getattr(with_ids, "_u2i_persisted", None)
-    if ranged is not None:
-        ranged.unpersist()
-    return UpdateResult(store, gen, n_new, n_replaced, time.time() - t0)
+        runs = spimi_runs(tok, n_shards).persist()
+        delta_stats = runs.groupBy("term").agg(
+            F.sum("n_docs").alias("df_d"), F.sum("cf").alias("cf_d")
+        )
+        old_stats = store.read(spark, "term_stats").select("term", "df", "cf")
+        combined = (
+            old_stats.join(delta_stats, "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_d", F.lit(0))).alias("cf"),
+            )
+            .withColumn("idf", idf_col(n_total))
+        )
+        # Stage the new stats as the next version; the manifest write at
+        # the end flips the pointer atomically.
+        old_ts_phys = store._resolve("term_stats")
+        ts_phys = store.stage_table(combined, "term_stats", max_files=8)
+        tstats = spark.read.parquet(store.path(ts_phys))
+
+        segments = merge_runs_to_segments(runs, tstats, avgdl, block_size, gen=gen)
+        store.write_segments(segments)
+
+        store.write_gen_partition(
+            docs_table(tok).withColumn("gen", F.lit(gen)), "docs"
+        )
+        store.write_gen_partition(
+            new_docs.select("doc_id", "url", "warc_ts", "lang", "source")
+            .withColumn("gen", F.lit(gen)),
+            "url_map",
+        )
+
+        seg_read = store.read(spark, "segments").where(F.col("gen") == gen)
+        lineage = (
+            seg_read.groupBy("shard")
+            .agg(
+                F.sum("n_docs").alias("postings"),
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum(
+                    F.length("doc_gaps") + F.length("tfs") + F.length("dls")
+                ).alias("bytes"),
+            )
+            .withColumn("build_id", F.lit(f"{build_id}-g{gen}"))
+            .withColumn("status", F.lit("done"))
+            .withColumn("elapsed_sec", F.lit(time.time() - t0))
+        )
+        docs_per_shard = tok.groupBy(
+            (F.col("doc_id") % n_shards).cast("int").alias("shard")
+        ).agg(F.count(F.lit(1)).alias("docs"))
+        lineage = lineage.join(docs_per_shard, "shard", "left").select(
+            "shard", "build_id", "status",
+            F.coalesce("docs", F.lit(0)).alias("docs"),
+            "postings", "blocks", "bytes", "elapsed_sec",
+        )
+        store.append_lineage(lineage)
+
+        # COMMIT: one atomic manifest write names the new generation and
+        # flips the term_stats pointer. A crash anywhere above leaves the
+        # old manifest fully valid (new-gen partitions + staged stats are
+        # invisible); a retry overwrites them in place.
+        tables = dict(mf.get("tables", {}))
+        tables["term_stats"] = ts_phys
+        mf.update(
+            {
+                "n_docs": n_total,
+                "total_tokens": total_tokens,
+                "avgdl": avgdl,
+                "next_doc_id": int(batch.mx) + 1,
+                "generations": sorted(set(committed) | {gen}),
+                "tables": tables,
+                "format": "parquet-v3",
+            }
+        )
+        store.write_manifest(mf)
+        if old_ts_phys != ts_phys:
+            store.remove_table(old_ts_phys)  # post-commit GC
+        return UpdateResult(store, gen, n_new, n_replaced, time.time() - t0)
+    finally:
+        for df in (tok, runs, new_docs, getattr(with_ids, "_u2i_persisted", None)):
+            if df is not None:
+                df.unpersist()
 
 
 # ---------------------------------------------------------------- compact
-def _recount_partials(deleted: frozenset[int]):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            terms, dfs, cfs = [], [], []
-            for term, gaps, tfs, dls in zip(
-                pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"]
-            ):
-                blk = PostingBlock.decode(bytes(gaps), bytes(tfs), bytes(dls))
-                live = [
-                    (d, tf) for d, tf in zip(blk.doc_ids, blk.tfs)
-                    if d not in deleted
-                ]
-                if not live:
-                    continue
-                terms.append(term)
-                dfs.append(len(live))
-                cfs.append(sum(tf for _, tf in live))
-            yield pd.DataFrame({"term": terms, "df": dfs, "cf": cfs})
-
-    return fn
+DECODED_ROWS_SCHEMA = "shard int, term string, doc_id long, tf long, dl long"
 
 
-def _compact_group(deleted: frozenset[int], avgdl: float, block_size: int):
+def _decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Explode encoded segment blocks into (shard, term, doc_id, tf, dl)
+    rows so tombstone filtering is a plain distributed anti-join."""
+    for pdf in batches:
+        sh_o: list[int] = []
+        t_o: list[str] = []
+        d_o: list[int] = []
+        tf_o: list[int] = []
+        dl_o: list[int] = []
+        for shard, term, gaps, btfs, bdls in zip(
+            pdf["shard"], pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"]
+        ):
+            blk = PostingBlock.decode(bytes(gaps), bytes(btfs), bytes(bdls))
+            n = len(blk.doc_ids)
+            sh_o.extend([int(shard)] * n)
+            t_o.extend([str(term)] * n)
+            d_o.extend(blk.doc_ids)
+            tf_o.extend(blk.tfs)
+            dl_o.extend(blk.dls)
+        yield pd.DataFrame(
+            {"shard": sh_o, "term": t_o, "doc_id": d_o, "tf": tf_o, "dl": dl_o}
+        )
+
+
+def _chunk_group(avgdl: float, block_size: int):
+    """Re-chunk one (shard, term)'s live posting rows into gen-0 blocks."""
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         term = str(pdf["term"].iloc[0])
         idf_t = float(pdf["idf"].iloc[0])
-        pdf = pdf.sort_values(["gen", "block_id"])
-        ids: list[int] = []
-        tfs: list[int] = []
-        dls: list[int] = []
-        for gaps, btfs, bdls in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
-            blk = PostingBlock.decode(bytes(gaps), bytes(btfs), bytes(bdls))
-            for d, tf, dl in zip(blk.doc_ids, blk.tfs, blk.dls):
-                if d not in deleted:
-                    ids.append(d)
-                    tfs.append(tf)
-                    dls.append(dl)
-        out = []
-        for block_id, blk in enumerate(chunk_postings(ids, tfs, dls, block_size)):
-            g, t_, d_ = blk.encode()
-            bms = max(
-                bm25.score_term(tf, dl, avgdl, idf_t)
-                for tf, dl in zip(blk.tfs, blk.dls)
-            )
-            out.append(
-                {
-                    "gen": 0,
-                    "shard": shard,
-                    "term": term,
-                    "block_id": block_id,
-                    "n_docs": len(blk.doc_ids),
-                    "max_doc_id": blk.doc_ids[-1],
-                    "doc_gaps": g,
-                    "tfs": t_,
-                    "dls": d_,
-                    "block_max_tf": int(max(blk.tfs)),
-                    "block_min_dl": int(min(blk.dls)),
-                    "block_max_score": bms,
-                }
-            )
+        pdf = pdf.sort_values("doc_id")
+        out = encode_segment_rows(
+            shard,
+            term,
+            idf_t,
+            [int(x) for x in pdf["doc_id"]],
+            [int(x) for x in pdf["tf"]],
+            [int(x) for x in pdf["dl"]],
+            avgdl,
+            block_size,
+            gen=0,
+        )
         return pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA.fields])
 
     return fn
@@ -274,71 +301,92 @@ def _compact_group(deleted: frozenset[int], avgdl: float, block_size: int):
 
 def compact(spark: SparkSession, index_dir: str) -> dict:
     """Fold all generations into gen 0, dropping tombstoned postings and
-    recomputing stats over live docs only. Idempotent; no doc renumbering."""
+    recomputing stats over live docs only. Idempotent; no doc renumbering.
+
+    Every rewritten table (segments, term_stats, docs, url_map) is staged
+    as a fresh version and promoted together by the single manifest write
+    — readers either see the old index in full or the compacted one in
+    full, never gen-0 blocks under mismatched stats."""
     t0 = time.time()
     store = SegmentStore(index_dir)
     mf = store.read_manifest()
-    deleted = (
-        frozenset(
-            r.doc_id for r in store.read(spark, "deletes").collect()
-        )
-        if store.exists("deletes")
-        else frozenset()
-    )
+    gens = mf.get("generations", [0])
+    block_size = mf["block_size"]
+
+    dele = _committed_deletes(spark, store, gens)
+    n_deleted = int(dele.count()) if dele is not None else 0
 
     # Live corpus stats from the forward docs table.
-    docs = store.read(spark, "docs")
-    if deleted:
-        dele_df = store.read(spark, "deletes").select("doc_id")
-        docs = docs.join(F.broadcast(dele_df), "doc_id", "left_anti")
-    live = docs.agg(
+    docs = store.read_committed(spark, "docs", gens)
+    live_docs = docs.join(dele, "doc_id", "left_anti") if dele is not None else docs
+    live = live_docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("tt")
     ).collect()[0]
     n_live, total_tokens = int(live.n), int(live.tt or 0)
     avgdl = (float(total_tokens) / float(n_live)) if n_live else 0.0
 
-    seg = store.read(spark, "segments")
-    partials = seg.select("term", "doc_gaps", "tfs", "dls").mapInPandas(
-        _recount_partials(deleted),
-        "term string, df long, cf long",
+    seg = store.read_committed(spark, "segments", gens)
+    rows = seg.select("shard", "term", "doc_gaps", "tfs", "dls").mapInPandas(
+        _decode_rows, DECODED_ROWS_SCHEMA
     )
+    live_rows = rows.join(dele, "doc_id", "left_anti") if dele is not None else rows
+
     tstats = (
-        partials.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        live_rows.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
         .withColumn("idf", idf_col(n_live))
     )
-    store.write_table(tstats, "term_stats_next", max_files=8)
-    tstats = store.read(spark, "term_stats_next")
+    old = {n: store._resolve(n) for n in ("segments", "term_stats", "docs", "url_map")}
+    ts_phys = store.stage_table(tstats, "term_stats", max_files=8)
+    tstats_r = spark.read.parquet(store.path(ts_phys))
 
-    enriched = seg.join(tstats.select("term", "idf"), "term")
+    enriched = live_rows.join(tstats_r.select("term", "idf"), "term")
     compacted = enriched.groupBy("shard", "term").applyInPandas(
-        _compact_group(deleted, avgdl, mf["block_size"]), SEGMENT_SCHEMA
+        _chunk_group(avgdl, block_size), SEGMENT_SCHEMA
     )
-    # Stage, then swap: static overwrite of the live segment tree only after
-    # the compacted copy fully materialized.
-    compacted.write.mode("overwrite").partitionBy("gen", "shard").parquet(
-        store.path("segments_next")
-    )
-    store.swap_table("segments_next", "segments")
+    seg_phys = store.next_version(old["segments"], "segments")
+    store.write_segments(compacted, physical=seg_phys)
 
-    # Stage-and-swap everything that reads its own live path.
-    store.write_table(docs, "docs_next")
-    store.swap_table("docs_next", "docs")
-    store.write_table(_current_url_map(spark, store), "url_map_next")
-    store.swap_table("url_map_next", "url_map")
-    store.swap_table("term_stats_next", "term_stats")
-    store.remove_table("deletes")
+    docs_phys = store.stage_table(
+        live_docs.drop("gen").withColumn("gen", F.lit(0)),
+        "docs",
+        partition_gen=True,
+    )
+    um_phys = store.stage_table(
+        _live_url_map(spark, store, gens).drop("gen").withColumn("gen", F.lit(0)),
+        "url_map",
+        partition_gen=True,
+    )
+
+    # COMMIT: flip every pointer + reset generations in one atomic write.
+    tables = dict(mf.get("tables", {}))
+    tables.update(
+        {
+            "segments": seg_phys,
+            "term_stats": ts_phys,
+            "docs": docs_phys,
+            "url_map": um_phys,
+        }
+    )
     mf.update(
         {
             "n_docs": n_live,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
             "generations": [0],
+            "tables": tables,
+            "format": "parquet-v3",
         }
     )
     store.write_manifest(mf)
+    # Post-commit GC: retired versions + tombstones (already invisible —
+    # generations is now [0] and all delete rows carry gen >= 1).
+    for name, phys in old.items():
+        if tables[name] != phys:
+            store.remove_table(phys)
+    store.remove_table("deletes")
     return {
         "n_live": n_live,
-        "n_deleted_dropped": len(deleted),
+        "n_deleted_dropped": n_deleted,
         "elapsed_sec": time.time() - t0,
     }

@@ -65,14 +65,29 @@ def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 class SegmentStore:
-    """Index-artifact store: segments / term_stats / docs / stats / lineage.
+    """Index-artifact store: segments / term_stats / docs / url_map /
+    deletes / lineage, parquet-backed with a JSON manifest.
 
-    Parquet-backed with a JSON manifest. On a real cluster this would be an
-    Iceberg catalog (`writeTo(...).append()`, `MERGE INTO` for upserts —
-    SURVEY.md §1.1); the interface is the same so only this class changes.
-    Segments are written partitioned by ``shard`` so a shard rebuild is an
-    idempotent partition overwrite (the reference gets the same idempotency
-    from doc_as_upsert keyed bulks, extractor/loader.go:186).
+    Commit protocol (crash-safe, object-store friendly — no renames of
+    data paths, the reference gets the analogous idempotency from
+    doc_as_upsert keyed bulks, extractor/loader.go:186):
+
+    * **Generation-gated appends.** segments/docs/url_map/deletes are
+      partitioned by ``gen``; an incremental update writes ONLY its own
+      gen's partitions (dynamic partition overwrite, so a retry
+      overwrites rather than duplicates). Readers filter
+      ``gen IN manifest["generations"]`` — partitions from an
+      uncommitted or crashed update are invisible until the manifest
+      names their generation.
+    * **Versioned rewrites.** whole-table rewrites (term_stats on every
+      update; everything on compaction) go to a fresh ``<name>_v<k>``
+      path recorded in ``manifest["tables"]``; the single atomic
+      manifest write (tmp + rename) flips every pointer at once. Old
+      versions are garbage-collected after the commit.
+
+    On a real cluster the same interface maps onto an Iceberg catalog
+    (`writeTo(...).overwritePartitions()`, snapshot commit — SURVEY.md
+    §1.1); only this class changes.
     """
 
     def __init__(self, base_dir: str):
@@ -81,9 +96,27 @@ class SegmentStore:
     def path(self, name: str) -> str:
         return os.path.join(self.base, name)
 
+    def _resolve(self, name: str) -> str:
+        """Logical table name -> current physical relpath (manifest
+        ``tables`` pointer when present, else the name itself)."""
+        mf_path = self.path("manifest.json")
+        if os.path.exists(mf_path):
+            with open(mf_path) as f:
+                tables = json.load(f).get("tables", {})
+            if name in tables:
+                return tables[name]
+        return name
+
+    @staticmethod
+    def next_version(physical: str, logical: str) -> str:
+        """segments -> segments_v1 -> segments_v2 -> ..."""
+        if physical == logical:
+            return f"{logical}_v1"
+        k = int(physical.rsplit("_v", 1)[1])
+        return f"{logical}_v{k + 1}"
+
     # -- writes ------------------------------------------------------------
-    def write_segments(self, df: DataFrame, overwrite_partitions: bool = True) -> None:
-        mode = "overwrite" if overwrite_partitions else "append"
+    def write_segments(self, df: DataFrame, physical: str | None = None) -> None:
         (
             # One file per (gen, shard), rows sorted by (term, block_id):
             # a query's `term IN (...)` predicate prunes parquet row groups
@@ -92,28 +125,44 @@ class SegmentStore:
             # every shard dir (~shuffle_partitions x n_shards tiny files).
             df.repartition("gen", "shard")
             .sortWithinPartitions("gen", "shard", "term", "block_id")
-            .write.mode(mode)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("gen", "shard")
-            .parquet(self.path("segments"))
+            .parquet(self.path(physical or self._resolve("segments")))
         )
 
-    def append_table(self, df: DataFrame, name: str) -> None:
-        df.write.mode("append").parquet(self.path(name))
+    def write_gen_partition(self, df: DataFrame, name: str) -> None:
+        """Write one generation's rows of a gen-partitioned table
+        (docs/url_map/deletes). Dynamic overwrite of exactly the gen
+        partitions present in ``df`` — an update retry is idempotent."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("gen")
+            .parquet(self.path(self._resolve(name)))
+        )
+
+    def stage_table(
+        self, df: DataFrame, name: str, max_files: int | None = None,
+        partition_gen: bool = False,
+    ) -> str:
+        """Write a full rewrite of ``name`` to the NEXT version path and
+        return that physical name; the caller records it in
+        manifest["tables"] at commit time."""
+        physical = self.next_version(self._resolve(name), name)
+        if max_files:
+            df = df.coalesce(max_files)
+        w = df.write.mode("overwrite")
+        if partition_gen:
+            w = w.partitionBy("gen")
+        w.parquet(self.path(physical))
+        return physical
 
     def remove_table(self, name: str) -> None:
-        """Drop a staged/retired table (Iceberg: DROP TABLE)."""
+        """Physically drop a retired table version (post-commit GC)."""
         import shutil
 
         shutil.rmtree(self.path(name), ignore_errors=True)
-
-    def swap_table(self, staged: str, live: str) -> None:
-        """Promote a fully-written staged table over the live one (Iceberg:
-        atomic snapshot swap; parquet fallback: rename-after-write)."""
-        import shutil
-
-        shutil.rmtree(self.path(live), ignore_errors=True)
-        os.rename(self.path(staged), self.path(live))
 
     def write_table(
         self,
@@ -124,26 +173,42 @@ class SegmentStore:
     ) -> None:
         if max_files:
             df = df.coalesce(max_files)
-        df.write.mode(mode).parquet(self.path(name))
+        df.write.mode(mode).parquet(self.path(self._resolve(name)))
 
     def append_lineage(self, df: DataFrame) -> None:
         df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
 
     def write_manifest(self, meta: dict) -> None:
+        """Atomic commit point: POSIX rename of a fully-written temp file.
+        (On an object store this becomes the catalog's atomic pointer
+        swap — Iceberg snapshot commit / HMS alter-table.)"""
         os.makedirs(self.base, exist_ok=True)
-        with open(self.path("manifest.json"), "w") as f:
+        tmp = self.path("manifest.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.path("manifest.json"))
 
     # -- reads -------------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.path(name))
+        return spark.read.parquet(self.path(self._resolve(name)))
+
+    def read_committed(
+        self, spark: SparkSession, name: str, generations: list[int]
+    ) -> DataFrame:
+        """Gen-partitioned read restricted to committed generations (the
+        gen filter prunes whole partition directories)."""
+        from pyspark.sql import functions as F
+
+        return self.read(spark, name).where(F.col("gen").isin(list(generations)))
 
     def read_manifest(self) -> dict:
         with open(self.path("manifest.json")) as f:
             return json.load(f)
 
     def exists(self, name: str = "manifest.json") -> bool:
-        return os.path.exists(self.path(name))
+        return os.path.exists(self.path(self._resolve(name)))
 
     def done_shards(self, spark: SparkSession) -> set[int]:
         """Shards recorded complete in lineage (T1 resume watermark)."""
