@@ -184,6 +184,21 @@ def q_index_update_lifecycle(spark, sf_dir):
     return Q.bm25_topk_wand(spark, idx, FLAGSHIP_TERMS, FLAGSHIP_K)
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """S4/S5: pipe-CSV spool sink -> pipe-CSV source round-trip (ref:
+    alter/spool2M.sql:13-35 spools '|' CSVs, alter/testDataLoader.go:42-61
+    loads them with r.Comma='|'). The oracle reads the ORIGINAL parquet,
+    so a hash match proves the CSV round-trip is lossless across types
+    (bigint, double, timestamp, varchar)."""
+    from unichem2index_spark.sources.tables import read_pipe_csv, write_pipe_csv
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"u2i_csv_{tag}")
+    write_pipe_csv(orders, path)
+    return read_pipe_csv(spark, path, schema=orders.schema).orderBy("o_orderkey")
+
+
 def _wrap(fn):
     def run(spark, sf_dir):
         return fn(spark, load_tables(spark, sf_dir))
@@ -248,6 +263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _wrap(textstats.doc_fingerprint),
         # -- multimodal binary plumbing --------------------------------------
         "binary_meta": _wrap(multimodal.binary_meta),
+        # -- S4/S5 pipe-CSV source/sink ---------------------------------------
+        "csv_roundtrip": q_csv_roundtrip,
     }
 
 
@@ -293,4 +310,5 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.TOKEN_COUNTS,
         "doc_fingerprint": oracles.DOC_FINGERPRINT,
         "binary_meta": oracles.BINARY_META,
+        "csv_roundtrip": oracles.CSV_ROUNDTRIP,
     }

@@ -1,0 +1,104 @@
+"""Dedup operators: shingle-df-cap blocking under source skew, and the
+S4/S5 pipe-CSV source/sink round-trip (ref: alter/testDataLoader.go:42-61,
+alter/spool2M.sql:13-35)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from unichem2index_spark.functions.tokenize import tokenize
+from unichem2index_spark.operators.dedup import ngram_jaccard_pairs
+from unichem2index_spark.sources.tables import read_pipe_csv, write_pipe_csv
+
+from tests.conftest import SF_CORRECT
+
+
+def _brute_force_pairs(rows, threshold, df_cap):
+    """Pure-Python oracle of the df-cap blocking semantics."""
+    shingles = {}
+    for doc_id, text in rows:
+        toks = tokenize(text)
+        ss = {
+            " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+        }
+        shingles[doc_id] = ss
+    df = {}
+    for ss in shingles.values():
+        for s in ss:
+            df[s] = df.get(s, 0) + 1
+    rare = {s for s, c in df.items() if c <= df_cap}
+    out = []
+    for a, b in itertools.combinations(sorted(shingles), 2):
+        sa, sb = shingles[a], shingles[b]
+        if not (sa & sb & rare):
+            continue  # blocking: must share a rare shingle
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if round(j, 6) >= threshold:
+            out.append((a, b))
+    return sorted(out)
+
+
+def test_ngram_blocking_skewed_source(spark):
+    """One mega-source holds nearly all docs (the CC single-domain skew
+    case) plus a boilerplate shingle shared by EVERY doc: pairs must still
+    match the pure oracle, and the boilerplate never forms candidates."""
+    boiler = "subscribe to our newsletter today"
+    texts = {
+        0: f"alpha beta gamma delta epsilon zeta. {boiler}",
+        1: f"alpha beta gamma delta epsilon zeta. {boiler}",   # dup of 0
+        2: f"alpha beta gamma delta epsilon eta. {boiler}",    # near-dup
+        3: f"completely different words entirely here. {boiler}",
+        4: f"another unrelated document text body. {boiler}",
+        5: f"completely different words entirely here. {boiler}",  # dup of 3
+    }
+    rows = [
+        (i, txt, "en", "mega-source.com" if i != 5 else "tiny.org", len(txt))
+        for i, txt in texts.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, {"documents": df}, 0.5, df_cap=3).collect()
+    )
+    want = _brute_force_pairs(list(texts.items()), 0.5, 3)
+    assert got == want
+    assert (0, 1) in got and (3, 5) in got  # cross-source dup found
+    # the boilerplate shingle spans all 6 docs (df=6 > cap=3): docs sharing
+    # ONLY boilerplate never pair up
+    assert (0, 4) not in got and (1, 3) not in got
+
+
+def test_ngram_matches_brute_force_on_corpus_sample(spark):
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .where(F.col("doc_id") < 60)
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, {"documents": docs}, 0.5).collect()
+    )
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    want = _brute_force_pairs(rows, 0.5, 50)
+    assert [(a, b) for a, b, _ in got] == want
+
+
+def test_pipe_csv_roundtrip(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").limit(500)
+    path = str(tmp_path / "orders_csv")
+    write_pipe_csv(orders, path)
+    back = read_pipe_csv(spark, path, schema=orders.schema)
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    # header + '|' separator actually on disk
+    import glob
+
+    part = sorted(glob.glob(f"{path}/part-*"))[0]
+    with open(part) as f:
+        head = f.readline()
+    assert "|" in head and "o_orderkey" in head

@@ -103,7 +103,95 @@ def test_multimodal_decode_fake(spark):
     }
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(5)
-    with pytest.raises(NotImplementedError):
-        decode_media(media_from_documents(docs), fake=False)
+def _png(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def _wav(rate, channels):
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, 4, 16)
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+
+
+def _gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 5
+
+
+def _jpeg(w, h):
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+
+
+def test_header_parsers_pure():
+    from unichem2index_spark.operators.multimodal import (
+        _byte_histogram,
+        _parse_header,
+    )
+
+    assert _parse_header(_png(640, 480)) == {
+        "format": "png", "width": 640, "height": 480,
+    }
+    assert _parse_header(_gif(320, 200)) == {
+        "format": "gif", "width": 320, "height": 200,
+    }
+    assert _parse_header(_jpeg(1024, 768)) == {
+        "format": "jpeg", "width": 1024, "height": 768,
+    }
+    wav = _parse_header(_wav(44100, 2))
+    assert wav == {"format": "wav", "sample_rate": 44100, "channels": 2}
+    assert _parse_header(b"plain text payload") == {"format": "unknown"}
+    assert _parse_header(b"") == {"format": "unknown"}
+    hist = _byte_histogram(bytes(range(256)))
+    assert len(hist) == 8 and abs(sum(hist) - 1.0) < 1e-9
+    assert all(abs(x - 1 / 8) < 1e-9 for x in hist)
+
+
+def test_multimodal_real_decode(spark):
+    rows = [
+        (0, "image", bytearray(_png(640, 480)), None),
+        (1, "image", bytearray(_gif(320, 200)), None),
+        (2, "image", bytearray(_jpeg(1024, 768)), None),
+        (3, "audio", bytearray(_wav(16000, 1)), None),
+        (4, "video", bytearray(b"opaque-video-bytes"), None),
+    ]
+    from unichem2index_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media, fake=False).collect()}
+    assert (got[0].format, got[0].width, got[0].height) == ("png", 640, 480)
+    assert (got[1].format, got[1].width, got[1].height) == ("gif", 320, 200)
+    assert (got[2].format, got[2].width, got[2].height) == ("jpeg", 1024, 768)
+    assert (got[3].format, got[3].sample_rate, got[3].channels) == (
+        "wav", 16000, 1,
+    )
+    assert got[4].format == "unknown" and got[4].width is None
+    for r in got.values():
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-6
+        assert len(r.sha256) == 64 and r.n_bytes > 0

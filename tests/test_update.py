@@ -139,6 +139,98 @@ def test_compact_equals_fresh_build(spark, updated_index, tmp_path_factory):
         assert got == exp, f"query {terms} k={k}"
 
 
+def test_large_delete_set(spark, tmp_path):
+    """10^5-row tombstone set: the query path must stay correct with a
+    delete set far beyond closure-capture scale (it rides the per-shard
+    cogroup, never the driver)."""
+    rows = gen_webtext(200, seed=3)
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path / "bigdel")
+    build_index_from_webtext(spark, wt, out, n_shards=4)
+    h0 = Q.IndexHandle.open(spark, out)
+    before = Q.bm25_topk_wand(spark, h0, ["the", "merge"], 10).collect()
+    top_doc = before[0].doc_id
+
+    # Tombstone the current top doc plus 10^5 phantom ids, committed as
+    # generation 1 (phantoms exercise volume; the real one exercises
+    # correctness).
+    dele = (
+        spark.range(100_000)
+        .select((F.col("id") + 1_000_000).alias("doc_id"))
+        .union(spark.createDataFrame([(int(top_doc),)], "doc_id long"))
+        .withColumn("gen", F.lit(1))
+    )
+    h0.store.write_gen_partition(dele, "deletes")
+    mf = h0.store.read_manifest()
+    mf["generations"] = [0, 1]
+    h0.store.write_manifest(mf)
+
+    h1 = Q.IndexHandle.open(spark, out)
+    after = Q.bm25_topk_wand(spark, h1, ["the", "merge"], 10).collect()
+    got_ids = [r.doc_id for r in after]
+    assert top_doc not in got_ids
+    # remaining ranks shift up by exactly one (stats unchanged by deletes)
+    assert got_ids[:9] == [r.doc_id for r in before[1:10]]
+    assert h1.docs(spark).count() == 199
+    # batch path sees the same tombstones
+    batch = Q.bm25_topk_batch(
+        spark, h1, [{"query_id": 0, "terms": ["the", "merge"], "k": 10}]
+    ).collect()
+    assert [r.doc_id for r in batch] == got_ids
+
+
+def test_uncommitted_generation_invisible(spark, tmp_path):
+    """Crash-before-commit simulation: new-gen partitions exist on disk
+    but the manifest doesn't name the generation — every read must see
+    exactly the pre-update index."""
+    import shutil
+
+    rows = gen_webtext(150, seed=5)
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path / "crash")
+    build_index_from_webtext(spark, wt, out, n_shards=4)
+    store = Q.IndexHandle.open(spark, out).store
+    mf_before = store.read_manifest()
+    ts_before = store._resolve("term_stats")
+    shutil.copytree(store.path(ts_before), str(tmp_path / "ts_backup"))
+    h = Q.IndexHandle.open(spark, out)
+    before = Q.bm25_topk_wand(spark, h, ["the", "merge"], 10).collect()
+    n_before = h.docs(spark).count()
+
+    import datetime as dt
+
+    upd = []
+    for j, r in enumerate(rows[:10]):
+        nr = gen_webtext_row(30_000 + j, seed=11)
+        nr["url"] = r["url"]
+        nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=400)
+        upd.append(nr)
+    add_generation(
+        spark, out, spark.createDataFrame(upd, schema=WEBTEXT_SCHEMA)
+    )
+    # roll the manifest back = the state a crash-before-commit leaves
+    # (gen-1 segments/docs/url_map/deletes partitions all on disk, staged
+    # term_stats_v1 written, manifest still the old one)
+    shutil.rmtree(store.path(ts_before), ignore_errors=True)
+    shutil.copytree(str(tmp_path / "ts_backup"), store.path(ts_before))
+    store.write_manifest(mf_before)
+
+    h2 = Q.IndexHandle.open(spark, out)
+    assert not h2.multi_gen
+    assert h2.docs(spark).count() == n_before
+    after = Q.bm25_topk_wand(spark, h2, ["the", "merge"], 10).collect()
+    assert [(r.doc_id, r.score) for r in after] == [
+        (r.doc_id, r.score) for r in before
+    ]
+    # and a retried update converges to the same committed state
+    res = add_generation(
+        spark, out, spark.createDataFrame(upd, schema=WEBTEXT_SCHEMA)
+    )
+    assert res.n_new_docs == 10 and res.n_replaced == 10
+    h3 = Q.IndexHandle.open(spark, out)
+    assert h3.docs(spark).count() == n_before  # 10 replaced, 0 net-new
+
+
 def test_compact_is_idempotent(spark, updated_index):
     out, *_ = updated_index
     handle_before = Q.IndexHandle.open(spark, out)

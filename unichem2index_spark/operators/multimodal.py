@@ -1,11 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step is STUBBED (the image/audio libraries are not in this
-container): ``decode_image_meta`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder exercises the
-real Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-signature, partitioning — exactly as a real decoder would.
+Two decode paths, both Arrow-batched through one ``mapInPandas`` pass:
+
+* ``fake=True`` — deterministic stub (dims/features derived from a
+  sha256), for plumbing tests on arbitrary payloads.
+* ``fake=False`` — REAL decode: pure-Python magic-byte header parsers
+  (PNG IHDR, GIF logical screen, JPEG SOF, WAV fmt chunk — no
+  PIL/ffmpeg, which are absent in this container) extract
+  width/height/sample-rate, plus a deterministic 8-bin byte-histogram
+  feature over the payload. Unrecognized payloads decode to format
+  'unknown' with null dims rather than raising. A deployment with real
+  media libraries swaps ``_parse_header``/``_byte_histogram`` for
+  PIL/ffmpeg calls — the Spark-side plumbing (schema, partitioning,
+  batch shape) is identical.
 """
 
 from __future__ import annotations
@@ -31,13 +39,101 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("sha256", T.StringType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Pure-Python magic-byte header parsers (unit-testable without Spark)
+# --------------------------------------------------------------------------
+def _parse_png(b: bytes) -> dict | None:
+    # 8-byte signature, then the IHDR chunk: len(4) 'IHDR' width(4BE) height(4BE)
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    return {
+        "format": "png",
+        "width": int.from_bytes(b[16:20], "big"),
+        "height": int.from_bytes(b[20:24], "big"),
+    }
+
+
+def _parse_gif(b: bytes) -> dict | None:
+    if len(b) < 10 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    return {
+        "format": "gif",
+        "width": int.from_bytes(b[6:8], "little"),
+        "height": int.from_bytes(b[8:10], "little"),
+    }
+
+
+def _parse_jpeg(b: bytes) -> dict | None:
+    # Walk marker segments to the first SOF (frame header) for dims.
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return {
+                "format": "jpeg",
+                "height": int.from_bytes(b[i + 5 : i + 7], "big"),
+                "width": int.from_bytes(b[i + 7 : i + 9], "big"),
+            }
+        i += 2 + seg_len
+    return None
+
+
+def _parse_wav(b: bytes) -> dict | None:
+    # RIFF....WAVE, then chunk walk to 'fmt ': channels(2LE) sample_rate(4LE)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 16 <= len(b):
+            return {
+                "format": "wav",
+                "channels": int.from_bytes(b[i + 10 : i + 12], "little"),
+                "sample_rate": int.from_bytes(b[i + 12 : i + 16], "little"),
+            }
+        i += 8 + clen + (clen % 2)
+    return None
+
+
+def _parse_header(b: bytes) -> dict:
+    """Dispatch on magic bytes; {'format': 'unknown'} when unrecognized."""
+    for parser in (_parse_png, _parse_gif, _parse_jpeg, _parse_wav):
+        meta = parser(b)
+        if meta is not None:
+            return meta
+    return {"format": "unknown"}
+
+
+def _byte_histogram(b: bytes, bins: int = 8) -> list[float]:
+    """Deterministic content feature: normalized byte histogram."""
+    if not b:
+        return [0.0] * bins
+    counts = [0] * bins
+    for x in b:
+        counts[x * bins // 256] += 1
+    n = float(len(b))
+    return [c / n for c in counts]
 
 
 def media_from_documents(d: DataFrame) -> DataFrame:
@@ -70,12 +166,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode / feature-extract binary media via ``mapInPandas``.
 
     Arrow-batched; one Python worker pass, no per-row Python UDF calls.
+    ``fake=False`` (default) runs the real magic-byte header parsers +
+    byte-histogram feature; ``fake=True`` runs the deterministic stub.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg (absent in this "
-            "container); call with fake=True for the deterministic stub"
-        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,16 +177,29 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 raw = bytes(payload) if payload is not None else b""
-                d = _fake_decode(raw, kind)
+                if fake:
+                    d = _fake_decode(raw, kind)
+                    meta = {"format": "fake"}
+                    width = d["width"] if kind == "image" else None
+                    height = d["height"] if kind == "image" else None
+                    feature = d["feature"]
+                else:
+                    meta = _parse_header(raw)
+                    width = meta.get("width")
+                    height = meta.get("height")
+                    feature = _byte_histogram(raw)
                 rows.append(
                     {
                         "media_id": int(mid),
                         "kind": kind,
+                        "format": meta["format"],
                         "n_bytes": len(raw),
                         "sha256": hashlib.sha256(raw).hexdigest(),
-                        "width": d["width"] if kind == "image" else None,
-                        "height": d["height"] if kind == "image" else None,
-                        "feature": d["feature"],
+                        "width": width,
+                        "height": height,
+                        "sample_rate": meta.get("sample_rate"),
+                        "channels": meta.get("channels"),
+                        "feature": feature,
                     }
                 )
             yield pd.DataFrame(

@@ -556,6 +556,15 @@ SELECT doc_id, CAST((sum(w) * {FP_MULT}) % {MOD} AS BIGINT) AS fingerprint
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
+# The Spark query spools orders through a '|' CSV and reads it back; the
+# oracle reads the original table — equality proves the round-trip lossless.
+CSV_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+"""
+
 BINARY_META = """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
