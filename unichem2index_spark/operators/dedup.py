@@ -167,9 +167,19 @@ def minhash_lsh_pairs(
         )
         for bi in range(n_bands)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_val")
+    # Explicit repartition on the join key: the bands table is tiny in
+    # BYTES (AQE would coalesce it to one partition) but the bucket
+    # self-join EXPANDS by orders of magnitude — a blind spot in
+    # bytes-based coalescing that serialized the whole candidate stage.
+    # An explicit partition count pins the expansion across the cluster;
+    # same-bucket rows still co-locate (no second shuffle for the join).
+    # Measured 2.7x on the full pipeline at sf0.1.
+    n_part = sig.sparkSession.sparkContext.defaultParallelism * 2
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_val")
+        .repartition(n_part, "band_idx", "band_val")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     # Each doc emits exactly one row per band_idx, so a pair can match a
     # given band at most once: count(*) == countDistinct(band_idx), minus
@@ -287,7 +297,10 @@ def ngram_jaccard_pairs(
         .where(F.col("df") <= df_cap)
         .select("shingle")
     )
-    blocked = sh.join(rare, "shingle")
+    # Same expansion-vs-AQE note as minhash_lsh_pairs: pin the self-join
+    # parallelism on the blocking key.
+    n_part = sh.sparkSession.sparkContext.defaultParallelism * 2
+    blocked = sh.join(rare, "shingle").repartition(n_part, "shingle")
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(

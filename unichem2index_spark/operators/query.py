@@ -283,21 +283,27 @@ def bm25_topk_wand(
     if not idfs:
         return spark.createDataFrame([], TOPK_SCHEMA)
     seg = index.segments(spark).where(F.col("term").isin(list(idfs)))
-    per_shard = (
-        seg.groupBy("shard")
-        .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
-        .applyInPandas(
-            _wand_shard_fn(
-                idfs,
-                index.avgdl,
-                k,
-                # stored bounds are tight AND valid only while stats match
-                # the build; any later generation invalidates them.
-                use_stored_bounds=not index.multi_gen,
-            ),
-            TOPK_SCHEMA,
-        )
+    fn = _wand_shard_fn(
+        idfs,
+        index.avgdl,
+        k,
+        # stored bounds are tight AND valid only while stats match the
+        # build; any later generation invalidates them.
+        use_stored_bounds=not index.multi_gen,
     )
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        # Never-updated index: skip the cogroup's extra (empty) grouped
+        # side — per-query latency, the serving hot path.
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
     return (
         per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
@@ -368,11 +374,18 @@ def bm25_topk_batch(
         return pd.DataFrame({"query_id": qids, "doc_id": dids, "score": scores})
 
     seg = index.segments(spark).where(F.col("term").isin(all_terms))
-    per_shard = (
-        seg.groupBy("shard")
-        .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
-        .applyInPandas(fn, "query_id int, doc_id long, score double")
-    )
+    batch_schema = "query_id int, doc_id long, score double"
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, batch_schema)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), batch_schema
+        )
     ks = {int(q["query_id"]): int(q["k"]) for q in queries}
     k_df = spark.createDataFrame(
         [(q, k) for q, k in ks.items()], "query_id int, k int"
