@@ -64,6 +64,44 @@ def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("sep", "|").option("header", "true").csv(path)
 
 
+def iceberg_available(spark: SparkSession, catalog: str | None = None) -> bool:
+    """True iff an Iceberg Spark catalog is configured on this session AND
+    the Iceberg runtime classes actually load. In this sandbox the runtime
+    jar is absent, so this returns False and stores fall back to the
+    parquet+manifest backend (SURVEY.md §1.1 / §7 M2 fallback note)."""
+    try:
+        pairs = dict(spark.sparkContext.getConf().getAll())
+        catalogs = [
+            k.split(".")[3]
+            for k, v in pairs.items()
+            if k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and "iceberg" in v.lower()
+        ]
+        if catalog is not None and catalog not in catalogs:
+            return False
+        if not catalogs:
+            return False
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — jar probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def open_store(
+    spark: SparkSession, base_dir: str, catalog: str | None = None
+) -> "SegmentStore":
+    """Store factory: an Iceberg-backed store when the runtime is present
+    (atomic snapshot commits replace the manifest protocol), else the
+    parquet+manifest SegmentStore. Callers use the same interface either
+    way — only the commit mechanics differ."""
+    if iceberg_available(spark, catalog):
+        return IcebergSegmentStore(base_dir, spark, catalog or "spark_catalog")
+    return SegmentStore(base_dir)
+
+
 class SegmentStore:
     """Index-artifact store: segments / term_stats / docs / url_map /
     deletes / lineage, parquet-backed with a JSON manifest.
@@ -222,3 +260,84 @@ class SegmentStore:
             .collect()
         )
         return {r.shard for r in rows}
+
+
+class IcebergSegmentStore(SegmentStore):
+    """Iceberg-backed variant: every table is a catalog table
+    ``<catalog>.<db>.<name>`` and the commit protocol collapses onto
+    Iceberg's own atomicity — gen-partition writes become
+    ``writeTo(...).overwritePartitions()`` (dynamic partition overwrite as
+    an atomic snapshot), whole-table rewrites become
+    ``createOrReplace()`` (no versioned-path dance needed), and existence
+    is ``spark.catalog.tableExists``. The JSON manifest survives only as
+    the stats record (n_docs/avgdl/generations), stored next to the
+    warehouse path.
+
+    Exercised only when :func:`iceberg_available` is True — the runtime
+    jar is not in this sandbox, so CI covers construction + name mapping
+    and the parquet fallback; the write calls below are the documented
+    cluster path (Iceberg public Spark API only).
+    """
+
+    def __init__(self, base_dir: str, spark: SparkSession, catalog: str):
+        super().__init__(base_dir)
+        self.spark = spark
+        self.catalog = catalog
+        # one namespace per index directory, derived deterministically
+        self.db = "u2i_" + os.path.basename(base_dir.rstrip("/")).replace(
+            "-", "_"
+        )
+
+    def qualified(self, name: str) -> str:
+        return f"{self.catalog}.{self.db}.{name}"
+
+    def exists(self, name: str = "manifest.json") -> bool:
+        if name == "manifest.json":
+            return os.path.exists(self.path(name))
+        return self.spark.catalog.tableExists(self.qualified(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.table(self.qualified(name))
+
+    def write_segments(self, df: DataFrame, physical: str | None = None) -> None:
+        (
+            df.repartition("gen", "shard")
+            .sortWithinPartitions("gen", "shard", "term", "block_id")
+            .writeTo(self.qualified(physical or "segments"))
+            .partitionedBy("gen", "shard")
+            .createOrReplace()
+            if not self.exists("segments")
+            else df.repartition("gen", "shard")
+            .sortWithinPartitions("gen", "shard", "term", "block_id")
+            .writeTo(self.qualified("segments"))
+            .overwritePartitions()
+        )
+
+    def write_gen_partition(self, df: DataFrame, name: str) -> None:
+        if not self.exists(name):
+            df.writeTo(self.qualified(name)).partitionedBy("gen").create()
+        else:
+            df.writeTo(self.qualified(name)).overwritePartitions()
+
+    def stage_table(
+        self, df: DataFrame, name: str, max_files: int | None = None,
+        partition_gen: bool = False,
+    ) -> str:
+        # Iceberg replaces the table atomically — no versioned path needed;
+        # returning the logical name keeps the manifest bookkeeping inert.
+        if max_files:
+            df = df.coalesce(max_files)
+        w = df.writeTo(self.qualified(name))
+        if partition_gen:
+            w = w.partitionedBy("gen")
+        w.createOrReplace()
+        return name
+
+    def write_table(
+        self, df: DataFrame, name: str, mode: str = "overwrite",
+        max_files: int | None = None,
+    ) -> None:
+        self.stage_table(df, name, max_files=max_files)
+
+    def remove_table(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(name)}")
