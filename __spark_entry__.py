@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from unichem2index_spark import oracles
 from unichem2index_spark.functions.tokenize import tokens_col
-from unichem2index_spark.operators import dedup, multimodal, parity
+from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
 from unichem2index_spark.operators import query as Q
 from unichem2index_spark.operators import similarity, textstats
 from unichem2index_spark.operators.build import (
@@ -255,7 +255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(
             s, load_tables(s, d)
-        ),  # rows-only (approximate by design)
+        ),  # rows-only (approximate by design; pytest recall oracle)
+        "embedding_neardup": lambda s, d: embdedup.embedding_neardup_pairs(
+            s, load_tables(s, d)
+        ),
         # -- text analysis ---------------------------------------------------
         "lang_id": _wrap(textstats.lang_id),
         "quality_score": _wrap(textstats.quality_score),
@@ -304,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_groups": oracles.simhash_groups_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
         "cosine_topk": oracles.COSINE_TOPK,
+        "embedding_neardup": oracles.EMBEDDING_NEARDUP,
         # cosine_topk_lsh: rows-only (approximate recall by design)
         "lang_id": oracles.LANG_ID,
         "quality_score": oracles.QUALITY_SCORE,

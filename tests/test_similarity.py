@@ -43,3 +43,24 @@ def test_lsh_ranks_are_exact_over_candidates(spark):
         assert ranks == list(range(1, len(rows) + 1))
         keys = [(-r.cosine, r.vec_id) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_embedding_neardup_finds_exactly_planted_twins(spark):
+    """The augmented corpus plants one 0.98-cosine twin per vector while
+    organic pairs top out at ~0.51: the LSH-blocked operator must return
+    exactly the planted pairs (miss prob ~1e-4/pair — any miss fails)."""
+    from unichem2index_spark.operators.embdedup import (
+        TWIN_OFFSET,
+        embedding_neardup_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    n = t["embeddings"].count()
+    rows = embedding_neardup_pairs(spark, t).collect()
+    assert len(rows) == n
+    assert all(r.vec_b == r.vec_a + TWIN_OFFSET for r in rows)
+    assert sorted(r.vec_a for r in rows) == sorted(
+        r.vec_id for r in t["embeddings"].select("vec_id").collect()
+    )
+    assert all(r.cosine >= 0.9 for r in rows)

@@ -195,3 +195,40 @@ def test_multimodal_real_decode(spark):
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-6
         assert len(r.sha256) == 64 and r.n_bytes > 0
+
+
+def test_stream_index_webtext(spark, tmp_path):
+    """Structured Streaming index maintenance: first micro-batch builds
+    the base index, the next (after new files land) becomes generation 1
+    with url-keyed replacements tombstoned; the checkpoint ensures the
+    second run only processes the new files."""
+    import datetime as dt
+
+    from unichem2index_spark.operators import query as Q
+    from unichem2index_spark.streaming.incremental import stream_index_webtext
+    from unichem2index_spark.synth import gen_webtext_row
+
+    in_dir = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    rows = gen_webtext(120, seed=21)
+    spark.createDataFrame(rows, WEBTEXT_SCHEMA).write.mode("append").parquet(in_dir)
+    stream_index_webtext(spark, in_dir, idx, n_shards=4).awaitTermination()
+    h = Q.IndexHandle.open(spark, idx)
+    assert h.docs(spark).count() == 120
+    assert not h.multi_gen
+
+    wave = []
+    for j, r in enumerate(rows[:10]):
+        nr = gen_webtext_row(40_000 + j, seed=22)
+        nr["url"] = r["url"]
+        nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=30)
+        wave.append(nr)
+    wave += [gen_webtext_row(41_000 + j, seed=22) for j in range(15)]
+    spark.createDataFrame(wave, WEBTEXT_SCHEMA).write.mode("append").parquet(in_dir)
+    stream_index_webtext(spark, in_dir, idx, n_shards=4).awaitTermination()
+
+    h2 = Q.IndexHandle.open(spark, idx)
+    assert h2.multi_gen
+    assert h2.docs(spark).count() == 120 + 15  # 10 replaced, 15 net-new
+    assert h2.n_docs == 120 + 25  # physical postings incl. tombstoned
+    assert len(Q.bm25_topk_wand(spark, h2, ["the"], 5).collect()) == 5

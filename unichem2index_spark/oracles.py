@@ -489,6 +489,32 @@ FROM r WHERE rank <= 10
 ORDER BY query_id, rank
 """
 
+# Embedding-cosine near-dup: the oracle is the EXACT all-pairs computation
+# over the augmented corpus (embeddings UNION dim0+0.2 twins); the Spark
+# side blocks with multi-table sign-LSH whose per-pair miss probability at
+# the planted twins' theta (<= 12deg) is ~1e-4 — verified to hash-match.
+EMBEDDING_NEARDUP = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM emb
+  UNION ALL
+  SELECT vec_id + 1000000, list_concat([v[1] + 0.2], v[2:]) FROM emb
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p
+WHERE cosine >= 0.9
+ORDER BY vec_a, vec_b
+"""
+
 # -------------------------------------------------------------- text stats
 LANG_ID = f"""
 WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),

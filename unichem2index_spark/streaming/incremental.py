@@ -16,6 +16,8 @@ ingest of new webtext partitions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -103,4 +105,60 @@ def batch_windowed_counts(spark: SparkSession, t) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+def stream_index_webtext(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    schema=None,
+    checkpoint: str | None = None,
+    n_shards: int = 8,
+):
+    """Continuous index maintenance: Structured Streaming file source over
+    a growing directory of webtext parquet, each micro-batch folded into
+    the index as one segment generation (``foreachBatch`` →
+    :func:`operators.update.add_generation`; the first batch builds the
+    base index). Runs with ``availableNow`` — callers invoke repeatedly
+    (or swap the trigger) for a long-lived stream.
+
+    Exactly-once-per-batch semantics come from two layers: the streaming
+    checkpoint replays a failed micro-batch, and the replay is safe
+    because (a) an UNcommitted generation's partitions are invisible and
+    get overwritten by the retry (the SegmentStore gen-gating contract),
+    and (b) a batch whose generation DID commit before the crash is
+    re-applied as url-keyed upserts — the reference's doc_as_upsert
+    idempotency (extractor/loader.go:186), at the cost of one extra
+    generation that the next compaction folds away.
+    """
+    from unichem2index_spark.operators.ingest import build_index_from_webtext
+    from unichem2index_spark.operators.update import add_generation
+    from unichem2index_spark.sources.tables import SegmentStore
+
+    if schema is None:
+        from unichem2index_spark.schemas import WEBTEXT_SCHEMA as schema  # noqa: N811
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        if SegmentStore(index_dir).exists():
+            add_generation(s, index_dir, batch_df, build_id=f"stream-{batch_id}")
+        else:
+            build_index_from_webtext(
+                s, batch_df, index_dir,
+                n_shards=n_shards, build_id=f"stream-{batch_id}",
+            )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            checkpoint or os.path.join(index_dir, "_stream_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
     )
