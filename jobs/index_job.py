@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--metrics-out", default=None)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--expect-cores", type=int, default=0,
+                    help="block until this many executor cores register "
+                    "(local-cluster/standalone: session creation returns "
+                    "before the fleet is up; timing a build that starts "
+                    "on a partial fleet is unfair to the level under test)")
     args = ap.parse_args()
 
     # Imports AFTER spark-submit has prepended --py-files to sys.path.
@@ -48,6 +53,11 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("u2i-index-job").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if args.expect_cores:
+        deadline = time.time() + 120
+        while (spark.sparkContext.defaultParallelism < args.expect_cores
+               and time.time() < deadline):
+            time.sleep(0.5)
     metrics: dict = {
         "master": spark.sparkContext.master,
         "default_parallelism": spark.sparkContext.defaultParallelism,

@@ -88,12 +88,15 @@ def run_level(
         # executor count (local-cluster) / thread count (local).
         "--conf", "spark.sql.shuffle.partitions=128",
         "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.rdd.compress=true",
         *mode_confs,
         "--py-files", zip_path,
         os.path.join(ROOT, "jobs", "index_job.py"),
         "--input", input_path,
         "--out", out_dir,
         "--n-shards", str(shards),
+        "--expect-cores",
+        str(cores * exec_cores if mode == "local-cluster" else cores),
         "--queries", "20",
         "--metrics-out", metrics_path,
     ]

@@ -22,10 +22,11 @@ rebuilds idempotent (doc_as_upsert analog, extractor/loader.go:186).
 from __future__ import annotations
 
 import heapq
+import threading
 import time
 from collections import Counter
 from dataclasses import dataclass
-from typing import Iterable, Iterator
+from typing import Callable, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -295,6 +296,35 @@ def merge_runs_to_segments(
 # --------------------------------------------------------------------------
 # Orchestration: full/partial build with lineage + resume
 # --------------------------------------------------------------------------
+class _BgJob:
+    """Run a Spark action on a driver thread so it overlaps later jobs.
+
+    A SparkContext accepts concurrent job submission from multiple driver
+    threads; with FIFO scheduling the overlapped job's tasks fill executor
+    slots whenever the foreground stage can't saturate them. Used for
+    auxiliary table writes (docs, url_map) whose inputs are ALREADY
+    materialized persists — no recompute race — so the only ordering that
+    matters is join() before the artifact that must land after them.
+    """
+
+    def __init__(self, fn: Callable[[], None], name: str):
+        self._exc: BaseException | None = None
+
+        def run() -> None:
+            try:
+                fn()
+            except BaseException as e:  # re-raised on join
+                self._exc = e
+
+        self._t = threading.Thread(target=run, name=name, daemon=True)
+        self._t.start()
+
+    def join(self) -> None:
+        self._t.join()
+        if self._exc is not None:
+            raise self._exc
+
+
 @dataclass
 class BuildResult:
     store: SegmentStore
@@ -315,6 +345,7 @@ def build_index(
     resume: bool = False,
     shard_filter: Iterable[int] | None = None,
     build_id: str = "build",
+    aux_writes: Iterable[Callable[[], None]] | None = None,
 ) -> BuildResult:
     """End-to-end index build.
 
@@ -322,6 +353,11 @@ def build_index(
     simulate a mid-build failure); ``resume=True`` skips shards already
     marked done in lineage — together they reproduce the reference's
     watermark-resume contract (T1).
+
+    ``aux_writes``: caller-supplied Spark actions (e.g. the url_map write)
+    run on driver threads overlapping the merge phase and joined before
+    the manifest commit — they stay inside the build's crash envelope
+    (manifest last) without serializing the pipeline.
     """
     t0 = time.time()
     store = SegmentStore(out_dir)
@@ -425,12 +461,21 @@ def build_index(
         # was tokenized for stats; narrow to the target shards here.
         tok = tok.where((F.col("doc_id") % n_shards).isin(target_shards))
 
-    # Forward docs table always covers the FULL corpus — written BEFORE
-    # segments so a mid-build crash leaves the frozen stats a resumed
-    # build needs (gen-partitioned; incremental updates add generations).
+    # Forward docs table always covers the FULL corpus — it must land
+    # BEFORE segments so a mid-build crash leaves the frozen stats a
+    # resumed build needs (gen-partitioned; incremental updates add
+    # generations). The write itself overlaps the SPIMI jobs on a driver
+    # thread: its input (the tok persist) was fully materialized by the
+    # corpus_stats pass above, and the join() below restores the ordering
+    # guarantee at the cheapest point — a serial docs write is a
+    # whole-pipeline barrier a 1000-executor cluster would idle through.
+    docs_job: _BgJob | None = None
     if not store.exists("docs"):
-        store.write_gen_partition(
-            docs_table(full_tok).withColumn("gen", F.lit(0)), "docs"
+        docs_job = _BgJob(
+            lambda: store.write_gen_partition(
+                docs_table(full_tok).withColumn("gen", F.lit(0)), "docs"
+            ),
+            "u2i-docs-write",
         )
 
     runs = spimi_runs(tok, n_shards).cache()
@@ -448,6 +493,14 @@ def build_index(
         store.write_table(tstats, "term_stats", max_files=8)
         tstats = store.read(spark, "term_stats")
 
+    # Aux writes (url_map, ...) only need to land before the manifest
+    # commit; start them now so they overlap the merge.
+    aux_jobs = [
+        _BgJob(fn, f"u2i-aux-write-{i}") for i, fn in enumerate(aux_writes or [])
+    ]
+
+    if docs_job is not None:
+        docs_job.join()  # docs-before-segments crash invariant
     segments = merge_runs_to_segments(runs, tstats, avgdl, block_size)
     store.write_segments(segments)
 
@@ -479,6 +532,9 @@ def build_index(
         "postings", "blocks", "bytes", "elapsed_sec",
     )
     store.append_lineage(lineage)
+
+    for j in aux_jobs:
+        j.join()  # aux tables land before the manifest commit point
 
     prev_tables = (
         store.read_manifest().get("tables", {}) if store.exists() else {}

@@ -39,6 +39,7 @@ from pyspark.sql import Window as W
 
 from unichem2index_spark.functions.extract import extract_text_udf
 from unichem2index_spark.operators.build import BuildResult, build_index
+from unichem2index_spark.sources.tables import SegmentStore
 
 
 def extracted_webtext(webtext: DataFrame) -> DataFrame:
@@ -198,16 +199,25 @@ def build_index_from_webtext(
     index. The url<->doc_id mapping is persisted so query results can be
     joined back to urls (ES _id analog)."""
     docs = webtext_docs(webtext)
-    try:
-        result = build_index(
-            spark, docs, out_dir, n_shards=n_shards, resume=resume, build_id=build_id
-        )
-        if not result.store.exists("url_map"):
-            result.store.write_gen_partition(
+    store = SegmentStore(out_dir)
+
+    def write_url_map() -> None:
+        # Runs on a build_index driver thread overlapping the merge phase
+        # (its input is the materialized ingest persist); joined before the
+        # manifest commit, so an index never commits without its url_map.
+        if not store.exists("url_map"):
+            store.write_gen_partition(
                 docs.select("doc_id", "url", "warc_ts", "lang", "source")
                 .withColumn("gen", F.lit(0)),
                 "url_map",
             )
+
+    try:
+        result = build_index(
+            spark, docs, out_dir, n_shards=n_shards, resume=resume,
+            build_id=build_id, aux_writes=[write_url_map],
+        )
+        write_url_map()  # no-op unless an early return skipped aux writes
     finally:
         persisted = getattr(docs, "_u2i_persisted", None)
         if persisted is not None:

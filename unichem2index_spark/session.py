@@ -32,6 +32,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # The build persists the extracted corpus and the tokenized corpus
+        # DISK_ONLY (see build.py / ingest.py); Spark does NOT compress RDD
+        # persist blocks by default, so those are full-corpus uncompressed
+        # writes to spark.local.dir. lz4 cuts that I/O ~3-5x for text —
+        # disk bandwidth is the resource a single host CAN'T scale with
+        # parallelism (a real cluster adds disks with executors).
+        .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
