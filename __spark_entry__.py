@@ -199,6 +199,54 @@ def q_csv_roundtrip(spark, sf_dir):
     return read_pipe_csv(spark, path, schema=orders.schema).orderBy("o_orderkey")
 
 
+def q_stream_dedup_latest(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    newest-per-key dedup with cross-batch state — the streaming twin of
+    the reference's url-keyed doc_as_upsert stale-drop
+    (extractor/loader.go:186). Run here with Trigger.Once (exactly one
+    micro-batch over the documents table, key=source, recency=doc_id),
+    which makes the emission set SQL-expressible: the argmax-doc_id row
+    per source — so this streaming operator gets a full DuckDB value-hash
+    oracle, not just a rows-only check. Cross-batch state suppression is
+    pytest-covered (tests/test_stateful_stream.py, maxFilesPerTrigger=1)."""
+    import shutil
+
+    from unichem2index_spark.streaming.stateful import stream_dedup_latest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ckpt = os.path.join(tempfile.gettempdir(), f"u2i_sdl_ckpt_{tag}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # The file streaming source wants a DIRECTORY; the fixture table is a
+    # single parquet file — stage it into one.
+    src_dir = os.path.join(tempfile.gettempdir(), f"u2i_sdl_src_{tag}")
+    if not os.path.exists(os.path.join(src_dir, "part-0.parquet")):
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copyfile(
+            f"{sf_dir}/documents.parquet",
+            os.path.join(src_dir, "part-0.parquet"),
+        )
+    name = f"u2i_sdl_{tag}"
+    out = stream_dedup_latest(
+        spark,
+        src_dir,
+        docs.schema,
+        key_col="source",
+        ts_col="doc_id",
+        out_cols=["source", "doc_id", "n_chars"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("source")
+
+
 def _wrap(fn):
     def run(spark, sf_dir):
         return fn(spark, load_tables(spark, sf_dir))
@@ -268,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": _wrap(multimodal.binary_meta),
         # -- S4/S5 pipe-CSV source/sink ---------------------------------------
         "csv_roundtrip": q_csv_roundtrip,
+        "stream_dedup_latest": q_stream_dedup_latest,
     }
 
 
@@ -315,4 +364,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.DOC_FINGERPRINT,
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,
+        "stream_dedup_latest": oracles.STREAM_DEDUP_LATEST,
     }

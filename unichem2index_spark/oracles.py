@@ -582,6 +582,18 @@ SELECT doc_id, CAST((sum(w) * {FP_MULT}) % {MOD} AS BIGINT) AS fingerprint
 FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
+# The Spark side runs the applyInPandasWithState newest-per-key operator
+# with Trigger.Once (one micro-batch), so its emission set is exactly the
+# argmax-doc_id row per source (doc_id unique -> deterministic).
+STREAM_DEDUP_LATEST = """
+SELECT d.source AS source, d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM documents d
+JOIN (
+  SELECT source, max(doc_id) AS m FROM documents GROUP BY source
+) x ON d.source = x.source AND d.doc_id = x.m
+ORDER BY source
+"""
+
 # The Spark query spools orders through a '|' CSV and reads it back; the
 # oracle reads the original table — equality proves the round-trip lossless.
 CSV_ROUNDTRIP = """
