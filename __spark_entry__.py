@@ -301,6 +301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(
             s, load_tables(s, d)
         ),
+        # rows-only: approximate by design; recall + exactness pytest
+        # (tests/test_similarity.py::test_ivf_recall_vs_bruteforce)
+        "cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(
+            s, load_tables(s, d)
+        ),
         "cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(
             s, load_tables(s, d)
         ),  # rows-only (approximate by design; pytest recall oracle)

@@ -12,7 +12,12 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF_CORRECT
 
 # documented non-SQL ops (UDTF fan-out / approximate recall / index lifecycle)
-ROWS_ONLY = {"key_components", "cosine_topk_lsh", "index_update_lifecycle"}
+ROWS_ONLY = {
+    "key_components",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "index_update_lifecycle",
+}
 
 
 def test_queries_and_oracles_align():

@@ -31,6 +31,41 @@ def test_lsh_recall_vs_bruteforce(spark):
             assert abs(r.cosine - bf_cos[(r.query_id, r.vec_id)]) < 1e-9
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF-Flat path: data-adaptive cells must beat the probed fraction —
+    nprobe/n_cells = 8/32 probes ~25% of the corpus; measured recall@10 is
+    0.64 on this frozen fixture (vs 0.25 for random probing), and the
+    rescoring is exact on every returned hit."""
+    t = load_tables(spark, SF_CORRECT)
+    bf_rows = similarity.cosine_topk_bruteforce(spark, t).collect()
+    bf = {(r.query_id, r.vec_id) for r in bf_rows}
+    ivf_rows = similarity.cosine_topk_ivf(spark, t).collect()
+    ivf = {(r.query_id, r.vec_id) for r in ivf_rows}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.55, f"IVF recall@10 regressed: {recall}"
+    bf_cos = {(r.query_id, r.vec_id): r.cosine for r in bf_rows}
+    for r in ivf_rows:
+        if (r.query_id, r.vec_id) in bf_cos:
+            assert abs(r.cosine - bf_cos[(r.query_id, r.vec_id)]) < 1e-9
+
+
+def test_ivf_training_is_deterministic(spark):
+    """Two trainings over the same input give identical centroids (the
+    driver-side prefix of the operator must be reproducible for reruns)."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, SF_CORRECT)
+    emb = t["embeddings"].select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    ).where(F.col("vec_id") >= 5)
+    c1 = similarity.train_ivf_centroids(emb, n_cells=8, n_iters=2)
+    c2 = similarity.train_ivf_centroids(emb, n_cells=8, n_iters=2)
+    assert [c for c, _ in c1] == [c for c, _ in c2]
+    for (_, v1), (_, v2) in zip(c1, c2):
+        assert all(abs(a - b) < 1e-9 for a, b in zip(v1, v2))
+
+
 def test_lsh_ranks_are_exact_over_candidates(spark):
     """Within a query, LSH output is sorted by exact cosine desc, vec_id
     asc, and ranks are dense from 1."""

@@ -112,6 +112,155 @@ def _table_bucket_expr(vcol: str, table: int, n_planes: int) -> F.Column:
     return out.cast("int")
 
 
+def _centroid_literal(centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """array<struct<cell:int, c:array<double>>> literal for map-side argmin."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cell, vec in centroids
+        ]
+    )
+
+
+def _nearest_cell(vcol, cent_lit: F.Column) -> F.Column:
+    """Map-side argmin over the centroid array: one projection, NO join,
+    NO shuffle — cell assignment is embarrassingly parallel, which is the
+    property that lets 10^12 rows assign in a single scan."""
+    scored = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            (-_dot(vcol, s["c"]) / _norm(s["c"])).alias("negsim"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    return F.array_min(scored)["cell"]
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    sample_stride: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse quantizer: k-means on a deterministic corpus sample
+    (``vec_id % sample_stride == 0`` — at web scale training NEVER sees
+    the full corpus; stride keeps it a few thousand rows). Init = the
+    ``n_cells`` lowest-vec_id sample rows; each Lloyd iteration is one
+    map-side assignment + one (cell, dim) mean agg; centroids live on the
+    driver between iterations (n_cells x dim doubles — broadcast-sized by
+    construction, like FAISS's quantizer object)."""
+    sample = emb.where((F.col("vec_id") % sample_stride) == 0).select(
+        "vec_id", "v"
+    )
+    init = sample.orderBy("vec_id").limit(n_cells).collect()
+    centroids = [(i, list(r.v)) for i, r in enumerate(init)]
+    for _ in range(n_iters):
+        assigned = sample.select(
+            _nearest_cell(F.col("v"), _centroid_literal(centroids)).alias(
+                "cell"
+            ),
+            F.posexplode(F.col("v")).alias("dim", "x"),
+        )
+        means = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "cell", F.transform("dm", lambda s: s["m"]).alias("c")
+            )
+            .collect()
+        )
+        # Empty cells keep their previous centroid (standard k-means fix).
+        new = dict(centroids)
+        for r in means:
+            new[r.cell] = list(r.c)
+        centroids = sorted(new.items())
+    return centroids
+
+
+def cosine_topk_ivf(
+    spark: SparkSession,
+    t,
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning — the
+    second scale path beside :func:`cosine_topk_lsh`, trading LSH's
+    data-independent buckets for data-ADAPTIVE cells (FAISS IVF-Flat
+    shape): a trained coarse quantizer assigns every vector to its
+    nearest centroid cell; a query exactly rescores only the vectors in
+    its ``nprobe`` nearest cells (~nprobe/n_cells of the corpus).
+
+    Scale shape: training touches a sample; cell assignment is one
+    shuffle-free scan (centroid literals evaluated per row); the probe
+    join is cell-equality against a broadcast query->cell list; exact
+    rescoring touches only the probed fraction. Approximate by design ->
+    rows-only correctness, with recall@k vs the brute-force spine
+    asserted in pytest (like the LSH path)."""
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("v"))
+    corpus = emb.where(F.col("vec_id") >= n_queries)
+    centroids = train_ivf_centroids(corpus, n_cells=n_cells, n_iters=n_iters)
+    cent_lit = _centroid_literal(centroids)
+
+    assigned = corpus.select(
+        "vec_id", "v", _nearest_cell(F.col("v"), cent_lit).alias("cell")
+    )
+
+    # Query -> nprobe nearest cells: tiny (n_queries x n_cells), computed
+    # the same map-side way then exploded; broadcast into the probe join.
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe = queries.select(
+        "query_id",
+        "qv",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_lit,
+                    lambda s: F.struct(
+                        (-_dot(F.col("qv"), s["c"]) / _norm(s["c"])).alias(
+                            "negsim"
+                        ),
+                        s["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("cells"),
+    ).select(
+        "query_id", "qv", F.explode(F.transform("cells", lambda s: s["cell"])).alias("cell")
+    )
+
+    scored = assigned.join(F.broadcast(probe), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_topk_lsh(
     spark: SparkSession,
     t,
