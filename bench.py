@@ -85,6 +85,10 @@ def main() -> None:
     similarity.cosine_topk_bruteforce(spark, t).count()
     queries["cosine_topk"] = time.time() - t0
 
+    t0 = time.time()
+    similarity.cosine_topk_ivf(spark, t).count()
+    queries["cosine_topk_ivf"] = time.time() - t0
+
     # ---- relational parity --------------------------------------------------
     for name, fn in (
         ("tpch_q1", parity.tpch_q1),
