@@ -93,21 +93,29 @@ def dedup_and_assign_doc_ids(
     """
     if ts_col is None:
         ts_col = key  # degenerate: no dedup ordering column
+    from pyspark import StorageLevel
+
+    # Persist the INPUT before the range exchange: repartitionByRange runs
+    # a separate bound-sampling job over its child, which would otherwise
+    # re-execute everything upstream (including the Arrow html-extract
+    # UDF) over the full corpus a second time. With the persist, the
+    # sampling pass builds the (compressed) blocks and the shuffle-map
+    # pass reads them back — extraction runs exactly once. Released below
+    # as soon as the post-shuffle persist is materialized.
+    pre = df.persist(StorageLevel.DISK_ONLY)
     if num_partitions:
-        ranged = df.repartitionByRange(num_partitions, key)
+        ranged = pre.repartitionByRange(num_partitions, key)
     else:
-        ranged = df.repartitionByRange(key)
+        ranged = pre.repartitionByRange(key)
     other = [c for c in df.columns if c not in (key, ts_col)]
     ranged = ranged.sortWithinPartitions(
         F.asc(key), F.desc_nulls_last(ts_col), *[F.asc(c) for c in other]
     ).withColumn("_pid", F.spark_partition_id())
     # Persist so the count pass and the rank pass see the SAME range
-    # boundaries (and upstream extraction runs once, not twice). DISK_ONLY:
-    # building an in-memory object cache of the full corpus is GC-bound at
-    # high task concurrency; local-disk re-reads are cheap and this is also
+    # boundaries (one shuffle, stable partitioning). DISK_ONLY: building
+    # an in-memory object cache of the full corpus is GC-bound at high
+    # task concurrency; local-disk re-reads are cheap and this is also
     # the only level that holds at cluster scale.
-    from pyspark import StorageLevel
-
     ranged = ranged.persist(StorageLevel.DISK_ONLY)
 
     out_schema = T.StructType(
@@ -135,6 +143,9 @@ def dedup_and_assign_doc_ids(
         r._pid: r.n
         for r in with_rank.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # The post-shuffle persist is materialized now; the pre-shuffle blocks
+    # have served their two scans (bound sampling + shuffle map).
+    pre.unpersist()
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
