@@ -231,6 +231,92 @@ def test_uncommitted_generation_invisible(spark, tmp_path):
     assert h3.docs(spark).count() == n_before  # 10 replaced, 0 net-new
 
 
+def test_update_on_empty_base_index(spark, tmp_path):
+    """add_generation onto an index built over zero docs: the empty-batch
+    case must leave the placeholder tables intact (manifest stays valid),
+    and a real first batch must land as generation 1 with no tombstone
+    step (an empty index has no live urls to replace)."""
+    out = str(tmp_path / "emptyidx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    build_index(spark, empty, out, n_shards=4)
+    h = Q.IndexHandle.open(spark, out)
+    assert h.n_docs == 0
+
+    # Empty batch on the empty index: strict no-op — no table deleted.
+    res0 = add_generation(
+        spark, out, spark.createDataFrame([], schema=WEBTEXT_SCHEMA)
+    )
+    assert res0.n_new_docs == 0
+    h0 = Q.IndexHandle.open(spark, out)
+    assert h0.store.exists("term_stats")
+    assert Q.bm25_topk_wand(spark, h0, ["the"], 5).count() == 0
+
+    # Real first batch: becomes generation 1, fully queryable.
+    rows = gen_webtext(50, seed=13)
+    res = add_generation(
+        spark, out, spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    )
+    assert res.n_new_docs == 50 and res.n_replaced == 0
+    h1 = Q.IndexHandle.open(spark, out)
+    assert h1.docs(spark).count() == 50
+    assert Q.bm25_topk_wand(spark, h1, ["the", "merge"], 5).count() == 5
+    # and a follow-up update with replacements works on top of it
+    import datetime as dt
+
+    upd = []
+    for j, r in enumerate(rows[:5]):
+        nr = gen_webtext_row(40_000 + j, seed=17)
+        nr["url"] = r["url"]
+        nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=400)
+        upd.append(nr)
+    res2 = add_generation(
+        spark, out, spark.createDataFrame(upd, schema=WEBTEXT_SCHEMA)
+    )
+    assert res2.n_new_docs == 5 and res2.n_replaced == 5
+    assert Q.IndexHandle.open(spark, out).docs(spark).count() == 50
+
+
+def test_gc_retention_window(spark, tmp_path):
+    """Retired table versions survive exactly one commit: a reader (or a
+    lazily-evaluated DataFrame holding resolved paths) opened before an
+    update keeps working through it; the version is GC'd by the NEXT
+    commit."""
+    import datetime as dt
+    import os
+
+    rows = gen_webtext(80, seed=19)
+    out = str(tmp_path / "retention")
+    build_index_from_webtext(
+        spark, spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA), out, n_shards=4
+    )
+    h = Q.IndexHandle.open(spark, out)
+    store = h.store
+    ts0 = store._resolve("term_stats")
+    # DataFrame created pre-update: resolves ts0's physical path now.
+    stale_df = h.term_stats(spark)
+
+    def batch(seed, n):
+        out_rows = []
+        for j, r in enumerate(rows[:n]):
+            nr = gen_webtext_row(50_000 + seed * 100 + j, seed=seed)
+            nr["url"] = r["url"]
+            nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=400 + seed)
+            out_rows.append(nr)
+        return spark.createDataFrame(out_rows, schema=WEBTEXT_SCHEMA)
+
+    add_generation(spark, out, batch(1, 10))
+    ts1 = store._resolve("term_stats")
+    assert ts1 != ts0
+    # retired, not removed — the pre-update DataFrame still evaluates
+    assert os.path.exists(store.path(ts0))
+    assert stale_df.count() > 0
+
+    add_generation(spark, out, batch(2, 10))
+    # one commit later the retired version is physically gone
+    assert not os.path.exists(store.path(ts0))
+    assert os.path.exists(store.path(ts1))
+
+
 def test_compact_is_idempotent(spark, updated_index):
     out, *_ = updated_index
     handle_before = Q.IndexHandle.open(spark, out)

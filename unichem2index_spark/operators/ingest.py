@@ -103,49 +103,63 @@ def dedup_and_assign_doc_ids(
     # pass reads them back — extraction runs exactly once. Released below
     # as soon as the post-shuffle persist is materialized.
     pre = df.persist(StorageLevel.DISK_ONLY)
-    if num_partitions:
-        ranged = pre.repartitionByRange(num_partitions, key)
-    else:
-        ranged = pre.repartitionByRange(key)
-    other = [c for c in df.columns if c not in (key, ts_col)]
-    ranged = ranged.sortWithinPartitions(
-        F.asc(key), F.desc_nulls_last(ts_col), *[F.asc(c) for c in other]
-    ).withColumn("_pid", F.spark_partition_id())
-    # Persist so the count pass and the rank pass see the SAME range
-    # boundaries (one shuffle, stable partitioning). DISK_ONLY: building
-    # an in-memory object cache of the full corpus is GC-bound at high
-    # task concurrency; local-disk re-reads are cheap and this is also
-    # the only level that holds at cluster scale.
-    ranged = ranged.persist(StorageLevel.DISK_ONLY)
+    ranged = None
+    # try/finally: the full-corpus persists must not outlive a failure in
+    # the count pass — `pre` is released on every path (its two scans,
+    # bound sampling + shuffle map, are done once the collect returns),
+    # and `ranged` (still needed downstream on success, exposed via
+    # `_u2i_persisted`) is released on the failure path only.
+    try:
+        if num_partitions:
+            ranged = pre.repartitionByRange(num_partitions, key)
+        else:
+            ranged = pre.repartitionByRange(key)
+        other = [c for c in df.columns if c not in (key, ts_col)]
+        ranged = ranged.sortWithinPartitions(
+            F.asc(key), F.desc_nulls_last(ts_col), *[F.asc(c) for c in other]
+        ).withColumn("_pid", F.spark_partition_id())
+        # Persist so the count pass and the rank pass see the SAME range
+        # boundaries (one shuffle, stable partitioning). DISK_ONLY:
+        # building an in-memory object cache of the full corpus is
+        # GC-bound at high task concurrency; local-disk re-reads are
+        # cheap and this is also the only level that holds at cluster
+        # scale.
+        ranged = ranged.persist(StorageLevel.DISK_ONLY)
 
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + list(ranged.schema.fields)
-    )
+        out_schema = T.StructType(
+            [T.StructField("doc_id", T.LongType(), False)]
+            + list(ranged.schema.fields)
+        )
 
-    def keep_first_with_rank(batches):
-        seen = 0
-        last_key = None
-        for pdf in batches:
-            keys = pdf[key]
-            keep_mask = []
-            for k in keys:
-                keep_mask.append(k != last_key)
-                last_key = k
-            kept = pdf[pd.Series(keep_mask, index=pdf.index)].copy()
-            n = len(kept)
-            kept.insert(0, "doc_id", range(seen, seen + n))
-            seen += n
-            yield kept
+        def keep_first_with_rank(batches):
+            seen = 0
+            last_key = None
+            for pdf in batches:
+                keys = pdf[key]
+                keep_mask = []
+                for k in keys:
+                    keep_mask.append(k != last_key)
+                    last_key = k
+                kept = pdf[pd.Series(keep_mask, index=pdf.index)].copy()
+                n = len(kept)
+                kept.insert(0, "doc_id", range(seen, seen + n))
+                seen += n
+                yield kept
 
-    with_rank = ranged.mapInPandas(keep_first_with_rank, out_schema)
+        with_rank = ranged.mapInPandas(keep_first_with_rank, out_schema)
 
-    counts = {
-        r._pid: r.n
-        for r in with_rank.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    # The post-shuffle persist is materialized now; the pre-shuffle blocks
-    # have served their two scans (bound sampling + shuffle map).
-    pre.unpersist()
+        counts = {
+            r._pid: r.n
+            for r in with_rank.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except BaseException:
+        if ranged is not None:
+            ranged.unpersist()
+        raise
+    finally:
+        pre.unpersist()
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

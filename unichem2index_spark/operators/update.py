@@ -82,10 +82,20 @@ def _committed_deletes(
     return store.read_committed(spark, "deletes", gens).select("doc_id")
 
 
+URL_MAP_DDL = (
+    "doc_id long, url string, warc_ts timestamp, lang string, "
+    "source string, gen int"
+)
+
+
 def _live_url_map(
     spark: SparkSession, store: SegmentStore, gens: list[int]
 ) -> DataFrame:
-    """url -> live doc_id over committed generations only."""
+    """url -> live doc_id over committed generations only. An index with
+    no url_map table (e.g. built straight from a documents table) has no
+    live urls — empty, never PATH_NOT_FOUND."""
+    if not store.exists("url_map"):
+        return spark.createDataFrame([], URL_MAP_DDL)
     um = store.read_committed(spark, "url_map", gens)
     dele = _committed_deletes(spark, store, gens)
     if dele is not None:
@@ -106,13 +116,7 @@ def add_generation(
     committed = mf.get("generations", [0])
     gen = max(committed) + 1
     next_id = mf["next_doc_id"]
-
-    if mf["n_docs"] == 0:
-        # Degenerate empty index: replace the schema-bearing empty
-        # placeholder files with the gen-partitioned layout this write
-        # path produces.
-        for name in ("segments", "docs", "url_map"):
-            store.remove_table(store._resolve(name))
+    empty_base = mf["n_docs"] == 0
 
     with_ids = dedup_and_assign_doc_ids(
         extracted_webtext(new_webtext), key="url", ts_col="warc_ts"
@@ -135,27 +139,50 @@ def add_generation(
         ).collect()[0]
         n_new, new_tokens = int(batch.n), int(batch.tt or 0)
         if n_new == 0:
+            # Nothing was written yet — an empty batch leaves the index
+            # (including an empty one's placeholder tables) fully intact.
             return UpdateResult(store, gen, 0, 0, time.time() - t0)
 
-        # Tombstone live docs whose url is being replaced (doc_as_upsert).
-        # Reads are gen-gated to COMMITTED generations, so this stays
-        # stable however late it evaluates; the write lands in this
-        # generation's partition (invisible until the commit below, and a
-        # retry overwrites it).
-        replaced = (
-            _live_url_map(spark, store, committed)
-            .join(
-                new_docs.select(F.col("url").alias("u")),
-                F.col("url") == F.col("u"),
-                "left_semi",
+        retired: list[str] = []
+        tables = dict(mf.get("tables", {}))
+        if empty_base and not store.native_atomic:
+            # Degenerate empty index: the schema-bearing empty
+            # placeholders (plain parquet, no partition dirs) cannot host
+            # the gen-partitioned layout this path writes. Re-point each
+            # at a fresh version path instead of deleting in place — a
+            # crash before the commit leaves the old manifest pointing at
+            # intact placeholders; the commit flips the pointers
+            # atomically and retires the placeholders under the
+            # retention window. An empty index has no live urls, so the
+            # replaced-tombstone step is skipped entirely.
+            for name in ("segments", "docs", "url_map"):
+                old_phys = store._resolve(name)
+                tables[name] = store.next_version(old_phys, name)
+                retired.append(old_phys)
+            n_replaced = 0
+        elif empty_base:
+            n_replaced = 0  # native-atomic backend: writes handle it
+        else:
+            # Tombstone live docs whose url is being replaced
+            # (doc_as_upsert). Reads are gen-gated to COMMITTED
+            # generations, so this stays stable however late it
+            # evaluates; the write lands in this generation's partition
+            # (invisible until the commit below, and a retry overwrites
+            # it).
+            replaced = (
+                _live_url_map(spark, store, committed)
+                .join(
+                    new_docs.select(F.col("url").alias("u")),
+                    F.col("url") == F.col("u"),
+                    "left_semi",
+                )
+                .select("doc_id")
+                .withColumn("gen", F.lit(gen))
             )
-            .select("doc_id")
-            .withColumn("gen", F.lit(gen))
-        )
-        store.write_gen_partition(replaced, "deletes")
-        n_replaced = int(
-            store.read(spark, "deletes").where(F.col("gen") == gen).count()
-        )
+            store.write_gen_partition(replaced, "deletes")
+            n_replaced = int(
+                store.read(spark, "deletes").where(F.col("gen") == gen).count()
+            )
 
         # Index-wide stats: every posting physically present counts
         # (tombstoned docs included until compaction — the Lucene
@@ -185,18 +212,25 @@ def add_generation(
         tstats = spark.read.parquet(store.path(ts_phys))
 
         segments = merge_runs_to_segments(runs, tstats, avgdl, block_size, gen=gen)
-        store.write_segments(segments)
+        seg_phys = store.write_segments(segments, physical=tables.get("segments"))
 
         store.write_gen_partition(
-            docs_table(tok).withColumn("gen", F.lit(gen)), "docs"
+            docs_table(tok).withColumn("gen", F.lit(gen)),
+            "docs",
+            physical=tables.get("docs"),
         )
         store.write_gen_partition(
             new_docs.select("doc_id", "url", "warc_ts", "lang", "source")
             .withColumn("gen", F.lit(gen)),
             "url_map",
+            physical=tables.get("url_map"),
         )
 
-        seg_read = store.read(spark, "segments").where(F.col("gen") == gen)
+        seg_read = spark.read.parquet(store.path(seg_phys)).where(
+            F.col("gen") == gen
+        ) if not store.native_atomic else store.read(spark, "segments").where(
+            F.col("gen") == gen
+        )
         lineage = (
             seg_read.groupBy("shard")
             .agg(
@@ -221,11 +255,14 @@ def add_generation(
         store.append_lineage(lineage)
 
         # COMMIT: one atomic manifest write names the new generation and
-        # flips the term_stats pointer. A crash anywhere above leaves the
-        # old manifest fully valid (new-gen partitions + staged stats are
-        # invisible); a retry overwrites them in place.
-        tables = dict(mf.get("tables", {}))
+        # flips the term_stats (+ any re-pointed placeholder) pointers.
+        # A crash anywhere above leaves the old manifest fully valid
+        # (new-gen partitions + staged versions are invisible); a retry
+        # overwrites them in place. Retired versions are GC'd under the
+        # one-commit retention window (open handles survive this update).
         tables["term_stats"] = ts_phys
+        if old_ts_phys != ts_phys:
+            retired.append(old_ts_phys)
         mf.update(
             {
                 "n_docs": n_total,
@@ -237,9 +274,7 @@ def add_generation(
                 "format": "parquet-v3",
             }
         )
-        store.write_manifest(mf)
-        if old_ts_phys != ts_phys:
-            store.remove_table(old_ts_phys)  # post-commit GC
+        store.commit_and_gc(mf, retired)
         return UpdateResult(store, gen, n_new, n_replaced, time.time() - t0)
     finally:
         for df in (tok, runs, new_docs, getattr(with_ids, "_u2i_persisted", None)):
@@ -344,8 +379,12 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     compacted = enriched.groupBy("shard", "term").applyInPandas(
         _chunk_group(avgdl, block_size), SEGMENT_SCHEMA
     )
-    seg_phys = store.next_version(old["segments"], "segments")
-    store.write_segments(compacted, physical=seg_phys)
+    # stage_segments returns the name ACTUALLY written: a fresh version
+    # path on the parquet backend, the logical table on Iceberg (atomic
+    # createOrReplace — which also drops stale gen>=1 partitions). The
+    # manifest pointer and the GC comparison below both use this value,
+    # so GC can never target a live table.
+    seg_phys = store.stage_segments(compacted)
 
     docs_phys = store.stage_table(
         live_docs.drop("gen").withColumn("gen", F.lit(0)),
@@ -368,6 +407,19 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             "url_map": um_phys,
         }
     )
+    retired = [phys for name, phys in old.items() if tables[name] != phys]
+    # Tombstones are folded in; they must become invisible WITHOUT
+    # physically deleting the table under an open reader. Parquet
+    # backend: re-point "deletes" at a fresh (not-yet-existing) version —
+    # exists() turns False atomically with the commit, the next update
+    # writes there, and the old path is GC'd a commit later. A stale
+    # pre-compaction gen>=k partition can never resurrect: it lives in
+    # the retired path nothing references. Iceberg: DROP after commit
+    # (snapshot readers keep their data files until expiry).
+    if store.exists("deletes") and not store.native_atomic:
+        old_del = store._resolve("deletes")
+        tables["deletes"] = store.next_version(old_del, "deletes")
+        retired.append(old_del)
     mf.update(
         {
             "n_docs": n_live,
@@ -378,13 +430,9 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
             "format": "parquet-v3",
         }
     )
-    store.write_manifest(mf)
-    # Post-commit GC: retired versions + tombstones (already invisible —
-    # generations is now [0] and all delete rows carry gen >= 1).
-    for name, phys in old.items():
-        if tables[name] != phys:
-            store.remove_table(phys)
-    store.remove_table("deletes")
+    store.commit_and_gc(mf, retired)
+    if store.native_atomic:
+        store.remove_table("deletes")
     return {
         "n_live": n_live,
         "n_deleted_dropped": n_deleted,

@@ -126,7 +126,22 @@ class SegmentStore:
     On a real cluster the same interface maps onto an Iceberg catalog
     (`writeTo(...).overwritePartitions()`, snapshot commit — SURVEY.md
     §1.1); only this class changes.
+
+    Concurrency contract: **single writer, snapshot-ish readers.** Builds,
+    updates and compactions must not run concurrently against one index
+    (the reference gets the same guarantee from its single extractor
+    process, main.go:112-115). Readers (:class:`IndexHandle`) opened
+    before a commit keep working through it: retired physical versions
+    are garbage-collected under a retention window (see
+    :meth:`commit_and_gc`) — a version retired at commit k is removed by
+    commit k+1 at the earliest, so a handle survives at least one full
+    update cycle; re-open handles to pick up new commits.
     """
+
+    #: True when the backend provides atomic table replacement natively
+    #: (Iceberg snapshot commits) — versioned-path staging and GC are
+    #: then inert and must not delete live tables.
+    native_atomic = False
 
     def __init__(self, base_dir: str):
         self.base = base_dir
@@ -154,7 +169,11 @@ class SegmentStore:
         return f"{logical}_v{k + 1}"
 
     # -- writes ------------------------------------------------------------
-    def write_segments(self, df: DataFrame, physical: str | None = None) -> None:
+    def write_segments(self, df: DataFrame, physical: str | None = None) -> str:
+        """Write segment rows; returns the physical name actually written
+        (the manifest pointer / GC comparisons must use THIS value — a
+        backend is free to ignore ``physical``, e.g. Iceberg)."""
+        phys = physical or self._resolve("segments")
         (
             # One file per (gen, shard), rows sorted by (term, block_id):
             # a query's `term IN (...)` predicate prunes parquet row groups
@@ -166,19 +185,33 @@ class SegmentStore:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("gen", "shard")
-            .parquet(self.path(physical or self._resolve("segments")))
+            .parquet(self.path(phys))
         )
+        return phys
 
-    def write_gen_partition(self, df: DataFrame, name: str) -> None:
+    def stage_segments(self, df: DataFrame) -> str:
+        """Full segments rewrite (compaction): stage to the next version
+        path and return it for the manifest flip. On backends with native
+        atomic replacement this is a plain table replace instead."""
+        phys = self.next_version(self._resolve("segments"), "segments")
+        return self.write_segments(df, physical=phys)
+
+    def write_gen_partition(
+        self, df: DataFrame, name: str, physical: str | None = None
+    ) -> str:
         """Write one generation's rows of a gen-partitioned table
         (docs/url_map/deletes). Dynamic overwrite of exactly the gen
-        partitions present in ``df`` — an update retry is idempotent."""
+        partitions present in ``df`` — an update retry is idempotent.
+        ``physical`` overrides the manifest pointer for pre-commit writes
+        to a not-yet-committed version path."""
+        phys = physical or self._resolve(name)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("gen")
-            .parquet(self.path(self._resolve(name)))
+            .parquet(self.path(phys))
         )
+        return phys
 
     def stage_table(
         self, df: DataFrame, name: str, max_files: int | None = None,
@@ -228,6 +261,37 @@ class SegmentStore:
             os.fsync(f.fileno())
         os.rename(tmp, self.path("manifest.json"))
 
+    def commit_and_gc(
+        self, mf: dict, retired: list[str], keep: int = 1
+    ) -> None:
+        """Atomic manifest commit + retention-window GC of retired
+        physical versions.
+
+        A version retired at commit_seq k is physically removed only by a
+        commit with seq >= k + ``keep`` — an :class:`IndexHandle` (or any
+        lazily-evaluated DataFrame holding resolved paths) opened against
+        the previous manifest survives at least ``keep`` subsequent
+        commits instead of hitting PATH_NOT_FOUND mid-query. Pending
+        retirements ride the manifest (``retired``/``commit_seq`` keys),
+        so a crash between commit and GC just defers the GC to the next
+        commit. Never removes a path the new manifest still points at."""
+        seq = int(mf.get("commit_seq", 0)) + 1
+        pending = list(mf.get("retired", [])) + [
+            {"phys": p, "seq": seq} for p in retired
+        ]
+        live = set(mf.get("tables", {}).values())
+        keep_list: list[dict] = []
+        gc_list: list[dict] = []
+        for e in pending:
+            if e["phys"] in live:
+                continue
+            (gc_list if seq - int(e["seq"]) >= keep else keep_list).append(e)
+        mf["commit_seq"] = seq
+        mf["retired"] = keep_list
+        self.write_manifest(mf)  # COMMIT — everything above is invisible
+        for e in gc_list:  # post-commit, crash-safe to skip/retry
+            self.remove_table(e["phys"])
+
     # -- reads -------------------------------------------------------------
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.path(self._resolve(name)))
@@ -273,11 +337,19 @@ class IcebergSegmentStore(SegmentStore):
     the stats record (n_docs/avgdl/generations), stored next to the
     warehouse path.
 
-    Exercised only when :func:`iceberg_available` is True — the runtime
-    jar is not in this sandbox, so CI covers construction + name mapping
-    and the parquet fallback; the write calls below are the documented
-    cluster path (Iceberg public Spark API only).
+    Exercised when :func:`iceberg_available` is True — the runtime jar is
+    not in this sandbox, so CI drives these write paths through a stub
+    catalog/DataFrame contract test (tests/test_store_backend.py) that
+    asserts the exact DataFrameWriterV2 call sequences, plus detection +
+    the parquet fallback (Iceberg public Spark API only).
+
+    Every write returns the LOGICAL table name: Iceberg replaces tables
+    atomically (snapshot commit), so the manifest's version pointers stay
+    identity mappings and the versioned-path GC is inert by construction
+    — it can never DROP a live table (``tables[name] == phys`` always).
     """
+
+    native_atomic = True
 
     def __init__(self, base_dir: str, spark: SparkSession, catalog: str):
         super().__init__(base_dir)
@@ -299,25 +371,43 @@ class IcebergSegmentStore(SegmentStore):
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.table(self.qualified(name))
 
-    def write_segments(self, df: DataFrame, physical: str | None = None) -> None:
-        (
-            df.repartition("gen", "shard")
-            .sortWithinPartitions("gen", "shard", "term", "block_id")
-            .writeTo(self.qualified(physical or "segments"))
-            .partitionedBy("gen", "shard")
-            .createOrReplace()
-            if not self.exists("segments")
-            else df.repartition("gen", "shard")
-            .sortWithinPartitions("gen", "shard", "term", "block_id")
-            .writeTo(self.qualified("segments"))
-            .overwritePartitions()
+    def _sorted_segments(self, df: DataFrame) -> DataFrame:
+        return df.repartition("gen", "shard").sortWithinPartitions(
+            "gen", "shard", "term", "block_id"
         )
 
-    def write_gen_partition(self, df: DataFrame, name: str) -> None:
+    def write_segments(self, df: DataFrame, physical: str | None = None) -> str:
+        """Generation append / first build. ``physical`` is ignored —
+        Iceberg has no versioned paths — and the LOGICAL name is returned
+        so manifest pointers and GC comparisons stay consistent (they
+        must never reference a path the catalog doesn't manage)."""
+        out = self._sorted_segments(df)
+        if not self.exists("segments"):
+            out.writeTo(self.qualified("segments")).partitionedBy(
+                "gen", "shard"
+            ).createOrReplace()
+        else:
+            out.writeTo(self.qualified("segments")).overwritePartitions()
+        return "segments"
+
+    def stage_segments(self, df: DataFrame) -> str:
+        """Compaction rewrite: ``createOrReplace`` — ONE atomic snapshot
+        that both installs the gen-0 blocks and drops every stale gen>=1
+        partition (``overwritePartitions`` would only rewrite gen=0 and
+        leave old generations to resurrect on the next update)."""
+        self._sorted_segments(df).writeTo(self.qualified("segments")).partitionedBy(
+            "gen", "shard"
+        ).createOrReplace()
+        return "segments"
+
+    def write_gen_partition(
+        self, df: DataFrame, name: str, physical: str | None = None
+    ) -> str:
         if not self.exists(name):
             df.writeTo(self.qualified(name)).partitionedBy("gen").create()
         else:
             df.writeTo(self.qualified(name)).overwritePartitions()
+        return name
 
     def stage_table(
         self, df: DataFrame, name: str, max_files: int | None = None,
