@@ -78,8 +78,10 @@ def main() -> None:
 
     # ---- training-data ops -------------------------------------------------
     t0 = time.time()
-    dedup.minhash_lsh_pairs(spark, t).count()
+    mh = dedup.minhash_lsh_pairs(spark, t)
+    mh.count()
     queries["dedup_minhash"] = time.time() - t0
+    mh._u2i_persisted.unpersist()
 
     t0 = time.time()
     similarity.cosine_topk_bruteforce(spark, t).count()

@@ -87,6 +87,54 @@ def test_ngram_matches_brute_force_on_corpus_sample(spark):
     assert [(a, b) for a, b, _ in got] == want
 
 
+def test_vocab_rank_adversarial_prefix_skew(spark):
+    """Every term shares the hot 2-char prefix 'co' (the natural-language
+    skew case: 'co', 'th', … dominate). The two-level rank must (a) still
+    equal row_number() OVER (ORDER BY term) - 1, and (b) fan the
+    within-bucket rank out over the 3rd character so no single rank task
+    holds more than one 3-char bucket's share of the vocabulary."""
+    from unichem2index_spark.operators.dedup import vocab_ids
+
+    third = "abcdefghijklmnopqrst"  # 20 distinct 3rd chars
+    terms = [f"co{c}{i:04d}" for c in third for i in range(100)]
+    # mix in short terms that ARE their own prefix ('co', 'c') — the
+    # substring-prefix bucketing must order these correctly too
+    terms += ["c", "co", "cob"]
+    tok = spark.createDataFrame(
+        [(i, "s", [t]) for i, t in enumerate(terms)],
+        "doc_id long, source string, tokens array<string>",
+    )
+    got = {
+        r.term: r.token_id for r in vocab_ids(tok).collect()
+    }
+    want = {t: i for i, t in enumerate(sorted(set(terms)))}
+    assert got == want
+    # skew bound: max 3-char bucket holds ~1/20 of the vocab, not all of it
+    from collections import Counter
+
+    shares = Counter(t[:3] for t in set(terms))
+    assert max(shares.values()) / len(set(terms)) < 0.06
+
+
+def test_dedup_exact_digest_keyed(spark):
+    """dedup_exact groups on md5(text), never shipping text through the
+    shuffle; equal texts collapse, distinct texts survive, and the digest
+    column matches a locally computed md5."""
+    import hashlib
+
+    from unichem2index_spark.operators.dedup import dedup_exact
+
+    texts = ["same body here", "same body here", "another body", "third"]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.keeper_doc_id: r for r in dedup_exact(spark, {"documents": df}).collect()}
+    # doubled corpus: each distinct text appears 2x its base count
+    assert out[0].n_copies == 4 and out[2].n_copies == 2 and out[3].n_copies == 2
+    assert out[0].text_md5 == hashlib.md5(b"same body here").hexdigest()
+
+
 def test_pipe_csv_roundtrip(spark, tmp_path):
     orders = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").limit(500)
     path = str(tmp_path / "orders_csv")

@@ -18,9 +18,11 @@ Scale notes
 * LSH banding turns O(n²) near-dup search into a groupBy on band buckets —
   the shuffle key is (band_idx, band_value), and only bucket-mates join.
 * Candidate verification (exact Jaccard) touches candidate pairs only,
-  and reuses the SAME ``doc_token_ids`` plan object as the signature
-  stage so Spark's exchange reuse materializes the token-id table once
-  per action instead of recomputing tokenize+distinct+rank.
+  and shares ONE persisted ``doc_token_ids`` table with the signature
+  stage (explicit DISK_ONLY persist — a guarantee, where the previous
+  reliance on Spark exchange reuse was a planner artifact AQE could
+  break under plan divergence). The caller releases it via the result's
+  ``_u2i_persisted`` handle after materializing.
 * ``ngram_jaccard_pairs`` blocks on the shingle itself with a document-
   frequency cap (drop shingles with df > cap from CANDIDATE GENERATION
   only): no block is ever quadratic in a mega-source, and verification
@@ -56,33 +58,62 @@ def _tok(d: DataFrame) -> DataFrame:
 
 def vocab_ids(tok: DataFrame) -> DataFrame:
     """Dense token ids == ``row_number() OVER (ORDER BY term) - 1`` (the
-    DuckDB-oracle form), computed scale-safely:
+    DuckDB-oracle form), computed scale-safely with a TWO-LEVEL
+    prefix-sum over prefix buckets:
 
-    1. bucket = 2-char term prefix. Prefix comparison is a prefix of full
-       string comparison, so bucket order is consistent with term order —
-       and the bucketing is a pure function of the term (deterministic
-       across re-evaluations; nothing needs persisting, unlike sampled
-       ``repartitionByRange`` boundaries).
-    2. per-bucket counts -> exclusive prefix-sum offsets via a bounded
-       self-join over the bucket-count rows (O(#buckets²) pairs, ~1.7M at
-       the full [a-z0-9]² alphabet — never vocabulary rows, and no
-       global-window single-partition stage anywhere in the plan).
-       Widen to 3-char prefixes (and a two-level prefix sum) if a
-       billion-term vocabulary makes single buckets too heavy.
-    3. global id = bucket offset + parallel within-bucket rank.
+    1. bucket = 3-char term prefix (prefix comparison is a prefix of
+       full string comparison, so bucket order is consistent with term
+       order — and bucketing is a pure function of the term:
+       deterministic across re-evaluations, nothing needs persisting,
+       unlike sampled ``repartitionByRange`` boundaries). Within-bucket
+       rank parallelism is one task per 3-char prefix: a natural-skew
+       hot 2-char prefix ("co", "th", …) fans out over its 3rd
+       character instead of landing on one task.
+    2. exclusive prefix-sum offsets over the bucket COUNT rows (never
+       vocabulary rows), hierarchically so no self-join is quadratic in
+       the full bucket count: level 1 sums 3-char siblings within their
+       2-char parent (O(k²) pairs per parent, k = 3rd-char alphabet);
+       level 2 sums the 2-char parent totals (O(#parents²) pairs, ~1.7M
+       at the full [a-z0-9]² alphabet). The same construction composes
+       to deeper levels if a vocabulary ever outgrows it; the fully
+       general fallback is the sampled range-partition rank used for
+       doc ids (operators/ingest.py:dedup_and_assign_doc_ids).
+    3. global id = parent offset + within-parent offset + parallel
+       within-bucket rank. No global-window single-partition stage
+       anywhere in the plan.
     """
     vocab = tok.select(F.explode("tokens").alias("term")).distinct()
-    bucketed = vocab.withColumn("bucket", F.substring("term", 1, 2))
-    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    c1, c2 = counts.alias("c1"), counts.alias("c2")
-    offsets = (
-        c1.join(c2, F.col("c2.bucket") < F.col("c1.bucket"), "left")
-        .groupBy(F.col("c1.bucket").alias("bucket"))
-        .agg(F.coalesce(F.sum("c2.n"), F.lit(0)).alias("_off"))
+    bucketed = vocab.withColumn("b3", F.substring("term", 1, 3))
+    c3 = (
+        bucketed.groupBy("b3")
+        .agg(F.count(F.lit(1)).alias("n3"))
+        .withColumn("b2", F.substring("b3", 1, 2))
     )
-    w_rank = W.partitionBy("bucket").orderBy("term")
+    # level 1: exclusive sum over 3-char siblings of the same 2-char parent
+    x, y = c3.alias("x"), c3.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("y.b2") == F.col("x.b2")) & (F.col("y.b3") < F.col("x.b3")),
+            "left",
+        )
+        .groupBy(F.col("x.b3").alias("b3"), F.col("x.b2").alias("b2"))
+        .agg(F.coalesce(F.sum("y.n3"), F.lit(0)).alias("_woff"))
+    )
+    # level 2: exclusive sum over the 2-char parent totals
+    c2 = c3.groupBy("b2").agg(F.sum("n3").alias("n2"))
+    p, q = c2.alias("p"), c2.alias("q")
+    parent_off = (
+        p.join(q, F.col("q.b2") < F.col("p.b2"), "left")
+        .groupBy(F.col("p.b2").alias("b2"))
+        .agg(F.coalesce(F.sum("q.n2"), F.lit(0)).alias("_poff"))
+    )
+    offsets = within.join(parent_off, "b2").select(
+        "b3", (F.col("_poff") + F.col("_woff")).alias("_off")
+    )
+    w_rank = W.partitionBy("b3").orderBy("term")
     return (
-        bucketed.join(F.broadcast(offsets), "bucket")
+        bucketed.join(F.broadcast(offsets), "b3")
         .select(
             "term",
             (F.col("_off") + F.row_number().over(w_rank) - 1)
@@ -109,13 +140,27 @@ def doc_token_ids(d: DataFrame) -> DataFrame:
 # ----------------------------------------------------------------- exact
 def dedup_exact(spark: SparkSession, t) -> DataFrame:
     """Exact dedup by full text over a corpus with guaranteed duplicates
-    (documents ∪ documents): keep min doc_id per text group."""
+    (documents ∪ documents): keep min doc_id per text group.
+
+    Groups by the 128-bit ``md5(text)`` DIGEST, not the text itself: the
+    digest is computed map-side and the shuffle key shrinks from the
+    document body to 16 bytes — at 100 TB a raw-text groupBy key IS the
+    corpus going through the exchange. Collision risk is ~n²/2^129
+    (≈10⁻¹⁵ even at 10²² docs); for an adversarial corpus swap in
+    sha2(text, 256) or add a residual-verify join on the grouped
+    candidates — the shape stays identical."""
     d = t["documents"].select("doc_id", "text")
     doubled = d.unionAll(d)
     return (
-        doubled.groupBy("text")
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .select("keeper_doc_id", "n_copies", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        doubled.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies", "text_md5")
         .orderBy("keeper_doc_id")
     )
 
@@ -143,9 +188,12 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs: band bucketing → candidate pairs →
     exact-Jaccard verification (shingle→minhash→band→bucket-join).
 
-    ``ids`` is computed ONCE and shared by the signature stage and the
-    verification stage — identical subplans let Spark reuse the
-    underlying exchanges instead of re-running tokenize+rank.
+    ``ids`` is computed ONCE — an explicit DISK_ONLY persist shared by
+    the signature stage and the verification stage (exchange reuse gave
+    the same plan opportunistically; the persist makes it a guarantee
+    under any AQE re-plan). It stays pinned until the caller
+    materializes the returned DataFrame; release it afterwards via
+    ``result._u2i_persisted.unpersist()`` (bench.py does).
 
     Verification joins each candidate pair with two per-doc token-id
     ARRAYS (one groupBy over ids) and intersects them JVM-side with
@@ -154,8 +202,12 @@ def minhash_lsh_pairs(
     materialize |candidates| × |shared tokens| rows. Measured 2.9× faster
     end-to-end at sf0.1 and the plan's shuffle volume is O(candidates),
     not O(candidates × doclen)."""
+    from pyspark import StorageLevel
+
     d = t["documents"]
-    ids = doc_token_ids(d).select("doc_id", "token_id")
+    ids = doc_token_ids(d).select("doc_id", "token_id").persist(
+        StorageLevel.DISK_ONLY
+    )
     sig = minhash_signatures_from_ids(ids)
     n_bands = NUM_HASHES // BAND_SIZE
     band_cols = [
@@ -200,7 +252,7 @@ def minhash_lsh_pairs(
     docsets = ids.groupBy("doc_id").agg(F.collect_list("token_id").alias("toks"))
     da, db = docsets.alias("da"), docsets.alias("db")
     inter_c = F.size(F.array_intersect("da.toks", "db.toks"))
-    return (
+    out = (
         cand.join(da, F.col("doc_a") == F.col("da.doc_id"))
         .join(db, F.col("doc_b") == F.col("db.doc_id"))
         .select(
@@ -216,6 +268,8 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+    out._u2i_persisted = ids  # type: ignore[attr-defined]
+    return out
 
 
 # ----------------------------------------------------------------- SimHash

@@ -323,7 +323,7 @@ WITH doubled AS (
 )
 SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies, md5(text) AS text_md5
 FROM doubled
-GROUP BY text
+GROUP BY md5(text)
 ORDER BY keeper_doc_id
 """
 
