@@ -35,6 +35,8 @@ from unichem2index_spark.streaming.incremental import batch_windowed_counts
 FLAGSHIP_TERMS = ["the", "merge", "vector"]
 FLAGSHIP_K = 12
 RARE_TERMS = ["dup", "spark", "nosuchterm"]
+PHRASE = ["merge", "group"]  # frequent bigram in the synthetic corpus
+PHRASE_K = 10
 
 
 # --------------------------------------------------------------------------
@@ -57,6 +59,30 @@ def _index_for(spark: SparkSession, sf_dir: str) -> Q.IndexHandle:
     if not fresh:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         build_index(spark, docs, out, n_shards=8, build_id="entry")
+    return Q.IndexHandle.open(spark, out)
+
+
+def _pos_index_for(spark: SparkSession, sf_dir: str) -> Q.IndexHandle:
+    """Positional-index twin of :func:`_index_for` (separate cache dir —
+    the positional layout carries the extra per-block positions blob)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"u2i_posidx_{tag}")
+    store_manifest = os.path.join(out, "manifest.json")
+    fresh = False
+    if os.path.exists(store_manifest):
+        import json as _json
+        import shutil as _shutil
+
+        with open(store_manifest) as f:
+            mf = _json.load(f)
+        if mf.get("format") == "parquet-v3" and mf.get("positions"):
+            fresh = True
+        else:
+            _shutil.rmtree(out, ignore_errors=True)
+    if not fresh:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(spark, docs, out, n_shards=8, build_id="entry-pos",
+                    positions=True)
     return Q.IndexHandle.open(spark, out)
 
 
@@ -85,6 +111,14 @@ def q_bm25_topk_wand(spark, sf_dir):
 
 def q_bm25_rare_terms(spark, sf_dir):
     return Q.bm25_topk_exact(_docs(spark, sf_dir), RARE_TERMS, 10)
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase BM25 over the POSITIONAL index (W4+, beyond-reference:
+    the ES match_phrase the reference's index supports but never issues).
+    Oracle: substring match over the space-joined token list + the same
+    BM25 expression — value-hash identical."""
+    return Q.phrase_topk(spark, _pos_index_for(spark, sf_dir), PHRASE, PHRASE_K)
 
 
 def q_term_stats(spark, sf_dir):
@@ -260,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_rare_terms": q_bm25_rare_terms,
+        "phrase_topk": q_phrase_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -330,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.bm25_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "bm25_topk_wand": oracles.bm25_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "bm25_rare_terms": oracles.bm25_sql(RARE_TERMS, 10),
+        "phrase_topk": oracles.phrase_sql(PHRASE, PHRASE_K),
         "term_stats": oracles.TERM_STATS,
         "corpus_stats": oracles.CORPUS_STATS,
         "doc_lengths": oracles.DOC_LENGTHS,

@@ -1,0 +1,170 @@
+"""Positional index + exact-phrase BM25 (beyond-reference: ES answers
+match_phrase by default on the index the reference creates,
+extractor/loader.go:121, but its own calls never issue one).
+
+Contract under test:
+* position codec round-trips per-doc position lists against the block tf
+  counts;
+* phrase_topk == pure-Python oracle (phrase filter over consecutive
+  tokens + the frozen BM25 bag score) on the fixture corpus;
+* the BM25/WAND paths are unchanged by the positional layout (rank- and
+  score-identical on the same corpus);
+* updates and compaction preserve positions (phrase results after
+  add_generation + compact equal a fresh positional build over the live
+  corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from unichem2index_spark.functions.bm25 import Bm25Oracle
+from unichem2index_spark.functions.codec import (
+    decode_positions,
+    encode_positions,
+)
+from unichem2index_spark.functions.tokenize import tokenize
+from unichem2index_spark.operators import query as Q
+from unichem2index_spark.operators.build import build_index
+
+from tests.conftest import SF_SMOKE
+
+PHRASES = [
+    ["merge", "group"],
+    ["the"],
+    ["part", "filter"],
+    ["merge", "group", "nosuchword"],
+]
+
+
+def phrase_oracle(corpus, phrase, k):
+    """corpus: [(doc_id, tokens)]. Docs containing the phrase as
+    consecutive tokens, BM25-scored over the unique phrase terms."""
+    oracle = Bm25Oracle(corpus)
+    n = len(phrase)
+    uniq = sorted(set(phrase))
+    out = []
+    for doc_id, toks in corpus:
+        if not any(toks[i : i + n] == phrase for i in range(len(toks) - n + 1)):
+            continue
+        out.append((doc_id, round(oracle.score_doc(uniq, doc_id), 6)))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]
+
+
+def test_position_codec_roundtrip():
+    pos_lists = [[0, 3, 7], [2], [], [5, 6, 100, 4096], [0]]
+    tfs = [len(p) for p in pos_lists]
+    blob = encode_positions(pos_lists)
+    assert decode_positions(blob, tfs) == pos_lists
+    with pytest.raises(ValueError):
+        decode_positions(blob, tfs[:-1])  # count mismatch detected
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pos_idx"))
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    build_index(spark, docs, out, n_shards=4, positions=True)
+    rows = [
+        (r.doc_id, tokenize(r.text))
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    return out, rows
+
+
+def test_phrase_topk_matches_oracle(spark, pos_index):
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    assert h.has_positions
+    for phrase in PHRASES:
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.phrase_topk(spark, h, phrase, 10).collect()
+        ]
+        assert got == phrase_oracle(corpus, phrase, 10), f"phrase {phrase}"
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    out = str(tmp_path / "plain")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    build_index(spark, docs, out, n_shards=2)
+    h = Q.IndexHandle.open(spark, out)
+    assert not h.has_positions
+    with pytest.raises(ValueError, match="positional"):
+        Q.phrase_topk(spark, h, ["merge", "group"], 5)
+
+
+def test_wand_unchanged_on_positional_index(spark, pos_index):
+    """BM25 results must be independent of the index layout — the WAND
+    kernel prunes the positions column out of its Arrow transfer."""
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_wand(spark, h, ["the", "merge", "vector"], 12).collect()
+    ]
+    want = [(d, round(s, 6)) for d, s in oracle.topk(["the", "merge", "vector"], 12)]
+    assert got == want
+
+
+def test_positions_survive_update_and_compact(spark, tmp_path):
+    import datetime as dt
+
+    from unichem2index_spark.operators.ingest import build_index_from_webtext
+    from unichem2index_spark.operators.update import add_generation, compact
+    from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+    from unichem2index_spark.synth import gen_webtext, gen_webtext_row
+
+    rows = gen_webtext(120, seed=23)
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path / "poswt")
+    # url_map is what makes replacements tombstone (doc_as_upsert) —
+    # build through the webtext pipeline, positional layout on
+    build_index_from_webtext(spark, wt, out, n_shards=4, positions=True)
+
+    upd = []
+    for j, r in enumerate(rows[:15]):
+        nr = gen_webtext_row(60_000 + j, seed=29)
+        nr["url"] = r["url"]
+        nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=400)
+        upd.append(nr)
+    add_generation(spark, out, spark.createDataFrame(upd, schema=WEBTEXT_SCHEMA))
+    h_upd = Q.IndexHandle.open(spark, out)
+    assert h_upd.has_positions and h_upd.multi_gen
+    # phrase queries answer across generations (new gen carries positions)
+    upd_multi = Q.phrase_topk(spark, h_upd, ["the"], 8).collect()
+    assert len(upd_multi) == 8
+
+    compact(spark, out)
+    h = Q.IndexHandle.open(spark, out)
+    assert h.has_positions
+
+    # fresh positional build over the live corpus with the same doc_ids
+    um = h.store.read(spark, "url_map").select("doc_id", "url")
+    base_texts = {r["url"]: r["text"] for r in wt.select("url", "text").collect()}
+    upd_texts = {r["url"]: r["text"] for r in upd}
+    fresh_rows = [
+        (r.doc_id, upd_texts.get(r.url, base_texts.get(r.url)))
+        for r in um.collect()
+    ]
+    fresh_out = str(tmp_path / "posfresh")
+    build_index(
+        spark,
+        spark.createDataFrame(fresh_rows, "doc_id long, text string"),
+        fresh_out,
+        n_shards=4,
+        positions=True,
+    )
+    fresh = Q.IndexHandle.open(spark, fresh_out)
+    for phrase in (["the", "merge"], ["the"]):
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.phrase_topk(spark, h, phrase, 10).collect()
+        ]
+        exp = [
+            (r.doc_id, r.score)
+            for r in Q.phrase_topk(spark, fresh, phrase, 10).collect()
+        ]
+        assert got == exp and got, f"phrase {phrase}"

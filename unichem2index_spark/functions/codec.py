@@ -102,6 +102,31 @@ class PostingBlock:
         )
 
 
+def encode_positions(pos_lists: list[list[int]]) -> bytes:
+    """Concatenated per-doc position lists, each delta-encoded (positions
+    are strictly increasing 0-based token indexes within a doc), then one
+    varbyte stream. Per-doc boundaries are NOT stored — the tf list of
+    the same block gives the counts (len(pos_lists[i]) == tfs[i]), so
+    positions ride as a single extra binary cell next to the postings."""
+    flat: list[int] = []
+    for pl in pos_lists:
+        flat.extend(delta_encode(pl))
+    return vb_encode(flat)
+
+
+def decode_positions(blob: bytes, tfs: list[int]) -> list[list[int]]:
+    """Inverse of :func:`encode_positions` given the block's tf list."""
+    vals = vb_decode(blob)
+    out: list[list[int]] = []
+    i = 0
+    for tf in tfs:
+        out.append(delta_decode(vals[i : i + tf]))
+        i += tf
+    if i != len(vals):
+        raise ValueError("position stream length mismatch vs tf counts")
+    return out
+
+
 def chunk_postings(
     doc_ids: list[int], tfs: list[int], dls: list[int], block_size: int = BLOCK_SIZE
 ) -> list[PostingBlock]:

@@ -38,13 +38,19 @@ from unichem2index_spark.functions.codec import (
     BLOCK_SIZE,
     PostingBlock,
     chunk_postings,
+    decode_positions,
+    encode_positions,
     vb_decode,
     vb_encode,
     delta_encode,
     delta_decode,
 )
 from unichem2index_spark.functions.tokenize import tokens_col
-from unichem2index_spark.schemas import RUN_SCHEMA, SEGMENT_SCHEMA
+from unichem2index_spark.schemas import (
+    POS_SEGMENT_SCHEMA,
+    RUN_SCHEMA,
+    SEGMENT_SCHEMA,
+)
 from unichem2index_spark.sources.tables import SegmentStore
 
 # Max buffered postings per SPIMI run before a flush — bounds executor
@@ -141,16 +147,29 @@ def term_stats_from_corpus(tok: DataFrame, n_docs: int) -> DataFrame:
 RUN_WITH_CF_SCHEMA = T.StructType(
     list(RUN_SCHEMA.fields) + [T.StructField("cf", T.LongType(), False)]
 )
+RUN_POS_WITH_CF_SCHEMA = T.StructType(
+    list(RUN_WITH_CF_SCHEMA.fields)
+    + [T.StructField("positions", T.BinaryType(), False)]
+)
 
 
 def _spimi_partition(
-    batches: Iterator[pd.DataFrame], n_shards: int, max_run_postings: int
+    batches: Iterator[pd.DataFrame],
+    n_shards: int,
+    max_run_postings: int,
+    with_positions: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """Build in-memory per-shard term dictionaries for one input partition,
-    flushing bounded sorted runs (SPIMI). Emits RUN_WITH_CF_SCHEMA rows."""
-    # acc[(shard, term)] -> [(doc_id, tf, dl), ...]
-    acc: dict[tuple[int, str], list[tuple[int, int, int]]] = {}
+    flushing bounded sorted runs (SPIMI). Emits RUN_WITH_CF_SCHEMA rows
+    (+ a per-run ``positions`` blob when ``with_positions`` — memory
+    accounting then counts every occurrence, not every posting, so the
+    SPIMI bound still holds)."""
+    # acc[(shard, term)] -> [(doc_id, tf, dl[, positions]), ...]
+    acc: dict[tuple[int, str], list[tuple]] = {}
     pending = 0
+    cols = ["shard", "term", "run_id", "n_docs", "doc_gaps", "tfs", "dls", "cf"]
+    if with_positions:
+        cols = cols + ["positions"]
 
     def flush() -> pd.DataFrame:
         nonlocal acc, pending
@@ -160,36 +179,43 @@ def _spimi_partition(
             ids = [p[0] for p in posts]
             tfs = [p[1] for p in posts]
             dls = [p[2] for p in posts]
-            rows.append(
-                {
-                    "shard": shard,
-                    "term": term,
-                    "run_id": ids[0],  # unique: doc sets are disjoint
-                    "n_docs": len(ids),
-                    "doc_gaps": vb_encode(delta_encode(ids)),
-                    "tfs": vb_encode(tfs),
-                    "dls": vb_encode(dls),
-                    "cf": int(sum(tfs)),
-                }
-            )
+            row = {
+                "shard": shard,
+                "term": term,
+                "run_id": ids[0],  # unique: doc sets are disjoint
+                "n_docs": len(ids),
+                "doc_gaps": vb_encode(delta_encode(ids)),
+                "tfs": vb_encode(tfs),
+                "dls": vb_encode(dls),
+                "cf": int(sum(tfs)),
+            }
+            if with_positions:
+                row["positions"] = encode_positions([p[3] for p in posts])
+            rows.append(row)
         acc = {}
         pending = 0
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "shard", "term", "run_id", "n_docs",
-                "doc_gaps", "tfs", "dls", "cf",
-            ],
-        )
+        return pd.DataFrame(rows, columns=cols)
 
     for pdf in batches:
         for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
             toks = list(tokens) if tokens is not None else []
             dl = len(toks)
             shard = int(doc_id) % n_shards
-            for term, tf in Counter(toks).items():
-                acc.setdefault((shard, term), []).append((int(doc_id), tf, dl))
-                pending += 1
+            if with_positions:
+                occ: dict[str, list[int]] = {}
+                for i, term in enumerate(toks):
+                    occ.setdefault(term, []).append(i)
+                for term, plist in occ.items():
+                    acc.setdefault((shard, term), []).append(
+                        (int(doc_id), len(plist), dl, plist)
+                    )
+                    pending += len(plist)
+            else:
+                for term, tf in Counter(toks).items():
+                    acc.setdefault((shard, term), []).append(
+                        (int(doc_id), tf, dl)
+                    )
+                    pending += 1
         if pending >= max_run_postings:
             yield flush()
     if acc:
@@ -200,11 +226,13 @@ def spimi_runs(
     tok: DataFrame,
     n_shards: int,
     max_run_postings: int = MAX_RUN_POSTINGS,
+    positions: bool = False,
 ) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _spimi_partition(batches, n_shards, max_run_postings)
+        return _spimi_partition(batches, n_shards, max_run_postings, positions)
 
-    return tok.select("doc_id", "tokens").mapInPandas(fn, RUN_WITH_CF_SCHEMA)
+    schema = RUN_POS_WITH_CF_SCHEMA if positions else RUN_WITH_CF_SCHEMA
+    return tok.select("doc_id", "tokens").mapInPandas(fn, schema)
 
 
 # --------------------------------------------------------------------------
@@ -220,9 +248,11 @@ def encode_segment_rows(
     avgdl: float,
     block_size: int,
     gen: int,
+    pos_lists: list[list[int]] | None = None,
 ) -> list[dict]:
     """Chunk one (shard, term)'s doc-sorted postings into encoded
-    block-max segment rows (shared by build merge and compaction)."""
+    block-max segment rows (shared by build merge and compaction).
+    ``pos_lists`` (parallel to ``ids``) adds the positional blob."""
     out = []
     for block_id, blk in enumerate(chunk_postings(ids, tfs, dls, block_size)):
         gaps_b, tfs_b, dls_b = blk.encode()
@@ -230,37 +260,53 @@ def encode_segment_rows(
             bm25.score_term(tf, dl, avgdl, idf_t)
             for tf, dl in zip(blk.tfs, blk.dls)
         )
-        out.append(
-            {
-                "gen": gen,
-                "shard": shard,
-                "term": term,
-                "block_id": block_id,
-                "n_docs": len(blk.doc_ids),
-                "max_doc_id": blk.doc_ids[-1],
-                "doc_gaps": gaps_b,
-                "tfs": tfs_b,
-                "dls": dls_b,
-                "block_max_tf": int(max(blk.tfs)),
-                "block_min_dl": int(min(blk.dls)),
-                "block_max_score": bms,
-            }
-        )
+        row = {
+            "gen": gen,
+            "shard": shard,
+            "term": term,
+            "block_id": block_id,
+            "n_docs": len(blk.doc_ids),
+            "max_doc_id": blk.doc_ids[-1],
+            "doc_gaps": gaps_b,
+            "tfs": tfs_b,
+            "dls": dls_b,
+            "block_max_tf": int(max(blk.tfs)),
+            "block_min_dl": int(min(blk.dls)),
+            "block_max_score": bms,
+        }
+        if pos_lists is not None:
+            lo = block_id * block_size
+            row["positions"] = encode_positions(
+                pos_lists[lo : lo + block_size]
+            )
+        out.append(row)
     return out
 
 
 def _merge_group(
-    pdf: pd.DataFrame, avgdl: float, block_size: int, gen: int = 0
+    pdf: pd.DataFrame,
+    avgdl: float,
+    block_size: int,
+    gen: int = 0,
+    with_positions: bool = False,
 ) -> pd.DataFrame:
     """Merge one (shard, term)'s sorted runs into final encoded blocks."""
     shard = int(pdf["shard"].iloc[0])
     term = str(pdf["term"].iloc[0])
     idf_t = float(pdf["idf"].iloc[0])
     runs = []
-    for gaps, tfs, dls in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
+    pos_col = pdf["positions"] if with_positions else [None] * len(pdf)
+    for gaps, tfs, dls, pos in zip(
+        pdf["doc_gaps"], pdf["tfs"], pdf["dls"], pos_col
+    ):
         blk = PostingBlock.decode(bytes(gaps), bytes(tfs), bytes(dls))
-        runs.append(list(zip(blk.doc_ids, blk.tfs, blk.dls)))
+        if with_positions:
+            plists = decode_positions(bytes(pos), blk.tfs)
+            runs.append(list(zip(blk.doc_ids, blk.tfs, blk.dls, plists)))
+        else:
+            runs.append(list(zip(blk.doc_ids, blk.tfs, blk.dls)))
     merged = list(heapq.merge(*runs, key=lambda p: p[0]))  # k-way by doc_id
+    schema = POS_SEGMENT_SCHEMA if with_positions else SEGMENT_SCHEMA
     out = encode_segment_rows(
         shard,
         term,
@@ -271,8 +317,9 @@ def _merge_group(
         avgdl,
         block_size,
         gen,
+        pos_lists=[p[3] for p in merged] if with_positions else None,
     )
-    return pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+    return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
 
 def merge_runs_to_segments(
@@ -281,6 +328,7 @@ def merge_runs_to_segments(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
     gen: int = 0,
+    positions: bool = False,
 ) -> DataFrame:
     """groupBy(shard, term) k-way merge. The (shard, term) key is the
     skew-aware shuffle: per-group size is bounded by shard size, never by a
@@ -288,9 +336,10 @@ def merge_runs_to_segments(
     enriched = runs.join(term_stats.select("term", "idf"), "term")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_group(pdf, avgdl, block_size, gen)
+        return _merge_group(pdf, avgdl, block_size, gen, positions)
 
-    return enriched.groupBy("shard", "term").applyInPandas(fn, SEGMENT_SCHEMA)
+    schema = POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA
+    return enriched.groupBy("shard", "term").applyInPandas(fn, schema)
 
 
 # --------------------------------------------------------------------------
@@ -346,6 +395,7 @@ def build_index(
     shard_filter: Iterable[int] | None = None,
     build_id: str = "build",
     aux_writes: Iterable[Callable[[], None]] | None = None,
+    positions: bool = False,
 ) -> BuildResult:
     """End-to-end index build.
 
@@ -353,6 +403,11 @@ def build_index(
     simulate a mid-build failure); ``resume=True`` skips shards already
     marked done in lineage — together they reproduce the reference's
     watermark-resume contract (T1).
+
+    ``positions=True`` builds a POSITIONAL index (per-posting token
+    positions as one extra varbyte blob per block — the Lucene
+    postings-with-positions analog), enabling :func:`phrase_topk`;
+    recorded in the manifest so updates/compaction preserve it.
 
     ``aux_writes``: caller-supplied Spark actions (e.g. the url_map write)
     run on driver threads overlapping the merge phase and joined before
@@ -405,6 +460,8 @@ def build_index(
     # available, else computed from the (full) tokenized corpus.
     if have_frozen:
         mf_prev = store.read_manifest()
+        # a resumed/partial rebuild must match the frozen index's layout
+        positions = bool(mf_prev.get("positions", positions))
         stats = {
             "n_docs": mf_prev["n_docs"],
             "avgdl": mf_prev["avgdl"],
@@ -425,7 +482,9 @@ def build_index(
             TERM_STATS_SCHEMA,
         )
 
-        empty_seg = spark.createDataFrame([], SEGMENT_SCHEMA).repartition(1)
+        empty_seg = spark.createDataFrame(
+            [], POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA
+        ).repartition(1)
         empty_seg.write.mode("overwrite").parquet(store.path("segments"))
         store.write_table(
             spark.createDataFrame([], TERM_STATS_SCHEMA).repartition(1),
@@ -451,6 +510,7 @@ def build_index(
                 "next_doc_id": 0,
                 "generations": [0],
                 "tables": {},
+                "positions": positions,
             }
         )
         return BuildResult(store, 0, 0.0, target_shards, time.time() - t0)
@@ -478,7 +538,7 @@ def build_index(
             "u2i-docs-write",
         )
 
-    runs = spimi_runs(tok, n_shards).cache()
+    runs = spimi_runs(tok, n_shards, positions=positions).cache()
     # df/idf must be corpus-GLOBAL, whatever shard subset this build
     # touches: reuse frozen stats if present, else compute from the full
     # corpus (from runs when they cover it — cheaper, same result).
@@ -501,7 +561,9 @@ def build_index(
 
     if docs_job is not None:
         docs_job.join()  # docs-before-segments crash invariant
-    segments = merge_runs_to_segments(runs, tstats, avgdl, block_size)
+    segments = merge_runs_to_segments(
+        runs, tstats, avgdl, block_size, positions=positions
+    )
     store.write_segments(segments)
 
     # Lineage/metrics per shard, written AFTER segments land (atomic-last,
@@ -550,6 +612,7 @@ def build_index(
             "next_doc_id": stats["max_doc_id"] + 1,
             "generations": [0],
             "tables": prev_tables,
+            "positions": positions,
         }
     )
     full_tok.unpersist()

@@ -219,6 +219,7 @@ def build_index_from_webtext(
     n_shards: int = 8,
     resume: bool = False,
     build_id: str = "webtext",
+    positions: bool = False,
 ) -> BuildResult:
     """End-to-end north-rule pipeline: webtext table -> BM25-ready segment
     index. The url<->doc_id mapping is persisted so query results can be
@@ -241,6 +242,7 @@ def build_index_from_webtext(
         result = build_index(
             spark, docs, out_dir, n_shards=n_shards, resume=resume,
             build_id=build_id, aux_writes=[write_url_map],
+            positions=positions,
         )
         write_url_map()  # no-op unless an early return skipped aux writes
     finally:

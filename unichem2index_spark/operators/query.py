@@ -98,6 +98,7 @@ class IndexHandle:
     avgdl: float
     n_shards: int
     generations: list[int] | None = None
+    has_positions: bool = False
     _segments_cached: DataFrame | None = None
     _term_stats_cached: DataFrame | None = None
 
@@ -116,6 +117,7 @@ class IndexHandle:
             mf["avgdl"],
             mf["n_shards"],
             mf.get("generations", [0]),
+            bool(mf.get("positions", False)),
         )
         if cache:
             h._segments_cached = h.segments(spark).persist()
@@ -191,6 +193,16 @@ class IndexHandle:
         # No broadcast hint: AQE broadcasts small tombstone sets, shuffle
         # anti-joins the 10^8-row update waves that would OOM a driver.
         return df.join(dele, "doc_id", "left_anti")
+
+
+# The WAND kernels read exactly these columns; pruning them out of the
+# grouped Arrow transfer matters on POSITIONAL indexes, whose segments
+# carry a positions blob the BM25 paths never touch.
+_WAND_COLS = [
+    "gen", "shard", "term", "block_id", "max_doc_id",
+    "doc_gaps", "tfs", "dls", "block_max_tf", "block_min_dl",
+    "block_max_score",
+]
 
 
 def _cursors_from_group(
@@ -282,7 +294,9 @@ def bm25_topk_wand(
     idfs = {r.term: float(r.idf) for r in ts}
     if not idfs:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    seg = index.segments(spark).where(F.col("term").isin(list(idfs)))
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
+        *_WAND_COLS
+    )
     fn = _wand_shard_fn(
         idfs,
         index.avgdl,
@@ -373,7 +387,9 @@ def bm25_topk_batch(
                 scores.append(s)
         return pd.DataFrame({"query_id": qids, "doc_id": dids, "score": scores})
 
-    seg = index.segments(spark).where(F.col("term").isin(all_terms))
+    seg = index.segments(spark).where(F.col("term").isin(all_terms)).select(
+        *_WAND_COLS
+    )
     batch_schema = "query_id int, doc_id long, score double"
     if index.store.exists("deletes"):
         per_shard = (
@@ -402,6 +418,140 @@ def bm25_topk_batch(
             F.round("score", 6).alias("score"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-phrase top-k over a positional index
+# --------------------------------------------------------------------------
+def _phrase_shard_fn(
+    phrase: list[str], idfs: dict[str, float], avgdl: float, k: int
+):
+    """Per-shard exact-phrase matcher + BM25 scorer.
+
+    Decodes the phrase terms' postings WITH positions, intersects the doc
+    sets, then verifies adjacency by intersecting position sets shifted by
+    the term's offset in the phrase (the Lucene PhraseQuery algorithm).
+    Matching docs score as a plain BM25 bag over the unique phrase terms
+    (current stats), so results agree with the SQL oracle's
+    phrase-filter + BM25 formulation exactly.
+    """
+    uniq = sorted(set(phrase))
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        from unichem2index_spark.functions.codec import (
+            PostingBlock,
+            decode_positions,
+        )
+
+        # term -> doc_id -> (tf, dl, positions)
+        post: dict[str, dict[int, tuple[int, int, list[int]]]] = {}
+        for term, grp in pdf.groupby("term", sort=True):
+            grp = grp.sort_values(["gen", "block_id"])
+            d: dict[int, tuple[int, int, list[int]]] = {}
+            for gaps, btfs, bdls, bpos in zip(
+                grp["doc_gaps"], grp["tfs"], grp["dls"], grp["positions"]
+            ):
+                blk = PostingBlock.decode(bytes(gaps), bytes(btfs), bytes(bdls))
+                for doc, tf, dl, pl in zip(
+                    blk.doc_ids,
+                    blk.tfs,
+                    blk.dls,
+                    decode_positions(bytes(bpos), blk.tfs),
+                ):
+                    d[doc] = (tf, dl, pl)
+            post[str(term)] = d
+        if any(t not in post for t in phrase):
+            return pd.DataFrame({"doc_id": [], "score": []})
+        cand = set(post[phrase[0]])
+        for t in phrase[1:]:
+            cand &= post[t].keys()
+        out: list[tuple[int, float]] = []
+        for doc in cand:
+            if doc in deleted:
+                continue
+            live = set(post[phrase[0]][doc][2])
+            for off, t in enumerate(phrase[1:], 1):
+                ps = set(post[t][doc][2])
+                live = {p for p in live if p + off in ps}
+                if not live:
+                    break
+            if not live:
+                continue
+            dl = post[phrase[0]][doc][1]
+            score = sum(
+                bm25.score_term(post[t][doc][0], dl, avgdl, idfs[t])
+                for t in uniq
+            )
+            out.append((doc, score))
+        out.sort(key=lambda p: (-p[1], p[0]))
+        out = out[:k]
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in out], "score": [s for _, s in out]}
+        )
+
+    return fn
+
+
+def phrase_topk(
+    spark: SparkSession, index: IndexHandle, phrase: list[str], k: int
+) -> DataFrame:
+    """Exact-phrase BM25 top-k: docs containing ``phrase`` as consecutive
+    tokens, ranked by BM25 over the phrase's unique terms.
+
+    Beyond-reference capability: ES answers match_phrase by default on
+    the index the reference creates (extractor/loader.go:121) though the
+    reference never issues one (loader.go:239-379 is count/sort/aggs/
+    match). Requires ``build_index(positions=True)``.
+
+    Scale shape — identical to :func:`bm25_topk_wand`: `term IN` pushed
+    to the parquet scan (row-group pruning), per-shard match + local
+    top-k inside one applyInPandas stage, n_shards*k candidate rows to
+    the global TakeOrderedAndProject. Tombstones cogroup per shard."""
+    if not index.has_positions:
+        raise ValueError(
+            "phrase_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    if not phrase:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    uniq = sorted(set(phrase))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if any(t not in idfs for t in uniq):
+        return spark.createDataFrame([], TOPK_SCHEMA)  # phrase can't match
+    seg = index.segments(spark).where(F.col("term").isin(uniq)).select(
+        "gen", "shard", "term", "block_id", "doc_gaps", "tfs", "dls",
+        "positions",
+    )
+    fn = _phrase_shard_fn(phrase, idfs, index.avgdl, k)
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
     )
 
 

@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from unichem2index_spark.functions.codec import PostingBlock
+from unichem2index_spark.functions.codec import PostingBlock, decode_positions
 from unichem2index_spark.operators.build import (
     docs_table,
     encode_segment_rows,
@@ -60,7 +60,7 @@ from unichem2index_spark.operators.ingest import (
     dedup_and_assign_doc_ids,
     extracted_webtext,
 )
-from unichem2index_spark.schemas import SEGMENT_SCHEMA
+from unichem2index_spark.schemas import POS_SEGMENT_SCHEMA, SEGMENT_SCHEMA
 from unichem2index_spark.sources.tables import SegmentStore
 
 
@@ -113,6 +113,7 @@ def add_generation(
     store = SegmentStore(index_dir)
     mf = store.read_manifest()
     n_shards, block_size = mf["n_shards"], mf["block_size"]
+    positions = bool(mf.get("positions", False))  # preserve index layout
     committed = mf.get("generations", [0])
     gen = max(committed) + 1
     next_id = mf["next_doc_id"]
@@ -179,10 +180,13 @@ def add_generation(
                 .select("doc_id")
                 .withColumn("gen", F.lit(gen))
             )
-            store.write_gen_partition(replaced, "deletes")
-            n_replaced = int(
-                store.read(spark, "deletes").where(F.col("gen") == gen).count()
-            )
+            n_replaced = int(replaced.count())
+            if n_replaced:
+                store.write_gen_partition(replaced, "deletes")
+            # n_replaced == 0: skip the write entirely — a zero-row
+            # partitioned write leaves a schema-less directory that poisons
+            # later reads, and never creating `deletes` keeps every future
+            # query on the cogroup-free fast path.
 
         # Index-wide stats: every posting physically present counts
         # (tombstoned docs included until compaction — the Lucene
@@ -191,7 +195,7 @@ def add_generation(
         total_tokens = mf["total_tokens"] + new_tokens
         avgdl = float(total_tokens) / float(n_total)
 
-        runs = spimi_runs(tok, n_shards).persist()
+        runs = spimi_runs(tok, n_shards, positions=positions).persist()
         delta_stats = runs.groupBy("term").agg(
             F.sum("n_docs").alias("df_d"), F.sum("cf").alias("cf_d")
         )
@@ -211,7 +215,9 @@ def add_generation(
         ts_phys = store.stage_table(combined, "term_stats", max_files=8)
         tstats = spark.read.parquet(store.path(ts_phys))
 
-        segments = merge_runs_to_segments(runs, tstats, avgdl, block_size, gen=gen)
+        segments = merge_runs_to_segments(
+            runs, tstats, avgdl, block_size, gen=gen, positions=positions
+        )
         seg_phys = store.write_segments(segments, physical=tables.get("segments"))
 
         store.write_gen_partition(
@@ -284,34 +290,50 @@ def add_generation(
 
 # ---------------------------------------------------------------- compact
 DECODED_ROWS_SCHEMA = "shard int, term string, doc_id long, tf long, dl long"
+DECODED_POS_ROWS_SCHEMA = DECODED_ROWS_SCHEMA + ", positions array<int>"
 
 
-def _decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Explode encoded segment blocks into (shard, term, doc_id, tf, dl)
-    rows so tombstone filtering is a plain distributed anti-join."""
-    for pdf in batches:
-        sh_o: list[int] = []
-        t_o: list[str] = []
-        d_o: list[int] = []
-        tf_o: list[int] = []
-        dl_o: list[int] = []
-        for shard, term, gaps, btfs, bdls in zip(
-            pdf["shard"], pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["dls"]
-        ):
-            blk = PostingBlock.decode(bytes(gaps), bytes(btfs), bytes(bdls))
-            n = len(blk.doc_ids)
-            sh_o.extend([int(shard)] * n)
-            t_o.extend([str(term)] * n)
-            d_o.extend(blk.doc_ids)
-            tf_o.extend(blk.tfs)
-            dl_o.extend(blk.dls)
-        yield pd.DataFrame(
-            {"shard": sh_o, "term": t_o, "doc_id": d_o, "tf": tf_o, "dl": dl_o}
-        )
+def _decode_rows(with_positions: bool = False):
+    """Explode encoded segment blocks into (shard, term, doc_id, tf, dl
+    [, positions]) rows so tombstone filtering is a plain distributed
+    anti-join (positions ride as a per-row int array through Arrow)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sh_o: list[int] = []
+            t_o: list[str] = []
+            d_o: list[int] = []
+            tf_o: list[int] = []
+            dl_o: list[int] = []
+            p_o: list[list[int]] = []
+            pos_col = pdf["positions"] if with_positions else [None] * len(pdf)
+            for shard, term, gaps, btfs, bdls, bpos in zip(
+                pdf["shard"], pdf["term"], pdf["doc_gaps"], pdf["tfs"],
+                pdf["dls"], pos_col,
+            ):
+                blk = PostingBlock.decode(bytes(gaps), bytes(btfs), bytes(bdls))
+                n = len(blk.doc_ids)
+                sh_o.extend([int(shard)] * n)
+                t_o.extend([str(term)] * n)
+                d_o.extend(blk.doc_ids)
+                tf_o.extend(blk.tfs)
+                dl_o.extend(blk.dls)
+                if with_positions:
+                    p_o.extend(decode_positions(bytes(bpos), blk.tfs))
+            out = {
+                "shard": sh_o, "term": t_o, "doc_id": d_o,
+                "tf": tf_o, "dl": dl_o,
+            }
+            if with_positions:
+                out["positions"] = p_o
+            yield pd.DataFrame(out)
+
+    return fn
 
 
-def _chunk_group(avgdl: float, block_size: int):
+def _chunk_group(avgdl: float, block_size: int, with_positions: bool = False):
     """Re-chunk one (shard, term)'s live posting rows into gen-0 blocks."""
+    schema = POS_SEGMENT_SCHEMA if with_positions else SEGMENT_SCHEMA
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -328,8 +350,13 @@ def _chunk_group(avgdl: float, block_size: int):
             avgdl,
             block_size,
             gen=0,
+            pos_lists=(
+                [[int(p) for p in pl] for pl in pdf["positions"]]
+                if with_positions
+                else None
+            ),
         )
-        return pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return fn
 
@@ -347,6 +374,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     mf = store.read_manifest()
     gens = mf.get("generations", [0])
     block_size = mf["block_size"]
+    positions = bool(mf.get("positions", False))
 
     dele = _committed_deletes(spark, store, gens)
     n_deleted = int(dele.count()) if dele is not None else 0
@@ -361,8 +389,12 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     avgdl = (float(total_tokens) / float(n_live)) if n_live else 0.0
 
     seg = store.read_committed(spark, "segments", gens)
-    rows = seg.select("shard", "term", "doc_gaps", "tfs", "dls").mapInPandas(
-        _decode_rows, DECODED_ROWS_SCHEMA
+    seg_cols = ["shard", "term", "doc_gaps", "tfs", "dls"] + (
+        ["positions"] if positions else []
+    )
+    rows = seg.select(*seg_cols).mapInPandas(
+        _decode_rows(positions),
+        DECODED_POS_ROWS_SCHEMA if positions else DECODED_ROWS_SCHEMA,
     )
     live_rows = rows.join(dele, "doc_id", "left_anti") if dele is not None else rows
 
@@ -377,7 +409,8 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
     enriched = live_rows.join(tstats_r.select("term", "idf"), "term")
     compacted = enriched.groupBy("shard", "term").applyInPandas(
-        _chunk_group(avgdl, block_size), SEGMENT_SCHEMA
+        _chunk_group(avgdl, block_size, positions),
+        POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA,
     )
     # stage_segments returns the name ACTUALLY written: a fresh version
     # path on the parquet backend, the logical table on Iceberg (atomic

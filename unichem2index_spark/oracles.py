@@ -71,6 +71,41 @@ LIMIT {k}
 """
 
 
+def phrase_sql(phrase: list[str], k: int) -> str:
+    """Exact-phrase BM25: the phrase filter is a substring match over the
+    space-joined token list (space-delimited needle with sentinel spaces ==
+    consecutive-token match, exactly the positional-index adjacency test);
+    scoring is the standard BM25 expression over the unique phrase terms."""
+    uniq = sorted(set(phrase))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    needle = " " + " ".join(phrase) + " "
+    return f"""
+WITH {_TOK_CTE},
+phrased AS (
+  SELECT doc_id FROM documents
+  WHERE position('{needle}' IN ' ' || array_to_string({TOKS}, ' ') || ' ') > 0
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+    AND p.doc_id IN (SELECT doc_id FROM phrased)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 TERM_STATS = f"""
 WITH {_TOK_CTE},
 s AS (SELECT n_docs FROM stats)

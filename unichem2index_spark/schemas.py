@@ -75,6 +75,17 @@ SEGMENT_SCHEMA = T.StructType(
     ]
 )
 
+# Positional variant (``build_index(positions=True)``): one extra varbyte
+# blob per block — per-doc delta-encoded token positions, concatenated in
+# doc order (block tf list gives the per-doc counts). Enables exact-phrase
+# / proximity queries (ES gives these by default on the index the
+# reference creates, extractor/loader.go:121; its own calls never issue
+# one, so this is beyond-reference capability).
+POS_SEGMENT_SCHEMA = T.StructType(
+    list(SEGMENT_SCHEMA.fields)
+    + [T.StructField("positions", T.BinaryType(), False)]
+)
+
 TERM_STATS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
