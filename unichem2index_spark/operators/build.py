@@ -542,6 +542,14 @@ def build_index(
     # df/idf must be corpus-GLOBAL, whatever shard subset this build
     # touches: reuse frozen stats if present, else compute from the full
     # corpus (from runs when they cover it — cheaper, same result).
+    # The fresh-stats plan is PERSISTED and joined straight into the
+    # merge job (the agg computes inside that job, sharing its slots)
+    # instead of running as its own serial write+read-back action — the
+    # parquet write happens on a driver thread AFTER the segments land
+    # (input then fully materialized, honoring the _BgJob contract),
+    # overlapping the lineage job and joined before the manifest commit.
+    # Crash envelope unchanged: no lineage rows -> full rebuild either way.
+    ts_persisted: DataFrame | None = None
     if store.exists("term_stats"):
         tstats = store.read(spark, "term_stats")
     else:
@@ -549,9 +557,8 @@ def build_index(
             term_stats_from_runs(runs, n_docs)
             if not partial
             else term_stats_from_corpus(full_tok, n_docs)
-        )
-        store.write_table(tstats, "term_stats", max_files=8)
-        tstats = store.read(spark, "term_stats")
+        ).persist()
+        ts_persisted = tstats
 
     # Aux writes (url_map, ...) only need to land before the manifest
     # commit; start them now so they overlap the merge.
@@ -565,6 +572,13 @@ def build_index(
         runs, tstats, avgdl, block_size, positions=positions
     )
     store.write_segments(segments)
+
+    ts_job: _BgJob | None = None
+    if ts_persisted is not None:
+        ts_job = _BgJob(
+            lambda: store.write_table(ts_persisted, "term_stats", max_files=8),
+            "u2i-term-stats-write",
+        )
 
     # Lineage/metrics per shard, written AFTER segments land (atomic-last,
     # SURVEY.md §7 hard-point 5).
@@ -597,6 +611,8 @@ def build_index(
 
     for j in aux_jobs:
         j.join()  # aux tables land before the manifest commit point
+    if ts_job is not None:
+        ts_job.join()  # term_stats on disk before the commit names it
 
     prev_tables = (
         store.read_manifest().get("tables", {}) if store.exists() else {}
@@ -617,4 +633,6 @@ def build_index(
     )
     full_tok.unpersist()
     runs.unpersist()
+    if ts_persisted is not None:
+        ts_persisted.unpersist()
     return BuildResult(store, n_docs, avgdl, target_shards, time.time() - t0)
