@@ -542,13 +542,21 @@ def build_index(
     # df/idf must be corpus-GLOBAL, whatever shard subset this build
     # touches: reuse frozen stats if present, else compute from the full
     # corpus (from runs when they cover it — cheaper, same result).
-    # The fresh-stats plan is PERSISTED and joined straight into the
-    # merge job (the agg computes inside that job, sharing its slots)
-    # instead of running as its own serial write+read-back action — the
-    # parquet write happens on a driver thread AFTER the segments land
-    # (input then fully materialized, honoring the _BgJob contract),
-    # overlapping the lineage job and joined before the manifest commit.
-    # Crash envelope unchanged: no lineage rows -> full rebuild either way.
+    # The fresh-stats plan is PERSISTED, materialized by one cheap
+    # count() action (which also materializes the runs cache through a
+    # single SPIMI pass), and joined into the merge as an in-memory
+    # broadcast; the parquet write happens on a driver thread AFTER the
+    # segments land (input then fully materialized, honoring the _BgJob
+    # contract), overlapping the lineage job and joined before the
+    # manifest commit. This keeps the old serial chain's single-compute
+    # property — WITHOUT the eager count, AQE materializes the merge
+    # join's two child stages (runs exchange, stats agg) concurrently
+    # and each computes the uncached SPIMI partitions independently:
+    # measured +8-11% on the 4x2-core level, invisible at local[32]
+    # where idle cores absorb the duplicate work. What's removed from
+    # the critical path vs r2 is the term_stats parquet write +
+    # read-back. Crash envelope unchanged: no lineage rows -> full
+    # rebuild either way.
     ts_persisted: DataFrame | None = None
     if store.exists("term_stats"):
         tstats = store.read(spark, "term_stats")
@@ -559,6 +567,7 @@ def build_index(
             else term_stats_from_corpus(full_tok, n_docs)
         ).persist()
         ts_persisted = tstats
+        tstats.count()  # one materializing pass: SPIMI -> cache -> agg
 
     # Aux writes (url_map, ...) only need to land before the manifest
     # commit; start them now so they overlap the merge.
