@@ -17,14 +17,18 @@ InChI divider) re-expressed Spark-first:
 Scale notes
 -----------
 * A global ``row_number() OVER (ORDER BY url)`` funnels the corpus through
-  ONE reducer. Instead: range-partition by url (parallel sample-based
-  partitioner), count kept rows per partition (tiny driver-side list), and
-  add the exclusive prefix-sum offset to each partition-local rank — every
-  stage stays fully parallel and the result is the identical dense rank.
+  ONE reducer. Instead: deterministic order-preserving url buckets
+  (boundaries from one pruned sample), per-bucket kept counts via a
+  skinny countDistinct agg (tiny driver-side list), and doc_id =
+  bucket offset + per-bucket dense index — every stage stays fully
+  parallel and the result is the identical dense rank.
 * Extraction before the shuffle cuts shuffle bytes ~5-10x (html >> text)
   and is the right order at 10^12 docs: the binary column is dropped at
-  the scan-adjacent stage, never serialized again.
-* Dedup and rank share the same range shuffle: same-url rows are
+  the scan-adjacent stage, never serialized again. Because the bucket
+  function is pure (no sampled-shuffle boundaries to freeze), the
+  extracted corpus is evaluated exactly once with NO full-corpus
+  persist — the count pass reads only the url column.
+* Dedup and rank share the same bucket shuffle: same-url rows are
   guaranteed co-located and ordered, so "keep newest per url" is a local
   streaming pass, not a second window shuffle.
 """
@@ -36,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
+from pyspark.sql.functions import pandas_udf
 
 from unichem2index_spark.functions.extract import extract_text_udf
 from unichem2index_spark.operators.build import BuildResult, build_index
@@ -77,111 +82,138 @@ def dedup_and_assign_doc_ids(
     ts_col: str | None = "warc_ts",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Fused dedup-by-key + deterministic dense doc_id = rank of ``key``.
+    """Fused dedup-by-key + deterministic dense doc_id = rank of ``key``,
+    over PRECOMPUTED order-preserving buckets (no sampled range shuffle,
+    no full-corpus persists).
 
-    1. ``repartitionByRange(key)``: partitions hold disjoint, ordered key
-       ranges; same-key rows co-locate.
-    2. Per-partition sort (key asc, ts desc) + streaming keep-first-per-key
-       + local 0-based index over KEPT rows (one mapInPandas pass).
-    3. Kept-row counts -> exclusive prefix sums on the driver (one tiny
-       list, never row data) -> broadcast offsets.
+    1. Boundary keys from ONE pruned sample of the key column (driver
+       holds <=200k keys, never row data). bucket(k) = #boundaries <= k
+       — a pure, order-preserving function of the key, identical across
+       re-evaluations, so nothing needs persisting (the r2 design's two
+       DISK_ONLY full-corpus persists existed ONLY to freeze
+       ``repartitionByRange``'s sampled boundaries and to feed its
+       bound-sampling job without re-running the html extract).
+    2. ONE pruned agg job: countDistinct(key) per bucket == kept rows per
+       bucket (dedup keeps exactly one row per distinct key) -> exclusive
+       prefix-sum offsets in bucket order (tiny driver list). Reads only
+       the key column — parquet column pruning drops the extract UDF.
+    3. ONE full pass: hash-repartition on the bucket id (same-key rows
+       co-locate; bucket->partition placement is irrelevant because ids
+       come from per-BUCKET offsets), sortWithinPartitions(key asc, ts
+       desc, rest asc) — order-preserving bucketing makes buckets
+       contiguous under the key sort — then a streaming
+       keep-first-per-key + per-bucket dense index + offsets[bucket].
 
     Equals ``row_number() OVER (ORDER BY key) - 1`` over the deduped set
     under ANY parallelism — the property BM25 rank-identity needs
     (SURVEY.md §7 hard-point 2). Ties on (key, ts): smallest remaining
     column tuple wins (fully deterministic).
+
+    Scale notes: vs the r2 sampled-range design this removes ~3
+    full-corpus disk traversals (write+2 reads of the pre-shuffle
+    persist, plus the post-shuffle persist's second read) and the second
+    python keep-first pass — disk bandwidth is the one resource a
+    single host cannot scale with executor count, and was the measured
+    ceiling on 4-executor scaling efficiency. The count pass shuffles
+    only distinct (bucket, key) pairs. 4x buckets per partition keeps
+    hash-placement balanced (max bucket = 1/(4P) of the keyspace by
+    construction of the quantile boundaries).
     """
     if ts_col is None:
         ts_col = key  # degenerate: no dedup ordering column
-    from pyspark import StorageLevel
+    spark = df.sparkSession
+    if num_partitions:
+        n_part = num_partitions
+    else:
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_part = spark.sparkContext.defaultParallelism
+    n_buckets = max(1, n_part * 4)
 
-    # Persist the INPUT before the range exchange: repartitionByRange runs
-    # a separate bound-sampling job over its child, which would otherwise
-    # re-execute everything upstream (including the Arrow html-extract
-    # UDF) over the full corpus a second time. With the persist, the
-    # sampling pass builds the (compressed) blocks and the shuffle-map
-    # pass reads them back — extraction runs exactly once. Released below
-    # as soon as the post-shuffle persist is materialized.
-    pre = df.persist(StorageLevel.DISK_ONLY)
-    ranged = None
-    # try/finally: the full-corpus persists must not outlive a failure in
-    # the count pass — `pre` is released on every path (its two scans,
-    # bound sampling + shuffle map, are done once the collect returns),
-    # and `ranged` (still needed downstream on success, exposed via
-    # `_u2i_persisted`) is released on the failure path only.
-    try:
-        if num_partitions:
-            ranged = pre.repartitionByRange(num_partitions, key)
-        else:
-            ranged = pre.repartitionByRange(key)
-        other = [c for c in df.columns if c not in (key, ts_col)]
-        ranged = ranged.sortWithinPartitions(
-            F.asc(key), F.desc_nulls_last(ts_col), *[F.asc(c) for c in other]
-        ).withColumn("_pid", F.spark_partition_id())
-        # Persist so the count pass and the rank pass see the SAME range
-        # boundaries (one shuffle, stable partitioning). DISK_ONLY:
-        # building an in-memory object cache of the full corpus is
-        # GC-bound at high task concurrency; local-disk re-reads are
-        # cheap and this is also the only level that holds at cluster
-        # scale.
-        ranged = ranged.persist(StorageLevel.DISK_ONLY)
-
+    # -- 1. boundary keys (pruned scan; extract UDF projected away) -------
+    keys_only = df.select(F.coalesce(F.col(key), F.lit("")).alias(key))
+    n_rows = keys_only.count()
+    if n_rows == 0:
         out_schema = T.StructType(
             [T.StructField("doc_id", T.LongType(), False)]
-            + list(ranged.schema.fields)
+            + list(df.schema.fields)
+        )
+        out = spark.createDataFrame([], out_schema)
+        out._u2i_persisted = None  # type: ignore[attr-defined]
+        return out
+    frac = min(1.0, (50.0 * n_buckets) / n_rows)
+    sample = sorted(
+        r[0] for r in keys_only.sample(fraction=frac, seed=42).collect()
+    )
+    bounds: list[str] = []
+    if sample:
+        step = max(1, len(sample) // n_buckets)
+        bounds = sorted({sample[i] for i in range(step, len(sample), step)})
+
+    @pandas_udf(T.IntegerType())
+    def bucket_of(keys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        b = np.array(bounds, dtype=object)
+        return pd.Series(
+            np.searchsorted(b, keys.fillna("").to_numpy(dtype=object), side="right"),
+            dtype="int32",
         )
 
-        def keep_first_with_rank(batches):
-            seen = 0
-            last_key = None
-            for pdf in batches:
-                keys = pdf[key]
-                keep_mask = []
-                for k in keys:
-                    keep_mask.append(k != last_key)
+    bucketed = df.withColumn("_bkt", bucket_of(F.col(key)))
+
+    # -- 2. kept-count per bucket -> exclusive prefix-sum offsets ---------
+    # countDistinct ignores NULL keys but keep-first retains a null-key
+    # group — count through a non-colliding sentinel so both agree.
+    counted_key = F.coalesce(F.col(key), F.lit("\x00<null>"))
+    counts = {
+        r._bkt: r.n
+        for r in bucketed.select("_bkt", counted_key.alias("_k"))
+        .groupBy("_bkt")
+        .agg(F.countDistinct("_k").alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+
+    # -- 3. one full pass: shuffle on bucket, sort, fuse dedup+rank -------
+    other = [c for c in df.columns if c not in (key, ts_col)]
+    ranged = bucketed.repartition(n_part, "_bkt").sortWithinPartitions(
+        F.asc(key), F.desc_nulls_last(ts_col), *[F.asc(c) for c in other]
+    )
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)] + list(df.schema.fields)
+    )
+
+    def keep_first_with_rank(batches):
+        cur_bkt = None
+        nxt = 0
+        last_key = None
+        for pdf in batches:
+            keep_mask = []
+            ids = []
+            for k, b in zip(pdf[key], pdf["_bkt"]):
+                if b != cur_bkt:
+                    cur_bkt = int(b)
+                    nxt = offsets[cur_bkt]
+                    last_key = None
+                if k != last_key:
+                    keep_mask.append(True)
+                    ids.append(nxt)
+                    nxt += 1
                     last_key = k
-                kept = pdf[pd.Series(keep_mask, index=pdf.index)].copy()
-                n = len(kept)
-                kept.insert(0, "doc_id", range(seen, seen + n))
-                seen += n
-                yield kept
+                else:
+                    keep_mask.append(False)
+            kept = pdf[pd.Series(keep_mask, index=pdf.index)].copy()
+            kept.insert(0, "doc_id", ids)
+            yield kept.drop(columns=["_bkt"])
 
-        with_rank = ranged.mapInPandas(keep_first_with_rank, out_schema)
-
-        counts = {
-            r._pid: r.n
-            for r in with_rank.groupBy("_pid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-    except BaseException:
-        if ranged is not None:
-            ranged.unpersist()
-        raise
-    finally:
-        pre.unpersist()
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = df.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()],
-        T.StructType(
-            [
-                T.StructField("_pid", T.IntegerType(), False),
-                T.StructField("_offset", T.LongType(), False),
-            ]
-        ),
-    )
-    out = (
-        with_rank.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", F.col("doc_id") + F.col("_offset"))
-        .drop("_pid", "_offset")
-    )
-    # Expose the persisted upstream so the pipeline owner can release it
-    # once downstream materialization is done (heap left occupied during
-    # query serving = GC pressure).
-    out._u2i_persisted = ranged  # type: ignore[attr-defined]
+    out = ranged.mapInPandas(keep_first_with_rank, out_schema)
+    out._u2i_persisted = None  # type: ignore[attr-defined]
     return out
 
 
