@@ -85,8 +85,11 @@ def main() -> None:
     phases["p5_merge"] = round(time.time() - t0, 2)
 
     t0 = time.time()
+    # from the tok persist (url/warc_ts ride along) — the real build's
+    # aux-write path; deriving from `docs` would re-materialize the
+    # whole ingest a second time.
     store.write_gen_partition(
-        docs.select("doc_id", "url", "warc_ts", "lang", "source")
+        tok.select("doc_id", "url", "warc_ts", "lang", "source")
         .withColumn("gen", F.lit(0)),
         "url_map",
     )

@@ -64,8 +64,12 @@ MAX_RUN_POSTINGS = 2_000_000
 def tokenized_docs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """doc_id, tokens, doclen (+ passthrough lang/source when present)."""
-    keep = [c for c in ("lang", "source") if c in df.columns]
+    """doc_id, tokens, doclen (+ passthrough lang/source/url/warc_ts when
+    present). url/warc_ts ride along so aux tables (url_map) can derive
+    from the ONE tokenized persist instead of re-materializing the whole
+    ingest (extract + shuffle + dedup) a second time — they add ~20% to
+    the persist bytes and save a full corpus pass."""
+    keep = [c for c in ("lang", "source", "url", "warc_ts") if c in df.columns]
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens_col(text_col).alias("tokens"),
@@ -394,7 +398,7 @@ def build_index(
     resume: bool = False,
     shard_filter: Iterable[int] | None = None,
     build_id: str = "build",
-    aux_writes: Iterable[Callable[[], None]] | None = None,
+    aux_writes: Iterable[Callable[[DataFrame], None]] | None = None,
     positions: bool = False,
 ) -> BuildResult:
     """End-to-end index build.
@@ -412,7 +416,10 @@ def build_index(
     ``aux_writes``: caller-supplied Spark actions (e.g. the url_map write)
     run on driver threads overlapping the merge phase and joined before
     the manifest commit — they stay inside the build's crash envelope
-    (manifest last) without serializing the pipeline.
+    (manifest last) without serializing the pipeline. Each callable
+    receives the PERSISTED tokenized corpus (doc_id, tokens, doclen +
+    passthrough lang/source/url/warc_ts) — deriving aux tables from that
+    persist is what keeps the ingest single-materialization.
     """
     t0 = time.time()
     store = SegmentStore(out_dir)
@@ -570,9 +577,11 @@ def build_index(
         tstats.count()  # one materializing pass: SPIMI -> cache -> agg
 
     # Aux writes (url_map, ...) only need to land before the manifest
-    # commit; start them now so they overlap the merge.
+    # commit; start them now so they overlap the merge. Their input is
+    # the materialized tok persist (the _BgJob no-recompute contract).
     aux_jobs = [
-        _BgJob(fn, f"u2i-aux-write-{i}") for i, fn in enumerate(aux_writes or [])
+        _BgJob(lambda fn=fn: fn(full_tok), f"u2i-aux-write-{i}")
+        for i, fn in enumerate(aux_writes or [])
     ]
 
     if docs_job is not None:

@@ -259,26 +259,25 @@ def build_index_from_webtext(
     docs = webtext_docs(webtext)
     store = SegmentStore(out_dir)
 
-    def write_url_map() -> None:
-        # Runs on a build_index driver thread overlapping the merge phase
-        # (its input is the materialized ingest persist); joined before the
-        # manifest commit, so an index never commits without its url_map.
+    def write_url_map(tok: DataFrame | None = None) -> None:
+        # Runs on a build_index driver thread overlapping the merge phase.
+        # Input: the materialized tok persist (url/warc_ts ride along in
+        # it precisely so this write never re-materializes the ingest);
+        # joined before the manifest commit, so an index never commits
+        # without its url_map. The no-tok fallback (early-return path)
+        # derives from the raw plan.
         if not store.exists("url_map"):
+            src = tok if tok is not None else docs
             store.write_gen_partition(
-                docs.select("doc_id", "url", "warc_ts", "lang", "source")
+                src.select("doc_id", "url", "warc_ts", "lang", "source")
                 .withColumn("gen", F.lit(0)),
                 "url_map",
             )
 
-    try:
-        result = build_index(
-            spark, docs, out_dir, n_shards=n_shards, resume=resume,
-            build_id=build_id, aux_writes=[write_url_map],
-            positions=positions,
-        )
-        write_url_map()  # no-op unless an early return skipped aux writes
-    finally:
-        persisted = getattr(docs, "_u2i_persisted", None)
-        if persisted is not None:
-            persisted.unpersist()
+    result = build_index(
+        spark, docs, out_dir, n_shards=n_shards, resume=resume,
+        build_id=build_id, aux_writes=[write_url_map],
+        positions=positions,
+    )
+    write_url_map()  # no-op unless an early return skipped aux writes
     return result
