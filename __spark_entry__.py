@@ -113,6 +113,16 @@ def q_bm25_rare_terms(spark, sf_dir):
     return Q.bm25_topk_exact(_docs(spark, sf_dir), RARE_TERMS, 10)
 
 
+def q_bm25_filtered(spark, sf_dir):
+    """ES bool-query analog (match + lang filter) through the WAND path
+    with a per-shard cogrouped filter bitset; scores identical to the
+    unfiltered query on the same docs (ES filter-context semantics)."""
+    return Q.bm25_topk_filtered(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        "lang = 'en'",
+    )
+
+
 def q_phrase_topk(spark, sf_dir):
     """Exact-phrase BM25 over the POSITIONAL index (W4+, beyond-reference:
     the ES match_phrase the reference's index supports but never issues).
@@ -295,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         "bm25_rare_terms": q_bm25_rare_terms,
         "phrase_topk": q_phrase_topk,
+        "bm25_filtered": q_bm25_filtered,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -366,6 +377,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": oracles.bm25_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "bm25_rare_terms": oracles.bm25_sql(RARE_TERMS, 10),
         "phrase_topk": oracles.phrase_sql(PHRASE, PHRASE_K),
+        "bm25_filtered": oracles.bm25_filtered_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, "lang = 'en'"
+        ),
         "term_stats": oracles.TERM_STATS,
         "corpus_stats": oracles.CORPUS_STATS,
         "doc_lengths": oracles.DOC_LENGTHS,

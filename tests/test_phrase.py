@@ -85,6 +85,88 @@ def test_phrase_topk_matches_oracle(spark, pos_index):
         assert got == phrase_oracle(corpus, phrase, 10), f"phrase {phrase}"
 
 
+def phrase_match_py(toks, phrase, slop):
+    """Pure-Python slop oracle: ordered match, each adjacent pair at most
+    ``slop`` extra tokens apart."""
+    live = {i for i, t in enumerate(toks) if t == phrase[0]}
+    for term in phrase[1:]:
+        pos = [i for i, t in enumerate(toks) if t == term]
+        live = {q for q in pos if any(p < q <= p + 1 + slop for p in live)}
+        if not live:
+            return False
+    return bool(live)
+
+
+def test_phrase_slop_matches_oracle(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+    for phrase, slop in [
+        (["merge", "group"], 1),
+        (["merge", "group"], 3),
+        (["the", "merge", "group"], 2),
+    ]:
+        uniq = sorted(set(phrase))
+        want = sorted(
+            (
+                (d, round(oracle.score_doc(uniq, d), 6))
+                for d, toks in corpus
+                if phrase_match_py(toks, phrase, slop)
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.phrase_topk(spark, h, phrase, 10, slop=slop).collect()
+        ]
+        assert got == want, f"phrase {phrase} slop {slop}"
+        # slop strictly widens the exact-phrase match set
+        exact_docs = {
+            r.doc_id for r in Q.phrase_topk(spark, h, phrase, 10**6).collect()
+        }
+        slop_docs = {
+            r.doc_id
+            for r in Q.phrase_topk(spark, h, phrase, 10**6, slop=slop).collect()
+        }
+        assert exact_docs <= slop_docs
+
+
+def test_bm25_filtered_matches_oracle(spark, pos_index):
+    """ES bool filter semantics: candidates restricted, scores identical
+    to the unfiltered query for surviving docs."""
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    from tests.conftest import SF_SMOKE
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    docs_meta = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    oracle = Bm25Oracle(corpus)
+    terms, k = ["the", "merge", "vector"], 12
+    full = oracle.topk(terms, len(corpus))
+    want = [
+        (d, round(s, 6)) for d, s in full if docs_meta.get(d) == "en"
+    ][:k]
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_filtered(
+            spark, h, terms, k, "lang = 'en'"
+        ).collect()
+    ]
+    assert got == want
+    # empty filter -> empty result, no crash
+    assert (
+        Q.bm25_topk_filtered(spark, h, terms, k, "lang = 'zz'").count() == 0
+    )
+
+
 def test_phrase_requires_positions(spark, tmp_path):
     out = str(tmp_path / "plain")
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)

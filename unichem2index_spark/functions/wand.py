@@ -92,6 +92,7 @@ def wand_topk(
     avgdl: float,
     k: int,
     deleted: frozenset[int] | set[int] | None = None,
+    allowed: frozenset[int] | set[int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) over the given term cursors.
 
@@ -99,6 +100,11 @@ def wand_topk(
     postings are still in the blocks (until compaction) but they are
     skipped at evaluation, never entering the top-k. Bound sums may still
     include them; that only loosens pruning, never correctness.
+
+    ``allowed``: when not None, only these doc_ids may enter the top-k —
+    the ES bool-filter / Lucene per-segment filter-bitset analog. Like
+    ``deleted`` it is applied at evaluation time; scoring stats are
+    untouched (ES filter contexts don't affect relevance).
 
     Returns sorted by (score desc, doc_id asc).
     """
@@ -158,7 +164,9 @@ def wand_topk(
                     if t.cur_doc() < target:
                         t.advance_to(target)
                 continue
-            if pivot_doc in deleted:
+            if pivot_doc in deleted or (
+                allowed is not None and pivot_doc not in allowed
+            ):
                 for t in live:
                     if t.cur_doc() == pivot_doc:
                         t.advance_to(pivot_doc + 1)

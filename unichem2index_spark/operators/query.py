@@ -421,20 +421,104 @@ def bm25_topk_batch(
     )
 
 
+def bm25_topk_filtered(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    predicate: str,
+) -> DataFrame:
+    """BM25 top-k restricted to docs matching ``predicate`` (a SQL
+    expression over the docs table's metadata columns: lang, source,
+    doclen) — the ES bool query's ``must: match / filter: term`` shape,
+    the first compound query an ES user writes.
+
+    ES semantics preserved: the filter gates CANDIDATES only; idf/avgdl
+    and per-doc scores are computed over the whole index, so a doc's
+    score is identical with and without the filter.
+
+    Scale shape: the allowed-id set is computed as a DataFrame
+    (docs-table filter, tombstones already anti-joined) and cogrouped
+    per shard into the WAND kernel — the Lucene per-segment filter
+    bitset analog; nothing reaches the driver. Per-shard memory is
+    O(matching docs in shard): right for selective filters (the ES
+    filter-context use case). For broad filters prefer the unfiltered
+    query + downstream join — same answer, no bitset.
+    """
+    uniq = sorted(set(terms))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if not idfs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
+        *_WAND_COLS
+    )
+    # docs() already drops tombstoned ids, so the allowed set subsumes
+    # the deletes cogroup of the unfiltered path.
+    allowed = (
+        index.docs(spark)
+        .where(predicate)
+        .select(
+            (F.col("doc_id") % index.n_shards).cast("int").alias("shard"),
+            "doc_id",
+        )
+    )
+    avgdl = index.avgdl
+    use_stored = not index.multi_gen
+
+    def fn(pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        allow = frozenset(int(x) for x in allow_pdf["doc_id"])
+        cursors = [
+            _cursors_from_group(
+                grp, str(term), idfs[str(term)], avgdl, use_stored
+            )
+            for term, grp in pdf.groupby("term", sort=True)
+        ]
+        top = wand_topk(cursors, avgdl, k, allowed=allow)
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    per_shard = (
+        seg.groupBy("shard")
+        .cogroup(allowed.groupBy("shard"))
+        .applyInPandas(fn, TOPK_SCHEMA)
+    )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact-phrase top-k over a positional index
 # --------------------------------------------------------------------------
 def _phrase_shard_fn(
-    phrase: list[str], idfs: dict[str, float], avgdl: float, k: int
+    phrase: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    slop: int = 0,
 ):
-    """Per-shard exact-phrase matcher + BM25 scorer.
+    """Per-shard phrase matcher + BM25 scorer.
 
     Decodes the phrase terms' postings WITH positions, intersects the doc
-    sets, then verifies adjacency by intersecting position sets shifted by
-    the term's offset in the phrase (the Lucene PhraseQuery algorithm).
-    Matching docs score as a plain BM25 bag over the unique phrase terms
-    (current stats), so results agree with the SQL oracle's
-    phrase-filter + BM25 formulation exactly.
+    sets, then verifies adjacency by chaining position sets: a position q
+    of term i+1 survives iff some surviving position p of term i has
+    p < q <= p + 1 + slop (the Lucene PhraseQuery algorithm; slop=0 is
+    exact adjacency, slop=s allows up to s extra tokens between EACH
+    adjacent pair, in order). Matching docs score as a plain BM25 bag
+    over the unique phrase terms (current stats), so slop=0 results
+    agree with the SQL oracle's phrase-filter + BM25 formulation
+    exactly.
     """
     uniq = sorted(set(phrase))
 
@@ -478,9 +562,12 @@ def _phrase_shard_fn(
             if doc in deleted:
                 continue
             live = set(post[phrase[0]][doc][2])
-            for off, t in enumerate(phrase[1:], 1):
-                ps = set(post[t][doc][2])
-                live = {p for p in live if p + off in ps}
+            for t in phrase[1:]:
+                nxt = set()
+                for q in post[t][doc][2]:
+                    if any(q - d in live for d in range(1, slop + 2)):
+                        nxt.add(q)
+                live = nxt
                 if not live:
                     break
             if not live:
@@ -501,10 +588,15 @@ def _phrase_shard_fn(
 
 
 def phrase_topk(
-    spark: SparkSession, index: IndexHandle, phrase: list[str], k: int
+    spark: SparkSession,
+    index: IndexHandle,
+    phrase: list[str],
+    k: int,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact-phrase BM25 top-k: docs containing ``phrase`` as consecutive
-    tokens, ranked by BM25 over the phrase's unique terms.
+    """Phrase BM25 top-k: docs containing ``phrase`` as consecutive
+    tokens (``slop`` extra tokens allowed between each adjacent pair —
+    ES match_phrase slop), ranked by BM25 over the phrase's unique terms.
 
     Beyond-reference capability: ES answers match_phrase by default on
     the index the reference creates (extractor/loader.go:121) though the
@@ -536,7 +628,7 @@ def phrase_topk(
         "gen", "shard", "term", "block_id", "doc_gaps", "tfs", "dls",
         "positions",
     )
-    fn = _phrase_shard_fn(phrase, idfs, index.avgdl, k)
+    fn = _phrase_shard_fn(phrase, idfs, index.avgdl, k, slop=slop)
     if index.store.exists("deletes"):
         per_shard = (
             seg.groupBy("shard")

@@ -71,6 +71,35 @@ LIMIT {k}
 """
 
 
+def bm25_filtered_sql(terms: list[str], k: int, where: str) -> str:
+    """ES bool (match + filter) analog: candidates restricted by a
+    metadata predicate, stats/scores computed over the WHOLE corpus
+    (filter contexts don't affect relevance)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+    AND p.doc_id IN (SELECT doc_id FROM documents WHERE {where})
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def phrase_sql(phrase: list[str], k: int) -> str:
     """Exact-phrase BM25: the phrase filter is a substring match over the
     space-joined token list (space-delimited needle with sentinel spaces ==
