@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # -- text analysis ---------------------------------------------------
         "lang_id": _wrap(textstats.lang_id),
+        "doclen_percentiles": _wrap(textstats.doclen_percentiles),
         "quality_score": _wrap(textstats.quality_score),
         "token_counts": _wrap(textstats.token_counts),
         "doc_fingerprint": _wrap(textstats.doc_fingerprint),
@@ -414,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": oracles.EMBEDDING_NEARDUP,
         # cosine_topk_lsh: rows-only (approximate recall by design)
         "lang_id": oracles.LANG_ID,
+        "doclen_percentiles": oracles.DOCLEN_PERCENTILES,
         "quality_score": oracles.QUALITY_SCORE,
         "token_counts": oracles.TOKEN_COUNTS,
         "doc_fingerprint": oracles.DOC_FINGERPRINT,

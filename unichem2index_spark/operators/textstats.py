@@ -96,6 +96,28 @@ def token_counts(spark: SparkSession, t) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doclen_percentiles(spark: SparkSession, t) -> DataFrame:
+    """ES `percentiles` aggregation analog over document length (the
+    corpus-shape summary every index operator looks at first).
+
+    Exact interpolated percentiles via Spark's `percentile` — the same
+    linear (n-1)*q interpolation DuckDB's quantile_cont uses, so the
+    oracle is value-hash identical. At 100 TB swap in
+    `approx_percentile` (t-digest, single-pass, mergeable — what ES
+    itself computes); the exact form here doubles as its oracle."""
+    dl = t["documents"].select(
+        F.size(tokens_col("text")).cast("long").alias("doclen")
+    )
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(doclen, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(doclen, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(doclen, 0.99)"), 6).alias("p99"),
+        F.min("doclen").alias("min_doclen"),
+        F.max("doclen").alias("max_doclen"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, t) -> DataFrame:
     """Position-weighted rolling fingerprint over dense token ids —
     order-sensitive, engine-identical integer math (functions.hashing)."""

@@ -156,6 +156,17 @@ DOC_LENGTHS = f"""
 SELECT doc_id, len({TOKS}) AS doclen FROM documents ORDER BY doc_id
 """
 
+DOCLEN_PERCENTILES = f"""
+WITH dl AS (SELECT len({TOKS}) AS doclen FROM documents)
+SELECT count(*) AS n_docs,
+       round(quantile_cont(doclen, 0.5), 6) AS p50,
+       round(quantile_cont(doclen, 0.9), 6) AS p90,
+       round(quantile_cont(doclen, 0.99), 6) AS p99,
+       min(doclen) AS min_doclen,
+       max(doclen) AS max_doclen
+FROM dl
+"""
+
 POSTINGS_SAMPLE = f"""
 WITH post AS (
   SELECT doc_id, term, count(*) AS tf FROM (
