@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text analysis ---------------------------------------------------
         "lang_id": _wrap(textstats.lang_id),
         "doclen_percentiles": _wrap(textstats.doclen_percentiles),
+        "significant_terms": _wrap(textstats.significant_terms),
+        "term_suggest": _wrap(textstats.term_suggest),
         "quality_score": _wrap(textstats.quality_score),
         "token_counts": _wrap(textstats.token_counts),
         "doc_fingerprint": _wrap(textstats.doc_fingerprint),
@@ -416,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         # cosine_topk_lsh: rows-only (approximate recall by design)
         "lang_id": oracles.LANG_ID,
         "doclen_percentiles": oracles.DOCLEN_PERCENTILES,
+        "significant_terms": oracles.SIGNIFICANT_TERMS,
+        "term_suggest": oracles.TERM_SUGGEST,
         "quality_score": oracles.QUALITY_SCORE,
         "token_counts": oracles.TOKEN_COUNTS,
         "doc_fingerprint": oracles.DOC_FINGERPRINT,

@@ -118,6 +118,88 @@ def doclen_percentiles(spark: SparkSession, t) -> DataFrame:
     )
 
 
+def significant_terms(
+    spark: SparkSession, t, where: str = "lang = 'de'", size: int = 25,
+    min_fg_df: int = 3,
+) -> DataFrame:
+    """ES `significant_terms` aggregation analog: terms overrepresented in
+    a foreground subset (docs matching ``where``) vs the whole corpus,
+    scored with ES's default JLH heuristic
+    ``(fgPct - bgPct) * fgPct / bgPct`` over document frequencies.
+
+    Scale shape: one distinct-(doc, term) explode (the postings set), two
+    hash aggs, one equi-join on term — foreground stats are a vocabulary
+    subset, so AQE broadcasts them while small and shuffle-joins a
+    web-scale vocabulary. ``min_fg_df`` is ES's min_doc_count guard
+    against one-doc flukes."""
+    d = t["documents"]
+    tokset = d.select(
+        "doc_id", "lang", "source", F.explode(tokens_col("text")).alias("term")
+    ).distinct()
+    n_bg = d.count()
+    n_fg = d.where(where).count()
+    if n_fg == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+    bg = tokset.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    fg = (
+        tokset.where(where)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_df"))
+        .where(F.col("fg_df") >= min_fg_df)
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_bg))
+    return (
+        fg.join(bg, "term")
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round((fg_pct - bg_pct) * fg_pct / bg_pct, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )
+
+
+def term_suggest(
+    spark: SparkSession, t, query_term: str = "merg", max_dist: int = 2,
+    size: int = 10,
+) -> DataFrame:
+    """ES term-suggester analog: vocabulary terms within ``max_dist``
+    Levenshtein edits of the query, ranked (dist asc, df desc, term asc).
+
+    Scale shape: the vocabulary+df agg is the only shuffle; the edit
+    distance runs map-side against ONE literal (JVM levenshtein) behind a
+    length-window pre-filter, so no all-pairs anything. Batch suggesting
+    many misspellings would block on (length, first char) and broadcast
+    the query list — same plan family."""
+    d = t["documents"]
+    vocab = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qlen = len(query_term)
+    return (
+        vocab.where(
+            (F.length("term") >= qlen - max_dist)
+            & (F.length("term") <= qlen + max_dist)
+        )
+        .select(
+            "term",
+            "df",
+            F.levenshtein(F.col("term"), F.lit(query_term)).alias("dist"),
+        )
+        .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(size)
+    )
+
+
 def doc_fingerprint(spark: SparkSession, t) -> DataFrame:
     """Position-weighted rolling fingerprint over dense token ids —
     order-sensitive, engine-identical integer math (functions.hashing)."""

@@ -156,6 +156,43 @@ DOC_LENGTHS = f"""
 SELECT doc_id, len({TOKS}) AS doclen FROM documents ORDER BY doc_id
 """
 
+SIGNIFICANT_TERMS = f"""
+WITH tokset AS (
+  SELECT DISTINCT doc_id, lang, unnest({TOKS}) AS term FROM documents
+),
+n AS (
+  SELECT (SELECT count(*) FROM documents) AS n_bg,
+         (SELECT count(*) FROM documents WHERE lang = 'de') AS n_fg
+),
+bg AS (SELECT term, count(*) AS bg_df FROM tokset GROUP BY term),
+fg AS (
+  SELECT term, count(*) AS fg_df FROM tokset WHERE lang = 'de'
+  GROUP BY term HAVING count(*) >= 3
+)
+SELECT f.term, f.fg_df, b.bg_df,
+       round(
+         (CAST(f.fg_df AS DOUBLE) / n.n_fg - CAST(b.bg_df AS DOUBLE) / n.n_bg)
+         * (CAST(f.fg_df AS DOUBLE) / n.n_fg)
+         / (CAST(b.bg_df AS DOUBLE) / n.n_bg), 6) AS score
+FROM fg f JOIN bg b USING (term) CROSS JOIN n
+ORDER BY score DESC, f.term ASC
+LIMIT 25
+"""
+
+TERM_SUGGEST = f"""
+WITH vocab AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term
+)
+SELECT term, df, levenshtein(term, 'merg') AS dist
+FROM vocab
+WHERE length(term) BETWEEN 2 AND 6
+  AND levenshtein(term, 'merg') BETWEEN 1 AND 2
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 10
+"""
+
 DOCLEN_PERCENTILES = f"""
 WITH dl AS (SELECT len({TOKS}) AS doclen FROM documents)
 SELECT count(*) AS n_docs,
