@@ -49,6 +49,35 @@ def test_doc_ids_dense_rank_any_parallelism(spark, webtext, parts):
     assert [got[u] for u in urls] == list(range(len(urls)))
 
 
+def test_doc_ids_degenerate_keyspaces(spark):
+    """Bucket-boundary edge cases: all-identical keys (every boundary
+    collapses -> one bucket), tiny inputs, and an empty input."""
+    from unichem2index_spark.operators.ingest import dedup_and_assign_doc_ids
+
+    # all rows share one key: dedup keeps exactly one row, doc_id 0
+    same = spark.createDataFrame(
+        [("k", i) for i in range(50)], "url string, v long"
+    )
+    out = dedup_and_assign_doc_ids(same, key="url", ts_col="v").collect()
+    assert len(out) == 1 and out[0].doc_id == 0 and out[0].v == 49
+
+    # two distinct keys, heavy duplication
+    two = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", i) for i in range(30)],
+        "url string, v long",
+    )
+    got = {
+        r.url: (r.doc_id, r.v)
+        for r in dedup_and_assign_doc_ids(two, key="url", ts_col="v").collect()
+    }
+    assert got == {"a": (0, 29), "b": (1, 29)}
+
+    # empty input: empty output with the doc_id column present
+    empty = spark.createDataFrame([], "url string, v long")
+    eout = dedup_and_assign_doc_ids(empty, key="url", ts_col="v")
+    assert eout.count() == 0 and "doc_id" in eout.columns
+
+
 def test_dedup_latest_by_url(spark):
     rows = gen_webtext(20, seed=1)
     dup = rows + [dict(rows[3], text="OLD", html=None)]
