@@ -78,6 +78,76 @@ def test_doc_ids_degenerate_keyspaces(spark):
     assert eout.count() == 0 and "doc_id" in eout.columns
 
 
+def test_doc_ids_null_keys_kept_once(spark, monkeypatch):
+    """ADVICE r3 (medium): null keys must form ONE kept group with a dense
+    doc_id — previously every null-key row was silently dropped and later
+    buckets' offsets overshot. Checked on BOTH the small-corpus (single
+    bucket) and bucketed paths."""
+    from unichem2index_spark.operators import ingest
+
+    rows = [(None, i) for i in range(5)] + [
+        ("", 1), ("", 2), ("a", 1), ("b", 1), ("b", 9)
+    ]
+    df = spark.createDataFrame(rows, "url string, v long")
+    for small in (10**9, 0):  # small path / forced bucketed path
+        monkeypatch.setattr(ingest, "SMALL_CORPUS_ROWS", small)
+        out = ingest.dedup_and_assign_doc_ids(
+            df.repartition(3), key="url", ts_col="v"
+        ).collect()
+        got = {r.url: (r.doc_id, r.v) for r in out}
+        assert len(out) == 4  # null group, "", "a", "b" — each exactly once
+        # sort asc nulls-first: null rank 0, then "", "a", "b"
+        assert got[None] == (0, 4)
+        assert got[""] == (1, 2)
+        assert got["a"] == (2, 1)
+        assert got["b"] == (3, 9)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_doc_ids_bucketed_path_rank_identity(spark, webtext, parts, monkeypatch):
+    """Force the full bucketed path (boundaries + per-bucket counts) on a
+    small corpus: doc_id == rank of url under any parallelism."""
+    from unichem2index_spark.operators import ingest
+
+    monkeypatch.setattr(ingest, "SMALL_CORPUS_ROWS", 0)
+    df = webtext.repartition(parts).select("url", "lang")
+    got = {
+        r.url: r.doc_id
+        for r in ingest.assign_doc_ids(df, key="url").select("url", "doc_id").collect()
+    }
+    urls = sorted(got)
+    assert [got[u] for u in urls] == list(range(len(urls)))
+
+
+def test_doc_ids_cross_batch_state(spark, monkeypatch):
+    """Arrow batches of 7 rows force the keep-first/rank state (bucket,
+    key, next-id) to carry across MANY batch boundaries, with duplicate
+    runs straddling them."""
+    from unichem2index_spark.operators import ingest
+
+    monkeypatch.setattr(ingest, "SMALL_CORPUS_ROWS", 0)
+    rows = []
+    for i in range(120):
+        for rep in range(i % 4 + 1):  # variable-length duplicate runs
+            rows.append((f"k{i:04d}", rep))
+    df = spark.createDataFrame(rows, "url string, v long")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = ingest.dedup_and_assign_doc_ids(
+            df.repartition(5), key="url", ts_col="v"
+        ).collect()
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    got = {r.url: (r.doc_id, r.v) for r in out}
+    assert len(got) == 120
+    for i in range(120):
+        assert got[f"k{i:04d}"] == (i, i % 4)
+
+
 def test_dedup_latest_by_url(spark):
     rows = gen_webtext(20, seed=1)
     dup = rows + [dict(rows[3], text="OLD", html=None)]

@@ -76,6 +76,19 @@ def dedup_latest_by_url(webtext: DataFrame) -> DataFrame:
     )
 
 
+# Null keys are kept as ONE key group, represented by this sentinel in
+# both the kept-count agg and the keep-first pass (a real key equal to the
+# sentinel would merge with the null group — consistently in BOTH passes,
+# so the dense-id invariant still holds; the collision is a \x00-prefixed
+# URL, not a thing).
+_NULL_KEY = "\x00<null>"
+
+# Below this row count the corpus fits one sort partition comfortably:
+# skip boundary computation AND the per-bucket count job (bucket 0 only,
+# offset 0) — two fewer Spark jobs on the small-corpus path.
+SMALL_CORPUS_ROWS = 200_000
+
+
 def dedup_and_assign_doc_ids(
     df: DataFrame,
     key: str = "url",
@@ -86,23 +99,30 @@ def dedup_and_assign_doc_ids(
     over PRECOMPUTED order-preserving buckets (no sampled range shuffle,
     no full-corpus persists).
 
-    1. Boundary keys from ONE pruned sample of the key column (driver
-       holds <=200k keys, never row data). bucket(k) = #boundaries <= k
-       — a pure, order-preserving function of the key, identical across
+    1. ONE pruned pass (mapInPandas over the key column only — parquet
+       column pruning drops the extract UDF) computes the row count AND a
+       deterministic per-partition stride sample (bounded memory, doubling
+       stride) in the same job. Boundary keys come from the weighted
+       sample quantiles; bucket(k) = #boundaries <= k — a pure,
+       order-preserving function of the key, identical across
        re-evaluations, so nothing needs persisting (the r2 design's two
        DISK_ONLY full-corpus persists existed ONLY to freeze
        ``repartitionByRange``'s sampled boundaries and to feed its
        bound-sampling job without re-running the html extract).
     2. ONE pruned agg job: countDistinct(key) per bucket == kept rows per
        bucket (dedup keeps exactly one row per distinct key) -> exclusive
-       prefix-sum offsets in bucket order (tiny driver list). Reads only
-       the key column — parquet column pruning drops the extract UDF.
+       prefix-sum offsets in bucket order (tiny driver list). Null keys
+       count through the ``_NULL_KEY`` sentinel so the agg and the
+       keep-first pass agree that the null group is KEPT (one row).
+       Skipped entirely below ``SMALL_CORPUS_ROWS`` (single bucket).
     3. ONE full pass: hash-repartition on the bucket id (same-key rows
        co-locate; bucket->partition placement is irrelevant because ids
        come from per-BUCKET offsets), sortWithinPartitions(key asc, ts
        desc, rest asc) — order-preserving bucketing makes buckets
-       contiguous under the key sort — then a streaming
-       keep-first-per-key + per-bucket dense index + offsets[bucket].
+       contiguous under the key sort — then a VECTORIZED
+       keep-first-per-key + per-bucket dense index + offsets[bucket]
+       (shift/compare + cumsum per Arrow batch, state carried across
+       batches; no per-row Python in the build hot path).
 
     Equals ``row_number() OVER (ORDER BY key) - 1`` over the deduped set
     under ANY parallelism — the property BM25 rank-identity needs
@@ -119,6 +139,8 @@ def dedup_and_assign_doc_ids(
     hash-placement balanced (max bucket = 1/(4P) of the keyspace by
     construction of the quantile boundaries).
     """
+    import numpy as np
+
     if ts_col is None:
         ts_col = key  # degenerate: no dedup ordering column
     spark = df.sparkSession
@@ -131,9 +153,39 @@ def dedup_and_assign_doc_ids(
             n_part = spark.sparkContext.defaultParallelism
     n_buckets = max(1, n_part * 4)
 
-    # -- 1. boundary keys (pruned scan; extract UDF projected away) -------
+    # -- 1. fused count + boundary sample (one pruned job) ----------------
     keys_only = df.select(F.coalesce(F.col(key), F.lit("")).alias(key))
-    n_rows = keys_only.count()
+    # per-partition sample cap: aim for ~50 keys per bucket overall
+    try:
+        n_input_parts = max(1, keys_only.rdd.getNumPartitions())
+    except Exception:
+        n_input_parts = max(1, spark.sparkContext.defaultParallelism)
+    cap = max(64, (50 * n_buckets) // n_input_parts)
+
+    def count_and_sample(batches):
+        # Deterministic stride sample: keep rows at partition positions
+        # 0, s, 2s, ...; when the buffer exceeds 2*cap, halve it (keep
+        # every other element == double the stride). Bounded memory,
+        # uniform spread (better than Bernoulli for quantiles), no RNG.
+        n = 0
+        stride = 1
+        kept: list = []
+        for pdf in batches:
+            vals = pdf[key].to_numpy(dtype=object)
+            idx = np.arange(n, n + len(vals))
+            kept.extend(vals[idx % stride == 0].tolist())
+            n += len(vals)
+            while len(kept) > 2 * cap:
+                kept = kept[::2]
+                stride *= 2
+        yield pd.DataFrame(
+            {"n": [n], "stride": [stride], "keys": [kept]},
+        )
+
+    parts = keys_only.mapInPandas(
+        count_and_sample, "n long, stride long, keys array<string>"
+    ).collect()
+    n_rows = sum(r.n for r in parts)
     if n_rows == 0:
         out_schema = T.StructType(
             [T.StructField("doc_id", T.LongType(), False)]
@@ -142,14 +194,26 @@ def dedup_and_assign_doc_ids(
         out = spark.createDataFrame([], out_schema)
         out._u2i_persisted = None  # type: ignore[attr-defined]
         return out
-    frac = min(1.0, (50.0 * n_buckets) / n_rows)
-    sample = sorted(
-        r[0] for r in keys_only.sample(fraction=frac, seed=42).collect()
-    )
+
     bounds: list[str] = []
-    if sample:
-        step = max(1, len(sample) // n_buckets)
-        bounds = sorted({sample[i] for i in range(step, len(sample), step)})
+    offsets: dict[int, int] = {0: 0}
+    if n_rows > SMALL_CORPUS_ROWS:
+        # weighted quantile boundaries: each sampled key represents
+        # `stride` rows of its partition
+        wk = sorted(
+            (k, int(r.stride)) for r in parts for k in r.keys
+        )
+        total_w = float(sum(w for _, w in wk))
+        step_w = total_w / n_buckets
+        bset = set()
+        acc_w = 0.0
+        nxt_cut = step_w
+        for k, w in wk:
+            acc_w += w
+            if acc_w >= nxt_cut:
+                bset.add(k)
+                nxt_cut += step_w
+        bounds = sorted(bset)
 
     @pandas_udf(T.IntegerType())
     def bucket_of(keys: pd.Series) -> pd.Series:
@@ -164,21 +228,20 @@ def dedup_and_assign_doc_ids(
     bucketed = df.withColumn("_bkt", bucket_of(F.col(key)))
 
     # -- 2. kept-count per bucket -> exclusive prefix-sum offsets ---------
-    # countDistinct ignores NULL keys but keep-first retains a null-key
-    # group — count through a non-colliding sentinel so both agree.
-    counted_key = F.coalesce(F.col(key), F.lit("\x00<null>"))
-    counts = {
-        r._bkt: r.n
-        for r in bucketed.select("_bkt", counted_key.alias("_k"))
-        .groupBy("_bkt")
-        .agg(F.countDistinct("_k").alias("n"))
-        .collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
+    if bounds:
+        counted_key = F.coalesce(F.col(key), F.lit(_NULL_KEY))
+        counts = {
+            r._bkt: r.n
+            for r in bucketed.select("_bkt", counted_key.alias("_k"))
+            .groupBy("_bkt")
+            .agg(F.countDistinct("_k").alias("n"))
+            .collect()
+        }
+        offsets = {}
+        acc = 0
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
 
     # -- 3. one full pass: shuffle on bucket, sort, fuse dedup+rank -------
     other = [c for c in df.columns if c not in (key, ts_col)]
@@ -190,26 +253,48 @@ def dedup_and_assign_doc_ids(
     )
 
     def keep_first_with_rank(batches):
-        cur_bkt = None
+        # Vectorized per Arrow batch; (prev_bkt, prev_key, nxt) carry the
+        # boundary state between batches of the same sorted partition.
+        # Null keys become the sentinel so consecutive nulls compare
+        # EQUAL (one kept group) — plain None != None is False in numpy
+        # object compares per-element but pandas shift turns it into NaN
+        # where != is always True; the sentinel sidesteps both.
+        prev_bkt = -1  # real buckets are >= 0
+        prev_key: object = None
         nxt = 0
-        last_key = None
         for pdf in batches:
-            keep_mask = []
-            ids = []
-            for k, b in zip(pdf[key], pdf["_bkt"]):
-                if b != cur_bkt:
-                    cur_bkt = int(b)
-                    nxt = offsets[cur_bkt]
-                    last_key = None
-                if k != last_key:
-                    keep_mask.append(True)
-                    ids.append(nxt)
-                    nxt += 1
-                    last_key = k
+            n = len(pdf)
+            if n == 0:
+                continue
+            kv = pdf[key].fillna(_NULL_KEY).to_numpy(dtype=object)
+            bv = pdf["_bkt"].to_numpy()
+            new_bkt = np.empty(n, dtype=bool)
+            new_bkt[0] = bool(bv[0] != prev_bkt)
+            new_bkt[1:] = bv[1:] != bv[:-1]
+            keep = np.empty(n, dtype=bool)
+            keep[0] = bool(new_bkt[0] or kv[0] != prev_key)
+            keep[1:] = new_bkt[1:] | (kv[1:] != kv[:-1])
+            kc = keep.astype(np.int64)
+            kept_before = np.cumsum(kc) - kc  # kept strictly before row i
+            # segment = maximal run of one bucket; base id at each start
+            start_mask = new_bkt.copy()
+            start_mask[0] = True
+            start_idx = np.flatnonzero(start_mask)
+            sb = np.empty(len(start_idx), dtype=np.int64)
+            for j, p in enumerate(start_idx):
+                if p == 0 and not new_bkt[0]:
+                    sb[j] = nxt  # continuing the previous batch's bucket
                 else:
-                    keep_mask.append(False)
-            kept = pdf[pd.Series(keep_mask, index=pdf.index)].copy()
-            kept.insert(0, "doc_id", ids)
+                    sb[j] = offsets[int(bv[p])] - kept_before[p]
+            seg_of_row = (
+                np.searchsorted(start_idx, np.arange(n), side="right") - 1
+            )
+            ids_all = sb[seg_of_row] + kept_before
+            nxt = int(sb[-1] + kept_before[-1] + kc[-1])
+            prev_bkt = int(bv[-1])
+            prev_key = kv[-1]
+            kept = pdf[keep].copy()
+            kept.insert(0, "doc_id", ids_all[keep])
             yield kept.drop(columns=["_bkt"])
 
     out = ranged.mapInPandas(keep_first_with_rank, out_schema)
