@@ -133,6 +133,97 @@ def test_phrase_slop_matches_oracle(spark, pos_index):
         assert exact_docs <= slop_docs
 
 
+def _make_ptp(term, doc_pos, block_size=8, stats=None, dl=10):
+    """Encode one term's positional blocks. doc_pos: {doc_id: [positions]}
+    (sorted by doc_id)."""
+    from unichem2index_spark.functions.codec import (
+        chunk_postings,
+        encode_positions,
+    )
+    from unichem2index_spark.functions.phrase import PosTermPostings
+
+    ids = sorted(doc_pos)
+    tfs = [len(doc_pos[d]) for d in ids]
+    dls = [dl] * len(ids)
+    pos_lists = [doc_pos[d] for d in ids]
+    enc, maxids = [], []
+    for i, blk in enumerate(chunk_postings(ids, tfs, dls, block_size)):
+        gaps_b, tfs_b, dls_b = blk.encode()
+        lo = i * block_size
+        enc.append(
+            (gaps_b, tfs_b, dls_b,
+             encode_positions(pos_lists[lo : lo + block_size]))
+        )
+        maxids.append(blk.doc_ids[-1])
+    return PosTermPostings(
+        term=term, max_doc_ids=maxids, enc_blocks=enc, df=len(ids),
+        stats=stats,
+    )
+
+
+def test_phrase_block_skipping_stopword():
+    """Verdict r3 item 2: a phrase containing the corpus's highest-df term
+    must NOT decode that term's full per-shard postings — candidates come
+    from the rarest term and other terms are probed via per-block
+    max_doc_id. 2000-doc stopword, 2-doc rare term, block_size=8: at most
+    a handful of the stopword's 250 blocks may decode."""
+    from unichem2index_spark.functions.phrase import (
+        DecodeStats,
+        phrase_match_topk,
+    )
+
+    stats = DecodeStats()
+    n = 2000
+    stop = _make_ptp("the", {d: [0, 5] for d in range(n)}, stats=stats)
+    rare = _make_ptp("zebra", {100: [1], 1500: [1]}, stats=stats)
+    idfs = {"the": 0.01, "zebra": 5.0}
+    top = phrase_match_topk(
+        {"the": stop, "zebra": rare}, ["the", "zebra"], idfs, 10.0, 10
+    )
+    assert [d for d, _ in top] == [100, 1500]
+    # the stopword decoded only the blocks its 2 candidates touch
+    assert stats.postings["zebra"] == 2
+    assert stats.postings["the"] <= 4 * 8  # <= 4 blocks of 8 << df 2000
+    assert stats.positions["the"] <= 4 * 16
+    # no-match phrase: zero positions decoded anywhere
+    stats2 = DecodeStats()
+    stop2 = _make_ptp("the", {d: [0] for d in range(n)}, stats=stats2)
+    rare2 = _make_ptp("zebra", {100: [5]}, stats=stats2)  # not adjacent
+    top2 = phrase_match_topk(
+        {"the": stop2, "zebra": rare2}, ["the", "zebra"], idfs, 10.0, 10
+    )
+    assert top2 == []
+    assert stats2.postings["the"] <= 2 * 8
+
+
+def test_phrase_batch_rank_identity(spark, pos_index):
+    """phrase_topk_batch == phrase_topk run one-by-one (rank, doc, score),
+    including slop variants and a no-hit phrase in the same batch."""
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    batch = [
+        {"query_id": 0, "phrase": ["merge", "group"], "k": 10},
+        {"query_id": 1, "phrase": ["the"], "k": 5},
+        {"query_id": 2, "phrase": ["part", "filter"], "k": 10},
+        {"query_id": 3, "phrase": ["merge", "group"], "k": 10, "slop": 2},
+        {"query_id": 4, "phrase": ["merge", "nosuchword"], "k": 10},
+    ]
+    got = [
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in Q.phrase_topk_batch(spark, h, batch).collect()
+    ]
+    exp = []
+    for q in batch:
+        rows = Q.phrase_topk(
+            spark, h, q["phrase"], q["k"], slop=q.get("slop", 0)
+        ).collect()
+        exp.extend(
+            (q["query_id"], i + 1, r.doc_id, r.score)
+            for i, r in enumerate(rows)
+        )
+    assert got == exp and len(got) > 10
+
+
 def test_bm25_filtered_matches_oracle(spark, pos_index):
     """ES bool filter semantics: candidates restricted, scores identical
     to the unfiltered query for surviving docs."""
@@ -215,9 +306,22 @@ def test_positions_survive_update_and_compact(spark, tmp_path):
     add_generation(spark, out, spark.createDataFrame(upd, schema=WEBTEXT_SCHEMA))
     h_upd = Q.IndexHandle.open(spark, out)
     assert h_upd.has_positions and h_upd.multi_gen
-    # phrase queries answer across generations (new gen carries positions)
-    upd_multi = Q.phrase_topk(spark, h_upd, ["the"], 8).collect()
-    assert len(upd_multi) == 8
+    # phrase queries answer across generations (new gen carries positions).
+    # Capture the full MATCH SET pre-compact: phrase membership depends
+    # only on positions, never on corpus stats, so compaction must
+    # preserve it exactly. (Scores DO drift at compaction by design:
+    # multi-gen stats still count tombstoned docs — the ES/Lucene
+    # deleted-docs-until-merge analog — while compact recomputes over
+    # live docs; test_compact_equals_fresh_build pins the post-compact
+    # scores to a fresh build.)
+    pre_compact_matches = {
+        p: sorted(
+            r.doc_id
+            for r in Q.phrase_topk(spark, h_upd, list(p), 10**6).collect()
+        )
+        for p in (("the", "merge"), ("the",))
+    }
+    assert len(pre_compact_matches[("the",)]) >= 10
 
     compact(spark, out)
     h = Q.IndexHandle.open(spark, out)
@@ -250,3 +354,8 @@ def test_positions_survive_update_and_compact(spark, tmp_path):
             for r in Q.phrase_topk(spark, fresh, phrase, 10).collect()
         ]
         assert got == exp and got, f"phrase {phrase}"
+        # compaction preserved the exact phrase-match set
+        post_matches = sorted(
+            r.doc_id for r in Q.phrase_topk(spark, h, phrase, 10**6).collect()
+        )
+        assert post_matches == pre_compact_matches[tuple(phrase)]

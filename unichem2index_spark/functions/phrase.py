@@ -1,0 +1,180 @@
+"""Positional phrase matching with block skipping (pure kernel; runs
+per doc-shard inside ``applyInPandas``).
+
+Lucene's ExactPhraseMatcher analog over our varbyte block layout (the
+phrase machinery the reference's ES index carries but never exercises —
+extractor/loader.go:121 creates it, loader.go:239-379 never issues a
+match_phrase). Strategy:
+
+* The candidate doc set is driven by the RAREST phrase term (shard-local
+  df), decoded in full — it is the intersection's upper bound.
+* Every other term is probed candidate-by-candidate through its per-block
+  ``max_doc_id`` metadata (monotone bisect, lo-anchored => galloping):
+  only blocks that can contain a candidate are decoded.
+* The positions blob is decoded ONLY for blocks holding a doc that
+  survived the doc-id intersection.
+
+A phrase containing a stopword-class term therefore decodes
+O(|candidates|) of that term's postings — never its full per-shard df.
+(The earlier design materialized every phrase term's postings AND
+positions per shard into dicts before intersecting: per-task memory
+O(sum df_shard(term) * positions), exactly what a "the quick" phrase
+must not cost.)
+
+``DecodeStats`` counts decoded postings/positions so tests can assert
+the skipping actually happens.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_left
+from dataclasses import dataclass, field
+
+from unichem2index_spark.functions.bm25 import score_term
+from unichem2index_spark.functions.codec import PostingBlock, decode_positions
+
+
+@dataclass
+class DecodeStats:
+    """Per-term decode counters (postings = doc entries, positions =
+    individual token positions)."""
+
+    postings: dict[str, int] = field(default_factory=dict)
+    positions: dict[str, int] = field(default_factory=dict)
+
+    def add_postings(self, term: str, n: int) -> None:
+        self.postings[term] = self.postings.get(term, 0) + n
+
+    def add_positions(self, term: str, n: int) -> None:
+        self.positions[term] = self.positions.get(term, 0) + n
+
+
+@dataclass
+class PosTermPostings:
+    """One term's positional posting blocks within one shard, ordered by
+    (gen, block_id) — doc_ids are globally increasing across the list
+    (generations append strictly larger ids; replaced docs are
+    tombstoned, not renumbered)."""
+
+    term: str
+    max_doc_ids: list[int]  # per block
+    enc_blocks: list[tuple[bytes, bytes, bytes, bytes]]  # gaps,tfs,dls,pos
+    df: int  # shard-local doc count (sum of block n_docs)
+    stats: DecodeStats | None = None
+    _blk: dict[int, PostingBlock] = field(default_factory=dict, repr=False)
+    _pos: dict[int, list[list[int]]] = field(default_factory=dict, repr=False)
+
+    def _block(self, bi: int) -> PostingBlock:
+        blk = self._blk.get(bi)
+        if blk is None:
+            gaps, tfs, dls, _ = self.enc_blocks[bi]
+            blk = PostingBlock.decode(bytes(gaps), bytes(tfs), bytes(dls))
+            self._blk[bi] = blk
+            if self.stats is not None:
+                self.stats.add_postings(self.term, len(blk.doc_ids))
+        return blk
+
+    def all_docs(self) -> dict[int, tuple[int, int]]:
+        """doc_id -> (tf, dl) over ALL blocks (used for the rarest term
+        only — it bounds the whole intersection)."""
+        out: dict[int, tuple[int, int]] = {}
+        for bi in range(len(self.enc_blocks)):
+            blk = self._block(bi)
+            for d, tf, dl in zip(blk.doc_ids, blk.tfs, blk.dls):
+                out[d] = (tf, dl)
+        return out
+
+    def lookup_many(self, sorted_ids: list[int]) -> dict[int, tuple[int, int]]:
+        """(tf, dl) for each candidate present in this term's postings.
+        Decodes only blocks whose [.., max_doc_id] range is hit by a
+        candidate; bisect anchored at the previous block index makes the
+        scan one forward pass (galloping)."""
+        out: dict[int, tuple[int, int]] = {}
+        bi = 0
+        n_blocks = len(self.enc_blocks)
+        for d in sorted_ids:
+            bi = bisect_left(self.max_doc_ids, d, bi)
+            if bi >= n_blocks:
+                break
+            blk = self._block(bi)
+            j = bisect_left(blk.doc_ids, d)
+            if j < len(blk.doc_ids) and blk.doc_ids[j] == d:
+                out[d] = (blk.tfs[j], blk.dls[j])
+        return out
+
+    def positions_of(self, doc_id: int) -> list[int]:
+        """Token positions of ``doc_id`` — decodes (and caches) the
+        positions blob of the ONE block containing it. Caller guarantees
+        the doc is present (it survived the doc-id intersection)."""
+        bi = bisect_left(self.max_doc_ids, doc_id)
+        plists = self._pos.get(bi)
+        if plists is None:
+            blk = self._block(bi)
+            blob = self.enc_blocks[bi][3]
+            plists = decode_positions(bytes(blob), blk.tfs)
+            self._pos[bi] = plists
+            if self.stats is not None:
+                self.stats.add_positions(self.term, sum(blk.tfs))
+        blk = self._block(bi)
+        return plists[bisect_left(blk.doc_ids, doc_id)]
+
+
+def phrase_match_topk(
+    posts: dict[str, PosTermPostings],
+    phrase: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    slop: int = 0,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) for one phrase within one shard.
+
+    Position semantics: a position q of phrase term i+1 survives iff some
+    surviving position p of term i has p < q <= p + 1 + slop — ordered,
+    per-adjacent-pair gaps. NOTE this is STRICTER than Lucene/ES
+    match_phrase slop (a total edit budget that also admits out-of-order
+    matches, e.g. slop=2 matches a reversed bigram in ES, never here);
+    slop=0 — exact consecutive phrase — is identical in both.
+
+    Matching docs score as a plain BM25 bag over the phrase's unique
+    terms, so slop=0 agrees with the SQL oracle's phrase-filter + BM25
+    formulation exactly. Returns (score desc, doc_id asc).
+    """
+    uniq = sorted(set(phrase))
+    if any(t not in posts for t in uniq):
+        return []
+    # 1. doc-id intersection, rarest term first (it bounds everything)
+    by_rarity = sorted(uniq, key=lambda t: (posts[t].df, t))
+    rare = by_rarity[0]
+    tfdl: dict[str, dict[int, tuple[int, int]]] = {rare: posts[rare].all_docs()}
+    cand = sorted(d for d in tfdl[rare] if d not in deleted)
+    for t in by_rarity[1:]:
+        if not cand:
+            return []
+        tfdl[t] = posts[t].lookup_many(cand)
+        cand = [d for d in cand if d in tfdl[t]]
+    # 2. positional verification, lazy per surviving candidate
+    out: list[tuple[int, float]] = []
+    for doc in cand:
+        live = set(posts[phrase[0]].positions_of(doc))
+        ok = bool(live)
+        for t in phrase[1:]:
+            nxt = {
+                q
+                for q in posts[t].positions_of(doc)
+                if any(q - d in live for d in range(1, slop + 2))
+            }
+            live = nxt
+            if not live:
+                ok = False
+                break
+        if not ok:
+            continue
+        dl = tfdl[rare][doc][1]
+        score = sum(
+            score_term(tfdl[t][doc][0], dl, avgdl, idfs[t]) for t in uniq
+        )
+        out.append((doc, score))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

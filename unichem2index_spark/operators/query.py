@@ -501,6 +501,29 @@ def bm25_topk_filtered(
 # --------------------------------------------------------------------------
 # Exact-phrase top-k over a positional index
 # --------------------------------------------------------------------------
+# The phrase kernels read exactly these columns: block_max_* metadata is
+# never needed (no score pruning — phrase match is a filter), but
+# max_doc_id + n_docs drive the block-skipping intersection.
+_PHRASE_COLS = [
+    "gen", "shard", "term", "block_id", "n_docs", "max_doc_id",
+    "doc_gaps", "tfs", "dls", "positions",
+]
+
+
+def _pos_postings_from_group(grp: pd.DataFrame, term: str):
+    from unichem2index_spark.functions.phrase import PosTermPostings
+
+    grp = grp.sort_values(["gen", "block_id"])
+    return PosTermPostings(
+        term=term,
+        max_doc_ids=[int(x) for x in grp["max_doc_id"]],
+        enc_blocks=list(
+            zip(grp["doc_gaps"], grp["tfs"], grp["dls"], grp["positions"])
+        ),
+        df=int(grp["n_docs"].sum()),
+    )
+
+
 def _phrase_shard_fn(
     phrase: list[str],
     idfs: dict[str, float],
@@ -508,21 +531,15 @@ def _phrase_shard_fn(
     k: int,
     slop: int = 0,
 ):
-    """Per-shard phrase matcher + BM25 scorer.
-
-    Decodes the phrase terms' postings WITH positions, intersects the doc
-    sets, then verifies adjacency by chaining position sets: a position q
-    of term i+1 survives iff some surviving position p of term i has
-    p < q <= p + 1 + slop (the Lucene PhraseQuery algorithm; slop=0 is
-    exact adjacency, slop=s allows up to s extra tokens between EACH
-    adjacent pair, in order). Matching docs score as a plain BM25 bag
-    over the unique phrase terms (current stats), so slop=0 results
-    agree with the SQL oracle's phrase-filter + BM25 formulation
-    exactly.
-    """
-    uniq = sorted(set(phrase))
+    """Per-shard phrase matcher + BM25 scorer — block-skipping kernel
+    (:mod:`unichem2index_spark.functions.phrase`): candidates from the
+    rarest term, other terms probed via per-block max_doc_id, positions
+    decoded only for docs surviving the id intersection. Per-task memory
+    is O(df_shard(rarest term)), not O(sum df_shard(all terms))."""
 
     def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import phrase_match_topk
+
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": [], "score": []})
         deleted = (
@@ -530,58 +547,15 @@ def _phrase_shard_fn(
             if len(del_pdf)
             else frozenset()
         )
-        from unichem2index_spark.functions.codec import (
-            PostingBlock,
-            decode_positions,
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = phrase_match_topk(
+            posts, phrase, idfs, avgdl, k, slop=slop, deleted=deleted
         )
-
-        # term -> doc_id -> (tf, dl, positions)
-        post: dict[str, dict[int, tuple[int, int, list[int]]]] = {}
-        for term, grp in pdf.groupby("term", sort=True):
-            grp = grp.sort_values(["gen", "block_id"])
-            d: dict[int, tuple[int, int, list[int]]] = {}
-            for gaps, btfs, bdls, bpos in zip(
-                grp["doc_gaps"], grp["tfs"], grp["dls"], grp["positions"]
-            ):
-                blk = PostingBlock.decode(bytes(gaps), bytes(btfs), bytes(bdls))
-                for doc, tf, dl, pl in zip(
-                    blk.doc_ids,
-                    blk.tfs,
-                    blk.dls,
-                    decode_positions(bytes(bpos), blk.tfs),
-                ):
-                    d[doc] = (tf, dl, pl)
-            post[str(term)] = d
-        if any(t not in post for t in phrase):
-            return pd.DataFrame({"doc_id": [], "score": []})
-        cand = set(post[phrase[0]])
-        for t in phrase[1:]:
-            cand &= post[t].keys()
-        out: list[tuple[int, float]] = []
-        for doc in cand:
-            if doc in deleted:
-                continue
-            live = set(post[phrase[0]][doc][2])
-            for t in phrase[1:]:
-                nxt = set()
-                for q in post[t][doc][2]:
-                    if any(q - d in live for d in range(1, slop + 2)):
-                        nxt.add(q)
-                live = nxt
-                if not live:
-                    break
-            if not live:
-                continue
-            dl = post[phrase[0]][doc][1]
-            score = sum(
-                bm25.score_term(post[t][doc][0], dl, avgdl, idfs[t])
-                for t in uniq
-            )
-            out.append((doc, score))
-        out.sort(key=lambda p: (-p[1], p[0]))
-        out = out[:k]
         return pd.DataFrame(
-            {"doc_id": [d for d, _ in out], "score": [s for _, s in out]}
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
 
     return fn
@@ -595,8 +569,13 @@ def phrase_topk(
     slop: int = 0,
 ) -> DataFrame:
     """Phrase BM25 top-k: docs containing ``phrase`` as consecutive
-    tokens (``slop`` extra tokens allowed between each adjacent pair —
-    ES match_phrase slop), ranked by BM25 over the phrase's unique terms.
+    tokens, ranked by BM25 over the phrase's unique terms.
+
+    ``slop`` allows up to that many extra tokens between EACH adjacent
+    pair, in order (per-pair ordered gaps). NOTE: stricter than ES
+    match_phrase slop, which is a total move budget that also admits
+    out-of-order matches (slop=2 matches a reversed bigram in ES, never
+    here); slop=0 — exact consecutive phrase — is identical in both.
 
     Beyond-reference capability: ES answers match_phrase by default on
     the index the reference creates (extractor/loader.go:121) though the
@@ -606,7 +585,10 @@ def phrase_topk(
     Scale shape — identical to :func:`bm25_topk_wand`: `term IN` pushed
     to the parquet scan (row-group pruning), per-shard match + local
     top-k inside one applyInPandas stage, n_shards*k candidate rows to
-    the global TakeOrderedAndProject. Tombstones cogroup per shard."""
+    the global TakeOrderedAndProject. Tombstones cogroup per shard.
+    Per-shard memory is bounded by the rarest term's postings (block
+    skipping), so a stopword in the phrase costs O(candidates), not its
+    full df."""
     if not index.has_positions:
         raise ValueError(
             "phrase_topk requires a positional index "
@@ -625,8 +607,7 @@ def phrase_topk(
     if any(t not in idfs for t in uniq):
         return spark.createDataFrame([], TOPK_SCHEMA)  # phrase can't match
     seg = index.segments(spark).where(F.col("term").isin(uniq)).select(
-        "gen", "shard", "term", "block_id", "doc_gaps", "tfs", "dls",
-        "positions",
+        *_PHRASE_COLS
     )
     fn = _phrase_shard_fn(phrase, idfs, index.avgdl, k, slop=slop)
     if index.store.exists("deletes"):
@@ -644,6 +625,113 @@ def phrase_topk(
         per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def phrase_topk_batch(
+    spark: SparkSession,
+    index: IndexHandle,
+    queries: list[dict],
+) -> DataFrame:
+    """Run a whole phrase-query set in ONE Spark job (the match_phrase
+    serving shape, mirroring :func:`bm25_topk_batch`).
+
+    ``queries``: [{"query_id": int, "phrase": [...], "k": int,
+    "slop": int (optional, default 0)}, ...]. Returns (query_id, rank,
+    doc_id, score), each query's top-k rank- and score-identical to
+    :func:`phrase_topk` run one-by-one (pytest rank-identity oracle).
+
+    Scale shape: segments scanned ONCE with `term IN (union of all
+    phrases' terms)`; per shard the block-skipping kernel runs per query
+    against shared :class:`PosTermPostings` cursors whose decoded-block
+    caches are reused across queries; then one global window per
+    query_id over <= n_shards * k candidate rows."""
+    from pyspark.sql import Window as W
+
+    if not index.has_positions:
+        raise ValueError(
+            "phrase_topk_batch requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    all_terms = sorted({t for q in queries for t in q["phrase"]})
+    out_schema = "query_id int, rank int, doc_id long, score double"
+    if not all_terms or not queries:
+        return spark.createDataFrame([], out_schema)
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(all_terms))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    qspec = [
+        (
+            int(q["query_id"]),
+            list(q["phrase"]),
+            int(q["k"]),
+            int(q.get("slop", 0)),
+        )
+        for q in queries
+    ]
+    avgdl = index.avgdl
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import phrase_match_topk
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        qids, dids, scores = [], [], []
+        for qid, phrase, k, slop in qspec:
+            if any(t not in idfs for t in phrase):
+                continue  # phrase can't match anywhere in the index
+            for d, s in phrase_match_topk(
+                posts, phrase, idfs, avgdl, k, slop=slop, deleted=deleted
+            ):
+                qids.append(qid)
+                dids.append(d)
+                scores.append(s)
+        return pd.DataFrame({"query_id": qids, "doc_id": dids, "score": scores})
+
+    seg = index.segments(spark).where(F.col("term").isin(all_terms)).select(
+        *_PHRASE_COLS
+    )
+    batch_schema = "query_id int, doc_id long, score double"
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, batch_schema)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), batch_schema
+        )
+    ks = {int(q["query_id"]): int(q["k"]) for q in queries}
+    k_df = spark.createDataFrame(
+        [(q, k) for q, k in ks.items()], "query_id int, k int"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(k_df), "query_id")
+        .where(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
     )
 
 
