@@ -258,6 +258,35 @@ def test_bm25_filtered_matches_oracle(spark, pos_index):
     )
 
 
+def test_bm25_filtered_mode_equivalence(spark, pos_index):
+    """Verdict r3 item 5: the bitset (allowed-set) and complement
+    (disallowed-set) plans must return identical top-k — auto picks by
+    measured selectivity, so broad predicates stop shipping a bitset of
+    nearly the whole shard."""
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    terms, k = ["the", "merge", "vector"], 12
+    preds = [
+        "lang = 'en'",        # whatever the corpus majority is
+        "doclen > 5",         # broad: nearly every doc
+        "doclen % 7 = 0",     # selective-ish
+        "lang = 'zz'",        # empty
+    ]
+    for pred in preds:
+        res = {
+            m: [
+                (r.doc_id, r.score)
+                for r in Q.bm25_topk_filtered(
+                    spark, h, terms, k, pred, mode=m
+                ).collect()
+            ]
+            for m in ("bitset", "complement", "auto")
+        }
+        assert res["bitset"] == res["complement"] == res["auto"], pred
+    with pytest.raises(ValueError, match="mode"):
+        Q.bm25_topk_filtered(spark, h, terms, k, "doclen > 5", mode="nope")
+
+
 def test_phrase_requires_positions(spark, tmp_path):
     out = str(tmp_path / "plain")
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)

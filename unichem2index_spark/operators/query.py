@@ -427,6 +427,8 @@ def bm25_topk_filtered(
     terms: list[str],
     k: int,
     predicate: str,
+    mode: str = "auto",
+    broad_threshold: float = 0.5,
 ) -> DataFrame:
     """BM25 top-k restricted to docs matching ``predicate`` (a SQL
     expression over the docs table's metadata columns: lang, source,
@@ -437,13 +439,25 @@ def bm25_topk_filtered(
     and per-doc scores are computed over the whole index, so a doc's
     score is identical with and without the filter.
 
-    Scale shape: the allowed-id set is computed as a DataFrame
-    (docs-table filter, tombstones already anti-joined) and cogrouped
-    per shard into the WAND kernel — the Lucene per-segment filter
-    bitset analog; nothing reaches the driver. Per-shard memory is
-    O(matching docs in shard): right for selective filters (the ES
-    filter-context use case). For broad filters prefer the unfiltered
-    query + downstream join — same answer, no bitset.
+    Scale shape: a per-shard id set is cogrouped into the WAND kernel —
+    the Lucene per-segment filter-bitset analog; nothing reaches the
+    driver. Which set depends on ``mode``:
+
+    * ``"bitset"`` — ship the ALLOWED ids (docs matching the
+      predicate). Per-shard memory O(matching docs): right for
+      selective filters, the ES filter-context use case.
+    * ``"complement"`` — ship the DISALLOWED ids (live docs failing the
+      predicate, unioned with tombstones) through the kernel's
+      ``deleted`` path. Same answer by construction; per-shard memory
+      O(non-matching docs): right for broad filters ("everything except
+      spam").
+    * ``"auto"`` (default) — one skinny conditional agg over the docs
+      table measures the match fraction and picks whichever side is
+      smaller (``broad_threshold``); per-shard memory is thereby
+      bounded by min(matching, non-matching) docs per shard.
+
+    Both shapes are verified identical on broad predicates in
+    tests/test_phrase.py::test_bm25_filtered_mode_equivalence.
     """
     uniq = sorted(set(terms))
     ts = (
@@ -458,37 +472,73 @@ def bm25_topk_filtered(
     seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
         *_WAND_COLS
     )
-    # docs() already drops tombstoned ids, so the allowed set subsumes
-    # the deletes cogroup of the unfiltered path.
-    allowed = (
-        index.docs(spark)
-        .where(predicate)
-        .select(
-            (F.col("doc_id") % index.n_shards).cast("int").alias("shard"),
-            "doc_id",
-        )
-    )
+    # Null predicate results never match (SQL filter semantics): the
+    # bitset side drops them, so the complement side must include them.
+    match_flag = F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False))
+    if mode == "auto":
+        row = index.docs(spark).agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.count(F.when(match_flag, 1)).alias("n_match"),
+        ).collect()[0]
+        frac = (row.n_match / row.n_live) if row.n_live else 0.0
+        mode = "complement" if frac >= broad_threshold else "bitset"
     avgdl = index.avgdl
     use_stored = not index.multi_gen
 
-    def fn(pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"doc_id": [], "score": []})
-        allow = frozenset(int(x) for x in allow_pdf["doc_id"])
-        cursors = [
-            _cursors_from_group(
-                grp, str(term), idfs[str(term)], avgdl, use_stored
+    if mode == "complement":
+        # docs() already dropped tombstones; add them back so the kernel
+        # skips them too (the unfiltered path's deletes cogroup).
+        excl = index.docs(spark).where(~match_flag).select(
+            (F.col("doc_id") % index.n_shards).cast("int").alias("shard"),
+            "doc_id",
+        ).unionByName(index.deletes_by_shard(spark))
+
+        def fn(pdf: pd.DataFrame, excl_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            deleted = frozenset(int(x) for x in excl_pdf["doc_id"])
+            cursors = [
+                _cursors_from_group(
+                    grp, str(term), idfs[str(term)], avgdl, use_stored
+                )
+                for term, grp in pdf.groupby("term", sort=True)
+            ]
+            top = wand_topk(cursors, avgdl, k, deleted=deleted)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
             )
-            for term, grp in pdf.groupby("term", sort=True)
-        ]
-        top = wand_topk(cursors, avgdl, k, allowed=allow)
-        return pd.DataFrame(
-            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+
+        side = excl
+    elif mode == "bitset":
+        # docs() already drops tombstoned ids, so the allowed set
+        # subsumes the deletes cogroup of the unfiltered path.
+        allowed = index.docs(spark).where(match_flag).select(
+            (F.col("doc_id") % index.n_shards).cast("int").alias("shard"),
+            "doc_id",
         )
+
+        def fn(pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            allow = frozenset(int(x) for x in allow_pdf["doc_id"])
+            cursors = [
+                _cursors_from_group(
+                    grp, str(term), idfs[str(term)], avgdl, use_stored
+                )
+                for term, grp in pdf.groupby("term", sort=True)
+            ]
+            top = wand_topk(cursors, avgdl, k, allowed=allow)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        side = allowed
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
 
     per_shard = (
         seg.groupBy("shard")
-        .cogroup(allowed.groupBy("shard"))
+        .cogroup(side.groupBy("shard"))
         .applyInPandas(fn, TOPK_SCHEMA)
     )
     return (

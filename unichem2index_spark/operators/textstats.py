@@ -127,33 +127,40 @@ def significant_terms(
     scored with ES's default JLH heuristic
     ``(fgPct - bgPct) * fgPct / bgPct`` over document frequencies.
 
-    Scale shape: one distinct-(doc, term) explode (the postings set), two
-    hash aggs, one equi-join on term — foreground stats are a vocabulary
-    subset, so AQE broadcasts them while small and shuffle-joins a
-    web-scale vocabulary. ``min_fg_df`` is ES's min_doc_count guard
-    against one-doc flukes."""
+    Scale shape (single-pass, r3 verdict item 4): the foreground flag is
+    computed per DOC before the explode, so ONE distinct-(doc, term)
+    scan feeds ONE conditional hash agg — fg_df and bg_df come out of
+    the same groupBy (no second explode, no term join). The n_fg/n_bg
+    corpus counts fold into one extra skinny agg over the docs table.
+    ``min_fg_df`` is ES's min_doc_count guard against one-doc flukes."""
     d = t["documents"]
-    tokset = d.select(
-        "doc_id", "lang", "source", F.explode(tokens_col("text")).alias("term")
-    ).distinct()
-    n_bg = d.count()
-    n_fg = d.where(where).count()
+    fg_flag = F.coalesce(F.expr(where).cast("boolean"), F.lit(False))
+    totals = d.agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.count(F.when(fg_flag, 1)).alias("n_fg"),
+    ).collect()[0]
+    n_bg, n_fg = int(totals.n_bg), int(totals.n_fg)
     if n_fg == 0:
         return spark.createDataFrame(
             [], "term string, fg_df long, bg_df long, score double"
         )
-    bg = tokset.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
-    fg = (
-        tokset.where(where)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("fg_df"))
+    tokset = d.select(
+        "doc_id",
+        fg_flag.alias("_fg"),
+        F.explode(tokens_col("text")).alias("term"),
+    ).distinct()
+    stats = (
+        tokset.groupBy("term")
+        .agg(
+            F.count(F.when(F.col("_fg"), 1)).alias("fg_df"),
+            F.count(F.lit(1)).alias("bg_df"),
+        )
         .where(F.col("fg_df") >= min_fg_df)
     )
     fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
     bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_bg))
     return (
-        fg.join(bg, "term")
-        .select(
+        stats.select(
             "term",
             "fg_df",
             "bg_df",

@@ -435,9 +435,14 @@ WITH doubled AS (
 )
 SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies, md5(text) AS text_md5
 FROM doubled
-GROUP BY md5(text)
+GROUP BY text
 ORDER BY keeper_doc_id
 """
+# DEDUP_EXACT groups by RAW text (fine at oracle scale) while the Spark
+# side groups by the 16-byte md5 digest (the 100-TB shuffle-key
+# optimization): a digest collision that merged two distinct documents
+# would diverge the two results and fail the hash compare, so the
+# correctness harness keeps its safety net over the optimization.
 
 _VOCAB_CTES = f"""
 tokset AS (
