@@ -142,6 +142,8 @@ def test_doc_ids_cross_batch_state(spark, monkeypatch):
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old
             )
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     got = {r.url: (r.doc_id, r.v) for r in out}
     assert len(got) == 120
     for i in range(120):

@@ -207,6 +207,7 @@ def test_phrase_batch_rank_identity(spark, pos_index):
         {"query_id": 2, "phrase": ["part", "filter"], "k": 10},
         {"query_id": 3, "phrase": ["merge", "group"], "k": 10, "slop": 2},
         {"query_id": 4, "phrase": ["merge", "nosuchword"], "k": 10},
+        {"query_id": 5, "phrase": [], "k": 5},  # must not crash the batch
     ]
     got = [
         (r.query_id, r.rank, r.doc_id, r.score)

@@ -141,6 +141,8 @@ def phrase_match_topk(
     terms, so slop=0 agrees with the SQL oracle's phrase-filter + BM25
     formulation exactly. Returns (score desc, doc_id asc).
     """
+    if not phrase:
+        return []
     uniq = sorted(set(phrase))
     if any(t not in posts for t in uniq):
         return []

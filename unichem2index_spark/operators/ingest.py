@@ -76,13 +76,6 @@ def dedup_latest_by_url(webtext: DataFrame) -> DataFrame:
     )
 
 
-# Null keys are kept as ONE key group, represented by this sentinel in
-# both the kept-count agg and the keep-first pass (a real key equal to the
-# sentinel would merge with the null group — consistently in BOTH passes,
-# so the dense-id invariant still holds; the collision is a \x00-prefixed
-# URL, not a thing).
-_NULL_KEY = "\x00<null>"
-
 # Below this row count the corpus fits one sort partition comfortably:
 # skip boundary computation AND the per-bucket count job (bucket 0 only,
 # offset 0) — two fewer Spark jobs on the small-corpus path.
@@ -112,9 +105,10 @@ def dedup_and_assign_doc_ids(
     2. ONE pruned agg job: countDistinct(key) per bucket == kept rows per
        bucket (dedup keeps exactly one row per distinct key) -> exclusive
        prefix-sum offsets in bucket order (tiny driver list). Null keys
-       count through the ``_NULL_KEY`` sentinel so the agg and the
-       keep-first pass agree that the null group is KEPT (one row).
-       Skipped entirely below ``SMALL_CORPUS_ROWS`` (single bucket).
+       form ONE kept group: both this agg and the keep-first pass treat
+       the key as the pair (isnull, coalesce(key, '')), so no sentinel
+       string exists for a real key to collide with. Skipped entirely
+       below ``SMALL_CORPUS_ROWS`` (single bucket).
     3. ONE full pass: hash-repartition on the bucket id (same-key rows
        co-locate; bucket->partition placement is irrelevant because ids
        come from per-BUCKET offsets), sortWithinPartitions(key asc, ts
@@ -229,7 +223,12 @@ def dedup_and_assign_doc_ids(
 
     # -- 2. kept-count per bucket -> exclusive prefix-sum offsets ---------
     if bounds:
-        counted_key = F.coalesce(F.col(key), F.lit(_NULL_KEY))
+        # (isnull, value) pair: the null group counts as ONE distinct key
+        # that no real string can alias (keep-first compares the same pair)
+        counted_key = F.struct(
+            F.col(key).isNull().alias("_isnull"),
+            F.coalesce(F.col(key), F.lit("")).alias("_k"),
+        )
         counts = {
             r._bkt: r.n
             for r in bucketed.select("_bkt", counted_key.alias("_k"))
@@ -253,27 +252,34 @@ def dedup_and_assign_doc_ids(
     )
 
     def keep_first_with_rank(batches):
-        # Vectorized per Arrow batch; (prev_bkt, prev_key, nxt) carry the
-        # boundary state between batches of the same sorted partition.
-        # Null keys become the sentinel so consecutive nulls compare
-        # EQUAL (one kept group) — plain None != None is False in numpy
-        # object compares per-element but pandas shift turns it into NaN
-        # where != is always True; the sentinel sidesteps both.
+        # Vectorized per Arrow batch; (prev_bkt, prev_key, prev_null, nxt)
+        # carry the boundary state between batches of the same sorted
+        # partition. Key equality is the (isnull, filled-value) pair —
+        # consecutive nulls compare EQUAL (one kept group; plain null
+        # compares break both in Python and under pandas shift), and no
+        # real string can alias the null group (same pair the count agg
+        # groups by).
         prev_bkt = -1  # real buckets are >= 0
         prev_key: object = None
+        prev_null = False
         nxt = 0
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            kv = pdf[key].fillna(_NULL_KEY).to_numpy(dtype=object)
+            nv = pdf[key].isna().to_numpy()
+            kv = pdf[key].fillna("").to_numpy(dtype=object)
             bv = pdf["_bkt"].to_numpy()
             new_bkt = np.empty(n, dtype=bool)
             new_bkt[0] = bool(bv[0] != prev_bkt)
             new_bkt[1:] = bv[1:] != bv[:-1]
             keep = np.empty(n, dtype=bool)
-            keep[0] = bool(new_bkt[0] or kv[0] != prev_key)
-            keep[1:] = new_bkt[1:] | (kv[1:] != kv[:-1])
+            keep[0] = bool(
+                new_bkt[0] or kv[0] != prev_key or nv[0] != prev_null
+            )
+            keep[1:] = (
+                new_bkt[1:] | (kv[1:] != kv[:-1]) | (nv[1:] != nv[:-1])
+            )
             kc = keep.astype(np.int64)
             kept_before = np.cumsum(kc) - kc  # kept strictly before row i
             # segment = maximal run of one bucket; base id at each start
@@ -293,6 +299,7 @@ def dedup_and_assign_doc_ids(
             nxt = int(sb[-1] + kept_before[-1] + kc[-1])
             prev_bkt = int(bv[-1])
             prev_key = kv[-1]
+            prev_null = bool(nv[-1])
             kept = pdf[keep].copy()
             kept.insert(0, "doc_id", ids_all[keep])
             yield kept.drop(columns=["_bkt"])

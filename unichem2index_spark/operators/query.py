@@ -485,56 +485,36 @@ def bm25_topk_filtered(
     avgdl = index.avgdl
     use_stored = not index.multi_gen
 
+    by_shard = (F.col("doc_id") % index.n_shards).cast("int").alias("shard")
     if mode == "complement":
         # docs() already dropped tombstones; add them back so the kernel
         # skips them too (the unfiltered path's deletes cogroup).
-        excl = index.docs(spark).where(~match_flag).select(
-            (F.col("doc_id") % index.n_shards).cast("int").alias("shard"),
-            "doc_id",
+        side = index.docs(spark).where(~match_flag).select(
+            by_shard, "doc_id"
         ).unionByName(index.deletes_by_shard(spark))
-
-        def fn(pdf: pd.DataFrame, excl_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) == 0:
-                return pd.DataFrame({"doc_id": [], "score": []})
-            deleted = frozenset(int(x) for x in excl_pdf["doc_id"])
-            cursors = [
-                _cursors_from_group(
-                    grp, str(term), idfs[str(term)], avgdl, use_stored
-                )
-                for term, grp in pdf.groupby("term", sort=True)
-            ]
-            top = wand_topk(cursors, avgdl, k, deleted=deleted)
-            return pd.DataFrame(
-                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
-            )
-
-        side = excl
+        id_kw = "deleted"
     elif mode == "bitset":
         # docs() already drops tombstoned ids, so the allowed set
         # subsumes the deletes cogroup of the unfiltered path.
-        allowed = index.docs(spark).where(match_flag).select(
-            (F.col("doc_id") % index.n_shards).cast("int").alias("shard"),
-            "doc_id",
-        )
-
-        def fn(pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) == 0:
-                return pd.DataFrame({"doc_id": [], "score": []})
-            allow = frozenset(int(x) for x in allow_pdf["doc_id"])
-            cursors = [
-                _cursors_from_group(
-                    grp, str(term), idfs[str(term)], avgdl, use_stored
-                )
-                for term, grp in pdf.groupby("term", sort=True)
-            ]
-            top = wand_topk(cursors, avgdl, k, allowed=allow)
-            return pd.DataFrame(
-                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
-            )
-
-        side = allowed
+        side = index.docs(spark).where(match_flag).select(by_shard, "doc_id")
+        id_kw = "allowed"
     else:
         raise ValueError(f"unknown mode {mode!r}")
+
+    def fn(pdf: pd.DataFrame, ids_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        ids = frozenset(int(x) for x in ids_pdf["doc_id"])
+        cursors = [
+            _cursors_from_group(
+                grp, str(term), idfs[str(term)], avgdl, use_stored
+            )
+            for term, grp in pdf.groupby("term", sort=True)
+        ]
+        top = wand_topk(cursors, avgdl, k, **{id_kw: ids})
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
 
     per_shard = (
         seg.groupBy("shard")
@@ -714,6 +694,8 @@ def phrase_topk_batch(
         .collect()
     )
     idfs = {r.term: float(r.idf) for r in ts}
+    # An empty phrase matches nothing (phrase_topk parity) — drop it here
+    # rather than letting the kernel see a phrase with no rarest term.
     qspec = [
         (
             int(q["query_id"]),
@@ -722,6 +704,7 @@ def phrase_topk_batch(
             int(q.get("slop", 0)),
         )
         for q in queries
+        if q["phrase"]
     ]
     avgdl = index.avgdl
 
