@@ -366,6 +366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _wrap(textstats.quality_score),
         "token_counts": _wrap(textstats.token_counts),
         "doc_fingerprint": _wrap(textstats.doc_fingerprint),
+        # -- ES aggregation analogs (pipeline / range / cardinality) ---------
+        "date_histogram_pipeline": _wrap(textstats.date_histogram_pipeline),
+        "range_agg": _wrap(textstats.range_agg),
+        # rows-only: HLL estimate differs across implementations by design;
+        # pytest tolerance oracle (tests/test_analytics.py)
+        "cardinality_agg": _wrap(textstats.cardinality_agg),
         # -- multimodal binary plumbing --------------------------------------
         "binary_meta": _wrap(multimodal.binary_meta),
         # -- S4/S5 pipe-CSV source/sink ---------------------------------------
@@ -423,6 +429,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": oracles.QUALITY_SCORE,
         "token_counts": oracles.TOKEN_COUNTS,
         "doc_fingerprint": oracles.DOC_FINGERPRINT,
+        "date_histogram_pipeline": oracles.DATE_HISTOGRAM_PIPELINE,
+        "range_agg": oracles.range_agg_sql(),
+        # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,
         "stream_dedup_latest": oracles.STREAM_DEDUP_LATEST,

@@ -1,0 +1,79 @@
+"""Oracles for the ES-aggregation analog operators that are not (fully)
+SQL-hash-checkable: cardinality_agg's HLL estimate (tolerance vs exact),
+plus structural invariants for the pipeline and range aggregations that
+the DuckDB hash check can't express (telescoping, bucket bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unichem2index_spark.operators import textstats
+from unichem2index_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cardinality_within_tolerance(spark):
+    t = load_tables(spark, SF)
+    approx = {
+        r.event_type: r.approx_users
+        for r in textstats.cardinality_agg(spark, t, rsd=0.05).collect()
+    }
+    exact = {
+        r.event_type: r.exact_users
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert ex > 0
+        rel_err = abs(approx[et] - ex) / ex
+        # 3x the requested rsd — generous but catches a broken sketch.
+        assert rel_err <= 0.15, (et, approx[et], ex)
+
+
+def test_date_histogram_pipeline_invariants(spark):
+    t = load_tables(spark, SF)
+    rows = textstats.date_histogram_pipeline(spark, t).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, series in by_type.items():
+        # orderBy guarantees bucket-ascending within each type.
+        assert series == sorted(series, key=lambda r: r.bucket)
+        # cumulative_sum telescopes to the running total.
+        run = 0
+        prev_n = None
+        for i, r in enumerate(series):
+            run += r.n_events
+            assert r.cum_n == run, (et, i)
+            if i == 0:
+                assert r.deriv_n is None  # ES emits no derivative bucket 0
+                assert r.moving_avg_n == float(r.n_events)
+            else:
+                assert r.deriv_n == r.n_events - prev_n
+            prev_n = r.n_events
+            window = [x.n_events for x in series[max(0, i - 2) : i + 1]]
+            assert abs(r.moving_avg_n - round(sum(window) / len(window), 6)) < 1e-9
+
+
+def test_range_agg_buckets(spark):
+    t = load_tables(spark, SF)
+    rows = textstats.range_agg(spark, t).collect()
+    total = t["documents"].count()
+    assert sum(r.doc_count for r in rows) == total
+    bounds = {
+        f"{lo}-{hi if hi is not None else '*'}": (lo, hi)
+        for lo, hi in textstats.RANGE_BOUNDS
+    }
+    for r in rows:
+        lo, hi = bounds[r.range_key]
+        assert r.range_from == lo
+        assert r.min_chars >= lo
+        if hi is not None:
+            assert r.max_chars < hi  # half-open [lo, hi), ES semantics
+        assert lo <= r.avg_chars <= (hi - 1 if hi is not None else r.max_chars)

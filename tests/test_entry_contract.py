@@ -11,12 +11,14 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import SF_CORRECT
 
-# documented non-SQL ops (UDTF fan-out / approximate recall / index lifecycle)
+# documented non-SQL ops (UDTF fan-out / approximate recall / index
+# lifecycle / HLL estimate)
 ROWS_ONLY = {
     "key_components",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "index_update_lifecycle",
+    "cardinality_agg",
 }
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from unichem2index_spark.functions.hashing import FP_MULT, MOD
 from unichem2index_spark.functions.tokenize import tokens_col
@@ -204,6 +205,119 @@ def term_suggest(
         .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(size)
+    )
+
+
+def date_histogram_pipeline(
+    spark: SparkSession, t, interval: str = "hour"
+) -> DataFrame:
+    """ES ``date_histogram`` + pipeline-aggregation analog over the events
+    stream: per (event_type, time-bucket) counts/sums with `derivative`,
+    `cumulative_sum`, and a `moving_fn` average — the ES dashboard quartet
+    (ref analog: the loader's date-bucketed progress counters,
+    extractor/loader.go:239-283, generalised to ES pipeline semantics).
+
+    Buckets follow min_doc_count=1 semantics (observed buckets only, no
+    empty-bucket fill); `derivative` is null on each series' first bucket,
+    exactly as ES emits no value there.
+
+    Scale shape: ONE hash agg (map-side partial) onto (event_type, bucket)
+    — cardinality = types x time-buckets, tiny vs the event count — then
+    window functions PARTITIONED BY event_type, so the pipeline pass is
+    parallel per series and never a global sort. Numeric determinism: the
+    windowed derivative/cum/moving columns operate on integer counts or
+    already-rounded sums, so tree-vs-serial window accumulation can't
+    produce engine-divergent floats (integer sums are exact; avg divides
+    an exact sum by an exact count)."""
+    e = t["events"]
+    hist = e.groupBy(
+        F.col("event_type"),
+        F.date_trunc(interval, F.col("ts")).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wmov = w.rowsBetween(-2, 0)
+    return hist.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "value_sum",
+        (F.col("n_events") - F.lag("n_events").over(w)).alias("deriv_n"),
+        F.round(F.col("value_sum") - F.lag("value_sum").over(w), 2).alias(
+            "deriv_value"
+        ),
+        F.sum("n_events").over(wcum).alias("cum_n"),
+        F.round(F.avg("n_events").over(wmov), 6).alias("moving_avg_n"),
+    ).orderBy("event_type", "bucket")
+
+
+# ES `range` aggregation bucket bounds over documents.n_chars (half-open
+# [lo, hi) like ES; the oracle SQL is generated from this same list).
+# Edges chosen so all three buckets populate across the sf0.001-0.1 corpus
+# shape (n_chars ~47-577, terciles ~220/375).
+RANGE_BOUNDS = [(0, 250), (250, 400), (400, None)]
+
+
+def range_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``range`` aggregation analog: bucket documents by n_chars into
+    half-open ranges with per-bucket count / avg / min / max stats
+    (ES sub-agg `stats` under each range bucket).
+
+    Scale shape: the bucket key is a map-side CASE over a scalar column —
+    a 3-row hash agg, no shuffle beyond the final partial-merge. Integer
+    sums keep avg engine-exact."""
+    d = t["documents"]
+    nc = F.coalesce(F.col("n_chars"), F.lit(0))
+    key, lo_col = None, None
+    for lo, hi in RANGE_BOUNDS:
+        label = f"{lo}-{hi if hi is not None else '*'}"
+        cond = nc < hi if hi is not None else None
+        if cond is not None:
+            key = F.when(cond, label) if key is None else key.when(cond, label)
+            lo_col = (
+                F.when(cond, lo) if lo_col is None else lo_col.when(cond, lo)
+            )
+        else:
+            key = key.otherwise(label)
+            lo_col = lo_col.otherwise(lo)
+    return (
+        d.select(
+            key.alias("range_key"),
+            lo_col.cast("long").alias("range_from"),
+            nc.alias("nc"),
+        )
+        .groupBy("range_key", "range_from")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("nc"), 6).alias("avg_chars"),
+            F.min("nc").alias("min_chars"),
+            F.max("nc").alias("max_chars"),
+        )
+        .orderBy("range_from")
+    )
+
+
+def cardinality_agg(spark: SparkSession, t, rsd: float = 0.05) -> DataFrame:
+    """ES ``cardinality`` aggregation analog: HyperLogLog++ approximate
+    distinct user count per event_type (`approx_count_distinct` — the same
+    mergeable-sketch algorithm ES runs, ref analog loader.go:239-261's
+    distinct-source accounting).
+
+    Rows-only in the correctness gate BY DESIGN: two HLL implementations
+    legitimately disagree on the estimate, so the oracle is the pytest
+    tolerance check (tests/test_analytics.py) asserting relative error
+    <= 3*rsd against the exact distinct count at test scale. At 100 TB the
+    sketch is the point: one pass, fixed memory per group, mergeable
+    across partitions — the exact countDistinct twin needs a full shuffle
+    of every (type, user) pair."""
+    e = t["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .orderBy("event_type")
     )
 
 

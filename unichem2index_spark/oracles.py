@@ -238,6 +238,56 @@ SELECT max_purchase_ts, max_click_ts,
 FROM m
 """
 
+DATE_HISTOGRAM_PIPELINE = """
+WITH hist AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events, round(sum(value), 2) AS value_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_events, value_sum,
+       n_events - lag(n_events) OVER w AS deriv_n,
+       round(value_sum - lag(value_sum) OVER w, 2) AS deriv_value,
+       CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_n,
+       round(avg(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_n
+FROM hist
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+ORDER BY event_type, bucket
+"""
+
+
+def range_agg_sql() -> str:
+    """Generated from the SAME bound list the Spark operator uses
+    (textstats.RANGE_BOUNDS) so the bucket edges can't drift."""
+    from unichem2index_spark.operators.textstats import RANGE_BOUNDS
+
+    key_cases, lo_cases = [], []
+    for lo, hi in RANGE_BOUNDS:
+        label = f"{lo}-{hi if hi is not None else '*'}"
+        if hi is not None:
+            key_cases.append(f"WHEN nc < {hi} THEN '{label}'")
+            lo_cases.append(f"WHEN nc < {hi} THEN {lo}")
+        else:
+            key_cases.append(f"ELSE '{label}'")
+            lo_cases.append(f"ELSE {lo}")
+    key_sql = "CASE " + " ".join(key_cases) + " END"
+    lo_sql = "CASE " + " ".join(lo_cases) + " END"
+    return f"""
+WITH b AS (
+  SELECT {key_sql} AS range_key,
+         CAST({lo_sql} AS BIGINT) AS range_from,
+         nc
+  FROM (SELECT coalesce(n_chars, 0) AS nc FROM documents)
+)
+SELECT range_key, range_from, count(*) AS doc_count,
+       round(avg(nc), 6) AS avg_chars,
+       min(nc) AS min_chars, max(nc) AS max_chars
+FROM b GROUP BY 1, 2 ORDER BY range_from
+"""
+
+
 WINDOWED_COUNTS = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 2) AS value_sum
