@@ -113,6 +113,17 @@ def q_bm25_rare_terms(spark, sf_dir):
     return Q.bm25_topk_exact(_docs(spark, sf_dir), RARE_TERMS, 10)
 
 
+def q_bm25_min_should_match(spark, sf_dir):
+    """ES minimum_should_match analog through the WAND path: same terms
+    and scores as bm25_topk_wand, but only docs matching >= 2 of the 3
+    query terms are eligible (kernel-level eligibility — pruning bounds
+    untouched)."""
+    return Q.bm25_topk_wand(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        min_match=2,
+    )
+
+
 def q_bm25_filtered(spark, sf_dir):
     """ES bool-query analog (match + lang filter) through the WAND path
     with a per-shard cogrouped filter bitset; scores identical to the
@@ -306,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rare_terms": q_bm25_rare_terms,
         "phrase_topk": q_phrase_topk,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_min_should_match": q_bm25_min_should_match,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -388,6 +400,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": oracles.phrase_sql(PHRASE, PHRASE_K),
         "bm25_filtered": oracles.bm25_filtered_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, "lang = 'en'"
+        ),
+        "bm25_min_should_match": oracles.bm25_msm_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, 2
         ),
         "term_stats": oracles.TERM_STATS,
         "corpus_stats": oracles.CORPUS_STATS,

@@ -185,3 +185,37 @@ def test_batch_queries_match_single(spark, corpus, index):
         single = Q.bm25_topk_wand(spark, handle, q["terms"], q["k"]).collect()
         exp = [(i + 1, r.doc_id, r.score) for i, r in enumerate(single)]
         assert by_q.get(q["query_id"], []) == exp, f"query {q}"
+
+
+@pytest.mark.parametrize("min_match", [1, 2, 3, 4])
+def test_wand_min_should_match(spark, corpus, index, min_match):
+    """ES minimum_should_match: WAND with the kernel-level eligibility
+    count == brute-force filter of the full oracle ranking by the number
+    of distinct query terms present; min_match=1 is bit-identical to the
+    plain query; min_match > |terms| is empty."""
+    df, oracle = corpus
+    handle, _ = index
+    terms = ["the", "merge", "vector"]
+    k = 12
+    got = Q.bm25_topk_wand(
+        spark, handle, terms, k, min_match=min_match
+    ).collect()
+    if min_match > len(terms):
+        assert got == []
+        return
+    toks = {
+        r.doc_id: set(tokenize(r.text))
+        for r in df.select("doc_id", "text").collect()
+    }
+    eligible = {
+        d for d, ts in toks.items() if len(ts & set(terms)) >= min_match
+    }
+    want = [
+        (d, s) for d, s in oracle.topk(terms, len(toks)) if d in eligible
+    ][:k]
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+    if min_match == 1:
+        plain = Q.bm25_topk_wand(spark, handle, terms, k).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in plain]

@@ -93,6 +93,7 @@ def wand_topk(
     k: int,
     deleted: frozenset[int] | set[int] | None = None,
     allowed: frozenset[int] | set[int] | None = None,
+    min_match: int = 1,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) over the given term cursors.
 
@@ -105,6 +106,12 @@ def wand_topk(
     the ES bool-filter / Lucene per-segment filter-bitset analog. Like
     ``deleted`` it is applied at evaluation time; scoring stats are
     untouched (ES filter contexts don't affect relevance).
+
+    ``min_match``: ES ``minimum_should_match`` — a doc is eligible only
+    if at least this many DISTINCT query terms occur in it. Like the two
+    eligibility sets above it is enforced at evaluation time only, so
+    every max-score/block-max bound stays admissible (excluding docs can
+    only raise pruning opportunities, never drop a true top-k member).
 
     Returns sorted by (score desc, doc_id asc).
     """
@@ -173,16 +180,19 @@ def wand_topk(
                 continue
             # Full evaluation at the pivot.
             s = 0.0
+            n_hit = 0
             for t in live:
                 if t.cur_doc() == pivot_doc:
+                    n_hit += 1
                     s += t.score_at(pivot_doc, avgdl)
-            cand = (s, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, cand)
-            elif cand > heap[0]:
-                heapq.heapreplace(heap, cand)
-            if len(heap) >= k:
-                threshold = heap[0][0]
+            if n_hit >= min_match:
+                cand = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, cand)
+                elif cand > heap[0]:
+                    heapq.heapreplace(heap, cand)
+                if len(heap) >= k:
+                    threshold = heap[0][0]
             for t in live:
                 if t.cur_doc() == pivot_doc:
                     t.advance_to(pivot_doc + 1)

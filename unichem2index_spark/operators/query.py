@@ -240,6 +240,7 @@ def _wand_shard_fn(
     avgdl: float,
     k: int,
     use_stored_bounds: bool = True,
+    min_match: int = 1,
 ):
     """Per-shard WAND kernel (cogrouped with the shard's tombstones —
     the delete set rides the shuffle, never the driver or UDF closures).
@@ -265,7 +266,7 @@ def _wand_shard_fn(
             )
             for term, grp in pdf.groupby("term", sort=True)
         ]
-        top = wand_topk(cursors, avgdl, k, deleted=deleted)
+        top = wand_topk(cursors, avgdl, k, deleted=deleted, min_match=min_match)
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -274,7 +275,11 @@ def _wand_shard_fn(
 
 
 def bm25_topk_wand(
-    spark: SparkSession, index: IndexHandle, terms: list[str], k: int
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    min_match: int = 1,
 ) -> DataFrame:
     """BM25 top-k via per-shard block-max WAND + global candidate merge.
 
@@ -282,8 +287,17 @@ def bm25_topk_wand(
     formula, same tie-break); verified in tests against the Python oracle.
     Tombstones are cogrouped per shard (doc-sharded live-docs bitmap
     analog) — nothing about the delete set ever reaches the driver.
+
+    ``min_match``: ES ``minimum_should_match`` — only docs containing at
+    least this many distinct query terms are eligible (scores unchanged:
+    ES counts should-clauses, it doesn't reweight them). Enforced inside
+    the WAND kernel at evaluation time, so the block-skipping/pruning
+    machinery is identical to the plain query; the batch path would take
+    it per-query the same way. min_match=1 is exactly the plain query.
     """
     uniq = sorted(set(terms))
+    if min_match > len(uniq):
+        return spark.createDataFrame([], TOPK_SCHEMA)
     # Tiny driver-side lookup: idf for <= |query| terms (broadcast analog).
     ts = (
         index.term_stats(spark)
@@ -304,6 +318,7 @@ def bm25_topk_wand(
         # stored bounds are tight AND valid only while stats match the
         # build; any later generation invalidates them.
         use_stored_bounds=not index.multi_gen,
+        min_match=min_match,
     )
     if index.store.exists("deletes"):
         per_shard = (

@@ -71,6 +71,36 @@ LIMIT {k}
 """
 
 
+def bm25_msm_sql(terms: list[str], k: int, min_match: int) -> str:
+    """ES minimum_should_match analog: same BM25 scoring, but only docs
+    matching >= min_match DISTINCT query terms are eligible (`post` is one
+    row per (doc_id, term), so count(*) in the per-doc group IS the
+    distinct matched-term count)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+  HAVING count(*) >= {min_match}
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_filtered_sql(terms: list[str], k: int, where: str) -> str:
     """ES bool (match + filter) analog: candidates restricted by a
     metadata predicate, stats/scores computed over the WHOLE corpus
