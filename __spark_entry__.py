@@ -37,6 +37,12 @@ FLAGSHIP_K = 12
 RARE_TERMS = ["dup", "spark", "nosuchterm"]
 PHRASE = ["merge", "group"]  # frequent bigram in the synthetic corpus
 PHRASE_K = 10
+BOOSTS = {"merge": 2.0, "the": 0.25}  # ES term^boost weights
+MUST_NOT = ["dup"]  # ES bool must_not exclusion
+PREFIX, PREFIX_EXP = "s", 4  # cap 4 < the 6 s-terms: exercises LIMIT
+FUZZY_TERM, FUZZY_EDITS = "dat", 2  # expands to data/a/dup/fast/part/...
+PAGE_OFFSET, PAGE_K = 10, 10  # ES from/size page 2
+FVF_FACTOR = 0.001  # function_score field_value_factor on n_chars
 
 
 # --------------------------------------------------------------------------
@@ -121,6 +127,60 @@ def q_bm25_min_should_match(spark, sf_dir):
     return Q.bm25_topk_wand(
         spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
         min_match=2,
+    )
+
+
+def q_bm25_boosted(spark, sf_dir):
+    """ES per-term query boosts (term^boost) through the WAND path: idf
+    pre-scaled per term, bounds recomputed (stored bounds assume boost=1)."""
+    return Q.bm25_topk_wand(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        boosts=BOOSTS,
+    )
+
+
+def q_bm25_must_not(spark, sf_dir):
+    """ES bool must_not through the WAND path: excluded term's postings
+    decode into the kernel's deleted-set per shard; survivors' scores are
+    identical to the plain query (filter context)."""
+    return Q.bm25_topk_must_not(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        MUST_NOT,
+    )
+
+
+def q_bm25_prefix(spark, sf_dir):
+    """ES prefix query (scoring_boolean rewrite): dictionary expansion
+    (alphabetical, capped) + BM25-OR over the expansions via WAND."""
+    return Q.bm25_topk_prefix(
+        spark, _index_for(spark, sf_dir), PREFIX, 10,
+        max_expansions=PREFIX_EXP,
+    )
+
+
+def q_bm25_fuzzy(spark, sf_dir):
+    """ES fuzzy query: Levenshtein expansion against the term dictionary
+    (length-window + map-side JVM levenshtein) + BM25-OR via WAND."""
+    return Q.bm25_topk_fuzzy(
+        spark, _index_for(spark, sf_dir), FUZZY_TERM, 10,
+        max_edits=FUZZY_EDITS,
+    )
+
+
+def q_bm25_page2(spark, sf_dir):
+    """ES from/size deep pagination: ranks (offset, offset+k] with the
+    global rank attached; per-shard WAND depth offset+k (ES's cost)."""
+    return Q.bm25_topk_paged(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, PAGE_K,
+        PAGE_OFFSET,
+    )
+
+
+def q_bm25_field_boost(spark, sf_dir):
+    """ES function_score field_value_factor: BM25 * ln(1 + f*n_chars)
+    (declarative corpus path — the oracle-checked form)."""
+    return Q.bm25_topk_field_boost(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K, factor=FVF_FACTOR,
     )
 
 
@@ -318,6 +378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "bm25_filtered": q_bm25_filtered,
         "bm25_min_should_match": q_bm25_min_should_match,
+        "bm25_boosted": q_bm25_boosted,
+        "bm25_must_not": q_bm25_must_not,
+        "bm25_prefix": q_bm25_prefix,
+        "bm25_fuzzy": q_bm25_fuzzy,
+        "bm25_page2": q_bm25_page2,
+        "bm25_field_boost": q_bm25_field_boost,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -378,9 +444,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _wrap(textstats.quality_score),
         "token_counts": _wrap(textstats.token_counts),
         "doc_fingerprint": _wrap(textstats.doc_fingerprint),
-        # -- ES aggregation analogs (pipeline / range / cardinality) ---------
+        # -- ES aggregation analogs (pipeline / range / cardinality /
+        #    extended_stats / histogram / filters / top_hits) ----------------
         "date_histogram_pipeline": _wrap(textstats.date_histogram_pipeline),
         "range_agg": _wrap(textstats.range_agg),
+        "extended_stats_agg": _wrap(textstats.extended_stats_agg),
+        "histogram_agg": _wrap(textstats.histogram_agg),
+        "filters_agg": _wrap(textstats.filters_agg),
+        "top_hits_by_lang": _wrap(textstats.top_hits_by_lang),
         # rows-only: HLL estimate differs across implementations by design;
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
@@ -403,6 +474,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_min_should_match": oracles.bm25_msm_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, 2
+        ),
+        "bm25_boosted": oracles.bm25_boosted_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, BOOSTS
+        ),
+        "bm25_must_not": oracles.bm25_must_not_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, MUST_NOT
+        ),
+        "bm25_prefix": oracles.bm25_prefix_sql(PREFIX, 10, PREFIX_EXP),
+        "bm25_fuzzy": oracles.bm25_fuzzy_sql(FUZZY_TERM, 10, FUZZY_EDITS, 50),
+        "bm25_page2": oracles.bm25_paged_sql(
+            FLAGSHIP_TERMS, PAGE_K, PAGE_OFFSET
+        ),
+        "bm25_field_boost": oracles.bm25_field_boost_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, FVF_FACTOR
         ),
         "term_stats": oracles.TERM_STATS,
         "corpus_stats": oracles.CORPUS_STATS,
@@ -446,6 +531,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracles.DOC_FINGERPRINT,
         "date_histogram_pipeline": oracles.DATE_HISTOGRAM_PIPELINE,
         "range_agg": oracles.range_agg_sql(),
+        "extended_stats_agg": oracles.EXTENDED_STATS,
+        "histogram_agg": oracles.histogram_agg_sql(),
+        "filters_agg": oracles.FILTERS_AGG,
+        "top_hits_by_lang": oracles.top_hits_by_lang_sql(),
         # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,

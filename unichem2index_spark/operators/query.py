@@ -38,11 +38,16 @@ from unichem2index_spark.sources.tables import SegmentStore
 # Exact DataFrame scorer (no index needed — correctness spine)
 # --------------------------------------------------------------------------
 def bm25_scores_from_corpus(
-    docs_df: DataFrame, terms: list[str]
+    docs_df: DataFrame, terms: list[str], boosts: dict[str, float] | None = None
 ) -> DataFrame:
     """(doc_id, score) for every matching doc, computed with pure DataFrame
     ops from the raw corpus. Mirrors the DuckDB oracle SQL expression by
-    expression so the driver hash-compare is exact."""
+    expression so the driver hash-compare is exact.
+
+    ``boosts``: optional per-term multipliers (ES query-term ``^boost``).
+    The boosted contribution is ``(idf * boost) * w`` — the same float
+    association the WAND kernel uses when its per-term idf is pre-scaled,
+    so boosted results stay score-identical across all three engines."""
     uniq = sorted(set(terms))
     tok = tokenized_docs(docs_df)
     stats = corpus_stats(tok)
@@ -53,14 +58,22 @@ def bm25_scores_from_corpus(
     qpost = post.where(F.col("term").isin(uniq)).join(
         F.broadcast(tstats.where(F.col("term").isin(uniq))), "term"
     )
+    idf_expr = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    if boosts:
+        boost_expr = F.lit(1.0)
+        for t, v in boosts.items():
+            boost_expr = F.when(
+                F.col("term") == t, F.lit(float(v))
+            ).otherwise(boost_expr)
+        idf_expr = idf_expr * boost_expr
     scored = qpost.select(
         "doc_id",
         (
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
+            idf_expr
             * (
                 F.col("tf")
                 / (
@@ -77,12 +90,51 @@ def bm25_scores_from_corpus(
     return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
 
 
-def bm25_topk_exact(docs_df: DataFrame, terms: list[str], k: int) -> DataFrame:
+def bm25_topk_exact(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
     """Top-k by (score desc, doc_id asc); score rounded to 6 dp for stable
     cross-engine comparison."""
     return (
-        bm25_scores_from_corpus(docs_df, terms)
+        bm25_scores_from_corpus(docs_df, terms, boosts=boosts)
         .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk_field_boost(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    field: str = "n_chars",
+    factor: float = 0.001,
+) -> DataFrame:
+    """ES ``function_score`` / ``field_value_factor`` analog
+    (modifier=ln1p-style, boost_mode=multiply): rank by
+    ``BM25(q, d) * ln(1 + factor * d.field)`` — the "boost long/authoritative
+    docs" shape (ES equivalent: field_value_factor on a quality column; the
+    reference's index carries such metadata per doc, extractor/loader.go:121).
+
+    Declarative corpus path (oracle-checked). Index-serving note: the
+    multiplier is bounded by ``ln(1 + factor * max(field))``, so the WAND
+    kernel serves this at scale by scaling every block bound by that
+    constant (admissible) and rescoring survivors with the per-doc
+    multiplier cogrouped from the docs table — same cogroup shape as
+    :func:`bm25_topk_filtered`."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    boosted = scores.join(docs_df.select("doc_id", field), "doc_id").select(
+        "doc_id",
+        (
+            F.col("score")
+            * F.log(F.lit(1.0) + F.lit(float(factor)) * F.col(field))
+        ).alias("score"),
+    )
+    return (
+        boosted.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
@@ -280,6 +332,7 @@ def bm25_topk_wand(
     terms: list[str],
     k: int,
     min_match: int = 1,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """BM25 top-k via per-shard block-max WAND + global candidate merge.
 
@@ -294,6 +347,14 @@ def bm25_topk_wand(
     the WAND kernel at evaluation time, so the block-skipping/pruning
     machinery is identical to the plain query; the batch path would take
     it per-query the same way. min_match=1 is exactly the plain query.
+
+    ``boosts``: per-term multipliers (ES ``term^boost``) folded into each
+    term's idf BEFORE it reaches the kernel, so scoring and pivot logic
+    are untouched. Stored block bounds were computed with unboosted idf —
+    a boost > 1 would make them under-estimates (inadmissible pruning) —
+    so any boosted query recomputes bounds from the monotone
+    (block_max_tf, block_min_dl) pair under the boosted idf, exactly the
+    multi-generation fallback path.
     """
     uniq = sorted(set(terms))
     if min_match > len(uniq):
@@ -305,7 +366,10 @@ def bm25_topk_wand(
         .select("term", "idf")
         .collect()
     )
-    idfs = {r.term: float(r.idf) for r in ts}
+    boosts = boosts or {}
+    idfs = {
+        r.term: float(r.idf) * float(boosts.get(r.term, 1.0)) for r in ts
+    }
     if not idfs:
         return spark.createDataFrame([], TOPK_SCHEMA)
     seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
@@ -316,8 +380,9 @@ def bm25_topk_wand(
         index.avgdl,
         k,
         # stored bounds are tight AND valid only while stats match the
-        # build; any later generation invalidates them.
-        use_stored_bounds=not index.multi_gen,
+        # build (and the query is unboosted); any later generation or a
+        # boosted term invalidates them.
+        use_stored_bounds=not index.multi_gen and not boosts,
         min_match=min_match,
     )
     if index.store.exists("deletes"):
@@ -540,6 +605,257 @@ def bm25_topk_filtered(
         per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bool must_not, term expansion (prefix / fuzzy), pagination
+# --------------------------------------------------------------------------
+def _doc_ids_from_group(grp: pd.DataFrame) -> set[int]:
+    """All doc_ids in one term's segment rows (decode-only, no scores)."""
+    from unichem2index_spark.functions.codec import PostingBlock
+
+    ids: set[int] = set()
+    for dg, tfs, dls in zip(grp["doc_gaps"], grp["tfs"], grp["dls"]):
+        ids.update(
+            PostingBlock.decode(bytes(dg), bytes(tfs), bytes(dls)).doc_ids
+        )
+    return ids
+
+
+def bm25_topk_must_not(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    exclude_terms: list[str],
+) -> DataFrame:
+    """ES bool query ``must_not: term`` analog: BM25 top-k over ``terms``,
+    excluding every doc that contains ANY of ``exclude_terms``. Exclusion
+    wins over scoring (a term in both lists never yields a result doc),
+    and — ES semantics — must_not is a filter context: surviving docs'
+    scores are identical to the plain query's.
+
+    Scale shape: the excluded terms ride the SAME pushed ``term IN``
+    segment scan as the scoring terms (one scan, row-group pruned); per
+    shard their postings decode into an exclusion set fed through the
+    kernel's ``deleted`` path, unioned with the tombstone cogroup.
+    Per-shard memory is O(Σ df_shard(excluded)) — right for the typical
+    selective must_not term; a stopword-class exclusion should instead be
+    modeled as a docs-table predicate via :func:`bm25_topk_filtered`'s
+    complement mode, which bounds memory by the smaller side.
+    """
+    excl = sorted(set(exclude_terms))
+    uniq = sorted(set(terms) - set(excl))
+    excl_set = frozenset(excl)
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if not idfs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    scan_terms = sorted(set(idfs) | excl_set)
+    seg = index.segments(spark).where(
+        F.col("term").isin(scan_terms)
+    ).select(*_WAND_COLS)
+    avgdl = index.avgdl
+    use_stored = not index.multi_gen
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        excluded = (
+            set(int(x) for x in del_pdf["doc_id"]) if len(del_pdf) else set()
+        )
+        cursors = []
+        for term, grp in pdf.groupby("term", sort=True):
+            t = str(term)
+            if t in excl_set:
+                excluded |= _doc_ids_from_group(grp)
+            else:
+                cursors.append(
+                    _cursors_from_group(grp, t, idfs[t], avgdl, use_stored)
+                )
+        top = wand_topk(cursors, avgdl, k, deleted=frozenset(excluded))
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def expand_prefix(
+    spark: SparkSession,
+    index: IndexHandle,
+    prefix: str,
+    max_expansions: int = 50,
+) -> list[str]:
+    """ES prefix-query term expansion against the index's term dictionary:
+    every term starting with ``prefix``, alphabetical, capped at
+    ``max_expansions`` (ES caps at 50 by default too).
+
+    Deterministic cap (term asc) — a documented divergence from ES's
+    ``top_terms_N`` rewrite, which keeps the N highest-df terms; whenever
+    the cap is not hit (the common case) the sets are identical.
+
+    The dictionary scan pushes a StartsWith filter to the term_stats
+    parquet scan; only ≤ max_expansions strings reach the driver."""
+    rows = (
+        index.term_stats(spark)
+        .where(F.col("term").startswith(prefix))
+        .select("term")
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r.term for r in rows]
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    index: IndexHandle,
+    term: str,
+    max_edits: int = 1,
+    max_expansions: int = 50,
+) -> list[str]:
+    """ES fuzzy-query term expansion: dictionary terms within
+    ``max_edits`` Levenshtein edits of ``term`` (including the exact term
+    itself, distance 0 — ES fuzziness semantics), ordered (distance asc,
+    term asc), capped at ``max_expansions``.
+
+    Scale shape — same as the term suggester (textstats.term_suggest):
+    a length-window prefilter then map-side JVM ``levenshtein`` against
+    ONE literal over the term dictionary; no all-pairs anything. ES uses
+    a Levenshtein automaton over the FST dictionary — equivalent output,
+    different machinery."""
+    qlen = len(term)
+    rows = (
+        index.term_stats(spark)
+        .where(
+            (F.length("term") >= qlen - max_edits)
+            & (F.length("term") <= qlen + max_edits)
+        )
+        .select(
+            "term", F.levenshtein(F.col("term"), F.lit(term)).alias("dist")
+        )
+        .where(F.col("dist") <= max_edits)
+        .orderBy(F.asc("dist"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r.term for r in rows]
+
+
+def bm25_topk_prefix(
+    spark: SparkSession,
+    index: IndexHandle,
+    prefix: str,
+    k: int,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES prefix query under the ``scoring_boolean`` rewrite: expand the
+    prefix against the term dictionary, then BM25-OR over the expansions
+    (each expanded term scores with its OWN idf — rare expansions
+    naturally dominate). One extra tiny job for the expansion; the query
+    itself is the standard WAND plan over ≤ max_expansions terms."""
+    terms = expand_prefix(spark, index, prefix, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return bm25_topk_wand(spark, index, terms, k)
+
+
+def bm25_topk_fuzzy(
+    spark: SparkSession,
+    index: IndexHandle,
+    term: str,
+    k: int,
+    max_edits: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES fuzzy query under the ``scoring_boolean`` rewrite: expansions
+    within ``max_edits`` of ``term`` (exact term included), then BM25-OR
+    over them. NOTE: plain per-term idf scoring — ES's default fuzzy
+    rewrite (``blended``) takes the max df across expansions instead;
+    this engine's semantics are the deterministic, SQL-expressible OR."""
+    terms = expand_fuzzy(spark, index, term, max_edits, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return bm25_topk_wand(spark, index, terms, k)
+
+
+def bm25_topk_paged(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    offset: int,
+) -> DataFrame:
+    """ES ``from``/``size`` pagination: ranks (offset, offset+k] of the
+    BM25 result, with the global rank attached. Exactly ES's cost model —
+    every shard evaluates top-(from+size), the coordinator merges and
+    slices (deep pagination is intrinsically O(from+size) per shard; the
+    ES cursor alternative, search_after, is the same query with a
+    score/doc_id range predicate and offset 0).
+
+    The slice happens on RAW scores (same total order the unpaged query
+    sorts by), so page boundaries agree with the oracle's OFFSET slice
+    even when two adjacent docs round to the same 6-dp score."""
+    from pyspark.sql import Window as W
+
+    uniq = sorted(set(terms))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    out_schema = "rank long, doc_id long, score double"
+    if not idfs:
+        return spark.createDataFrame([], out_schema)
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
+        *_WAND_COLS
+    )
+    fn = _wand_shard_fn(
+        idfs, index.avgdl, offset + k, use_stored_bounds=not index.multi_gen
+    )
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    # Global window over <= n_shards*(offset+k) candidate rows — the
+    # coordinator-merge analog (single tiny partition by construction).
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+        .select("rank", "doc_id", F.round("score", 6).alias("score"))
+        .orderBy("rank")
     )
 
 

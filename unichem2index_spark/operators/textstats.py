@@ -337,3 +337,111 @@ def doc_fingerprint(spark: SparkSession, t) -> DataFrame:
         .agg(((F.sum("w") * F.lit(FP_MULT)) % F.lit(MOD)).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+def extended_stats_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``extended_stats`` aggregation analog: per-language count / min /
+    max / sum / avg / population variance / std over token counts.
+
+    Variance is spelled as the explicit ``E[x^2] - E[x]^2`` expression tree
+    from EXACT integer sums (sum, sum of squares) rather than ``var_pop``,
+    so Spark and the DuckDB oracle evaluate bit-identical float math — the
+    same cross-engine determinism rule the BM25 family follows. That is
+    also the mergeable one-pass form ES itself accumulates (its
+    extended_stats carries sum + sum_of_squares per shard), so the shape
+    is a single map-side-combined groupBy at any scale. ``greatest(.,0)``
+    guards the sqrt against the -1e-16 residue a constant group can leave.
+    """
+    d = t["documents"]
+    base = d.select(
+        "lang", F.size(tokens_col("text")).cast("long").alias("doclen")
+    )
+    g = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doclen").alias("min_dl"),
+        F.max("doclen").alias("max_dl"),
+        F.sum("doclen").alias("sum_dl"),
+        F.sum(F.col("doclen") * F.col("doclen")).alias("sum_sq"),
+    )
+    avg = F.col("sum_dl").cast("double") / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("sum_sq").cast("double") / F.col("n").cast("double")
+        - avg * avg,
+        F.lit(0.0),
+    )
+    return g.select(
+        "lang",
+        "n",
+        "min_dl",
+        "max_dl",
+        "sum_dl",
+        F.round(avg, 6).alias("avg_dl"),
+        F.round(var, 6).alias("var_dl"),
+        F.round(F.sqrt(var), 6).alias("std_dl"),
+    ).orderBy("lang")
+
+
+HISTOGRAM_INTERVAL = 50  # shared with the generated oracle SQL
+
+
+def histogram_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``histogram`` aggregation analog: fixed-width buckets over
+    doclen; bucket key = ``doclen - doclen % interval`` (pure integer
+    math — identical in every engine, no float floor edge cases). Empty
+    buckets omitted (the ES ``min_doc_count: 1`` shape). One
+    map-side-combined groupBy; bucket count is bounded by the value range
+    so the agg state is tiny at any corpus size."""
+    d = t["documents"]
+    iv = HISTOGRAM_INTERVAL
+    return (
+        d.select(F.size(tokens_col("text")).cast("long").alias("doclen"))
+        .select((F.col("doclen") - F.col("doclen") % iv).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def filters_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``filters`` aggregation analog: N named predicates counted in
+    ONE corpus pass via conditional aggregation (never one scan per
+    filter — the difference between 1 and N jobs at 100 TB). Bucket set
+    mirrors the kind of slice an ES user keeps on a webtext index:
+    language, length band, and their intersection."""
+    d = t["documents"]
+    return d.agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+        F.count(F.when(F.col("n_chars") >= 800, 1)).alias("n_long"),
+        F.count(
+            F.when((F.col("lang") == "en") & (F.col("n_chars") >= 800), 1)
+        ).alias("n_long_en"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+TOP_HITS_TERMS = ["merge", "vector", "the"]  # shared with the oracle SQL
+TOP_HITS_PER_GROUP = 2
+
+
+def top_hits_by_lang(spark: SparkSession, t) -> DataFrame:
+    """ES ``terms`` agg + ``top_hits`` sub-agg sorted by ``_score``: per
+    language, the top-N docs by BM25 relevance for a fixed query — the
+    "best match per slice" shape (ES runs the scorer once and fans hits
+    into buckets; so does this plan).
+
+    Scale shape: the corpus BM25 scorer touches only the query terms'
+    postings; the per-group top-N is one window over the scored set
+    partitioned by the bucket key (no global sort, no per-group jobs).
+    """
+    from unichem2index_spark.operators.query import bm25_scores_from_corpus
+
+    d = t["documents"]
+    scores = bm25_scores_from_corpus(d, TOP_HITS_TERMS)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_HITS_PER_GROUP)
+        .select("lang", "rank", "doc_id", F.round("score", 6).alias("score"))
+        .orderBy("lang", "rank")
+    )

@@ -810,3 +810,272 @@ SELECT doc_id AS media_id,
 FROM documents
 ORDER BY media_id
 """
+
+
+# ---------------------------------------------------------------- r4 extras
+def bm25_boosted_sql(terms: list[str], k: int, boosts: dict[str, float]) -> str:
+    """Per-term query boosts (ES `term^boost`): the idf factor is scaled by
+    a CASE over the term BEFORE multiplying the tf part — the same float
+    association ((idf * boost) * w) the Spark exact path and the WAND
+    kernel (pre-scaled idf) use, so products are bit-identical."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    cases = " ".join(
+        f"WHEN '{t}' THEN {float(v)!r}" for t, v in sorted(boosts.items())
+    )
+    boost = f"CASE p.term {cases} ELSE 1.0 END"
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           (ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+            * ({boost}))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_must_not_sql(terms: list[str], k: int, exclude: list[str]) -> str:
+    """ES bool must_not: docs containing ANY excluded term are dropped;
+    survivors' scores are the plain query's (filter context)."""
+    excl = sorted(set(exclude))
+    uniq = sorted(set(terms) - set(excl))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    exlist = ", ".join("'" + t.replace("'", "''") + "'" for t in excl)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+    AND p.doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ({exlist}))
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _bm25_over_expansion(expansion_cte: str, k: int) -> str:
+    """Shared tail: BM25-OR over an expansion CTE named `exp_terms`."""
+    return f"""
+WITH {_TOK_CTE},
+{expansion_cte},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN (SELECT term FROM exp_terms)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_prefix_sql(prefix: str, k: int, max_expansions: int) -> str:
+    """Prefix expansion: same rule as query.expand_prefix — alphabetical,
+    capped (the term dictionary `dfs` == the index's term_stats)."""
+    p = prefix.replace("'", "''")
+    cte = f"""
+exp_terms AS (
+  SELECT term FROM dfs WHERE term LIKE '{p}%'
+  ORDER BY term LIMIT {max_expansions}
+)"""
+    return _bm25_over_expansion(cte, k)
+
+
+def bm25_fuzzy_sql(
+    term: str, k: int, max_edits: int, max_expansions: int
+) -> str:
+    """Fuzzy expansion: same rule as query.expand_fuzzy — length window,
+    levenshtein <= max_edits (exact term included), (dist, term) order."""
+    q = term.replace("'", "''")
+    qlen = len(term)
+    cte = f"""
+exp_terms AS (
+  SELECT term FROM dfs
+  WHERE length(term) BETWEEN {qlen - max_edits} AND {qlen + max_edits}
+    AND levenshtein(term, '{q}') <= {max_edits}
+  ORDER BY levenshtein(term, '{q}') ASC, term ASC
+  LIMIT {max_expansions}
+)"""
+    return _bm25_over_expansion(cte, k)
+
+
+def bm25_paged_sql(terms: list[str], k: int, offset: int) -> str:
+    """from/size pagination: global rank over RAW scores, sliced to
+    (offset, offset+k], rounded only at emit — the same order-then-round
+    discipline as the Spark paged query."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+FROM ranked
+WHERE rank > {offset} AND rank <= {offset + k}
+ORDER BY rank
+"""
+
+
+def bm25_field_boost_sql(
+    terms: list[str], k: int, factor: float, field: str = "n_chars"
+) -> str:
+    """function_score field_value_factor: BM25 * ln(1 + factor*field),
+    multiplier applied AFTER the per-doc sum (same tree as Spark)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)
+SELECT sc.doc_id,
+       round(sc.score * ln(1.0 + {float(factor)!r} * dd.{field}), 6) AS score
+FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id
+ORDER BY sc.score * ln(1.0 + {float(factor)!r} * dd.{field}) DESC,
+         sc.doc_id ASC
+LIMIT {k}
+"""
+
+
+EXTENDED_STATS = f"""
+WITH base AS (SELECT lang, len({TOKS}) AS doclen FROM documents),
+g AS (
+  SELECT lang, count(*) AS n, min(doclen) AS min_dl, max(doclen) AS max_dl,
+         CAST(sum(doclen) AS BIGINT) AS sum_dl,
+         CAST(sum(doclen * doclen) AS BIGINT) AS sum_sq
+  FROM base GROUP BY lang
+)
+SELECT lang, n, min_dl, max_dl, sum_dl,
+       round(CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_dl,
+       round(greatest(
+         CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)),
+         0.0), 6) AS var_dl,
+       round(sqrt(greatest(
+         CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)),
+         0.0)), 6) AS std_dl
+FROM g ORDER BY lang
+"""
+
+
+def histogram_agg_sql() -> str:
+    """Generated from the SAME interval constant the Spark operator uses."""
+    from unichem2index_spark.operators.textstats import HISTOGRAM_INTERVAL
+
+    return f"""
+WITH dl AS (SELECT len({TOKS}) AS doclen FROM documents)
+SELECT doclen - doclen % {HISTOGRAM_INTERVAL} AS bucket,
+       count(*) AS doc_count
+FROM dl GROUP BY 1 ORDER BY bucket
+"""
+
+
+FILTERS_AGG = """
+SELECT count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+       count(CASE WHEN n_chars >= 800 THEN 1 END) AS n_long,
+       count(CASE WHEN lang = 'en' AND n_chars >= 800 THEN 1 END)
+         AS n_long_en,
+       count(*) AS n_total
+FROM documents
+"""
+
+
+def top_hits_by_lang_sql() -> str:
+    """Generated from the SAME query terms / group size constants the
+    Spark operator uses (textstats.TOP_HITS_TERMS)."""
+    from unichem2index_spark.operators.textstats import (
+        TOP_HITS_PER_GROUP,
+        TOP_HITS_TERMS,
+    )
+
+    uniq = sorted(set(TOP_HITS_TERMS))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT dd.lang, sc.doc_id, sc.score,
+         row_number() OVER (
+           PARTITION BY dd.lang ORDER BY sc.score DESC, sc.doc_id ASC
+         ) AS rank
+  FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_HITS_PER_GROUP}
+ORDER BY lang, rank
+"""
