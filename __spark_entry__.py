@@ -43,6 +43,11 @@ PREFIX, PREFIX_EXP = "s", 4  # cap 4 < the 6 s-terms: exercises LIMIT
 FUZZY_TERM, FUZZY_EDITS = "dat", 2  # expands to data/a/dup/fast/part/...
 PAGE_OFFSET, PAGE_K = 10, 10  # ES from/size page 2
 FVF_FACTOR = 0.001  # function_score field_value_factor on n_chars
+CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
+WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
+MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
+DISMAX_TIE = 0.3  # dis_max tie_breaker
+BOOSTING_NEG, BOOSTING_FACTOR = ["dup"], 0.4  # boosting query demotion
 
 
 # --------------------------------------------------------------------------
@@ -182,6 +187,61 @@ def q_bm25_field_boost(spark, sf_dir):
     return Q.bm25_topk_field_boost(
         _docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K, factor=FVF_FACTOR,
     )
+
+
+def q_bm25_search_after(spark, sf_dir):
+    """ES search_after: the cursor is the (raw_score, doc_id) sort key of
+    the rank-CURSOR_RANK hit (what a client copies from the previous
+    page), then the kernel returns the next SA_K ranked strictly after
+    it — per-shard heap depth k regardless of cursor depth."""
+    index = _index_for(spark, sf_dir)
+    after = Q.bm25_cursor_at(spark, index, FLAGSHIP_TERMS, CURSOR_RANK)
+    if after is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return Q.bm25_topk_search_after(spark, index, FLAGSHIP_TERMS, SA_K, after)
+
+
+def q_bm25_wildcard(spark, sf_dir):
+    """ES wildcard query (scoring_boolean rewrite): LIKE expansion over
+    the term dictionary (capped) + BM25-OR via WAND."""
+    return Q.bm25_topk_wildcard(
+        spark, _index_for(spark, sf_dir), WILDCARD, 10,
+        max_expansions=WILDCARD_EXP,
+    )
+
+
+def q_more_like_this(spark, sf_dir):
+    """ES more_like_this: top tf-idf terms of doc MLT_DOC drive a
+    BM25-OR with the source doc excluded."""
+    return Q.more_like_this(
+        spark, _index_for(spark, sf_dir), _docs(spark, sf_dir),
+        MLT_DOC, MLT_K, max_query_terms=MLT_TERMS,
+    )
+
+
+def q_bm25_dismax(spark, sf_dir):
+    """ES dis_max over per-term subqueries: best clause + tie_breaker *
+    rest (declarative corpus path — the oracle-checked form)."""
+    return Q.bm25_topk_dismax(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        tie_breaker=DISMAX_TIE,
+    )
+
+
+def q_bm25_boosting(spark, sf_dir):
+    """ES boosting query: positive BM25, demoted (not excluded) by
+    negative_boost when the doc also matches a negative term."""
+    return Q.bm25_topk_boosting(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, BOOSTING_NEG, FLAGSHIP_K,
+        negative_boost=BOOSTING_FACTOR,
+    )
+
+
+def q_highlight(spark, sf_dir):
+    """ES highlight (plain highlighter, one fragment): earliest query-term
+    occurrence picks the matched term and centers the snippet, computed
+    only for the k winners."""
+    return Q.highlight_topk(_docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
 
 
 def q_bm25_filtered(spark, sf_dir):
@@ -384,6 +444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": q_bm25_fuzzy,
         "bm25_page2": q_bm25_page2,
         "bm25_field_boost": q_bm25_field_boost,
+        "bm25_search_after": q_bm25_search_after,
+        "bm25_wildcard": q_bm25_wildcard,
+        "more_like_this": q_more_like_this,
+        "bm25_dismax": q_bm25_dismax,
+        "bm25_boosting": q_bm25_boosting,
+        "highlight": q_highlight,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -452,6 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_agg": _wrap(textstats.histogram_agg),
         "filters_agg": _wrap(textstats.filters_agg),
         "top_hits_by_lang": _wrap(textstats.top_hits_by_lang),
+        "matrix_stats_agg": _wrap(textstats.matrix_stats_agg),
+        "adjacency_matrix_agg": _wrap(textstats.adjacency_matrix_agg),
+        "rare_terms_agg": _wrap(textstats.rare_terms_agg),
+        "composite_agg": _wrap(textstats.composite_agg),
         # rows-only: HLL estimate differs across implementations by design;
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
@@ -489,6 +559,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_field_boost": oracles.bm25_field_boost_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, FVF_FACTOR
         ),
+        "bm25_search_after": oracles.bm25_search_after_sql(
+            FLAGSHIP_TERMS, SA_K, CURSOR_RANK
+        ),
+        "bm25_wildcard": oracles.bm25_wildcard_sql(
+            WILDCARD, 10, WILDCARD_EXP
+        ),
+        "more_like_this": oracles.more_like_this_sql(
+            MLT_DOC, MLT_K, MLT_TERMS
+        ),
+        "bm25_dismax": oracles.bm25_dismax_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, DISMAX_TIE
+        ),
+        "bm25_boosting": oracles.bm25_boosting_sql(
+            FLAGSHIP_TERMS, BOOSTING_NEG, FLAGSHIP_K, BOOSTING_FACTOR
+        ),
+        "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "term_stats": oracles.TERM_STATS,
         "corpus_stats": oracles.CORPUS_STATS,
         "doc_lengths": oracles.DOC_LENGTHS,
@@ -535,6 +621,14 @@ def oracle_sql() -> dict[str, str]:
         "histogram_agg": oracles.histogram_agg_sql(),
         "filters_agg": oracles.FILTERS_AGG,
         "top_hits_by_lang": oracles.top_hits_by_lang_sql(),
+        "matrix_stats_agg": oracles.MATRIX_STATS,
+        "adjacency_matrix_agg": oracles.ADJACENCY_MATRIX,
+        "rare_terms_agg": oracles.rare_terms_sql(
+            textstats.RARE_MAX_DOC_COUNT, textstats.RARE_OUT_CAP
+        ),
+        "composite_agg": oracles.composite_agg_sql(
+            textstats.COMPOSITE_AFTER, textstats.COMPOSITE_PAGE_SIZE
+        ),
         # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,

@@ -1,0 +1,320 @@
+"""Round-4 query-surface extras, part 2: search_after cursor pagination,
+wildcard expansion, more_like_this, dis_max, boosting-query demotion,
+highlighting, and the matrix_stats/adjacency_matrix/rare_terms/composite
+aggregation analogs.
+
+Same oracle discipline as test_query_extras.py: every index-path result is
+checked for rank+score identity against an independent pure-Python
+recompute from the raw corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from unichem2index_spark.functions.bm25 import Bm25Oracle, score_term
+from unichem2index_spark.functions.tokenize import tokenize
+from unichem2index_spark.operators import query as Q
+from unichem2index_spark.operators import textstats
+from unichem2index_spark.operators.build import build_index
+from unichem2index_spark.sources.tables import load_tables
+
+from tests.conftest import SF_SMOKE
+
+N_SHARDS = 4
+TERMS = ["the", "merge", "vector"]
+K = 12
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = df.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).collect()
+    oracle = Bm25Oracle([(r.doc_id, tokenize(r.text)) for r in rows])
+    return df, oracle, {r.doc_id: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    df = corpus[0]
+    out = str(tmp_path_factory.mktemp("x2idx"))
+    build_index(spark, df, out, n_shards=N_SHARDS, block_size=16,
+                build_id="tx2")
+    return Q.IndexHandle.open(spark, out)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_tables(spark, SF_SMOKE)
+
+
+def _scores(oracle: Bm25Oracle, terms) -> dict[int, float]:
+    acc: dict[int, float] = {}
+    for t in sorted(set(terms)):
+        plist = oracle.postings.get(t)
+        if not plist:
+            continue
+        idf_t = oracle.idf(t)
+        for doc_id in sorted(plist):
+            acc[doc_id] = acc.get(doc_id, 0.0) + score_term(
+                plist[doc_id], oracle.doclen[doc_id], oracle.avgdl, idf_t
+            )
+    return acc
+
+
+def _ranking(acc: dict[int, float]) -> list[tuple[int, float]]:
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+# ------------------------------------------------------------ search_after
+def test_search_after_continues_the_ranking(spark, corpus, index):
+    _, oracle, _ = corpus
+    full = _ranking(_scores(oracle, TERMS))
+    cursor = Q.bm25_cursor_at(spark, index, TERMS, 5)
+    assert cursor is not None
+    assert cursor[1] == full[4][0]
+    assert cursor[0] == pytest.approx(full[4][1], abs=1e-9)
+    got = Q.bm25_topk_search_after(spark, index, TERMS, 8, cursor).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in full[5:13]]
+    for r, (_, s) in zip(got, full[5:]):
+        assert r.score == pytest.approx(s, abs=1e-5)
+
+
+def test_search_after_pages_tile_and_drain(spark, corpus, index):
+    _, oracle, _ = corpus
+    full = _ranking(_scores(oracle, TERMS))
+    seen: list[int] = []
+    cursor = None
+    while True:
+        if cursor is None:
+            page = Q.bm25_topk_wand(spark, index, TERMS, 5).collect()
+        else:
+            page = Q.bm25_topk_search_after(
+                spark, index, TERMS, 5, cursor
+            ).collect()
+        if not page:
+            break
+        seen.extend(r.doc_id for r in page)
+        if len(seen) >= 15:  # three pages is enough to prove tiling
+            break
+        # client-style cursor: recompute raw sort values at the new depth
+        cursor = Q.bm25_cursor_at(spark, index, TERMS, len(seen))
+    assert seen == [d for d, _ in full[: len(seen)]]
+    # a cursor past the last match yields an empty page, not an error
+    last = (full[-1][1], full[-1][0])
+    assert (
+        Q.bm25_topk_search_after(spark, index, TERMS, 5, last).collect()
+        == []
+    )
+
+
+# --------------------------------------------------------------- wildcard
+def test_wildcard_expansion_and_topk(spark, corpus, index):
+    _, oracle, _ = corpus
+    vocab = sorted(oracle.postings)
+    want_terms = [
+        t for t in vocab if len(t) >= 2 and t[1] == "a"
+    ][:5]  # "?a*" with cap 5
+    assert len(want_terms) == 5
+    assert Q.expand_wildcard(spark, index, "?a*", 5) == want_terms
+    want = _ranking(_scores(oracle, want_terms))[:10]
+    got = Q.bm25_topk_wildcard(
+        spark, index, "?a*", 10, max_expansions=5
+    ).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+    assert Q.bm25_topk_wildcard(spark, index, "zz*q", 10).collect() == []
+
+
+# ---------------------------------------------------------- more_like_this
+def test_more_like_this_selects_tfidf_terms_and_excludes_source(
+    spark, corpus, index
+):
+    df, oracle, rows = corpus
+    src = 42
+    tf = Counter(tokenize(rows[src].text))
+    ranked = sorted(
+        ((t, tf[t] * oracle.idf(t)) for t in tf), key=lambda p: (-p[1], p[0])
+    )
+    want_terms = [t for t, _ in ranked[:5]]
+    acc = _scores(oracle, want_terms)
+    acc.pop(src, None)
+    want = _ranking(acc)[:10]
+    got = Q.more_like_this(spark, index, df, src, 10).collect()
+    assert src not in {r.doc_id for r in got}
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+    # missing source doc -> empty result, not an error
+    assert Q.more_like_this(spark, index, df, 10**9, 10).collect() == []
+
+
+# ------------------------------------------------------------------ dis_max
+def test_dismax_matches_python_and_degenerates_to_sum(spark, corpus):
+    df, oracle, _ = corpus
+    contrib: dict[int, list[float]] = {}
+    for t in sorted(set(TERMS)):
+        plist = oracle.postings.get(t, {})
+        idf_t = oracle.idf(t)
+        for d, tf in plist.items():
+            contrib.setdefault(d, []).append(
+                score_term(tf, oracle.doclen[d], oracle.avgdl, idf_t)
+            )
+    acc = {
+        d: max(cs) + 0.3 * (sum(cs) - max(cs)) for d, cs in contrib.items()
+    }
+    want = _ranking(acc)[:K]
+    got = Q.bm25_topk_dismax(df, TERMS, K, tie_breaker=0.3).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+    # tie_breaker=1 collapses to the plain bool/sum query
+    plain = Q.bm25_topk_exact(df, TERMS, K).collect()
+    tb1 = Q.bm25_topk_dismax(df, TERMS, K, tie_breaker=1.0).collect()
+    assert [r.doc_id for r in plain] == [r.doc_id for r in tb1]
+    for a, b in zip(plain, tb1):
+        assert a.score == pytest.approx(b.score, abs=1e-6)
+
+
+# ----------------------------------------------------------------- boosting
+def test_boosting_demotes_but_keeps_matches(spark, corpus):
+    df, oracle, _ = corpus
+    neg_docs = set(oracle.postings.get("dup", {}))
+    acc = {
+        d: s * (0.4 if d in neg_docs else 1.0)
+        for d, s in _scores(oracle, TERMS).items()
+    }
+    want = _ranking(acc)[:K]
+    got = Q.bm25_topk_boosting(
+        df, TERMS, ["dup"], K, negative_boost=0.4
+    ).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+    # demotion != exclusion: with boost 1.0 the result is the plain query
+    plain = Q.bm25_topk_exact(df, TERMS, K).collect()
+    nb1 = Q.bm25_topk_boosting(
+        df, TERMS, ["dup"], K, negative_boost=1.0
+    ).collect()
+    assert [r.doc_id for r in plain] == [r.doc_id for r in nb1]
+
+
+# ---------------------------------------------------------------- highlight
+def test_highlight_snippets_contain_earliest_term(spark, corpus):
+    df, oracle, rows = corpus
+    got = Q.highlight_topk(df, TERMS, K).collect()
+    want_ids = [d for d, _ in _ranking(_scores(oracle, TERMS))[:K]]
+    assert [r.doc_id for r in got] == want_ids
+    for r in got:
+        text = rows[r.doc_id].text.lower()
+        positions = {
+            t: text.find(t) for t in TERMS if text.find(t) >= 0
+        }
+        assert positions, "top-k doc must contain a query term"
+        best = min(positions.values())
+        expect_term = min(t for t, p in positions.items() if p == best)
+        assert r.matched_term == expect_term
+        assert r.matched_term in r.snippet.lower()
+        # fragment window: starts at most `before` chars earlier
+        assert len(r.snippet) <= 50
+        start = max(0, best - 20)
+        assert rows[r.doc_id].text[start:start + 50] == r.snippet
+
+
+# --------------------------------------------------------------- agg analogs
+def test_matrix_stats_matches_python(spark, corpus, tables):
+    _, oracle, rows = corpus
+    xs = [rows[d].n_chars for d in sorted(rows)]
+    ys = [oracle.doclen[d] for d in sorted(rows)]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum(x * x for x in xs) / n - mx * mx
+    vy = sum(y * y for y in ys) / n - my * my
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    r = textstats.matrix_stats_agg(spark, tables).collect()[0]
+    assert r.n == n
+    assert r.mean_chars == pytest.approx(mx, abs=1e-5)
+    assert r.mean_tokens == pytest.approx(my, abs=1e-5)
+    assert r.var_chars == pytest.approx(vx, abs=1e-3)
+    assert r.var_tokens == pytest.approx(vy, abs=1e-3)
+    assert r.covariance == pytest.approx(cov, abs=1e-3)
+    assert r.correlation == pytest.approx(
+        cov / math.sqrt(vx * vy), abs=1e-5
+    )
+    # chars/token correlation on this corpus must be strongly positive
+    assert r.correlation > 0.9
+
+
+def test_adjacency_matrix_counts(spark, corpus, tables):
+    _, _, rows = corpus
+    a = {d for d, r in rows.items() if r.lang == "en"}
+    b = {
+        d for d, r in rows.items()
+        if r.n_chars >= textstats.ADJACENCY_LONG_CHARS
+    }
+    c = {
+        d for d, r in rows.items() if r.source in ("src0", "src1", "src2")
+    }
+    got = textstats.adjacency_matrix_agg(spark, tables).collect()[0]
+    assert (got.en, got.long_docs, got.early_src) == (
+        len(a), len(b), len(c)
+    )
+    assert (got.en_long, got.en_early_src, got.long_early_src) == (
+        len(a & b), len(a & c), len(b & c)
+    )
+
+
+def _shingles(tokens: list[str]) -> set[str]:
+    return {
+        " ".join(tokens[i:i + 3]) for i in range(len(tokens) - 2)
+    } if len(tokens) >= 3 else set()
+
+
+def test_rare_terms_tail(spark, corpus, tables):
+    _, _, rows = corpus
+    df_count: dict[str, int] = {}
+    for r in rows.values():
+        for sh in _shingles(tokenize(r.text)):
+            df_count[sh] = df_count.get(sh, 0) + 1
+    tail = sorted(
+        (
+            (c, s) for s, c in df_count.items()
+            if c <= textstats.RARE_MAX_DOC_COUNT
+        )
+    )[: textstats.RARE_OUT_CAP]
+    got = textstats.rare_terms_agg(spark, tables).collect()
+    assert [(r.doc_count, r.shingle) for r in got] == tail
+    assert all(r.doc_count <= textstats.RARE_MAX_DOC_COUNT for r in got)
+
+
+def test_composite_pages_drain_the_bucket_space(spark, corpus, tables):
+    _, _, rows = corpus
+    buckets = sorted(
+        Counter((r.lang, r.source) for r in rows.values()).items()
+    )
+    # the registered page: strictly after the configured cursor
+    after = textstats.COMPOSITE_AFTER
+    want = [b for b in buckets if b[0] > after][
+        : textstats.COMPOSITE_PAGE_SIZE
+    ]
+    got = textstats.composite_agg(spark, tables).collect()
+    assert [((r.lang, r.source), r.doc_count) for r in got] == want
+    # cursor chaining: pages starting from the first bucket tile the space
+    # (drive the operator's own cursor rule in plain python)
+    out: list[tuple[str, str]] = []
+    cursor = ("", "")
+    while True:
+        page = [b for b, _ in buckets if b > cursor][
+            : textstats.COMPOSITE_PAGE_SIZE
+        ]
+        if not page:
+            break
+        out.extend(page)
+        cursor = page[-1]
+    assert out == [b for b, _ in buckets]

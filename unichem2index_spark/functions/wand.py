@@ -94,6 +94,7 @@ def wand_topk(
     deleted: frozenset[int] | set[int] | None = None,
     allowed: frozenset[int] | set[int] | None = None,
     min_match: int = 1,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) over the given term cursors.
 
@@ -113,11 +114,21 @@ def wand_topk(
     every max-score/block-max bound stays admissible (excluding docs can
     only raise pruning opportunities, never drop a true top-k member).
 
+    ``after``: ES ``search_after`` cursor ``(raw_score, doc_id)`` — only
+    docs that rank strictly AFTER the cursor in (score desc, doc_id asc)
+    order may enter the top-k. Same eligibility-at-evaluation pattern as
+    the sets above: Lucene's PagingFieldCollector likewise evaluates a
+    competitive doc and then discards it if it sorts at-or-before the
+    cursor, so pruning bounds are untouched and remain admissible.
+
     Returns sorted by (score desc, doc_id asc).
     """
     if k <= 0 or not terms:
         return []
     deleted = deleted or frozenset()
+    # cursor in heap-key space: a doc qualifies iff its (score, -doc_id)
+    # key is strictly below the cursor's (ranked after it).
+    after_key = (after[0], -after[1]) if after is not None else None
     # heap of (score, -doc_id): heap[0] is the currently-worst kept result
     heap: list[tuple[float, int]] = []
     threshold = -INF
@@ -185,7 +196,9 @@ def wand_topk(
                 if t.cur_doc() == pivot_doc:
                     n_hit += 1
                     s += t.score_at(pivot_doc, avgdl)
-            if n_hit >= min_match:
+            if n_hit >= min_match and (
+                after_key is None or (s, -pivot_doc) < after_key
+            ):
                 cand = (s, -pivot_doc)
                 if len(heap) < k:
                     heapq.heappush(heap, cand)

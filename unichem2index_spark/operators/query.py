@@ -37,12 +37,14 @@ from unichem2index_spark.sources.tables import SegmentStore
 # --------------------------------------------------------------------------
 # Exact DataFrame scorer (no index needed — correctness spine)
 # --------------------------------------------------------------------------
-def bm25_scores_from_corpus(
+def bm25_contribs_from_corpus(
     docs_df: DataFrame, terms: list[str], boosts: dict[str, float] | None = None
 ) -> DataFrame:
-    """(doc_id, score) for every matching doc, computed with pure DataFrame
-    ops from the raw corpus. Mirrors the DuckDB oracle SQL expression by
-    expression so the driver hash-compare is exact.
+    """(doc_id, term, contrib): every query term's BM25 contribution to
+    every matching doc — the shared pre-aggregation half of the corpus
+    scorers (plain sum, dis_max, boosting). Same expression tree the
+    DuckDB oracles spell out, so downstream combinations stay float-exact
+    across engines.
 
     ``boosts``: optional per-term multipliers (ES query-term ``^boost``).
     The boosted contribution is ``(idf * boost) * w`` — the same float
@@ -70,8 +72,9 @@ def bm25_scores_from_corpus(
                 F.col("term") == t, F.lit(float(v))
             ).otherwise(boost_expr)
         idf_expr = idf_expr * boost_expr
-    scored = qpost.select(
+    return qpost.select(
         "doc_id",
+        "term",
         (
             idf_expr
             * (
@@ -87,7 +90,19 @@ def bm25_scores_from_corpus(
             )
         ).alias("contrib"),
     )
-    return scored.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def bm25_scores_from_corpus(
+    docs_df: DataFrame, terms: list[str], boosts: dict[str, float] | None = None
+) -> DataFrame:
+    """(doc_id, score) for every matching doc, computed with pure DataFrame
+    ops from the raw corpus. Mirrors the DuckDB oracle SQL expression by
+    expression so the driver hash-compare is exact."""
+    return (
+        bm25_contribs_from_corpus(docs_df, terms, boosts=boosts)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
 
 
 def bm25_topk_exact(
@@ -137,6 +152,140 @@ def bm25_topk_field_boost(
         boosted.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk_dismax(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """ES ``dis_max`` over per-term subqueries:
+    ``score = max(contrib) + tie_breaker * (sum(contrib) - max(contrib))``
+    — the best single clause wins, other matching clauses contribute only
+    the tie-breaker fraction (tie_breaker=0 is pure disjunction-max,
+    tie_breaker=1 collapses to the plain bool/sum query).
+
+    One extra aggregate over the same contributions the plain scorer
+    already computes — a single map-side-combined groupBy either way
+    (max and sum travel in the same agg buffer; no second pass, no extra
+    shuffle). Declarative corpus path, oracle-checked; the WAND serving
+    analog keeps bounds admissible since dis_max(d) <= sum(d)."""
+    contrib = bm25_contribs_from_corpus(docs_df, terms)
+    g = contrib.groupBy("doc_id").agg(
+        F.max("contrib").alias("best"), F.sum("contrib").alias("total")
+    )
+    scored = g.select(
+        "doc_id",
+        (
+            F.col("best")
+            + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk_boosting(
+    docs_df: DataFrame,
+    positive_terms: list[str],
+    negative_terms: list[str],
+    k: int,
+    negative_boost: float = 0.5,
+) -> DataFrame:
+    """ES ``boosting`` query: docs matching the positive clause keep their
+    BM25 score, demoted by ``negative_boost`` if they ALSO match the
+    negative clause — demote-not-exclude (contrast
+    :func:`bm25_topk_must_not`, which drops them).
+
+    The negative side is a pure membership probe: distinct doc_ids
+    containing any negative term, left-joined onto the scored positives
+    (broadcast-sized whenever the negative terms are selective; Catalyst/
+    AQE picks the strategy). Scores: sum first, multiply after — the same
+    association the oracle SQL spells."""
+    neg = sorted(set(negative_terms))
+    scores = bm25_scores_from_corpus(docs_df, positive_terms)
+    tok = tokenized_docs(docs_df)
+    neg_docs = (
+        exact_postings(tok)
+        .where(F.col("term").isin(neg))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    demoted = scores.join(neg_docs, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("score")
+            * F.when(F.col("_neg"), F.lit(float(negative_boost))).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("score"),
+    )
+    return (
+        demoted.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+_NO_HIT = 2**31  # sentinel "term absent" position for the least() fold
+
+
+def highlight_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    before: int = 20,
+    width: int = 50,
+) -> DataFrame:
+    """ES ``highlight`` analog (plain highlighter, fragment_size=width,
+    number_of_fragments=1): for each top-k hit, the earliest occurrence
+    of any query term in the lowercased body picks the matched term
+    (position asc, then term asc — deterministic) and centers a fixed
+    fragment. Substring-level matching, like the plain highlighter's
+    re-analysis of the stored field.
+
+    Scale shape: snippets are computed ONLY for the k winners — the
+    docs-table join is k rows against a pushed doc_id lookup, never a
+    corpus-wide string scan. All string ops are JVM expressions
+    (whole-stage codegen), no Python."""
+    uniq = sorted(set(terms))
+    top = bm25_topk_exact(docs_df, terms, k)
+    joined = top.join(docs_df.select("doc_id", "text"), "doc_id")
+    low = F.lower(F.col("text"))
+    pos = {
+        t: F.when(F.instr(low, F.lit(t)) == 0, F.lit(_NO_HIT)).otherwise(
+            F.instr(low, F.lit(t))
+        )
+        for t in uniq
+    }
+    best = F.least(*pos.values()) if len(pos) > 1 else next(iter(pos.values()))
+    matched = F.lit(None).cast("string")
+    for t in reversed(uniq):  # build CASE so FIRST (asc) term wins ties
+        matched = F.when(pos[t] == best, F.lit(t)).otherwise(matched)
+    return (
+        joined.select(
+            "doc_id",
+            "score",
+            F.when(best == _NO_HIT, F.lit(None)).otherwise(matched).alias(
+                "matched_term"
+            ),
+            F.when(best == _NO_HIT, F.lit(None))
+            .otherwise(
+                F.substring(
+                    F.col("text"),
+                    F.greatest(F.lit(1), best - F.lit(before)),
+                    width,
+                )
+            )
+            .alias("snippet"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
 
@@ -293,6 +442,7 @@ def _wand_shard_fn(
     k: int,
     use_stored_bounds: bool = True,
     min_match: int = 1,
+    after: tuple[float, int] | None = None,
 ):
     """Per-shard WAND kernel (cogrouped with the shard's tombstones —
     the delete set rides the shuffle, never the driver or UDF closures).
@@ -318,7 +468,10 @@ def _wand_shard_fn(
             )
             for term, grp in pdf.groupby("term", sort=True)
         ]
-        top = wand_topk(cursors, avgdl, k, deleted=deleted, min_match=min_match)
+        top = wand_topk(
+            cursors, avgdl, k, deleted=deleted, min_match=min_match,
+            after=after,
+        )
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -856,6 +1009,197 @@ def bm25_topk_paged(
         .where((F.col("rank") > offset) & (F.col("rank") <= offset + k))
         .select("rank", "doc_id", F.round("score", 6).alias("score"))
         .orderBy("rank")
+    )
+
+
+def _per_shard_wand(
+    spark: SparkSession,
+    index: IndexHandle,
+    idfs: dict[str, float],
+    depth: int,
+    min_match: int = 1,
+    after: tuple[float, int] | None = None,
+    use_stored_bounds: bool | None = None,
+) -> DataFrame:
+    """Raw per-shard WAND candidates (doc_id, UNROUNDED score): the shared
+    tail of every expansion/pagination query — pushed ``term IN`` segment
+    scan, tombstone cogroup, per-shard kernel, n_shards·depth rows out."""
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
+        *_WAND_COLS
+    )
+    if use_stored_bounds is None:
+        use_stored_bounds = not index.multi_gen
+    fn = _wand_shard_fn(
+        idfs, index.avgdl, depth,
+        use_stored_bounds=use_stored_bounds,
+        min_match=min_match, after=after,
+    )
+    if index.store.exists("deletes"):
+        return (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    empty = pd.DataFrame({"doc_id": []})
+    return seg.groupBy("shard").applyInPandas(
+        lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+    )
+
+
+def _collect_idfs(
+    spark: SparkSession, index: IndexHandle, terms: list[str]
+) -> dict[str, float]:
+    uniq = sorted(set(terms))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    return {r.term: float(r.idf) for r in ts}
+
+
+def bm25_cursor_at(
+    spark: SparkSession, index: IndexHandle, terms: list[str], rank: int
+) -> tuple[float, int] | None:
+    """The ``(raw_score, doc_id)`` sort values of the doc at global
+    ``rank`` — what an ES client copies from the last hit of a page into
+    the next request's ``search_after``. RAW score: the cursor must carry
+    the engine's full sort precision (ES sends the unrounded float in
+    the hit's ``sort`` array for the same reason); rounding it would
+    mis-split ties at the page boundary. None if fewer than ``rank``
+    docs match."""
+    idfs = _collect_idfs(spark, index, terms)
+    if not idfs:
+        return None
+    rows = (
+        _per_shard_wand(spark, index, idfs, rank)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(rank)
+        .collect()
+    )
+    if len(rows) < rank:
+        return None
+    last = rows[-1]
+    return (float(last.score), int(last.doc_id))
+
+
+def bm25_topk_search_after(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    after: tuple[float, int],
+) -> DataFrame:
+    """ES ``search_after`` cursor pagination: the k docs ranked strictly
+    after ``after = (raw_score, doc_id)`` in (score desc, doc_id asc)
+    order. THE scalable deep-pagination shape — unlike ``from``/``size``
+    (:func:`bm25_topk_paged`, O(from+size) heap per shard), every shard
+    keeps a k-heap regardless of how deep the cursor is, which is exactly
+    why ES caps ``from`` at 10k but serves unbounded search_after scans.
+
+    The cursor rides into the kernel as an eligibility predicate
+    (evaluate-then-discard, like Lucene's paging collector); bounds and
+    block skipping are identical to the plain query."""
+    idfs = _collect_idfs(spark, index, terms)
+    if not idfs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    per_shard = _per_shard_wand(spark, index, idfs, k, after=after)
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def expand_wildcard(
+    spark: SparkSession,
+    index: IndexHandle,
+    pattern: str,
+    max_expansions: int = 50,
+) -> list[str]:
+    """ES wildcard-query term expansion: ``*`` = any run, ``?`` = one
+    char, translated to a SQL LIKE over the term dictionary (terms are
+    ``[a-z0-9]+`` so no LIKE metacharacters need escaping beyond the
+    translation itself). Alphabetical, capped — same deterministic-cap
+    divergence from ES's top_terms rewrite as :func:`expand_prefix`."""
+    like = (
+        pattern.replace("%", "\\%").replace("_", "\\_")
+        .replace("*", "%").replace("?", "_")
+    )
+    rows = (
+        index.term_stats(spark)
+        .where(F.col("term").like(like))
+        .select("term")
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r.term for r in rows]
+
+
+def bm25_topk_wildcard(
+    spark: SparkSession,
+    index: IndexHandle,
+    pattern: str,
+    k: int,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES wildcard query under the ``scoring_boolean`` rewrite: dictionary
+    LIKE expansion + BM25-OR over the expansions via WAND. The dictionary
+    scan is the only extra cost; a leading-``*`` pattern degrades it to a
+    full dictionary pass (|vocab| rows) exactly as it does in Lucene."""
+    terms = expand_wildcard(spark, index, pattern, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return bm25_topk_wand(spark, index, terms, k)
+
+
+def more_like_this(
+    spark: SparkSession,
+    index: IndexHandle,
+    docs_df: DataFrame,
+    doc_id: int,
+    k: int,
+    max_query_terms: int = 5,
+) -> DataFrame:
+    """ES ``more_like_this``: select the source doc's most characteristic
+    terms — top ``max_query_terms`` by tf·idf, (score desc, term asc)
+    tie-break, ES's own interestingness order — then BM25-OR over them,
+    source doc excluded from the hits.
+
+    Scale shape: the source doc is ONE row fetched through a pushed
+    doc_id predicate and tokenized driver-side (a document is KBs; this
+    is the ES "like: {_id: ...}" term-vector fetch analog). Term
+    selection joins those ≤ doclen distinct terms against term_stats
+    with an IN-pushed scan; the query itself is the standard WAND plan.
+    Exclusion is exact: top-(k+1) candidates in RAW score order, drop the
+    source, keep k — identical to filtering inside the scorer."""
+    from collections import Counter
+
+    from unichem2index_spark.functions.tokenize import tokenize
+
+    src = docs_df.where(F.col("doc_id") == doc_id).select("text").collect()
+    if not src:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    tf = Counter(tokenize(src[0].text))
+    idfs = _collect_idfs(spark, index, list(tf))
+    ranked = sorted(
+        ((t, tf[t] * idfs[t]) for t in idfs),
+        key=lambda p: (-p[1], p[0]),
+    )
+    terms = [t for t, _ in ranked[:max_query_terms]]
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    qidfs = {t: idfs[t] for t in terms}
+    per_shard = _per_shard_wand(spark, index, qidfs, k + 1)
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k + 1)
+        .where(F.col("doc_id") != doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
     )
 
 

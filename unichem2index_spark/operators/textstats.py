@@ -445,3 +445,147 @@ def top_hits_by_lang(spark: SparkSession, t) -> DataFrame:
         .select("lang", "rank", "doc_id", F.round("score", 6).alias("score"))
         .orderBy("lang", "rank")
     )
+
+
+def matrix_stats_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``matrix_stats`` aggregation analog over (n_chars, doclen):
+    count, means, population variances, covariance, and Pearson
+    correlation — the two-field stats matrix an ES user runs to check
+    whether a cheap stored field (n_chars) can proxy for token count.
+
+    Same exact-integer-sums discipline as :func:`extended_stats_agg`:
+    ONE map-side-combined pass accumulates {n, Σx, Σy, Σx², Σy², Σxy}
+    (the mergeable moment vector ES itself ships between shards), then
+    every statistic is derived with the identical float expression tree
+    the DuckDB oracle spells — bit-identical across engines. int64
+    headroom: Σxy at 10^12 docs × ~10^6 per-row product approaches 2^63;
+    at that scale promote the sums to decimal(38) — shape unchanged."""
+    d = t["documents"]
+    base = d.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens_col("text")).cast("long").alias("y"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    vx = F.greatest(F.col("sxx").cast("double") / n - mx * mx, F.lit(0.0))
+    vy = F.greatest(F.col("syy").cast("double") / n - my * my, F.lit(0.0))
+    cov = F.col("sxy").cast("double") / n - mx * my
+    return g.select(
+        "n",
+        F.round(mx, 6).alias("mean_chars"),
+        F.round(my, 6).alias("mean_tokens"),
+        F.round(vx, 6).alias("var_chars"),
+        F.round(vy, 6).alias("var_tokens"),
+        F.round(cov, 6).alias("covariance"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("correlation"),
+    )
+
+
+# Named filter predicates for the adjacency matrix — shared with the
+# generated oracle SQL (ES adjacency_matrix: every filter and every
+# pairwise intersection, counted in ONE pass).
+ADJACENCY_LONG_CHARS = 400
+
+
+def adjacency_matrix_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation analog: three named filters
+    (en = lang 'en', long = n_chars >= 400, en0 = source 'src0'-ish
+    slice) plus every pairwise intersection, all via conditional
+    aggregation in a single corpus pass — N²/2 buckets never cost N²/2
+    scans (the same 1-job-not-N-jobs rule as ``filters_agg``)."""
+    d = t["documents"]
+    a = F.col("lang") == "en"
+    b = F.col("n_chars") >= ADJACENCY_LONG_CHARS
+    c = F.col("source").isin("src0", "src1", "src2")
+    cnt = lambda p, name: F.count(F.when(p, 1)).alias(name)  # noqa: E731
+    return d.agg(
+        cnt(a, "en"),
+        cnt(b, "long_docs"),
+        cnt(c, "early_src"),
+        cnt(a & b, "en_long"),
+        cnt(a & c, "en_early_src"),
+        cnt(b & c, "long_early_src"),
+    )
+
+
+RARE_MAX_DOC_COUNT = 5  # ES rare_terms max_doc_count (absolute, like ES)
+RARE_OUT_CAP = 50
+
+
+def rare_terms_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``rare_terms`` aggregation analog over 3-token shingles: the
+    long-tail buckets a terms-agg ordered by count ASC cannot serve at
+    scale (ES refuses that ordering; rare_terms exists precisely for it).
+    Shingles rather than unigrams because the synthetic vocabulary is 31
+    terms — only n-grams have a genuine document-frequency tail.
+
+    One distinct-explode + groupBy pass; df <= max_doc_count keeps the
+    agg output bounded by the tail size, and the emit cap (df asc,
+    shingle asc — deterministic) bounds the result like ES's
+    ``size``. ES uses a CuckooFilter to bound memory instead of an exact
+    group-by; at 10^12 docs the exact shuffle is what a cluster is FOR
+    (this is the same shape as the minhash shingle df-cap pass)."""
+    d = t["documents"]
+    toks = d.select("doc_id", tokens_col("text").alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    ).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") <= RARE_MAX_DOC_COUNT)
+        .orderBy(F.asc("doc_count"), F.asc("shingle"))
+        .limit(RARE_OUT_CAP)
+    )
+
+
+COMPOSITE_PAGE_SIZE = 8
+COMPOSITE_AFTER = ("en", "src12")  # exclusive cursor, (lang, source) asc
+
+
+def composite_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``composite`` aggregation analog: (lang, source) buckets in
+    tuple-ascending order, resuming strictly AFTER a cursor, one page of
+    ``size`` buckets — ES's only paginable aggregation, built for
+    draining a high-cardinality bucket space across requests.
+
+    One groupBy pass; the cursor predicate is a tuple comparison pushed
+    below the agg (partition-prunable when the source is partitioned by
+    the leading key), so deep pages never recount earlier buckets'
+    rows... they are filtered at the scan, which is exactly why ES
+    recommends composite over terms-agg pagination."""
+    d = t["documents"]
+    al, asrc = COMPOSITE_AFTER
+    after = (F.col("lang") > al) | (
+        (F.col("lang") == al) & (F.col("source") > asrc)
+    )
+    return (
+        d.where(after)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.asc("lang"), F.asc("source"))
+        .limit(COMPOSITE_PAGE_SIZE)
+    )

@@ -1079,3 +1079,313 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
 FROM ranked WHERE rank <= {TOP_HITS_PER_GROUP}
 ORDER BY lang, rank
 """
+
+
+def bm25_search_after_sql(terms: list[str], k: int, cursor_rank: int) -> str:
+    """search_after equivalence: the k docs ranked strictly after the doc
+    at global rank ``cursor_rank`` == the OFFSET slice (the Spark side
+    derives the (raw_score, doc_id) cursor from rank ``cursor_rank`` and
+    cursor-filters inside the kernel; this spells the same slice
+    declaratively). Raw-score ordering, rounded only at emit."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, round(score, 6) AS score
+FROM ranked
+WHERE rank > {cursor_rank} AND rank <= {cursor_rank + k}
+ORDER BY rank
+"""
+
+
+def bm25_wildcard_sql(pattern: str, k: int, max_expansions: int) -> str:
+    """Wildcard expansion: same * -> %% / ? -> _ translation as
+    query.expand_wildcard, alphabetical, capped."""
+    like = (
+        pattern.replace("'", "''")
+        .replace("%", "\\%").replace("_", "\\_")
+        .replace("*", "%").replace("?", "_")
+    )
+    cte = f"""
+exp_terms AS (
+  SELECT term FROM dfs WHERE term LIKE '{like}'
+  ORDER BY term LIMIT {max_expansions}
+)"""
+    return _bm25_over_expansion(cte, k)
+
+
+def more_like_this_sql(src_doc_id: int, k: int, max_query_terms: int) -> str:
+    """more_like_this: the source doc's top tf*idf terms (score desc,
+    term asc — ES interestingness order) feed a BM25-OR that excludes
+    the source doc itself."""
+    return f"""
+WITH {_TOK_CTE},
+exp_terms AS (
+  SELECT p.term
+  FROM post p
+  JOIN dfs d USING (term)
+  CROSS JOIN stats s
+  WHERE p.doc_id = {src_doc_id}
+  ORDER BY p.tf * ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                     / (d.df + 0.5)) DESC,
+           p.term ASC
+  LIMIT {max_query_terms}
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN (SELECT term FROM exp_terms)
+    AND p.doc_id != {src_doc_id}
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_dismax_sql(terms: list[str], k: int, tie_breaker: float) -> str:
+    """dis_max: per-(doc, term) contributions, then
+    max + tie_breaker * (sum - max) per doc — same grouped expressions as
+    the Spark side."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+contrib AS (
+  SELECT p.doc_id,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         AS contrib
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+),
+scored AS (
+  SELECT doc_id,
+         max(contrib) + {float(tie_breaker)!r} * (sum(contrib) - max(contrib))
+         AS score
+  FROM contrib
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_boosting_sql(
+    pos_terms: list[str],
+    neg_terms: list[str],
+    k: int,
+    negative_boost: float,
+) -> str:
+    """boosting query: positive BM25 sum, multiplied by negative_boost
+    for docs that also match any negative term (demote, not exclude)."""
+    pos = sorted(set(pos_terms))
+    neg = sorted(set(neg_terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in pos)
+    exlist = ", ".join("'" + t.replace("'", "''") + "'" for t in neg)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+demoted AS (
+  SELECT doc_id,
+         score * CASE WHEN doc_id IN (
+             SELECT DISTINCT doc_id FROM post WHERE term IN ({exlist})
+           ) THEN {float(negative_boost)!r} ELSE 1.0 END AS score
+  FROM scored
+)
+SELECT doc_id, round(score, 6) AS score
+FROM demoted
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def highlight_sql(
+    terms: list[str], k: int, before: int = 20, width: int = 50
+) -> str:
+    """highlight: top-k BM25 hits joined back to the body; earliest
+    occurrence of any query term (position asc, term asc) picks the
+    matched term and the fragment window. 2^31 = the same absent-term
+    sentinel the Spark side folds through least()."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    no_hit = 2**31
+    # plain `text` resolves to dd.text inside `hit` and to hit.text in the
+    # outer select — the same expressions are reusable in both scopes
+    pos_exprs = {
+        t: f"CASE WHEN instr(lower(text), '{t}') = 0 THEN {no_hit} "
+           f"ELSE instr(lower(text), '{t}') END"
+        for t in uniq
+    }
+    best = "least(" + ", ".join(pos_exprs.values()) + ")" if len(
+        pos_exprs
+    ) > 1 else next(iter(pos_exprs.values()))
+    matched = "NULL"
+    for t in reversed(uniq):
+        matched = (
+            f"CASE WHEN {pos_exprs[t]} = best THEN '{t}' ELSE {matched} END"
+        )
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score, 6) AS score
+  FROM scored
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+),
+hit AS (
+  SELECT tk.doc_id, tk.score, dd.text AS text, {best} AS best
+  FROM topk tk JOIN documents dd ON tk.doc_id = dd.doc_id
+)
+SELECT doc_id, score,
+       CASE WHEN best = {no_hit} THEN NULL ELSE {matched} END
+         AS matched_term,
+       CASE WHEN best = {no_hit} THEN NULL
+            ELSE substr(text, greatest(1, best - {before}), {width}) END
+         AS snippet
+FROM hit
+ORDER BY score DESC, doc_id ASC
+"""
+
+
+MATRIX_STATS = f"""
+WITH base AS (
+  SELECT CAST(n_chars AS BIGINT) AS x, len({TOKS}) AS y FROM documents
+),
+g AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM base
+)
+SELECT n,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_chars,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_tokens,
+       round(greatest(CAST(sxx AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0), 6)
+         AS var_chars,
+       round(greatest(CAST(syy AS DOUBLE) / n
+             - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0), 6)
+         AS var_tokens,
+       round(CAST(sxy AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6)
+         AS covariance,
+       round((CAST(sxy AS DOUBLE) / n
+             - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             / sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 0.0)
+                  * greatest(CAST(syy AS DOUBLE) / n
+                   - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 0.0)
+             ), 6) AS correlation
+FROM g
+"""
+
+
+ADJACENCY_MATRIX = """
+SELECT count(*) FILTER (lang = 'en') AS en,
+       count(*) FILTER (n_chars >= 400) AS long_docs,
+       count(*) FILTER (source IN ('src0', 'src1', 'src2')) AS early_src,
+       count(*) FILTER (lang = 'en' AND n_chars >= 400) AS en_long,
+       count(*) FILTER (lang = 'en' AND source IN ('src0', 'src1', 'src2'))
+         AS en_early_src,
+       count(*) FILTER (n_chars >= 400 AND source IN ('src0', 'src1', 'src2'))
+         AS long_early_src
+FROM documents
+"""
+
+
+def rare_terms_sql(max_doc_count: int = 5, out_cap: int = 50) -> str:
+    """rare_terms over 3-token shingles: df <= max_doc_count, (df asc,
+    shingle asc), capped — same shingle construction as ngram_jaccard."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(len(toks) - 2),
+        i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+    ELSE CAST([] AS VARCHAR[]) END
+  ) AS shingle
+  FROM tok
+)
+SELECT shingle, CAST(count(*) AS BIGINT) AS doc_count
+FROM sh
+GROUP BY shingle
+HAVING count(*) <= {max_doc_count}
+ORDER BY doc_count ASC, shingle ASC
+LIMIT {out_cap}
+"""
+
+
+def composite_agg_sql(
+    after: tuple[str, str], size: int
+) -> str:
+    """composite agg: (lang, source) buckets tuple-asc, strictly after
+    the cursor, one page."""
+    al, asrc = after
+    return f"""
+SELECT lang, source, count(*) AS doc_count
+FROM documents
+WHERE lang > '{al}' OR (lang = '{al}' AND source > '{asrc}')
+GROUP BY lang, source
+ORDER BY lang ASC, source ASC
+LIMIT {size}
+"""
