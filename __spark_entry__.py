@@ -10,6 +10,7 @@ checked against DuckDB at sf0.01 by the driver.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import tempfile
 from collections.abc import Callable
@@ -21,7 +22,7 @@ from unichem2index_spark import oracles
 from unichem2index_spark.functions.tokenize import tokens_col
 from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
 from unichem2index_spark.operators import query as Q
-from unichem2index_spark.operators import similarity, textstats
+from unichem2index_spark.operators import similarity, textstats, trainprep
 from unichem2index_spark.operators.build import (
     build_index,
     corpus_stats,
@@ -44,6 +45,8 @@ FUZZY_TERM, FUZZY_EDITS = "dat", 2  # expands to data/a/dup/fast/part/...
 PAGE_OFFSET, PAGE_K = 10, 10  # ES from/size page 2
 FVF_FACTOR = 0.001  # function_score field_value_factor on n_chars
 CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
+GAUSS_ORIGIN = 300.0  # function_score gauss decay on n_chars
+GAUSS_DENOM = 22500.0 / math.log(2.0)  # 2*sigma^2 for scale=150, decay=0.5
 WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
 DISMAX_TIE = 0.3  # dis_max tie_breaker
@@ -242,6 +245,17 @@ def q_highlight(spark, sf_dir):
     occurrence picks the matched term and centers the snippet, computed
     only for the k winners."""
     return Q.highlight_topk(_docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_bm25_gauss_decay(spark, sf_dir):
+    """ES function_score gauss decay on n_chars (origin=300, scale=150,
+    decay=0.5): prefer docs near the ideal length. The 2*sigma^2
+    denominator is precomputed in Python so both engines consume one
+    float literal."""
+    return Q.bm25_topk_gauss_decay(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        origin=GAUSS_ORIGIN, denom=GAUSS_DENOM,
+    )
 
 
 def q_bm25_filtered(spark, sf_dir):
@@ -450,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax": q_bm25_dismax,
         "bm25_boosting": q_bm25_boosting,
         "highlight": q_highlight,
+        "bm25_gauss_decay": q_bm25_gauss_decay,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -522,6 +537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix_agg": _wrap(textstats.adjacency_matrix_agg),
         "rare_terms_agg": _wrap(textstats.rare_terms_agg),
         "composite_agg": _wrap(textstats.composite_agg),
+        "bucket_script_selector": _wrap(textstats.bucket_script_selector),
+        # -- training-data prep (split / decontaminate / pack) --------------
+        "train_eval_split": _wrap(trainprep.train_eval_split),
+        "decontaminate": _wrap(trainprep.decontaminate),
+        "pack_sequences": _wrap(trainprep.pack_sequences),
         # rows-only: HLL estimate differs across implementations by design;
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
@@ -575,6 +595,9 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, BOOSTING_NEG, FLAGSHIP_K, BOOSTING_FACTOR
         ),
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "bm25_gauss_decay": oracles.bm25_gauss_decay_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, GAUSS_ORIGIN, GAUSS_DENOM
+        ),
         "term_stats": oracles.TERM_STATS,
         "corpus_stats": oracles.CORPUS_STATS,
         "doc_lengths": oracles.DOC_LENGTHS,
@@ -629,6 +652,16 @@ def oracle_sql() -> dict[str, str]:
         "composite_agg": oracles.composite_agg_sql(
             textstats.COMPOSITE_AFTER, textstats.COMPOSITE_PAGE_SIZE
         ),
+        "bucket_script_selector": oracles.bucket_script_selector_sql(
+            textstats.MIN_BUCKET_DOCS
+        ),
+        "train_eval_split": oracles.train_eval_split_sql(
+            trainprep.SPLIT_TRAIN_PCT, trainprep.SPLIT_VALID_PCT
+        ),
+        "decontaminate": oracles.decontaminate_sql(
+            trainprep.BENCHMARK_SOURCE, trainprep.CONTAM_MIN_SHARED
+        ),
+        "pack_sequences": oracles.pack_sequences_sql(trainprep.PACK_BUDGET),
         # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,

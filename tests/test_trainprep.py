@@ -1,0 +1,198 @@
+"""Training-prep operators: deterministic split, benchmark
+decontamination, token-budget sequence packing, plus the gauss-decay
+scorer and bucket_script/selector pipeline aggs.
+
+Each operator is checked against an independent pure-Python recompute.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from unichem2index_spark.functions.bm25 import Bm25Oracle, score_term
+from unichem2index_spark.functions.hashing import FP_MULT, MOD
+from unichem2index_spark.functions.tokenize import tokenize
+from unichem2index_spark.operators import query as Q
+from unichem2index_spark.operators import textstats, trainprep
+from unichem2index_spark.sources.tables import load_tables
+
+from tests.conftest import SF_SMOKE
+
+TERMS = ["the", "merge", "vector"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = df.select("doc_id", "text", "lang", "source", "n_chars").collect()
+    return df, {r.doc_id: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_tables(spark, SF_SMOKE)
+
+
+def _py_split(doc_id: int) -> str:
+    h = ((doc_id % MOD + 1) * FP_MULT) % MOD % 100
+    if h < trainprep.SPLIT_TRAIN_PCT:
+        return "train"
+    if h < trainprep.SPLIT_VALID_PCT:
+        return "valid"
+    return "test"
+
+
+# ------------------------------------------------------------------ split
+def test_split_counts_match_python(spark, corpus, tables):
+    _, rows = corpus
+    want: dict[str, list[int]] = {}
+    for d, r in rows.items():
+        want.setdefault(_py_split(d), []).append(len(tokenize(r.text)))
+    got = {r.split: r for r in
+           trainprep.train_eval_split(spark, tables).collect()}
+    assert set(got) == set(want)
+    for s, lens in want.items():
+        assert (got[s].n_docs, got[s].n_tokens) == (len(lens), sum(lens))
+
+
+def test_split_assignment_is_stable_and_partition_invariant(spark, corpus):
+    df, rows = corpus
+    a = {r.doc_id: r.split for r in
+         trainprep.split_assignment(df).collect()}
+    b = {r.doc_id: r.split for r in
+         trainprep.split_assignment(df.repartition(7)).collect()}
+    assert a == b == {d: _py_split(d) for d in rows}
+
+
+# -------------------------------------------------------------- decontam
+def _shingles(tokens: list[str]) -> set[str]:
+    return {
+        " ".join(tokens[i:i + 3]) for i in range(len(tokens) - 2)
+    } if len(tokens) >= 3 else set()
+
+
+def test_decontaminate_matches_python_overlap(spark, corpus, tables):
+    _, rows = corpus
+    bench: set[str] = set()
+    for r in rows.values():
+        if r.source == trainprep.BENCHMARK_SOURCE:
+            bench |= _shingles(tokenize(r.text))
+    want = {}
+    for d, r in rows.items():
+        if r.source == trainprep.BENCHMARK_SOURCE:
+            continue
+        shared = len(_shingles(tokenize(r.text)) & bench)
+        if shared >= trainprep.CONTAM_MIN_SHARED:
+            want[d] = shared
+    got = {r.doc_id: r.n_shared for r in
+           trainprep.decontaminate(spark, tables).collect()}
+    assert got == want
+    assert want, "fixture must produce non-trivial contamination"
+    # benchmark docs are never flagged against themselves
+    assert all(
+        rows[d].source != trainprep.BENCHMARK_SOURCE for d in got
+    )
+
+
+# ---------------------------------------------------------------- packing
+def _py_pack(lens: list[int], budget: int) -> list[int]:
+    seq_ids, seq, fill = [], 0, 0
+    for n in lens:
+        if fill > 0 and fill + n > budget:
+            seq += 1
+            fill = 0
+        seq_ids.append(seq)
+        fill += n
+    return seq_ids
+
+
+def test_pack_sequences_matches_python_greedy(spark, corpus, tables):
+    _, rows = corpus
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(rows):
+        r = rows[d]
+        by_src.setdefault(r.source, []).append((d, len(tokenize(r.text))))
+    want: dict[tuple[str, int], tuple[int, int]] = {}
+    for src, pairs in by_src.items():
+        lens = [n for _, n in pairs]
+        for sid, n in zip(_py_pack(lens, trainprep.PACK_BUDGET), lens):
+            nd, nt = want.get((src, sid), (0, 0))
+            want[(src, sid)] = (nd + 1, nt + n)
+    got = {
+        (r.source, r.seq_id): (r.n_docs, r.seq_tokens)
+        for r in trainprep.pack_sequences(spark, tables).collect()
+    }
+    assert got == want
+    # every sequence respects the budget unless it is a single long doc
+    for (src, sid), (nd, nt) in got.items():
+        assert nt <= trainprep.PACK_BUDGET or nd == 1
+
+
+def test_pack_budget_boundaries(spark, tables):
+    # synthetic boundary: docs of exactly budget/2 tokens pack in pairs
+    spark2 = spark
+    b = trainprep.PACK_BUDGET
+    word = "x"
+    docs = [
+        (i, " ".join([word] * (b // 2)), "s") for i in range(4)
+    ] + [(9, " ".join([word] * (b + 10)), "s")]  # oversized singleton
+    df = spark2.createDataFrame(docs, "doc_id long, text string, source string")
+    got = sorted(
+        (r.seq_id, r.n_docs, r.seq_tokens)
+        for r in trainprep.pack_sequences(spark2, {"documents": df}).collect()
+    )
+    assert got == [(0, 2, b), (1, 2, b), (2, 1, b + 10)]
+
+
+# ------------------------------------------------------------- gauss decay
+def test_gauss_decay_matches_python(spark, corpus):
+    df, rows = corpus
+    oracle = Bm25Oracle(
+        [(d, tokenize(r.text)) for d, r in rows.items()]
+    )
+    acc: dict[int, float] = {}
+    for t in sorted(set(TERMS)):
+        plist = oracle.postings.get(t, {})
+        idf_t = oracle.idf(t)
+        for d, tf in plist.items():
+            acc[d] = acc.get(d, 0.0) + score_term(
+                tf, oracle.doclen[d], oracle.avgdl, idf_t
+            )
+    denom = 22500.0 / math.log(2.0)
+    decayed = {
+        d: s * math.exp(-((abs(rows[d].n_chars - 300.0)) ** 2) / denom)
+        for d, s in acc.items()
+    }
+    want = sorted(decayed.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = Q.bm25_topk_gauss_decay(
+        df, TERMS, 10, origin=300.0, denom=denom
+    ).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+    # decay multiplier is bounded by 1: decayed score never beats plain
+    plain = {r.doc_id: r.score for r in
+             Q.bm25_topk_exact(df, TERMS, 1000).collect()}
+    for r in got:
+        assert r.score <= plain[r.doc_id] + 1e-9
+
+
+# ------------------------------------------------- bucket script/selector
+def test_bucket_script_selector(spark, corpus, tables):
+    _, rows = corpus
+    by_lang: dict[str, list[int]] = {}
+    for r in rows.values():
+        by_lang.setdefault(r.lang, []).append(len(tokenize(r.text)))
+    want = {
+        lang: (len(v), sum(v))
+        for lang, v in by_lang.items()
+        if len(v) >= textstats.MIN_BUCKET_DOCS
+    }
+    got = textstats.bucket_script_selector(spark, tables).collect()
+    assert {r.lang: (r.doc_count, r.total_tokens) for r in got} == want
+    for r in got:
+        assert r.avg_tokens == pytest.approx(
+            r.total_tokens / r.doc_count, abs=1e-5
+        )

@@ -233,6 +233,41 @@ def bm25_topk_boosting(
     )
 
 
+def bm25_topk_gauss_decay(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    field: str = "n_chars",
+    origin: float = 300.0,
+    denom: float = 1.0,
+) -> DataFrame:
+    """ES ``function_score`` gauss decay: rank by
+    ``BM25(q, d) * exp(-(|d.field - origin|)^2 / denom)`` — "prefer docs
+    near the ideal length" (ES's gauss(origin, scale, decay) with
+    offset=0; ``denom = 2*sigma^2`` where ``sigma^2 =
+    -scale^2 / (2*ln(decay))``, precomputed by the CALLER in plain
+    Python so both engines consume one literal and no cross-engine
+    ln/divide tree is ever evaluated).
+
+    Same declarative-corpus shape and serving note as
+    :func:`bm25_topk_field_boost`: the decay multiplier is bounded by 1,
+    so stored WAND bounds stay admissible unchanged at serving time."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    dist = F.abs(F.col(field) - F.lit(float(origin)))
+    decayed = scores.join(docs_df.select("doc_id", field), "doc_id").select(
+        "doc_id",
+        (
+            F.col("score")
+            * F.exp(-(dist * dist) / F.lit(float(denom)))
+        ).alias("score"),
+    )
+    return (
+        decayed.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 _NO_HIT = 2**31  # sentinel "term absent" position for the least() fold
 
 

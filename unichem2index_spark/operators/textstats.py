@@ -589,3 +589,43 @@ def composite_agg(spark: SparkSession, t) -> DataFrame:
         .orderBy(F.asc("lang"), F.asc("source"))
         .limit(COMPOSITE_PAGE_SIZE)
     )
+
+
+MIN_BUCKET_DOCS = 70  # bucket_selector threshold, shared with the oracle
+
+
+def bucket_script_selector(spark: SparkSession, t) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_selector`` pipeline analog: per
+    language, a scripted per-bucket metric (avg tokens per doc =
+    sum/count, computed from the bucket's own aggregates exactly as a
+    bucket_script references its sibling aggs) and a selector that keeps
+    only buckets with doc_count >= MIN_BUCKET_DOCS (the HAVING shape ES
+    evaluates coordinator-side over the reduced buckets).
+
+    One map-side-combined groupBy; script + selector run on the
+    already-reduced bucket rows — per-bucket cost, never per-doc."""
+    d = t["documents"]
+    g = (
+        d.select(
+            "lang", F.size(tokens_col("text")).cast("long").alias("doclen")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("doclen").alias("total_tokens"),
+        )
+    )
+    return (
+        g.where(F.col("doc_count") >= MIN_BUCKET_DOCS)
+        .select(
+            "lang",
+            "doc_count",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("doc_count").cast("double"),
+                6,
+            ).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,194 @@
+"""Training-data preparation operators: deterministic train/valid/test
+splitting, benchmark decontamination, and token-budget sequence packing.
+
+These are the steps between "clean corpus" and "training batches" in an
+LLM data pipeline — they complement the dedup/quality/token-count suite
+(operators/dedup.py, operators/textstats.py). Each is either exactly
+DuckDB-expressible (split, decontaminate) or carries a recursive-CTE
+oracle (packing), so the driver hash-compare covers them like every
+other operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unichem2index_spark.functions.hashing import FP_MULT, MOD
+from unichem2index_spark.functions.tokenize import tokens_col
+
+# Percent thresholds of the deterministic doc_id hash: <90 train,
+# <95 valid, else test. Shared with the generated oracle SQL.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VALID_PCT = 95
+
+
+def _split_hash_col():
+    # (doc_id % MOD + 1) * FP_MULT stays < 2^62 — no int64 overflow at any
+    # doc_id, and the identical expression evaluates in DuckDB/Python.
+    return ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD % 100
+
+
+def train_eval_split(spark: SparkSession, t) -> DataFrame:
+    """Deterministic hash-based train/valid/test split (90/5/5): the
+    assignment is a pure function of doc_id, so it is stable across
+    re-runs, partitionings, and cluster sizes — the property a training
+    pipeline needs so that eval docs NEVER drift into train between
+    ingestion runs. (Spark's randomSplit is seed-stable only for a fixed
+    partitioning; a hash split is stable unconditionally.)
+
+    Returns per-split doc and token counts — the budget sheet. The
+    assignment itself is the ``split`` column of :func:`split_assignment`;
+    one map-side-combined pass, no shuffle beyond the 3-row agg."""
+    d = t["documents"]
+    h = _split_hash_col()
+    return (
+        d.select(
+            F.when(h < SPLIT_TRAIN_PCT, "train")
+            .when(h < SPLIT_VALID_PCT, "valid")
+            .otherwise("test")
+            .alias("split"),
+            F.size(tokens_col("text")).cast("long").alias("doclen"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doclen").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+def split_assignment(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, split) for every doc — the joinable form of the split."""
+    h = _split_hash_col()
+    return docs_df.select(
+        "doc_id",
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# Decontamination: candidate docs sharing >= this many distinct 3-token
+# shingles with ANY benchmark doc are flagged. Shared with the oracle.
+CONTAM_MIN_SHARED = 2
+BENCHMARK_SOURCE = "src0"  # the held-out "eval suite" slice
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct 3-token shingles — same construction as
+    dedup.ngram_jaccard_pairs / textstats.rare_terms_agg."""
+    toks = df.select("doc_id", tokens_col("text").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                        F.element_at("toks", i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    ).distinct()
+
+
+def decontaminate(spark: SparkSession, t) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that share at least
+    ``CONTAM_MIN_SHARED`` distinct 3-token shingles with ANY doc of the
+    benchmark slice (source == BENCHMARK_SOURCE) — the standard
+    "eval-set leaked into pretraining data" check, scored by n-gram
+    overlap exactly as published decontamination pipelines do it.
+
+    Scale shape: the benchmark side is an eval suite — thousands of docs
+    against a 10^12-doc corpus — so its DISTINCT shingle set is
+    broadcast-sized; the probe is a map-side semi-join on the corpus
+    shingle stream (no corpus-vs-corpus pair explosion; candidates
+    bounded by docs actually sharing a benchmark shingle). The explicit
+    ``broadcast`` hint pins that plan."""
+    d = t["documents"]
+    bench_sh = (
+        _shingles(d.where(F.col("source") == BENCHMARK_SOURCE))
+        .select("shingle")
+        .distinct()
+    )
+    cand_sh = _shingles(d.where(F.col("source") != BENCHMARK_SOURCE))
+    return (
+        cand_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+# Sequence packing: greedy fill of a fixed token budget, docs in doc_id
+# order within each source group. Shared with the recursive-CTE oracle.
+PACK_BUDGET = 256
+
+_PACK_SCHEMA = (
+    "source string, seq_id long, n_docs long, seq_tokens long"
+)
+
+
+def pack_sequences(spark: SparkSession, t) -> DataFrame:
+    """Token-budget sequence packing (budget = PACK_BUDGET): within each
+    source, docs in doc_id order fill the current sequence until the next
+    doc would overflow the budget, which starts a new sequence (a doc
+    longer than the whole budget gets a sequence of its own). This is
+    the "concat-and-chunk" packing step that turns documents into
+    fixed-length training sequences; emitting (source, seq_id, n_docs,
+    seq_tokens) is the pack manifest a loader consumes.
+
+    Scale shape: the fill state is intrinsically sequential WITHIN a
+    group (each boundary depends on the previous fill — no closed-form
+    cumsum expresses the reset), so the group is the unit of
+    parallelism: applyInPandas per source, a single O(n) pass over plain
+    int64 numpy arrays inside each group (array arithmetic + one Python
+    loop over docs, not per-row pandas ops). At 10^12 docs the grouping
+    key would be (source, day-partition) to bound group size; the
+    operator shape is unchanged. Token counts are computed JVM-side
+    BEFORE the shuffle, so only (doc_id, doclen) ever moves."""
+    d = t["documents"]
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("doclen"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        lens = pdf["doclen"].to_numpy()
+        seq_ids = [0] * len(lens)
+        seq, fill = 0, 0
+        for i, n in enumerate(lens):
+            if fill > 0 and fill + n > PACK_BUDGET:
+                seq += 1
+                fill = 0
+            seq_ids[i] = seq
+            fill += int(n)
+        out = pd.DataFrame(
+            {
+                "source": pdf["source"].to_numpy(),
+                "seq_id": seq_ids,
+                "doclen": lens,
+            }
+        )
+        return (
+            out.groupby(["source", "seq_id"], as_index=False)
+            .agg(n_docs=("doclen", "size"), seq_tokens=("doclen", "sum"))
+        )
+
+    return (
+        base.groupBy("source")
+        .applyInPandas(pack, _PACK_SCHEMA)
+        .orderBy("source", "seq_id")
+    )

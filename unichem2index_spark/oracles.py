@@ -1389,3 +1389,140 @@ GROUP BY lang, source
 ORDER BY lang ASC, source ASC
 LIMIT {size}
 """
+
+
+# ------------------------------------------------------- training prep
+def train_eval_split_sql(train_pct: int, valid_pct: int) -> str:
+    """Deterministic hash split: identical int64 expression as
+    trainprep._split_hash_col (no overflow below 2^62)."""
+    h = "((doc_id % 2147483647 + 1) * 1315423911) % 2147483647 % 100"
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN {h} < {train_pct} THEN 'train'
+              WHEN {h} < {valid_pct} THEN 'valid'
+              ELSE 'test' END AS split,
+         len({TOKS}) AS doclen
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, sum(doclen) AS n_tokens
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+_SHINGLE_CTE = f"""
+tokd AS (
+  SELECT doc_id, source, {TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(len(toks) - 2),
+        i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+    ELSE CAST([] AS VARCHAR[]) END
+  ) AS shingle
+  FROM tokd
+)
+"""
+
+
+def decontaminate_sql(bench_source: str, min_shared: int) -> str:
+    """Benchmark decontamination: distinct-shingle overlap of every
+    non-benchmark doc against the union of benchmark shingles."""
+    b = bench_source.replace("'", "''")
+    return f"""
+WITH {_SHINGLE_CTE},
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = '{b}'
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN bench USING (shingle)
+WHERE s.source != '{b}'
+GROUP BY s.doc_id
+HAVING count(*) >= {min_shared}
+ORDER BY s.doc_id
+"""
+
+
+def pack_sequences_sql(budget: int) -> str:
+    """Greedy token-budget packing as a recursive CTE: the fill state
+    recurses doc-by-doc within each source (the same sequential rule the
+    Spark operator applies per group)."""
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, len({TOKS}) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, rn, n, CAST(0 AS BIGINT) AS seq_id, n AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.n,
+         CASE WHEN p.fill + d.n > {budget} THEN p.seq_id + 1
+              ELSE p.seq_id END,
+         CASE WHEN p.fill + d.n > {budget} THEN d.n
+              ELSE p.fill + d.n END
+  FROM packed p
+  JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       sum(n) AS seq_tokens
+FROM packed
+GROUP BY source, seq_id
+ORDER BY source, seq_id
+"""
+
+
+def bm25_gauss_decay_sql(
+    terms: list[str], k: int, origin: float, denom: float,
+    field: str = "n_chars",
+) -> str:
+    """function_score gauss decay: BM25 * exp(-dist^2 / denom), the
+    denominator precomputed in Python (one literal in both engines)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+decayed AS (
+  SELECT sc.doc_id,
+         sc.score * exp(-(abs(dd.{field} - {float(origin)!r})
+                          * abs(dd.{field} - {float(origin)!r}))
+                        / {float(denom)!r}) AS score
+  FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM decayed
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def bucket_script_selector_sql(min_docs: int) -> str:
+    """bucket_script (avg tokens = sum/count over the reduced buckets) +
+    bucket_selector (HAVING doc_count >= min_docs)."""
+    return f"""
+WITH g AS (
+  SELECT lang, count(*) AS doc_count, sum(len({TOKS})) AS total_tokens
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang, doc_count, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / CAST(doc_count AS DOUBLE), 6)
+         AS avg_tokens
+FROM g
+WHERE doc_count >= {min_docs}
+ORDER BY lang
+"""
