@@ -46,6 +46,7 @@ PAGE_OFFSET, PAGE_K = 10, 10  # ES from/size page 2
 FVF_FACTOR = 0.001  # function_score field_value_factor on n_chars
 CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
 GAUSS_ORIGIN = 300.0  # function_score gauss decay on n_chars
+EXPLAIN_DOC = 7  # _explain target: contains all three flagship terms
 GAUSS_DENOM = 22500.0 / math.log(2.0)  # 2*sigma^2 for scale=150, decay=0.5
 WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
@@ -245,6 +246,18 @@ def q_highlight(spark, sf_dir):
     occurrence picks the matched term and centers the snippet, computed
     only for the k winners."""
     return Q.highlight_topk(_docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_collapse_topk(spark, sf_dir):
+    """ES collapse (field collapsing): best doc per source only — the
+    diversified-SERP shape; one window partitioned by the collapse key."""
+    return Q.collapse_topk(_docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_explain_score(spark, sf_dir):
+    """ES _explain analog: per-term BM25 breakdown (tf/df/idf/weight/
+    contribution) for one (query, doc) pair."""
+    return Q.explain_score(_docs(spark, sf_dir), FLAGSHIP_TERMS, EXPLAIN_DOC)
 
 
 def q_bm25_gauss_decay(spark, sf_dir):
@@ -465,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": q_bm25_boosting,
         "highlight": q_highlight,
         "bm25_gauss_decay": q_bm25_gauss_decay,
+        "collapse_topk": q_collapse_topk,
+        "explain_score": q_explain_score,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
@@ -597,6 +612,12 @@ def oracle_sql() -> dict[str, str]:
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "bm25_gauss_decay": oracles.bm25_gauss_decay_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, GAUSS_ORIGIN, GAUSS_DENOM
+        ),
+        "collapse_topk": oracles.collapse_topk_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K
+        ),
+        "explain_score": oracles.explain_score_sql(
+            FLAGSHIP_TERMS, EXPLAIN_DOC
         ),
         "term_stats": oracles.TERM_STATS,
         "corpus_stats": oracles.CORPUS_STATS,

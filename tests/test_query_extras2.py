@@ -318,3 +318,51 @@ def test_composite_pages_drain_the_bucket_space(spark, corpus, tables):
         out.extend(page)
         cursor = page[-1]
     assert out == [b for b, _ in buckets]
+
+
+# ----------------------------------------------------- collapse / explain
+def test_collapse_keeps_best_per_field_value(spark, corpus):
+    df, oracle, rows = corpus
+    acc = _scores(oracle, TERMS)
+    best: dict[str, tuple[int, float]] = {}
+    for d, s in acc.items():
+        src = rows[d].source
+        cur = best.get(src)
+        if cur is None or (-s, d) < (-cur[1], cur[0]):
+            best[src] = (d, s)
+    want = sorted(
+        ((d, src, s) for src, (d, s) in best.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:K]
+    got = Q.collapse_topk(df, TERMS, K).collect()
+    assert [(r.doc_id, r.source) for r in got] == [
+        (d, src) for d, src, _ in want
+    ]
+    for r, (_, _, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+    # collapsed result never repeats a source
+    srcs = [r.source for r in got]
+    assert len(srcs) == len(set(srcs))
+
+
+def test_explain_score_breakdown_sums_to_score(spark, corpus):
+    df, oracle, rows = corpus
+    doc = next(
+        d for d in sorted(rows)
+        if all(t in oracle.postings and d in oracle.postings[t]
+               for t in TERMS)
+    )
+    got = Q.explain_score(df, TERMS, doc).collect()
+    assert [r.term for r in got] == sorted(TERMS)
+    total = 0.0
+    for r in got:
+        tf = oracle.postings[r.term][doc]
+        assert r.tf == tf
+        assert r.df == len(oracle.postings[r.term])
+        assert r.idf == pytest.approx(oracle.idf(r.term), abs=1e-5)
+        contrib = score_term(
+            tf, oracle.doclen[doc], oracle.avgdl, oracle.idf(r.term)
+        )
+        assert r.contrib == pytest.approx(contrib, abs=1e-5)
+        total += contrib
+    assert total == pytest.approx(oracle.score_doc(TERMS, doc), abs=1e-9)

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from unichem2index_spark.functions import bm25
 from unichem2index_spark.functions.wand import TermBlocks, wand_topk
@@ -266,6 +267,78 @@ def bm25_topk_gauss_decay(
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def collapse_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    collapse_field: str = "source",
+) -> DataFrame:
+    """ES ``collapse`` (field collapsing): the top-k hits where only the
+    best-scoring doc per ``collapse_field`` value survives — the
+    diversified-SERP shape (one result per site). ES collapses inside the
+    shard collector; here the scored set takes ONE window partitioned by
+    the collapse key (hash-partitioned parallel, no global sort) and the
+    k winners merge exactly like any top-k.
+
+    Collapse and ranking both operate on RAW scores (round only at emit),
+    so group winners and page boundaries agree with the oracle's."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scores.join(docs_df.select("doc_id", collapse_field), "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id", collapse_field, F.round("score", 6).alias("score")
+        )
+    )
+
+
+def explain_score(
+    docs_df: DataFrame, terms: list[str], doc_id: int
+) -> DataFrame:
+    """ES ``_explain`` analog: the per-term BM25 breakdown for one
+    (query, doc) pair — term, tf, df, idf, the tf-normalization weight,
+    and the contribution, exactly the numbers ES nests under
+    "weight(term in doc)". The debugging surface behind every relevance
+    investigation.
+
+    One pushed-predicate pass: the doc's postings row is a doc_id-pruned
+    scan; df/idf come from the same corpus-global term stats every scorer
+    shares. Rounded at emit only."""
+    uniq = sorted(set(terms))
+    tok = tokenized_docs(docs_df)
+    stats = corpus_stats(tok)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    post = exact_postings(tok)
+    tstats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    row = post.where(
+        (F.col("doc_id") == doc_id) & F.col("term").isin(uniq)
+    ).join(F.broadcast(tstats.where(F.col("term").isin(uniq))), "term")
+    idf_expr = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w_expr = F.col("tf") / (
+        F.col("tf")
+        + F.lit(bm25.K1)
+        * (F.lit(1.0 - bm25.B) + F.lit(bm25.B) * F.col("doclen") / F.lit(avgdl))
+    )
+    return row.select(
+        "term",
+        "tf",
+        "df",
+        F.round(idf_expr, 6).alias("idf"),
+        F.round(w_expr, 6).alias("tf_weight"),
+        F.round(idf_expr * w_expr, 6).alias("contrib"),
+    ).orderBy("term")
 
 
 _NO_HIT = 2**31  # sentinel "term absent" position for the least() fold

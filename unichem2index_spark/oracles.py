@@ -1526,3 +1526,65 @@ FROM g
 WHERE doc_count >= {min_docs}
 ORDER BY lang
 """
+
+
+def collapse_topk_sql(
+    terms: list[str], k: int, collapse_field: str = "source"
+) -> str:
+    """Field collapsing: best raw-score doc per collapse-key value, then
+    the global top-k over the group winners."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+collapsed AS (
+  SELECT sc.doc_id, dd.{collapse_field}, sc.score,
+         row_number() OVER (
+           PARTITION BY dd.{collapse_field}
+           ORDER BY sc.score DESC, sc.doc_id ASC
+         ) AS rn
+  FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id
+)
+SELECT doc_id, {collapse_field}, round(score, 6) AS score
+FROM collapsed
+WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def explain_score_sql(terms: list[str], doc_id: int) -> str:
+    """_explain breakdown: per-term tf/df/idf/weight/contribution for one
+    doc, same expressions as every scorer."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE}
+SELECT p.term, p.tf, d.df,
+       round(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                / (d.df + 0.5)), 6) AS idf,
+       round(p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)), 6)
+         AS tf_weight,
+       round(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+             * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl))), 6)
+         AS contrib
+FROM post p
+JOIN dfs d USING (term)
+JOIN tok t USING (doc_id)
+CROSS JOIN stats s
+WHERE p.doc_id = {doc_id} AND p.term IN ({inlist})
+ORDER BY p.term
+"""
