@@ -47,6 +47,7 @@ FVF_FACTOR = 0.001  # function_score field_value_factor on n_chars
 CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
 GAUSS_ORIGIN = 300.0  # function_score gauss decay on n_chars
 EXPLAIN_DOC = 7  # _explain target: contains all three flagship terms
+SPAN_TERMS, SPAN_SLOP = ["merge", "group", "key"], 1  # span_near window 3
 GAUSS_DENOM = 22500.0 / math.log(2.0)  # 2*sigma^2 for scale=150, decay=0.5
 WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
@@ -246,6 +247,15 @@ def q_highlight(spark, sf_dir):
     occurrence picks the matched term and centers the snippet, computed
     only for the k winners."""
     return Q.highlight_topk(_docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
+def q_span_near(spark, sf_dir):
+    """ES span_near (in_order=false) / intervals all_of: the three terms
+    within a window of slop + n - 1 tokens in any order, through the
+    positional index's block-skipping kernel."""
+    return Q.span_near_topk(
+        spark, _pos_index_for(spark, sf_dir), SPAN_TERMS, 10, slop=SPAN_SLOP
+    )
 
 
 def q_collapse_topk(spark, sf_dir):
@@ -478,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": q_bm25_boosting,
         "highlight": q_highlight,
         "bm25_gauss_decay": q_bm25_gauss_decay,
+        "span_near": q_span_near,
         "collapse_topk": q_collapse_topk,
         "explain_score": q_explain_score,
         "term_stats": q_term_stats,
@@ -612,6 +623,9 @@ def oracle_sql() -> dict[str, str]:
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "bm25_gauss_decay": oracles.bm25_gauss_decay_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, GAUSS_ORIGIN, GAUSS_DENOM
+        ),
+        "span_near": oracles.span_near_sql(
+            SPAN_TERMS, 10, SPAN_SLOP
         ),
         "collapse_topk": oracles.collapse_topk_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K

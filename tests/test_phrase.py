@@ -389,3 +389,77 @@ def test_positions_survive_update_and_compact(spark, tmp_path):
             r.doc_id for r in Q.phrase_topk(spark, h, phrase, 10**6).collect()
         )
         assert post_matches == pre_compact_matches[tuple(phrase)]
+
+
+def test_min_span_pure():
+    from unichem2index_spark.functions.phrase import min_span
+
+    assert min_span([[3], [5], [1]]) == 4
+    assert min_span([[0, 10], [11], [12, 30]]) == 2
+    assert min_span([[7], [7]]) == 0
+    # sweep must advance past a local optimum to find the tight cluster
+    assert min_span([[1, 100, 102], [2, 101], [3, 103]]) == 2
+    # single list: span is zero
+    assert min_span([[4, 9]]) == 0
+    # brute-force cross-check on a small random-ish instance
+    import itertools
+
+    lists = [[0, 6, 13], [2, 7], [5, 14, 20]]
+    brute = min(
+        max(c) - min(c) for c in itertools.product(*lists)
+    )
+    assert min_span(lists) == brute
+
+
+def span_near_py(toks, terms, slop):
+    """Brute-force unordered-near oracle: some choice of one position per
+    distinct term spans <= slop + n - 1."""
+    import itertools
+
+    uniq = sorted(set(terms))
+    plists = [[i for i, t in enumerate(toks) if t == u] for u in uniq]
+    if any(not p for p in plists):
+        return False
+    window = slop + len(uniq) - 1
+    return any(
+        max(c) - min(c) <= window for c in itertools.product(*plists)
+    )
+
+
+def test_span_near_matches_bruteforce(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+    for terms, slop in [
+        (["merge", "group"], 0),
+        (["merge", "group", "key"], 1),
+        (["the", "merge"], 2),
+        (["group", "merge"], 0),  # order-insensitive by construction
+    ]:
+        uniq = sorted(set(terms))
+        want = sorted(
+            (
+                (d, round(oracle.score_doc(uniq, d), 6))
+                for d, toks in corpus
+                if span_near_py(toks, terms, slop)
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.span_near_topk(spark, h, terms, 10, slop=slop).collect()
+        ]
+        assert got == want, f"span_near {terms} slop {slop}"
+    # unordered-near at slop s admits every ordered slop-s phrase match
+    phrase = ["merge", "group"]
+    ordered = {
+        r.doc_id
+        for r in Q.phrase_topk(spark, h, phrase, 10**6, slop=1).collect()
+    }
+    unordered = {
+        r.doc_id
+        for r in Q.span_near_topk(spark, h, phrase, 10**6, slop=1).collect()
+    }
+    assert ordered <= unordered

@@ -180,3 +180,71 @@ def phrase_match_topk(
         out.append((doc, score))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def min_span(plists: list[list[int]]) -> int:
+    """Smallest (max - min) over one position chosen from each sorted
+    list — the classic k-pointer sweep over the merged position streams,
+    O(total positions) per doc. Lists must be non-empty and ascending."""
+    idx = [0] * len(plists)
+    best = max(p[0] for p in plists) - min(p[0] for p in plists)
+    while True:
+        cur = [pl[i] for pl, i in zip(plists, idx)]
+        lo, hi = min(cur), max(cur)
+        if hi - lo < best:
+            best = hi - lo
+            if best == 0:
+                return 0
+        j = cur.index(lo)
+        idx[j] += 1
+        if idx[j] >= len(plists[j]):
+            return best
+
+
+def span_near_match_topk(
+    posts: dict[str, PosTermPostings],
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    slop: int = 0,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) for one unordered proximity query within one
+    shard — the Lucene ``NearSpansUnordered`` / ES ``span_near``
+    (in_order=false) analog: a doc matches iff ONE position per distinct
+    term can be chosen so the covering span fits the slop budget. With
+    single-term spans Lucene's test ``(max_end - min_start) - n <= slop``
+    reduces to ``max_pos - min_pos <= slop + n - 1``; that window is
+    checked against the exact minimal span from :func:`min_span`.
+
+    Same two-stage scale shape as the phrase kernel (shared machinery):
+    doc-id intersection rarest-first with block skipping, positions
+    decoded lazily only for survivors. Matching docs score as a plain
+    BM25 bag over the unique terms (same discipline as phrase_match_topk,
+    so the SQL oracle formulation agrees exactly)."""
+    uniq = sorted(set(terms))
+    if not uniq or any(t not in posts for t in uniq):
+        return []
+    window = slop + len(uniq) - 1
+    by_rarity = sorted(uniq, key=lambda t: (posts[t].df, t))
+    rare = by_rarity[0]
+    tfdl: dict[str, dict[int, tuple[int, int]]] = {rare: posts[rare].all_docs()}
+    cand = sorted(d for d in tfdl[rare] if d not in deleted)
+    for t in by_rarity[1:]:
+        if not cand:
+            return []
+        tfdl[t] = posts[t].lookup_many(cand)
+        cand = [d for d in cand if d in tfdl[t]]
+    out: list[tuple[int, float]] = []
+    for doc in cand:
+        plists = [posts[t].positions_of(doc) for t in uniq]
+        if min_span(plists) > window:
+            continue
+        dl = tfdl[rare][doc][1]
+        score = sum(
+            score_term(tfdl[t][doc][0], dl, avgdl, idfs[t]) for t in uniq
+        )
+        out.append((doc, score))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

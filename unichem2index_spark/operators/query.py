@@ -1441,6 +1441,85 @@ def phrase_topk(
     )
 
 
+def span_near_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    slop: int = 0,
+) -> DataFrame:
+    """Unordered proximity BM25 top-k — ES ``span_near`` (in_order=false)
+    / ``intervals`` ``all_of`` analog: docs where all query terms occur
+    within a span of ``slop + n - 1`` tokens in ANY order, ranked by BM25
+    over the unique terms. The "these words near each other" query that
+    sits between bag-of-words match and exact phrase.
+
+    Requires ``build_index(positions=True)``. Scale shape identical to
+    :func:`phrase_topk` (shared kernel machinery): pushed ``term IN``
+    scan, per-shard rarest-first intersection with block skipping, lazy
+    position decode for survivors only, n_shards·k rows to the global
+    merge, tombstones cogrouped."""
+    if not index.has_positions:
+        raise ValueError(
+            "span_near_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    uniq = sorted(set(terms))
+    if not uniq:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if any(t not in idfs for t in uniq):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(uniq)).select(
+        *_PHRASE_COLS
+    )
+    avgdl = index.avgdl  # plain float in the closure, never the handle
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import span_near_match_topk
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = span_near_match_topk(
+            posts, uniq, idfs, avgdl, k, slop=slop, deleted=deleted
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def phrase_topk_batch(
     spark: SparkSession,
     index: IndexHandle,

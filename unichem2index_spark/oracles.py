@@ -1588,3 +1588,55 @@ CROSS JOIN stats s
 WHERE p.doc_id = {doc_id} AND p.term IN ({inlist})
 ORDER BY p.term
 """
+
+
+def span_near_sql(terms: list[str], k: int, slop: int) -> str:
+    """span_near (in_order=false): EXISTS one position per distinct term
+    with covering span <= slop + n - 1 (the Lucene NearSpansUnordered
+    window for single-term spans), then BM25 over the unique terms."""
+    uniq = sorted(set(terms))
+    window = slop + len(uniq) - 1
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    aliases = [f"p{i}" for i in range(len(uniq))]
+    joins = " JOIN ".join(
+        [f"pos {aliases[0]}"]
+        + [f"pos {a} USING (doc_id)" for a in aliases[1:]]
+    )
+    preds = " AND ".join(
+        f"{a}.term = '{t}'" for a, t in zip(aliases, uniq)
+    )
+    plist = ", ".join(f"{a}.p" for a in aliases)
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+matched AS (
+  SELECT DISTINCT {aliases[0]}.doc_id
+  FROM {joins}
+  WHERE {preds}
+    AND greatest({plist}) - least({plist}) <= {window}
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+    AND p.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
