@@ -53,6 +53,17 @@ WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
 DISMAX_TIE = 0.3  # dis_max tie_breaker
 BOOSTING_NEG, BOOSTING_FACTOR = ["dup"], 0.4  # boosting query demotion
+DIVERSE_FIELD, DIVERSE_PER_KEY = "source", 2  # diversified_sampler
+RS_SEED = 7  # function_score random_score seed
+SPAN_FIRST_TERM, SPAN_FIRST_END = "merge", 3  # span_first(end=3)
+RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
+PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
+    (0, ["merge", "group", "key"], 3),
+    (1, ["dup", "spark"], 1),
+    (2, ["vector", "window", "stream", "sort"], 3),
+    (3, ["the", "batch"], 2),
+    (4, ["nosuchterm", "dup"], 2),  # unsatisfiable: 0 matches by design
+]
 
 
 # --------------------------------------------------------------------------
@@ -255,6 +266,53 @@ def q_span_near(spark, sf_dir):
     positional index's block-skipping kernel."""
     return Q.span_near_topk(
         spark, _pos_index_for(spark, sf_dir), SPAN_TERMS, 10, slop=SPAN_SLOP
+    )
+
+
+def q_span_first(spark, sf_dir):
+    """ES span_first wrapping a span_term: the term within the first N
+    token positions — the lead-paragraph boost — through the positional
+    index."""
+    return Q.span_first_topk(
+        spark, _pos_index_for(spark, sf_dir), SPAN_FIRST_TERM, 10,
+        SPAN_FIRST_END,
+    )
+
+
+def q_diversified_topk(spark, sf_dir):
+    """ES diversified_sampler: top-k with at most per_key docs per source
+    — bounded per-site representation, one window on the diversity key."""
+    return Q.diversified_topk(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        field=DIVERSE_FIELD, per_key=DIVERSE_PER_KEY,
+    )
+
+
+def q_match_count(spark, sf_dir):
+    """ES _count API for bool-must: number of docs containing ALL terms,
+    no scoring, one row."""
+    return Q.match_count(_docs(spark, sf_dir), FLAGSHIP_TERMS)
+
+
+def q_random_score(spark, sf_dir):
+    """ES function_score random_score (seeded, multiply): deterministic
+    per-doc jitter — exact integer mix, one float divide."""
+    return Q.random_score_topk(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K, seed=RS_SEED
+    )
+
+
+def q_percolate(spark, sf_dir):
+    """ES percolator: which stored queries match each doc — reverse
+    search over a broadcast query registry, one pass over postings."""
+    return Q.percolate(spark, _docs(spark, sf_dir), PERCOLATE_QUERIES)
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval: precision@k / recall@k / MRR of the BM25 top-k
+    against a deterministic binary judgment set."""
+    return Q.rank_eval(
+        _docs(spark, sf_dir), PHRASE, PHRASE_K, RANK_EVAL_MARKER
     )
 
 
@@ -489,6 +547,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "bm25_gauss_decay": q_bm25_gauss_decay,
         "span_near": q_span_near,
+        "span_first": q_span_first,
+        "diversified_topk": q_diversified_topk,
+        "match_count": q_match_count,
+        "random_score": q_random_score,
+        "percolate": q_percolate,
+        "rank_eval": q_rank_eval,
         "collapse_topk": q_collapse_topk,
         "explain_score": q_explain_score,
         "term_stats": q_term_stats,
@@ -626,6 +690,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_near": oracles.span_near_sql(
             SPAN_TERMS, 10, SPAN_SLOP
+        ),
+        "span_first": oracles.span_first_sql(
+            SPAN_FIRST_TERM, 10, SPAN_FIRST_END
+        ),
+        "diversified_topk": oracles.diversified_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, DIVERSE_FIELD, DIVERSE_PER_KEY
+        ),
+        "match_count": oracles.match_count_sql(FLAGSHIP_TERMS),
+        "random_score": oracles.random_score_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, RS_SEED, Q._RS_MULT, Q._RS_MOD
+        ),
+        "percolate": oracles.percolate_sql(PERCOLATE_QUERIES),
+        "rank_eval": oracles.rank_eval_sql(
+            PHRASE, PHRASE_K, RANK_EVAL_MARKER
         ),
         "collapse_topk": oracles.collapse_topk_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K

@@ -463,3 +463,31 @@ def test_span_near_matches_bruteforce(spark, pos_index):
         for r in Q.span_near_topk(spark, h, phrase, 10**6, slop=1).collect()
     }
     assert ordered <= unordered
+
+
+def test_span_first_matches_bruteforce(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+    for term, end in [("merge", 3), ("the", 1), ("dup", 5)]:
+        want = sorted(
+            (
+                (d, round(oracle.score_doc([term], d), 6))
+                for d, toks in corpus
+                if term in toks[:end]
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.span_first_topk(spark, h, term, 10, end).collect()
+        ]
+        assert got == want, f"span_first {term} end={end}"
+    # end larger than any doc = plain single-term BM25
+    full = {
+        r.doc_id
+        for r in Q.span_first_topk(spark, h, "merge", 10**6, 10**6).collect()
+    }
+    assert full == {d for d, toks in corpus if "merge" in toks}

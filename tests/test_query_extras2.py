@@ -366,3 +366,114 @@ def test_explain_score_breakdown_sums_to_score(spark, corpus):
         assert r.contrib == pytest.approx(contrib, abs=1e-5)
         total += contrib
     assert total == pytest.approx(oracle.score_doc(TERMS, doc), abs=1e-9)
+
+
+# ------------------------------------------------------- diversified_topk
+def test_diversified_bounds_per_key_and_degenerates_to_collapse(
+    spark, corpus
+):
+    df, oracle, meta = corpus
+    got = Q.diversified_topk(df, TERMS, K, field="source", per_key=2).collect()
+    # bound respected inside the page
+    per_src = Counter(r.source for r in got)
+    assert all(v <= 2 for v in per_src.values())
+    # python recompute: rank per source, keep rn<=2, global top-k
+    full = _ranking(_scores(oracle, TERMS))
+    kept, seen = [], Counter()
+    for d, s in full:
+        src = meta[d].source
+        seen[src] += 1
+        if seen[src] <= 2:
+            kept.append((d, src, round(s, 6)))
+    assert [(r.doc_id, r.source, r.score) for r in got] == kept[:K]
+    # per_key=1 is exactly field collapsing
+    div1 = Q.diversified_topk(df, TERMS, K, field="source", per_key=1)
+    col = Q.collapse_topk(df, TERMS, K, collapse_field="source")
+    assert [tuple(r) for r in div1.collect()] == [tuple(r) for r in col.collect()]
+
+
+# ------------------------------------------------------------ match_count
+def test_match_count_matches_python(spark, corpus):
+    df, oracle, _ = corpus
+    want = sum(
+        1
+        for d in oracle.doclen
+        if all(d in oracle.postings.get(t, {}) for t in set(TERMS))
+    )
+    row = Q.match_count(df, TERMS).collect()
+    assert len(row) == 1 and row[0].n_matching == want
+    assert Q.match_count(df, ["nosuchterm"]).collect()[0].n_matching == 0
+
+
+# ----------------------------------------------------------- random_score
+def test_random_score_deterministic_and_matches_python(spark, corpus):
+    df, oracle, _ = corpus
+    acc = _scores(oracle, TERMS)
+    seed = 7
+    jittered = {
+        d: s
+        * ((((d + seed) * Q._RS_MULT) % Q._RS_MOD) / float(Q._RS_MOD))
+        for d, s in acc.items()
+    }
+    want = [
+        (d, round(s, 6))
+        for d, s in sorted(jittered.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:K]
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.random_score_topk(df, TERMS, K, seed=seed).collect()
+    ]
+    assert got == want
+    # same seed reproduces; different seed permutes
+    again = [
+        (r.doc_id, r.score)
+        for r in Q.random_score_topk(df, TERMS, K, seed=seed).collect()
+    ]
+    assert again == got
+    other = [
+        (r.doc_id, r.score)
+        for r in Q.random_score_topk(df, TERMS, K, seed=8).collect()
+    ]
+    assert other != got
+
+
+# -------------------------------------------------------------- percolate
+def test_percolate_matches_bruteforce(spark, corpus):
+    df, oracle, _ = corpus
+    registry = [
+        (0, ["merge", "group", "key"], 3),
+        (1, ["dup", "spark"], 1),
+        (2, ["nosuchterm", "dup"], 2),
+    ]
+    got = [
+        (r.query_id, r.doc_id)
+        for r in Q.percolate(spark, df, registry).collect()
+    ]
+    want = []
+    for qid, terms, mm in registry:
+        uniq = sorted(set(terms))
+        for d in sorted(oracle.doclen):
+            n = sum(1 for t in uniq if d in oracle.postings.get(t, {}))
+            if n >= mm:
+                want.append((qid, d))
+    assert got == sorted(want)
+    assert not [p for p in got if p[0] == 2]  # unsatisfiable query
+
+
+# -------------------------------------------------------------- rank_eval
+def test_rank_eval_metrics_match_python(spark, corpus):
+    df, oracle, _ = corpus
+    terms, k, marker = ["merge", "group"], 10, "key"
+    topk = _ranking(_scores(oracle, terms))[:k]
+    relevant = set(oracle.postings.get(marker, {}))
+    hits = [i + 1 for i, (d, _) in enumerate(topk) if d in relevant]
+    p_at_k = len(hits) / len(topk)
+    r_at_k = len(hits) / len(relevant)
+    mrr = 1.0 / hits[0] if hits else 0.0
+    row = Q.rank_eval(df, terms, k, marker).collect()[0]
+    assert row.precision_at_k == round(p_at_k, 6)
+    assert row.recall_at_k == round(r_at_k, 6)
+    assert row.mrr == round(mrr, 6)
+    # a marker that never appears in the top-k yields zero metrics
+    row0 = Q.rank_eval(df, terms, k, "nosuchterm").collect()[0]
+    assert (row0.precision_at_k, row0.mrr) == (0.0, 0.0)

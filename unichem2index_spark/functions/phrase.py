@@ -248,3 +248,37 @@ def span_near_match_topk(
         out.append((doc, score))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def span_first_match_topk(
+    posts: dict[str, PosTermPostings],
+    term: str,
+    idf: float,
+    avgdl: float,
+    k: int,
+    end: int,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) for one ``span_first`` query within one
+    shard — the Lucene ``SpanFirstQuery`` / ES ``span_first`` analog
+    wrapping a single span_term: a doc matches iff the term occurs at a
+    token position < ``end`` (0-based; "in the first ``end`` tokens" —
+    the title-ish / lead-paragraph boost every news search uses).
+
+    Every posting of the term is a candidate (no intersection to skip
+    through), but positions decode lazily per block via the shared
+    cache, and matching docs score as the ordinary single-term BM25 so
+    the SQL oracle's expression tree agrees exactly."""
+    if term not in posts:
+        return []
+    tfdl = posts[term].all_docs()
+    out: list[tuple[int, float]] = []
+    for doc in sorted(tfdl):
+        if doc in deleted:
+            continue
+        if posts[term].positions_of(doc)[0] >= end:
+            continue
+        tf, dl = tfdl[doc]
+        out.append((doc, score_term(tf, dl, avgdl, idf)))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

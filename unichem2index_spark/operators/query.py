@@ -341,6 +341,203 @@ def explain_score(
     ).orderBy("term")
 
 
+def diversified_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    field: str = "source",
+    per_key: int = 2,
+) -> DataFrame:
+    """ES ``diversified_sampler`` shape (also ``collapse`` with
+    ``inner_hits`` size > 1): the top-k hits where at most ``per_key``
+    docs per ``field`` value survive — bounded per-site representation
+    without collapsing to one. ``per_key=1`` degenerates to
+    :func:`collapse_topk`.
+
+    Same plan as collapse: score, ONE window partitioned by the
+    diversity key (hash-partitioned parallel, never a global sort),
+    rank filter, then the ordinary tiny top-k merge. Raw-score ordering
+    everywhere; round only at emit."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.join(docs_df.select("doc_id", field), "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_key)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", field, F.round("score", 6).alias("score"))
+    )
+
+
+def match_count(docs_df: DataFrame, terms: list[str]) -> DataFrame:
+    """ES ``_count`` API for a bool-must query: how many docs contain ALL
+    the terms — no scoring, no top-k, one number. The cheapest query ES
+    serves and the one dashboards poll constantly.
+
+    ``post`` is one row per (doc_id, term), so the per-doc group count IS
+    the distinct matched-term count; map-side partial counts make the
+    groupBy shuffle carry only (doc_id, n) pairs for docs touching any
+    query term. Index-serving note: on the compressed index this is the
+    same ``term IN`` pushed scan as WAND with the heap dropped — per-shard
+    posting intersection cardinality, summed."""
+    uniq = sorted(set(terms))
+    post = exact_postings(tokenized_docs(docs_df))
+    per_doc = (
+        post.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == len(uniq))
+    )
+    return per_doc.agg(F.count(F.lit(1)).alias("n_matching"))
+
+
+# random_score mix constants: Knuth multiplicative hash folded mod 2^32.
+_RS_MULT = 2654435761
+_RS_MOD = 4294967296
+
+
+def random_score_topk(
+    docs_df: DataFrame, terms: list[str], k: int, seed: int = 0
+) -> DataFrame:
+    """ES ``function_score`` / ``random_score`` (seeded, boost_mode
+    multiply): rank by ``BM25 * r(doc)`` where ``r`` is a deterministic
+    per-doc hash in [0, 1) — the A/B-bucketing / result-jitter shape. ES
+    seeds a hash of (seed, field value); here the same discipline with an
+    explicit integer mix on doc_id, so any engine reproduces the exact
+    jitter: ``(((doc_id + seed) * 2654435761) mod 2^32) / 2^32`` — the
+    seed offsets the input BEFORE the multiplicative scramble, so
+    adjacent seeds produce unrelated orderings (an additive post-multiply
+    seed would move r by only 2^-32).
+
+    The mix is exact 64-bit integer arithmetic followed by ONE float
+    divide, so Spark and the SQL oracle agree bit-for-bit; the BM25 half
+    is the shared corpus tree. Bounded by 1, so the WAND kernel could
+    serve it at scale with unscaled (admissible) bounds and a rescore."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    r = (
+        F.pmod(
+            (F.col("doc_id") + F.lit(int(seed))) * F.lit(_RS_MULT),
+            F.lit(_RS_MOD),
+        ).cast("double")
+        / F.lit(float(_RS_MOD))
+    )
+    return (
+        scores.select("doc_id", (F.col("score") * r).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def percolate(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    queries: list[tuple[int, list[str], int]],
+) -> DataFrame:
+    """ES percolator: the REVERSE search — a registry of stored queries,
+    and for every incoming doc, which queries match it (alerting /
+    saved-search notification, the classic percolate use). Each stored
+    query is (query_id, terms, min_match): the doc matches when it
+    contains >= min_match of the query's distinct terms (min_match =
+    len(terms) is bool-must, 1 is bool-should).
+
+    Scale shape: the query registry is tiny next to the doc stream, so it
+    is BROADCAST twice (exploded terms for the probe, min_match for the
+    gate); the only shuffle is the groupBy on (doc_id, query_id), which
+    map-side combines to at most |matched pairs| rows. One pass over the
+    postings regardless of registry size — ES evaluates queries
+    one-by-one per doc; the join formulation batches them all."""
+    qrows = [
+        (int(qid), sorted({str(t) for t in terms}), int(mm))
+        for qid, terms, mm in queries
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, terms array<string>, min_match int"
+    )
+    qterms = qdf.select(
+        "query_id", F.explode("terms").alias("term")
+    )
+    post = exact_postings(tokenized_docs(docs_df)).select("doc_id", "term")
+    matched = (
+        post.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        matched.join(
+            F.broadcast(qdf.select("query_id", "min_match")), "query_id"
+        )
+        .where(F.col("n_matched") >= F.col("min_match"))
+        .select("query_id", "doc_id")
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def rank_eval(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    marker_term: str,
+) -> DataFrame:
+    """ES ``_rank_eval`` API: run a query, compare the top-k against a
+    rated-document set, emit precision@k / recall@k / MRR — the offline
+    relevance-regression harness every search team runs in CI. Ratings
+    here are binary and derived deterministically (a doc is relevant iff
+    it contains ``marker_term``), so both engines see the same judgments
+    without an external ratings file.
+
+    The ranked list is the standard raw-score top-k (round only at emit
+    is irrelevant here — only ranks and membership feed the metrics);
+    all three metrics are ratios of exact integers, so the single float
+    divide per metric agrees across engines. One row out."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    ranked = (
+        scores.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+    )
+    relevant = (
+        exact_postings(tokenized_docs(docs_df))
+        .where(F.col("term") == marker_term)
+        .select("doc_id")
+    )
+    hits = ranked.join(relevant, "doc_id")
+    agg = hits.agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("first_rank"),
+    )
+    totals = ranked.agg(F.count(F.lit(1)).alias("n_retrieved")).crossJoin(
+        relevant.agg(F.count(F.lit(1)).alias("n_relevant"))
+    )
+    return totals.crossJoin(agg).select(
+        F.round(
+            F.when(
+                F.col("n_retrieved") > 0,
+                F.col("n_hits").cast("double") / F.col("n_retrieved"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision_at_k"),
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("n_hits").cast("double") / F.col("n_relevant"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(F.col("n_hits") > 0, F.lit(1.0) / F.col("first_rank"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+    )
+
+
 _NO_HIT = 2**31  # sentinel "term absent" position for the least() fold
 
 
@@ -1497,6 +1694,80 @@ def span_near_topk(
         }
         top = span_near_match_topk(
             posts, uniq, idfs, avgdl, k, slop=slop, deleted=deleted
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def span_first_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    term: str,
+    k: int,
+    end: int,
+) -> DataFrame:
+    """``span_first`` BM25 top-k — ES ``span_first`` / Lucene
+    ``SpanFirstQuery`` wrapping a span_term: docs where ``term`` occurs
+    within the first ``end`` token positions (0-based), ranked by the
+    ordinary single-term BM25. The lead-paragraph / title-position boost.
+
+    Requires ``build_index(positions=True)``. One pushed ``term = X``
+    segment scan; per shard the term's postings decode block-by-block
+    with lazy position decode, k survivors per shard reach the global
+    merge; tombstones cogrouped exactly like the phrase family."""
+    if not index.has_positions:
+        raise ValueError(
+            "span_first_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term") == term)
+        .select("idf")
+        .collect()
+    )
+    if not ts:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf = float(ts[0].idf)
+    seg = index.segments(spark).where(F.col("term") == term).select(
+        *_PHRASE_COLS
+    )
+    avgdl = index.avgdl
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import span_first_match_topk
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = span_first_match_topk(
+            posts, term, idf, avgdl, k, end, deleted=deleted
         )
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}

@@ -1640,3 +1640,201 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def diversified_sql(terms: list[str], k: int, field: str, per_key: int) -> str:
+    """diversified_sampler: at most per_key docs per field value, then
+    the ordinary top-k merge; raw-score ordering, round at emit."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT sc.doc_id, doc.{field}, sc.score,
+         row_number() OVER (
+           PARTITION BY doc.{field}
+           ORDER BY sc.score DESC, sc.doc_id ASC
+         ) AS rn
+  FROM scored sc JOIN documents doc USING (doc_id)
+)
+SELECT doc_id, {field}, round(score, 6) AS score
+FROM ranked
+WHERE rn <= {per_key}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def match_count_sql(terms: list[str]) -> str:
+    """_count for bool-must: docs containing ALL the terms."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+per_doc AS (
+  SELECT doc_id
+  FROM post
+  WHERE term IN ({inlist})
+  GROUP BY doc_id
+  HAVING count(*) = {len(uniq)}
+)
+SELECT count(*) AS n_matching FROM per_doc
+"""
+
+
+def random_score_sql(terms: list[str], k: int, seed: int, mult: int, mod: int) -> str:
+    """function_score random_score (seeded, multiply): exact integer mix
+    then ONE float divide — identical constants to the Spark twin."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       round(
+         score * (CAST(((doc_id + {seed}) * {mult}) % {mod} AS DOUBLE)
+                  / {float(mod)!r}),
+         6
+       ) AS score
+FROM scored
+ORDER BY score * (CAST(((doc_id + {seed}) * {mult}) % {mod} AS DOUBLE)
+                  / {float(mod)!r}) DESC,
+         doc_id ASC
+LIMIT {k}
+"""
+
+
+def percolate_sql(queries: list[tuple[int, list[str], int]]) -> str:
+    """Percolator: stored (query_id, terms, min_match) registry as an
+    inline VALUES list; a doc matches when it contains >= min_match of
+    the query's distinct terms."""
+    qterm_rows = []
+    mm_rows = []
+    for qid, terms, mm in queries:
+        for t in sorted({str(x) for x in terms}):
+            qterm_rows.append(f"({int(qid)}, '" + t.replace("'", "''") + "')")
+        mm_rows.append(f"({int(qid)}, {int(mm)})")
+    qterms = ", ".join(qterm_rows)
+    mms = ", ".join(mm_rows)
+    return f"""
+WITH {_TOK_CTE},
+qterm(query_id, term) AS (VALUES {qterms}),
+qmm(query_id, min_match) AS (VALUES {mms}),
+matched AS (
+  SELECT p.doc_id, q.query_id, count(*) AS n_matched
+  FROM post p JOIN qterm q USING (term)
+  GROUP BY p.doc_id, q.query_id
+)
+SELECT m.query_id, m.doc_id
+FROM matched m JOIN qmm USING (query_id)
+WHERE m.n_matched >= qmm.min_match
+ORDER BY m.query_id, m.doc_id
+"""
+
+
+def rank_eval_sql(terms: list[str], k: int, marker: str) -> str:
+    """_rank_eval: precision@k / recall@k / MRR of the BM25 top-k against
+    the binary judgment "doc contains the marker term"."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    m = "'" + marker.replace("'", "''") + "'"
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+),
+relevant AS (
+  SELECT DISTINCT doc_id FROM post WHERE term = {m}
+),
+hits AS (
+  SELECT count(*) AS n_hits, min(rank) AS first_rank
+  FROM ranked JOIN relevant USING (doc_id)
+),
+totals AS (
+  SELECT (SELECT count(*) FROM ranked) AS n_retrieved,
+         (SELECT count(*) FROM relevant) AS n_relevant
+)
+SELECT round(CAST(h.n_hits AS DOUBLE) / t.n_retrieved, 6) AS precision_at_k,
+       round(CAST(h.n_hits AS DOUBLE) / t.n_relevant, 6) AS recall_at_k,
+       round(CASE WHEN h.n_hits > 0 THEN 1.0 / h.first_rank ELSE 0.0 END,
+             6) AS mrr
+FROM totals t CROSS JOIN hits h
+"""
+
+
+def span_first_sql(term: str, k: int, end: int) -> str:
+    """span_first(span_term): the term occurs within the first ``end``
+    token positions (kernel positions are 0-based; generate_subscripts is
+    1-based, hence ``min(p) <= end``), scored as single-term BM25."""
+    t = "'" + term.replace("'", "''") + "'"
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+matched AS (
+  SELECT doc_id FROM pos WHERE term = {t} GROUP BY doc_id
+  HAVING min(p) <= {end}
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term = {t}
+    AND p.doc_id IN (SELECT doc_id FROM matched)
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
