@@ -57,6 +57,9 @@ DIVERSE_FIELD, DIVERSE_PER_KEY = "source", 2  # diversified_sampler
 RS_SEED = 7  # function_score random_score seed
 SPAN_FIRST_TERM, SPAN_FIRST_END = "merge", 3  # span_first(end=3)
 RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
+SCROLL_PAGE, SCROLL_AFTER = 15, 100  # scroll: page 15 after doc_id 100
+TV_DOC = 7  # _termvectors target (same doc _explain inspects)
+PR_VALUES = (100.0, 300.0, 600.0)  # percentile_ranks probe doclens
 PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
     (0, ["merge", "group", "key"], 3),
     (1, ["dup", "spark"], 1),
@@ -316,6 +319,28 @@ def q_rank_eval(spark, sf_dir):
     )
 
 
+def q_scroll(spark, sf_dir):
+    """ES scroll / search_after-on-_doc: the bulk-export page — bool-must
+    matches in doc_id order, keyset cursor, no scoring."""
+    return Q.scroll_page(
+        _docs(spark, sf_dir), PHRASE, SCROLL_PAGE, after_doc_id=SCROLL_AFTER
+    )
+
+
+def q_term_vectors(spark, sf_dir):
+    """ES _termvectors (term_statistics=true): one doc's terms with tf,
+    0-based positions, corpus df/ttf."""
+    return Q.term_vectors(_docs(spark, sf_dir), TV_DOC)
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks over doclen: percent of docs at or below each
+    probe value, one conditional-agg pass."""
+    return textstats.percentile_ranks(
+        spark, load_tables(spark, sf_dir), values=PR_VALUES
+    )
+
+
 def q_collapse_topk(spark, sf_dir):
     """ES collapse (field collapsing): best doc per source only — the
     diversified-SERP shape; one window partitioned by the collapse key."""
@@ -553,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": q_random_score,
         "percolate": q_percolate,
         "rank_eval": q_rank_eval,
+        "scroll": q_scroll,
+        "term_vectors": q_term_vectors,
+        "percentile_ranks": q_percentile_ranks,
         "collapse_topk": q_collapse_topk,
         "explain_score": q_explain_score,
         "term_stats": q_term_stats,
@@ -702,6 +730,9 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, FLAGSHIP_K, RS_SEED, Q._RS_MULT, Q._RS_MOD
         ),
         "percolate": oracles.percolate_sql(PERCOLATE_QUERIES),
+        "scroll": oracles.scroll_sql(PHRASE, SCROLL_PAGE, SCROLL_AFTER),
+        "term_vectors": oracles.term_vectors_sql(TV_DOC),
+        "percentile_ranks": oracles.percentile_ranks_sql(PR_VALUES),
         "rank_eval": oracles.rank_eval_sql(
             PHRASE, PHRASE_K, RANK_EVAL_MARKER
         ),

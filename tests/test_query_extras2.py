@@ -477,3 +477,60 @@ def test_rank_eval_metrics_match_python(spark, corpus):
     # a marker that never appears in the top-k yields zero metrics
     row0 = Q.rank_eval(df, terms, k, "nosuchterm").collect()[0]
     assert (row0.precision_at_k, row0.mrr) == (0.0, 0.0)
+
+
+# ------------------------------------------------------------- scroll_page
+def test_scroll_pages_tile_the_match_set(spark, corpus):
+    df, oracle, _ = corpus
+    terms = ["merge", "group"]
+    matches = sorted(
+        d
+        for d in oracle.doclen
+        if all(d in oracle.postings.get(t, {}) for t in terms)
+    )
+    # keyset-walk the whole match set in pages of 7
+    seen, cursor = [], -1
+    while True:
+        page = Q.scroll_page(df, terms, 7, after_doc_id=cursor).collect()
+        if not page:
+            break
+        ids = [r.doc_id for r in page]
+        assert ids == sorted(ids)
+        seen.extend(ids)
+        cursor = ids[-1]
+        if len(page) < 7:
+            break
+    assert seen == matches  # pages tile: no dup, no gap, full drain
+
+
+# ------------------------------------------------------------ term_vectors
+def test_term_vectors_matches_python(spark, corpus):
+    df, oracle, meta = corpus
+    doc = 7
+    toks = tokenize(meta[doc].text)
+    got = Q.term_vectors(df, doc).collect()
+    assert [r.term for r in got] == sorted(set(toks))
+    for r in got:
+        want_pos = [i for i, t in enumerate(toks) if t == r.term]
+        assert list(r.positions) == want_pos
+        assert r.tf == len(want_pos)
+        assert r.df == len(oracle.postings[r.term])
+        assert r.ttf == sum(oracle.postings[r.term].values())
+
+
+# -------------------------------------------------------- percentile_ranks
+def test_percentile_ranks_matches_python(spark, corpus, tables):
+    _, oracle, _ = corpus
+    from unichem2index_spark.operators import textstats
+
+    vals = (100.0, 300.0, 600.0)
+    row = textstats.percentile_ranks(spark, tables, values=vals).collect()[0]
+    n = len(oracle.doclen)
+    assert row.n_docs == n
+    for v in vals:
+        want = round(
+            sum(1 for dl in oracle.doclen.values() if dl <= v) / n * 100.0, 6
+        )
+        assert getattr(row, f"rank_{int(v)}") == want
+    # ranks are monotone in the probe value
+    assert row.rank_100 <= row.rank_300 <= row.rank_600

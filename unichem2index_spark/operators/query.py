@@ -538,6 +538,76 @@ def rank_eval(
     )
 
 
+def scroll_page(
+    docs_df: DataFrame,
+    terms: list[str],
+    page_size: int,
+    after_doc_id: int = -1,
+) -> DataFrame:
+    """ES ``scroll`` / ``search_after`` with ``sort: _doc`` — the bulk
+    export/reindex shape: every doc matching a bool-must term query, in
+    stable doc_id order, keyset-paginated (``doc_id > cursor``). No
+    scoring, no heap; ES deprecated scroll in favour of exactly this
+    search_after-on-_doc pattern.
+
+    One page is a pushed range+membership scan: the ``doc_id >`` keyset
+    predicate prunes row groups (doc_ids are write-ordered), the per-doc
+    distinct-matched-term count gates bool-must, and only page_size rows
+    survive to the driver. A FULL export at 100 TB is the same plan with
+    the limit dropped and a ``repartitionByRange("doc_id").write`` —
+    keyset order costs nothing because the data is already id-ordered."""
+    uniq = sorted(set(terms))
+    post = exact_postings(tokenized_docs(docs_df))
+    matched = (
+        post.where(F.col("term").isin(uniq))
+        .where(F.col("doc_id") > after_doc_id)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == len(uniq))
+    )
+    return (
+        matched.join(docs_df.select("doc_id", "source", "lang"), "doc_id")
+        .orderBy("doc_id")
+        .limit(page_size)
+        .select("doc_id", "source", "lang")
+    )
+
+
+def term_vectors(docs_df: DataFrame, doc_id: int) -> DataFrame:
+    """ES ``_termvectors`` (term_statistics=true): for ONE doc, every
+    term with its in-doc tf, its 0-based token positions, and the
+    corpus-wide df / ttf (total term frequency) — the relevance-debugging
+    twin of ``_explain``, and the raw material for more_like_this.
+
+    The doc's row is a doc_id-pruned scan; df/ttf come from ONE
+    corpus-global postings aggregation (the same frame every scorer
+    shares, so the numbers agree with _explain / term_stats). Positions
+    are collected per (doc, term) with ``sort_array`` for a deterministic
+    emit."""
+    tok = tokenized_docs(docs_df)
+    pos = (
+        tok.where(F.col("doc_id") == doc_id)
+        .select(F.posexplode("tokens").alias("p", "term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("p")).alias("positions"),
+        )
+    )
+    post = exact_postings(tok)
+    tstats = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+    )
+    # Broadcast the ONE doc's term list into the corpus-global stats
+    # frame (never the reverse — the full vocabulary doesn't broadcast
+    # at 100 TB; a single doc's distinct terms always do).
+    return (
+        tstats.join(F.broadcast(pos), "term")
+        .select("term", "tf", "df", "ttf", "positions")
+        .orderBy("term")
+    )
+
+
 _NO_HIT = 2**31  # sentinel "term absent" position for the least() fold
 
 

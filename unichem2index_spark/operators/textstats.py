@@ -119,6 +119,36 @@ def doclen_percentiles(spark: SparkSession, t) -> DataFrame:
     )
 
 
+def percentile_ranks(
+    spark: SparkSession, t, values: tuple[float, ...] = (100.0, 300.0, 600.0)
+) -> DataFrame:
+    """ES ``percentile_ranks`` aggregation analog over document length —
+    the inverse of ``percentiles``: for each probe value, the percent of
+    docs at or below it ("what fraction of my corpus fits in a
+    600-token context?"). ES computes this on a t-digest with
+    interpolation; the exact definition here (count <= v) / n * 100 is
+    its oracle and is what the t-digest converges to.
+
+    One conditional aggregation pass — each rank is a ``sum(when(...))``
+    over the same scan, so k probe values cost ONE job, map-side
+    combined. Exact integer counts, one float divide per rank."""
+    dl = _tok(t["documents"]).select(
+        F.size("tokens").cast("long").alias("doclen")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.round(
+            F.sum(
+                F.when(F.col("doclen") <= F.lit(float(v)), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+            * 100.0,
+            6,
+        ).alias(f"rank_{int(v)}")
+        for v in values
+    ]
+    return dl.agg(*aggs)
+
+
 def significant_terms(
     spark: SparkSession, t, where: str = "lang = 'de'", size: int = 25,
     min_fg_df: int = 3,

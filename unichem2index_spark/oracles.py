@@ -1838,3 +1838,66 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def scroll_sql(terms: list[str], page_size: int, after: int) -> str:
+    """scroll / search_after-on-_doc: bool-must matches in doc_id order,
+    keyset-paginated."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+matched AS (
+  SELECT doc_id
+  FROM post
+  WHERE term IN ({inlist}) AND doc_id > {after}
+  GROUP BY doc_id
+  HAVING count(*) = {len(uniq)}
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN matched USING (doc_id)
+ORDER BY d.doc_id
+LIMIT {page_size}
+"""
+
+
+def term_vectors_sql(doc_id: int) -> str:
+    """_termvectors (term_statistics=true): per-term tf, 0-based
+    positions, corpus df and ttf (the dfs CTE's cf IS the total term
+    frequency)."""
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS p
+  FROM tokd
+),
+tv AS (
+  SELECT term, count(*) AS tf, list(p ORDER BY p) AS positions
+  FROM pos WHERE doc_id = {doc_id} GROUP BY term
+)
+SELECT t.term, t.tf, d.df, d.cf AS ttf, t.positions
+FROM tv t JOIN dfs d USING (term)
+ORDER BY t.term
+"""
+
+
+def percentile_ranks_sql(values: tuple[float, ...]) -> str:
+    """percentile_ranks over doclen: exact (count <= v) / n * 100, one
+    conditional-aggregation pass, same float association as Spark."""
+    cols = ",\n       ".join(
+        f"round(CAST(sum(CASE WHEN doclen <= {float(v)!r} THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) / count(*) * 100.0, 6) AS rank_{int(v)}"
+        for v in values
+    )
+    return f"""
+WITH tok AS (
+  SELECT len({TOKS}) AS doclen FROM documents
+)
+SELECT count(*) AS n_docs,
+       {cols}
+FROM tok
+"""
