@@ -58,6 +58,9 @@ RS_SEED = 7  # function_score random_score seed
 SPAN_FIRST_TERM, SPAN_FIRST_END = "merge", 3  # span_first(end=3)
 RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
 SCROLL_PAGE, SCROLL_AFTER = 15, 100  # scroll: page 15 after doc_id 100
+TERMS_SET_TERMS = ["merge", "group", "key", "vector"]  # terms_set query
+TERMS_SET_REQUIRED = "CASE WHEN lang = 'en' THEN 3 ELSE 2 END"
+SUGGEST_PHRASE, SUGGEST_DIST, SUGGEST_SIZE = ("mrge", "grup"), 1, 5
 TV_DOC = 7  # _termvectors target (same doc _explain inspects)
 PR_VALUES = (100.0, 300.0, 600.0)  # percentile_ranks probe doclens
 PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
@@ -341,6 +344,24 @@ def q_percentile_ranks(spark, sf_dir):
     )
 
 
+def q_terms_set(spark, sf_dir):
+    """ES terms_set: per-doc dynamic minimum_should_match from a metadata
+    expression; eligible docs score as the BM25 bag over matched terms."""
+    return Q.terms_set_topk(
+        _docs(spark, sf_dir), TERMS_SET_TERMS, FLAGSHIP_K,
+        required_expr=TERMS_SET_REQUIRED,
+    )
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester ("did you mean"): per-slot Levenshtein
+    candidates reranked by adjacent-bigram corpus frequency."""
+    return textstats.phrase_suggest(
+        spark, load_tables(spark, sf_dir), phrase=SUGGEST_PHRASE,
+        max_dist=SUGGEST_DIST, size=SUGGEST_SIZE,
+    )
+
+
 def q_collapse_topk(spark, sf_dir):
     """ES collapse (field collapsing): best doc per source only — the
     diversified-SERP shape; one window partitioned by the collapse key."""
@@ -581,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scroll": q_scroll,
         "term_vectors": q_term_vectors,
         "percentile_ranks": q_percentile_ranks,
+        "terms_set": q_terms_set,
+        "phrase_suggest": q_phrase_suggest,
         "collapse_topk": q_collapse_topk,
         "explain_score": q_explain_score,
         "term_stats": q_term_stats,
@@ -733,6 +756,12 @@ def oracle_sql() -> dict[str, str]:
         "scroll": oracles.scroll_sql(PHRASE, SCROLL_PAGE, SCROLL_AFTER),
         "term_vectors": oracles.term_vectors_sql(TV_DOC),
         "percentile_ranks": oracles.percentile_ranks_sql(PR_VALUES),
+        "terms_set": oracles.terms_set_sql(
+            TERMS_SET_TERMS, FLAGSHIP_K, TERMS_SET_REQUIRED
+        ),
+        "phrase_suggest": oracles.phrase_suggest_sql(
+            SUGGEST_PHRASE, SUGGEST_DIST, SUGGEST_SIZE
+        ),
         "rank_eval": oracles.rank_eval_sql(
             PHRASE, PHRASE_K, RANK_EVAL_MARKER
         ),

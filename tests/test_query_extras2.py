@@ -534,3 +534,78 @@ def test_percentile_ranks_matches_python(spark, corpus, tables):
         assert getattr(row, f"rank_{int(v)}") == want
     # ranks are monotone in the probe value
     assert row.rank_100 <= row.rank_300 <= row.rank_600
+
+
+# --------------------------------------------------------------- terms_set
+def test_terms_set_dynamic_threshold_matches_python(spark, corpus):
+    df, oracle, meta = corpus
+    terms = ["merge", "group", "key", "vector"]
+    req = "CASE WHEN lang = 'en' THEN 3 ELSE 2 END"
+    acc = _scores(oracle, terms)
+    matched_n = {
+        d: sum(1 for t in set(terms) if d in oracle.postings.get(t, {}))
+        for d in acc
+    }
+    want = sorted(
+        (
+            (d, round(s, 6))
+            for d, s in acc.items()
+            if matched_n[d] >= (3 if meta[d].lang == "en" else 2)
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:K]
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.terms_set_topk(df, terms, K, required_expr=req).collect()
+    ]
+    assert got == want
+    # a constant required = n_terms degenerates to bool-must scoring
+    all_req = Q.terms_set_topk(df, terms, 10**6, required_expr="4").collect()
+    assert {r.doc_id for r in all_req} == {
+        d for d, n in matched_n.items() if n == 4
+    }
+
+
+# ----------------------------------------------------------- phrase_suggest
+def test_phrase_suggest_finds_the_frequent_bigram(spark, corpus, tables):
+    from unichem2index_spark.operators import textstats
+
+    df, oracle, meta = corpus
+    got = textstats.phrase_suggest(
+        spark, tables, phrase=("mrge", "grup"), max_dist=1, size=5
+    ).collect()
+    # python recompute: bigram counts + levenshtein-1 candidate sets
+    def lev1(a, b):
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return 2
+        # one edit suffices?
+        if la == lb:
+            diffs = sum(1 for x, y in zip(a, b) if x != y)
+            return 1 if diffs == 1 else 2
+        s, l = (a, b) if la < lb else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1 :] == s:
+                return 1
+        return 2
+
+    bg = Counter()
+    for r in meta.values():
+        toks = tokenize(r.text)
+        for x, y in zip(toks, toks[1:]):
+            bg[(x, y)] += 1
+    vocab = set(oracle.postings)
+    c0 = {t: lev1(t, "mrge") for t in vocab if lev1(t, "mrge") <= 1}
+    c1 = {t: lev1(t, "grup") for t in vocab if lev1(t, "grup") <= 1}
+    want = sorted(
+        (
+            (w1, w2, n, c0[w1] + c1[w2])
+            for (w1, w2), n in bg.items()
+            if w1 in c0 and w2 in c1
+        ),
+        key=lambda x: (-x[2], x[3], x[0], x[1]),
+    )[:5]
+    assert [(r.w1, r.w2, r.n_occurrences, r.total_edits) for r in got] == want
+    assert got and (got[0].w1, got[0].w2) == ("merge", "group")

@@ -538,6 +538,42 @@ def rank_eval(
     )
 
 
+def terms_set_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    required_expr: str = "CASE WHEN lang = 'en' THEN 3 ELSE 2 END",
+) -> DataFrame:
+    """ES ``terms_set`` query: like ``terms`` with
+    ``minimum_should_match_field`` — the number of terms a doc must match
+    comes from a PER-DOC expression (ES reads a stored numeric field;
+    here any SQL expression over the doc's metadata), and eligible docs
+    score as the ordinary BM25 bag over their matched terms. The
+    "skills-matching" query shape (match >= doc.required_skills of the
+    requested skills).
+
+    One pass over the query terms' postings (shared contribution frame),
+    the per-doc matched count rides the same groupBy that sums the
+    score, and the required threshold joins in from the docs table —
+    map-side combined, no second scan."""
+    contribs = bm25_contribs_from_corpus(docs_df, terms)
+    per_doc = contribs.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    gated = per_doc.join(
+        docs_df.select(
+            "doc_id", F.expr(required_expr).alias("required")
+        ),
+        "doc_id",
+    ).where(F.col("n_matched") >= F.col("required"))
+    return (
+        gated.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def scroll_page(
     docs_df: DataFrame,
     terms: list[str],

@@ -238,6 +238,82 @@ def term_suggest(
     )
 
 
+def phrase_suggest(
+    spark: SparkSession,
+    t,
+    phrase: tuple[str, str] = ("mrge", "grup"),
+    max_dist: int = 1,
+    size: int = 5,
+) -> DataFrame:
+    """ES phrase-suggester analog ("did you mean") for a two-term query:
+    per-slot candidates come from the vocabulary within ``max_dist``
+    Levenshtein edits (distance 0 included — a slot may already be
+    correct), and candidate PAIRS are ranked by how often they actually
+    occur as an adjacent bigram in the corpus (count desc, fewer edits
+    first, then lexicographic). ES reranks with a Stupid-Backoff bigram
+    LM; raw bigram frequency is the λ-free integer core of that model,
+    so scores stay engine-exact (no smoothing floats to reconcile).
+
+    Scale shape: the bigram table is ONE map-side transform over the
+    tokenized corpus (adjacent zip, no self-join) + a hash agg keyed on
+    the pair; per-slot candidate sets are dictionary scans behind a
+    length-window pre-filter (same plan as term_suggest) and are tiny,
+    so both join to the bigram table broadcast."""
+    d = t["documents"]
+    tok = d.select(tokens_col("text").alias("tokens"))
+    bigrams = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tokens, 1, size(tokens) - 1),"
+                    " (x, i) -> struct(x AS w1, tokens[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    vocab = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    def cands(q: str, alias: str):
+        qlen = len(q)
+        return (
+            vocab.where(
+                (F.length("term") >= qlen - max_dist)
+                & (F.length("term") <= qlen + max_dist)
+            )
+            .select(
+                F.col("term").alias(alias),
+                F.levenshtein(F.col("term"), F.lit(q)).alias(f"{alias}_d"),
+            )
+            .where(F.col(f"{alias}_d") <= max_dist)
+        )
+
+    c0, c1 = cands(phrase[0], "w1"), cands(phrase[1], "w2")
+    return (
+        bigrams.join(F.broadcast(c0), "w1")
+        .join(F.broadcast(c1), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_occurrences",
+            (F.col("w1_d") + F.col("w2_d")).alias("total_edits"),
+        )
+        .orderBy(
+            F.desc("n_occurrences"),
+            F.asc("total_edits"),
+            F.asc("w1"),
+            F.asc("w2"),
+        )
+        .limit(size)
+    )
+
+
 def date_histogram_pipeline(
     spark: SparkSession, t, interval: str = "hour"
 ) -> DataFrame:

@@ -1901,3 +1901,75 @@ SELECT count(*) AS n_docs,
        {cols}
 FROM tok
 """
+
+
+def terms_set_sql(terms: list[str], k: int, required_case: str) -> str:
+    """terms_set: per-doc dynamic minimum_should_match from a metadata
+    expression; eligible docs score as the plain BM25 bag over matched
+    terms. ``required_case`` is the same SQL CASE both engines evaluate."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score,
+         count(*) AS n_matched
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+gated AS (
+  SELECT sc.doc_id, sc.score
+  FROM scored sc JOIN documents doc USING (doc_id)
+  WHERE sc.n_matched >= ({required_case})
+)
+SELECT doc_id, round(score, 6) AS score
+FROM gated
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def phrase_suggest_sql(
+    phrase: tuple[str, str], max_dist: int, size: int
+) -> str:
+    """Phrase suggester: per-slot Levenshtein candidates (dist 0
+    allowed), pairs ranked by adjacent-bigram corpus frequency."""
+    q0 = "'" + phrase[0].replace("'", "''") + "'"
+    q1 = "'" + phrase[1].replace("'", "''") + "'"
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+bg AS (
+  SELECT a.term AS w1, b.term AS w2, count(*) AS n_occurrences
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  GROUP BY a.term, b.term
+),
+c0 AS (
+  SELECT term AS w1, levenshtein(term, {q0}) AS d0 FROM dfs
+  WHERE len(term) BETWEEN len({q0}) - {max_dist} AND len({q0}) + {max_dist}
+    AND levenshtein(term, {q0}) <= {max_dist}
+),
+c1 AS (
+  SELECT term AS w2, levenshtein(term, {q1}) AS d1 FROM dfs
+  WHERE len(term) BETWEEN len({q1}) - {max_dist} AND len({q1}) + {max_dist}
+    AND levenshtein(term, {q1}) <= {max_dist}
+)
+SELECT bg.w1, bg.w2, bg.n_occurrences, c0.d0 + c1.d1 AS total_edits
+FROM bg JOIN c0 USING (w1) JOIN c1 USING (w2)
+ORDER BY bg.n_occurrences DESC, total_edits ASC, bg.w1 ASC, bg.w2 ASC
+LIMIT {size}
+"""
