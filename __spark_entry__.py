@@ -44,6 +44,7 @@ PREFIX, PREFIX_EXP = "s", 4  # cap 4 < the 6 s-terms: exercises LIMIT
 FUZZY_TERM, FUZZY_EDITS = "dat", 2  # expands to data/a/dup/fast/part/...
 PAGE_OFFSET, PAGE_K = 10, 10  # ES from/size page 2
 FVF_FACTOR = 0.001  # function_score field_value_factor on n_chars
+FVF_WAND_FACTOR = 0.01  # WAND-served field_value_factor on doclen
 CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
 GAUSS_ORIGIN = 300.0  # function_score gauss decay on n_chars
 EXPLAIN_DOC = 7  # _explain target: contains all three flagship terms
@@ -344,6 +345,17 @@ def q_percentile_ranks(spark, sf_dir):
     )
 
 
+def q_bm25_fvf_wand(spark, sf_dir):
+    """function_score field_value_factor served THROUGH the WAND kernel:
+    block bounds scaled by the global multiplier bound stay admissible,
+    exact multiplied scores, no rescore pass — the index-path twin of
+    bm25_field_boost."""
+    return Q.bm25_topk_field_boost_wand(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        field="doclen", factor=FVF_WAND_FACTOR,
+    )
+
+
 def q_terms_set(spark, sf_dir):
     """ES terms_set: per-doc dynamic minimum_should_match from a metadata
     expression; eligible docs score as the BM25 bag over matched terms."""
@@ -604,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks": q_percentile_ranks,
         "terms_set": q_terms_set,
         "phrase_suggest": q_phrase_suggest,
+        "bm25_fvf_wand": q_bm25_fvf_wand,
         "collapse_topk": q_collapse_topk,
         "explain_score": q_explain_score,
         "term_stats": q_term_stats,
@@ -719,6 +732,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_field_boost": oracles.bm25_field_boost_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, FVF_FACTOR
+        ),
+        "bm25_fvf_wand": oracles.bm25_fvf_wand_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, FVF_WAND_FACTOR
         ),
         "bm25_search_after": oracles.bm25_search_after_sql(
             FLAGSHIP_TERMS, SA_K, CURSOR_RANK

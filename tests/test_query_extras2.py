@@ -609,3 +609,43 @@ def test_phrase_suggest_finds_the_frequent_bigram(spark, corpus, tables):
     )[:5]
     assert [(r.w1, r.w2, r.n_occurrences, r.total_edits) for r in got] == want
     assert got and (got[0].w1, got[0].w2) == ("merge", "group")
+
+
+# ------------------------------------------------------------ fvf via WAND
+def test_fvf_wand_matches_python_and_corpus_path(spark, corpus, tmp_path_factory):
+    import math
+
+    from unichem2index_spark.operators.build import build_index
+    from pyspark.sql import functions as F
+    from unichem2index_spark.functions.tokenize import tokens_col
+
+    df, oracle, _ = corpus
+    out = str(tmp_path_factory.mktemp("fvfidx"))
+    build_index(spark, df, out, n_shards=N_SHARDS, block_size=16,
+                build_id="fvf")
+    h = Q.IndexHandle.open(spark, out)
+    factor = 0.01
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_field_boost_wand(
+            spark, h, TERMS, K, field="doclen", factor=factor
+        ).collect()
+    ]
+    acc = _scores(oracle, TERMS)
+    want = sorted(
+        (
+            (d, round(s * math.log(1.0 + factor * oracle.doclen[d]), 6))
+            for d, s in acc.items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:K]
+    assert got == want
+    # rank+score identical to the corpus path on the same field
+    aug = df.withColumn("doclen", F.size(tokens_col("text")))
+    corpus_side = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_field_boost(
+            aug, TERMS, K, field="doclen", factor=factor
+        ).collect()
+    ]
+    assert got == corpus_side

@@ -150,3 +150,32 @@ def test_wand_search_after_cursor(docs, terms, k, block_size, rank):
         _cursors(oracle, terms, block_size), oracle.avgdl, k, after=after
     )
     _check(got, full[rank + 1 : rank + 1 + k])
+
+
+@settings(max_examples=100, deadline=None)
+@given(corpora, queries, st.integers(1, 8), st.integers(1, 5))
+def test_wand_mult_equals_bruteforce(docs, terms, k, block_size):
+    """Per-doc multiplier (field_value_factor served in-kernel): pruning
+    on bound * mult_bound must stay exact for the MULTIPLIED ranking,
+    including docs absent from the map (ineligible)."""
+    oracle = Bm25Oracle(list(enumerate(docs)))
+    # deterministic per-doc multiplier in (0, 1.05]; every 7th doc absent
+    mult = {
+        d: 0.05 + ((d * 37) % 100) / 100.0
+        for d in oracle.doclen
+        if d % 7 != 3
+    }
+    bound = max(mult.values(), default=1.0)
+    got = wand_topk(
+        _cursors(oracle, terms, block_size), oracle.avgdl, k,
+        mult=mult, mult_bound=bound,
+    )
+    want = sorted(
+        (
+            (d, s * mult[d])
+            for d, s in _full_ranking(oracle, terms)
+            if d in mult
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    _check(got, want[:k])

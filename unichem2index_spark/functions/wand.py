@@ -95,6 +95,8 @@ def wand_topk(
     allowed: frozenset[int] | set[int] | None = None,
     min_match: int = 1,
     after: tuple[float, int] | None = None,
+    mult: dict[int, float] | None = None,
+    mult_bound: float = 1.0,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) over the given term cursors.
 
@@ -121,11 +123,23 @@ def wand_topk(
     competitive doc and then discards it if it sorts at-or-before the
     cursor, so pruning bounds are untouched and remain admissible.
 
+    ``mult`` / ``mult_bound``: per-doc final-score multiplier (ES
+    ``function_score`` field_value_factor served through the kernel).
+    Every block/max bound is a bound on the RAW BM25 sum, so comparing
+    ``bound * mult_bound`` (a global upper bound on the multiplier)
+    against the threshold keeps pruning admissible for the multiplied
+    scores; the evaluated score is ``raw * mult[doc]``. Docs absent from
+    ``mult`` are ineligible (the map is built from live docs, so
+    tombstones fold in for free). ``mult_bound`` is inflated by one part
+    in 10^12 at entry so float rounding in the comparison products can
+    only LOOSEN pruning, never drop a boundary-tied true top-k member.
+
     Returns sorted by (score desc, doc_id asc).
     """
     if k <= 0 or not terms:
         return []
     deleted = deleted or frozenset()
+    mb = mult_bound * (1.0 + 1e-12) if mult is not None else 1.0
     # cursor in heap-key space: a doc qualifies iff its (score, -doc_id)
     # key is strictly below the cursor's (ranked after it).
     after_key = (after[0], -after[1]) if after is not None else None
@@ -147,7 +161,7 @@ def wand_topk(
         pivot_idx = -1
         for i, t in enumerate(live):
             acc += t.max_score
-            if acc >= threshold:
+            if acc * mb >= threshold:
                 pivot_idx = i
                 break
         if pivot_idx < 0:
@@ -162,7 +176,7 @@ def wand_topk(
                 if t.cur_doc() > pivot_doc:
                     break
                 bm_sum += t.cur_block_max()
-            if len(heap) >= k and bm_sum < threshold:
+            if len(heap) >= k and bm_sum * mb < threshold:
                 # BMW next-candidate (Ding & Suel): skip to the shallowest
                 # aligned block boundary + 1, but never past the first
                 # non-aligned cursor — docs beyond it can score through
@@ -196,7 +210,14 @@ def wand_topk(
                 if t.cur_doc() == pivot_doc:
                     n_hit += 1
                     s += t.score_at(pivot_doc, avgdl)
-            if n_hit >= min_match and (
+            m_ok = True
+            if mult is not None:
+                m = mult.get(pivot_doc)
+                if m is None:
+                    m_ok = False
+                else:
+                    s *= m
+            if m_ok and n_hit >= min_match and (
                 after_key is None or (s, -pivot_doc) < after_key
             ):
                 cand = (s, -pivot_doc)

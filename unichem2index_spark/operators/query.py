@@ -1172,6 +1172,90 @@ def bm25_topk_filtered(
     )
 
 
+def bm25_topk_field_boost_wand(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    field: str = "doclen",
+    factor: float = 0.001,
+) -> DataFrame:
+    """``function_score`` field_value_factor SERVED THROUGH THE WAND
+    KERNEL — the index-path twin of :func:`bm25_topk_field_boost`, and
+    the proof of that function's scale note: because the multiplier
+    ``ln(1 + factor * field)`` is bounded by its value at ``max(field)``,
+    every block-max bound scaled by that constant stays admissible, so
+    the kernel prunes on the MULTIPLIED scores and evaluates exactly —
+    no rescore pass, no approximation, rank+score identical to the
+    corpus path (pytest-verified).
+
+    Scale shape: ``field`` is a column of the index's own docs table
+    (the Lucene doc-values analog — ``doclen`` by default, the length
+    norm every index stores); one skinny agg for ``max(field)``, then
+    the per-shard multiplier frame (doc_id, m) cogroups into the kernel
+    exactly like the filter bitset — nothing reaches the driver; m is
+    computed with the JVM's ``log`` (the same engine the oracle's ln
+    resolves to on this data, hash-verified). Docs absent from the map
+    (tombstones — docs() drops them) are ineligible inside the kernel,
+    so the deletes cogroup is subsumed."""
+    import math as _math
+
+    uniq = sorted(set(terms))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if not idfs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
+        *_WAND_COLS
+    )
+    max_v = index.docs(spark).agg(F.max(field)).collect()[0][0]
+    bound = _math.log(1.0 + float(factor) * float(max_v or 0.0))
+    by_shard = (F.col("doc_id") % index.n_shards).cast("int").alias("shard")
+    side = index.docs(spark).select(
+        by_shard,
+        "doc_id",
+        F.log(F.lit(1.0) + F.lit(float(factor)) * F.col(field)).alias("m"),
+    )
+    avgdl = index.avgdl
+    use_stored = not index.multi_gen
+
+    def fn(pdf: pd.DataFrame, m_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        mult = {
+            int(d): float(m)
+            for d, m in zip(m_pdf["doc_id"], m_pdf["m"])
+        }
+        cursors = [
+            _cursors_from_group(
+                grp, str(term), idfs[str(term)], avgdl, use_stored
+            )
+            for term, grp in pdf.groupby("term", sort=True)
+        ]
+        top = wand_topk(
+            cursors, avgdl, k, mult=mult, mult_bound=bound
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    per_shard = (
+        seg.groupBy("shard")
+        .cogroup(side.groupBy("shard"))
+        .applyInPandas(fn, TOPK_SCHEMA)
+    )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Bool must_not, term expansion (prefix / fuzzy), pagination
 # --------------------------------------------------------------------------

@@ -1973,3 +1973,34 @@ FROM bg JOIN c0 USING (w1) JOIN c1 USING (w2)
 ORDER BY bg.n_occurrences DESC, total_edits ASC, bg.w1 ASC, bg.w2 ASC
 LIMIT {size}
 """
+
+
+def bm25_fvf_wand_sql(terms: list[str], k: int, factor: float) -> str:
+    """field_value_factor on doclen (the index doc store's own field),
+    served through WAND on the Spark side: BM25 * ln(1 + factor*doclen),
+    multiplier applied AFTER the per-doc sum — same tree as the kernel's
+    ``s * mult[doc]``."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)
+SELECT sc.doc_id,
+       round(sc.score * ln(1.0 + {float(factor)!r} * t.doclen), 6) AS score
+FROM scored sc JOIN tok t USING (doc_id)
+ORDER BY sc.score * ln(1.0 + {float(factor)!r} * t.doclen) DESC,
+         sc.doc_id ASC
+LIMIT {k}
+"""
