@@ -45,6 +45,7 @@ FUZZY_TERM, FUZZY_EDITS = "dat", 2  # expands to data/a/dup/fast/part/...
 PAGE_OFFSET, PAGE_K = 10, 10  # ES from/size page 2
 FVF_FACTOR = 0.001  # function_score field_value_factor on n_chars
 FVF_WAND_FACTOR = 0.01  # WAND-served field_value_factor on doclen
+GAUSS_WAND_ORIGIN = 300.0  # WAND-served gauss decay origin on doclen
 CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
 GAUSS_ORIGIN = 300.0  # function_score gauss decay on n_chars
 EXPLAIN_DOC = 7  # _explain target: contains all three flagship terms
@@ -356,6 +357,25 @@ def q_bm25_fvf_wand(spark, sf_dir):
     )
 
 
+def q_bm25_gauss_wand(spark, sf_dir):
+    """gauss decay served through the kernel: multiplier bounded by 1,
+    stored WAND bounds already admissible, exact decayed top-k."""
+    return Q.bm25_topk_gauss_decay_wand(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        origin=GAUSS_WAND_ORIGIN, denom=GAUSS_DENOM, field="doclen",
+    )
+
+
+def q_bm25_random_wand(spark, sf_dir):
+    """random_score served through the kernel as a CALLABLE multiplier —
+    closed-form jitter, zero extra shuffle; same oracle as the corpus
+    path (identity is the point)."""
+    return Q.bm25_topk_random_score_wand(
+        spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K,
+        seed=RS_SEED,
+    )
+
+
 def q_terms_set(spark, sf_dir):
     """ES terms_set: per-doc dynamic minimum_should_match from a metadata
     expression; eligible docs score as the BM25 bag over matched terms."""
@@ -617,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set": q_terms_set,
         "phrase_suggest": q_phrase_suggest,
         "bm25_fvf_wand": q_bm25_fvf_wand,
+        "bm25_gauss_wand": q_bm25_gauss_wand,
+        "bm25_random_wand": q_bm25_random_wand,
         "collapse_topk": q_collapse_topk,
         "explain_score": q_explain_score,
         "term_stats": q_term_stats,
@@ -735,6 +757,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_fvf_wand": oracles.bm25_fvf_wand_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, FVF_WAND_FACTOR
+        ),
+        "bm25_gauss_wand": oracles.bm25_gauss_wand_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, GAUSS_WAND_ORIGIN, GAUSS_DENOM
+        ),
+        # identical formula to the corpus-path random_score by design
+        "bm25_random_wand": oracles.random_score_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, RS_SEED, Q._RS_MULT, Q._RS_MOD
         ),
         "bm25_search_after": oracles.bm25_search_after_sql(
             FLAGSHIP_TERMS, SA_K, CURSOR_RANK

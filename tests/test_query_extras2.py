@@ -649,3 +649,56 @@ def test_fvf_wand_matches_python_and_corpus_path(spark, corpus, tmp_path_factory
         ).collect()
     ]
     assert got == corpus_side
+
+
+def test_gauss_and_random_wand_match_corpus_paths(
+    spark, corpus, tmp_path_factory
+):
+    from unichem2index_spark.operators.build import build_index
+
+    df, oracle, _ = corpus
+    out = str(tmp_path_factory.mktemp("fsidx"))
+    build_index(spark, df, out, n_shards=N_SHARDS, block_size=16,
+                build_id="fs")
+    h = Q.IndexHandle.open(spark, out)
+    # random_score: kernel callable path == corpus path, same seed
+    for seed in (0, 7):
+        idx_side = [
+            tuple(r)
+            for r in Q.bm25_topk_random_score_wand(
+                spark, h, TERMS, K, seed=seed
+            ).collect()
+        ]
+        corpus_side = [
+            tuple(r)
+            for r in Q.random_score_topk(df, TERMS, K, seed=seed).collect()
+        ]
+        assert idx_side == corpus_side and len(idx_side) == K
+    # gauss decay on doclen: kernel dict path == python recompute
+    import math
+
+    origin, denom = 100.0, 22500.0 / math.log(2.0)
+    got = [
+        tuple(r)
+        for r in Q.bm25_topk_gauss_decay_wand(
+            spark, h, TERMS, K, origin=origin, denom=denom, field="doclen"
+        ).collect()
+    ]
+    acc = _scores(oracle, TERMS)
+    want = sorted(
+        (
+            (
+                d,
+                round(
+                    s
+                    * math.exp(
+                        -((oracle.doclen[d] - origin) ** 2) / denom
+                    ),
+                    6,
+                ),
+            )
+            for d, s in acc.items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:K]
+    assert got == want

@@ -179,3 +179,26 @@ def test_wand_mult_equals_bruteforce(docs, terms, k, block_size):
         key=lambda kv: (-kv[1], kv[0]),
     )
     _check(got, want[:k])
+
+
+@settings(max_examples=100, deadline=None)
+@given(corpora, queries, st.integers(1, 8), st.integers(1, 5),
+       st.integers(0, 9))
+def test_wand_callable_mult_equals_bruteforce(docs, terms, k, block_size, seed):
+    """Callable multiplier (closed-form random_score): same exactness
+    guarantee as the dict path, zero side data."""
+    oracle = Bm25Oracle(list(enumerate(docs)))
+    MULT, MOD = 2654435761, 4294967296
+
+    def r(d):
+        return ((d + seed) * MULT) % MOD / float(MOD)
+
+    got = wand_topk(
+        _cursors(oracle, terms, block_size), oracle.avgdl, k,
+        mult=r, mult_bound=1.0,
+    )
+    want = sorted(
+        ((d, s * r(d)) for d, s in _full_ranking(oracle, terms)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    _check(got, want[:k])

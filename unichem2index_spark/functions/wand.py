@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import heapq
 from bisect import bisect_left
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from unichem2index_spark.functions.bm25 import score_term
@@ -95,7 +96,7 @@ def wand_topk(
     allowed: frozenset[int] | set[int] | None = None,
     min_match: int = 1,
     after: tuple[float, int] | None = None,
-    mult: dict[int, float] | None = None,
+    mult: "dict[int, float] | Callable[[int], float | None] | None" = None,
     mult_bound: float = 1.0,
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) over the given term cursors.
@@ -128,9 +129,11 @@ def wand_topk(
     Every block/max bound is a bound on the RAW BM25 sum, so comparing
     ``bound * mult_bound`` (a global upper bound on the multiplier)
     against the threshold keeps pruning admissible for the multiplied
-    scores; the evaluated score is ``raw * mult[doc]``. Docs absent from
-    ``mult`` are ineligible (the map is built from live docs, so
-    tombstones fold in for free). ``mult_bound`` is inflated by one part
+    scores; the evaluated score is ``raw * mult[doc]``. ``mult`` may be
+    a dict (doc-values frame cogrouped per shard) or a CALLABLE
+    (closed-form multipliers like seeded random_score — zero shuffle).
+    Dict-absent / callable-None docs are ineligible (a dict built from
+    live docs folds tombstones in for free). ``mult_bound`` is inflated by one part
     in 10^12 at entry so float rounding in the comparison products can
     only LOOSEN pruning, never drop a boundary-tied true top-k member.
 
@@ -212,7 +215,7 @@ def wand_topk(
                     s += t.score_at(pivot_doc, avgdl)
             m_ok = True
             if mult is not None:
-                m = mult.get(pivot_doc)
+                m = mult(pivot_doc) if callable(mult) else mult.get(pivot_doc)
                 if m is None:
                     m_ok = False
                 else:

@@ -1200,6 +1200,53 @@ def bm25_topk_field_boost_wand(
     so the deletes cogroup is subsumed."""
     import math as _math
 
+    max_v = index.docs(spark).agg(F.max(field)).collect()[0][0]
+    bound = _math.log(1.0 + float(factor) * float(max_v or 0.0))
+    m_col = F.log(F.lit(1.0) + F.lit(float(factor)) * F.col(field))
+    return _wand_mult_frame_topk(spark, index, terms, k, m_col, bound)
+
+
+def bm25_topk_gauss_decay_wand(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    origin: float,
+    denom: float,
+    field: str = "doclen",
+) -> DataFrame:
+    """``function_score`` gauss decay SERVED THROUGH THE WAND KERNEL —
+    the index-path twin of :func:`bm25_topk_gauss_decay`, on a docs-table
+    field: ``score * exp(-(field - origin)^2 / denom)``. The decay is
+    bounded by 1, so the stored block-max bounds are ALREADY admissible
+    for the decayed scores (mult_bound=1 — no bound recompute at all);
+    the per-doc multiplier cogroups in like the fvf frame. Exact decayed
+    top-k, no rescore pass."""
+    m_col = F.exp(
+        -(
+            (F.col(field) - F.lit(float(origin)))
+            * (F.col(field) - F.lit(float(origin)))
+        )
+        / F.lit(float(denom))
+    )
+    return _wand_mult_frame_topk(spark, index, terms, k, m_col, 1.0)
+
+
+def _wand_mult_frame_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    m_col,
+    bound: float,
+) -> DataFrame:
+    """Shared body of the kernel-served function_score family: score the
+    query through WAND with a per-doc multiplier taken from a docs-table
+    expression ``m_col`` (JVM-computed — the same float engine the SQL
+    oracles resolve to), pruning on bounds scaled by ``bound``. The
+    (doc_id, m) frame cogroups per shard like the filter bitset; docs
+    absent from it (tombstones — docs() drops them) are ineligible, so
+    the deletes cogroup is subsumed."""
     uniq = sorted(set(terms))
     ts = (
         index.term_stats(spark)
@@ -1213,14 +1260,8 @@ def bm25_topk_field_boost_wand(
     seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
         *_WAND_COLS
     )
-    max_v = index.docs(spark).agg(F.max(field)).collect()[0][0]
-    bound = _math.log(1.0 + float(factor) * float(max_v or 0.0))
     by_shard = (F.col("doc_id") % index.n_shards).cast("int").alias("shard")
-    side = index.docs(spark).select(
-        by_shard,
-        "doc_id",
-        F.log(F.lit(1.0) + F.lit(float(factor)) * F.col(field)).alias("m"),
-    )
+    side = index.docs(spark).select(by_shard, "doc_id", m_col.alias("m"))
     avgdl = index.avgdl
     use_stored = not index.multi_gen
 
@@ -1249,6 +1290,84 @@ def bm25_topk_field_boost_wand(
         .cogroup(side.groupBy("shard"))
         .applyInPandas(fn, TOPK_SCHEMA)
     )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk_random_score_wand(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """``function_score`` random_score SERVED THROUGH THE WAND KERNEL —
+    the index-path twin of :func:`random_score_topk`. The jitter
+    ``r(doc) = (((doc_id + seed) * 2654435761) mod 2^32) / 2^32`` is a
+    closed-form function of doc_id alone and is bounded by 1, so it
+    ships as a CALLABLE multiplier — no cogrouped frame, ZERO extra
+    shuffle: the kernel computes r at evaluation time (exact integer mix
+    + one IEEE divide, engine-identical to the SQL oracle's), and the
+    stored bounds are already admissible (mult_bound=1). Tombstones
+    still need the deletes path since a callable can't encode absence —
+    the standard cogroup handles that."""
+    uniq = sorted(set(terms))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if not idfs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
+        *_WAND_COLS
+    )
+    avgdl = index.avgdl
+    use_stored = not index.multi_gen
+    s_int = int(seed)
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        cursors = [
+            _cursors_from_group(
+                grp, str(term), idfs[str(term)], avgdl, use_stored
+            )
+            for term, grp in pdf.groupby("term", sort=True)
+        ]
+        top = wand_topk(
+            cursors,
+            avgdl,
+            k,
+            deleted=deleted,
+            mult=lambda d: ((d + s_int) * _RS_MULT) % _RS_MOD / float(_RS_MOD),
+            mult_bound=1.0,
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
     return (
         per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -2004,3 +2004,39 @@ ORDER BY sc.score * ln(1.0 + {float(factor)!r} * t.doclen) DESC,
          sc.doc_id ASC
 LIMIT {k}
 """
+
+
+def bm25_gauss_wand_sql(
+    terms: list[str], k: int, origin: float, denom: float
+) -> str:
+    """Kernel-served gauss decay on doclen: BM25 * exp(-(doclen-origin)^2
+    / denom); multiplier bounded by 1, stored WAND bounds admissible."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+decayed AS (
+  SELECT sc.doc_id,
+         sc.score * exp(-((t.doclen - {float(origin)!r})
+                          * (t.doclen - {float(origin)!r}))
+                        / {float(denom)!r}) AS score
+  FROM scored sc JOIN tok t USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score
+FROM decayed
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
