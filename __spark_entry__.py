@@ -72,6 +72,10 @@ PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
     (3, ["the", "batch"], 2),
     (4, ["nosuchterm", "dup"], 2),  # unsatisfiable: 0 matches by design
 ]
+PERCOLATE_PHRASES = [  # phrase registrations (ids disjoint from above)
+    (10, ["merge", "group"]),
+    (11, ["the", "merge", "group"]),
+]
 
 
 # --------------------------------------------------------------------------
@@ -314,6 +318,16 @@ def q_percolate(spark, sf_dir):
     """ES percolator: which stored queries match each doc — reverse
     search over a broadcast query registry, one pass over postings."""
     return Q.percolate(spark, _docs(spark, sf_dir), PERCOLATE_QUERIES)
+
+
+def q_percolate_mixed(spark, sf_dir):
+    """ES percolator with BOTH term-set and match_phrase registrations:
+    phrase needles broadcast and match via the sentinel-space substring
+    identity — one extra map-side pass, no shuffle."""
+    return Q.percolate(
+        spark, _docs(spark, sf_dir), PERCOLATE_QUERIES,
+        phrase_queries=PERCOLATE_PHRASES,
+    )
 
 
 def q_rank_eval(spark, sf_dir):
@@ -630,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count": q_match_count,
         "random_score": q_random_score,
         "percolate": q_percolate,
+        "percolate_mixed": q_percolate_mixed,
         "rank_eval": q_rank_eval,
         "scroll": q_scroll,
         "term_vectors": q_term_vectors,
@@ -798,6 +813,9 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, FLAGSHIP_K, RS_SEED, Q._RS_MULT, Q._RS_MOD
         ),
         "percolate": oracles.percolate_sql(PERCOLATE_QUERIES),
+        "percolate_mixed": oracles.percolate_sql(
+            PERCOLATE_QUERIES, phrase_queries=PERCOLATE_PHRASES
+        ),
         "scroll": oracles.scroll_sql(PHRASE, SCROLL_PAGE, SCROLL_AFTER),
         "term_vectors": oracles.term_vectors_sql(TV_DOC),
         "percentile_ranks": oracles.percentile_ranks_sql(PR_VALUES),

@@ -702,3 +702,32 @@ def test_gauss_and_random_wand_match_corpus_paths(
         key=lambda kv: (-kv[1], kv[0]),
     )[:K]
     assert got == want
+
+
+def test_percolate_phrase_registrations(spark, corpus):
+    df, oracle, meta = corpus
+    registry = [(0, ["dup", "spark"], 2)]
+    phrases = [(10, ["merge", "group"]), (11, ["group", "merge"])]
+    got = [
+        (r.query_id, r.doc_id)
+        for r in Q.percolate(
+            spark, df, registry, phrase_queries=phrases
+        ).collect()
+    ]
+    want = []
+    for d in sorted(oracle.doclen):
+        if d in oracle.postings.get("dup", {}) and d in oracle.postings.get(
+            "spark", {}
+        ):
+            want.append((0, d))
+    for qid, p in phrases:
+        needle = " " + " ".join(p) + " "
+        for d, r in meta.items():
+            s = " " + " ".join(tokenize(r.text)) + " "
+            if needle in s:
+                want.append((qid, d))
+    assert got == sorted(want)
+    # order matters for phrases: the two registrations differ
+    m10 = {d for q, d in got if q == 10}
+    m11 = {d for q, d in got if q == 11}
+    assert m10 != m11

@@ -434,6 +434,7 @@ def percolate(
     spark: SparkSession,
     docs_df: DataFrame,
     queries: list[tuple[int, list[str], int]],
+    phrase_queries: list[tuple[int, list[str]]] | None = None,
 ) -> DataFrame:
     """ES percolator: the REVERSE search — a registry of stored queries,
     and for every incoming doc, which queries match it (alerting /
@@ -447,7 +448,16 @@ def percolate(
     gate); the only shuffle is the groupBy on (doc_id, query_id), which
     map-side combines to at most |matched pairs| rows. One pass over the
     postings regardless of registry size — ES evaluates queries
-    one-by-one per doc; the join formulation batches them all."""
+    one-by-one per doc; the join formulation batches them all.
+
+    ``phrase_queries``: optional (query_id, phrase) entries — the ES
+    percolator stores arbitrary queries, and match_phrase registrations
+    are the second-most common kind. Matched with the space-joined-
+    token substring test (sentinel spaces == consecutive-token
+    adjacency, the same identity the phrase oracle uses): the tiny
+    needle list broadcasts, so the check is ONE more map-side pass over
+    the tokenized docs — a broadcast nested-loop join, no shuffle at
+    all. Phrase query_ids must not collide with term-set query_ids."""
     qrows = [
         (int(qid), sorted({str(t) for t in terms}), int(mm))
         for qid, terms, mm in queries
@@ -464,14 +474,34 @@ def percolate(
         .groupBy("doc_id", "query_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    return (
+    hits = (
         matched.join(
             F.broadcast(qdf.select("query_id", "min_match")), "query_id"
         )
         .where(F.col("n_matched") >= F.col("min_match"))
         .select("query_id", "doc_id")
-        .orderBy("query_id", "doc_id")
     )
+    if phrase_queries:
+        ndf = spark.createDataFrame(
+            [
+                (int(qid), " " + " ".join(str(t) for t in p) + " ")
+                for qid, p in phrase_queries
+            ],
+            "query_id long, needle string",
+        )
+        joined = tokenized_docs(docs_df).select(
+            "doc_id",
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", "tokens"), F.lit(" ")
+            ).alias("s"),
+        )
+        ph = (
+            joined.join(F.broadcast(ndf))
+            .where(F.expr("position(needle IN s) > 0"))
+            .select("query_id", "doc_id")
+        )
+        hits = hits.unionByName(ph)
+    return hits.orderBy("query_id", "doc_id")
 
 
 def rank_eval(

@@ -1729,10 +1729,14 @@ LIMIT {k}
 """
 
 
-def percolate_sql(queries: list[tuple[int, list[str], int]]) -> str:
+def percolate_sql(
+    queries: list[tuple[int, list[str], int]],
+    phrase_queries: list[tuple[int, list[str]]] | None = None,
+) -> str:
     """Percolator: stored (query_id, terms, min_match) registry as an
     inline VALUES list; a doc matches when it contains >= min_match of
-    the query's distinct terms."""
+    the query's distinct terms. Optional phrase registrations match via
+    the sentinel-space substring identity (same as phrase_sql)."""
     qterm_rows = []
     mm_rows = []
     for qid, terms, mm in queries:
@@ -1741,6 +1745,21 @@ def percolate_sql(queries: list[tuple[int, list[str], int]]) -> str:
         mm_rows.append(f"({int(qid)}, {int(mm)})")
     qterms = ", ".join(qterm_rows)
     mms = ", ".join(mm_rows)
+    phrase_part = ""
+    if phrase_queries:
+        needles = ", ".join(
+            f"({int(qid)}, '"
+            + (" " + " ".join(str(t) for t in p) + " ").replace("'", "''")
+            + "')"
+            for qid, p in phrase_queries
+        )
+        phrase_part = f"""
+UNION ALL
+SELECT n.query_id, d.doc_id
+FROM documents d
+JOIN (VALUES {needles}) AS n(query_id, needle)
+  ON position(n.needle IN ' ' || array_to_string({TOKS}, ' ') || ' ') > 0
+"""
     return f"""
 WITH {_TOK_CTE},
 qterm(query_id, term) AS (VALUES {qterms}),
@@ -1749,11 +1768,15 @@ matched AS (
   SELECT p.doc_id, q.query_id, count(*) AS n_matched
   FROM post p JOIN qterm q USING (term)
   GROUP BY p.doc_id, q.query_id
+),
+allhits AS (
+  SELECT m.query_id, m.doc_id
+  FROM matched m JOIN qmm USING (query_id)
+  WHERE m.n_matched >= qmm.min_match
+  {phrase_part}
 )
-SELECT m.query_id, m.doc_id
-FROM matched m JOIN qmm USING (query_id)
-WHERE m.n_matched >= qmm.min_match
-ORDER BY m.query_id, m.doc_id
+SELECT query_id, doc_id FROM allhits
+ORDER BY query_id, doc_id
 """
 
 
