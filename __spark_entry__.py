@@ -60,6 +60,7 @@ RS_SEED = 7  # function_score random_score seed
 SPAN_FIRST_TERM, SPAN_FIRST_END = "merge", 3  # span_first(end=3)
 RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
 SCROLL_PAGE, SCROLL_AFTER = 15, 100  # scroll: page 15 after doc_id 100
+SORT_FIELD, SORT_AFTER = "n_chars", (450, 0)  # field sort keyset cursor
 TERMS_SET_TERMS = ["merge", "group", "key", "vector"]  # terms_set query
 TERMS_SET_REQUIRED = "CASE WHEN lang = 'en' THEN 3 ELSE 2 END"
 SUGGEST_PHRASE, SUGGEST_DIST, SUGGEST_SIZE = ("mrge", "grup"), 1, 5
@@ -343,6 +344,16 @@ def q_scroll(spark, sf_dir):
     matches in doc_id order, keyset cursor, no scoring."""
     return Q.scroll_page(
         _docs(spark, sf_dir), PHRASE, SCROLL_PAGE, after_doc_id=SCROLL_AFTER
+    )
+
+
+def q_field_sort(spark, sf_dir):
+    """ES field sort + search_after keyset cursor: bool-must filter
+    context, sort by (n_chars desc, doc_id asc), cursor predicate pushed
+    to the docs scan."""
+    return Q.sort_topk(
+        _docs(spark, sf_dir), PHRASE, PHRASE_K, field=SORT_FIELD,
+        after=SORT_AFTER,
     )
 
 
@@ -647,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_mixed": q_percolate_mixed,
         "rank_eval": q_rank_eval,
         "scroll": q_scroll,
+        "field_sort": q_field_sort,
         "term_vectors": q_term_vectors,
         "percentile_ranks": q_percentile_ranks,
         "terms_set": q_terms_set,
@@ -817,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
             PERCOLATE_QUERIES, phrase_queries=PERCOLATE_PHRASES
         ),
         "scroll": oracles.scroll_sql(PHRASE, SCROLL_PAGE, SCROLL_AFTER),
+        "field_sort": oracles.sort_topk_sql(
+            PHRASE, PHRASE_K, SORT_FIELD, after=SORT_AFTER
+        ),
         "term_vectors": oracles.term_vectors_sql(TV_DOC),
         "percentile_ranks": oracles.percentile_ranks_sql(PR_VALUES),
         "terms_set": oracles.terms_set_sql(

@@ -731,3 +731,27 @@ def test_percolate_phrase_registrations(spark, corpus):
     m10 = {d for q, d in got if q == 10}
     m11 = {d for q, d in got if q == 11}
     assert m10 != m11
+
+
+# -------------------------------------------------------------- field sort
+def test_field_sort_keyset_pages_tile(spark, corpus):
+    df, oracle, meta = corpus
+    terms = ["merge", "group"]
+    matches = [
+        d
+        for d in oracle.doclen
+        if all(d in oracle.postings.get(t, {}) for t in terms)
+    ]
+    full = sorted(matches, key=lambda d: (-meta[d].n_chars, d))
+    # keyset-walk in pages of 5: tiles the full sorted match set
+    seen, cursor = [], None
+    while True:
+        page = Q.sort_topk(df, terms, 5, field="n_chars", after=cursor).collect()
+        if not page:
+            break
+        seen.extend(r.doc_id for r in page)
+        last = page[-1]
+        cursor = (last.n_chars, last.doc_id)
+        if len(page) < 5:
+            break
+    assert seen == full

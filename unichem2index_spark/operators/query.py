@@ -639,6 +639,48 @@ def scroll_page(
     )
 
 
+def sort_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    field: str = "n_chars",
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """ES field sort: ``query`` (bool-must filter context, no scoring) +
+    ``sort: [{field: desc}, {_id: asc}]`` — the recency/size-feed shape
+    every listing page uses — with optional ``search_after`` keyset
+    cursor ``(field_value, doc_id)``.
+
+    The keyset predicate ``field < v OR (field = v AND doc_id > d)`` is
+    a deterministic metadata filter, so it reaches the docs scan
+    (min/max row-group pruning on a sorted/clustered field); the match
+    gate is the same per-doc distinct-term count as scroll/_count. Only
+    k rows survive to the driver at ANY cursor depth — the reason ES
+    caps ``from`` but serves unbounded search_after, reproduced here by
+    construction."""
+    uniq = sorted(set(terms))
+    post = exact_postings(tokenized_docs(docs_df))
+    matched = (
+        post.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == len(uniq))
+    )
+    sel = docs_df.select("doc_id", field)
+    if after is not None:
+        v, d = after
+        sel = sel.where(
+            (F.col(field) < F.lit(v))
+            | ((F.col(field) == F.lit(v)) & (F.col("doc_id") > int(d)))
+        )
+    return (
+        matched.join(sel, "doc_id")
+        .orderBy(F.desc(field), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", field)
+    )
+
+
 def term_vectors(docs_df: DataFrame, doc_id: int) -> DataFrame:
     """ES ``_termvectors`` (term_statistics=true): for ONE doc, every
     term with its in-doc tf, its 0-based token positions, and the

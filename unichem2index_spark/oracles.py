@@ -2063,3 +2063,37 @@ FROM decayed
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def sort_topk_sql(
+    terms: list[str],
+    k: int,
+    field: str,
+    after: tuple[float, int] | None = None,
+) -> str:
+    """Field sort (desc, doc_id asc) over bool-must matches with an
+    optional keyset cursor — no scoring."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    cursor = ""
+    if after is not None:
+        v, d = after
+        cursor = (
+            f"WHERE d.{field} < {v!r} "
+            f"OR (d.{field} = {v!r} AND d.doc_id > {int(d)})"
+        )
+    return f"""
+WITH {_TOK_CTE},
+matched AS (
+  SELECT doc_id
+  FROM post
+  WHERE term IN ({inlist})
+  GROUP BY doc_id
+  HAVING count(*) = {len(uniq)}
+)
+SELECT d.doc_id, d.{field}
+FROM documents d JOIN matched USING (doc_id)
+{cursor}
+ORDER BY d.{field} DESC, d.doc_id ASC
+LIMIT {k}
+"""
