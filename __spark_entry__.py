@@ -58,6 +58,7 @@ BOOSTING_NEG, BOOSTING_FACTOR = ["dup"], 0.4  # boosting query demotion
 DIVERSE_FIELD, DIVERSE_PER_KEY = "source", 2  # diversified_sampler
 RS_SEED = 7  # function_score random_score seed
 SPAN_FIRST_TERM, SPAN_FIRST_END = "merge", 3  # span_first(end=3)
+SPAN_NOT = ("merge", "group", 1)  # span_not: merge NOT within 1 of group
 RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
 SCROLL_PAGE, SCROLL_AFTER = 15, 100  # scroll: page 15 after doc_id 100
 SORT_FIELD, SORT_AFTER = "n_chars", (450, 0)  # field sort keyset cursor
@@ -289,6 +290,15 @@ def q_span_first(spark, sf_dir):
     return Q.span_first_topk(
         spark, _pos_index_for(spark, sf_dir), SPAN_FIRST_TERM, 10,
         SPAN_FIRST_END,
+    )
+
+
+def q_span_not(spark, sf_dir):
+    """ES span_not: include-term occurrences with no exclude term within
+    dist tokens — negation-by-proximity through the positional index."""
+    inc, exc, dist = SPAN_NOT
+    return Q.span_not_topk(
+        spark, _pos_index_for(spark, sf_dir), inc, exc, 10, dist=dist
     )
 
 
@@ -651,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_gauss_decay": q_bm25_gauss_decay,
         "span_near": q_span_near,
         "span_first": q_span_first,
+        "span_not": q_span_not,
         "diversified_topk": q_diversified_topk,
         "match_count": q_match_count,
         "random_score": q_random_score,
@@ -816,6 +827,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_first": oracles.span_first_sql(
             SPAN_FIRST_TERM, 10, SPAN_FIRST_END
+        ),
+        "span_not": oracles.span_not_sql(
+            SPAN_NOT[0], SPAN_NOT[1], 10, SPAN_NOT[2]
         ),
         "diversified_topk": oracles.diversified_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, DIVERSE_FIELD, DIVERSE_PER_KEY

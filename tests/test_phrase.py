@@ -491,3 +491,47 @@ def test_span_first_matches_bruteforce(spark, pos_index):
         for r in Q.span_first_topk(spark, h, "merge", 10**6, 10**6).collect()
     }
     assert full == {d for d, toks in corpus if "merge" in toks}
+
+
+def test_span_not_matches_bruteforce(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+
+    def survives(toks, inc, exc, dist):
+        apos = [i for i, t in enumerate(toks) if t == inc]
+        bpos = [i for i, t in enumerate(toks) if t == exc]
+        return any(
+            all(abs(a - b) > dist for b in bpos) for a in apos
+        )
+
+    for inc, exc, dist in [
+        ("merge", "group", 1),
+        ("the", "merge", 0),
+        ("merge", "nosuchterm", 2),  # nothing excluded: plain term query
+    ]:
+        want = sorted(
+            (
+                (d, round(oracle.score_doc([inc], d), 6))
+                for d, toks in corpus
+                if survives(toks, inc, exc, dist)
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.span_not_topk(spark, h, inc, exc, 10, dist=dist).collect()
+        ]
+        assert got == want, f"span_not {inc} !~ {exc} dist={dist}"
+    # widening dist can only shrink the match set
+    wide = {
+        r.doc_id
+        for r in Q.span_not_topk(spark, h, "merge", "group", 10**6, dist=4).collect()
+    }
+    narrow = {
+        r.doc_id
+        for r in Q.span_not_topk(spark, h, "merge", "group", 10**6, dist=0).collect()
+    }
+    assert wide <= narrow

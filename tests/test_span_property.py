@@ -25,6 +25,7 @@ from unichem2index_spark.functions.phrase import (
     min_span,
     span_first_match_topk,
     span_near_match_topk,
+    span_not_match_topk,
 )
 
 ALPHABET = ["a", "b", "c", "d"]
@@ -133,4 +134,30 @@ def test_span_first_equals_bruteforce(corpus, term, end, block_size):
     )[:10]
     assert [(d, round(s, 6)) for d, s in got] == [
         (d, round(s, 6)) for d, s in want
+    ]
+
+
+@given(
+    corpora,
+    st.sampled_from(ALPHABET),
+    st.sampled_from(ALPHABET + ["zzz"]),
+    st.integers(0, 3),
+    st.sampled_from([1, 2, 4, 16]),
+)
+@settings(max_examples=150, deadline=None)
+def test_span_not_equals_bruteforce(corpus, inc, exc, dist, block_size):
+    posts, oracle = _posts_from_corpus(corpus, block_size)
+    idf = oracle.idf(inc) if inc in posts else 0.0
+    got = span_not_match_topk(
+        posts, inc, exc, idf, oracle.avgdl, 10, dist=dist
+    )
+    want = []
+    for d, toks in enumerate(corpus):
+        apos = [i for i, t in enumerate(toks) if t == inc]
+        bpos = [i for i, t in enumerate(toks) if t == exc]
+        if any(all(abs(a - b) > dist for b in bpos) for a in apos):
+            want.append((d, oracle.score_doc([inc], d)))
+    want.sort(key=lambda p: (-p[1], p[0]))
+    assert [(d, round(s, 6)) for d, s in got] == [
+        (d, round(s, 6)) for d, s in want[:10]
     ]

@@ -282,3 +282,56 @@ def span_first_match_topk(
         out.append((doc, score_term(tf, dl, avgdl, idf)))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def span_not_match_topk(
+    posts: dict[str, PosTermPostings],
+    include: str,
+    exclude: str,
+    idf: float,
+    avgdl: float,
+    k: int,
+    dist: int = 0,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k (doc_id, score) for one ``span_not`` query within one shard
+    — the Lucene ``SpanNotQuery`` / ES ``span_not`` analog with a
+    symmetric pre/post window: a doc matches iff SOME occurrence of
+    ``include`` has NO occurrence of ``exclude`` within ``dist`` tokens
+    ("mortgage but not near reverse", the classic negation-by-proximity).
+
+    Candidates are the include term's postings; the exclude term's
+    postings/positions decode ONLY for candidate docs (the same
+    galloping block-skip probe the phrase kernel uses — an exclusion
+    stopword costs O(candidates), never its df). Matching docs score as
+    plain single-term BM25 of the include term."""
+    from bisect import bisect_left as _bl
+
+    if include not in posts:
+        return []
+    tfdl = posts[include].all_docs()
+    cand = sorted(d for d in tfdl if d not in deleted)
+    ex = posts.get(exclude)
+    extf = ex.lookup_many(cand) if ex is not None else {}
+    out: list[tuple[int, float]] = []
+    for doc in cand:
+        if doc in extf:
+            apos = posts[include].positions_of(doc)
+            bpos = ex.positions_of(doc)
+            ok = False
+            for a in apos:
+                i = _bl(bpos, a)
+                near = min(
+                    abs(bpos[m] - a)
+                    for m in (i - 1, i)
+                    if 0 <= m < len(bpos)
+                )
+                if near > dist:
+                    ok = True
+                    break
+            if not ok:
+                continue
+        tf, dl = tfdl[doc]
+        out.append((doc, score_term(tf, dl, avgdl, idf)))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

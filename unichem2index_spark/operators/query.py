@@ -2172,6 +2172,83 @@ def span_first_topk(
     )
 
 
+def span_not_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    include: str,
+    exclude: str,
+    k: int,
+    dist: int = 0,
+) -> DataFrame:
+    """``span_not`` BM25 top-k — ES ``span_not`` / Lucene SpanNotQuery
+    with a symmetric window: docs where some occurrence of ``include``
+    has no ``exclude`` within ``dist`` tokens, ranked by the include
+    term's BM25. Negation-by-proximity ("mortgage NOT NEAR reverse").
+
+    Requires ``build_index(positions=True)``. One pushed ``term IN
+    (include, exclude)`` segment scan; per shard the include postings
+    drive, the exclude term is probed candidate-by-candidate with block
+    skipping and lazy position decode; tombstones cogrouped like the
+    rest of the span family."""
+    if not index.has_positions:
+        raise ValueError(
+            "span_not_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term") == include)
+        .select("idf")
+        .collect()
+    )
+    if not ts:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    idf = float(ts[0].idf)
+    seg = index.segments(spark).where(
+        F.col("term").isin([include, exclude])
+    ).select(*_PHRASE_COLS)
+    avgdl = index.avgdl
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import span_not_match_topk
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = span_not_match_topk(
+            posts, include, exclude, idf, avgdl, k, dist=dist,
+            deleted=deleted,
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def phrase_topk_batch(
     spark: SparkSession,
     index: IndexHandle,

@@ -2097,3 +2097,45 @@ FROM documents d JOIN matched USING (doc_id)
 ORDER BY d.{field} DESC, d.doc_id ASC
 LIMIT {k}
 """
+
+
+def span_not_sql(include: str, exclude: str, k: int, dist: int) -> str:
+    """span_not: EXISTS an include position with NO exclude position
+    within dist tokens; single-term BM25 of the include term."""
+    a = "'" + include.replace("'", "''") + "'"
+    b = "'" + exclude.replace("'", "''") + "'"
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+matched AS (
+  SELECT DISTINCT a.doc_id
+  FROM pos a
+  WHERE a.term = {a} AND NOT EXISTS (
+    SELECT 1 FROM pos bb
+    WHERE bb.doc_id = a.doc_id AND bb.term = {b}
+      AND abs(a.p - bb.p) <= {dist}
+  )
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term = {a}
+    AND p.doc_id IN (SELECT doc_id FROM matched)
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
