@@ -74,6 +74,7 @@ PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
     (3, ["the", "batch"], 2),
     (4, ["nosuchterm", "dup"], 2),  # unsatisfiable: 0 matches by design
 ]
+MIDX_BOOSTS = (1.0, 1.5)  # indices_boost: even-doc index 1.0, odd 1.5
 PERCOLATE_PHRASES = [  # phrase registrations (ids disjoint from above)
     (10, ["merge", "group"]),
     (11, ["the", "merge", "group"]),
@@ -125,6 +126,35 @@ def _pos_index_for(spark: SparkSession, sf_dir: str) -> Q.IndexHandle:
         build_index(spark, docs, out, n_shards=8, build_id="entry-pos",
                     positions=True)
     return Q.IndexHandle.open(spark, out)
+
+
+def _multi_index_for(spark: SparkSession, sf_dir: str):
+    """Two physical sub-indexes (doc_id parity split) for the
+    multi-index / indices_boost query — each built and cached like
+    :func:`_index_for`, each carrying its OWN subset statistics."""
+    handles = []
+    for name, pred in (("a", "doc_id % 2 = 0"), ("b", "doc_id % 2 = 1")):
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        out = os.path.join(tempfile.gettempdir(), f"u2i_midx_{name}_{tag}")
+        store_manifest = os.path.join(out, "manifest.json")
+        fresh = False
+        if os.path.exists(store_manifest):
+            import json as _json
+            import shutil as _shutil
+
+            with open(store_manifest) as f:
+                if _json.load(f).get("format") == "parquet-v3":
+                    fresh = True
+                else:
+                    _shutil.rmtree(out, ignore_errors=True)
+        if not fresh:
+            docs = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).where(pred)
+            build_index(spark, docs, out, n_shards=4,
+                        build_id=f"entry-midx-{name}")
+        handles.append(Q.IndexHandle.open(spark, out))
+    return handles
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -411,6 +441,17 @@ def q_bm25_random_wand(spark, sf_dir):
     )
 
 
+def q_multi_index(spark, sf_dir):
+    """ES multi-index search (logs-* alias + indices_boost): one query
+    over two physical indexes, per-index statistics and boosts, one
+    global merge."""
+    ha, hb = _multi_index_for(spark, sf_dir)
+    return Q.bm25_topk_multi_index(
+        spark, [(ha, MIDX_BOOSTS[0]), (hb, MIDX_BOOSTS[1])],
+        FLAGSHIP_TERMS, FLAGSHIP_K,
+    )
+
+
 def q_terms_set(spark, sf_dir):
     """ES terms_set: per-doc dynamic minimum_should_match from a metadata
     expression; eligible docs score as the BM25 bag over matched terms."""
@@ -672,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_sort": q_field_sort,
         "term_vectors": q_term_vectors,
         "percentile_ranks": q_percentile_ranks,
+        "multi_index": q_multi_index,
         "terms_set": q_terms_set,
         "phrase_suggest": q_phrase_suggest,
         "bm25_fvf_wand": q_bm25_fvf_wand,
@@ -848,6 +890,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_vectors": oracles.term_vectors_sql(TV_DOC),
         "percentile_ranks": oracles.percentile_ranks_sql(PR_VALUES),
+        "multi_index": oracles.multi_index_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K,
+            [("doc_id % 2 = 0", MIDX_BOOSTS[0]),
+             ("doc_id % 2 = 1", MIDX_BOOSTS[1])],
+        ),
         "terms_set": oracles.terms_set_sql(
             TERMS_SET_TERMS, FLAGSHIP_K, TERMS_SET_REQUIRED
         ),

@@ -755,3 +755,49 @@ def test_field_sort_keyset_pages_tile(spark, corpus):
         if len(page) < 5:
             break
     assert seen == full
+
+
+# ------------------------------------------------------------- multi-index
+def test_multi_index_uses_per_index_stats_and_boosts(
+    spark, corpus, tmp_path_factory
+):
+    from unichem2index_spark.functions.tokenize import tokenize as tk
+    from unichem2index_spark.operators.build import build_index
+
+    df, _, meta = corpus
+    handles = []
+    for name, parity in (("a", 0), ("b", 1)):
+        out = str(tmp_path_factory.mktemp(f"midx{name}"))
+        build_index(
+            spark, df.where(f"doc_id % 2 = {parity}"), out, n_shards=4,
+            build_id=f"midx{name}",
+        )
+        handles.append(Q.IndexHandle.open(spark, out))
+    boosts = (1.0, 1.5)
+    got = [
+        (r.index_id, r.doc_id, r.score)
+        for r in Q.bm25_topk_multi_index(
+            spark, list(zip(handles, boosts)), TERMS, K
+        ).collect()
+    ]
+    # python recompute with SUBSET-LOCAL oracles
+    want_all = []
+    for i, parity in enumerate((0, 1)):
+        sub = Bm25Oracle(
+            [(d, tk(r.text)) for d, r in meta.items() if d % 2 == parity]
+        )
+        for d, s in _scores(sub, TERMS).items():
+            want_all.append((i, d, s * boosts[i]))
+    want_all.sort(key=lambda x: (-x[2], x[0], x[1]))
+    want = [(i, d, round(s, 6)) for i, d, s in want_all[:K]]
+    assert got == want
+    # with the 1.5 boost index 1 sweeps this page; at equal boosts both
+    # indexes appear and the composition differs (the boost matters)
+    flat = [
+        (r.index_id, r.doc_id)
+        for r in Q.bm25_topk_multi_index(
+            spark, list(zip(handles, (1.0, 1.0))), TERMS, K
+        ).collect()
+    ]
+    assert {i for i, _ in flat} == {0, 1}
+    assert flat != [(i, d) for i, d, _ in got]

@@ -1732,6 +1732,53 @@ def _per_shard_wand(
     )
 
 
+def bm25_topk_multi_index(
+    spark: SparkSession,
+    indexes: list[tuple["IndexHandle", float]],
+    terms: list[str],
+    k: int,
+) -> DataFrame:
+    """ES multi-index search — the ``logs-*`` alias / ``indices_boost``
+    shape: one query fanned across several physical indexes, each hit
+    scored with ITS OWN index's statistics (ES semantics: scores are
+    per-index and not renormalized), scaled by a per-index boost, then
+    ONE global top-k merge with (score desc, index_id asc, doc_id asc)
+    tie-breaks.
+
+    Scale shape: each index contributes its standard per-shard WAND
+    frame (pushed ``term IN`` scan, kernel top-k per shard, RAW scores),
+    the union is n_indexes * n_shards * k candidate rows, and the boost
+    multiply + round happen at the single tiny merge — indexes are
+    searched fully in parallel, nothing cross-index touches an executor
+    except the final candidate frame."""
+    parts = []
+    for i, (h, boost) in enumerate(indexes):
+        idfs = _collect_idfs(spark, h, terms)
+        if not idfs:
+            continue
+        parts.append(
+            _per_shard_wand(spark, h, idfs, k).select(
+                F.lit(i).alias("index_id"),
+                "doc_id",
+                (F.col("score") * F.lit(float(boost))).alias("score"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "index_id int, doc_id long, score double"
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.orderBy(
+            F.desc("score"), F.asc("index_id"), F.asc("doc_id")
+        )
+        .limit(k)
+        .select("index_id", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def _collect_idfs(
     spark: SparkSession, index: IndexHandle, terms: list[str]
 ) -> dict[str, float]:

@@ -2139,3 +2139,64 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def multi_index_sql(
+    terms: list[str],
+    k: int,
+    splits: list[tuple[str, float]],
+) -> str:
+    """Multi-index search: each split predicate defines one physical
+    index; BM25 uses SUBSET-LOCAL stats (per-index idf/avgdl — ES does
+    not renormalize across indexes), scaled by the split's boost, then
+    one global top-k with (score desc, index_id asc, doc_id asc)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    ctes, unions = [], []
+    for i, (pred, boost) in enumerate(splits):
+        ctes.append(f"""
+tok{i} AS (
+  SELECT doc_id, len({TOKS}) AS doclen FROM documents WHERE {pred}
+),
+stats{i} AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM tok{i}
+),
+post{i} AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents WHERE {pred}
+  ) GROUP BY doc_id, term
+),
+dfs{i} AS (
+  SELECT term, count(*) AS df FROM post{i} GROUP BY term
+),
+scored{i} AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post{i} p
+  JOIN dfs{i} d USING (term)
+  JOIN tok{i} t USING (doc_id)
+  CROSS JOIN stats{i} s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)""")
+        unions.append(
+            f"SELECT {i} AS index_id, doc_id, score * {float(boost)!r} AS score"
+            f" FROM scored{i}"
+        )
+    body = ",".join(ctes)
+    u = "\nUNION ALL\n".join(unions)
+    return f"""
+WITH {body},
+allhits AS (
+{u}
+)
+SELECT index_id, doc_id, round(score, 6) AS score
+FROM allhits
+ORDER BY score DESC, index_id ASC, doc_id ASC
+LIMIT {k}
+"""
