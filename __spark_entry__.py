@@ -75,6 +75,9 @@ PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
     (4, ["nosuchterm", "dup"], 2),  # unsatisfiable: 0 matches by design
 ]
 MIDX_BOOSTS = (1.0, 1.5)  # indices_boost: even-doc index 1.0, odd 1.5
+SYN_GROUPS = [["merge", "join"], ["fast", "quick"], ["vector"]]
+CS_BOOST = 1.2  # constant_score boost
+MIN_SCORE = 0.57  # min_score floor: binds INSIDE the top-k at sf0.01
 PERCOLATE_PHRASES = [  # phrase registrations (ids disjoint from above)
     (10, ["merge", "group"]),
     (11, ["the", "merge", "group"]),
@@ -441,6 +444,31 @@ def q_bm25_random_wand(spark, sf_dir):
     )
 
 
+def q_bm25_synonyms(spark, sf_dir):
+    """Query-time synonyms (SynonymQuery blend): per-doc tf summed over
+    group members, df blended as max of member dfs — one scoring slot
+    per group ("quick" is absent from the vocab: blends df from "fast"
+    alone)."""
+    return Q.bm25_topk_synonyms(
+        spark, _docs(spark, sf_dir), SYN_GROUPS, FLAGSHIP_K
+    )
+
+
+def q_constant_score(spark, sf_dir):
+    """ES constant_score: every bool-must match scores boost, no
+    relevance computation at all."""
+    return Q.constant_score_page(
+        _docs(spark, sf_dir), PHRASE, FLAGSHIP_K, boost=CS_BOOST
+    )
+
+
+def q_min_score(spark, sf_dir):
+    """ES min_score: raw-score floor before the top-k."""
+    return Q.bm25_topk_min_score(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K, MIN_SCORE
+    )
+
+
 def q_multi_index(spark, sf_dir):
     """ES multi-index search (logs-* alias + indices_boost): one query
     over two physical indexes, per-index statistics and boosts, one
@@ -713,6 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_sort": q_field_sort,
         "term_vectors": q_term_vectors,
         "percentile_ranks": q_percentile_ranks,
+        "bm25_synonyms": q_bm25_synonyms,
+        "constant_score": q_constant_score,
+        "min_score": q_min_score,
         "multi_index": q_multi_index,
         "terms_set": q_terms_set,
         "phrase_suggest": q_phrase_suggest,
@@ -890,6 +921,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_vectors": oracles.term_vectors_sql(TV_DOC),
         "percentile_ranks": oracles.percentile_ranks_sql(PR_VALUES),
+        "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
+        "constant_score": oracles.constant_score_sql(
+            PHRASE, FLAGSHIP_K, CS_BOOST
+        ),
+        "min_score": oracles.min_score_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, MIN_SCORE
+        ),
         "multi_index": oracles.multi_index_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K,
             [("doc_id % 2 = 0", MIDX_BOOSTS[0]),

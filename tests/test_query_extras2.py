@@ -801,3 +801,70 @@ def test_multi_index_uses_per_index_stats_and_boosts(
     ]
     assert {i for i, _ in flat} == {0, 1}
     assert flat != [(i, d) for i, d, _ in got]
+
+
+# ---------------------------------------------------------------- synonyms
+def test_synonyms_blend_and_degeneration(spark, corpus):
+    from unichem2index_spark.functions.bm25 import score_term
+    import math
+
+    df, oracle, meta = corpus
+    groups = [["merge", "join"], ["fast", "quick"], ["vector"]]
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_synonyms(spark, df, groups, K).collect()
+    ]
+    # python recompute: tf summed per group, df blended as max member df
+    n = len(oracle.doclen)
+    acc = {}
+    for g in groups:
+        members = sorted(set(g))
+        df_g = max(len(oracle.postings.get(t, {})) for t in members)
+        if df_g == 0:
+            continue
+        idf_g = math.log(1.0 + (n - df_g + 0.5) / (df_g + 0.5))
+        tf_g = {}
+        for t in members:
+            for d, tf in oracle.postings.get(t, {}).items():
+                tf_g[d] = tf_g.get(d, 0) + tf
+        for d, tf in tf_g.items():
+            acc[d] = acc.get(d, 0.0) + score_term(
+                tf, oracle.doclen[d], oracle.avgdl, idf_g
+            )
+    want = [
+        (d, round(s, 6))
+        for d, s in sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:K]
+    assert got == want
+    # all-singleton groups degenerate to the plain bool query
+    single = Q.bm25_topk_synonyms(
+        spark, df, [[t] for t in TERMS], K
+    ).collect()
+    plain = Q.bm25_topk_exact(df, TERMS, K).collect()
+    assert [tuple(r) for r in single] == [tuple(r) for r in plain]
+
+
+# ---------------------------------------------------- constant_score / floor
+def test_constant_score_and_min_score(spark, corpus):
+    df, oracle, _ = corpus
+    terms = ["merge", "group"]
+    cs = Q.constant_score_page(df, terms, 8, boost=1.2).collect()
+    matches = sorted(
+        d
+        for d in oracle.doclen
+        if all(d in oracle.postings.get(t, {}) for t in terms)
+    )
+    assert [r.doc_id for r in cs] == matches[:8]
+    assert all(r.score == 1.2 for r in cs)
+    # min_score == full ranking filtered at the raw floor
+    acc = _scores(oracle, TERMS)
+    floor = sorted(acc.values(), reverse=True)[5]  # binds inside top-K
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_min_score(df, TERMS, K, floor).collect()
+    ]
+    want = [
+        (d, round(s, 6))
+        for d, s in _ranking({d: s for d, s in acc.items() if s >= floor})
+    ][:K]
+    assert got == want and 0 < len(got) < K

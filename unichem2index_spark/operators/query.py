@@ -604,6 +604,125 @@ def terms_set_topk(
     )
 
 
+def bm25_topk_synonyms(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    groups: list[list[str]],
+    k: int,
+) -> DataFrame:
+    """ES query-time synonyms (``synonym_graph`` filter → Lucene
+    ``SynonymQuery`` / BlendedTermQuery): each group of synonyms scores
+    as ONE pseudo-term — per-doc tf is the SUM over members, df is
+    BLENDED as the MAX of member dfs (Lucene's blend; a union-df would
+    under-weight rare synonyms), so "fast" and its synonym hit the same
+    scoring slot instead of double-counting. The relevance feature every
+    search team ships in week two.
+
+    One pass over the member terms' postings: the term→group map
+    broadcasts, the (group, doc) rollup rides the same shuffle as the
+    per-doc sum, and blended dfs come from the corpus-global term stats
+    frame (also broadcast — it is |members| rows). Absent members blend
+    df=0 and simply never contribute tf."""
+    pairs = [
+        (gi, t)
+        for gi, g in enumerate(groups)
+        for t in sorted({str(x) for x in g})
+    ]
+    if not pairs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    gmap = spark.createDataFrame(pairs, "gid int, term string")
+    tok = tokenized_docs(docs_df)
+    stats = corpus_stats(tok)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    post = exact_postings(tok)
+    terms = sorted({t for _, t in pairs})
+    tstats = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("term").isin(terms))
+    )
+    gdf = (
+        gmap.join(tstats, "term", "left")
+        .groupBy("gid")
+        .agg(F.max(F.coalesce("df", F.lit(0))).alias("df"))
+        .where(F.col("df") > 0)
+    )
+    per_group = (
+        post.where(F.col("term").isin(terms))
+        .join(F.broadcast(gmap), "term")
+        .groupBy("gid", "doc_id", "doclen")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    idf_expr = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = per_group.join(F.broadcast(gdf), "gid").select(
+        "doc_id",
+        (
+            idf_expr
+            * (
+                F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(bm25.K1)
+                    * (
+                        F.lit(1.0 - bm25.B)
+                        + F.lit(bm25.B) * F.col("doclen") / F.lit(avgdl)
+                    )
+                )
+            )
+        ).alias("contrib"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def constant_score_page(
+    docs_df: DataFrame, terms: list[str], k: int, boost: float = 1.0
+) -> DataFrame:
+    """ES ``constant_score``: wrap a filter, give every match the same
+    score (= boost) — the "I want filtering, not relevance" query that
+    also skips all scoring cost. Matches are the bool-must set; ordering
+    degenerates to the doc_id tie-break, so this is a scored spelling of
+    the first scroll page."""
+    uniq = sorted(set(terms))
+    post = exact_postings(tokenized_docs(docs_df))
+    matched = (
+        post.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == len(uniq))
+    )
+    return (
+        matched.orderBy("doc_id")
+        .limit(k)
+        .select("doc_id", F.lit(float(boost)).alias("score"))
+    )
+
+
+def bm25_topk_min_score(
+    docs_df: DataFrame, terms: list[str], k: int, min_score: float
+) -> DataFrame:
+    """ES ``min_score``: drop hits scoring below the floor BEFORE the
+    top-k (the relevance-threshold guard on "no results is better than
+    bad results" pages). The floor compares RAW scores — rounding only
+    at emit, like every other ordering decision."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    return (
+        scores.where(F.col("score") >= F.lit(float(min_score)))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 def scroll_page(
     docs_df: DataFrame,
     terms: list[str],

@@ -2200,3 +2200,91 @@ FROM allhits
 ORDER BY score DESC, index_id ASC, doc_id ASC
 LIMIT {k}
 """
+
+
+def synonyms_sql(groups: list[list[str]], k: int) -> str:
+    """Query-time synonyms (Lucene SynonymQuery blend): per-doc tf = SUM
+    over group members, df = MAX of member dfs; each group is one
+    scoring slot."""
+    pairs = []
+    for gi, g in enumerate(groups):
+        for t in sorted({str(x) for x in g}):
+            pairs.append(f"({gi}, '" + t.replace("'", "''") + "')")
+    vals = ", ".join(pairs)
+    return f"""
+WITH {_TOK_CTE},
+gmap(gid, term) AS (VALUES {vals}),
+gdf AS (
+  SELECT g.gid, max(coalesce(d.df, 0)) AS df
+  FROM gmap g LEFT JOIN dfs d USING (term)
+  GROUP BY g.gid
+  HAVING max(coalesce(d.df, 0)) > 0
+),
+per_group AS (
+  SELECT g.gid, p.doc_id, t.doclen, sum(p.tf) AS tf
+  FROM post p JOIN gmap g USING (term) JOIN tok t USING (doc_id)
+  GROUP BY g.gid, p.doc_id, t.doclen
+),
+scored AS (
+  SELECT pg.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - gd.df + 0.5) / (gd.df + 0.5))
+           * (pg.tf / (pg.tf + 1.2 * (0.25 + 0.75 * pg.doclen / s.avgdl)))
+         ) AS score
+  FROM per_group pg
+  JOIN gdf gd USING (gid)
+  CROSS JOIN stats s
+  GROUP BY pg.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def constant_score_sql(terms: list[str], k: int, boost: float) -> str:
+    """constant_score: every bool-must match gets score = boost."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+matched AS (
+  SELECT doc_id FROM post WHERE term IN ({inlist})
+  GROUP BY doc_id HAVING count(*) = {len(uniq)}
+)
+SELECT doc_id, {float(boost)!r} AS score
+FROM matched
+ORDER BY doc_id
+LIMIT {k}
+"""
+
+
+def min_score_sql(terms: list[str], k: int, min_score: float) -> str:
+    """min_score: raw-score floor before the top-k."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+  HAVING sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) >= {float(min_score)!r}
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
