@@ -868,3 +868,74 @@ def test_constant_score_and_min_score(spark, corpus):
         for d, s in _ranking({d: s for d, s in acc.items() if s >= floor})
     ][:K]
     assert got == want and 0 < len(got) < K
+
+
+# ---------------------------------------- mult ops on an updated index
+def test_fvf_wand_respects_tombstones_and_compaction(spark, tmp_path):
+    import datetime as dt
+
+    from unichem2index_spark.operators.ingest import build_index_from_webtext
+    from unichem2index_spark.operators.update import add_generation, compact
+    from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+    from unichem2index_spark.synth import gen_webtext, gen_webtext_row
+
+    rows = gen_webtext(120, seed=31)
+    wt = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA)
+    out = str(tmp_path / "fvfwt")
+    build_index_from_webtext(spark, wt, out, n_shards=4)
+    h0 = Q.IndexHandle.open(spark, out)
+    pre = {r.doc_id for r in Q.bm25_topk_wand(spark, h0, ["the"], 10**6).collect()}
+
+    upd = []
+    for j, r in enumerate(rows[:20]):
+        nr = gen_webtext_row(70_000 + j, seed=37)
+        nr["url"] = r["url"]
+        nr["warc_ts"] = r["warc_ts"] + dt.timedelta(days=400)
+        upd.append(nr)
+    add_generation(spark, out, spark.createDataFrame(upd, schema=WEBTEXT_SCHEMA))
+    h = Q.IndexHandle.open(spark, out)
+    assert h.multi_gen
+    tombstoned = {
+        r.doc_id for r in h.store.read(spark, "deletes").collect()
+    }
+    assert tombstoned
+    for fn in (
+        lambda: Q.bm25_topk_field_boost_wand(spark, h, TERMS, 10**6),
+        lambda: Q.bm25_topk_gauss_decay_wand(
+            spark, h, TERMS, 10**6, origin=100.0, denom=1000.0
+        ),
+        lambda: Q.bm25_topk_random_score_wand(spark, h, TERMS, 10**6, seed=3),
+    ):
+        got_ids = {r.doc_id for r in fn().collect()}
+        assert got_ids and not (got_ids & tombstoned)
+
+    # after compaction, the kernel-served result equals the same op on a
+    # fresh index built from the live corpus with the same doc_ids
+    compact(spark, out)
+    hc = Q.IndexHandle.open(spark, out)
+    um = hc.store.read(spark, "url_map").select("doc_id", "url")
+    base_texts = {r["url"]: r["text"] for r in wt.select("url", "text").collect()}
+    upd_texts = {r["url"]: r["text"] for r in upd}
+    fresh_rows = [
+        (r.doc_id, upd_texts.get(r.url, base_texts.get(r.url)))
+        for r in um.collect()
+    ]
+    fresh_out = str(tmp_path / "fvffresh")
+    from unichem2index_spark.operators.build import build_index
+
+    build_index(
+        spark,
+        spark.createDataFrame(fresh_rows, "doc_id long, text string"),
+        fresh_out,
+        n_shards=4,
+    )
+    hf = Q.IndexHandle.open(spark, fresh_out)
+    got = [
+        tuple(r)
+        for r in Q.bm25_topk_field_boost_wand(spark, hc, TERMS, K).collect()
+    ]
+    exp = [
+        tuple(r)
+        for r in Q.bm25_topk_field_boost_wand(spark, hf, TERMS, K).collect()
+    ]
+    assert got == exp and got
