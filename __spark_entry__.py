@@ -374,6 +374,25 @@ def q_percolate_mixed(spark, sf_dir):
     )
 
 
+def q_resize_images(spark, sf_dir):
+    """Multimodal resize plumbing: images pruned before Python, one
+    Arrow pass, fixed-size binary thumb per image (byte-space stride —
+    the PIL swap point; rows-only entry, pytest-oracled)."""
+    return multimodal.resize_images(
+        multimodal.media_from_documents(_docs(spark, sf_dir)),
+        out_width=8, out_height=8,
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: videos fan out 1->N frame rows in one
+    Arrow pass (equal-stride byte windows — the ffmpeg swap point;
+    rows-only entry, pytest-oracled)."""
+    return multimodal.sample_frames(
+        multimodal.media_from_documents(_docs(spark, sf_dir)), n_frames=4
+    )
+
+
 def q_rank_eval(spark, sf_dir):
     """ES _rank_eval: precision@k / recall@k / MRR of the BM25 top-k
     against a deterministic binary judgment set."""
@@ -833,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
         # -- multimodal binary plumbing --------------------------------------
+        "resize_images": q_resize_images,
+        "frame_sample": q_frame_sample,
         "binary_meta": _wrap(multimodal.binary_meta),
         # -- S4/S5 pipe-CSV source/sink ---------------------------------------
         "csv_roundtrip": q_csv_roundtrip,

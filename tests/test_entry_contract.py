@@ -19,6 +19,8 @@ ROWS_ONLY = {
     "cosine_topk_ivf",
     "index_update_lifecycle",
     "cardinality_agg",
+    "resize_images",
+    "frame_sample",
 }
 
 

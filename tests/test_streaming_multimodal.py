@@ -232,3 +232,48 @@ def test_stream_index_webtext(spark, tmp_path):
     assert h2.docs(spark).count() == 120 + 15  # 10 replaced, 15 net-new
     assert h2.n_docs == 120 + 25  # physical postings incl. tombstoned
     assert len(Q.bm25_topk_wand(spark, h2, ["the"], 5).collect()) == 5
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    import hashlib
+
+    from unichem2index_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    media = media_from_documents(docs)
+    payloads = {
+        r.media_id: (bytes(r.payload), r.kind)
+        for r in media.select("media_id", "kind", "payload").collect()
+    }
+
+    w, h = 8, 4
+    thumbs = resize_images(media, out_width=w, out_height=h).collect()
+    # images only, one row each, fixed-size output
+    img_ids = {m for m, (_, k) in payloads.items() if k == "image"}
+    assert {r.media_id for r in thumbs} == img_ids
+    for r in thumbs:
+        assert len(bytes(r.thumb)) == w * h
+        raw = payloads[r.media_id][0]
+        idx = [(i * len(raw)) // (w * h) for i in range(w * h)]
+        want = bytes(raw[i] for i in idx)
+        assert bytes(r.thumb) == want
+        assert r.thumb_sha256 == hashlib.sha256(want).hexdigest()
+
+    k = 3
+    frames = sample_frames(media, n_frames=k).collect()
+    vid_ids = {m for m, (_, kk) in payloads.items() if kk == "video"}
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r)
+    assert set(per) == vid_ids
+    for mid, rs in per.items():
+        assert sorted(x.frame_idx for x in rs) == list(range(k))
+        raw = payloads[mid][0]
+        for x in rs:
+            assert x.byte_offset == (x.frame_idx * len(raw)) // k
+            assert bytes(x.frame) == raw[
+                x.byte_offset : x.byte_offset + max(1, len(raw) // (k * 2))
+            ]

@@ -221,3 +221,114 @@ def binary_meta(spark, t) -> DataFrame:
         F.length("payload").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
     ).orderBy("media_id")
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("thumb", T.BinaryType(), False),
+        T.StructField("thumb_sha256", T.StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_width: int = 32, out_height: int = 32
+) -> DataFrame:
+    """Resize plumbing for image binary columns via ``mapInPandas`` —
+    one Arrow-batched pass, images only (`kind = 'image'` is pruned
+    BEFORE the Python worker, so audio/video bytes never cross the
+    Arrow boundary).
+
+    The "resample" here is a deterministic byte-space nearest-neighbor
+    stride to out_width*out_height bytes — a STUB for the pixel-space
+    op (PIL is absent in this container); a real deployment replaces
+    the two stride lines with ``PIL.Image.resize``. Everything the
+    cluster cares about is real: pruned input, batch shape, fixed-size
+    binary output column, one output row per image."""
+    n_out = int(out_width) * int(out_height)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if not raw:
+                    thumb = bytes(n_out)
+                else:
+                    # nearest-neighbor stride in byte space (stub for
+                    # PIL.Image.resize — same shape contract)
+                    idx = [(i * len(raw)) // n_out for i in range(n_out)]
+                    thumb = bytes(raw[i] for i in idx)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "out_width": int(out_width),
+                        "out_height": int(out_height),
+                        "thumb": thumb,
+                        "thumb_sha256": hashlib.sha256(thumb).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, RESIZED_SCHEMA)
+    )
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video binary columns: one input row
+    fans out to ``n_frames`` output rows (media_id, frame_idx, frame)
+    through a single ``mapInPandas`` pass — the 1→N batch shape a real
+    ffmpeg keyframe sampler produces, with videos pruned before Python.
+
+    Frames are deterministic equal-stride byte windows (STUB for the
+    ffmpeg seek+decode; a real build replaces the slicing with
+    ``ffmpeg -ss <ts> -frames:v 1``). Offsets are emitted so downstream
+    ops can reason about position without touching the bytes."""
+    k = int(n_frames)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                n = len(raw)
+                win = max(1, n // (k * 2)) if n else 1
+                for fi in range(k):
+                    off = (fi * n) // k if n else 0
+                    frame = raw[off : off + win] if n else b""
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "byte_offset": off,
+                            "frame": frame,
+                            "frame_sha256": hashlib.sha256(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(fn, FRAME_SCHEMA)
+    )
