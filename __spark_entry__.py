@@ -65,6 +65,8 @@ SORT_FIELD, SORT_AFTER = "n_chars", (450, 0)  # field sort keyset cursor
 TERMS_SET_TERMS = ["merge", "group", "key", "vector"]  # terms_set query
 TERMS_SET_REQUIRED = "CASE WHEN lang = 'en' THEN 3 ELSE 2 END"
 SUGGEST_PHRASE, SUGGEST_DIST, SUGGEST_SIZE = ("mrge", "grup"), 1, 5
+ANALYZE_TEXT = "The MERGE-group KEY: fast vector scan, 42 rows!"
+MGET_IDS = [3, 7, 42, 10**9]  # last id absent: found=false shape
 TV_DOC = 7  # _termvectors target (same doc _explain inspects)
 PR_VALUES = (100.0, 300.0, 600.0)  # percentile_ranks probe doclens
 PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
@@ -407,6 +409,18 @@ def q_scroll(spark, sf_dir):
     return Q.scroll_page(
         _docs(spark, sf_dir), PHRASE, SCROLL_PAGE, after_doc_id=SCROLL_AFTER
     )
+
+
+def q_analyze(spark, sf_dir):
+    """ES _analyze: the shared tokenizer over a literal string —
+    (position, token), the analyzer-debug endpoint."""
+    return Q.analyze_text(spark, ANALYZE_TEXT)
+
+
+def q_mget(spark, sf_dir):
+    """ES _mget: point lookups by id list; the absent id is simply
+    missing (found=false)."""
+    return Q.mget(_docs(spark, sf_dir), MGET_IDS)
 
 
 def q_field_sort(spark, sf_dir):
@@ -757,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_mixed": q_percolate_mixed,
         "rank_eval": q_rank_eval,
         "scroll": q_scroll,
+        "analyze": q_analyze,
+        "mget": q_mget,
         "field_sort": q_field_sort,
         "term_vectors": q_term_vectors,
         "percentile_ranks": q_percentile_ranks,
@@ -937,6 +953,8 @@ def oracle_sql() -> dict[str, str]:
             PERCOLATE_QUERIES, phrase_queries=PERCOLATE_PHRASES
         ),
         "scroll": oracles.scroll_sql(PHRASE, SCROLL_PAGE, SCROLL_AFTER),
+        "analyze": oracles.analyze_sql(ANALYZE_TEXT),
+        "mget": oracles.mget_sql(MGET_IDS),
         "field_sort": oracles.sort_topk_sql(
             PHRASE, PHRASE_K, SORT_FIELD, after=SORT_AFTER
         ),

@@ -800,6 +800,35 @@ def sort_topk(
     )
 
 
+def analyze_text(spark: SparkSession, text: str) -> DataFrame:
+    """ES ``_analyze`` API: run the index's analyzer over a literal
+    string and return (position, token) — the first endpoint anyone
+    hits when debugging "why doesn't my query match". Uses the ONE
+    tokenizer expression every other operator shares (`tokens_col`), so
+    what this returns is by construction what the index stores."""
+    from unichem2index_spark.functions.tokenize import tokens_col
+
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(F.posexplode(tokens_col("text")).alias("position", "token"))
+        .orderBy("position")
+    )
+
+
+def mget(docs_df: DataFrame, doc_ids: list[int]) -> DataFrame:
+    """ES ``_mget``: fetch a batch of docs by id — the point-lookup
+    API behind every "hydrate the top-k" step. The id list is a pushed
+    ``IN`` filter (row-group pruning on the write-ordered doc_id
+    column); missing ids are simply absent, as in ES's per-doc
+    found=false."""
+    ids = sorted({int(d) for d in doc_ids})
+    return (
+        docs_df.where(F.col("doc_id").isin(ids))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def term_vectors(docs_df: DataFrame, doc_id: int) -> DataFrame:
     """ES ``_termvectors`` (term_statistics=true): for ONE doc, every
     term with its in-doc tf, its 0-based token positions, and the

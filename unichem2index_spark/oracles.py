@@ -2288,3 +2288,28 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def analyze_sql(text: str) -> str:
+    """_analyze on a literal string: (position, token) via the shared
+    tokenizer regex; generate_subscripts is 1-based, positions 0-based."""
+    lit = "'" + text.replace("'", "''") + "'"
+    return f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower({lit}), '{TOKEN_PATTERN}') AS t
+)
+SELECT generate_subscripts(t, 1) - 1 AS position, unnest(t) AS token
+FROM toks
+ORDER BY position
+"""
+
+
+def mget_sql(doc_ids: list[int]) -> str:
+    """_mget: point lookups by id list; missing ids absent."""
+    ids = ", ".join(str(int(d)) for d in sorted(set(doc_ids)))
+    return f"""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE doc_id IN ({ids})
+ORDER BY doc_id
+"""
