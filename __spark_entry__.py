@@ -67,6 +67,7 @@ TERMS_SET_REQUIRED = "CASE WHEN lang = 'en' THEN 3 ELSE 2 END"
 SUGGEST_PHRASE, SUGGEST_DIST, SUGGEST_SIZE = ("mrge", "grup"), 1, 5
 ANALYZE_TEXT = "The MERGE-group KEY: fast vector scan, 42 rows!"
 MGET_IDS = [3, 7, 42, 10**9]  # last id absent: found=false shape
+SAMPLER_SIZE = 50  # sampler agg: sub-agg over the 50 best hits
 TV_DOC = 7  # _termvectors target (same doc _explain inspects)
 PR_VALUES = (100.0, 300.0, 600.0)  # percentile_ranks probe doclens
 PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
@@ -439,6 +440,20 @@ def q_term_vectors(spark, sf_dir):
     return Q.term_vectors(_docs(spark, sf_dir), TV_DOC)
 
 
+def q_sampler_terms(spark, sf_dir):
+    """ES sampler agg: terms sub-agg over only the top-N best-scoring
+    hits — constant sub-agg cost regardless of match-set size."""
+    return textstats.sampler_terms(
+        spark, load_tables(spark, sf_dir), PHRASE, shard_size=SAMPLER_SIZE
+    )
+
+
+def q_stats_bucket(spark, sf_dir):
+    """ES stats_bucket pipeline agg: per-series stats across the
+    date-histogram bucket counts."""
+    return textstats.stats_bucket(spark, load_tables(spark, sf_dir))
+
+
 def q_percentile_ranks(spark, sf_dir):
     """ES percentile_ranks over doclen: percent of docs at or below each
     probe value, one conditional-agg pass."""
@@ -776,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_sort": q_field_sort,
         "term_vectors": q_term_vectors,
         "percentile_ranks": q_percentile_ranks,
+        "sampler_terms": q_sampler_terms,
+        "stats_bucket": q_stats_bucket,
         "bm25_synonyms": q_bm25_synonyms,
         "constant_score": q_constant_score,
         "min_score": q_min_score,
@@ -960,6 +977,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_vectors": oracles.term_vectors_sql(TV_DOC),
         "percentile_ranks": oracles.percentile_ranks_sql(PR_VALUES),
+        "sampler_terms": oracles.sampler_terms_sql(
+            PHRASE, SAMPLER_SIZE, "source"
+        ),
+        "stats_bucket": oracles.stats_bucket_sql(),
         "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
         "constant_score": oracles.constant_score_sql(
             PHRASE, FLAGSHIP_K, CS_BOOST

@@ -939,3 +939,37 @@ def test_fvf_wand_respects_tombstones_and_compaction(spark, tmp_path):
         for r in Q.bm25_topk_field_boost_wand(spark, hf, TERMS, K).collect()
     ]
     assert got == exp and got
+
+
+# --------------------------------------------------- sampler / stats_bucket
+def test_sampler_and_stats_bucket_match_python(spark, corpus, tables):
+    from unichem2index_spark.operators import textstats
+
+    df, oracle, meta = corpus
+    terms, size = ["merge", "group"], 20
+    got = [
+        (r.source, r.doc_count)
+        for r in textstats.sampler_terms(
+            spark, tables, terms, shard_size=size
+        ).collect()
+    ]
+    sample = [d for d, _ in _ranking(_scores(oracle, terms))[:size]]
+    cnt = Counter(meta[d].source for d in sample)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+    assert sum(c for _, c in got) == min(size, len(_scores(oracle, terms)))
+
+    rows = textstats.stats_bucket(spark, tables).collect()
+    ev = tables["events"].selectExpr(
+        "event_type", "date_trunc('hour', ts) AS b"
+    ).collect()
+    per = {}
+    for r in ev:
+        per.setdefault(r.event_type, Counter())[r.b] += 1
+    assert [r.event_type for r in rows] == sorted(per)
+    for r in rows:
+        counts = list(per[r.event_type].values())
+        assert r.n_buckets == len(counts)
+        assert (r.min_bucket, r.max_bucket) == (min(counts), max(counts))
+        assert r.sum_events == sum(counts)
+        assert r.avg_per_bucket == round(sum(counts) / len(counts), 6)

@@ -314,6 +314,67 @@ def phrase_suggest(
     )
 
 
+def sampler_terms(
+    spark: SparkSession, t, terms: list[str], shard_size: int = 50,
+    field: str = "source",
+) -> DataFrame:
+    """ES ``sampler`` aggregation: run the sub-aggregation (a terms agg
+    on ``field``) over only the top-``shard_size`` BEST-SCORING docs of
+    the query — the "what do my best hits look like" analysis that
+    bounds agg cost on huge match sets. Sample membership is decided on
+    RAW scores with the doc_id tie-break (same ordering discipline as
+    every top-k), so both engines pick the identical sample.
+
+    Scale shape: the sample IS a top-k (n_shards*k candidate rows to
+    one merge at a real index; corpus path here), and the sub-agg runs
+    on shard_size rows — constant work no matter how many docs match."""
+    from unichem2index_spark.operators.query import bm25_scores_from_corpus
+
+    d = t["documents"]
+    sample = (
+        bm25_scores_from_corpus(d, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(shard_size)
+    )
+    return (
+        sample.join(d.select("doc_id", field), "doc_id")
+        .groupBy(field)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc(field))
+    )
+
+
+def stats_bucket(
+    spark: SparkSession, t, interval: str = "hour"
+) -> DataFrame:
+    """ES ``stats_bucket`` pipeline aggregation: summary statistics
+    ACROSS the buckets of a sibling date_histogram — per event_type, the
+    count/min/max/sum/avg of its hourly event counts (the "how bursty is
+    this series" dashboard row).
+
+    Two stacked hash aggs, both map-side combined: events → (type,
+    bucket) counts (cardinality = types × hours), then (type) stats over
+    those counts. Exact integer stats + ONE divide for the avg."""
+    e = t["events"]
+    hist = e.groupBy(
+        F.col("event_type"),
+        F.date_trunc(interval, F.col("ts")).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        hist.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("n_events").alias("min_bucket"),
+            F.max("n_events").alias("max_bucket"),
+            F.sum("n_events").alias("sum_events"),
+            F.round(
+                F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_per_bucket"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def date_histogram_pipeline(
     spark: SparkSession, t, interval: str = "hour"
 ) -> DataFrame:

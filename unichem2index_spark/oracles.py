@@ -2313,3 +2313,55 @@ FROM documents
 WHERE doc_id IN ({ids})
 ORDER BY doc_id
 """
+
+
+def sampler_terms_sql(terms: list[str], shard_size: int, field: str) -> str:
+    """sampler agg: terms sub-agg over the top-shard_size best-scoring
+    docs (raw-score sample selection, doc_id tie-break)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+sample AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC
+  LIMIT {shard_size}
+)
+SELECT d.{field}, count(*) AS doc_count
+FROM documents d JOIN sample USING (doc_id)
+GROUP BY d.{field}
+ORDER BY doc_count DESC, d.{field} ASC
+"""
+
+
+def stats_bucket_sql(interval: str = "hour") -> str:
+    """stats_bucket pipeline: per event_type, stats over its
+    date-histogram bucket counts."""
+    return f"""
+WITH hist AS (
+  SELECT event_type, date_trunc('{interval}', ts) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY event_type, bucket
+)
+SELECT event_type,
+       count(*) AS n_buckets,
+       min(n_events) AS min_bucket,
+       max(n_events) AS max_bucket,
+       sum(n_events) AS sum_events,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_per_bucket
+FROM hist
+GROUP BY event_type
+ORDER BY event_type
+"""
