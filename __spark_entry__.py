@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from unichem2index_spark import oracles
 from unichem2index_spark.functions.tokenize import tokens_col
 from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
+from unichem2index_spark.operators import parentchild
 from unichem2index_spark.operators import query as Q
 from unichem2index_spark.operators import similarity, textstats, trainprep
 from unichem2index_spark.operators.build import (
@@ -830,6 +831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group": _wrap(parity.topn_per_group),
         "last_key_top1": _wrap(parity.last_key_top1),
         "reconcile_counts": _wrap(parity.reconcile_counts),
+        # -- ES parent-child join queries -----------------------------------
+        "has_child": _wrap(parentchild.has_child_topk),
+        "has_parent": _wrap(parentchild.has_parent_topk),
+        "children_agg": _wrap(parentchild.children_agg_by_parent_bucket),
         # -- F1-F5 layered-key splitter (SURVEY §2.7) -----------------------
         "key_split": _wrap(parity.key_split),
         "key_components": _wrap(parity.key_components),  # rows-only (UDTF)
@@ -1032,6 +1037,9 @@ def oracle_sql() -> dict[str, str]:
         "topn_per_group": oracles.TOPN_PER_GROUP,
         "last_key_top1": oracles.LAST_KEY_TOP1,
         "reconcile_counts": oracles.RECONCILE_COUNTS,
+        "has_child": oracles.HAS_CHILD,
+        "has_parent": oracles.HAS_PARENT,
+        "children_agg": oracles.CHILDREN_AGG,
         "key_split": oracles.KEY_SPLIT,
         # key_components: rows-only (Arrow UDTF fan-out, not SQL-expressible)
         "dedup_exact": oracles.DEDUP_EXACT,

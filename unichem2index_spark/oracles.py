@@ -2365,3 +2365,47 @@ FROM hist
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------------------ parent-child
+HAS_CHILD = """
+WITH kids AS (
+  SELECT l_orderkey, count(*) AS n_children,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS child_score
+  FROM lineitem
+  WHERE l_quantity >= 30 AND l_returnflag = 'R'
+  GROUP BY l_orderkey
+  HAVING count(*) >= 2
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(k.n_children AS BIGINT) AS n_children, k.child_score
+FROM orders o JOIN kids k ON o.o_orderkey = k.l_orderkey
+ORDER BY child_score DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+HAS_PARENT = """
+SELECT l.l_orderkey, l.l_linenumber, round(o.o_totalprice, 2) AS parent_score
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+ORDER BY parent_score DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
+"""
+
+CHILDREN_AGG = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS rev_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority AS priority,
+       CAST(sum(coalesce(p.n_lines, 0)) AS BIGINT) AS n_children,
+       round(CAST(sum(coalesce(p.rev_cents, 0)) AS DOUBLE) / 100.0, 2)
+         AS child_revenue
+FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY priority
+LIMIT 10
+"""
