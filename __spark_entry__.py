@@ -794,6 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_ranks": q_percentile_ranks,
         "sampler_terms": q_sampler_terms,
         "stats_bucket": q_stats_bucket,
+        "weighted_avg_agg": _wrap(textstats.weighted_avg_agg),
+        "mad_agg": _wrap(textstats.mad_agg),
+        "completion_suggest": _wrap(textstats.completion_suggest),
         "bm25_synonyms": q_bm25_synonyms,
         "constant_score": q_constant_score,
         "min_score": q_min_score,
@@ -986,6 +989,9 @@ def oracle_sql() -> dict[str, str]:
             PHRASE, SAMPLER_SIZE, "source"
         ),
         "stats_bucket": oracles.stats_bucket_sql(),
+        "weighted_avg_agg": oracles.WEIGHTED_AVG,
+        "mad_agg": oracles.MAD_AGG,
+        "completion_suggest": oracles.completion_suggest_sql("s", 10),
         "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
         "constant_score": oracles.constant_score_sql(
             PHRASE, FLAGSHIP_K, CS_BOOST

@@ -77,3 +77,41 @@ def test_range_agg_buckets(spark):
         if hi is not None:
             assert r.max_chars < hi  # half-open [lo, hi), ES semantics
         assert lo <= r.avg_chars <= (hi - 1 if hi is not None else r.max_chars)
+
+
+def test_weighted_avg_bounds(spark):
+    t = load_tables(spark, SF)
+    rows = textstats.weighted_avg_agg(spark, t).collect()
+    assert len(rows) == 3  # R / A / N
+    lo, hi = (
+        t["lineitem"]
+        .agg(F.min("l_extendedprice"), F.max("l_extendedprice"))
+        .first()
+    )
+    for r in rows:
+        # A weighted mean must land inside the value range.
+        assert lo <= r.weighted_avg <= hi
+        assert r.value_count > 0
+
+
+def test_mad_is_median_deviation(spark):
+    t = load_tables(spark, SF)
+    rows = textstats.mad_agg(spark, t).collect()
+    vals = {}
+    for r in t["events"].select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        xs = vals[r.event_type]
+        # By definition, >= half the values lie within mad of the median.
+        within = sum(1 for x in xs if abs(x - r.median) <= r.mad + 1e-9)
+        assert within >= len(xs) / 2
+        assert r.mad >= 0
+
+
+def test_completion_suggest_prefix_and_order(spark):
+    t = load_tables(spark, SF)
+    rows = textstats.completion_suggest(spark, t, prefix="s", k=10).collect()
+    assert rows
+    assert all(r.suggestion.startswith("s") for r in rows)
+    keys = [(-r.weight, r.suggestion) for r in rows]
+    assert keys == sorted(keys)

@@ -796,3 +796,75 @@ def bucket_script_selector(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def weighted_avg_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `weighted_avg` aggregation analog: per l_returnflag, the
+    quantity-weighted average unit price. Float-exactness: the weighted
+    numerator is summed as exact integer cents (one shared per-row double
+    expression, then integer SUM — order-independent), the weight sum as
+    exact integers; the single division happens once at emit.
+    Map-side partial agg; the shuffle carries 3 longs per flag."""
+    li = t["lineitem"]
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("value_count"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100, 0)
+                .cast("long")
+            ).alias("num_cents"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("wsum"),
+        )
+        .select(
+            "flag",
+            "value_count",
+            F.round(
+                (F.col("num_cents") / 100.0) / F.col("wsum").cast("double"), 6
+            ).alias("weighted_avg"),
+        )
+        .orderBy("flag")
+    )
+
+
+def mad_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `median_absolute_deviation` aggregation: per event_type, the
+    median of |value - median(value)|. Exact two-pass plan (ES uses a
+    TDigest approximation; exact is the stronger contract): pass 1
+    computes each group's interpolated median, broadcast back; pass 2
+    computes the median of absolute deviations. Both passes are
+    percentile aggregations that shuffle only (type, value) pairs."""
+    ev = t["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    out = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    med_r = med.select(
+        "event_type", F.round(F.col("med"), 6).alias("median")
+    )
+    return med_r.join(out, "event_type").orderBy("event_type")
+
+
+def completion_suggest(
+    spark: SparkSession, t, prefix: str = "s", k: int = 10
+) -> DataFrame:
+    """ES completion suggester analog: prefix-match over the term
+    dictionary, ranked by collection weight (total occurrences — the
+    'popularity' weight an ES completion field carries), term asc
+    tie-break. In ES this is an in-memory FST per shard; here the term
+    dictionary aggregation is the FST analog — tiny after the first
+    groupBy, so the top-k is a single reduce."""
+    docs = t["documents"]
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("suggestion"))
+        .where(F.col("suggestion").startswith(prefix))
+        .groupBy("suggestion")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+    )

@@ -2409,3 +2409,45 @@ GROUP BY o.o_orderpriority
 ORDER BY priority
 LIMIT 10
 """
+
+
+# ----------------------------------------------------- metric aggregations
+WEIGHTED_AVG = """
+SELECT l_returnflag AS flag,
+       count(*) AS value_count,
+       round((CAST(sum(CAST(round(l_extendedprice * l_quantity * 100)
+                            AS BIGINT)) AS DOUBLE) / 100.0)
+             / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE),
+             6) AS weighted_avg
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+MAD_AGG = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT m.event_type, round(m.med, 6) AS median,
+       round(quantile_cont(d.adev, 0.5), 6) AS mad
+FROM dev d JOIN med m USING (event_type)
+GROUP BY m.event_type, m.med
+ORDER BY 1
+"""
+
+
+def completion_suggest_sql(prefix: str = "s", k: int = 10) -> str:
+    return f"""
+SELECT suggestion, count(*) AS weight FROM (
+  SELECT unnest({TOKS}) AS suggestion FROM documents
+)
+WHERE suggestion LIKE '{prefix}%'
+GROUP BY suggestion
+ORDER BY weight DESC, suggestion ASC
+LIMIT {k}
+"""
