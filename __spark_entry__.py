@@ -853,6 +853,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(
             s, load_tables(s, d)
         ),
+        "cosine_topk_filtered": lambda s, d: similarity.cosine_topk_filtered(
+            s, load_tables(s, d)
+        ),
+        "rrf_hybrid": lambda s, d: similarity.rrf_hybrid(
+            s, load_tables(s, d), FLAGSHIP_TERMS
+        ),
         # rows-only: approximate by design; recall + exactness pytest
         # (tests/test_similarity.py::test_ivf_recall_vs_bruteforce)
         "cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(
@@ -1053,6 +1059,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_groups": oracles.simhash_groups_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
         "cosine_topk": oracles.COSINE_TOPK,
+        "cosine_topk_filtered": oracles.cosine_topk_filtered_sql(),
+        "rrf_hybrid": oracles.rrf_hybrid_sql(FLAGSHIP_TERMS),
         "embedding_neardup": oracles.EMBEDDING_NEARDUP,
         # cosine_topk_lsh: rows-only (approximate recall by design)
         "lang_id": oracles.LANG_ID,

@@ -99,3 +99,44 @@ def test_embedding_neardup_finds_exactly_planted_twins(spark):
         r.vec_id for r in t["embeddings"].select("vec_id").collect()
     )
     assert all(r.cosine >= 0.9 for r in rows)
+
+
+def test_cosine_filtered_respects_predicate(spark):
+    from unichem2index_spark.sources.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    rows = similarity.cosine_topk_filtered(spark, t, label_mod=3).collect()
+    assert rows
+    assert all(r.label % 3 == 0 for r in rows)
+    # Filtered page must never contain a vec the unfiltered page excludes
+    # AND ranks better than: recompute brute force per query.
+    brute = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.cosine_topk_bruteforce(spark, t, k=500).collect()
+    }
+    for r in rows:
+        assert brute[(r.query_id, r.vec_id)] == r.cosine
+
+
+def test_rrf_fuses_both_rankings(spark):
+    from unichem2index_spark.sources.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    rows = similarity.rrf_hybrid(
+        spark, t, ["the", "merge", "vector"], window=20, k=10
+    ).collect()
+    assert rows
+    for r in rows:
+        expect = 0.0
+        if r.rank_bm25 is not None:
+            assert 1 <= r.rank_bm25 <= 20
+            expect += 1.0 / (60 + r.rank_bm25)
+        if r.rank_knn is not None:
+            assert 1 <= r.rank_knn <= 20
+            expect += 1.0 / (60 + r.rank_knn)
+        assert abs(r.rrf - expect) < 1e-6
+    # Page is rrf-descending and at least one doc came from each retriever.
+    keys = [(-r.rrf, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    assert any(r.rank_bm25 is not None for r in rows)
+    assert any(r.rank_knn is not None for r in rows)

@@ -337,3 +337,117 @@ def cosine_topk_lsh(
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def cosine_topk_filtered(
+    spark: SparkSession,
+    t,
+    n_queries: int = 5,
+    k: int = 10,
+    label_mod: int = 3,
+) -> DataFrame:
+    """ES kNN-with-filter analog (`knn: {filter: {...}}`): exact cosine
+    top-k where the corpus is restricted by a metadata predicate DURING
+    the search (ES post-8.2 semantics: the filter gates candidates, so
+    the page always holds k *matching* neighbors — not a post-filter of
+    an unfiltered page). The predicate reaches the parquet scan
+    (pushed filter); everything else is the brute-force plan."""
+    emb = t["embeddings"].select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.where(
+        (F.col("vec_id") >= n_queries) & (F.col("label") % label_mod == 0)
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def rrf_hybrid(
+    spark: SparkSession,
+    t,
+    terms: list[str],
+    qvec_id: int = 42,
+    k: int = 10,
+    window: int = 20,
+    rank_const: int = 60,
+) -> DataFrame:
+    """ES hybrid retrieval via Reciprocal Rank Fusion (the `rrf`
+    retriever, ES 8.9+): fuse a lexical BM25 ranking with a kNN cosine
+    ranking over the SAME id space (doc_id == vec_id in the fixture,
+    exactly ES's one-doc-two-fields shape) by
+    ``score(d) = sum_r 1 / (rank_const + rank_r(d))`` over each
+    retriever's top-``window``.
+
+    Determinism: both rankings order by their emitted ROUNDED score
+    with id tie-break, so ranks are engine-identical; the RRF sum is
+    two exact double terms -> one shared float tree. Scale shape: each
+    retriever already returns <= window driver-small rows, so the
+    fusion join is trivially broadcast — the expensive parts are the
+    retrievers themselves, which keep their own distributed plans."""
+    from unichem2index_spark.operators.query import bm25_scores_from_corpus
+
+    docs = t["documents"]
+    bm = (
+        bm25_scores_from_corpus(docs, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(window)
+        .select("doc_id", F.round("score", 6).alias("s"))
+    )
+    wb = W.orderBy(F.desc("s"), F.asc("doc_id"))
+    bm_ranked = bm.select("doc_id", F.row_number().over(wb).alias("rank_bm25"))
+
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("v"))
+    qv = emb.where(F.col("vec_id") == qvec_id).select(
+        F.col("v").alias("qv")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != qvec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    # Distributed top-window first (TakeOrderedAndProject — per-partition
+    # heaps, no global sort); the rank window then runs on <= window rows.
+    kn_top = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(window)
+    wk = W.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    kn_ranked = kn_top.select(
+        "doc_id", F.row_number().over(wk).alias("rank_knn")
+    )
+
+    fused = bm_ranked.join(kn_ranked, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(rank_const)) + F.col("rank_bm25")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(rank_const)) + F.col("rank_knn")), F.lit(0.0)
+    )
+    return (
+        fused.withColumn("rrf", rrf)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id", "rank_bm25", "rank_knn", F.round("rrf", 6).alias("rrf")
+        )
+    )

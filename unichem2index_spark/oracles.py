@@ -2451,3 +2451,100 @@ GROUP BY suggestion
 ORDER BY weight DESC, suggestion ASC
 LIMIT {k}
 """
+
+
+# ------------------------------------------------ hybrid retrieval / kNN
+def cosine_topk_filtered_sql(
+    n_queries: int = 5, k: int = 10, label_mod: int = 3
+) -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, label, v FROM emb
+      WHERE vec_id >= {n_queries} AND label % {label_mod} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         round(list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM c CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, label, cosine
+FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def rrf_hybrid_sql(
+    terms: list[str],
+    qvec_id: int = 42,
+    k: int = 10,
+    window: int = 20,
+    rank_const: int = 60,
+) -> str:
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+bmtop AS (
+  SELECT doc_id, round(score, 6) AS s
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT {window}
+),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank_bm25
+  FROM bmtop
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS q FROM emb WHERE vec_id = {qvec_id}),
+cs AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(qv.q, e.v)
+           / (sqrt(list_dot_product(qv.q, qv.q))
+              * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM emb e CROSS JOIN qv WHERE e.vec_id != {qvec_id}
+),
+kn AS (
+  SELECT doc_id, rank_knn FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank_knn
+    FROM cs
+  ) WHERE rank_knn <= {window}
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CAST(a.rank_bm25 AS INT) AS rank_bm25,
+       CAST(b.rank_knn AS INT) AS rank_knn,
+       round(coalesce(1.0 / ({rank_const} + a.rank_bm25), 0.0)
+             + coalesce(1.0 / ({rank_const} + b.rank_knn), 0.0), 6) AS rrf
+FROM bm a FULL JOIN kn b ON a.doc_id = b.doc_id
+ORDER BY coalesce(1.0 / ({rank_const} + a.rank_bm25), 0.0)
+         + coalesce(1.0 / ({rank_const} + b.rank_knn), 0.0) DESC,
+         coalesce(a.doc_id, b.doc_id) ASC
+LIMIT {k}
+"""
