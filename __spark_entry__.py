@@ -895,6 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_eval_split": _wrap(trainprep.train_eval_split),
         "decontaminate": _wrap(trainprep.decontaminate),
         "pack_sequences": _wrap(trainprep.pack_sequences),
+        "collapse_repeats": _wrap(trainprep.collapse_repeats),
+        "dup_ngram_ratio": _wrap(trainprep.dup_ngram_ratio),
+        "pii_scrub": _wrap(trainprep.pii_scrub),
         # rows-only: HLL estimate differs across implementations by design;
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
@@ -1094,6 +1097,11 @@ def oracle_sql() -> dict[str, str]:
             trainprep.BENCHMARK_SOURCE, trainprep.CONTAM_MIN_SHARED
         ),
         "pack_sequences": oracles.pack_sequences_sql(trainprep.PACK_BUDGET),
+        "collapse_repeats": oracles.COLLAPSE_REPEATS,
+        "dup_ngram_ratio": oracles.DUP_NGRAM_RATIO,
+        "pii_scrub": oracles.pii_scrub_sql(
+            trainprep.PII_EMAIL, trainprep.PII_PHONE, trainprep.PII_IP
+        ),
         # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,

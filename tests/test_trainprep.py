@@ -196,3 +196,64 @@ def test_bucket_script_selector(spark, corpus, tables):
         assert r.avg_tokens == pytest.approx(
             r.total_tokens / r.doc_count, abs=1e-5
         )
+
+
+def test_collapse_repeats_python_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    import hashlib
+    import re
+
+    rows = trainprep.collapse_repeats(spark, t).collect()
+    texts = {r.doc_id: r.text for r in t["documents"].limit(2000).collect()}
+    assert rows and len(rows) == len(texts)
+    checked = 0
+    for r in rows[:25]:
+        toks = re.findall(r"[a-z0-9]+", texts[r.doc_id].lower())
+        kept = [x for i, x in enumerate(toks) if i == 0 or x != toks[i - 1]]
+        assert r.n_tokens == len(toks)
+        assert r.n_kept == len(kept)
+        assert r.n_removed == len(toks) - len(kept)
+        fp = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert r.clean_fp == fp
+        checked += 1
+    assert checked
+    # The synthetic corpus genuinely contains consecutive repeats.
+    assert any(r.n_removed > 0 for r in rows)
+
+
+def test_dup_ngram_ratio_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    import re
+
+    rows = trainprep.dup_ngram_ratio(spark, t).collect()
+    texts = {r.doc_id: r.text for r in t["documents"].limit(2000).collect()}
+    for r in rows[:25]:
+        toks = re.findall(r"[a-z0-9]+", texts[r.doc_id].lower())
+        grams = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ] if len(toks) >= 3 else []
+        assert r.n_ngrams == len(grams)
+        assert r.n_distinct == len(set(grams))
+        ratio = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        assert abs(r.dup_ratio - ratio) < 1e-6
+        assert r.keep == (ratio <= trainprep.DUP_NGRAM_MAX_RATIO)
+
+
+def test_pii_scrub_masks_everything(spark):
+    t = load_tables(spark, SF_SMOKE)
+    import hashlib
+    import re
+
+    rows = trainprep.pii_scrub(spark, t).collect()
+    texts = {r.doc_id: r.text for r in t["documents"].limit(2000).collect()}
+    for r in rows[:25]:
+        t2 = (
+            f"{texts[r.doc_id]} contact user{r.doc_id}@example.com or "
+            f"555-{r.doc_id % 10000:04d} from 10.0.{r.doc_id % 256}.1"
+        )
+        assert r.n_emails >= 1 and r.n_phones >= 1 and r.n_ips >= 1
+        s = re.sub(trainprep.PII_EMAIL, "<EMAIL>", t2)
+        s = re.sub(trainprep.PII_PHONE, "<PHONE>", s)
+        s = re.sub(trainprep.PII_IP, "<IP>", s)
+        assert "@" not in s and "10.0." not in s
+        assert r.scrubbed_fp == hashlib.md5(s.encode()).hexdigest()

@@ -192,3 +192,123 @@ def pack_sequences(spark: SparkSession, t) -> DataFrame:
         .applyInPandas(pack, _PACK_SCHEMA)
         .orderBy("source", "seq_id")
     )
+
+
+# ------------------------------------------------- corpus-cleanup operators
+DUP_NGRAM_N = 3
+DUP_NGRAM_MAX_RATIO = 0.005  # Gopher-style repetition threshold
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\b555-[0-9]{4}\\b"
+PII_IP = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def collapse_repeats(spark: SparkSession, t) -> DataFrame:
+    """Intra-document repetition cleanup: collapse runs of consecutive
+    duplicate tokens ("batch batch batch" -> "batch") — the word-level
+    analog of the elided-repetition pass training pipelines run before
+    tokenization. Pure JVM array lambda (filter-with-index keeps token i
+    only if it differs from token i-1), no Python workers, no shuffle —
+    a map-only pass that scales linearly with the scan."""
+    docs = t["documents"]
+    toks = tokens_col(F.col("text"))
+    kept = F.filter(
+        toks,
+        # element_at is 1-based: for 0-based position i>0 the previous
+        # token is element_at(toks, i); greatest() keeps the index legal
+        # under ANSI at i=0 where the OR already keeps the token.
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(toks, F.greatest(i, F.lit(1)))),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(kept).alias("n_kept"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_ngram_ratio(spark: SparkSession, t) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a
+    document's word 3-grams that are duplicates (1 - distinct/total),
+    and the keep/drop verdict at DUP_NGRAM_MAX_RATIO. Map-only JVM
+    array expressions; at 100 TB this composes with the quality filter
+    as one fused scan (no shuffle, no UDF)."""
+    docs = t["documents"]
+    toks = tokens_col(F.col("text"))
+    n = DUP_NGRAM_N
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + j + 1) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", grams.alias("grams"))
+    ratio = F.when(
+        F.size("grams") > 0,
+        1.0
+        - F.size(F.array_distinct("grams")).cast("double")
+        / F.size("grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "doc_id",
+            F.size("grams").alias("n_ngrams"),
+            F.size(F.array_distinct("grams")).alias("n_distinct"),
+            F.round(ratio, 6).alias("dup_ratio"),
+            (ratio <= DUP_NGRAM_MAX_RATIO).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pii_scrub(spark: SparkSession, t) -> DataFrame:
+    """PII scrubbing pass: mask emails / phone numbers / internal IPs
+    with typed placeholders and count what was masked. The corpus is
+    synthetic (PII-free by construction), so each doc gets a
+    deterministic PII-bearing suffix derived from doc_id — identical
+    expression in the DuckDB oracle — making the scrub genuinely
+    exercised and the oracle non-vacuous. Map-only regexp_replace
+    chain, JVM-side."""
+    docs = t["documents"]
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    d = docs.select("doc_id", text2.alias("t2"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t2"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("t2"), F.lit(PII_EMAIL), F.lit(0)))
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("t2"), F.lit(PII_PHONE), F.lit(0)))
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all(F.col("t2"), F.lit(PII_IP), F.lit(0)))
+            .alias("n_ips"),
+            F.md5(scrubbed).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2548,3 +2548,65 @@ ORDER BY coalesce(1.0 / ({rank_const} + a.rank_bm25), 0.0)
          coalesce(a.doc_id, b.doc_id) ASC
 LIMIT {k}
 """
+
+
+# -------------------------------------------------- corpus-cleanup oracles
+COLLAPSE_REPEATS = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+k AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) -> i = 1 OR x != toks[i - 1]) AS kept
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(toks) - len(kept) AS INT) AS n_removed,
+       md5(array_to_string(kept, ' ')) AS clean_fp
+FROM k ORDER BY doc_id
+"""
+
+_DUP_RATIO = """CASE WHEN len(grams) > 0
+  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+  ELSE 0.0 END"""
+
+DUP_NGRAM_RATIO = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+ng AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       round({_DUP_RATIO}, 6) AS dup_ratio,
+       ({_DUP_RATIO}) <= 0.005 AS keep
+FROM ng ORDER BY doc_id
+"""
+
+
+def pii_scrub_sql(email: str, phone: str, ip: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1') AS t2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2, '{email}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t2, '{phone}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t2, '{ip}')) AS INT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t2, '{email}', '<EMAIL>', 'g'),
+               '{phone}', '<PHONE>', 'g'),
+             '{ip}', '<IP>', 'g')) AS scrubbed_fp
+FROM d ORDER BY doc_id
+"""
