@@ -311,6 +311,23 @@ def q_highlight(spark, sf_dir):
     return Q.highlight_topk(_docs(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K)
 
 
+QS_QUERY = '(merge AND group) OR ("batch batch" AND NOT vector)'
+
+
+def q_query_string(spark, sf_dir):
+    """Lucene query_string mini-language: one parsed AST rendered to both
+    the Spark eligibility expression and the DuckDB oracle predicate."""
+    return Q.query_string_topk(spark, _docs(spark, sf_dir), QS_QUERY, 10)
+
+
+def q_rescore(spark, sf_dir):
+    """ES rescore: BM25 top-50 window re-ranked by a constant-score
+    match_phrase rescorer (query_weight=1, rescore_weight=2)."""
+    return Q.rescore_topk(
+        spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, PHRASE, window=50, k=10
+    )
+
+
 def q_span_near(spark, sf_dir):
     """ES span_near (in_order=false) / intervals all_of: the three terms
     within a window of slop + n - 1 tokens in any order, through the
@@ -776,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax": q_bm25_dismax,
         "bm25_boosting": q_bm25_boosting,
         "highlight": q_highlight,
+        "query_string": q_query_string,
+        "rescore": q_rescore,
         "bm25_gauss_decay": q_bm25_gauss_decay,
         "span_near": q_span_near,
         "span_first": q_span_first,
@@ -963,6 +982,10 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, BOOSTING_NEG, FLAGSHIP_K, BOOSTING_FACTOR
         ),
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "query_string": oracles.query_string_sql(QS_QUERY, 10),
+        "rescore": oracles.rescore_sql(
+            FLAGSHIP_TERMS, PHRASE, window=50, k=10
+        ),
         "bm25_gauss_decay": oracles.bm25_gauss_decay_sql(
             FLAGSHIP_TERMS, FLAGSHIP_K, GAUSS_ORIGIN, GAUSS_DENOM
         ),

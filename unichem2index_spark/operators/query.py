@@ -2580,3 +2580,91 @@ def counts_by_source(
         .orderBy(F.desc("doc_count"), F.asc("source"))
         .limit(size)
     )
+
+
+def query_string_topk(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    qstring: str,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene `query_string` endpoint: parse the boolean mini-language
+    (AND/OR/NOT, parentheses, quoted phrases — see
+    functions/querystring.py for the exact grammar and documented
+    semantics) and serve it on the corpus path. One tokenize pass
+    computes eligibility as a single map-only boolean expression (the
+    rendered AST); scoring is the standard BM25 sum over the query's
+    positive terms, joined to the eligible set on doc_id. The DuckDB
+    oracle renders the SAME AST, so engine and oracle can't drift."""
+    from unichem2index_spark.functions.querystring import (
+        parse_query_string,
+        positive_terms,
+        render_spark,
+    )
+
+    node = parse_query_string(qstring)
+    pos = positive_terms(node)
+    td = tokenized_docs(docs_df)
+    sent = F.concat(F.lit(" "), F.concat_ws(" ", "tokens"), F.lit(" "))
+    elig = (
+        td.select(
+            "doc_id", render_spark(node, F.col("tokens"), sent).alias("m")
+        )
+        .where("m")
+        .select("doc_id")
+    )
+    if pos:
+        scores = bm25_scores_from_corpus(docs_df, pos)
+        out = elig.join(scores, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("raw")
+        )
+    else:
+        out = elig.select("doc_id", F.lit(0.0).alias("raw"))
+    return (
+        out.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+    )
+
+
+def rescore_topk(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    terms: list[str],
+    phrase: list[str],
+    window: int = 50,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+) -> DataFrame:
+    """ES `rescore` (window_size + query_weight/rescore_weight): take the
+    BM25 top-``window`` and re-rank it with a second, more expensive
+    signal — here a match_phrase test in constant-score mode, the classic
+    "proximity rescore" recipe. Scale shape: the window (<= window rows)
+    is BROADCAST into one map-only pass over the tokenized docs; the
+    phrase test runs only for window members, never the full corpus."""
+    base = (
+        bm25_scores_from_corpus(docs_df, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(window)
+    )
+    needle = " " + " ".join(phrase) + " "
+    td = tokenized_docs(docs_df)
+    sent = F.concat(F.lit(" "), F.concat_ws(" ", "tokens"), F.lit(" "))
+    flags = td.select(
+        "doc_id", (F.locate(needle, sent) > 0).alias("phrase_match")
+    )
+    j = flags.join(F.broadcast(base), "doc_id")
+    final = F.lit(float(query_weight)) * F.col("score") + F.lit(
+        float(rescore_weight)
+    ) * F.col("phrase_match").cast("int").cast("double")
+    return (
+        j.withColumn("final", final)
+        .orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            F.round("final", 6).alias("score"),
+            "phrase_match",
+        )
+    )

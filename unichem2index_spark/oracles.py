@@ -2610,3 +2610,100 @@ SELECT doc_id,
              '{ip}', '<IP>', 'g')) AS scrubbed_fp
 FROM d ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ query_string / rescore
+def query_string_sql(qstring: str, k: int = 10) -> str:
+    """Renders the SAME parsed AST the Spark path evaluates."""
+    from unichem2index_spark.functions.querystring import (
+        parse_query_string,
+        positive_terms,
+        render_sql,
+    )
+
+    node = parse_query_string(qstring)
+    pos = positive_terms(node)
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in pos)
+    cond = render_sql(node, "toks", "s")
+    score_join = (
+        f"""
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),"""
+        if pos
+        else "scored AS (SELECT NULL AS doc_id, NULL AS score WHERE false),"
+    )
+    return f"""
+WITH {_TOK_CTE},
+{score_join}
+tok2 AS (
+  SELECT doc_id, {TOKS} AS toks,
+         ' ' || array_to_string({TOKS}, ' ') || ' ' AS s
+  FROM documents
+),
+elig AS (SELECT doc_id FROM tok2 WHERE {cond})
+SELECT e.doc_id, round(coalesce(sc.score, 0.0), 6) AS score
+FROM elig e LEFT JOIN scored sc ON e.doc_id = sc.doc_id
+ORDER BY coalesce(sc.score, 0.0) DESC, e.doc_id ASC
+LIMIT {k}
+"""
+
+
+def rescore_sql(
+    terms: list[str],
+    phrase: list[str],
+    window: int = 50,
+    k: int = 10,
+    wq: float = 1.0,
+    wr: float = 2.0,
+) -> str:
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    needle = (" " + " ".join(phrase) + " ").replace("'", "''")
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+base AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC
+  LIMIT {window}
+),
+tok2 AS (
+  SELECT doc_id, ' ' || array_to_string({TOKS}, ' ') || ' ' AS s
+  FROM documents
+),
+j AS (
+  SELECT b.doc_id, b.score,
+         position('{needle}' IN t.s) > 0 AS phrase_match
+  FROM base b JOIN tok2 t ON b.doc_id = t.doc_id
+)
+SELECT doc_id,
+       round({wq} * score
+             + {wr} * CAST(CAST(phrase_match AS INT) AS DOUBLE), 6) AS score,
+       phrase_match
+FROM j
+ORDER BY {wq} * score + {wr} * CAST(CAST(phrase_match AS INT) AS DOUBLE) DESC,
+         doc_id ASC
+LIMIT {k}
+"""
