@@ -702,6 +702,30 @@ def q_index_update_lifecycle(spark, sf_dir):
     return Q.bm25_topk_wand(spark, idx, FLAGSHIP_TERMS, FLAGSHIP_K)
 
 
+def q_delete_by_query_lifecycle(spark, sf_dir):
+    """Rows-only lifecycle op (ES _delete_by_query): build a webtext
+    index, tombstone a predicate slice as a deletes-only generation,
+    compact, return the top-k — deterministic by construction. The
+    strong oracle is tests/test_delete_by_query.py (count identity,
+    visibility gating, post-compaction rank+score identity with a
+    fresh build over the survivors)."""
+    import shutil
+
+    from unichem2index_spark.operators.ingest import build_index_from_webtext
+    from unichem2index_spark.operators.update import compact, delete_by_query
+    from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+    from unichem2index_spark.synth import gen_webtext
+
+    out = os.path.join(tempfile.gettempdir(), "u2i_dbq_idx")
+    shutil.rmtree(out, ignore_errors=True)
+    base = spark.createDataFrame(gen_webtext(150, seed=42), schema=WEBTEXT_SCHEMA)
+    build_index_from_webtext(spark, base, out, n_shards=4)
+    delete_by_query(spark, out, "doclen >= 120", build_id="entry-dbq")
+    compact(spark, out)
+    idx = Q.IndexHandle.open(spark, out)
+    return Q.bm25_topk_wand(spark, idx, FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
 def q_csv_roundtrip(spark, sf_dir):
     """S4/S5: pipe-CSV spool sink -> pipe-CSV source round-trip (ref:
     alter/spool2M.sql:13-35 spools '|' CSVs, alter/testDataLoader.go:42-61
@@ -837,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_dates": _wrap(parity.max_dates),
         "windowed_counts": _wrap(batch_windowed_counts),
         "index_update_lifecycle": q_index_update_lifecycle,  # rows-only
+        "delete_by_query_lifecycle": q_delete_by_query_lifecycle,  # rows-only
         # -- parity ops (SURVEY §2.2-2.6) -----------------------------------
         "threeway_join": _wrap(parity.threeway_join),
         "semi_join_recent": _wrap(parity.semi_join_recent),

@@ -1,0 +1,87 @@
+"""ES _delete_by_query lifecycle: tombstones-only generation, gen-gated
+visibility, pre-compaction stats contract, and post-compaction
+rank+score identity with a fresh build over the survivors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unichem2index_spark.operators import query as Q
+from unichem2index_spark.operators.build import build_index
+from unichem2index_spark.operators.ingest import build_index_from_webtext
+from unichem2index_spark.operators.update import delete_by_query, compact
+from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+from unichem2index_spark.synth import gen_webtext
+
+QUERIES = [(["the", "merge"], 10), (["vector", "dup", "the"], 25)]
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, tmp_path_factory):
+    rows = gen_webtext(300, seed=42)
+    base = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA).repartition(5)
+    out = str(tmp_path_factory.mktemp("dbq_index"))
+    build_index_from_webtext(spark, base, out, n_shards=4)
+    h0 = Q.IndexHandle.open(spark, out)
+    expected = h0.docs(spark).where("doclen >= 60").count()
+    res = delete_by_query(spark, out, "doclen >= 60", build_id="t-dbq")
+    return out, base, res, expected
+
+
+def test_delete_count_and_visibility(spark, deleted_index):
+    out, base, res, expected = deleted_index
+    assert expected > 0
+    assert res.n_replaced == expected
+    h = Q.IndexHandle.open(spark, out)
+    # Live docs no longer contain any matching doc...
+    assert h.docs(spark).where("doclen >= 60").count() == 0
+    # ...and queries never return a tombstoned doc.
+    deleted = h.deleted_ids(spark)
+    assert len(deleted) == expected
+    for terms, k in QUERIES:
+        got = Q.bm25_topk_wand(spark, h, terms, k).collect()
+        assert got, terms
+        assert all(r.doc_id not in deleted for r in got)
+    # Pre-compaction stats keep counting tombstoned postings
+    # (Lucene pre-merge contract): n_docs is unchanged.
+    assert h.n_docs == 300
+
+
+def test_delete_zero_matches_is_noop(spark, deleted_index):
+    out, *_ = deleted_index
+    before = Q.IndexHandle.open(spark, out)
+    gens_before = list(before.generations)
+    res = delete_by_query(spark, out, "doclen < 0")
+    assert res.n_replaced == 0
+    after = Q.IndexHandle.open(spark, out)
+    assert list(after.generations) == gens_before  # no generation burned
+
+
+def test_compact_after_delete_equals_fresh(spark, deleted_index, tmp_path_factory):
+    out, base, res, expected = deleted_index
+    stats = compact(spark, out)
+    assert stats["n_deleted_dropped"] == expected
+    h = Q.IndexHandle.open(spark, out)
+    assert h.n_docs == 300 - expected
+    assert not h.store.exists("deletes")
+
+    # Fresh build over the surviving corpus with the SAME doc_ids.
+    um = h.store.read(spark, "url_map").select("doc_id", "url")
+    texts = {r["url"]: r["text"] for r in base.select("url", "text").collect()}
+    rows = [(r.doc_id, texts[r.url]) for r in um.collect()]
+    fresh_df = spark.createDataFrame(rows, "doc_id long, text string")
+    fresh_out = str(tmp_path_factory.mktemp("dbq_fresh"))
+    build_index(spark, fresh_df, fresh_out, n_shards=4)
+    fresh = Q.IndexHandle.open(spark, fresh_out)
+    assert abs(fresh.avgdl - h.avgdl) < 1e-9
+    for terms, k in QUERIES:
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.bm25_topk_wand(spark, h, terms, k).collect()
+        ]
+        exp = [
+            (r.doc_id, r.score)
+            for r in Q.bm25_topk_wand(spark, fresh, terms, k).collect()
+        ]
+        assert got == exp, terms

@@ -471,3 +471,51 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         "n_deleted_dropped": n_deleted,
         "elapsed_sec": time.time() - t0,
     }
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    predicate: str,
+    build_id: str = "delete",
+) -> UpdateResult:
+    """ES ``_delete_by_query``: tombstone every LIVE doc matching a
+    metadata predicate (over the docs table: doc_id/doclen/lang/source),
+    committed as a tombstones-only generation.
+
+    Same contract as :func:`add_generation`'s replaced-url tombstones
+    (the reference's doc_as_upsert delete analog, extractor/loader.go:
+    150-189): index-wide stats keep counting the tombstoned postings
+    until :func:`compact` (the Lucene pre-merge contract), reads are
+    gen-gated so the delete is invisible until the ONE atomic manifest
+    commit, and a crash after the partition write but before the commit
+    leaves the old manifest fully valid (the uncommitted gen partition
+    is unreadable and a retry overwrites it in place).
+
+    Scale shape: the predicate is pushed to the docs-table scan; the
+    only data moved is the matched (doc_id, gen) pairs. Zero matches is
+    a metadata-only no-op — nothing is written, no generation burned.
+    """
+    t0 = time.time()
+    store = SegmentStore(index_dir)
+    mf = store.read_manifest()
+    committed = mf.get("generations", [0])
+    gen = max(committed) + 1
+
+    docs = store.read_committed(spark, "docs", committed)
+    dele = _committed_deletes(spark, store, committed)
+    if dele is not None:
+        docs = docs.join(dele, "doc_id", "left_anti")
+    matched = (
+        docs.where(predicate).select("doc_id").withColumn("gen", F.lit(gen))
+    )
+    n_deleted = int(matched.count())
+    if n_deleted == 0:
+        return UpdateResult(store, max(committed), 0, 0, time.time() - t0)
+
+    store.write_gen_partition(matched, "deletes")
+    mf.update(
+        {"generations": sorted(set(committed) | {gen}), "format": "parquet-v3"}
+    )
+    store.commit_and_gc(mf, [])
+    return UpdateResult(store, gen, 0, n_deleted, time.time() - t0)
