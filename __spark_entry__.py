@@ -908,6 +908,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf": lambda s, d: similarity.cosine_topk_ivf(
             s, load_tables(s, d)
         ),
+        # rows-only: int8 scalar-quantized two-stage serve; recall +
+        # quantization-error pytest (tests/test_similarity.py)
+        "cosine_topk_sq": lambda s, d: similarity.cosine_topk_sq(
+            s, load_tables(s, d)
+        ),
         "cosine_topk_lsh": lambda s, d: similarity.cosine_topk_lsh(
             s, load_tables(s, d)
         ),  # rows-only (approximate by design; pytest recall oracle)

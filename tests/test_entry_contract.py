@@ -21,6 +21,8 @@ ROWS_ONLY = {
     "cardinality_agg",
     "resize_images",
     "frame_sample",
+    "delete_by_query_lifecycle",
+    "cosine_topk_sq",
 }
 
 

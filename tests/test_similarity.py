@@ -140,3 +140,29 @@ def test_rrf_fuses_both_rankings(spark):
     assert keys == sorted(keys)
     assert any(r.rank_bm25 is not None for r in rows)
     assert any(r.rank_knn is not None for r in rows)
+
+
+def test_sq_recall_vs_bruteforce(spark):
+    from unichem2index_spark.sources.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    brute = {}
+    for r in similarity.cosine_topk_bruteforce(spark, t, k=10).collect():
+        brute.setdefault(r.query_id, []).append(r.vec_id)
+    sq = {}
+    for r in similarity.cosine_topk_sq(spark, t, k=10, rerank=30).collect():
+        sq.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(sq) == set(brute)
+    hits = total = 0
+    for q, ids in brute.items():
+        hits += len(set(ids) & set(sq[q]))
+        total += len(ids)
+    # 8-bit scalar quantization + 3x rerank loses almost nothing.
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+    # Exact rerank: every returned cosine matches the brute-force value.
+    bcos = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.cosine_topk_bruteforce(spark, t, k=500).collect()
+    }
+    for r in similarity.cosine_topk_sq(spark, t, k=10, rerank=30).collect():
+        assert bcos[(r.query_id, r.vec_id)] == r.cosine

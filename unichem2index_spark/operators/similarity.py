@@ -451,3 +451,100 @@ def rrf_hybrid(
             "doc_id", "rank_bm25", "rank_knn", F.round("rrf", 6).alias("rrf")
         )
     )
+
+
+def cosine_topk_sq(
+    spark: SparkSession,
+    t,
+    n_queries: int = 5,
+    k: int = 10,
+    rerank: int = 30,
+) -> DataFrame:
+    """Approximate cosine top-k via int8 scalar quantization (the ES
+    ``int8_hnsw``/FAISS-SQ8 memory-scale path): per-dimension min/max
+    codebook, each float32 dim stored as one int8 code (4x smaller — the
+    difference between an embedding index that fits executor memory at
+    10^12 vectors and one that doesn't). Two-stage serve, FAISS-style
+    asymmetric distance: stage 1 scores the exact float query against
+    DEQUANTIZED corpus codes and keeps ``rerank`` candidates per query;
+    stage 2 re-fetches the float vectors for those candidates only (a
+    join by vec_id — the "raw vectors on cold storage" shape) and
+    reranks exactly to the final k.
+
+    Codebook training is one 64-row aggregate (per-dim min/max);
+    quantize/dequantize are JVM array lambdas — no Python workers, no
+    extra shuffle beyond the candidate re-fetch join. Approximate by
+    design -> rows-only correctness + recall@k pytest vs the
+    brute-force spine (8-bit SQ recall is near-1)."""
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("v"))
+    corpus = emb.where(F.col("vec_id") >= n_queries)
+
+    mm = (
+        corpus.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    lo = [0.0] * len(mm)
+    span = [1.0] * len(mm)
+    for r in mm:
+        lo[r.dim] = float(r.lo)
+        span[r.dim] = float(r.hi - r.lo) or 1.0
+    lo_lit = F.array(*[F.lit(x) for x in lo])
+    span_lit = F.array(*[F.lit(x) for x in span])
+
+    centered = F.zip_with(F.col("v"), lo_lit, lambda x, l: x - l)
+    code = F.zip_with(
+        centered, span_lit,
+        lambda c, s: (F.round(c / s * 255.0, 0) - 128.0).cast("int"),
+    )
+    codes = corpus.select("vec_id", code.alias("code"))
+    dequant = F.zip_with(
+        F.zip_with(
+            F.col("code").cast("array<double>"), span_lit,
+            lambda q, s: (q + 128.0) / 255.0 * s,
+        ),
+        lo_lit,
+        lambda y, l: y + l,
+    )
+
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    approx = codes.select("vec_id", dequant.alias("vh")).crossJoin(
+        F.broadcast(queries)
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("qv"), F.col("vh"))
+            / (_norm(F.col("qv")) * _norm(F.col("vh")))
+        ).alias("acos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cands = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .where(F.col("arank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+
+    exact = (
+        cands.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
