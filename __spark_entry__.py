@@ -312,6 +312,7 @@ def q_highlight(spark, sf_dir):
 
 
 QS_QUERY = '(merge AND group) OR ("batch batch" AND NOT vector)'
+PINNED_IDS = [7, 3, 11]  # editorial promotions, served in THIS order
 
 
 def q_query_string(spark, sf_dir):
@@ -819,6 +820,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "query_string": q_query_string,
         "rescore": q_rescore,
+        "multi_match": lambda s, d: Q.multi_match_topk(
+            s, _docs(s, d), FLAGSHIP_TERMS, 10
+        ),
+        "pinned": lambda s, d: Q.pinned_topk(
+            s, _docs(s, d), FLAGSHIP_TERMS, PINNED_IDS, 10
+        ),
+        "linear_hybrid": lambda s, d: similarity.linear_hybrid(
+            s, load_tables(s, d), FLAGSHIP_TERMS
+        ),
         "bm25_gauss_decay": q_bm25_gauss_decay,
         "span_near": q_span_near,
         "span_first": q_span_first,
@@ -1013,6 +1023,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "query_string": oracles.query_string_sql(QS_QUERY, 10),
+        "multi_match": oracles.multi_match_sql(FLAGSHIP_TERMS, 10),
+        "pinned": oracles.pinned_sql(FLAGSHIP_TERMS, PINNED_IDS, 10),
+        "linear_hybrid": oracles.linear_hybrid_sql(FLAGSHIP_TERMS),
         "rescore": oracles.rescore_sql(
             FLAGSHIP_TERMS, PHRASE, window=50, k=10
         ),

@@ -99,3 +99,76 @@ def test_rescore_applies_phrase_bonus(spark):
         flipped += int(r.phrase_match)
     # The fixture's window genuinely contains phrase matches.
     assert flipped >= 1
+
+
+def test_multi_match_per_field_stats(spark):
+    """Recompute both field scores in pure Python (per-field df/avgdl —
+    the Lucene per-field statistics contract) and check best_fields
+    combine = max + tie*min."""
+    import math
+    import re
+
+    t = load_tables(spark, SF_SMOKE)
+    docs = t["documents"]
+    rows = Q.multi_match_topk(spark, docs, ["the", "merge", "vector"], 10).collect()
+    assert rows
+    texts = {
+        r.doc_id: re.findall(r"[a-z0-9]+", r.text.lower())
+        for r in docs.collect()
+    }
+    fields = {
+        "t": {d: toks[:8] for d, toks in texts.items()},
+        "b": {d: toks[8:] for d, toks in texts.items()},
+    }
+
+    def field_score(fld, doc, terms):
+        col = fields[fld]
+        present = {d: v for d, v in col.items() if v}
+        n = len(present)
+        avgdl = sum(len(v) for v in present.values()) / n
+        s = 0.0
+        for term in sorted(set(terms)):
+            tf = present.get(doc, []).count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for v in present.values() if term in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf / (tf + 1.2 * (0.25 + 0.75 * len(present[doc]) / avgdl)))
+        return s
+
+    for r in rows[:5]:
+        ts = field_score("t", r.doc_id, ["the", "merge", "vector"])
+        bs = field_score("b", r.doc_id, ["the", "merge", "vector"])
+        want = max(ts, bs) + 0.3 * min(ts, bs)
+        assert abs(r.score - want) < 1e-5, (r.doc_id, r.score, want)
+
+
+def test_pinned_order_and_exclusion(spark):
+    t = load_tables(spark, SF_SMOKE)
+    docs = t["documents"]
+    pinned = [7, 3, 11]
+    rows = Q.pinned_topk(spark, docs, ["the", "merge", "vector"], pinned, 10).collect()
+    assert [r.doc_id for r in rows[:3]] == pinned  # editorial order kept
+    assert all(r.is_pinned for r in rows[:3])
+    organic = rows[3:]
+    assert len(organic) == 7
+    assert all(not r.is_pinned for r in organic)
+    assert not set(r.doc_id for r in organic) & set(pinned)
+    keys = [(-r.score, r.doc_id) for r in organic]
+    assert keys == sorted(keys)
+
+
+def test_linear_hybrid_normalization(spark):
+    from unichem2index_spark.operators import similarity
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = similarity.linear_hybrid(
+        spark, t, ["the", "merge", "vector"], w_lex=0.7, w_knn=0.3
+    ).collect()
+    assert rows
+    # Scores are bounded by the weight sum; the best doc of a retriever
+    # normalizes to 1.0, so the page max is >= max single weight.
+    assert all(0.0 <= r.score <= 1.0 + 1e-9 for r in rows)
+    assert rows[0].score >= 0.7 - 1e-9
+    keys = [(-r.score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)

@@ -2668,3 +2668,125 @@ def rescore_topk(
             "phrase_match",
         )
     )
+
+
+def _bm25_scores_from_tok(tok: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, score) BM25 over an arbitrary tokenized frame
+    (doc_id, tokens, doclen) — the per-FIELD scorer behind multi_match.
+    Field statistics follow Lucene: n_docs/avgdl/df are computed over
+    docs where the field is non-empty, independently per field."""
+    uniq = sorted(set(terms))
+    tok = tok.where(F.col("doclen") > 0)
+    agg = tok.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("tt")
+    ).collect()[0]
+    n_docs, avgdl = int(agg.n), float(agg.tt) / float(agg.n)
+    post = exact_postings(tok)
+    tstats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qpost = post.where(F.col("term").isin(uniq)).join(
+        F.broadcast(tstats.where(F.col("term").isin(uniq))), "term"
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    w = F.col("tf") / (
+        F.col("tf")
+        + F.lit(bm25.K1)
+        * (F.lit(1.0 - bm25.B) + F.lit(bm25.B) * F.col("doclen") / F.lit(avgdl))
+    )
+    return qpost.select("doc_id", (idf * w).alias("contrib")).groupBy(
+        "doc_id"
+    ).agg(F.sum("contrib").alias("score"))
+
+
+def multi_match_topk(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    tie: float = 0.3,
+    title_len: int = 8,
+) -> DataFrame:
+    """ES `multi_match` type=best_fields over two fields with TRUE
+    per-field statistics (the part a single-field rollup can't fake:
+    each field has its own df/avgdl/doclen, so the same term scores
+    differently in title vs body — Lucene keeps per-field postings).
+    Fields are synthesized deterministically from the fixture's one
+    text column: title = first ``title_len`` tokens, body = the rest —
+    disjoint, so the split is a real two-field corpus. best_fields
+    combine = max + tie_breaker * min (dis_max over per-field scores).
+
+    Scale shape: two independent field scorer plans (each: pushed
+    term-IN scan, partial-agg shuffle on doc_id) + one full-outer join
+    of the two sparse score frames; the title slice prunes the token
+    array BEFORE the explode, so the title postings frame is ~8/avgdl
+    the size of the body's."""
+    tok = tokenized_docs(docs_df)
+    title = tok.select(
+        "doc_id", F.slice("tokens", 1, title_len).alias("tokens")
+    ).withColumn("doclen", F.size("tokens").cast("long"))
+    body = tok.select(
+        "doc_id",
+        F.expr(
+            f"slice(tokens, {title_len + 1}, "
+            f"greatest(size(tokens) - {title_len}, 0))"
+        ).alias("tokens"),
+    ).withColumn("doclen", F.size("tokens").cast("long"))
+    ts = _bm25_scores_from_tok(title, terms).select(
+        "doc_id", F.col("score").alias("ts")
+    )
+    bs = _bm25_scores_from_tok(body, terms).select(
+        "doc_id", F.col("score").alias("bs")
+    )
+    j = ts.join(bs, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("ts", F.lit(0.0)).alias("t"),
+        F.coalesce("bs", F.lit(0.0)).alias("b"),
+    )
+    raw = F.greatest(F.col("t"), F.col("b")) + F.lit(float(tie)) * F.least(
+        F.col("t"), F.col("b")
+    )
+    return (
+        j.withColumn("raw", raw)
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+    )
+
+
+def pinned_topk(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    terms: list[str],
+    pinned_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """ES `pinned` query: the given ids occupy the top of the page IN THE
+    ORDER GIVEN (editorial promotion), organic BM25 results fill the
+    remaining slots, pinned ids excluded from the organic section.
+    Pinned rows carry score 0.0 + is_pinned=true (ES substitutes a
+    synthetic huge sort value; the flag is the honest analog)."""
+    npin = len(pinned_ids)
+    pinned = spark.createDataFrame(
+        [(i + 1, int(d)) for i, d in enumerate(pinned_ids)],
+        "rank int, doc_id long",
+    ).select(
+        "rank", "doc_id", F.lit(True).alias("is_pinned"),
+        F.lit(0.0).alias("score"),
+    )
+    organic = (
+        bm25_scores_from_corpus(docs_df, terms)
+        .where(~F.col("doc_id").isin([int(d) for d in pinned_ids]))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max(k - npin, 0))
+    )
+    worg = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    organic = organic.select(
+        (F.row_number().over(worg) + F.lit(npin)).alias("rank"),
+        "doc_id",
+        F.lit(False).alias("is_pinned"),
+        F.round("score", 6).alias("score"),
+    )
+    return pinned.unionByName(organic).orderBy("rank")

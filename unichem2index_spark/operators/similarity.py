@@ -548,3 +548,81 @@ def cosine_topk_sq(
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def linear_hybrid(
+    spark: SparkSession,
+    t,
+    terms: list[str],
+    qvec_id: int = 42,
+    k: int = 10,
+    window: int = 20,
+    w_lex: float = 0.7,
+    w_knn: float = 0.3,
+) -> DataFrame:
+    """ES `linear` retriever (8.16+): min-max normalize each retriever's
+    top-``window`` scores to [0,1], then combine as a weighted sum —
+    the score-aware alternative to :func:`rrf_hybrid` (RRF discards
+    score magnitudes; linear keeps them). Normalization inputs are the
+    retrievers' emitted ROUNDED scores (engine-identical), min/max are
+    over <= window rows, absent-retriever contribution is 0 (ES
+    semantics). Same scale shape as RRF: the retrievers keep their
+    distributed plans, fusion touches <= 2*window rows."""
+    from unichem2index_spark.operators.query import bm25_scores_from_corpus
+
+    docs = t["documents"]
+    bm = (
+        bm25_scores_from_corpus(docs, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(window)
+        .select("doc_id", F.round("score", 6).alias("s"))
+    )
+    wall = W.partitionBy()  # <= window rows: a global agg window is fine
+    bm_n = bm.select(
+        "doc_id",
+        F.when(
+            F.max("s").over(wall) == F.min("s").over(wall), F.lit(1.0)
+        ).otherwise(
+            (F.col("s") - F.min("s").over(wall))
+            / (F.max("s").over(wall) - F.min("s").over(wall))
+        ).alias("nl"),
+    )
+
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("v"))
+    qv = emb.where(F.col("vec_id") == qvec_id).select(F.col("v").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != qvec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(window)
+    )
+    kn_n = scored.select(
+        "doc_id",
+        F.when(
+            F.max("c").over(wall) == F.min("c").over(wall), F.lit(1.0)
+        ).otherwise(
+            (F.col("c") - F.min("c").over(wall))
+            / (F.max("c").over(wall) - F.min("c").over(wall))
+        ).alias("nk"),
+    )
+
+    fused = bm_n.join(kn_n, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.lit(float(w_lex)) * F.coalesce("nl", F.lit(0.0))
+            + F.lit(float(w_knn)) * F.coalesce("nk", F.lit(0.0))
+        ).alias("raw"),
+    )
+    return (
+        fused.orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+    )

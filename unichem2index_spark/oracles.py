@@ -2707,3 +2707,168 @@ ORDER BY {wq} * score + {wr} * CAST(CAST(phrase_match AS INT) AS DOUBLE) DESC,
          doc_id ASC
 LIMIT {k}
 """
+
+
+# ----------------------------------------- multi_match / pinned / linear
+def _field_score_ctes(prefix: str, field_expr: str, inlist: str) -> str:
+    """Per-FIELD BM25 CTE block (own n_docs/avgdl/df — Lucene per-field
+    statistics). ``field_expr`` slices the token list for the field."""
+    return f"""
+{prefix}f AS (
+  SELECT doc_id, {field_expr} AS ftoks FROM tokall
+  WHERE len({field_expr}) > 0
+),
+{prefix}stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(ftoks)) AS DOUBLE) / count(*) AS avgdl
+  FROM {prefix}f
+),
+{prefix}post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(ftoks) AS term FROM {prefix}f
+  ) GROUP BY doc_id, term
+),
+{prefix}dfs AS (SELECT term, count(*) AS df FROM {prefix}post GROUP BY term),
+{prefix}dl AS (SELECT doc_id, len(ftoks) AS dl FROM {prefix}f),
+{prefix}scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+         ) AS score
+  FROM {prefix}post p
+  JOIN {prefix}dfs d USING (term)
+  JOIN {prefix}dl l USING (doc_id)
+  CROSS JOIN {prefix}stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)"""
+
+
+def multi_match_sql(
+    terms: list[str], k: int = 10, tie: float = 0.3, title_len: int = 8
+) -> str:
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    title = f"toks[1:{title_len}]"
+    body = f"toks[{title_len + 1}:len(toks)]"
+    return f"""
+WITH tokall AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+{_field_score_ctes('t_', title, inlist)},
+{_field_score_ctes('b_', body, inlist)},
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.score, 0.0) AS t, coalesce(b.score, 0.0) AS b
+  FROM t_scored a FULL JOIN b_scored b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       round(greatest(t, b) + {tie} * least(t, b), 6) AS score
+FROM j
+ORDER BY greatest(t, b) + {tie} * least(t, b) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def pinned_sql(terms: list[str], pinned_ids: list[int], k: int = 10) -> str:
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    npin = len(pinned_ids)
+    vals = ", ".join(f"({i + 1}, {int(d)})" for i, d in enumerate(pinned_ids))
+    notin = ", ".join(str(int(d)) for d in pinned_ids)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+org AS (
+  SELECT doc_id, score FROM scored WHERE doc_id NOT IN ({notin})
+  ORDER BY score DESC, doc_id ASC LIMIT {max(k - npin, 0)}
+)
+SELECT * FROM (
+  SELECT CAST(r AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+         true AS is_pinned, 0.0 AS score
+  FROM (VALUES {vals}) v(r, doc_id)
+  UNION ALL
+  SELECT CAST({npin} + row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INT) AS rank,
+         doc_id, false AS is_pinned, round(score, 6) AS score
+  FROM org
+)
+ORDER BY rank
+"""
+
+
+def linear_hybrid_sql(
+    terms: list[str],
+    qvec_id: int = 42,
+    k: int = 10,
+    window: int = 20,
+    w_lex: float = 0.7,
+    w_knn: float = 0.3,
+) -> str:
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+bm AS (
+  SELECT doc_id, round(score, 6) AS s FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {window}
+),
+bm_n AS (
+  SELECT doc_id,
+         CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+              ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+         END AS nl
+  FROM bm
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS q FROM emb WHERE vec_id = {qvec_id}),
+kn AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(qv.q, e.v)
+           / (sqrt(list_dot_product(qv.q, qv.q))
+              * sqrt(list_dot_product(e.v, e.v))), 6) AS c
+  FROM emb e CROSS JOIN qv WHERE e.vec_id != {qvec_id}
+  ORDER BY c DESC, e.vec_id ASC LIMIT {window}
+),
+kn_n AS (
+  SELECT doc_id,
+         CASE WHEN max(c) OVER () = min(c) OVER () THEN 1.0
+              ELSE (c - min(c) OVER ()) / (max(c) OVER () - min(c) OVER ())
+         END AS nk
+  FROM kn
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       round({w_lex} * coalesce(a.nl, 0.0)
+             + {w_knn} * coalesce(b.nk, 0.0), 6) AS score
+FROM bm_n a FULL JOIN kn_n b ON a.doc_id = b.doc_id
+ORDER BY {w_lex} * coalesce(a.nl, 0.0) + {w_knn} * coalesce(b.nk, 0.0) DESC,
+         coalesce(a.doc_id, b.doc_id) ASC
+LIMIT {k}
+"""
