@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from unichem2index_spark import oracles
 from unichem2index_spark.functions.tokenize import tokens_col
 from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
-from unichem2index_spark.operators import parentchild
+from unichem2index_spark.operators import ingestpipe, parentchild
 from unichem2index_spark.operators import query as Q
 from unichem2index_spark.operators import similarity, textstats, trainprep
 from unichem2index_spark.operators.build import (
@@ -957,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_repeats": _wrap(trainprep.collapse_repeats),
         "dup_ngram_ratio": _wrap(trainprep.dup_ngram_ratio),
         "pii_scrub": _wrap(trainprep.pii_scrub),
+        "ingest_pipeline": _wrap(ingestpipe.ingest_pipeline_simulate),
         # rows-only: HLL estimate differs across implementations by design;
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
@@ -1167,6 +1168,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_ratio": oracles.DUP_NGRAM_RATIO,
         "pii_scrub": oracles.pii_scrub_sql(
             trainprep.PII_EMAIL, trainprep.PII_PHONE, trainprep.PII_IP
+        ),
+        "ingest_pipeline": oracles.ingest_pipeline_sql(
+            ingestpipe.DOC_PIPELINE
         ),
         # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,

@@ -2872,3 +2872,31 @@ ORDER BY {w_lex} * coalesce(a.nl, 0.0) + {w_knn} * coalesce(b.nk, 0.0) DESC,
          coalesce(a.doc_id, b.doc_id) ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------- ingest pipeline
+def ingest_pipeline_sql(procs: list[dict]) -> str:
+    """Rendered by the SAME compiler walk as the Spark path."""
+    from unichem2index_spark.functions.ingestpipeline import (
+        compile_pipeline_sql,
+    )
+
+    base = {
+        "doc_id": "doc_id",
+        "text": "text",
+        "lang": "lang",
+        "source": "source",
+        "n_chars": "n_chars",
+    }
+    out = compile_pipeline_sql(procs, base)
+    cols = []
+    for name, expr in out.items():
+        if name == "words":
+            cols.append(f"CAST(len({expr}) AS INT) AS word_count")
+            cols.append(
+                f"md5(array_to_string({expr}, chr(31))) AS words_fp"
+            )
+        else:
+            cols.append(f"{expr} AS {name}")
+    sel = ",\n       ".join(cols)
+    return f"SELECT {sel}\nFROM documents\nORDER BY doc_id"
