@@ -850,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg_agg": _wrap(textstats.weighted_avg_agg),
         "mad_agg": _wrap(textstats.mad_agg),
         "completion_suggest": _wrap(textstats.completion_suggest),
+        "auto_date_histogram": _wrap(textstats.auto_date_histogram),
         "bm25_synonyms": q_bm25_synonyms,
         "constant_score": q_constant_score,
         "min_score": q_min_score,
@@ -1068,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_avg_agg": oracles.WEIGHTED_AVG,
         "mad_agg": oracles.MAD_AGG,
         "completion_suggest": oracles.completion_suggest_sql("s", 10),
+        "auto_date_histogram": oracles.auto_date_histogram_sql(20),
         "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
         "constant_score": oracles.constant_score_sql(
             PHRASE, FLAGSHIP_K, CS_BOOST

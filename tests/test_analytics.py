@@ -115,3 +115,18 @@ def test_completion_suggest_prefix_and_order(spark):
     assert all(r.suggestion.startswith("s") for r in rows)
     keys = [(-r.weight, r.suggestion) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_auto_date_histogram_picks_fitting_interval(spark):
+    t = load_tables(spark, SF)
+    rows = textstats.auto_date_histogram(spark, t, target_buckets=20).collect()
+    assert rows
+    assert len(rows) <= 20  # the whole point: bucket count fits the target
+    unit = rows[0].interval
+    assert all(r.interval == unit for r in rows)
+    # A 30-day span at target 20 must choose 'week' from the ladder.
+    assert unit == "week"
+    assert sum(r.n_events for r in rows) == t["events"].count()
+    # Tighter target -> coarser interval, never more buckets.
+    coarse = textstats.auto_date_histogram(spark, t, target_buckets=3).collect()
+    assert len(coarse) <= 3

@@ -868,3 +868,39 @@ def completion_suggest(
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(k)
     )
+
+
+AUTO_HIST_LADDER = [
+    ("minute", 60.0),
+    ("hour", 3600.0),
+    ("day", 86400.0),
+    ("week", 604800.0),
+    ("month", 2592000.0),
+    ("year", 31536000.0),
+]
+
+
+def auto_date_histogram(
+    spark: SparkSession, t, target_buckets: int = 20
+) -> DataFrame:
+    """ES `auto_date_histogram`: the engine PICKS the calendar interval —
+    smallest rung of the ladder whose estimated bucket count
+    (span/interval + 1) fits the target. Two jobs: one min/max agg (the
+    span estimate ES keeps per shard), then the normal date_trunc
+    histogram at the chosen rung. The DuckDB oracle re-derives the rung
+    from the SAME span formula in SQL, so the hash check covers the
+    interval CHOICE, not just the final histogram."""
+    ev = t["events"]
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (mx - mn).total_seconds()
+    unit = AUTO_HIST_LADDER[-1][0]
+    for u, sec in AUTO_HIST_LADDER:
+        if span / sec + 1.0 <= float(target_buckets):
+            unit = u
+            break
+    return (
+        ev.groupBy(F.date_trunc(unit, F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.lit(unit).alias("interval"), "bucket", "n_events")
+        .orderBy("bucket")
+    )

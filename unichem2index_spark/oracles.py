@@ -2900,3 +2900,29 @@ def ingest_pipeline_sql(procs: list[dict]) -> str:
             cols.append(f"{expr} AS {name}")
     sel = ",\n       ".join(cols)
     return f"SELECT {sel}\nFROM documents\nORDER BY doc_id"
+
+
+def auto_date_histogram_sql(target_buckets: int = 20) -> str:
+    """Re-derives the interval rung from the same span/interval + 1
+    estimate the Spark path computes driver-side."""
+    return f"""
+WITH span AS (
+  SELECT epoch(max(ts)) - epoch(min(ts)) AS s FROM events
+),
+sel AS (
+  SELECT CASE
+    WHEN s / 60.0 + 1.0 <= {target_buckets} THEN 'minute'
+    WHEN s / 3600.0 + 1.0 <= {target_buckets} THEN 'hour'
+    WHEN s / 86400.0 + 1.0 <= {target_buckets} THEN 'day'
+    WHEN s / 604800.0 + 1.0 <= {target_buckets} THEN 'week'
+    WHEN s / 2592000.0 + 1.0 <= {target_buckets} THEN 'month'
+    ELSE 'year' END AS unit
+  FROM span
+)
+SELECT (SELECT unit FROM sel) AS interval,
+       date_trunc((SELECT unit FROM sel), ts) AS bucket,
+       count(*) AS n_events
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
