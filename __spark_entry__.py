@@ -959,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_ratio": _wrap(trainprep.dup_ngram_ratio),
         "pii_scrub": _wrap(trainprep.pii_scrub),
         "ingest_pipeline": _wrap(ingestpipe.ingest_pipeline_simulate),
+        "quality_filter": _wrap(trainprep.quality_filter),
         # rows-only: HLL estimate differs across implementations by design;
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
@@ -1174,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_pipeline": oracles.ingest_pipeline_sql(
             ingestpipe.DOC_PIPELINE
         ),
+        "quality_filter": oracles.QUALITY_FILTER,
         # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,

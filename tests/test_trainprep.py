@@ -257,3 +257,33 @@ def test_pii_scrub_masks_everything(spark):
         s = re.sub(trainprep.PII_IP, "<IP>", s)
         assert "@" not in s and "10.0." not in s
         assert r.scrubbed_fp == hashlib.md5(s.encode()).hexdigest()
+
+
+def test_quality_filter_rules_recompute(spark):
+    import re
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = trainprep.quality_filter(spark, t).collect()
+    texts = {r.doc_id: r.text for r in t["documents"].limit(2000).collect()}
+    assert len(rows) == len(texts)
+    stopset = set(trainprep.QF_STOPWORDS)
+    kept = dropped = 0
+    for r in rows[:40]:
+        toks = re.findall(r"[a-z0-9]+", texts[r.doc_id].lower())
+        fails = []
+        if not (trainprep.QF_MIN_TOKENS <= len(toks) <= trainprep.QF_MAX_TOKENS):
+            fails.append("length")
+        ml = sum(len(x) for x in toks) / max(len(toks), 1)
+        if not (trainprep.QF_MIN_MEAN_TOK_LEN <= ml <= trainprep.QF_MAX_MEAN_TOK_LEN):
+            fails.append("mean_tok_len")
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        dup = 1 - len(set(grams)) / len(grams) if grams else 0.0
+        if dup > trainprep.QF_MAX_DUP_RATIO:
+            fails.append("dup_ngrams")
+        if sum(1 for x in toks if x in stopset) < trainprep.QF_MIN_STOP_HITS:
+            fails.append("stopwords")
+        assert list(r.failed_rules) == fails, (r.doc_id, r.failed_rules, fails)
+        assert r.keep == (not fails)
+        kept += int(r.keep)
+        dropped += int(not r.keep)
+    assert kept  # the filter keeps most of a sane corpus

@@ -312,3 +312,80 @@ def pii_scrub(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to the fixture's
+# scale: the synthetic corpus is 10-99 tokens, so the length band is
+# shifted down from Gopher's 50-100k words).
+QF_MIN_TOKENS = 15
+QF_MAX_TOKENS = 5000
+QF_MIN_MEAN_TOK_LEN = 2.0
+QF_MAX_MEAN_TOK_LEN = 10.0
+QF_MAX_DUP_RATIO = 0.005
+QF_MIN_STOP_HITS = 1  # docs with zero stopwords are boilerplate/navigation
+QF_STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def quality_filter(spark: SparkSession, t) -> DataFrame:
+    """Composite Gopher-style document filter: every rule evaluated in
+    ONE fused map-only pass (no shuffle, no UDF), emitting the keep/drop
+    verdict plus the array of failed-rule names — the audit trail a
+    production filter keeps so dropped-data rates are attributable per
+    rule. Rules: token-count band, mean-token-length band, duplicate
+    3-gram ratio (the :func:`dup_ngram_ratio` signal), and a minimum
+    stopword hit count."""
+    docs = t["documents"]
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = tok_chars / F.greatest(n.cast("double"), F.lit(1.0))
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup = F.when(
+        F.size(grams) > 0,
+        1.0
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+    stops = F.size(F.filter(toks, lambda x: x.isin(QF_STOPWORDS)))
+
+    fails = F.array_compact(
+        F.array(
+            F.when(
+                (n < QF_MIN_TOKENS) | (n > QF_MAX_TOKENS), F.lit("length")
+            ),
+            F.when(
+                (mean_len < QF_MIN_MEAN_TOK_LEN)
+                | (mean_len > QF_MAX_MEAN_TOK_LEN),
+                F.lit("mean_tok_len"),
+            ),
+            F.when(dup > QF_MAX_DUP_RATIO, F.lit("dup_ngrams")),
+            F.when(stops < QF_MIN_STOP_HITS, F.lit("stopwords")),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(mean_len, 6).alias("mean_tok_len"),
+            F.round(dup, 6).alias("dup_ratio"),
+            stops.alias("stop_hits"),
+            fails.alias("failed_rules"),
+            (F.size(fails) == 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2926,3 +2926,50 @@ FROM events
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+QUALITY_FILTER = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, toks,
+         len(toks) AS n,
+         list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mean_len,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+             i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+         ELSE CAST([] AS VARCHAR[]) END AS grams,
+         len(list_filter(toks,
+             x -> list_contains(['the','a','of','and','is','to','in'], x)))
+           AS stops
+  FROM tok
+),
+sig AS (
+  SELECT doc_id, n, mean_len, stops,
+         CASE WHEN len(grams) > 0
+              THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / len(grams)
+              ELSE 0.0 END AS dup
+  FROM base
+),
+v AS (
+  SELECT doc_id, n, mean_len, dup, stops,
+         list_filter([
+           CASE WHEN n < 15 OR n > 5000 THEN 'length' END,
+           CASE WHEN mean_len < 2.0 OR mean_len > 10.0
+                THEN 'mean_tok_len' END,
+           CASE WHEN dup > 0.005 THEN 'dup_ngrams' END,
+           CASE WHEN stops < 1 THEN 'stopwords' END
+         ], x -> x IS NOT NULL) AS failed_rules
+  FROM sig
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_tokens,
+       round(mean_len, 6) AS mean_tok_len,
+       round(dup, 6) AS dup_ratio,
+       CAST(stops AS INT) AS stop_hits,
+       failed_rules,
+       len(failed_rules) = 0 AS keep
+FROM v
+ORDER BY doc_id
+"""
