@@ -851,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_agg": _wrap(textstats.mad_agg),
         "completion_suggest": _wrap(textstats.completion_suggest),
         "auto_date_histogram": _wrap(textstats.auto_date_histogram),
+        "terms_agg_sharded": _wrap(textstats.terms_agg_sharded),
         "bm25_synonyms": q_bm25_synonyms,
         "constant_score": q_constant_score,
         "min_score": q_min_score,
@@ -1071,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_agg": oracles.MAD_AGG,
         "completion_suggest": oracles.completion_suggest_sql("s", 10),
         "auto_date_histogram": oracles.auto_date_histogram_sql(20),
+        "terms_agg_sharded": oracles.terms_agg_sharded_sql(5, 8, 4),
         "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
         "constant_score": oracles.constant_score_sql(
             PHRASE, FLAGSHIP_K, CS_BOOST

@@ -130,3 +130,30 @@ def test_auto_date_histogram_picks_fitting_interval(spark):
     # Tighter target -> coarser interval, never more buckets.
     coarse = textstats.auto_date_histogram(spark, t, target_buckets=3).collect()
     assert len(coarse) <= 3
+
+
+def test_terms_agg_sharded_bound_is_sound(spark):
+    """The error bound must actually BOUND the truth: for every returned
+    term, exact_count - reported_count <= doc_count_error_upper_bound;
+    and a shard_size big enough to exhaust every shard drives all bounds
+    to zero and reproduces the exact agg."""
+    t = load_tables(spark, SF)
+    rows = textstats.terms_agg_sharded(spark, t, size=5, shard_size=3).collect()
+    assert rows
+    exact = {
+        r.term: r.cnt
+        for r in t["documents"]
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r.doc_count <= exact[r.term]
+        assert exact[r.term] - r.doc_count <= r.doc_count_error_upper_bound
+    # Exhaustive shard_size: zero error, exact counts.
+    full = textstats.terms_agg_sharded(spark, t, size=5, shard_size=10_000).collect()
+    for r in full:
+        assert r.doc_count_error_upper_bound == 0
+        assert r.doc_count == exact[r.term]

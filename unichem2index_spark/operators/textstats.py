@@ -904,3 +904,70 @@ def auto_date_histogram(
         .select(F.lit(unit).alias("interval"), "bucket", "n_events")
         .orderBy("bucket")
     )
+
+
+def terms_agg_sharded(
+    spark: SparkSession,
+    t,
+    size: int = 5,
+    shard_size: int = 8,
+    n_shards: int = 4,
+) -> DataFrame:
+    """ES `terms` aggregation with the REAL distributed semantics
+    (`show_term_doc_count_error`): each shard reports only its local
+    top-``shard_size`` terms by doc count; the coordinator merges and,
+    per returned term, reports `doc_count_error_upper_bound` = the sum
+    over NON-reporting shards of that shard's smallest reported count
+    (the most a missed shard could have contributed; 0 for exhausted
+    shards that reported everything). This is the approximation a
+    single-pass exact groupBy silently hides — materializing the bound
+    is how ES makes the trade auditable.
+
+    Sharding = doc_id % n_shards (the index's doc-sharding function).
+    Per-shard ranking + the merge are two hash aggs and one tiny join;
+    the per-shard frames never leave their ~shard_size rows."""
+    d = t["documents"]
+    tokset = (
+        d.select(
+            (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+            "doc_id",
+            F.explode(tokens_col(F.col("text"))).alias("term"),
+        )
+        .distinct()
+    )
+    per_shard = tokset.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = per_shard.withColumn("r", F.row_number().over(w))
+    reported = ranked.where(F.col("r") <= shard_size)
+    shard_stats = ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min(F.when(F.col("r") <= shard_size, F.col("cnt"))).alias("m"),
+    ).select(
+        "shard",
+        # Exhausted shard (reported everything) contributes 0 error.
+        F.when(F.col("n_terms") <= shard_size, F.lit(0))
+        .otherwise(F.col("m"))
+        .alias("err"),
+    )
+    total_err = shard_stats.agg(F.sum("err")).first()[0] or 0
+    merged = (
+        reported.join(shard_stats, "shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("err").alias("reported_err"),
+        )
+        .select(
+            "term",
+            "doc_count",
+            (F.lit(int(total_err)) - F.col("reported_err")).alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+    )
+    return (
+        merged.orderBy(F.desc("doc_count"), F.asc("term"))
+        .limit(size)
+    )

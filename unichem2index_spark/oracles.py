@@ -2973,3 +2973,42 @@ SELECT doc_id,
 FROM v
 ORDER BY doc_id
 """
+
+
+def terms_agg_sharded_sql(
+    size: int = 5, shard_size: int = 8, n_shards: int = 4
+) -> str:
+    return f"""
+WITH tokset AS (
+  SELECT DISTINCT CAST(doc_id % {n_shards} AS INT) AS shard, doc_id, term
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+),
+per_shard AS (
+  SELECT shard, term, count(*) AS cnt FROM tokset GROUP BY shard, term
+),
+ranked AS (
+  SELECT shard, term, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, term ASC) AS r
+  FROM per_shard
+),
+reported AS (SELECT * FROM ranked WHERE r <= {shard_size}),
+shard_stats AS (
+  SELECT shard,
+         CASE WHEN count(*) <= {shard_size} THEN 0
+              ELSE min(CASE WHEN r <= {shard_size} THEN cnt END) END AS err
+  FROM ranked GROUP BY shard
+),
+tot AS (SELECT sum(err) AS total_err FROM shard_stats),
+merged AS (
+  SELECT rep.term, sum(rep.cnt) AS doc_count, sum(ss.err) AS reported_err
+  FROM reported rep JOIN shard_stats ss USING (shard)
+  GROUP BY rep.term
+)
+SELECT m.term, CAST(m.doc_count AS BIGINT) AS doc_count,
+       CAST(t.total_err - m.reported_err AS BIGINT)
+         AS doc_count_error_upper_bound
+FROM merged m CROSS JOIN tot t
+ORDER BY doc_count DESC, term ASC
+LIMIT {size}
+"""
