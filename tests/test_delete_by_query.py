@@ -85,3 +85,50 @@ def test_compact_after_delete_equals_fresh(spark, deleted_index, tmp_path_factor
             for r in Q.bm25_topk_wand(spark, fresh, terms, k).collect()
         ]
         assert got == exp, terms
+
+
+def test_snapshot_survives_mutation_and_gc(spark, tmp_path_factory):
+    """ES _snapshot contract: a snapshot taken before mutations serves
+    the EXACT pre-mutation results after the source index is updated,
+    deleted-from, compacted, and GC'd."""
+    from unichem2index_spark.operators.update import add_generation
+    from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+    from unichem2index_spark.sources.tables import SegmentStore
+    from unichem2index_spark.synth import gen_webtext_row
+
+    rows = gen_webtext(200, seed=13)
+    base = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA).repartition(4)
+    out = str(tmp_path_factory.mktemp("snap_src"))
+    build_index_from_webtext(spark, base, out, n_shards=4)
+    h0 = Q.IndexHandle.open(spark, out)
+    before = {
+        tuple(terms): [
+            (r.doc_id, r.score)
+            for r in Q.bm25_topk_wand(spark, h0, terms, k).collect()
+        ]
+        for terms, k in QUERIES
+    }
+
+    snap = str(tmp_path_factory.mktemp("snap_dst"))
+    info = SegmentStore(out).snapshot_to(snap)
+    assert "segments" in info["tables"]
+
+    # Mutate the source: update wave + delete + compact (GC runs inside).
+    upd = spark.createDataFrame(
+        [gen_webtext_row(50_000 + j, seed=3) for j in range(40)],
+        schema=WEBTEXT_SCHEMA,
+    )
+    add_generation(spark, out, upd, build_id="t-snap-upd")
+    delete_by_query(spark, out, "doclen >= 60")
+    compact(spark, out)
+    mutated = Q.IndexHandle.open(spark, out)
+    assert mutated.n_docs != 200  # the source really changed
+
+    hs = Q.IndexHandle.open(spark, snap)
+    assert hs.n_docs == 200
+    for terms, k in QUERIES:
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.bm25_topk_wand(spark, hs, terms, k).collect()
+        ]
+        assert got == before[tuple(terms)], terms

@@ -312,6 +312,43 @@ class SegmentStore:
     def exists(self, name: str = "manifest.json") -> bool:
         return os.path.exists(self.path(self._resolve(name)))
 
+    # Snapshot table set: everything the manifest can reference.
+    _SNAPSHOT_TABLES = (
+        "segments", "term_stats", "docs", "url_map", "deletes", "lineage",
+    )
+
+    def snapshot_to(self, dest_dir: str) -> dict:
+        """ES `_snapshot` analog: a CONSISTENT point-in-time copy of the
+        index — the manifest plus exactly the physical table versions it
+        references. Correct without any lock because of the store's own
+        invariants: committed physical versions are immutable (rewrites
+        go to fresh ``_v<k>`` paths; gen partitions are only ever written
+        by their own uncommitted generation), so copying the manifest
+        FIRST and then the paths it names can never observe a torn
+        table — a concurrent update writes only paths this manifest does
+        not reference. The snapshot is itself a complete standalone
+        store (restore = open it, or copy it back).
+
+        Driver-side file copy — this store's backend is a filesystem; on
+        an object store the same walk maps to server-side copies, and
+        the Iceberg variant delegates to catalog snapshot/export."""
+        import shutil
+
+        os.makedirs(dest_dir, exist_ok=True)
+        mf = self.read_manifest()
+        with open(os.path.join(dest_dir, "manifest.json"), "w") as f:
+            json.dump(mf, f)
+        copied = []
+        for name in self._SNAPSHOT_TABLES:
+            phys = self._resolve(name)
+            src = self.path(phys)
+            if not os.path.exists(src):
+                continue
+            dst = os.path.join(dest_dir, phys)
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+            copied.append(phys)
+        return {"tables": copied, "generations": mf.get("generations", [0])}
+
     def done_shards(self, spark: SparkSession) -> set[int]:
         """Shards recorded complete in lineage (T1 resume watermark)."""
         if not os.path.exists(self.path("lineage")):
