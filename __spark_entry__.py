@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from unichem2index_spark import oracles
 from unichem2index_spark.functions.tokenize import tokens_col
 from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
-from unichem2index_spark.operators import ingestpipe, parentchild
+from unichem2index_spark.operators import eventseq, ingestpipe, parentchild
 from unichem2index_spark.operators import query as Q
 from unichem2index_spark.operators import similarity, textstats, trainprep
 from unichem2index_spark.operators.build import (
@@ -894,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child": _wrap(parentchild.has_child_topk),
         "has_parent": _wrap(parentchild.has_parent_topk),
         "children_agg": _wrap(parentchild.children_agg_by_parent_bucket),
+        "eql_sequence": _wrap(eventseq.eql_sequence),
         # -- F1-F5 layered-key splitter (SURVEY §2.7) -----------------------
         "key_split": _wrap(parity.key_split),
         "key_components": _wrap(parity.key_components),  # rows-only (UDTF)
@@ -1127,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         "has_child": oracles.HAS_CHILD,
         "has_parent": oracles.HAS_PARENT,
         "children_agg": oracles.CHILDREN_AGG,
+        "eql_sequence": oracles.eql_sequence_sql(),
         "key_split": oracles.KEY_SPLIT,
         # key_components: rows-only (Arrow UDTF fan-out, not SQL-expressible)
         "dedup_exact": oracles.DEDUP_EXACT,

@@ -1,0 +1,76 @@
+"""as-of join + EQL sequence: brute-force recompute oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from unichem2index_spark.operators import eventseq
+from unichem2index_spark.sources.tables import load_tables
+
+from tests.conftest import SF_SMOKE
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_brute(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "l1"), (1, _ts(10), "l2"), (2, _ts(3), "l3"),
+         (3, _ts(1), "l4")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(4), 40.0), (1, _ts(9), 90.0), (1, _ts(10), 100.0),
+         (2, _ts(3), 30.0)],
+        "k long, ts timestamp, rv double",
+    )
+    got = {
+        (r.k, r.lv): (r.asof_rv, r.asof_ts)
+        for r in eventseq.asof_join(left, right, "k", "ts", ["rv"]).collect()
+    }
+    # <= semantics: equal-ts right matches; key 3 has no right -> NULL.
+    assert got[(1, "l1")][0] == 40.0
+    assert got[(1, "l2")][0] == 100.0  # ts(10) right matches at equal ts
+    assert got[(2, "l3")][0] == 30.0
+    assert got[(3, "l4")][0] is None
+
+    strict = {
+        (r.k, r.lv): r.asof_rv
+        for r in eventseq.asof_join(
+            left, right, "k", "ts", ["rv"], strict=True
+        ).collect()
+    }
+    assert strict[(1, "l2")] == 90.0  # equal-ts right excluded
+    assert strict[(2, "l3")] is None
+
+
+def test_eql_sequence_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    got = eventseq.eql_sequence(
+        spark, t, first="click", then="purchase", within_sec=7200.0
+    ).collect()
+    assert got
+    ev = sorted(
+        t["events"]
+        .where(F.col("event_type").isin(["click", "purchase"]))
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = []
+    last_click: dict = {}
+    for r in ev:
+        if r.event_type == "click":
+            last_click[r.user_id] = r
+        elif r.user_id in last_click:
+            c = last_click[r.user_id]
+            gap = (r.ts - c.ts).total_seconds()
+            if gap <= 7200.0:
+                want.append((r.user_id, c.event_id, r.event_id))
+    assert [(g.user_id, g.first_event_id, g.second_event_id) for g in got] == sorted(
+        want, key=lambda x: x[2]
+    )
+    for g in got:
+        assert 0 <= g.gap_sec <= 7200.0

@@ -1,0 +1,118 @@
+"""Event-sequence operators: a generic AS-OF JOIN primitive (the classic
+operator Spark's join zoo lacks) and an EQL-style sequence query built
+on it (ES Event Query Language: `sequence by user_id [A] [B] within N`).
+
+As-of join implementation — the union-tag trick, NOT a range join:
+tag right rows 0 and left rows 1, union, ONE window per key ordered by
+(ts, tag, id) carrying the last right payload forward. A naive
+`left.ts BETWEEN right.ts AND right.ts + tol` range join explodes to
+O(|L| x |R| / keys) candidate pairs; the union-tag plan is one shuffle
+on the key and one linear pass per partition — the same plan shape at
+any tolerance, which is why kdb/Flink/QuestDB all serve as-of this way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row: the latest right row with the same ``by`` key
+    and ``right.ts <= left.ts`` (``strict=True``: ``<``). Returns the
+    left rows plus ``asof_<col>`` for each payload column (NULL when no
+    right row precedes). One shuffle (the union's window partition), one
+    linear pass — no range-join explosion."""
+    lcols = left.columns
+    rsel = right.select(
+        F.col(by), F.col(ts), F.lit(0).alias("_tag"),
+        F.struct(*[F.col(c) for c in [ts, *right_payload]]).alias("_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+    )
+    lsel = left.select(
+        F.col(by), F.col(ts), F.lit(1).alias("_tag"),
+        F.lit(None).cast(rsel.schema["_p"].dataType).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    u = rsel.unionByName(lsel)
+    # At equal ts, rights sort before lefts (tag 0 < 1); the frame end
+    # makes <= (current row: the masked left contributes NULL anyway)
+    # vs < (exclude same-ts rights via 1 PRECEDING… which also excludes
+    # unordered same-ts rights — so strict mode orders rights AFTER).
+    order = [F.col(ts), F.col("_tag") if not strict else (1 - F.col("_tag"))]
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = u.withColumn(
+        "_asof", F.last(F.when(F.col("_tag") == 0, F.col("_p")), True).over(w)
+    )
+    out = carried.where(F.col("_tag") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in [ts, *right_payload]],
+    )
+    return out
+
+
+def eql_sequence(
+    spark: SparkSession,
+    t,
+    first: str = "click",
+    then: str = "then-unset",
+    within_sec: float = 7200.0,
+) -> DataFrame:
+    """EQL `sequence by user_id [event_type == first] [event_type ==
+    then] within N seconds` (the ES security-analytics query language):
+    every ``then`` event paired with its MOST RECENT strictly-preceding
+    ``first`` event by the same user inside the window. (EQL's full
+    engine additionally consumes matched events — non-overlapping
+    sequences; this is the lookback-join reading, the shape every
+    funnel/attribution pipeline runs. Documented scope.)
+
+    One window pass per user over only the two event types (pushed
+    type-IN filter), then the gap predicate — no self-join, no range
+    explosion."""
+    then = "purchase" if then == "then-unset" else then
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
+    e = ev.where(F.col("event_type").isin([first, then]))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lastf = F.last(
+        F.when(
+            F.col("event_type") == first,
+            F.struct(F.col("ts").alias("fts"), F.col("event_id").alias("fid")),
+        ),
+        True,
+    ).over(w)
+    m = e.withColumn("_f", lastf).where(
+        (F.col("event_type") == then) & F.col("_f").isNotNull()
+    )
+    # Exact integer microsecond diff, ONE divide — identical doubles in
+    # both engines (epoch-double subtraction would lose ulps at 1.7e9 s).
+    gap = (
+        F.expr("timestampdiff(MICROSECOND, _f.fts, ts)").cast("double")
+        / F.lit(1000000.0)
+    )
+    return (
+        m.where(gap <= F.lit(float(within_sec)))
+        .select(
+            "user_id",
+            F.col("_f.fid").alias("first_event_id"),
+            F.col("event_id").alias("second_event_id"),
+            F.round(gap, 6).alias("gap_sec"),
+        )
+        .orderBy("second_event_id")
+    )

@@ -3012,3 +3012,33 @@ FROM merged m CROSS JOIN tot t
 ORDER BY doc_count DESC, term ASC
 LIMIT {size}
 """
+
+
+def eql_sequence_sql(
+    first: str = "click", then: str = "purchase", within_sec: float = 7200.0
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('{first}', '{then}')
+),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = '{first}'
+                         THEN struct_pack(fts := ts, fid := event_id)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f
+  FROM e
+)
+SELECT user_id,
+       f.fid AS first_event_id,
+       event_id AS second_event_id,
+       round(CAST(date_diff('microsecond', f.fts, ts) AS DOUBLE)
+             / 1000000.0, 6) AS gap_sec
+FROM m
+WHERE event_type = '{then}' AND f IS NOT NULL
+  AND CAST(date_diff('microsecond', f.fts, ts) AS DOUBLE) / 1000000.0
+      <= {within_sec}
+ORDER BY second_event_id
+"""
