@@ -820,6 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "query_string": q_query_string,
         "rescore": q_rescore,
+        "bm25_regexp": lambda s, d: Q.bm25_topk_regexp(
+            s, _index_for(s, d), "m.*e|s..w", 10
+        ),
+        "multi_terms_agg": _wrap(textstats.multi_terms_agg),
         "multi_match": lambda s, d: Q.multi_match_topk(
             s, _docs(s, d), FLAGSHIP_TERMS, 10
         ),
@@ -1028,6 +1032,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "query_string": oracles.query_string_sql(QS_QUERY, 10),
+        "bm25_regexp": oracles.bm25_regexp_sql("m.*e|s..w", 10, 50),
+        "multi_terms_agg": oracles.multi_terms_sql(10),
         "multi_match": oracles.multi_match_sql(FLAGSHIP_TERMS, 10),
         "pinned": oracles.pinned_sql(FLAGSHIP_TERMS, PINNED_IDS, 10),
         "linear_hybrid": oracles.linear_hybrid_sql(FLAGSHIP_TERMS),

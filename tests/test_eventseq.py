@@ -74,3 +74,41 @@ def test_eql_sequence_recompute(spark):
     )
     for g in got:
         assert 0 <= g.gap_sec <= 7200.0
+
+
+def test_regexp_expansion_is_anchored(spark):
+    """Lucene regexp queries are full-match: 'm.*e' must expand to terms
+    fully matching, never substring hits (e.g. NOT 'small' for 'm.*l')."""
+    import __spark_entry__ as entry
+    from unichem2index_spark.operators import query as Q
+
+    idx = entry._index_for(spark, SF_SMOKE)
+    terms = Q.expand_regexp(spark, idx, "m.*e|s..w")
+    assert terms == ["merge", "slow"]
+    # unanchored substring would match 'small' for 'mal'; anchored must not
+    assert Q.expand_regexp(spark, idx, "mal") == []
+    rows = Q.bm25_topk_regexp(spark, idx, "m.*e|s..w", 10).collect()
+    assert rows
+    wand = Q.bm25_topk_wand(spark, idx, ["merge", "slow"], 10).collect()
+    assert [(r.doc_id, r.score) for r in rows] == [
+        (r.doc_id, r.score) for r in wand
+    ]
+
+
+def test_multi_terms_ranks_composite_buckets(spark):
+    from unichem2index_spark.operators import textstats
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = textstats.multi_terms_agg(spark, t, size=10).collect()
+    assert rows
+    exact = {
+        (r.lang, r.source): r.c
+        for r in t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        assert exact[(r.lang, r.source)] == r.doc_count
+    keys = [(-r.doc_count, r.lang, r.source) for r in rows]
+    assert keys == sorted(keys)

@@ -2790,3 +2790,41 @@ def pinned_topk(
         F.round("score", 6).alias("score"),
     )
     return pinned.unionByName(organic).orderBy("rank")
+
+
+def expand_regexp(
+    spark: SparkSession,
+    index: IndexHandle,
+    pattern: str,
+    max_expansions: int = 50,
+) -> list[str]:
+    """ES regexp-query term expansion: Lucene regexps are FULL-match
+    (implicitly anchored), so the dictionary probe anchors the pattern;
+    alphabetical, capped — the same deterministic-cap divergence from
+    ES's top_terms rewrite as the prefix/wildcard expanders."""
+    rows = (
+        index.term_stats(spark)
+        .where(F.col("term").rlike(f"^(?:{pattern})$"))
+        .select("term")
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r.term for r in rows]
+
+
+def bm25_topk_regexp(
+    spark: SparkSession,
+    index: IndexHandle,
+    pattern: str,
+    k: int,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES regexp query (scoring_boolean rewrite): anchored-regex
+    dictionary expansion + BM25-OR over the expansions via WAND — the
+    same plan family as wildcard, and like Lucene the automaton cost is
+    bounded by the dictionary scan, never the postings."""
+    terms = expand_regexp(spark, index, pattern, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    return bm25_topk_wand(spark, index, terms, k)

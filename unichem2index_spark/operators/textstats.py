@@ -971,3 +971,17 @@ def terms_agg_sharded(
         merged.orderBy(F.desc("doc_count"), F.asc("term"))
         .limit(size)
     )
+
+
+def multi_terms_agg(spark: SparkSession, t, size: int = 10) -> DataFrame:
+    """ES `multi_terms` aggregation: buckets keyed by a COMPOSITE of two
+    fields (lang, source), ordered by doc count — the agg ES added
+    because nesting terms-in-terms can't rank by the combined count.
+    One hash agg, map-side combined; top-N via TakeOrdered."""
+    d = t["documents"]
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("lang"), F.asc("source"))
+        .limit(size)
+    )

@@ -3042,3 +3042,24 @@ WHERE event_type = '{then}' AND f IS NOT NULL
       <= {within_sec}
 ORDER BY second_event_id
 """
+
+
+def bm25_regexp_sql(pattern: str, k: int, max_expansions: int) -> str:
+    """Anchored-regex dictionary expansion (Lucene full-match regexp)."""
+    pat = pattern.replace("'", "''")
+    cte = f"""
+exp_terms AS (
+  SELECT term FROM dfs WHERE regexp_full_match(term, '{pat}')
+  ORDER BY term LIMIT {max_expansions}
+)"""
+    return _bm25_over_expansion(cte, k)
+
+
+def multi_terms_sql(size: int = 10) -> str:
+    return f"""
+SELECT lang, source, count(*) AS doc_count
+FROM documents
+GROUP BY lang, source
+ORDER BY doc_count DESC, lang ASC, source ASC
+LIMIT {size}
+"""
