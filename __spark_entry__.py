@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unichem2index_spark import oracles
+from unichem2index_spark.functions import esql as esql_mod
 from unichem2index_spark.functions.tokenize import tokens_col
 from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
 from unichem2index_spark.operators import eventseq, ingestpipe, parentchild
@@ -313,6 +314,24 @@ def q_highlight(spark, sf_dir):
 
 QS_QUERY = '(merge AND group) OR ("batch batch" AND NOT vector)'
 PINNED_IDS = [7, 3, 11]  # editorial promotions, served in THIS order
+ESQL_QUERY = (
+    "FROM documents"
+    " | EVAL bucket = n_chars % 7"
+    ' | WHERE lang == "en" OR n_chars >= 300'
+    " | STATS cnt = COUNT(*), total_chars = SUM(n_chars),"
+    "         max_c = MAX(n_chars) BY source, bucket"
+    " | SORT cnt DESC, source ASC, bucket ASC"
+    " | LIMIT 12"
+)
+
+
+def q_esql(spark, sf_dir):
+    """Mini ES|QL: one parsed pipeline compiled to BOTH the Spark
+    DataFrame program and the DuckDB oracle SQL (functions/esql.py) —
+    the correctness gate checks the compiler itself."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(parse_esql(ESQL_QUERY), load_tables(spark, sf_dir))
 
 
 def q_query_string(spark, sf_dir):
@@ -820,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "query_string": q_query_string,
         "rescore": q_rescore,
+        "esql": q_esql,
         "bm25_regexp": lambda s, d: Q.bm25_topk_regexp(
             s, _index_for(s, d), "m.*e|s..w", 10
         ),
@@ -1032,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "query_string": oracles.query_string_sql(QS_QUERY, 10),
+        "esql": esql_mod.compile_sql(esql_mod.parse_esql(ESQL_QUERY)),
         "bm25_regexp": oracles.bm25_regexp_sql("m.*e|s..w", 10, 50),
         "multi_terms_agg": oracles.multi_terms_sql(10),
         "multi_match": oracles.multi_match_sql(FLAGSHIP_TERMS, 10),

@@ -1,0 +1,82 @@
+"""ES|QL mini-language: parser shapes, validation, and engine execution
+vs hand-written DataFrame equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from unichem2index_spark.functions.esql import (
+    compile_spark,
+    compile_sql,
+    parse_esql,
+)
+from unichem2index_spark.sources.tables import load_tables
+
+from tests.conftest import SF_SMOKE
+
+
+def test_parse_shapes():
+    st = parse_esql(
+        'FROM documents | WHERE lang == "en" | STATS c = COUNT(*) BY source'
+        " | SORT c DESC | LIMIT 3"
+    )
+    assert [s[0] for s in st] == ["from", "where", "stats", "sort", "limit"]
+    assert st[0][1] == "documents"
+    assert st[2][2] == ["source"]
+    assert st[3][1] == [("c", True)]
+    assert st[4][1] == 3
+
+
+def test_parse_validation():
+    with pytest.raises(ValueError):
+        parse_esql("WHERE x == 1")  # must start with FROM
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | FROBNICATE x")
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | SORT a | WHERE x == 1")  # tail must trail
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | WHERE NOSUCHFN(x)")
+
+
+def test_sql_render_is_wellformed():
+    sql = compile_sql(
+        parse_esql('FROM documents | WHERE lang == "en" | LIMIT 5')
+    )
+    assert sql.startswith("SELECT * FROM (SELECT * FROM documents)")
+    assert "(lang = 'en')" in sql and sql.endswith("LIMIT 5")
+
+
+def test_execution_matches_dataframe(spark):
+    t = load_tables(spark, SF_SMOKE)
+    got = compile_spark(
+        parse_esql(
+            "FROM documents | EVAL b = n_chars % 5"
+            ' | WHERE lang == "en" | KEEP doc_id, b'
+            " | STATS c = COUNT(*), mx = MAX(doc_id) BY b"
+            " | SORT b ASC"
+        ),
+        t,
+    ).collect()
+    want = (
+        t["documents"]
+        .withColumn("b", F.col("n_chars") % 5)
+        .where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("doc_id").alias("mx"))
+        .orderBy("b")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got and sum(r.c for r in got) > 0
+
+
+def test_avg_is_exact_division(spark):
+    t = load_tables(spark, SF_SMOKE)
+    got = compile_spark(
+        parse_esql("FROM documents | STATS a = AVG(n_chars), c = COUNT(*)"),
+        t,
+    ).first()
+    rows = t["documents"].agg(F.sum("n_chars"), F.count(F.lit(1))).first()
+    assert got.a == rows[0] / rows[1]
+    assert got.c == rows[1]

@@ -1,0 +1,341 @@
+"""Mini ES|QL (the Elasticsearch piped query language, 8.11+): parser +
+dual compiler. One parsed pipeline renders to BOTH a Spark DataFrame
+program and a DuckDB SQL statement (the oracle), so the compiler — not a
+hand-kept translation — is what the correctness gate checks. Same design
+as functions/querystring.py.
+
+Supported surface (the ES|QL core):
+
+    FROM <table>
+    | WHERE <expr>
+    | EVAL <alias> = <expr> [, ...]
+    | KEEP <col> [, ...]
+    | STATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
+    | SORT <col> [ASC|DESC] [, ...]
+    | LIMIT <n>
+
+Expressions: identifiers, integer/float/string literals ("..." or '...'),
+arithmetic + - * / %, comparisons == != < <= > >=, AND/OR/NOT, parens,
+and the scalar functions ROUND(x[, d]) / LENGTH(s) / ABS(x).
+Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX / AVG.
+
+Determinism note: SUM/COUNT/MIN/MAX over integers are order-independent
+(exact); AVG renders as an exact integer SUM divided once on both
+engines. Float expressions follow the repo's shared-float-tree rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN = re.compile(
+    r"\s*(>=|<=|==|!=|>|<|\(|\)|,|\*|\+|-|/|%|=|"
+    r"\"[^\"]*\"|'[^']*'|[0-9]+\.[0-9]+|[0-9]+|[A-Za-z_][A-Za-z0-9_]*)"
+)
+
+_AGGS = {"count", "sum", "min", "max", "avg"}
+_FUNCS = {"round", "length", "abs"}
+
+
+class _P:
+    def __init__(self, s: str):
+        self.toks = []
+        i = 0
+        while i < len(s):
+            m = _TOKEN.match(s, i)
+            if not m:
+                if s[i:].strip():
+                    raise ValueError(f"ES|QL: cannot lex {s[i:]!r}")
+                break
+            self.toks.append(m.group(1))
+            i = m.end()
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def take(self, want=None):
+        t = self.peek()
+        if t is None or (want is not None and t.upper() != want):
+            raise ValueError(f"ES|QL: expected {want or 'token'}, got {t!r}")
+        self.pos += 1
+        return t
+
+    # precedence: OR < AND < NOT < cmp < add < mul < unary < primary
+    def expr(self):
+        node = self.and_()
+        while self.peek() and self.peek().upper() == "OR":
+            self.take()
+            node = ("bin", "or", node, self.and_())
+        return node
+
+    def and_(self):
+        node = self.not_()
+        while self.peek() and self.peek().upper() == "AND":
+            self.take()
+            node = ("bin", "and", node, self.not_())
+        return node
+
+    def not_(self):
+        if self.peek() and self.peek().upper() == "NOT":
+            self.take()
+            return ("not", self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        node = self.add()
+        if self.peek() in (">=", "<=", "==", "!=", ">", "<"):
+            op = self.take()
+            node = ("bin", op, node, self.add())
+        return node
+
+    def add(self):
+        node = self.mul()
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            node = ("bin", op, node, self.mul())
+        return node
+
+    def mul(self):
+        node = self.unary()
+        while self.peek() in ("*", "/", "%"):
+            op = self.take()
+            node = ("bin", op, node, self.unary())
+        return node
+
+    def unary(self):
+        if self.peek() == "-":
+            self.take()
+            return ("neg", self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("ES|QL: unexpected end of expression")
+        if t == "(":
+            self.take()
+            node = self.expr()
+            self.take(")")
+            return node
+        self.take()
+        if t[0] in "\"'":
+            return ("lit", t[1:-1])
+        if re.fullmatch(r"[0-9]+\.[0-9]+", t):
+            return ("lit", float(t))
+        if re.fullmatch(r"[0-9]+", t):
+            return ("lit", int(t))
+        if self.peek() == "(":  # function call
+            fn = t.lower()
+            self.take("(")
+            args = []
+            if self.peek() == "*":
+                self.take()
+                args.append(("star",))
+            elif self.peek() != ")":
+                args.append(self.expr())
+                while self.peek() == ",":
+                    self.take()
+                    args.append(self.expr())
+            self.take(")")
+            if fn not in _AGGS | _FUNCS:
+                raise ValueError(f"ES|QL: unknown function {fn!r}")
+            return ("call", fn, args)
+        return ("id", t)
+
+
+def parse_esql(q: str) -> list[tuple]:
+    stages = []
+    parts = [p.strip() for p in q.strip().split("|")]
+    if not parts or not parts[0].upper().startswith("FROM "):
+        raise ValueError("ES|QL: query must start with FROM")
+    stages.append(("from", parts[0][5:].strip()))
+    for part in parts[1:]:
+        cmd, _, rest = part.partition(" ")
+        cmd = cmd.upper()
+        if cmd == "WHERE":
+            stages.append(("where", _P(rest).expr()))
+        elif cmd == "EVAL":
+            assigns = []
+            for piece in _split_top(rest):
+                alias, _, e = piece.partition("=")
+                assigns.append((alias.strip(), _P(e).expr()))
+            stages.append(("eval", assigns))
+        elif cmd == "KEEP":
+            stages.append(("keep", [c.strip() for c in rest.split(",")]))
+        elif cmd == "STATS":
+            aggpart, by = rest, []
+            m = re.search(r"\bBY\b", rest, re.IGNORECASE)
+            if m:
+                aggpart = rest[: m.start()]
+                by = [c.strip() for c in rest[m.end():].split(",")]
+            aggs = []
+            for piece in _split_top(aggpart):
+                alias, _, e = piece.partition("=")
+                aggs.append((alias.strip(), _P(e).expr()))
+            stages.append(("stats", aggs, by))
+        elif cmd == "SORT":
+            keys = []
+            for piece in rest.split(","):
+                bits = piece.split()
+                keys.append((bits[0], len(bits) > 1 and bits[1].upper() == "DESC"))
+            stages.append(("sort", keys))
+        elif cmd == "LIMIT":
+            stages.append(("limit", int(rest.strip())))
+        else:
+            raise ValueError(f"ES|QL: unknown command {cmd!r}")
+    # SORT/LIMIT must be trailing (the SQL render hoists them to the
+    # outermost query; a mid-pipeline sort would silently reorder-only).
+    seen_tail = False
+    for st in stages:
+        if st[0] in ("sort", "limit"):
+            seen_tail = True
+        elif seen_tail:
+            raise ValueError("ES|QL: SORT/LIMIT must be the trailing commands")
+    return stages
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas not inside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+_CMP = {"==": "=", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
+
+
+def _sp(node) -> Column:
+    kind = node[0]
+    if kind == "lit":
+        return F.lit(node[1])
+    if kind == "id":
+        return F.col(node[1])
+    if kind == "neg":
+        return -_sp(node[1])
+    if kind == "not":
+        return ~_sp(node[1])
+    if kind == "call":
+        fn, args = node[1], node[2]
+        if fn == "round":
+            d = args[1][1] if len(args) > 1 else 0
+            return F.round(_sp(args[0]), int(d))
+        if fn == "length":
+            return F.length(_sp(args[0]))
+        if fn == "abs":
+            return F.abs(_sp(args[0]))
+        if fn == "count":
+            return F.count(F.lit(1)) if args[0][0] == "star" else F.count(_sp(args[0]))
+        if fn == "avg":
+            # exact integer sum, ONE divide — identical across engines
+            return F.sum(_sp(args[0])).cast("double") / F.count(F.lit(1))
+        return getattr(F, fn)(_sp(args[0]))
+    op, l, r = node[1], _sp(node[2]), _sp(node[3])
+    if op == "and":
+        return l & r
+    if op == "or":
+        return l | r
+    if op == "==":
+        return l == r
+    if op == "!=":
+        return l != r
+    if op in (">", ">=", "<", "<="):
+        return {"<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r}[op]
+    if op == "%":
+        return l % r
+    return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+
+
+def _sq(node) -> str:
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        return "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+    if kind == "id":
+        return node[1]
+    if kind == "neg":
+        return f"(-{_sq(node[1])})"
+    if kind == "not":
+        return f"(NOT {_sq(node[1])})"
+    if kind == "call":
+        fn, args = node[1], node[2]
+        if fn == "count":
+            return "count(*)" if args[0][0] == "star" else f"count({_sq(args[0])})"
+        if fn == "avg":
+            return (
+                f"(CAST(sum({_sq(args[0])}) AS DOUBLE) / count(*))"
+            )
+        if fn == "round" and len(args) > 1:
+            return f"round({_sq(args[0])}, {int(args[1][1])})"
+        return f"{fn}({', '.join(_sq(a) for a in args)})"
+    op, l, r = node[1], _sq(node[2]), _sq(node[3])
+    sqlop = {"and": "AND", "or": "OR"}.get(op, _CMP.get(op, op))
+    return f"({l} {sqlop} {r})"
+
+
+def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
+    df = None
+    for st in stages:
+        if st[0] == "from":
+            df = tables[st[1]]
+        elif st[0] == "where":
+            df = df.where(_sp(st[1]))
+        elif st[0] == "eval":
+            for alias, e in st[1]:
+                df = df.withColumn(alias, _sp(e))
+        elif st[0] == "keep":
+            df = df.select(*st[1])
+        elif st[0] == "stats":
+            aggs = [_sp(e).alias(a) for a, e in st[1]]
+            df = df.groupBy(*st[2]).agg(*aggs) if st[2] else df.agg(*aggs)
+        elif st[0] == "sort":
+            df = df.orderBy(
+                *[F.desc(c) if d else F.asc(c) for c, d in st[1]]
+            )
+        elif st[0] == "limit":
+            df = df.limit(st[1])
+    return df
+
+
+def compile_sql(stages: list[tuple]) -> str:
+    sql = None
+    tail = []
+    for st in stages:
+        if st[0] == "from":
+            sql = f"SELECT * FROM {st[1]}"
+        elif st[0] == "where":
+            sql = f"SELECT * FROM ({sql}) WHERE {_sq(st[1])}"
+        elif st[0] == "eval":
+            evals = ", ".join(f"{_sq(e)} AS {a}" for a, e in st[1])
+            sql = f"SELECT *, {evals} FROM ({sql})"
+        elif st[0] == "keep":
+            sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
+        elif st[0] == "stats":
+            aggs = ", ".join(f"{_sq(e)} AS {a}" for a, e in st[1])
+            if st[2]:
+                by = ", ".join(st[2])
+                sql = f"SELECT {by}, {aggs} FROM ({sql}) GROUP BY {by}"
+            else:
+                sql = f"SELECT {aggs} FROM ({sql})"
+        elif st[0] == "sort":
+            tail.append(
+                "ORDER BY "
+                + ", ".join(f"{c} {'DESC' if d else 'ASC'}" for c, d in st[1])
+            )
+        elif st[0] == "limit":
+            tail.append(f"LIMIT {st[1]}")
+    return sql + ("\n" + "\n".join(tail) if tail else "")
