@@ -876,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completion_suggest": _wrap(textstats.completion_suggest),
         "auto_date_histogram": _wrap(textstats.auto_date_histogram),
         "terms_agg_sharded": _wrap(textstats.terms_agg_sharded),
+        "t_test_agg": _wrap(textstats.t_test_agg),
+        "boxplot_agg": _wrap(textstats.boxplot_agg),
         "bm25_synonyms": q_bm25_synonyms,
         "constant_score": q_constant_score,
         "min_score": q_min_score,
@@ -1101,6 +1103,8 @@ def oracle_sql() -> dict[str, str]:
         "completion_suggest": oracles.completion_suggest_sql("s", 10),
         "auto_date_histogram": oracles.auto_date_histogram_sql(20),
         "terms_agg_sharded": oracles.terms_agg_sharded_sql(5, 8, 4),
+        "t_test_agg": oracles.t_test_sql(),
+        "boxplot_agg": oracles.BOXPLOT,
         "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
         "constant_score": oracles.constant_score_sql(
             PHRASE, FLAGSHIP_K, CS_BOOST

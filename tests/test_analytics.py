@@ -157,3 +157,33 @@ def test_terms_agg_sharded_bound_is_sound(spark):
     for r in full:
         assert r.doc_count_error_upper_bound == 0
         assert r.doc_count == exact[r.term]
+
+
+def test_t_test_against_scipy_free_recompute(spark):
+    """Welch t recomputed in pure Python from the raw values."""
+    import math
+
+    t = load_tables(spark, SF)
+    got = textstats.t_test_agg(spark, t, "click", "error").first()
+    vals = {"click": [], "error": []}
+    for r in t["events"].where(
+        F.col("event_type").isin(["click", "error"])
+    ).collect():
+        vals[r.event_type].append(round(r.value * 100) / 100)
+    a, b = vals["click"], vals["error"]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    tstat = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert got.na == len(a) and got.nb == len(b)
+    assert abs(got.t_stat - tstat) < 1e-4, (got.t_stat, tstat)
+
+
+def test_boxplot_invariants(spark):
+    t = load_tables(spark, SF)
+    rows = textstats.boxplot_agg(spark, t).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.min <= r.q1 <= r.median <= r.q3 <= r.max
+        assert r.min <= r.lower_whisker <= r.q1
+        assert r.q3 <= r.upper_whisker <= r.max

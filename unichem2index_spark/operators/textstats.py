@@ -985,3 +985,77 @@ def multi_terms_agg(spark: SparkSession, t, size: int = 10) -> DataFrame:
         .orderBy(F.desc("doc_count"), F.asc("lang"), F.asc("source"))
         .limit(size)
     )
+
+
+def t_test_agg(
+    spark: SparkSession, t, type_a: str = "click", type_b: str = "error"
+) -> DataFrame:
+    """ES `t_test` aggregation (heteroscedastic / Welch, the ES default):
+    compare the mean of `value` between two event populations. Built
+    from the exact mergeable moment vector {n, Σx, Σx²} per group (the
+    same shard-combinable shape ES ships), then ONE shared float
+    expression tree for mean/variance/t — engine-identical doubles.
+    Values are scaled to exact integer cents before summing so the
+    moments are order-independent."""
+    ev = t["events"].where(F.col("event_type").isin([type_a, type_b]))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    a = m.where(F.col("event_type") == type_a).select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = m.where(F.col("event_type") == type_b).select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    j = a.crossJoin(b)
+    mean = lambda s, n: (s.cast("double") / 100.0) / n.cast("double")
+    # sample variance of cents/100: (Σx² - Σx²/n) / (n-1), all from ints
+    var = lambda s, q, n: (
+        (q.cast("double") / 10000.0)
+        - (s.cast("double") / 100.0) * (s.cast("double") / 100.0)
+        / n.cast("double")
+    ) / (n.cast("double") - 1.0)
+    ma, mb = mean(F.col("sa"), F.col("na")), mean(F.col("sb"), F.col("nb"))
+    va, vb = var(F.col("sa"), F.col("qa"), F.col("na")), var(
+        F.col("sb"), F.col("qb"), F.col("nb")
+    )
+    tstat = (ma - mb) / F.sqrt(
+        va / F.col("na").cast("double") + vb / F.col("nb").cast("double")
+    )
+    return j.select(
+        F.col("na"), F.col("nb"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(tstat, 6).alias("t_stat"),
+    )
+
+
+def boxplot_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `boxplot` aggregation per event_type: min / q1 / median / q3 /
+    max + IQR whiskers (Tukey 1.5*IQR, clamped to observed min/max —
+    the ES definition). Exact interpolated quantiles (ES uses TDigest;
+    exact is the stronger contract and its oracle)."""
+    ev = t["events"].select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.5)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+        F.max("value").alias("vmax"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.greatest(F.col("vmin"), F.col("q1") - 1.5 * iqr)
+    hi = F.least(F.col("vmax"), F.col("q3") + 1.5 * iqr)
+    return q.select(
+        "event_type",
+        F.round("vmin", 6).alias("min"),
+        F.round("q1", 6).alias("q1"),
+        F.round("q2", 6).alias("median"),
+        F.round("q3", 6).alias("q3"),
+        F.round("vmax", 6).alias("max"),
+        F.round(lo, 6).alias("lower_whisker"),
+        F.round(hi, 6).alias("upper_whisker"),
+    ).orderBy("event_type")

@@ -3063,3 +3063,58 @@ GROUP BY lang, source
 ORDER BY doc_count DESC, lang ASC, source ASC
 LIMIT {size}
 """
+
+
+def t_test_sql(type_a: str = "click", type_b: str = "error") -> str:
+    return f"""
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+  GROUP BY event_type
+),
+a AS (SELECT n AS na, s1 AS sa, s2 AS qa FROM m WHERE event_type = '{type_a}'),
+b AS (SELECT n AS nb, s1 AS sb, s2 AS qb FROM m WHERE event_type = '{type_b}')
+SELECT na, nb,
+  round((CAST(sa AS DOUBLE) / 100.0) / CAST(na AS DOUBLE), 6) AS mean_a,
+  round((CAST(sb AS DOUBLE) / 100.0) / CAST(nb AS DOUBLE), 6) AS mean_b,
+  round(
+    ((CAST(sa AS DOUBLE) / 100.0) / CAST(na AS DOUBLE)
+     - (CAST(sb AS DOUBLE) / 100.0) / CAST(nb AS DOUBLE))
+    / sqrt(
+        (((CAST(qa AS DOUBLE) / 10000.0)
+          - (CAST(sa AS DOUBLE) / 100.0) * (CAST(sa AS DOUBLE) / 100.0)
+            / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+        / CAST(na AS DOUBLE)
+        + (((CAST(qb AS DOUBLE) / 10000.0)
+          - (CAST(sb AS DOUBLE) / 100.0) * (CAST(sb AS DOUBLE) / 100.0)
+            / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+        / CAST(nb AS DOUBLE)
+      ), 6) AS t_stat
+FROM a CROSS JOIN b
+"""
+
+
+BOXPLOT = """
+WITH q AS (
+  SELECT event_type,
+         min(value) AS vmin,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3,
+         max(value) AS vmax
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round(vmin, 6) AS min,
+       round(q1, 6) AS q1,
+       round(q2, 6) AS median,
+       round(q3, 6) AS q3,
+       round(vmax, 6) AS max,
+       round(greatest(vmin, q1 - 1.5 * (q3 - q1)), 6) AS lower_whisker,
+       round(least(vmax, q3 + 1.5 * (q3 - q1)), 6) AS upper_whisker
+FROM q
+ORDER BY event_type
+"""
