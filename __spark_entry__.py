@@ -916,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group": _wrap(parity.topn_per_group),
         "last_key_top1": _wrap(parity.last_key_top1),
         "reconcile_counts": _wrap(parity.reconcile_counts),
+        "field_caps": _wrap(parity.field_caps),
         # -- ES parent-child join queries -----------------------------------
         "has_child": _wrap(parentchild.has_child_topk),
         "has_parent": _wrap(parentchild.has_parent_topk),
@@ -1156,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "topn_per_group": oracles.TOPN_PER_GROUP,
         "last_key_top1": oracles.LAST_KEY_TOP1,
         "reconcile_counts": oracles.RECONCILE_COUNTS,
+        "field_caps": oracles.field_caps_sql(),
         "has_child": oracles.HAS_CHILD,
         "has_parent": oracles.HAS_PARENT,
         "children_agg": oracles.CHILDREN_AGG,

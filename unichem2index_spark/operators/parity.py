@@ -356,3 +356,53 @@ def key_components(spark, t) -> DataFrame:
     return keyed.mapInPandas(fan, _COMPONENT_SCHEMA).orderBy(
         "doc_id", "component_idx"
     )
+
+
+# ES type mapping for field_caps: Spark simpleString -> ES field type.
+_ES_TYPE = {
+    "bigint": "long",
+    "int": "integer",
+    "double": "double",
+    "float": "float",
+    "timestamp": "date",
+    "timestamp_ntz": "date",
+    "array<float>": "dense_vector",
+    "boolean": "boolean",
+    "binary": "binary",
+}
+_AGGREGATABLE = {"keyword", "long", "integer", "double", "float", "date"}
+
+
+def field_caps(
+    spark, t, tables=("documents", "events", "embeddings")
+) -> DataFrame:
+    """ES `_field_caps`: per (index, field) the mapped ES type and its
+    searchable/aggregatable capabilities. The Spark side derives from
+    the DataFrame schema, the DuckDB oracle from the catalog DESCRIBE —
+    two independent walks over two independent type systems landing on
+    the same ES mapping, so the hash check verifies the type mapping
+    itself. Mapping rule for strings mirrors the index template: the
+    body column (named 'text') is a full-text field, every other string
+    is a keyword."""
+    rows = []
+    for name in tables:
+        for f in t[name].schema.fields:
+            s = f.dataType.simpleString()
+            if s == "string":
+                es = "text" if f.name == "text" else "keyword"
+            else:
+                es = _ES_TYPE.get(s, s)
+            rows.append(
+                (
+                    name,
+                    f.name,
+                    es,
+                    es != "dense_vector",
+                    es in _AGGREGATABLE,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "idx string, field string, es_type string, "
+        "searchable boolean, aggregatable boolean",
+    ).orderBy("idx", "field")

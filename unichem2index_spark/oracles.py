@@ -3118,3 +3118,39 @@ SELECT event_type,
 FROM q
 ORDER BY event_type
 """
+
+
+def field_caps_sql(tables=("documents", "events", "embeddings")) -> str:
+    """Independent walk over DuckDB's catalog types -> the same ES
+    mapping the Spark schema walk produces."""
+    parts = []
+    for name in tables:
+        parts.append(f"""
+SELECT '{name}' AS idx, column_name AS field, column_type
+FROM (DESCRIBE {name})""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH cols AS ({union}),
+mapped AS (
+  SELECT idx, field,
+    CASE
+      WHEN column_type = 'VARCHAR' AND field = 'text' THEN 'text'
+      WHEN column_type = 'VARCHAR' THEN 'keyword'
+      WHEN column_type = 'BIGINT' THEN 'long'
+      WHEN column_type = 'INTEGER' THEN 'integer'
+      WHEN column_type = 'DOUBLE' THEN 'double'
+      WHEN column_type = 'FLOAT' THEN 'float'
+      WHEN column_type = 'TIMESTAMP' THEN 'date'
+      WHEN column_type = 'FLOAT[]' THEN 'dense_vector'
+      WHEN column_type = 'BOOLEAN' THEN 'boolean'
+      WHEN column_type = 'BLOB' THEN 'binary'
+      ELSE lower(column_type) END AS es_type
+  FROM cols
+)
+SELECT idx, field, es_type,
+       es_type != 'dense_vector' AS searchable,
+       es_type IN ('keyword', 'long', 'integer', 'double', 'float', 'date')
+         AS aggregatable
+FROM mapped
+ORDER BY idx, field
+"""
