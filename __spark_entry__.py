@@ -325,6 +325,26 @@ ESQL_QUERY = (
 )
 
 
+ESQL_ENRICH_QUERY = (
+    "FROM orders"
+    ' | WHERE o_orderpriority == "1-URGENT"'
+    " | ENRICH customer ON o_custkey == c_custkey WITH c_nationkey"
+    " | STATS n = COUNT(*), mx = ROUND(MAX(o_totalprice), 2) BY c_nationkey"
+    " | SORT c_nationkey ASC"
+    " | LIMIT 30"
+)
+
+
+def q_esql_enrich(spark, sf_dir):
+    """ES|QL ENRICH (the lookup-policy join) compiled to a broadcast
+    hash join + the same dual-rendered STATS tail."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_ENRICH_QUERY), load_tables(spark, sf_dir)
+    )
+
+
 def q_esql(spark, sf_dir):
     """Mini ES|QL: one parsed pipeline compiled to BOTH the Spark
     DataFrame program and the DuckDB oracle SQL (functions/esql.py) —
@@ -840,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string": q_query_string,
         "rescore": q_rescore,
         "esql": q_esql,
+        "esql_enrich": q_esql_enrich,
         "bm25_regexp": lambda s, d: Q.bm25_topk_regexp(
             s, _index_for(s, d), "m.*e|s..w", 10
         ),
@@ -1056,6 +1077,9 @@ def oracle_sql() -> dict[str, str]:
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "query_string": oracles.query_string_sql(QS_QUERY, 10),
         "esql": esql_mod.compile_sql(esql_mod.parse_esql(ESQL_QUERY)),
+        "esql_enrich": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_ENRICH_QUERY)
+        ),
         "bm25_regexp": oracles.bm25_regexp_sql("m.*e|s..w", 10, 50),
         "multi_terms_agg": oracles.multi_terms_sql(10),
         "multi_match": oracles.multi_match_sql(FLAGSHIP_TERMS, 10),

@@ -80,3 +80,25 @@ def test_avg_is_exact_division(spark):
     rows = t["documents"].agg(F.sum("n_chars"), F.count(F.lit(1))).first()
     assert got.a == rows[0] / rows[1]
     assert got.c == rows[1]
+
+
+def test_enrich_is_broadcast_left_join(spark):
+    t = load_tables(spark, SF_SMOKE)
+    df = compile_spark(
+        parse_esql(
+            "FROM orders"
+            " | ENRICH customer ON o_custkey == c_custkey WITH c_nationkey"
+            " | KEEP o_orderkey, c_nationkey"
+        ),
+        t,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r.o_orderkey: r.c_nationkey for r in df.collect()}
+    nat = {
+        r.c_custkey: r.c_nationkey for r in t["customer"].collect()
+    }
+    for r in t["orders"].limit(50).collect():
+        assert got[r.o_orderkey] == nat.get(r.o_custkey)
+    with pytest.raises(ValueError):
+        parse_esql("FROM orders | ENRICH customer WITH c_name")  # no ON

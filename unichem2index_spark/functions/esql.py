@@ -11,6 +11,7 @@ Supported surface (the ES|QL core):
     | EVAL <alias> = <expr> [, ...]
     | KEEP <col> [, ...]
     | STATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
+    | ENRICH <table> ON <left_key> == <right_key> WITH <col> [, ...]
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
 
@@ -183,6 +184,22 @@ def parse_esql(q: str) -> list[tuple]:
                 bits = piece.split()
                 keys.append((bits[0], len(bits) > 1 and bits[1].upper() == "DESC"))
             stages.append(("sort", keys))
+        elif cmd == "ENRICH":
+            m2 = re.fullmatch(
+                r"(\w+)\s+ON\s+(\w+)\s*==\s*(\w+)\s+WITH\s+(.+)",
+                rest.strip(), re.IGNORECASE,
+            )
+            if not m2:
+                raise ValueError(f"ES|QL: bad ENRICH clause {rest!r}")
+            stages.append(
+                (
+                    "enrich",
+                    m2.group(1),
+                    m2.group(2),
+                    m2.group(3),
+                    [c.strip() for c in m2.group(4).split(",")],
+                )
+            )
         elif cmd == "LIMIT":
             stages.append(("limit", int(rest.strip())))
         else:
@@ -299,6 +316,14 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
                 df = df.withColumn(alias, _sp(e))
         elif st[0] == "keep":
             df = df.select(*st[1])
+        elif st[0] == "enrich":
+            # ES ENRICH is a broadcast lookup against a small policy
+            # index — exactly Spark's broadcast hash join.
+            _, tbl, lk, rk, cols = st
+            lookup = tables[tbl].select(rk, *cols)
+            df = df.join(
+                F.broadcast(lookup), df[lk] == lookup[rk], "left"
+            ).drop(rk)
         elif st[0] == "stats":
             aggs = [_sp(e).alias(a) for a, e in st[1]]
             df = df.groupBy(*st[2]).agg(*aggs) if st[2] else df.agg(*aggs)
@@ -324,6 +349,13 @@ def compile_sql(stages: list[tuple]) -> str:
             sql = f"SELECT *, {evals} FROM ({sql})"
         elif st[0] == "keep":
             sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
+        elif st[0] == "enrich":
+            _, tbl, lk, rk, cols = st
+            proj = ", ".join(f"r.{c}" for c in cols)
+            sql = (
+                f"SELECT l.*, {proj} FROM ({sql}) l "
+                f"LEFT JOIN {tbl} r ON l.{lk} = r.{rk}"
+            )
         elif st[0] == "stats":
             aggs = ", ".join(f"{_sq(e)} AS {a}" for a, e in st[1])
             if st[2]:
