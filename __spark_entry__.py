@@ -861,6 +861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "esql": q_esql,
         "esql_enrich": q_esql_enrich,
+        # flat query_string SERVED through the kernel: terms AND + NOT
+        "query_string_wand": lambda s, d: Q.query_string_topk_wand(
+            s, _index_for(s, d), "merge AND group AND NOT vector", 10
+        ),
         "bm25_regexp": lambda s, d: Q.bm25_topk_regexp(
             s, _index_for(s, d), "m.*e|s..w", 10
         ),
@@ -1077,6 +1081,9 @@ def oracle_sql() -> dict[str, str]:
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "query_string": oracles.query_string_sql(QS_QUERY, 10),
         "esql": esql_mod.compile_sql(esql_mod.parse_esql(ESQL_QUERY)),
+        "query_string_wand": oracles.query_string_wand_sql(
+            ["merge", "group"], 10, 2, ["vector"]
+        ),
         "esql_enrich": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_ENRICH_QUERY)
         ),

@@ -102,3 +102,28 @@ def test_enrich_is_broadcast_left_join(spark):
         assert got[r.o_orderkey] == nat.get(r.o_custkey)
     with pytest.raises(ValueError):
         parse_esql("FROM orders | ENRICH customer WITH c_name")  # no ON
+
+
+def test_query_string_wand_routes_and_matches(spark):
+    """Flat shapes serve via the kernel and match the corpus path;
+    nested/phrase shapes raise (the corpus-path routing contract)."""
+    import __spark_entry__ as entry
+    from unichem2index_spark.operators import query as Q
+
+    idx = entry._index_for(spark, SF_SMOKE)
+    t = load_tables(spark, SF_SMOKE)
+    docs = t["documents"]
+    for qs in ["merge OR group OR vector", "merge AND group",
+               "merge AND group AND NOT vector"]:
+        kern = [
+            (r.doc_id, r.score)
+            for r in Q.query_string_topk_wand(spark, idx, qs, 10).collect()
+        ]
+        corpus = [
+            (r.doc_id, r.score)
+            for r in Q.query_string_topk(spark, docs, qs, 10).collect()
+        ]
+        assert kern == corpus, qs
+    for bad in ['(a AND b) OR c', '"x y" AND z', "NOT a"]:
+        with pytest.raises(ValueError):
+            Q.query_string_topk_wand(spark, idx, bad, 10)

@@ -1616,6 +1616,7 @@ def bm25_topk_must_not(
     terms: list[str],
     k: int,
     exclude_terms: list[str],
+    min_match: int = 1,
 ) -> DataFrame:
     """ES bool query ``must_not: term`` analog: BM25 top-k over ``terms``,
     excluding every doc that contains ANY of ``exclude_terms``. Exclusion
@@ -1666,7 +1667,10 @@ def bm25_topk_must_not(
                 cursors.append(
                     _cursors_from_group(grp, t, idfs[t], avgdl, use_stored)
                 )
-        top = wand_topk(cursors, avgdl, k, deleted=frozenset(excluded))
+        top = wand_topk(
+            cursors, avgdl, k, deleted=frozenset(excluded),
+            min_match=min_match,
+        )
         return pd.DataFrame(
             {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
         )
@@ -2828,3 +2832,48 @@ def bm25_topk_regexp(
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
     return bm25_topk_wand(spark, index, terms, k)
+
+
+def _flatten_query_string(node) -> tuple[list[str], list[str], int]:
+    """Flatten a query_string AST into the kernel-servable shape
+    (positive terms, must_not terms, min_match) — raises on anything
+    nested or phrase-bearing."""
+    if node[0] == "term":
+        return [node[1]], [], 1
+    if node[0] == "or" and all(c[0] == "term" for c in node[1]):
+        return [c[1] for c in node[1]], [], 1
+    if node[0] == "and":
+        pos, neg = [], []
+        for c in node[1]:
+            if c[0] == "term":
+                pos.append(c[1])
+            elif c[0] == "not" and c[1][0] == "term":
+                neg.append(c[1][1])
+            else:
+                raise ValueError(
+                    "query_string: not kernel-flat; use the corpus path"
+                )
+        if not pos:
+            raise ValueError("query_string: pure-negative is not servable")
+        return pos, neg, len(set(pos))
+    raise ValueError("query_string: not kernel-flat; use the corpus path")
+
+
+def query_string_topk_wand(
+    spark: SparkSession,
+    index: IndexHandle,
+    qstring: str,
+    k: int = 10,
+) -> DataFrame:
+    """The SERVING path for flat query_string queries: `a OR b OR c`
+    (min_match=1), `a AND b` (min_match=n), and a top-level conjunction
+    mixing terms with NOT terms (kernel exclusion sets) all compile
+    straight onto the block-max WAND kernel — one pushed segment scan,
+    per-shard top-k, no corpus tokenize. Nested boolean trees and
+    phrases raise and route to :func:`query_string_topk` (the exact
+    corpus path) — exactly how a serving tier splits the flat common
+    case from the long tail."""
+    from unichem2index_spark.functions.querystring import parse_query_string
+
+    pos, neg, mm = _flatten_query_string(parse_query_string(qstring))
+    return bm25_topk_must_not(spark, index, pos, k, neg, min_match=mm)

@@ -3154,3 +3154,42 @@ SELECT idx, field, es_type,
 FROM mapped
 ORDER BY idx, field
 """
+
+
+def query_string_wand_sql(
+    terms: list[str], k: int, min_match: int, exclude: list[str]
+) -> str:
+    """Flat query_string on the kernel path: msm conjunction +
+    must_not exclusion in one scored CTE."""
+    excl = sorted(set(exclude))
+    uniq = sorted(set(terms) - set(excl))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    exguard = ""
+    if excl:
+        exlist = ", ".join("'" + t.replace("'", "''") + "'" for t in excl)
+        exguard = (
+            f"AND p.doc_id NOT IN "
+            f"(SELECT doc_id FROM post WHERE term IN ({exlist}))"
+        )
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+    {exguard}
+  GROUP BY p.doc_id
+  HAVING count(*) >= {min_match}
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
