@@ -335,6 +335,25 @@ ESQL_ENRICH_QUERY = (
 )
 
 
+ESQL_DISSECT_QUERY = (
+    "FROM events"
+    " | DISSECT props '{\"k\": %{kval}}'"
+    " | STATS c = COUNT(*) BY kval"
+    " | SORT c DESC, kval ASC"
+    " | LIMIT 10"
+)
+
+
+def q_esql_dissect(spark, sf_dir):
+    """ES|QL DISSECT: %{name}-hole pattern extraction compiled to the
+    same anchored regex on both engines."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_DISSECT_QUERY), load_tables(spark, sf_dir)
+    )
+
+
 def q_esql_enrich(spark, sf_dir):
     """ES|QL ENRICH (the lookup-policy join) compiled to a broadcast
     hash join + the same dual-rendered STATS tail."""
@@ -861,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore": q_rescore,
         "esql": q_esql,
         "esql_enrich": q_esql_enrich,
+        "esql_dissect": q_esql_dissect,
         # flat query_string SERVED through the kernel: terms AND + NOT
         "query_string_wand": lambda s, d: Q.query_string_topk_wand(
             s, _index_for(s, d), "merge AND group AND NOT vector", 10
@@ -1086,6 +1106,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "esql_enrich": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_ENRICH_QUERY)
+        ),
+        "esql_dissect": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_DISSECT_QUERY)
         ),
         "bm25_regexp": oracles.bm25_regexp_sql("m.*e|s..w", 10, 50),
         "multi_terms_agg": oracles.multi_terms_sql(10),

@@ -127,3 +127,23 @@ def test_query_string_wand_routes_and_matches(spark):
     for bad in ['(a AND b) OR c', '"x y" AND z', "NOT a"]:
         with pytest.raises(ValueError):
             Q.query_string_topk_wand(spark, idx, bad, 10)
+
+
+def test_dissect_extracts_holes(spark):
+    t = load_tables(spark, SF_SMOKE)
+    df = compile_spark(
+        parse_esql(
+            "FROM events | DISSECT props '{\"k\": %{kval}}'"
+            " | KEEP event_id, kval | LIMIT 5"
+        ),
+        t,
+    )
+    rows = df.collect()
+    assert rows
+    raw = {r.event_id: r.props for r in t["events"].limit(100).collect()}
+    import json
+
+    for r in rows:
+        assert r.kval == str(json.loads(raw[r.event_id])["k"])
+    with pytest.raises(ValueError):
+        parse_esql("FROM events | DISSECT props 'no holes here'")

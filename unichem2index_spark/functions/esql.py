@@ -12,6 +12,7 @@ Supported surface (the ES|QL core):
     | KEEP <col> [, ...]
     | STATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
     | ENRICH <table> ON <left_key> == <right_key> WITH <col> [, ...]
+    | DISSECT <field> '<pattern with %{name} holes>'
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
 
@@ -200,6 +201,24 @@ def parse_esql(q: str) -> list[tuple]:
                     [c.strip() for c in m2.group(4).split(",")],
                 )
             )
+        elif cmd == "DISSECT":
+            m3 = re.fullmatch(
+                r"(\w+)\s+'([^']*)'", rest.strip()
+            ) or re.fullmatch(r'(\w+)\s+"([^"]*)"', rest.strip())
+            if not m3:
+                raise ValueError(f"ES|QL: bad DISSECT clause {rest!r}")
+            field, pat = m3.group(1), m3.group(2)
+            names = re.findall(r"%\{(\w+)\}", pat)
+            if not names:
+                raise ValueError("ES|QL: DISSECT pattern has no %{name}")
+            lits = re.split(r"%\{\w+\}", pat)
+            rx = "^" + re.escape(lits[0])
+            for i, lit in enumerate(lits[1:]):
+                last = i == len(names) - 1
+                esc = re.escape(lit)
+                rx += ("(.*)" if last and not lit else "(.*?)") + esc
+            rx += "$"
+            stages.append(("dissect", field, rx, names))
         elif cmd == "LIMIT":
             stages.append(("limit", int(rest.strip())))
         else:
@@ -316,6 +335,12 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
                 df = df.withColumn(alias, _sp(e))
         elif st[0] == "keep":
             df = df.select(*st[1])
+        elif st[0] == "dissect":
+            _, field, rx, names = st
+            for i, name in enumerate(names):
+                df = df.withColumn(
+                    name, F.regexp_extract(F.col(field), rx, i + 1)
+                )
         elif st[0] == "enrich":
             # ES ENRICH is a broadcast lookup against a small policy
             # index — exactly Spark's broadcast hash join.
@@ -349,6 +374,14 @@ def compile_sql(stages: list[tuple]) -> str:
             sql = f"SELECT *, {evals} FROM ({sql})"
         elif st[0] == "keep":
             sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
+        elif st[0] == "dissect":
+            _, field, rx, names = st
+            rx_sql = rx.replace("'", "''")
+            evals = ", ".join(
+                f"regexp_extract({field}, '{rx_sql}', {i + 1}) AS {n}"
+                for i, n in enumerate(names)
+            )
+            sql = f"SELECT *, {evals} FROM ({sql})"
         elif st[0] == "enrich":
             _, tbl, lk, rk, cols = st
             proj = ", ".join(f"r.{c}" for c in cols)
