@@ -98,3 +98,25 @@ class RolloverAlias:
         return sum(
             Q.IndexHandle.open(spark, d).n_docs for d in self.indexes()
         )
+
+
+def cat_indices(spark: SparkSession, index_dirs: list[str]) -> list[dict]:
+    """ES `_cat/indices` analog: per physical index, doc count, committed
+    generations, tombstone presence, shard count — the one-glance ops
+    listing. Driver-side metadata only (manifest reads), no Spark jobs
+    beyond an optional deletes count."""
+    out = []
+    for d in index_dirs:
+        h = Q.IndexHandle.open(spark, d)
+        dele = h.deletes(spark)
+        out.append(
+            {
+                "index": os.path.basename(d.rstrip("/")),
+                "docs": h.n_docs,
+                "generations": list(h.generations or [0]),
+                "n_shards": h.n_shards,
+                "deleted_docs": int(dele.count()) if dele is not None else 0,
+                "positions": bool(h.has_positions),
+            }
+        )
+    return out

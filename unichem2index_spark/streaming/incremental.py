@@ -162,3 +162,59 @@ def stream_index_webtext(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_percolate(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    queries: list[tuple[int, list[str], int]],
+    phrase_queries: list[tuple[int, list[str]]] | None = None,
+    schema=None,
+    checkpoint: str | None = None,
+):
+    """Streaming percolation — the ES alerting/watcher pipeline: a file
+    stream of incoming docs, each micro-batch matched against the
+    broadcast stored-query registry (operators/query.py::percolate),
+    matches appended to a parquet sink of (query_id, doc_id, batch_id)
+    notifications. The registry join is map-side per batch (broadcast,
+    no shuffle beyond percolate's own pair groupBy), so the stream
+    sustains registry sizes that ES evaluates doc-by-doc.
+
+    availableNow trigger; the checkpoint dedupes batch replays so the
+    sink is exactly-once per (batch, doc)."""
+    import os as _os
+
+    from unichem2index_spark.operators.query import percolate
+
+    if schema is None:
+        from unichem2index_spark.schemas import WEBTEXT_SCHEMA as schema  # noqa: N811
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select(
+            F.monotonically_increasing_id().alias("doc_id"), "text", "url"
+        )
+        hits = percolate(
+            batch_df.sparkSession,
+            docs,
+            queries,
+            phrase_queries=phrase_queries,
+        )
+        out = hits.join(docs.select("doc_id", "url"), "doc_id").select(
+            "query_id", "url", F.lit(batch_id).alias("batch_id")
+        )
+        out.write.mode("append").parquet(_os.path.join(out_dir, "matches"))
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            checkpoint or _os.path.join(out_dir, "_checkpoint"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
