@@ -1034,6 +1034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _wrap(trainprep.pii_scrub),
         "ingest_pipeline": _wrap(ingestpipe.ingest_pipeline_simulate),
         "quality_filter": _wrap(trainprep.quality_filter),
+        "sample_mixture": _wrap(trainprep.sample_mixture),
+        "maxsim_topk": lambda s, d: similarity.maxsim_topk(
+            s, load_tables(s, d)
+        ),
         # rows-only: HLL estimate differs across implementations by design;
         # pytest tolerance oracle (tests/test_analytics.py)
         "cardinality_agg": _wrap(textstats.cardinality_agg),
@@ -1267,6 +1271,10 @@ def oracle_sql() -> dict[str, str]:
             ingestpipe.DOC_PIPELINE
         ),
         "quality_filter": oracles.QUALITY_FILTER,
+        "sample_mixture": oracles.sample_mixture_sql(
+            trainprep.MIX_QUOTAS, trainprep.MIX_DEFAULT_QUOTA
+        ),
+        "maxsim_topk": oracles.maxsim_sql(),
         # cardinality_agg: rows-only (HLL estimate, pytest tolerance oracle)
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,

@@ -287,3 +287,57 @@ def test_quality_filter_rules_recompute(spark):
         kept += int(r.keep)
         dropped += int(not r.keep)
     assert kept  # the filter keeps most of a sane corpus
+
+
+def test_sample_mixture_quotas_and_stability(spark):
+    t = load_tables(spark, SF_SMOKE)
+    rows = trainprep.sample_mixture(spark, t).collect()
+    from collections import Counter
+
+    per_src = Counter(r.source for r in rows)
+    assert per_src["src0"] == 20 and per_src["src1"] == 10
+    assert all(
+        v == 3 for s, v in per_src.items() if s not in ("src0", "src1")
+    )
+    # Partition invariance: same sample at any parallelism.
+    t2 = dict(t)
+    t2["documents"] = t["documents"].repartition(7)
+    rows2 = trainprep.sample_mixture(spark, t2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # Monotone quota growth: a bigger budget keeps every sampled doc.
+    bigger = trainprep.sample_mixture(
+        spark, t, quotas={"src0": 25, "src1": 15}, default_quota=5
+    ).collect()
+    assert {(r.doc_id) for r in rows} <= {(r.doc_id) for r in bigger}
+
+
+def test_maxsim_python_recompute(spark):
+    import math
+
+    from unichem2index_spark.operators import similarity
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = similarity.maxsim_topk(spark, t, qvec_id=42, k=10).collect()
+    assert rows
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in t["embeddings"].collect()}
+    q = emb[42]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b))), 6)
+
+    def maxsim(dv):
+        s = 0.0
+        for i in range(4):
+            qs = q[i * 16:(i + 1) * 16]
+            s += max(cos(qs, dv[j * 16:(j + 1) * 16]) for j in range(4))
+        return s
+
+    scores = {v: maxsim(dv) for v, dv in emb.items() if v != 42}
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.vec_id, r.maxsim) for r in rows] == [
+        (v, round(s, 6)) for v, s in want
+    ]

@@ -626,3 +626,46 @@ def linear_hybrid(
         .limit(k)
         .select("doc_id", F.round("raw", 6).alias("score"))
     )
+
+
+def maxsim_topk(
+    spark: SparkSession,
+    t,
+    qvec_id: int = 42,
+    k: int = 10,
+    n_sub: int = 4,
+) -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval (ES 8.16 `rank_vectors`
+    maxsim): documents are multi-vector — here each 64-d embedding is
+    read as ``n_sub`` contiguous sub-vectors, the fixture's multi-vector
+    analog — and ``score(q, d) = Σ_i max_j cos(q_i, d_j)``: every query
+    sub-vector picks its best-matching doc sub-vector. All JVM array
+    lambdas over one broadcast of the query's sub-vectors; per-pair
+    cosines are rounded at 6 dp BEFORE the max/sum (the engine-identity
+    boundary), so ranking is bit-stable across engines. Brute-force
+    corpus pass = the exact baseline; the scale path composes with the
+    same candidate generators as single-vector search (LSH/IVF/SQ pick
+    candidates on the MEAN vector, maxsim reranks)."""
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("v"))
+    qv = emb.where(F.col("vec_id") == qvec_id).select(F.col("v").alias("qv"))
+    corpus = emb.where(F.col("vec_id") != qvec_id).crossJoin(F.broadcast(qv))
+    dim = 64 // n_sub
+
+    def sub(col, i):
+        return F.slice(col, i * dim + 1, dim)
+
+    def cos(a, b):
+        return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
+
+    score = None
+    for i in range(n_sub):
+        best = F.greatest(
+            *[cos(sub(F.col("qv"), i), sub(F.col("v"), j)) for j in range(n_sub)]
+        )
+        score = best if score is None else score + best
+    return (
+        corpus.select("vec_id", score.alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("maxsim", 6).alias("maxsim"))
+    )

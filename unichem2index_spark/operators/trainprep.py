@@ -389,3 +389,37 @@ def quality_filter(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MIX_QUOTAS = {"src0": 20, "src1": 10}
+MIX_DEFAULT_QUOTA = 3
+
+
+def sample_mixture(
+    spark: SparkSession, t, quotas: dict | None = None,
+    default_quota: int = MIX_DEFAULT_QUOTA,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling (training-data
+    reweighting): per source, keep the ``quota`` docs with the smallest
+    deterministic doc_id hash. Seeded ``df.sample`` changes with
+    partitioning and cluster size; this mixture is bit-stable at ANY
+    parallelism — the property that makes a data recipe reproducible.
+    One window per source partition; the hash order also makes quota
+    INCREASES monotone (a bigger budget keeps every previously
+    sampled doc — incremental recipe growth)."""
+    quotas = MIX_QUOTAS if quotas is None else quotas
+    d = t["documents"]
+    h = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    quota = F.lit(int(default_quota))
+    for s, q in sorted(quotas.items()):
+        quota = F.when(F.col("source") == s, F.lit(int(q))).otherwise(quota)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= quota)
+        .select("doc_id", "source", F.col("rk").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )

@@ -3193,3 +3193,66 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def sample_mixture_sql(
+    quotas: dict, default_quota: int
+) -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(q)}"
+        for s, q in sorted(quotas.items())
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, source, CAST(rk AS INT) AS sample_rank
+FROM r
+WHERE rk <= CASE {cases} ELSE {int(default_quota)} END
+ORDER BY source, sample_rank
+"""
+
+
+def maxsim_sql(qvec_id: int = 42, k: int = 10, n_sub: int = 4) -> str:
+    dim = 64 // n_sub
+
+    def sub(col, i):
+        return f"{col}[{i * dim + 1}:{(i + 1) * dim}]"
+
+    def cos(a, b):
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    terms = []
+    for i in range(n_sub):
+        pairs = ", ".join(
+            cos(sub("q.qv", i), sub("c.v", j)) for j in range(n_sub)
+        )
+        terms.append(f"greatest({pairs})")
+    score = " + ".join(terms)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = {qvec_id}),
+c AS (SELECT vec_id, v FROM emb WHERE vec_id != {qvec_id}),
+scored AS (
+  SELECT c.vec_id, {score} AS maxsim
+  FROM c CROSS JOIN q
+)
+SELECT vec_id, round(maxsim, 6) AS maxsim
+FROM scored
+ORDER BY maxsim DESC, vec_id ASC
+LIMIT {k}
+"""
