@@ -335,6 +335,25 @@ ESQL_ENRICH_QUERY = (
 )
 
 
+ESQL_FULLTEXT_QUERY = (
+    "FROM documents"
+    ' | WHERE CONTAINS_TERM(text, "merge") AND CONTAINS_TERM(text, "group")'
+    " | STATS c = COUNT(*) BY lang"
+    " | SORT lang ASC"
+    " | LIMIT 10"
+)
+
+
+def q_esql_fulltext(spark, sf_dir):
+    """ES|QL full-text WHERE (the match()-family): analyzer-tokenized
+    term membership, identical tokenizer rendered to both engines."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_FULLTEXT_QUERY), load_tables(spark, sf_dir)
+    )
+
+
 ESQL_DISSECT_QUERY = (
     "FROM events"
     " | DISSECT props '{\"k\": %{kval}}'"
@@ -881,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql": q_esql,
         "esql_enrich": q_esql_enrich,
         "esql_dissect": q_esql_dissect,
+        "esql_fulltext": q_esql_fulltext,
         # flat query_string SERVED through the kernel: terms AND + NOT
         "query_string_wand": lambda s, d: Q.query_string_topk_wand(
             s, _index_for(s, d), "merge AND group AND NOT vector", 10
@@ -1113,6 +1133,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "esql_dissect": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_DISSECT_QUERY)
+        ),
+        "esql_fulltext": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_FULLTEXT_QUERY)
         ),
         "bm25_regexp": oracles.bm25_regexp_sql("m.*e|s..w", 10, 50),
         "multi_terms_agg": oracles.multi_terms_sql(10),

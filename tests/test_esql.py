@@ -147,3 +147,24 @@ def test_dissect_extracts_holes(spark):
         assert r.kval == str(json.loads(raw[r.event_id])["k"])
     with pytest.raises(ValueError):
         parse_esql("FROM events | DISSECT props 'no holes here'")
+
+
+def test_contains_term_uses_analyzer(spark):
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            'FROM documents | WHERE CONTAINS_TERM(text, "merge")'
+            " | KEEP doc_id | LIMIT 1000"
+        ),
+        t,
+    ).collect()
+    assert rows
+    import re as _re
+
+    got = {r.doc_id for r in rows}
+    want = {
+        r.doc_id
+        for r in t["documents"].collect()
+        if "merge" in _re.findall(r"[a-z0-9]+", r.text.lower())
+    }
+    assert got == want

@@ -18,7 +18,9 @@ Supported surface (the ES|QL core):
 
 Expressions: identifiers, integer/float/string literals ("..." or '...'),
 arithmetic + - * / %, comparisons == != < <= > >=, AND/OR/NOT, parens,
-and the scalar functions ROUND(x[, d]) / LENGTH(s) / ABS(x).
+and the scalar functions ROUND(x[, d]) / LENGTH(s) / ABS(x) /
+CONTAINS_TERM(field, "term") — the ES|QL match()-family analog:
+analyzer-tokenized term membership, identical tokenizer both engines.
 Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX / AVG.
 
 Determinism note: SUM/COUNT/MIN/MAX over integers are order-independent
@@ -39,7 +41,7 @@ _TOKEN = re.compile(
 )
 
 _AGGS = {"count", "sum", "min", "max", "avg"}
-_FUNCS = {"round", "length", "abs"}
+_FUNCS = {"round", "length", "abs", "contains_term"}
 
 
 class _P:
@@ -274,6 +276,13 @@ def _sp(node) -> Column:
             return F.length(_sp(args[0]))
         if fn == "abs":
             return F.abs(_sp(args[0]))
+        if fn == "contains_term":
+            # ES|QL match()-family analog: analyzer-tokenized membership.
+            from unichem2index_spark.functions.tokenize import tokens_col
+
+            return F.array_contains(
+                tokens_col(_sp(args[0])), str(args[1][1])
+            )
         if fn == "count":
             return F.count(F.lit(1)) if args[0][0] == "star" else F.count(_sp(args[0]))
         if fn == "avg":
@@ -309,6 +318,14 @@ def _sq(node) -> str:
         return f"(NOT {_sq(node[1])})"
     if kind == "call":
         fn, args = node[1], node[2]
+        if fn == "contains_term":
+            from unichem2index_spark.functions.tokenize import TOKEN_PATTERN
+
+            term = str(args[1][1]).replace("'", "''")
+            return (
+                f"list_contains(regexp_extract_all(lower({_sq(args[0])}), "
+                f"'{TOKEN_PATTERN}'), '{term}')"
+            )
         if fn == "count":
             return "count(*)" if args[0][0] == "star" else f"count({_sq(args[0])})"
         if fn == "avg":
