@@ -335,6 +335,26 @@ ESQL_ENRICH_QUERY = (
 )
 
 
+ESQL_INLINESTATS_QUERY = (
+    "FROM documents"
+    " | INLINESTATS lang_max = MAX(n_chars), lang_docs = COUNT(*) BY lang"
+    " | WHERE n_chars == lang_max"
+    " | KEEP doc_id, lang, n_chars, lang_docs"
+    " | SORT lang ASC, doc_id ASC"
+    " | LIMIT 20"
+)
+
+
+def q_esql_inlinestats(spark, sf_dir):
+    """ES|QL INLINESTATS (group aggregates joined back to rows — a
+    window aggregate, never a self-join): each language's longest doc."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_INLINESTATS_QUERY), load_tables(spark, sf_dir)
+    )
+
+
 ESQL_FULLTEXT_QUERY = (
     "FROM documents"
     ' | WHERE CONTAINS_TERM(text, "merge") AND CONTAINS_TERM(text, "group")'
@@ -901,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_enrich": q_esql_enrich,
         "esql_dissect": q_esql_dissect,
         "esql_fulltext": q_esql_fulltext,
+        "esql_inlinestats": q_esql_inlinestats,
         # flat query_string SERVED through the kernel: terms AND + NOT
         "query_string_wand": lambda s, d: Q.query_string_topk_wand(
             s, _index_for(s, d), "merge AND group AND NOT vector", 10
@@ -1136,6 +1157,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "esql_fulltext": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_FULLTEXT_QUERY)
+        ),
+        "esql_inlinestats": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_INLINESTATS_QUERY)
         ),
         "bm25_regexp": oracles.bm25_regexp_sql("m.*e|s..w", 10, 50),
         "multi_terms_agg": oracles.multi_terms_sql(10),

@@ -168,3 +168,28 @@ def test_contains_term_uses_analyzer(spark):
         if "merge" in _re.findall(r"[a-z0-9]+", r.text.lower())
     }
     assert got == want
+
+
+def test_inlinestats_window_semantics(spark):
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            "FROM documents"
+            " | INLINESTATS lang_max = MAX(n_chars), a = AVG(n_chars) BY lang"
+            " | KEEP doc_id, lang, n_chars, lang_max, a"
+        ),
+        t,
+    ).collect()
+    assert len(rows) == t["documents"].count()  # rows never collapse
+    by_lang: dict = {}
+    for r in t["documents"].collect():
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    for r in rows[:50]:
+        assert r.lang_max == max(by_lang[r.lang])
+        assert r.a == sum(by_lang[r.lang]) / len(by_lang[r.lang])
+    with pytest.raises(ValueError):
+        # non-aggregate expressions are rejected at compile time
+        compile_spark(
+            parse_esql("FROM documents | INLINESTATS x = n_chars + 1 BY lang"),
+            t,
+        )

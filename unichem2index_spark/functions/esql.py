@@ -11,6 +11,7 @@ Supported surface (the ES|QL core):
     | EVAL <alias> = <expr> [, ...]
     | KEEP <col> [, ...]
     | STATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
+    | INLINESTATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
     | ENRICH <table> ON <left_key> == <right_key> WITH <col> [, ...]
     | DISSECT <field> '<pattern with %{name} holes>'
     | SORT <col> [ASC|DESC] [, ...]
@@ -170,6 +171,17 @@ def parse_esql(q: str) -> list[tuple]:
             stages.append(("eval", assigns))
         elif cmd == "KEEP":
             stages.append(("keep", [c.strip() for c in rest.split(",")]))
+        elif cmd == "INLINESTATS":
+            aggpart, by = rest, []
+            m = re.search(r"\bBY\b", rest, re.IGNORECASE)
+            if m:
+                aggpart = rest[: m.start()]
+                by = [c.strip() for c in rest[m.end():].split(",")]
+            aggs = []
+            for piece in _split_top(aggpart):
+                alias, _, e = piece.partition("=")
+                aggs.append((alias.strip(), _P(e).expr()))
+            stages.append(("inlinestats", aggs, by))
         elif cmd == "STATS":
             aggpart, by = rest, []
             m = re.search(r"\bBY\b", rest, re.IGNORECASE)
@@ -340,6 +352,37 @@ def _sq(node) -> str:
     return f"({l} {sqlop} {r})"
 
 
+def _sp_window(node, w) -> Column:
+    """Aggregate call rendered as a window aggregate (INLINESTATS)."""
+    if node[0] != "call" or node[1] not in _AGGS:
+        raise ValueError("ES|QL: INLINESTATS takes aggregate calls")
+    fn, args = node[1], node[2]
+    if fn == "count":
+        base = F.count(F.lit(1)) if args[0][0] == "star" else F.count(_sp(args[0]))
+        return base.over(w)
+    if fn == "avg":
+        return (
+            F.sum(_sp(args[0])).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+    return getattr(F, fn)(_sp(args[0])).over(w)
+
+
+def _sq_window(node, over: str) -> str:
+    if node[0] != "call" or node[1] not in _AGGS:
+        raise ValueError("ES|QL: INLINESTATS takes aggregate calls")
+    fn, args = node[1], node[2]
+    if fn == "count":
+        inner = "count(*)" if args[0][0] == "star" else f"count({_sq(args[0])})"
+        return f"{inner} {over}"
+    if fn == "avg":
+        return (
+            f"(CAST(sum({_sq(args[0])}) {over} AS DOUBLE) "
+            f"/ count(*) {over})"
+        )
+    return f"{fn}({_sq(args[0])}) {over}"
+
+
 def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
     df = None
     for st in stages:
@@ -369,6 +412,14 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
         elif st[0] == "stats":
             aggs = [_sp(e).alias(a) for a, e in st[1]]
             df = df.groupBy(*st[2]).agg(*aggs) if st[2] else df.agg(*aggs)
+        elif st[0] == "inlinestats":
+            # ES|QL INLINESTATS: group aggregates joined back to every
+            # row — Spark's window aggregate, no self-join.
+            from pyspark.sql.window import Window as _W
+
+            w = _W.partitionBy(*st[2]) if st[2] else _W.partitionBy()
+            for alias, e in st[1]:
+                df = df.withColumn(alias, _sp_window(e, w))
         elif st[0] == "sort":
             df = df.orderBy(
                 *[F.desc(c) if d else F.asc(c) for c, d in st[1]]
@@ -406,6 +457,15 @@ def compile_sql(stages: list[tuple]) -> str:
                 f"SELECT l.*, {proj} FROM ({sql}) l "
                 f"LEFT JOIN {tbl} r ON l.{lk} = r.{rk}"
             )
+        elif st[0] == "inlinestats":
+            over = (
+                "OVER (PARTITION BY " + ", ".join(st[2]) + ")"
+                if st[2] else "OVER ()"
+            )
+            evals = ", ".join(
+                f"{_sq_window(e, over)} AS {a}" for a, e in st[1]
+            )
+            sql = f"SELECT *, {evals} FROM ({sql})"
         elif st[0] == "stats":
             aggs = ", ".join(f"{_sq(e)} AS {a}" for a, e in st[1])
             if st[2]:
