@@ -922,6 +922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_dissect": q_esql_dissect,
         "esql_fulltext": q_esql_fulltext,
         "esql_inlinestats": q_esql_inlinestats,
+        # rows-only: sketch-based by design; tolerance pytest vs exact
+        "doclen_percentiles_approx": _wrap(
+            textstats.doclen_percentiles_approx
+        ),
         # flat query_string SERVED through the kernel: terms AND + NOT
         "query_string_wand": lambda s, d: Q.query_string_topk_wand(
             s, _index_for(s, d), "merge AND group AND NOT vector", 10

@@ -187,3 +187,16 @@ def test_boxplot_invariants(spark):
         assert r.min <= r.q1 <= r.median <= r.q3 <= r.max
         assert r.min <= r.lower_whisker <= r.q1
         assert r.q3 <= r.upper_whisker <= r.max
+
+
+def test_approx_percentiles_within_rank_tolerance(spark):
+    t = load_tables(spark, SF)
+    approx = textstats.doclen_percentiles_approx(spark, t).first()
+    exact = textstats.doclen_percentiles(spark, t).first()
+    assert approx.n_docs == exact.n_docs
+    # GK sketch at accuracy=10000 on a 500-doc corpus is near-exact;
+    # allow the interpolation gap (exact is quantile_cont, sketch
+    # returns an observed value).
+    for a, e in [(approx.p50, exact.p50), (approx.p90, exact.p90),
+                 (approx.p99, exact.p99)]:
+        assert abs(a - e) <= max(2.0, 0.05 * e), (a, e)

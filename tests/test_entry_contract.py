@@ -23,6 +23,7 @@ ROWS_ONLY = {
     "frame_sample",
     "delete_by_query_lifecycle",
     "cosine_topk_sq",
+    "doclen_percentiles_approx",
 }
 
 

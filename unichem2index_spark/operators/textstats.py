@@ -1059,3 +1059,22 @@ def boxplot_agg(spark: SparkSession, t) -> DataFrame:
         F.round(lo, 6).alias("lower_whisker"),
         F.round(hi, 6).alias("upper_whisker"),
     ).orderBy("event_type")
+
+
+def doclen_percentiles_approx(
+    spark: SparkSession, t, accuracy: int = 10000
+) -> DataFrame:
+    """The at-scale twin of :func:`doclen_percentiles`: single-pass,
+    mergeable `approx_percentile` (Greenwald-Khanna sketch; ES itself
+    serves percentiles from a t-digest). Approximate by design ->
+    rows-only in the driver gate; the pytest oracle bounds each
+    reported percentile against the exact interpolated value."""
+    dl = t["documents"].select(
+        F.size(tokens_col("text")).cast("long").alias("doclen")
+    )
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_percentile("doclen", F.lit(0.5), F.lit(accuracy)).alias("p50"),
+        F.approx_percentile("doclen", F.lit(0.9), F.lit(accuracy)).alias("p90"),
+        F.approx_percentile("doclen", F.lit(0.99), F.lit(accuracy)).alias("p99"),
+    )
