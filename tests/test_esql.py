@@ -193,3 +193,25 @@ def test_inlinestats_window_semantics(spark):
             parse_esql("FROM documents | INLINESTATS x = n_chars + 1 BY lang"),
             t,
         )
+
+
+def test_drop_rename_both_engines(spark):
+    import duckdb as _duck
+
+    t = load_tables(spark, SF_SMOKE)
+    q = (
+        "FROM documents | DROP text, n_chars | RENAME lang AS language"
+        " | STATS c = COUNT(*) BY language | SORT language ASC | LIMIT 5"
+    )
+    stages = parse_esql(q)
+    got = [(r.language, r.c) for r in compile_spark(stages, t).collect()]
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.execute(compile_sql(stages)).fetchall()
+    con.close()
+    assert got == [(l, int(c)) for l, c in want]
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | RENAME lang language")  # missing AS

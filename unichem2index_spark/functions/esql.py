@@ -10,6 +10,8 @@ Supported surface (the ES|QL core):
     | WHERE <expr>
     | EVAL <alias> = <expr> [, ...]
     | KEEP <col> [, ...]
+    | DROP <col> [, ...]
+    | RENAME <old> AS <new> [, ...]
     | STATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
     | INLINESTATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
     | ENRICH <table> ON <left_key> == <right_key> WITH <col> [, ...]
@@ -171,6 +173,18 @@ def parse_esql(q: str) -> list[tuple]:
             stages.append(("eval", assigns))
         elif cmd == "KEEP":
             stages.append(("keep", [c.strip() for c in rest.split(",")]))
+        elif cmd == "DROP":
+            stages.append(("drop", [c.strip() for c in rest.split(",")]))
+        elif cmd == "RENAME":
+            pairs = []
+            for piece in rest.split(","):
+                m4 = re.fullmatch(
+                    r"\s*(\w+)\s+AS\s+(\w+)\s*", piece, re.IGNORECASE
+                )
+                if not m4:
+                    raise ValueError(f"ES|QL: bad RENAME clause {piece!r}")
+                pairs.append((m4.group(1), m4.group(2)))
+            stages.append(("rename", pairs))
         elif cmd == "INLINESTATS":
             aggpart, by = rest, []
             m = re.search(r"\bBY\b", rest, re.IGNORECASE)
@@ -395,6 +409,11 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
                 df = df.withColumn(alias, _sp(e))
         elif st[0] == "keep":
             df = df.select(*st[1])
+        elif st[0] == "drop":
+            df = df.drop(*st[1])
+        elif st[0] == "rename":
+            for old, new in st[1]:
+                df = df.withColumnRenamed(old, new)
         elif st[0] == "dissect":
             _, field, rx, names = st
             for i, name in enumerate(names):
@@ -442,6 +461,13 @@ def compile_sql(stages: list[tuple]) -> str:
             sql = f"SELECT *, {evals} FROM ({sql})"
         elif st[0] == "keep":
             sql = f"SELECT {', '.join(st[1])} FROM ({sql})"
+        elif st[0] == "drop":
+            cols = ", ".join(st[1])
+            sql = f"SELECT * EXCLUDE ({cols}) FROM ({sql})"
+        elif st[0] == "rename":
+            ren = ", ".join(f"{o} AS {n}" for o, n in st[1])
+            excl = ", ".join(o for o, _ in st[1])
+            sql = f"SELECT * EXCLUDE ({excl}), {ren} FROM ({sql})"
         elif st[0] == "dissect":
             _, field, rx, names = st
             rx_sql = rx.replace("'", "''")
