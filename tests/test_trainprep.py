@@ -341,3 +341,14 @@ def test_maxsim_python_recompute(spark):
     assert [(r.vec_id, r.maxsim) for r in rows] == [
         (v, round(s, 6)) for v, s in want
     ]
+
+
+def test_dup_ngram_fast_is_value_identical(spark):
+    """The Arrow fast path must equal the declarative path row-for-row
+    (both also share one DuckDB oracle in the driver gate)."""
+    t = load_tables(spark, SF_SMOKE)
+    slow = [tuple(r) for r in trainprep.dup_ngram_ratio(spark, t).collect()]
+    fast = [
+        tuple(r) for r in trainprep.dup_ngram_ratio_fast(spark, t).collect()
+    ]
+    assert slow == fast
