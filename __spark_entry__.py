@@ -1082,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _wrap(trainprep.pii_scrub),
         "ingest_pipeline": _wrap(ingestpipe.ingest_pipeline_simulate),
         "quality_filter": _wrap(trainprep.quality_filter),
+        # Arrow fast twin, same oracle (value identity required)
+        "quality_filter_fast": _wrap(trainprep.quality_filter_fast),
         "sample_mixture": _wrap(trainprep.sample_mixture),
         "maxsim_topk": lambda s, d: similarity.maxsim_topk(
             s, load_tables(s, d)
@@ -1326,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
             ingestpipe.DOC_PIPELINE
         ),
         "quality_filter": oracles.QUALITY_FILTER,
+        "quality_filter_fast": oracles.QUALITY_FILTER,
         "sample_mixture": oracles.sample_mixture_sql(
             trainprep.MIX_QUOTAS, trainprep.MIX_DEFAULT_QUOTA
         ),

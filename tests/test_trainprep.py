@@ -352,3 +352,18 @@ def test_dup_ngram_fast_is_value_identical(spark):
         tuple(r) for r in trainprep.dup_ngram_ratio_fast(spark, t).collect()
     ]
     assert slow == fast
+
+
+def test_quality_filter_fast_is_value_identical(spark):
+    t = load_tables(spark, SF_SMOKE)
+    slow = [
+        (r.doc_id, r.n_tokens, r.mean_tok_len, r.dup_ratio, r.stop_hits,
+         list(r.failed_rules), r.keep)
+        for r in trainprep.quality_filter(spark, t).collect()
+    ]
+    fast = [
+        (r.doc_id, r.n_tokens, r.mean_tok_len, r.dup_ratio, r.stop_hits,
+         list(r.failed_rules), r.keep)
+        for r in trainprep.quality_filter_fast(spark, t).collect()
+    ]
+    assert slow == fast

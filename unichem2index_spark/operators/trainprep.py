@@ -463,3 +463,59 @@ def dup_ngram_ratio_fast(spark: SparkSession, t) -> DataFrame:
         "doc_id long, n_ngrams int, n_distinct int, "
         "dup_ratio double, keep boolean",
     ).orderBy("doc_id")
+
+
+def quality_filter_fast(spark: SparkSession, t) -> DataFrame:
+    """Arrow fast twin of :func:`quality_filter` (same rules, same
+    tokenizer, same rounding — hash-checked against the SAME DuckDB
+    oracle). Exists for the measured reason documented in BENCH.md:
+    the trigram/array HOFs in the declarative form are interpreted,
+    ~23x slower per row than this python loop; one mapInPandas computes
+    every signal in a single pass."""
+    import re as _re
+
+    docs = t["documents"].select("doc_id", "text")
+    stopset = frozenset(QF_STOPWORDS)
+
+    def fn(batches):
+        pat = _re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            out = {"doc_id": [], "n_tokens": [], "mean_tok_len": [],
+                   "dup_ratio": [], "stop_hits": [], "failed_rules": [],
+                   "keep": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = pat.findall(text.lower())
+                n = len(toks)
+                mean_len = (
+                    sum(len(x) for x in toks) / max(n, 1) if True else 0.0
+                )
+                ng = max(n - 2, 0)
+                nd = len(set(zip(toks, toks[1:], toks[2:]))) if ng else 0
+                dup = 1.0 - nd / ng if ng else 0.0
+                stops = sum(1 for x in toks if x in stopset)
+                fails = []
+                if n < QF_MIN_TOKENS or n > QF_MAX_TOKENS:
+                    fails.append("length")
+                if (
+                    mean_len < QF_MIN_MEAN_TOK_LEN
+                    or mean_len > QF_MAX_MEAN_TOK_LEN
+                ):
+                    fails.append("mean_tok_len")
+                if dup > QF_MAX_DUP_RATIO:
+                    fails.append("dup_ngrams")
+                if stops < QF_MIN_STOP_HITS:
+                    fails.append("stopwords")
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["mean_tok_len"].append(round(mean_len, 6))
+                out["dup_ratio"].append(round(dup, 6))
+                out["stop_hits"].append(stops)
+                out["failed_rules"].append(fails)
+                out["keep"].append(not fails)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        fn,
+        "doc_id long, n_tokens int, mean_tok_len double, dup_ratio double, "
+        "stop_hits int, failed_rules array<string>, keep boolean",
+    ).orderBy("doc_id")
