@@ -215,3 +215,27 @@ def test_drop_rename_both_engines(spark):
     assert got == [(l, int(c)) for l, c in want]
     with pytest.raises(ValueError):
         parse_esql("FROM t | RENAME lang language")  # missing AS
+
+
+def test_like_and_in_both_engines(spark):
+    import duckdb as _duck
+
+    t = load_tables(spark, SF_SMOKE)
+    q = (
+        'FROM documents | WHERE source LIKE "src1*" OR lang IN ("en", "de")'
+        " | STATS c = COUNT(*) BY source | SORT source ASC | LIMIT 25"
+    )
+    stages = parse_esql(q)
+    got = [(r.source, r.c) for r in compile_spark(stages, t).collect()]
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    )
+    want = [(s_, int(c)) for s_, c in con.execute(compile_sql(stages)).fetchall()]
+    con.close()
+    assert got == want and got
+    # src1* matches src1 and src10..src19
+    assert {s_ for s_, _ in got} >= {"src1", "src10", "src19"}
+    with pytest.raises(ValueError):
+        parse_esql('FROM t | WHERE source LIKE "a%b"')

@@ -20,7 +20,8 @@ Supported surface (the ES|QL core):
     | LIMIT <n>
 
 Expressions: identifiers, integer/float/string literals ("..." or '...'),
-arithmetic + - * / %, comparisons == != < <= > >=, AND/OR/NOT, parens,
+arithmetic + - * / %, comparisons == != < <= > >=, LIKE "pat*?"
+(Lucene wildcards), IN (lit, ...), AND/OR/NOT, parens,
 and the scalar functions ROUND(x[, d]) / LENGTH(s) / ABS(x) /
 CONTAINS_TERM(field, "term") — the ES|QL match()-family analog:
 analyzer-tokenized term membership, identical tokenizer both engines.
@@ -94,9 +95,32 @@ class _P:
 
     def cmp(self):
         node = self.add()
-        if self.peek() in (">=", "<=", "==", "!=", ">", "<"):
+        nxt = self.peek()
+        if nxt in (">=", "<=", "==", "!=", ">", "<"):
             op = self.take()
             node = ("bin", op, node, self.add())
+        elif nxt is not None and nxt.upper() == "LIKE":
+            self.take()
+            pat = self.take()
+            if pat[0] not in "\"'":
+                raise ValueError("ES|QL: LIKE needs a quoted pattern")
+            if "%" in pat or "_" in pat:
+                # Lucene wildcards are * and ?; SQL metacharacters are
+                # rejected because LIKE-escape semantics differ between
+                # engines (DuckDB has no default ESCAPE char).
+                raise ValueError("ES|QL: LIKE uses * and ?, not %/_")
+            node = ("like", node, pat[1:-1])
+        elif nxt is not None and nxt.upper() == "IN":
+            self.take()
+            self.take("(")
+            vals = [self.primary()]
+            while self.peek() == ",":
+                self.take()
+                vals.append(self.primary())
+            self.take(")")
+            if not all(v[0] == "lit" for v in vals):
+                raise ValueError("ES|QL: IN takes literals")
+            node = ("in", node, [v[1] for v in vals])
         return node
 
     def add(self):
@@ -293,6 +317,12 @@ def _sp(node) -> Column:
         return -_sp(node[1])
     if kind == "not":
         return ~_sp(node[1])
+    if kind == "like":
+        # ES|QL LIKE: * = any run, ? = one char (Lucene wildcard syntax;
+        # %/_ rejected at parse time — no escape-dialect divergence).
+        return _sp(node[1]).like(node[2].replace("*", "%").replace("?", "_"))
+    if kind == "in":
+        return _sp(node[1]).isin(list(node[2]))
     if kind == "call":
         fn, args = node[1], node[2]
         if fn == "round":
@@ -342,6 +372,15 @@ def _sq(node) -> str:
         return f"(-{_sq(node[1])})"
     if kind == "not":
         return f"(NOT {_sq(node[1])})"
+    if kind == "like":
+        pat = node[2].replace("'", "''").replace("*", "%").replace("?", "_")
+        return f"({_sq(node[1])} LIKE '{pat}')"
+    if kind == "in":
+        vals = ", ".join(
+            "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+            for v in node[2]
+        )
+        return f"({_sq(node[1])} IN ({vals}))"
     if kind == "call":
         fn, args = node[1], node[2]
         if fn == "contains_term":
