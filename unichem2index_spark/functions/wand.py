@@ -150,9 +150,19 @@ def wand_topk(
     heap: list[tuple[float, int]] = []
     threshold = -INF
 
-    live = [t for t in terms if t.enc_blocks]
+    # `canon` = surviving cursors in CANONICAL (term-sorted) order — the
+    # fixed accumulation order for full evaluations; `live` is the same
+    # set re-sorted by position for pivoting. Canon is refiltered only
+    # when a cursor exhausts (<= n_terms times total).
+    canon = sorted(
+        (t for t in terms if t.enc_blocks), key=lambda t: t.term
+    )
+    live = list(canon)
     while True:
-        live = [t for t in live if t.cur_doc() != INF]
+        new_live = [t for t in live if t.cur_doc() != INF]
+        if len(new_live) != len(live):
+            canon = [t for t in canon if t.cur_doc() != INF]
+        live = new_live
         if not live:
             break
         live.sort(key=lambda t: t.cur_doc())
@@ -206,10 +216,16 @@ def wand_topk(
                     if t.cur_doc() == pivot_doc:
                         t.advance_to(pivot_doc + 1)
                 continue
-            # Full evaluation at the pivot.
+            # Full evaluation at the pivot — accumulate in the CALLER's
+            # cursor order (every caller builds cursors sorted by term),
+            # never in `live`'s position-sorted order: float addition
+            # isn't associative, and a position-dependent sum order gave
+            # two IDENTICAL docs sums 1 ulp apart (hypothesis-found),
+            # flipping the (score desc, doc_id asc) tie against the
+            # oracle. Canonical order makes equal docs bit-equal.
             s = 0.0
             n_hit = 0
-            for t in live:
+            for t in canon:
                 if t.cur_doc() == pivot_doc:
                     n_hit += 1
                     s += t.score_at(pivot_doc, avgdl)
