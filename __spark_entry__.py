@@ -1012,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_parent": _wrap(parentchild.has_parent_topk),
         "children_agg": _wrap(parentchild.children_agg_by_parent_bucket),
         "eql_sequence": _wrap(eventseq.eql_sequence),
+        "sessionize": _wrap(eventseq.sessionize),
         # -- F1-F5 layered-key splitter (SURVEY §2.7) -----------------------
         "key_split": _wrap(parity.key_split),
         "key_components": _wrap(parity.key_components),  # rows-only (UDTF)
@@ -1276,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
         "has_parent": oracles.HAS_PARENT,
         "children_agg": oracles.CHILDREN_AGG,
         "eql_sequence": oracles.eql_sequence_sql(),
+        "sessionize": oracles.sessionize_sql(1800),
         "key_split": oracles.KEY_SPLIT,
         # key_components: rows-only (Arrow UDTF fan-out, not SQL-expressible)
         "dedup_exact": oracles.DEDUP_EXACT,

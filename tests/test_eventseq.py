@@ -112,3 +112,35 @@ def test_multi_terms_ranks_composite_buckets(spark):
         assert exact[(r.lang, r.source)] == r.doc_count
     keys = [(-r.doc_count, r.lang, r.source) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_sessionize_gaps_and_islands_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    rows = eventseq.sessionize(spark, t, gap_sec=1800).collect()
+    assert rows
+    ev: dict = {}
+    for r in t["events"].collect():
+        ev.setdefault(r.user_id, []).append(r.ts)
+    for u in ev:
+        ev[u].sort()
+    want = []
+    for u, tss in sorted(ev.items()):
+        sessions = [[tss[0]]]
+        for prev, cur in zip(tss, tss[1:]):
+            if (cur - prev).total_seconds() >= 1800:
+                sessions.append([cur])
+            else:
+                sessions[-1].append(cur)
+        for i, s_ in enumerate(sessions, 1):
+            want.append((u, i, len(s_), s_[0], s_[-1]))
+    got = [
+        (r.user_id, r.session_seq, r.n_events, r.start_ts, r.end_ts)
+        for r in rows
+    ]
+    assert got == want
+    # durations are non-negative, exact microsecond math
+    for r in rows:
+        assert r.duration_sec >= 0
+        assert abs(
+            r.duration_sec - (r.end_ts - r.start_ts).total_seconds()
+        ) < 1e-6

@@ -116,3 +116,51 @@ def eql_sequence(
         )
         .orderBy("second_event_id")
     )
+
+
+def sessionize(
+    spark: SparkSession, t, gap_sec: int = 1800
+) -> DataFrame:
+    """Sessionization — the classic event-analytics operator (ES gets it
+    from Transforms/session scripts; Spark has it NATIVE): group each
+    user's events into sessions separated by gaps > ``gap_sec``. Uses
+    Spark's built-in ``session_window`` aggregation (the same operator
+    the streaming path uses with watermarks, so this batch query IS the
+    streaming query), emitting per session: first/last event time,
+    event count, exact duration. The DuckDB oracle derives identical
+    sessions via the gaps-and-islands window idiom — two independent
+    formulations, one answer.
+
+    Scale shape: ONE shuffle on user_id (the session_window agg);
+    map-side partial aggregation applies; no self-join, no sort beyond
+    the per-key grouping."""
+    ev = t["events"]
+    agg = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{int(gap_sec)} seconds")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .drop("session_window")
+    )
+    w = Window.partitionBy("user_id").orderBy("start_ts")
+    return (
+        agg.withColumn("session_seq", F.row_number().over(w))
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "start_ts",
+            "end_ts",
+            F.round(
+                F.expr("timestampdiff(MICROSECOND, start_ts, end_ts)")
+                .cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -3256,3 +3256,43 @@ FROM scored
 ORDER BY maxsim DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def sessionize_sql(gap_sec: int = 1800) -> str:
+    """Gaps-and-islands formulation of session_window semantics: a new
+    session starts when the gap from the previous event reaches
+    gap_sec (Spark's session window is [start, last+gap) — an
+    exactly-gap diff opens a NEW session); session id = running sum of
+    start flags."""
+    return f"""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL THEN 1
+              WHEN CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                        ts) AS DOUBLE) / 1000000.0 >= {gap_sec} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+g AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         min(ts) AS start_ts, max(ts) AS end_ts
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_ts)
+            AS INT) AS session_seq,
+       CAST(n_events AS BIGINT) AS n_events,
+       start_ts, end_ts,
+       round(CAST(date_diff('microsecond', start_ts, end_ts) AS DOUBLE)
+             / 1000000.0, 6) AS duration_sec
+FROM g
+ORDER BY user_id, session_seq
+"""
