@@ -968,6 +968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_agg_sharded": _wrap(textstats.terms_agg_sharded),
         "t_test_agg": _wrap(textstats.t_test_agg),
         "boxplot_agg": _wrap(textstats.boxplot_agg),
+        "normalize_agg": _wrap(textstats.normalize_agg),
+        "bucket_sort_agg": _wrap(textstats.bucket_sort_agg),
+        "rate_agg": _wrap(textstats.rate_agg),
+        "serial_diff_agg": _wrap(textstats.serial_diff_agg),
         "bm25_synonyms": q_bm25_synonyms,
         "constant_score": q_constant_score,
         "min_score": q_min_score,
@@ -1221,6 +1225,10 @@ def oracle_sql() -> dict[str, str]:
         "terms_agg_sharded": oracles.terms_agg_sharded_sql(5, 8, 4),
         "t_test_agg": oracles.t_test_sql(),
         "boxplot_agg": oracles.BOXPLOT,
+        "normalize_agg": oracles.NORMALIZE_AGG,
+        "bucket_sort_agg": oracles.bucket_sort_sql(2, 5),
+        "rate_agg": oracles.RATE_AGG,
+        "serial_diff_agg": oracles.serial_diff_sql(1),
         "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
         "constant_score": oracles.constant_score_sql(
             PHRASE, FLAGSHIP_K, CS_BOOST

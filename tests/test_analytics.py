@@ -200,3 +200,31 @@ def test_approx_percentiles_within_rank_tolerance(spark):
     for a, e in [(approx.p50, exact.p50), (approx.p90, exact.p90),
                  (approx.p99, exact.p99)]:
         assert abs(a - e) <= max(2.0, 0.05 * e), (a, e)
+
+
+def test_pipeline_agg_tail_invariants(spark):
+    t = load_tables(spark, SF)
+    norm = textstats.normalize_agg(spark, t).collect()
+    by_type: dict = {}
+    for r in norm:
+        by_type.setdefault(r.event_type, []).append(r.pct_of_total)
+    for et, pcts in by_type.items():
+        assert abs(sum(pcts) - 100.0) < 1e-3, et  # percent_of_sum telescopes
+
+    bs = textstats.bucket_sort_agg(spark, t, offset=2, size=5).collect()
+    assert [r.rk for r in bs] == [3, 4, 5, 6, 7]
+    counts = [r.n_events for r in bs]
+    assert counts == sorted(counts, reverse=True)
+
+    rate = textstats.rate_agg(spark, t).collect()
+    for r in rate:
+        assert abs(r.per_hour - r.n_events / 24.0) < 1e-6
+
+    sd = textstats.serial_diff_agg(spark, t).collect()
+    series: dict = {}
+    for r in sd:
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        assert rs[0].diff is None  # no predecessor for the first bucket
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.diff == cur.n_events - prev.n_events

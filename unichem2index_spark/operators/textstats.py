@@ -1078,3 +1078,83 @@ def doclen_percentiles_approx(
         F.approx_percentile("doclen", F.lit(0.9), F.lit(accuracy)).alias("p90"),
         F.approx_percentile("doclen", F.lit(0.99), F.lit(accuracy)).alias("p99"),
     )
+
+
+def normalize_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `normalize` pipeline agg (method=percent_of_sum): each daily
+    bucket's share of its event_type's total. Exact integer counts, one
+    divide per bucket at emit."""
+    ev = t["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return (
+        daily.withColumn(
+            "pct_of_total",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(w).cast("double")
+                * 100.0,
+                6,
+            ),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def bucket_sort_agg(
+    spark: SparkSession, t, offset: int = 2, size: int = 5
+) -> DataFrame:
+    """ES `bucket_sort` pipeline agg: reorder + paginate a parent agg's
+    buckets by a metric (busiest days 3-7 here) — runs on the reduced
+    bucket rows, so it is a driver-small window however big the child
+    scan was."""
+    ev = t["events"]
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("bucket"))
+    return (
+        daily.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") > offset) & (F.col("rk") <= offset + size))
+        .select("rk", "bucket", "n_events")
+        .orderBy("rk")
+    )
+
+
+def rate_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `rate` aggregation (unit=hour inside day buckets): per-day
+    event rate per hour — the calendar-aware normalization ES added so
+    month buckets of different lengths compare fairly; day/24 is its
+    fixed-length case."""
+    ev = t["events"]
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "bucket",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / 24.0, 6).alias(
+                "per_hour"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def serial_diff_agg(spark: SparkSession, t, lag: int = 1) -> DataFrame:
+    """ES `serial_diff` pipeline agg: n-th order differencing of a
+    date-histogram series (lag=1 = day-over-day change), per
+    event_type. Window over reduced bucket rows."""
+    ev = t["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return (
+        daily.withColumn(
+            "diff", F.col("n_events") - F.lag("n_events", lag).over(w)
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -3296,3 +3296,59 @@ SELECT user_id,
 FROM g
 ORDER BY user_id, session_seq
 """
+
+
+NORMALIZE_AGG = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_events,
+       round(CAST(n_events AS DOUBLE)
+             / CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+             * 100.0, 6) AS pct_of_total
+FROM daily
+ORDER BY event_type, bucket
+"""
+
+
+def bucket_sort_sql(offset: int = 2, size: int = 5) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT bucket, n_events,
+         row_number() OVER (ORDER BY n_events DESC, bucket ASC) AS rk
+  FROM daily
+)
+SELECT CAST(rk AS INT) AS rk, bucket, n_events
+FROM r WHERE rk > {offset} AND rk <= {offset + size}
+ORDER BY rk
+"""
+
+
+RATE_AGG = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       count(*) AS n_events,
+       round(CAST(count(*) AS DOUBLE) / 24.0, 6) AS per_hour
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def serial_diff_sql(lag: int = 1) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_events,
+       n_events - lag(n_events, {lag})
+         OVER (PARTITION BY event_type ORDER BY bucket) AS diff
+FROM daily
+ORDER BY event_type, bucket
+"""
