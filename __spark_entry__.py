@@ -1017,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "children_agg": _wrap(parentchild.children_agg_by_parent_bucket),
         "eql_sequence": _wrap(eventseq.eql_sequence),
         "sessionize": _wrap(eventseq.sessionize),
+        "funnel": _wrap(eventseq.funnel),
         # -- F1-F5 layered-key splitter (SURVEY §2.7) -----------------------
         "key_split": _wrap(parity.key_split),
         "key_components": _wrap(parity.key_components),  # rows-only (UDTF)
@@ -1030,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, load_tables(s, d)
         ),
         "cosine_topk": lambda s, d: similarity.cosine_topk_bruteforce(
+            s, load_tables(s, d)
+        ),
+        "cosine_radius": lambda s, d: similarity.cosine_radius(
             s, load_tables(s, d)
         ),
         "cosine_topk_filtered": lambda s, d: similarity.cosine_topk_filtered(
@@ -1286,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "children_agg": oracles.CHILDREN_AGG,
         "eql_sequence": oracles.eql_sequence_sql(),
         "sessionize": oracles.sessionize_sql(1800),
+        "funnel": oracles.funnel_sql(),
         "key_split": oracles.KEY_SPLIT,
         # key_components: rows-only (Arrow UDTF fan-out, not SQL-expressible)
         "dedup_exact": oracles.DEDUP_EXACT,
@@ -1293,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_groups": oracles.simhash_groups_sql(),
         "ngram_jaccard_pairs": oracles.ngram_jaccard_sql(),
         "cosine_topk": oracles.COSINE_TOPK,
+        "cosine_radius": oracles.cosine_radius_sql(),
         "cosine_topk_filtered": oracles.cosine_topk_filtered_sql(),
         "rrf_hybrid": oracles.rrf_hybrid_sql(FLAGSHIP_TERMS),
         "embedding_neardup": oracles.EMBEDDING_NEARDUP,

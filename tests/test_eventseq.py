@@ -144,3 +144,44 @@ def test_sessionize_gaps_and_islands_recompute(spark):
         assert abs(
             r.duration_sec - (r.end_ts - r.start_ts).total_seconds()
         ) < 1e-6
+
+
+def test_cosine_radius_threshold_and_consistency(spark):
+    from unichem2index_spark.operators import similarity
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = similarity.cosine_radius(spark, t, min_cosine=0.35).collect()
+    assert rows  # the threshold genuinely matches something
+    assert all(r.cosine >= 0.35 for r in rows)
+    # radius ⊇ any topk page restricted to the threshold
+    top = similarity.cosine_topk_bruteforce(spark, t, k=10).collect()
+    radius_set = {(r.query_id, r.vec_id) for r in rows}
+    for r in top:
+        if r.cosine >= 0.35:
+            assert (r.query_id, r.vec_id) in radius_set
+
+
+def test_funnel_monotone_and_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    rows = eventseq.funnel(spark, t).collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    n1, n2, n3 = (r.n_users for r in rows)
+    assert n1 >= n2 >= n3 >= 0 and n1 > 0
+    # brute-force recompute
+    ev: dict = {}
+    for r in t["events"].collect():
+        ev.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    c1 = c2 = c3 = 0
+    for u, es in ev.items():
+        es.sort()
+        v = next((ts for ts, et in es if et == "view"), None)
+        if v is None:
+            continue
+        c1 += 1
+        c = next((ts for ts, et in es if et == "click" and ts >= v), None)
+        if c is None:
+            continue
+        c2 += 1
+        if any(et == "purchase" and ts >= c for ts, et in es):
+            c3 += 1
+    assert (n1, n2, n3) == (c1, c2, c3)

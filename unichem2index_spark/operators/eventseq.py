@@ -164,3 +164,46 @@ def sessionize(
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def funnel(
+    spark: SparkSession,
+    t,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """3-step funnel conversion (the event-analytics staple): users who
+    did step1, then step2 AFTER their first step1, then step3 AFTER that
+    first qualifying step2 — strictly ordered first-touch attribution.
+    Per step: user count and conversion vs the previous step.
+
+    Plan shape: three per-user min aggregations chained by equi-joins on
+    user_id with the time predicate as the join filter (never a range
+    join); each stage's frame is one row per surviving user."""
+    ev = t["events"].select("user_id", "ts", "event_type")
+    s1, s2, s3 = steps
+    t1 = ev.where(F.col("event_type") == s1).groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == s3)
+        .join(t2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1, n2, n3 = t1.count(), t2.count(), t3.count()
+    rows = [
+        (1, s1, n1, 100.0),
+        (2, s2, n2, round(n2 / n1 * 100.0, 6) if n1 else 0.0),
+        (3, s3, n3, round(n3 / n2 * 100.0, 6) if n2 else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "step int, event_type string, n_users long, pct_of_prev double"
+    ).orderBy("step")

@@ -669,3 +669,33 @@ def maxsim_topk(
         .limit(k)
         .select("vec_id", F.round("maxsim", 6).alias("maxsim"))
     )
+
+
+def cosine_radius(
+    spark: SparkSession,
+    t,
+    n_queries: int = 5,
+    min_cosine: float = 0.35,
+) -> DataFrame:
+    """ES kNN `similarity` threshold / radius search: ALL neighbors with
+    cosine >= the floor, not a fixed k — the dedup/recall shape ("give
+    me everything close enough") where a top-k would silently truncate.
+    Same broadcast-queries brute plan as cosine_topk; the threshold
+    prunes the emit, so the output is |matches|, never |corpus|."""
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("v"))
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.where(F.col("vec_id") >= n_queries)
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.where(F.col("cosine") >= min_cosine)
+        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    )

@@ -3352,3 +3352,66 @@ SELECT event_type, bucket, n_events,
 FROM daily
 ORDER BY event_type, bucket
 """
+
+
+def cosine_radius_sql(n_queries: int = 5, min_cosine: float = 0.35) -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, v FROM emb WHERE vec_id >= {n_queries}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine FROM scored
+WHERE cosine >= {min_cosine}
+ORDER BY query_id, cosine DESC, vec_id ASC
+"""
+
+
+def funnel_sql(steps=("view", "click", "purchase")) -> str:
+    s1, s2, s3 = steps
+    return f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = '{s3}' AND e.ts >= t2.t2
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT (SELECT count(*) FROM t1) AS n1,
+         (SELECT count(*) FROM t2) AS n2,
+         (SELECT count(*) FROM t3) AS n3
+)
+SELECT * FROM (
+  SELECT 1 AS step, '{s1}' AS event_type, n1 AS n_users,
+         100.0 AS pct_of_prev FROM n
+  UNION ALL
+  SELECT 2, '{s2}', n2,
+         CASE WHEN n1 > 0
+              THEN round(CAST(n2 AS DOUBLE) / n1 * 100.0, 6)
+              ELSE 0.0 END FROM n
+  UNION ALL
+  SELECT 3, '{s3}', n3,
+         CASE WHEN n2 > 0
+              THEN round(CAST(n3 AS DOUBLE) / n2 * 100.0, 6)
+              ELSE 0.0 END FROM n
+)
+ORDER BY step
+"""
