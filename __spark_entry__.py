@@ -314,6 +314,11 @@ def q_highlight(spark, sf_dir):
 
 QS_QUERY = '(merge AND group) OR ("batch batch" AND NOT vector)'
 PINNED_IDS = [7, 3, 11]  # editorial promotions, served in THIS order
+PERCOLATE_QS = [
+    (1, "merge AND group"),
+    (2, '"batch batch" AND NOT vector'),
+    (3, "zebra OR (dup AND slow)"),
+]
 ESQL_QUERY = (
     "FROM documents"
     " | EVAL bucket = n_chars % 7"
@@ -916,6 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosting": q_bm25_boosting,
         "highlight": q_highlight,
         "query_string": q_query_string,
+        "percolate_query_strings": lambda s, d: Q.percolate_query_strings(
+            s, _docs(s, d), PERCOLATE_QS
+        ),
         "rescore": q_rescore,
         "esql": q_esql,
         "esql_enrich": q_esql_enrich,
@@ -1163,6 +1171,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "highlight": oracles.highlight_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "query_string": oracles.query_string_sql(QS_QUERY, 10),
+        "percolate_query_strings": oracles.percolate_query_strings_sql(
+            PERCOLATE_QS
+        ),
         "esql": esql_mod.compile_sql(esql_mod.parse_esql(ESQL_QUERY)),
         "query_string_wand": oracles.query_string_wand_sql(
             ["merge", "group"], 10, 2, ["vector"]

@@ -172,3 +172,25 @@ def test_linear_hybrid_normalization(spark):
     assert rows[0].score >= 0.7 - 1e-9
     keys = [(-r.score, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_percolate_query_strings_compiled(spark):
+    """Every emitted (query_id, doc_id) match satisfies its registered
+    tree, every non-match doesn't (checked on a sample), and the plan
+    contains no join or exchange — the compiled-registry contract."""
+    t = load_tables(spark, SF_SMOKE)
+    docs = t["documents"]
+    regs = [(1, "merge AND group"), (2, '"batch batch" AND NOT vector')]
+    df = Q.percolate_query_strings(spark, docs, regs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    rows = df.collect()
+    assert rows
+    texts = {r.doc_id: r.text.lower().split() for r in docs.collect()}
+    got = {(r.query_id, r.doc_id) for r in rows}
+    for doc_id, toks in texts.items():
+        s = " " + " ".join(toks) + " "
+        want1 = "merge" in toks and "group" in toks
+        want2 = " batch batch " in s and "vector" not in toks
+        assert ((1, doc_id) in got) == want1
+        assert ((2, doc_id) in got) == want2

@@ -2877,3 +2877,44 @@ def query_string_topk_wand(
 
     pos, neg, mm = _flatten_query_string(parse_query_string(qstring))
     return bm25_topk_must_not(spark, index, pos, k, neg, min_match=mm)
+
+
+def percolate_query_strings(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    registrations: list[tuple[int, str]],
+) -> DataFrame:
+    """Percolator for stored query_string registrations — the COMPILED
+    form: every registered boolean tree renders to one Catalyst
+    expression over the tokenized doc (functions/querystring.py), so
+    the whole registry evaluates as N boolean columns in ONE map-only
+    pass — no join, no shuffle, no per-query job. (ES walks each doc
+    through each stored query's Lucene memory index; compiling the
+    registry into the scan is the columnar-engine answer.) Complements
+    :func:`percolate`, whose term-set/phrase registries cover the
+    posting-join shape.
+
+    Output: (query_id, doc_id) matches, ordered."""
+    from unichem2index_spark.functions.querystring import (
+        parse_query_string,
+        render_spark,
+    )
+
+    td = tokenized_docs(docs_df)
+    sent = F.concat(F.lit(" "), F.concat_ws(" ", "tokens"), F.lit(" "))
+    flags = [
+        F.when(
+            render_spark(parse_query_string(qs), F.col("tokens"), sent),
+            F.lit(int(qid)),
+        ).alias(f"_q{qid}")
+        for qid, qs in registrations
+    ]
+    matched = td.select(
+        "doc_id", F.array_compact(F.array(*flags)).alias("hits")
+    ).where(F.size("hits") > 0)
+    return (
+        matched.select(
+            F.explode("hits").alias("query_id"), "doc_id"
+        )
+        .orderBy("query_id", "doc_id")
+    )

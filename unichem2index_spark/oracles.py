@@ -3415,3 +3415,33 @@ SELECT * FROM (
 )
 ORDER BY step
 """
+
+
+def percolate_query_strings_sql(
+    registrations: list[tuple[int, str]]
+) -> str:
+    """Per-registration SELECT over the same rendered AST, unioned."""
+    from unichem2index_spark.functions.querystring import (
+        parse_query_string,
+        render_sql,
+    )
+
+    parts = []
+    for qid, qs in registrations:
+        cond = render_sql(parse_query_string(qs), "toks", "s")
+        parts.append(
+            f"SELECT CAST({int(qid)} AS BIGINT) AS query_id, doc_id\n"
+            f"FROM tok2 WHERE {cond}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok2 AS (
+  SELECT doc_id, {TOKS} AS toks,
+         ' ' || array_to_string({TOKS}, ' ') || ' ' AS s
+  FROM documents
+)
+SELECT * FROM (
+{union}
+)
+ORDER BY query_id, doc_id
+"""
