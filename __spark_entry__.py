@@ -980,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_sort_agg": _wrap(textstats.bucket_sort_agg),
         "rate_agg": _wrap(textstats.rate_agg),
         "serial_diff_agg": _wrap(textstats.serial_diff_agg),
+        "top_metrics_agg": _wrap(textstats.top_metrics_agg),
+        "string_stats_agg": _wrap(textstats.string_stats_agg),
         "bm25_synonyms": q_bm25_synonyms,
         "constant_score": q_constant_score,
         "min_score": q_min_score,
@@ -1244,6 +1246,8 @@ def oracle_sql() -> dict[str, str]:
         "bucket_sort_agg": oracles.bucket_sort_sql(2, 5),
         "rate_agg": oracles.RATE_AGG,
         "serial_diff_agg": oracles.serial_diff_sql(1),
+        "top_metrics_agg": oracles.TOP_METRICS,
+        "string_stats_agg": oracles.STRING_STATS,
         "bm25_synonyms": oracles.synonyms_sql(SYN_GROUPS, FLAGSHIP_K),
         "constant_score": oracles.constant_score_sql(
             PHRASE, FLAGSHIP_K, CS_BOOST

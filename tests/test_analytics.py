@@ -228,3 +228,32 @@ def test_pipeline_agg_tail_invariants(spark):
         assert rs[0].diff is None  # no predecessor for the first bucket
         for prev, cur in zip(rs, rs[1:]):
             assert cur.diff == cur.n_events - prev.n_events
+
+
+def test_top_metrics_and_string_stats(spark):
+    import math
+
+    t = load_tables(spark, SF)
+    top = textstats.top_metrics_agg(spark, t).collect()
+    assert len(top) == 5
+    evs: dict = {}
+    for r in t["events"].collect():
+        cur = evs.get(r.event_type)
+        if cur is None or (r.ts, r.event_id) > (cur.ts, cur.event_id):
+            evs[r.event_type] = r
+    for r in top:
+        assert r.top_ts == evs[r.event_type].ts
+        assert abs(r.top_value - round(evs[r.event_type].value, 6)) < 1e-9
+
+    ss = textstats.string_stats_agg(spark, t).first()
+    srcs = [r.source for r in t["documents"].collect()]
+    assert ss["count"] == len(srcs)
+    assert ss.min_length == min(len(s) for s in srcs)
+    assert ss.max_length == max(len(s) for s in srcs)
+    from collections import Counter
+
+    c = Counter("".join(srcs))
+    total = sum(c.values())
+    ent = -sum(n / total * math.log2(n / total) for n in c.values())
+    assert abs(ss.entropy - ent) < 1e-5
+    assert 0 < ss.entropy <= math.log2(len(c)) + 1e-9  # entropy bound

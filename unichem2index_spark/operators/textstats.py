@@ -1158,3 +1158,70 @@ def serial_diff_agg(spark: SparkSession, t, lag: int = 1) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+def top_metrics_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `top_metrics` aggregation: the metric value carried by the TOP
+    document under a sort — per event_type, `value` at the latest event
+    (sort: ts desc). One window, rank-1 row per bucket; the agg ES
+    built because top_hits fetches whole documents when you only want
+    one field."""
+    ev = t["events"]
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("top_ts"),
+            F.round("value", 6).alias("top_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def string_stats_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `string_stats` (show_distribution basis): count / min / max /
+    avg length of a keyword field plus the Shannon entropy of its
+    CHARACTER distribution. Exact integer char counts -> one shared
+    float tree for the entropy sum (per-char terms are identical
+    doubles in both engines; the sum of ~36 such terms is ulp-stable
+    under the 6 dp emit rounding)."""
+    d = t["documents"]
+    lens = d.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length("source")).alias("min_length"),
+        F.max(F.length("source")).alias("max_length"),
+        F.sum(F.length("source")).alias("_total_chars"),
+    )
+    chars = (
+        d.select(F.explode(F.split(F.col("source"), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ent = chars.agg(
+        F.sum("n").alias("total"),
+        F.sum(
+            -(F.col("n").cast("double"))
+            * F.log2(F.col("n").cast("double"))
+        ).alias("_nlogn"),
+    ).select(
+        # -sum(p log2 p) = log2(total) - sum(n log2 n)/total : exact ints
+        # feed ONE float expression, identical across engines.
+        (
+            F.log2(F.col("total").cast("double"))
+            + F.col("_nlogn") / F.col("total").cast("double")
+        ).alias("entropy")
+    )
+    return lens.crossJoin(ent).select(
+        "count",
+        "min_length",
+        "max_length",
+        F.round(
+            F.col("_total_chars").cast("double") / F.col("count"), 6
+        ).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"),
+    )

@@ -3445,3 +3445,44 @@ SELECT * FROM (
 )
 ORDER BY query_id, doc_id
 """
+
+
+TOP_METRICS = """
+WITH r AS (
+  SELECT event_type, ts, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, ts AS top_ts, round(value, 6) AS top_value
+FROM r WHERE rn = 1
+ORDER BY event_type
+"""
+
+STRING_STATS = """
+WITH lens AS (
+  SELECT count(*) AS cnt, min(length(source)) AS min_length,
+         max(length(source)) AS max_length,
+         sum(length(source)) AS total_chars
+  FROM documents
+),
+chars AS (
+  SELECT ch, count(*) AS n FROM (
+    SELECT unnest(list_transform(range(1, length(source) + 1),
+                                 i -> source[i:i])) AS ch
+    FROM documents
+  ) GROUP BY ch
+),
+ent AS (
+  SELECT sum(n) AS total,
+         sum(-(CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE))) AS nlogn
+  FROM chars
+)
+SELECT l.cnt AS count,
+       CAST(l.min_length AS INT) AS min_length,
+       CAST(l.max_length AS INT) AS max_length,
+       round(CAST(l.total_chars AS DOUBLE) / l.cnt, 6) AS avg_length,
+       round(log2(CAST(e.total AS DOUBLE))
+             + e.nlogn / CAST(e.total AS DOUBLE), 6) AS entropy
+FROM lens l CROSS JOIN ent e
+"""
