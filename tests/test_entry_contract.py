@@ -40,6 +40,80 @@ def test_oracle_sql_all_valid_duckdb(duck):
         duck.execute(f"SELECT * FROM ({sql}) LIMIT 0")  # parse + bind
 
 
+# Canon-compat contract (CORRECTNESS_r04 postmortem): the driver's
+# pandas-based canonicalizer converts DuckDB HUGEINT to float64 (hash
+# mismatch vs Spark's int64 for value-equal integer SUMs) and crashes
+# sorting LIST/STRUCT cells ("unhashable type: 'list'"). No oracle may
+# therefore emit those output types — integer SUMs must be CAST to
+# BIGINT and list outputs serialized (concat_ws / array_to_string) on
+# BOTH sides. DESCRIBE binds without executing, so this sweeps all
+# oracles cheaply.
+_CANON_HOSTILE = ("HUGEINT", "[]", "STRUCT", "MAP(")
+
+
+def test_oracle_output_types_are_canon_compatible(duck):
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        rows = duck.execute(f"DESCRIBE SELECT * FROM ({sql}) q").fetchall()
+        for col, typ, *_ in rows:
+            t = typ.upper()
+            if any(h in t for h in _CANON_HOSTILE):
+                bad.append((name, col, typ))
+    assert not bad, f"canon-hostile oracle output columns: {bad}"
+
+
+def test_spark_entry_schemas_are_canon_compatible(spark):
+    """Spark half of the canon contract: no queries() entry may emit a
+    top-level ArrayType/StructType/MapType column — the driver's pandas
+    sort crashes on such cells. Schema-only (no collect), so this is a
+    plan-construction sweep over every entry."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, fn in entrymod.queries().items():
+        sdf = fn(spark, SF_CORRECT)
+        for f in sdf.schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.StructType, T.MapType)
+            ):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"canon-hostile Spark output columns: {bad}"
+
+
+def test_local_twin_canon_catches_driver_hazards():
+    """Regression test of the twin itself: the pre-fix esql (HUGEINT →
+    float64 vs int64, value-equal) and term_vectors (list cells) shapes
+    must FAIL under scripts/check_correctness.canon — the old str()-
+    based normalizer hid both, which is why local green did not predict
+    driver red in r4."""
+    import importlib.util
+    import pathlib
+
+    import pandas as pd
+    import pytest as _pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness",
+        pathlib.Path(__file__).parent.parent
+        / "scripts" / "check_correctness.py",
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    # HUGEINT shape: same values, int64 vs float64 — kinds must differ.
+    spark_side = pd.DataFrame({"s": [149174], "g": ["a"]})
+    duck_side = pd.DataFrame({"s": [149174.0], "g": ["a"]})
+    sk, sr = cc.canon(spark_side)
+    dk, dr = cc.canon(duck_side)
+    assert sk != dk  # the esql r4 failure reproduces locally now
+    assert sr == dr  # ... even though the values normalize identically
+
+    # LIST shape: pandas sort_values must crash exactly as the driver's.
+    listy = pd.DataFrame({"positions": [[1, 2], [0]], "t": ["a", "b"]})
+    with _pytest.raises(TypeError):
+        cc.canon(listy)
+
+
 def _norm(v):
     if isinstance(v, float):
         return "nan" if math.isnan(v) else f"{v:.9g}"

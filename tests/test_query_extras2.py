@@ -512,7 +512,7 @@ def test_term_vectors_matches_python(spark, corpus):
     assert [r.term for r in got] == sorted(set(toks))
     for r in got:
         want_pos = [i for i, t in enumerate(toks) if t == r.term]
-        assert list(r.positions) == want_pos
+        assert r.positions == ",".join(str(i) for i in want_pos)
         assert r.tf == len(want_pos)
         assert r.df == len(oracle.postings[r.term])
         assert r.ttf == sum(oracle.postings[r.term].values())

@@ -282,7 +282,9 @@ def test_quality_filter_rules_recompute(spark):
             fails.append("dup_ngrams")
         if sum(1 for x in toks if x in stopset) < trainprep.QF_MIN_STOP_HITS:
             fails.append("stopwords")
-        assert list(r.failed_rules) == fails, (r.doc_id, r.failed_rules, fails)
+        assert r.failed_rules == ",".join(fails), (
+            r.doc_id, r.failed_rules, fails
+        )
         assert r.keep == (not fails)
         kept += int(r.keep)
         dropped += int(not r.keep)
@@ -358,12 +360,12 @@ def test_quality_filter_fast_is_value_identical(spark):
     t = load_tables(spark, SF_SMOKE)
     slow = [
         (r.doc_id, r.n_tokens, r.mean_tok_len, r.dup_ratio, r.stop_hits,
-         list(r.failed_rules), r.keep)
+         r.failed_rules, r.keep)
         for r in trainprep.quality_filter(spark, t).collect()
     ]
     fast = [
         (r.doc_id, r.n_tokens, r.mean_tok_len, r.dup_ratio, r.stop_hits,
-         list(r.failed_rules), r.keep)
+         r.failed_rules, r.keep)
         for r in trainprep.quality_filter_fast(spark, t).collect()
     ]
     assert slow == fast

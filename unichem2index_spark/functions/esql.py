@@ -397,6 +397,12 @@ def _sq(node) -> str:
             return (
                 f"(CAST(sum({_sq(args[0])}) AS DOUBLE) / count(*))"
             )
+        if fn == "sum":
+            # DuckDB renders sum(BIGINT) as HUGEINT, which pandas
+            # canonicalizes to float64 while Spark's sum(long) stays
+            # int64 — same value, different hash. ES|QL SUM over
+            # integer fields is long, so pin the oracle to BIGINT.
+            return f"CAST(sum({_sq(args[0])}) AS BIGINT)"
         if fn == "round" and len(args) > 1:
             return f"round({_sq(args[0])}, {int(args[1][1])})"
         return f"{fn}({', '.join(_sq(a) for a in args)})"
@@ -433,6 +439,9 @@ def _sq_window(node, over: str) -> str:
             f"(CAST(sum({_sq(args[0])}) {over} AS DOUBLE) "
             f"/ count(*) {over})"
         )
+    if fn == "sum":
+        # Same HUGEINT→BIGINT pin as the non-window SUM render.
+        return f"CAST(sum({_sq(args[0])}) {over} AS BIGINT)"
     return f"{fn}({_sq(args[0])}) {over}"
 
 

@@ -839,7 +839,9 @@ def term_vectors(docs_df: DataFrame, doc_id: int) -> DataFrame:
     corpus-global postings aggregation (the same frame every scorer
     shares, so the numbers agree with _explain / term_stats). Positions
     are collected per (doc, term) with ``sort_array`` for a deterministic
-    emit."""
+    emit, then serialized to a comma-joined string — the repo-wide
+    convention for list outputs (see group_collect), which keeps the
+    result canonicalizable by pandas-based comparators."""
     tok = tokenized_docs(docs_df)
     pos = (
         tok.where(F.col("doc_id") == doc_id)
@@ -859,7 +861,15 @@ def term_vectors(docs_df: DataFrame, doc_id: int) -> DataFrame:
     # at 100 TB; a single doc's distinct terms always do).
     return (
         tstats.join(F.broadcast(pos), "term")
-        .select("term", "tf", "df", "ttf", "positions")
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.col("ttf").cast("long").alias("ttf"),
+            F.concat_ws(
+                ",", F.transform("positions", lambda p: p.cast("string"))
+            ).alias("positions"),
+        )
         .orderBy("term")
     )
 

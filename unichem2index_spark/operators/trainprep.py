@@ -384,7 +384,10 @@ def quality_filter(spark: SparkSession, t) -> DataFrame:
             F.round(mean_len, 6).alias("mean_tok_len"),
             F.round(dup, 6).alias("dup_ratio"),
             stops.alias("stop_hits"),
-            fails.alias("failed_rules"),
+            # Serialized audit trail (comma-joined, rule order fixed):
+            # the repo-wide convention for list outputs, so the result
+            # canonicalizes cleanly in pandas-based comparators.
+            F.concat_ws(",", fails).alias("failed_rules"),
             (F.size(fails) == 0).alias("keep"),
         )
         .orderBy("doc_id")
@@ -510,12 +513,12 @@ def quality_filter_fast(spark: SparkSession, t) -> DataFrame:
                 out["mean_tok_len"].append(round(mean_len, 6))
                 out["dup_ratio"].append(round(dup, 6))
                 out["stop_hits"].append(stops)
-                out["failed_rules"].append(fails)
+                out["failed_rules"].append(",".join(fails))
                 out["keep"].append(not fails)
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         fn,
         "doc_id long, n_tokens int, mean_tok_len double, dup_ratio double, "
-        "stop_hits int, failed_rules array<string>, keep boolean",
+        "stop_hits int, failed_rules string, keep boolean",
     ).orderBy("doc_id")

@@ -1404,7 +1404,7 @@ WITH s AS (
          len({TOKS}) AS doclen
   FROM documents
 )
-SELECT split, count(*) AS n_docs, sum(doclen) AS n_tokens
+SELECT split, count(*) AS n_docs, CAST(sum(doclen) AS BIGINT) AS n_tokens
 FROM s GROUP BY split ORDER BY split
 """
 
@@ -1466,7 +1466,7 @@ packed AS (
   JOIN d ON d.source = p.source AND d.rn = p.rn + 1
 )
 SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
-       sum(n) AS seq_tokens
+       CAST(sum(n) AS BIGINT) AS seq_tokens
 FROM packed
 GROUP BY source, seq_id
 ORDER BY source, seq_id
@@ -1519,7 +1519,7 @@ WITH g AS (
   FROM documents
   GROUP BY lang
 )
-SELECT lang, doc_count, total_tokens,
+SELECT lang, doc_count, CAST(total_tokens AS BIGINT) AS total_tokens,
        round(CAST(total_tokens AS DOUBLE) / CAST(doc_count AS DOUBLE), 6)
          AS avg_tokens
 FROM g
@@ -1902,7 +1902,8 @@ tv AS (
   SELECT term, count(*) AS tf, list(p ORDER BY p) AS positions
   FROM pos WHERE doc_id = {doc_id} GROUP BY term
 )
-SELECT t.term, t.tf, d.df, d.cf AS ttf, t.positions
+SELECT t.term, t.tf, d.df, CAST(d.cf AS BIGINT) AS ttf,
+       array_to_string(t.positions, ',') AS positions
 FROM tv t JOIN dfs d USING (term)
 ORDER BY t.term
 """
@@ -2359,7 +2360,7 @@ SELECT event_type,
        count(*) AS n_buckets,
        min(n_events) AS min_bucket,
        max(n_events) AS max_bucket,
-       sum(n_events) AS sum_events,
+       CAST(sum(n_events) AS BIGINT) AS sum_events,
        round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_per_bucket
 FROM hist
 GROUP BY event_type
@@ -2968,7 +2969,7 @@ SELECT doc_id,
        round(mean_len, 6) AS mean_tok_len,
        round(dup, 6) AS dup_ratio,
        CAST(stops AS INT) AS stop_hits,
-       failed_rules,
+       coalesce(array_to_string(failed_rules, ','), '') AS failed_rules,
        len(failed_rules) = 0 AS keep
 FROM v
 ORDER BY doc_id
