@@ -899,7 +899,7 @@ def _wrap(fn):
     return run
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- index / BM25 family (SURVEY §2.4-2.5, W4, A2-A6) --------------
         "bm25_topk": q_bm25_topk,
@@ -1118,6 +1118,187 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "stream_dedup_latest": q_stream_dedup_latest,
     }
+
+
+
+# ---------------------------------------------------------------- gate order
+# The driver's correctness gate hash-checks the FIRST 50 queries() entries
+# per round. Round-5 rotation (VERDICT r4 task 3): positions 0-49 = the two
+# r4 repairs (esql, term_vectors) + the 6 fixed latent type-hazard entries +
+# 42 hash-checkable entries that have never had a driver CORRECTNESS row in
+# rounds 1-4. Positions 50-64 = the remaining never-checked entries (pytest-
+# twinned kernel/identity variants and the 5 rows-only-by-design ops), queued
+# for the round-6 window. Positions 65+ = previously driver-green entries,
+# oldest green round first, so future rotations keep every entry's driver row
+# at most ~2 rounds old (SURVEY "gate-window rotation" note).
+_GATE_ORDER_R5 = [
+    "esql",
+    "term_vectors",
+    "stats_bucket",
+    "bucket_script_selector",
+    "train_eval_split",
+    "pack_sequences",
+    "quality_filter",
+    "quality_filter_fast",
+    "weighted_avg_agg",
+    "mad_agg",
+    "auto_date_histogram",
+    "terms_agg_sharded",
+    "t_test_agg",
+    "boxplot_agg",
+    "normalize_agg",
+    "bucket_sort_agg",
+    "rate_agg",
+    "serial_diff_agg",
+    "top_metrics_agg",
+    "string_stats_agg",
+    "bm25_synonyms",
+    "constant_score",
+    "min_score",
+    "multi_index",
+    "terms_set",
+    "field_caps",
+    "has_child",
+    "has_parent",
+    "children_agg",
+    "eql_sequence",
+    "sessionize",
+    "funnel",
+    "cosine_radius",
+    "cosine_topk_filtered",
+    "rrf_hybrid",
+    "date_histogram_pipeline",
+    "range_agg",
+    "extended_stats_agg",
+    "histogram_agg",
+    "filters_agg",
+    "top_hits_by_lang",
+    "matrix_stats_agg",
+    "adjacency_matrix_agg",
+    "rare_terms_agg",
+    "composite_agg",
+    "decontaminate",
+    "collapse_repeats",
+    "dup_ngram_ratio",
+    "pii_scrub",
+    "ingest_pipeline",
+    "completion_suggest",
+    "phrase_suggest",
+    "bm25_fvf_wand",
+    "bm25_gauss_wand",
+    "bm25_random_wand",
+    "collapse_topk",
+    "explain_score",
+    "delete_by_query_lifecycle",
+    "cosine_topk_sq",
+    "dup_ngram_ratio_fast",
+    "sample_mixture",
+    "maxsim_topk",
+    "cardinality_agg",
+    "resize_images",
+    "frame_sample",
+    "term_stats",
+    "corpus_stats",
+    "doc_lengths",
+    "postings_sample",
+    "index_count",
+    "last_doc_id",
+    "counts_by_source",
+    "max_dates",
+    "windowed_counts",
+    "index_update_lifecycle",
+    "threeway_join",
+    "semi_join_recent",
+    "dim_join_2key",
+    "map_lookup_join",
+    "filter_flag_coerce",
+    "null_defaulting",
+    "sourceless_flag",
+    "range_scan",
+    "group_collect",
+    "count_distinct_keys",
+    "terms_agg",
+    "tpch_q1",
+    "topn_per_group",
+    "last_key_top1",
+    "reconcile_counts",
+    "key_split",
+    "key_components",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_groups",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "embedding_neardup",
+    "lang_id",
+    "doclen_percentiles",
+    "significant_terms",
+    "term_suggest",
+    "quality_score",
+    "token_counts",
+    "doc_fingerprint",
+    "binary_meta",
+    "csv_roundtrip",
+    "stream_dedup_latest",
+    "bm25_topk",
+    "bm25_topk_wand",
+    "bm25_rare_terms",
+    "phrase_topk",
+    "bm25_filtered",
+    "bm25_min_should_match",
+    "bm25_boosted",
+    "bm25_must_not",
+    "bm25_prefix",
+    "bm25_fuzzy",
+    "bm25_page2",
+    "bm25_field_boost",
+    "bm25_search_after",
+    "bm25_wildcard",
+    "more_like_this",
+    "bm25_dismax",
+    "bm25_boosting",
+    "highlight",
+    "query_string",
+    "percolate_query_strings",
+    "rescore",
+    "esql_enrich",
+    "esql_dissect",
+    "esql_fulltext",
+    "esql_inlinestats",
+    "doclen_percentiles_approx",
+    "query_string_wand",
+    "bm25_regexp",
+    "multi_terms_agg",
+    "multi_match",
+    "pinned",
+    "linear_hybrid",
+    "bm25_gauss_decay",
+    "span_near",
+    "span_first",
+    "span_not",
+    "diversified_topk",
+    "match_count",
+    "random_score",
+    "percolate",
+    "percolate_mixed",
+    "rank_eval",
+    "scroll",
+    "analyze",
+    "mget",
+    "field_sort",
+    "percentile_ranks",
+    "sampler_terms",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    ordered = {k: base[k] for k in _GATE_ORDER_R5 if k in base}
+    for k, v in base.items():  # safety net: unlisted entries trail
+        ordered.setdefault(k, v)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -132,3 +132,48 @@ def test_snapshot_survives_mutation_and_gc(spark, tmp_path_factory):
             for r in Q.bm25_topk_wand(spark, hs, terms, k).collect()
         ]
         assert got == before[tuple(terms)], terms
+
+
+def test_snapshot_race_resolves_from_read_manifest(
+    spark, tmp_path_factory, monkeypatch
+):
+    """ADVICE r4 regression: a commit landing between snapshot_to's
+    manifest read and its table copies must not redirect the copies to
+    a physical version the copied manifest does not reference.
+    Simulated by doctoring the ON-DISK manifest (segments ->
+    segments_v99) right after the in-memory read returns — the copies
+    must follow the already-read dict, never re-resolve from disk
+    (the pre-fix code silently skipped the nonexistent v99 path and
+    produced a snapshot with no segments table at all)."""
+    import json
+
+    from unichem2index_spark.sources.tables import SegmentStore
+
+    rows = gen_webtext(120, seed=21)
+    base = spark.createDataFrame(rows, schema=WEBTEXT_SCHEMA).repartition(4)
+    out = str(tmp_path_factory.mktemp("race_src"))
+    build_index_from_webtext(spark, base, out, n_shards=4)
+    store = SegmentStore(out)
+    n0 = Q.IndexHandle.open(spark, out).n_docs
+
+    real_read = SegmentStore.read_manifest
+
+    def racing_read(self):
+        mf = real_read(self)
+        doctored = dict(mf)
+        doctored["tables"] = {
+            **mf.get("tables", {}), "segments": "segments_v99",
+        }
+        with open(self.path("manifest.json"), "w") as f:
+            json.dump(doctored, f)
+        return mf
+
+    monkeypatch.setattr(SegmentStore, "read_manifest", racing_read)
+    snap = str(tmp_path_factory.mktemp("race_dst"))
+    info = store.snapshot_to(snap)
+    monkeypatch.undo()
+
+    assert "segments" in info["tables"]
+    hs = Q.IndexHandle.open(spark, snap)
+    assert hs.n_docs == n0
+    assert Q.bm25_topk_wand(spark, hs, ["the", "merge"], 5).count() > 0

@@ -48,7 +48,16 @@ def asof_join(
     # makes <= (current row: the masked left contributes NULL anyway)
     # vs < (exclude same-ts rights via 1 PRECEDING… which also excludes
     # unordered same-ts rights — so strict mode orders rights AFTER).
-    order = [F.col(ts), F.col("_tag") if not strict else (1 - F.col("_tag"))]
+    # The payload struct is the deterministic FINAL key: when several
+    # right rows share (by, ts), F.last must carry the same one at any
+    # partitioning/run — without it the carried payload is whichever
+    # row the shuffle happened to order last. Left rows all have a NULL
+    # payload, so the extra key never reorders them.
+    order = [
+        F.col(ts),
+        F.col("_tag") if not strict else (1 - F.col("_tag")),
+        F.col("_p"),
+    ]
     w = (
         Window.partitionBy(by)
         .orderBy(*order)

@@ -326,8 +326,13 @@ class SegmentStore:
         by their own uncommitted generation), so copying the manifest
         FIRST and then the paths it names can never observe a torn
         table — a concurrent update writes only paths this manifest does
-        not reference. The snapshot is itself a complete standalone
-        store (restore = open it, or copy it back).
+        not reference. Physical paths are therefore resolved from the
+        ALREADY-READ manifest dict, never re-read from disk: a re-read
+        racing a concurrent commit could resolve a newer physical
+        version (e.g. ``segments_v3``) than the copied manifest
+        references, leaving the snapshot manifest pointing at a
+        directory that was never copied. The snapshot is itself a
+        complete standalone store (restore = open it, or copy it back).
 
         Driver-side file copy — this store's backend is a filesystem; on
         an object store the same walk maps to server-side copies, and
@@ -339,8 +344,9 @@ class SegmentStore:
         with open(os.path.join(dest_dir, "manifest.json"), "w") as f:
             json.dump(mf, f)
         copied = []
+        mf_tables = mf.get("tables", {})
         for name in self._SNAPSHOT_TABLES:
-            phys = self._resolve(name)
+            phys = mf_tables.get(name, name)
             src = self.path(phys)
             if not os.path.exists(src):
                 continue

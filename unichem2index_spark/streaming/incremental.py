@@ -181,8 +181,16 @@ def stream_percolate(
     no shuffle beyond percolate's own pair groupBy), so the stream
     sustains registry sizes that ES evaluates doc-by-doc.
 
-    availableNow trigger; the checkpoint dedupes batch replays so the
-    sink is exactly-once per (batch, doc)."""
+    availableNow trigger. Delivery contract: foreachBatch is
+    at-least-once, so the sink is made IDEMPOTENT instead — matches are
+    partitioned by batch_id and written with dynamic partition
+    overwrite, so a replay of batch N atomically replaces exactly
+    partition batch_id=N (effective exactly-once per batch, the
+    standard Spark idempotent-foreachBatch pattern). doc_id is derived
+    deterministically from row content (xxhash64(url)), never
+    monotonically_increasing_id, so the two plan branches that
+    reference ``docs`` (percolate input and the url join) agree under
+    any recomputation or repartitioning."""
     import os as _os
 
     from unichem2index_spark.operators.query import percolate
@@ -196,7 +204,7 @@ def stream_percolate(
         if batch_df.isEmpty():
             return
         docs = batch_df.select(
-            F.monotonically_increasing_id().alias("doc_id"), "text", "url"
+            F.xxhash64("url").alias("doc_id"), "text", "url"
         )
         hits = percolate(
             batch_df.sparkSession,
@@ -207,7 +215,12 @@ def stream_percolate(
         out = hits.join(docs.select("doc_id", "url"), "doc_id").select(
             "query_id", "url", F.lit(batch_id).alias("batch_id")
         )
-        out.write.mode("append").parquet(_os.path.join(out_dir, "matches"))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(_os.path.join(out_dir, "matches"))
+        )
 
     return (
         stream.writeStream.foreachBatch(process)
