@@ -1117,6 +1117,15 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- S4/S5 pipe-CSV source/sink ---------------------------------------
         "csv_roundtrip": q_csv_roundtrip,
         "stream_dedup_latest": q_stream_dedup_latest,
+        # -- round-5 additions (trail the r5 gate window; r6 candidates) ----
+        # Lee-et-al-style exact-substring duplication inventory
+        "exact_substring_dedup": _wrap(dedup.exact_substring_dedup),
+        # ES cumulative_cardinality pipeline agg, exact via first-seen
+        "cumulative_cardinality": _wrap(textstats.cumulative_cardinality),
+        # cohort retention curve over the events stream
+        "retention_cohort": _wrap(eventseq.retention_cohort),
+        # ES 8.x frequent_item_sets (2-item sets, (user, day) baskets)
+        "frequent_item_sets": _wrap(eventseq.frequent_item_sets),
     }
 
 
@@ -1549,4 +1558,13 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": oracles.BINARY_META,
         "csv_roundtrip": oracles.CSV_ROUNDTRIP,
         "stream_dedup_latest": oracles.STREAM_DEDUP_LATEST,
+        # -- round-5 additions ------------------------------------------------
+        "exact_substring_dedup": oracles.exact_substring_dedup_sql(
+            dedup.SUBSTR_W
+        ),
+        "cumulative_cardinality": oracles.CUMULATIVE_CARDINALITY,
+        "retention_cohort": oracles.RETENTION_COHORT,
+        "frequent_item_sets": oracles.frequent_item_sets_sql(
+            eventseq.FIS_SUPPORT_NUM, eventseq.FIS_SUPPORT_DEN
+        ),
     }

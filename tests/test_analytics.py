@@ -257,3 +257,33 @@ def test_top_metrics_and_string_stats(spark):
     ent = -sum(n / total * math.log2(n / total) for n in c.values())
     assert abs(ss.entropy - ent) < 1e-5
     assert 0 < ss.entropy <= math.log2(len(c)) + 1e-9  # entropy bound
+
+
+def test_cumulative_cardinality_exact(spark):
+    from unichem2index_spark.operators.textstats import cumulative_cardinality
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = cumulative_cardinality(spark, t).collect()
+    assert rows
+    # brute force: running distinct-user count per observed day, plus the
+    # carried-forward invariant on zero-new days.
+    ev = [(r.ts.date(), r.user_id) for r in t["events"].collect()]
+    days = sorted({d for d, _ in ev})
+    assert [r.bucket.date() for r in rows] == days
+    seen: set = set()
+    prev_cum = 0
+    by_day: dict = {}
+    for d, u in ev:
+        by_day.setdefault(d, []).append(u)
+    for r in rows:
+        d = r.bucket.date()
+        new = {u for u in by_day[d] if u not in seen}
+        seen.update(by_day[d])
+        assert r.n_events == len(by_day[d])
+        assert r.new_users == len(new)
+        assert r.cumulative_users == len(seen)
+        assert r.cumulative_users == prev_cum + r.new_users
+        prev_cum = r.cumulative_users

@@ -150,3 +150,44 @@ def test_pipe_csv_roundtrip(spark, tmp_path):
     with open(part) as f:
         head = f.readline()
     assert "|" in head and "o_orderkey" in head
+
+
+def test_exact_substring_dedup_recompute(spark):
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.operators.dedup import (
+        SUBSTR_W,
+        exact_substring_dedup,
+    )
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = exact_substring_dedup(spark, t).collect()
+    assert rows  # the synthetic corpus plants cross-doc duplicate passages
+
+    # brute-force recompute
+    wins_by_doc: dict = {}
+    for r in t["documents"].select("doc_id", "text").collect():
+        toks = tokenize(r.text)
+        wins_by_doc[r.doc_id] = [
+            " ".join(toks[i : i + SUBSTR_W])
+            for i in range(len(toks) - SUBSTR_W + 1)
+        ]
+    docs_of: dict = {}
+    for d, ws in wins_by_doc.items():
+        for w in set(ws):
+            docs_of.setdefault(w, set()).add(d)
+    dup_wins = {w for w, ds in docs_of.items() if len(ds) >= 2}
+    exp = {}
+    for d, ws in wins_by_doc.items():
+        nd = sum(1 for w in ws if w in dup_wins)
+        if nd:
+            exp[d] = (len(ws), nd, round(nd / len(ws), 6))
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac) for r in rows
+    }
+    assert got == exp
+    # a window duplicated only within ONE doc must not count: every flagged
+    # window set spans >= 2 docs by construction of dup_wins above (the
+    # equality with the brute force proves the operator agrees).

@@ -185,3 +185,56 @@ def test_funnel_monotone_and_recompute(spark):
         if any(et == "purchase" and ts >= c for ts, et in es):
             c3 += 1
     assert (n1, n2, n3) == (c1, c2, c3)
+
+
+def test_retention_cohort_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    rows = eventseq.retention_cohort(spark, t).collect()
+    assert rows
+    # brute-force recompute
+    days: dict = {}
+    for r in t["events"].collect():
+        days.setdefault(r.user_id, set()).add(r.ts.date())
+    first = {u: min(ds) for u, ds in days.items()}
+    exp: dict = {}
+    for u, ds in days.items():
+        for d in ds:
+            key = (first[u], (d - first[u]).days)
+            exp[key] = exp.get(key, 0) + 1
+    cohort_size = {c: n for (c, off), n in exp.items() if off == 0}
+    got = {(r.cohort_day.date(), r.offset_days): r.n_active for r in rows}
+    assert got == exp
+    for r in rows:
+        c = r.cohort_day.date()
+        assert r.cohort_size == cohort_size[c]
+        assert r.retention == round(r.n_active / cohort_size[c], 6)
+        # day-0 row is the full cohort
+        if r.offset_days == 0:
+            assert r.retention == 1.0
+        assert 0.0 < r.retention <= 1.0
+
+
+def test_frequent_item_sets_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    rows = eventseq.frequent_item_sets(spark, t).collect()
+    # brute-force recompute over (user, day) baskets
+    baskets: dict = {}
+    for r in t["events"].collect():
+        baskets.setdefault((r.user_id, r.ts.date()), set()).add(r.event_type)
+    n_total = len(baskets)
+    from itertools import combinations
+
+    cnt: dict = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    exp = {
+        p: n
+        for p, n in cnt.items()
+        if n * eventseq.FIS_SUPPORT_DEN >= n_total * eventseq.FIS_SUPPORT_NUM
+    }
+    got = {(r.item_a, r.item_b): r.n_baskets for r in rows}
+    assert got == exp
+    for r in rows:
+        assert r.item_a < r.item_b
+        assert r.support == round(r.n_baskets / n_total, 6)

@@ -385,3 +385,81 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------- exact-substring dedup
+# Fixed window granularity in tokens. Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better") mark 50-BPE-token spans
+# via a suffix array; the distributed equivalent inventories every
+# W-token window and flags windows whose exact string occurs in >= 2
+# distinct docs. 10 whitespace-tokens ~ the same character span on this
+# corpus shape.
+SUBSTR_W = 10
+
+
+def exact_substring_dedup(spark: SparkSession, t) -> DataFrame:
+    """Exact-substring duplication inventory at fixed granularity: for
+    every document, how many of its W-token windows (stride 1) also
+    appear verbatim in ANOTHER document — the per-doc summary a
+    training-data pipeline uses to cut docs with heavy boilerplate /
+    syndicated-passage overlap, and the distributed stand-in for the
+    suffix-array pass of Lee et al. 2022 (which marks the same spans,
+    just with variable length).
+
+    Scale shape: window inventory is a map-side explode (no pairs), the
+    cross-doc test is ONE hash agg on the window string (map-side
+    combined) filtered to ndocs >= 2, and the flag-back is a join on
+    that reduced frame — candidates bounded by windows that actually
+    repeat. At 100 TB, shuffle ``xxhash64(win)`` (8-byte key) instead
+    of the raw string — the digest-key trick of :func:`dedup_exact`;
+    the output (per-doc counts) is unchanged. The HOF window builder is
+    the oracle-shaped path; a high-QPS deployment swaps in an Arrow
+    ``mapInPandas`` twin exactly as ``dup_ngram_ratio_fast`` does (the
+    interpreted-HOF finding in BENCH.md).
+
+    A window duplicated only WITHIN one doc does not count (ndocs >= 2
+    is distinct docs); every duplicated POSITION counts (multiplicity
+    kept), matching span-removal accounting."""
+    d = t["documents"]
+    W_ = SUBSTR_W
+    toks = d.select("doc_id", tokens_col("text").alias("toks"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= W_,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - W_),
+                    lambda i: F.array_join(F.slice("toks", i + 1, W_), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("win"),
+    )
+    dup_wins = (
+        wins.select("win", "doc_id")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("win")
+    )
+    per_doc_tot = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    per_doc_dup = (
+        wins.join(dup_wins, "win")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        per_doc_dup.join(per_doc_tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -216,3 +216,119 @@ def funnel(
     return spark.createDataFrame(
         rows, "step int, event_type string, n_users long, pct_of_prev double"
     ).orderBy("step")
+
+
+# Cohort retention / frequent-item-sets: the two product-analytics
+# queries every event warehouse serves daily (Amplitude/Mixpanel
+# retention curves; the ES 8.x `frequent_item_sets` agg).
+
+# frequent_item_sets minimum support as an exact fraction (29/200 =
+# 0.145): the keep/drop decision compares INTEGERS (n_baskets * DEN >=
+# n_total * NUM), never a rounded float, so both engines pick the same
+# pairs regardless of division order.
+FIS_SUPPORT_NUM = 29
+FIS_SUPPORT_DEN = 200
+
+
+def retention_cohort(spark: SparkSession, t) -> DataFrame:
+    """Cohort retention curve: users grouped by first-active day (their
+    cohort), and for each day offset since that first day, how many of
+    the cohort were active again — the classic triangular retention
+    table (day-0 row = cohort size by construction).
+
+    Scale shape: first-active day is ONE hash agg on user_id; the
+    activity join is keyed on the same user_id, so the agg output's
+    partitioning is reused and only the events side shuffles once; the
+    (cohort, offset) rollup aggregates to ~cohorts x horizon rows — tiny
+    at any event count. The cohort_size window runs over those reduced
+    rows only (same bounded-window pattern as the pipeline aggs). The
+    retention ratio divides exact ints and rounds once, shared with the
+    oracle."""
+    e = t["events"].select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    firstd = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        e.join(firstd, "user_id")
+        .groupBy(
+            "cohort_day",
+            # cast: Spark datediff is INT, DuckDB date_diff is BIGINT —
+            # emit int64 on both sides (driver-canon dtype parity).
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("offset_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_day")
+    return (
+        act.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("offset_days") == 0, F.col("n_active"))
+            ).over(w),
+        )
+        .select(
+            "cohort_day",
+            "offset_days",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+def frequent_item_sets(spark: SparkSession, t) -> DataFrame:
+    """ES 8.x ``frequent_item_sets`` aggregation (2-item sets): which
+    event-type pairs co-occur in the same basket — basket = (user_id,
+    day) — with support >= FIS_SUPPORT_NUM/FIS_SUPPORT_DEN. The ES agg
+    runs Eclat over transactions; for pair-size itemsets the exact
+    answer is one self-join on the basket key over the DEDUPLICATED
+    (basket, item) frame.
+
+    Scale shape: the distinct (basket, item) frame is bounded by
+    baskets x item-vocabulary (event types — tens, not millions), so
+    the self-join fan-out per basket is C(items_in_basket, 2), a small
+    constant; one shuffle on the basket key, then a hash agg onto the
+    pair space (|types|^2 rows at most). No all-pairs over users or
+    events. The support threshold compares exact integers (see
+    FIS_SUPPORT_*), so engines can't disagree at the boundary."""
+    b = (
+        t["events"]
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .distinct()
+    )
+    tot = b.select("user_id", "day").distinct().select(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("bb"), ["user_id", "day"])
+        .where(F.col("a.event_type") < F.col("bb.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("bb.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("n_baskets") * F.lit(FIS_SUPPORT_DEN)
+            >= F.col("n_total") * F.lit(FIS_SUPPORT_NUM)
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            F.round(F.col("n_baskets") / F.col("n_total"), 6).alias("support"),
+        )
+        .orderBy("item_a", "item_b")
+    )

@@ -1225,3 +1225,47 @@ def string_stats_agg(spark: SparkSession, t) -> DataFrame:
         ).alias("avg_length"),
         F.round("entropy", 6).alias("entropy"),
     )
+
+
+def cumulative_cardinality(spark: SparkSession, t) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline aggregation over a daily
+    date-histogram of events: per bucket, the running count of DISTINCT
+    user_ids seen so far — "total unique users to date", the canonical
+    growth-dashboard line.
+
+    ES computes this by merging per-bucket HLL sketches, so its answer
+    is approximate. The distributed-EXACT form is the first-seen
+    transform: cumulative cardinality at bucket b == the number of keys
+    whose FIRST appearance is <= b, so ONE hash agg per user (min
+    bucket), one tiny rollup onto buckets, and a running sum over those
+    reduced rows replaces any distinct-within-prefix scan. That is also
+    the scalable form — the heavy agg is keyed on user_id (map-side
+    combined), and the only window runs over ~|buckets| rows (the
+    bounded-window pattern shared with the other pipeline aggs).
+
+    Buckets follow the histogram's min_doc_count=1 semantics (all
+    OBSERVED buckets emit a row, even when no new user arrives —
+    new_users=0, running total carried forward), exactly as the ES
+    pipeline emits a value per parent bucket."""
+    e = t["events"]
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    hist = e.groupBy(day).agg(F.count(F.lit(1)).alias("n_events"))
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("bucket")
+    )
+    new_users = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.join(new_users, "bucket", "left")
+        .select(
+            "bucket",
+            "n_events",
+            F.coalesce(F.col("new_users"), F.lit(0).cast("long")).alias(
+                "new_users"
+            ),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .orderBy("bucket")
+    )

@@ -3487,3 +3487,115 @@ SELECT l.cnt AS count,
              + e.nlogn / CAST(e.total AS DOUBLE), 6) AS entropy
 FROM lens l CROSS JOIN ent e
 """
+
+
+def exact_substring_dedup_sql(w: int) -> str:
+    """Fixed-granularity exact-substring inventory: identical window
+    construction as operators/dedup.py::exact_substring_dedup (DuckDB
+    list slices are 1-based inclusive, so toks[i+1 : i+w] is the same w
+    tokens as Spark's slice(toks, i+1, w))."""
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+wins AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= {w} THEN
+      list_transform(range(len(toks) - {w - 1}),
+        i -> array_to_string(toks[i + 1 : i + {w}], ' '))
+    ELSE CAST([] AS VARCHAR[]) END
+  ) AS win
+  FROM tokd
+),
+dup_wins AS (
+  SELECT win FROM (SELECT DISTINCT win, doc_id FROM wins)
+  GROUP BY win HAVING count(*) >= 2
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id
+),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM wins
+  WHERE win IN (SELECT win FROM dup_wins) GROUP BY doc_id
+)
+SELECT d.doc_id, t.n_windows, d.n_dup_windows,
+       round(d.n_dup_windows * 1.0 / t.n_windows, 6) AS dup_frac
+FROM dup d JOIN tot t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+CUMULATIVE_CARDINALITY = """
+WITH hist AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT user_id,
+         min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS bucket
+  FROM events GROUP BY user_id
+),
+nu AS (
+  SELECT bucket, count(*) AS new_users FROM f GROUP BY bucket
+)
+SELECT h.bucket, h.n_events, COALESCE(nu.new_users, 0) AS new_users,
+       CAST(sum(COALESCE(nu.new_users, 0))
+            OVER (ORDER BY h.bucket) AS BIGINT) AS cumulative_users
+FROM hist h LEFT JOIN nu USING (bucket)
+ORDER BY bucket
+"""
+
+
+RETENTION_COHORT = """
+WITH e AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+f AS (
+  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+),
+act AS (
+  SELECT cohort_day, date_diff('day', cohort_day, day) AS offset_days,
+         count(DISTINCT e.user_id) AS n_active
+  FROM e JOIN f USING (user_id) GROUP BY 1, 2
+),
+sized AS (
+  SELECT cohort_day, offset_days, n_active,
+         max(CASE WHEN offset_days = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_day) AS cohort_size
+  FROM act
+)
+SELECT cohort_day, offset_days, n_active, cohort_size,
+       round(n_active * 1.0 / cohort_size, 6) AS retention
+FROM sized
+ORDER BY cohort_day, offset_days
+"""
+
+
+def frequent_item_sets_sql(support_num: int, support_den: int) -> str:
+    """2-item frequent-item-sets over (user, day) baskets; the support
+    threshold compares exact integers, same as the Spark operator."""
+    return f"""
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  event_type
+  FROM events
+),
+tot AS (
+  SELECT count(*) AS n_total
+  FROM (SELECT DISTINCT user_id, day FROM b)
+),
+p AS (
+  SELECT a.event_type AS item_a, bb.event_type AS item_b,
+         count(*) AS n_baskets
+  FROM b a JOIN b bb USING (user_id, day)
+  WHERE a.event_type < bb.event_type
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_baskets,
+       round(n_baskets * 1.0 / tot.n_total, 6) AS support
+FROM p, tot
+WHERE n_baskets * {support_den} >= tot.n_total * {support_num}
+ORDER BY item_a, item_b
+"""
