@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from unichem2index_spark import oracles
 from unichem2index_spark.functions import esql as esql_mod
+from unichem2index_spark.functions import hashing
 from unichem2index_spark.functions.tokenize import tokens_col
 from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
 from unichem2index_spark.operators import eventseq, ingestpipe, parentchild
@@ -1126,6 +1127,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohort": _wrap(eventseq.retention_cohort),
         # ES 8.x frequent_item_sets (2-item sets, (user, day) baskets)
         "frequent_item_sets": _wrap(eventseq.frequent_item_sets),
+        # connected components over the MinHash-LSH near-dup graph
+        "neardup_clusters": _wrap(dedup.neardup_clusters),
+        # cluster resolution: keep the longest doc per near-dup cluster
+        "dedup_keep_best": _wrap(dedup.dedup_keep_best),
+        # deterministic global training-order permutation (no global sort)
+        "training_order": _wrap(trainprep.training_order),
+        # per-doc top-3 tf-idf keywords
+        "tfidf_keywords": _wrap(textstats.tfidf_keywords),
     }
 
 
@@ -1567,4 +1576,10 @@ def oracle_sql() -> dict[str, str]:
         "frequent_item_sets": oracles.frequent_item_sets_sql(
             eventseq.FIS_SUPPORT_NUM, eventseq.FIS_SUPPORT_DEN
         ),
+        "neardup_clusters": oracles.neardup_clusters_sql(),
+        "dedup_keep_best": oracles.dedup_keep_best_sql(),
+        "training_order": oracles.training_order_sql(
+            hashing.MOD, hashing.FP_MULT
+        ),
+        "tfidf_keywords": oracles.tfidf_keywords_sql(),
     }

@@ -287,3 +287,41 @@ def test_cumulative_cardinality_exact(spark):
         assert r.cumulative_users == len(seen)
         assert r.cumulative_users == prev_cum + r.new_users
         prev_cum = r.cumulative_users
+
+
+def test_tfidf_keywords_recompute(spark):
+    import math
+
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.operators.textstats import tfidf_keywords
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = tfidf_keywords(spark, t).collect()
+
+    docs = {
+        r.doc_id: tokenize(r.text)
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    n = len(docs)
+    dfreq: dict = {}
+    for toks in docs.values():
+        for term in set(toks):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    exp = {}
+    for d, toks in docs.items():
+        tf: dict = {}
+        for w in toks:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            (
+                (-(c / len(toks)) * math.log(n / dfreq[w]), w, c)
+                for w, c in tf.items()
+            ),
+        )[:3]
+        for rk, (neg, w, c) in enumerate(scored, 1):
+            exp[(d, rk)] = (w, c, round(-neg, 6))
+    got = {(r.doc_id, r.rk): (r.term, r.tf, r.score) for r in rows}
+    assert got == exp

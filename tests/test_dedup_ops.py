@@ -191,3 +191,67 @@ def test_exact_substring_dedup_recompute(spark):
     # a window duplicated only within ONE doc must not count: every flagged
     # window set spans >= 2 docs by construction of dup_wins above (the
     # equality with the brute force proves the operator agrees).
+
+
+def test_neardup_clusters_union_find(spark):
+    from unichem2index_spark.operators.dedup import (
+        dedup_keep_best,
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(spark, t).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs  # the synthetic corpus plants near-dups
+
+    # brute-force union-find over the same pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), set()).add(x)
+    exp = {}
+    for root, members in comp.items():
+        cid = min(members)
+        for m in members:
+            exp[m] = (cid, len(members))
+
+    rows = neardup_clusters(spark, t).collect()
+    got = {r.doc_id: (r.cluster_id, r.cluster_size) for r in rows}
+    assert got == exp
+    for r in rows:
+        assert r.cluster_size >= 2  # every node has degree >= 1
+
+    # keep-best: exactly one keeper per cluster = longest doc, tie min id
+    kb = dedup_keep_best(spark, t).collect()
+    doclen = {
+        r.doc_id: len(tokenize(r.text))
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    by_cluster: dict = {}
+    for r in kb:
+        assert doclen[r.doc_id] == r.doclen
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(by_cluster) == {cid for cid, _ in exp.values()}
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r.keep == 1]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-r.doclen, r.doc_id))
+        assert keepers[0].doc_id == best.doc_id

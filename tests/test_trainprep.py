@@ -369,3 +369,40 @@ def test_quality_filter_fast_is_value_identical(spark):
         for r in trainprep.quality_filter_fast(spark, t).collect()
     ]
     assert slow == fast
+
+
+def test_training_order_permutation(spark):
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+    from unichem2index_spark.operators.trainprep import training_order
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = training_order(spark, t).collect()
+    ids = [r.doc_id for r in t["documents"].select("doc_id").collect()]
+    assert len(rows) == len(ids)
+    # bijection over doc_ids, dense rank 0..n-1
+    assert sorted(r.doc_id for r in rows) == sorted(ids)
+    assert sorted(r.train_order for r in rows) == list(range(len(ids)))
+    # rank == position when sorted by the permutation key (keys unique:
+    # the map is injective below prime MOD)
+    perm = {i: ((i % MOD + 1) * FP_MULT) % MOD for i in ids}
+    assert len(set(perm.values())) == len(ids)
+    exp_order = [i for i, _ in sorted(perm.items(), key=lambda kv: kv[1])]
+    got = {r.train_order: r.doc_id for r in rows}
+    assert [got[k] for k in range(len(ids))] == exp_order
+    for r in rows:
+        assert r.perm_key == perm[r.doc_id]
+
+    # partition invariance: identical assignment at another parallelism
+    rows2 = (
+        training_order(
+            spark,
+            {"documents": t["documents"].repartition(7)},
+        )
+        .collect()
+    )
+    assert {(r.doc_id, r.train_order) for r in rows2} == {
+        (r.doc_id, r.train_order) for r in rows
+    }

@@ -463,3 +463,152 @@ def exact_substring_dedup(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- near-dup cluster resolution
+def neardup_clusters(
+    spark: SparkSession, t, threshold: float = 0.8, max_iters: int = 30
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    every doc that appears in a verified pair gets ``cluster_id`` = the
+    smallest doc_id reachable from it. Pair-finding alone
+    (:func:`minhash_lsh_pairs`) is not dedup — A~B and B~C must fold
+    into ONE group {A,B,C} before a keeper can be chosen, and the fold
+    is a graph connectivity problem (the step between "candidate pairs"
+    and "drop list" in every production near-dedup pipeline).
+
+    Algorithm: hash-min label propagation — every node starts labeled
+    with itself; each round takes the min of its own label and its
+    neighbors' labels; converged when no label changes. Each round is
+    ONE join (edges ⋈ labels, keyed on doc_id) + ONE map-side-combined
+    min-agg over a frame of O(|V| + |E|) rows, and the round count is
+    the graph DIAMETER — near-dup components are small and dense
+    (near-cliques of rewrites/mirrors), so diameter is single-digit in
+    practice even at web scale. For adversarial long-chain graphs the
+    drop-in upgrade is large-star/small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond"), which contracts in
+    O(log^2 n) rounds using the same join-shape; the per-round plan
+    here is already that shape. Labels are persisted per round
+    (lineage would otherwise double each iteration) and the previous
+    round's cache is released immediately.
+
+    Lineage discipline: each round references the previous labels
+    TWICE (neighbor-min join + carry-forward), so the logical plan
+    doubles per iteration — a plain persist leaves an exponentially
+    growing plan that OOMs the driver on stringification long before
+    the data does. Every round therefore cuts lineage with an eager
+    ``localCheckpoint`` (the canonical Spark idiom for iterative
+    algorithms); a fault-tolerant cluster run sets
+    ``spark.sparkContext.setCheckpointDir`` and swaps in
+    ``checkpoint()`` — same plan shape, replicated storage.
+
+    Output: one row per CLUSTERED doc (docs with no near-dup are
+    absent — every node has degree >= 1 by construction, so every
+    cluster has >= 2 members), deterministic under any partitioning:
+    labels are min-folds, no order sensitivity anywhere."""
+    p = minhash_lsh_pairs(spark, t, threshold)
+    pinned = getattr(p, "_u2i_persisted", None)
+    pairs = p.select("doc_a", "doc_b").persist()
+    pairs.count()
+    if pinned is not None:
+        pinned.unpersist()
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges["doc_b"] == labels["id"])
+            .groupBy("doc_a")
+            .agg(F.min("lab").alias("nb_lab"))
+        )
+        new = (
+            labels.join(nb, labels["id"] == nb["doc_a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lab"), F.coalesce("nb_lab", F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters: no fixpoint in {max_iters} rounds"
+        )
+    # the result reads only the final (persisted) labels — the pair
+    # graph is done the moment the fixpoint confirms
+    pairs.unpersist()
+    sizes = labels.groupBy("lab").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    out = (
+        labels.join(sizes, "lab")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lab").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+    out._u2i_persisted = labels  # type: ignore[attr-defined]
+    return out
+
+
+def dedup_keep_best(
+    spark: SparkSession, t, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup cluster RESOLUTION: within each connected component of
+    the near-dup graph, keep exactly one document — the longest (the
+    standard keep-the-most-complete-version heuristic; mirrors and
+    truncated syndications lose), ties broken by smallest doc_id. The
+    output is the keep/drop decision sheet a pipeline anti-joins
+    against the corpus.
+
+    Scale shape: everything up to the cluster frame is
+    :func:`neardup_clusters`; the keeper choice is ONE window
+    partitioned by cluster_id over cluster-sized groups (near-dup
+    clusters are small — bounded per-task state), never a global
+    sort."""
+    cl = neardup_clusters(spark, t, threshold)
+    pinned = getattr(cl, "_u2i_persisted", None)
+    d = t["documents"].select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("doclen")
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("doclen"), F.asc("doc_id")
+    )
+    out = (
+        cl.join(d, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "doclen",
+            F.when(F.col("rk") == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+    out._u2i_persisted = pinned  # type: ignore[attr-defined]
+    return out

@@ -1269,3 +1269,50 @@ def cumulative_cardinality(spark: SparkSession, t) -> DataFrame:
         .withColumn("cumulative_users", F.sum("new_users").over(w))
         .orderBy("bucket")
     )
+
+
+def tfidf_keywords(spark: SparkSession, t, k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms by tf-idf
+    (tf normalized by doc length; idf = ln(N/df)) — the classic
+    document-summarization / tagging primitive, and the exact-scoring
+    sibling of the BM25 statistics the index already maintains.
+
+    Scale shape: two hash aggs (per-(doc,term) tf and per-term df —
+    both map-side combined), one join back on term (the df frame is
+    vocabulary-sized: AQE broadcasts it while small, degrades to a
+    shuffle join at web-scale vocabularies — both correct), and the
+    top-k window partitioned BY DOC (parallel per key, heap-sized
+    state). Determinism: score is one fixed-shape double expression of
+    integer inputs — distinct (tf, doclen, df) triples are separated
+    far beyond ulp, equal triples give bit-equal doubles in both
+    engines, and the tie then falls to the term — so Spark and the
+    oracle rank identically."""
+    d = t["documents"]
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") / F.col("doclen"))
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            "term",
+            "tf",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id", "rk")
+    )

@@ -522,3 +522,40 @@ def quality_filter_fast(spark: SparkSession, t) -> DataFrame:
         "doc_id long, n_tokens int, mean_tok_len double, dup_ratio double, "
         "stop_hits int, failed_rules string, keep boolean",
     ).orderBy("doc_id")
+
+
+def training_order(spark: SparkSession, t) -> DataFrame:
+    """Deterministic global training-order shuffle: a reproducible
+    pseudorandom permutation of the corpus — the order documents are
+    fed to the trainer. Seeded ``orderBy(rand())`` is partitioning-
+    dependent; this permutation is a pure function of doc_id
+    (``((doc_id % M + 1) * FP_MULT) % M``, M prime, gcd(FP_MULT,M)=1 so
+    the map is injective below M — no tie exists), hence bit-identical
+    across re-runs, partitionings, and cluster sizes, and any corpus
+    SUBSET keeps its relative order (resumable epochs).
+
+    The rank is materialized by the same order-preserving-bucket
+    prefix-sum machinery the ingest path uses for doc_id assignment
+    (``operators/ingest.py::assign_doc_ids`` — NO global window, no
+    single-partition sort: buckets rank in parallel and shift by
+    driver-side per-bucket offsets). At 100 TB the production form
+    skips the explicit rank entirely: ``repartitionByRange(perm_key)``
+    + ``sortWithinPartitions`` + write, files emerge in permuted order;
+    the rank column here exists so the permutation is hash-checkable
+    against the oracle's ``row_number() OVER (ORDER BY perm_key)``."""
+    from unichem2index_spark.operators.ingest import assign_doc_ids
+
+    d = t["documents"]
+    perm = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    base = d.select(
+        F.col("doc_id").alias("orig_doc_id"),
+        perm.alias("perm_key"),
+        # lexicographic rank key == numeric order (MOD < 10^10)
+        F.lpad(perm.cast("string"), 10, "0").alias("perm_str"),
+    )
+    ranked = assign_doc_ids(base, key="perm_str")
+    return ranked.select(
+        F.col("orig_doc_id").alias("doc_id"),
+        "perm_key",
+        F.col("doc_id").alias("train_order"),
+    ).orderBy("train_order")

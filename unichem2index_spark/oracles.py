@@ -3599,3 +3599,100 @@ FROM p, tot
 WHERE n_baskets * {support_den} >= tot.n_total * {support_num}
 ORDER BY item_a, item_b
 """
+
+
+def _neardup_cc_ctes(threshold: float) -> str:
+    """Shared CTE chain: minhash pairs (verbatim reuse of
+    minhash_lsh_sql — same pairs by construction) -> undirected edges
+    -> transitive-closure reachability -> components labeled by min
+    reachable doc_id. DuckDB evaluates the recursive member with UNION
+    set-semantics, so reach terminates at the closure."""
+    return f"""pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_lsh_sql(threshold)})
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.id
+),
+cc AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)"""
+
+
+def neardup_clusters_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH RECURSIVE {_neardup_cc_ctes(threshold)},
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+FROM cc JOIN sz USING (cluster_id)
+ORDER BY cluster_id, doc_id
+"""
+
+
+def dedup_keep_best_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH RECURSIVE {_neardup_cc_ctes(threshold)},
+lens AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS doclen FROM documents),
+j AS (
+  SELECT cc.doc_id, cc.cluster_id, l.doclen
+  FROM cc JOIN lens l USING (doc_id)
+),
+rnk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY doclen DESC, doc_id) AS rk
+  FROM j
+)
+SELECT doc_id, cluster_id, doclen,
+       CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM rnk
+ORDER BY cluster_id, doc_id
+"""
+
+
+def training_order_sql(mod: int, mult: int) -> str:
+    """Same injective permutation expression as
+    operators/trainprep.py::training_order; the oracle ranks by ONE
+    global row_number (fine at oracle scale — the Spark side ranks via
+    the parallel prefix-sum machinery)."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, ((doc_id % {mod} + 1) * {mult}) % {mod} AS perm_key
+  FROM documents
+)
+SELECT doc_id, perm_key,
+       CAST(row_number() OVER (ORDER BY perm_key) - 1 AS BIGINT)
+         AS train_order
+FROM p
+ORDER BY train_order
+"""
+
+
+def tfidf_keywords_sql(k: int = 3) -> str:
+    """Identical fixed-shape double expression as
+    operators/textstats.py::tfidf_keywords — integer inputs, so equal
+    scores are bit-equal in both engines and ties fall to the term."""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tok GROUP BY 1),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         (CAST(tf.tf AS DOUBLE) / dl.doclen)
+           * ln(CAST(n.n_docs AS DOUBLE) / dfq.df) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+),
+rnk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf,
+       round(score, 6) AS score
+FROM rnk WHERE rk <= {k}
+ORDER BY doc_id, rk
+"""
