@@ -1135,6 +1135,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": _wrap(trainprep.training_order),
         # per-doc top-3 tf-idf keywords
         "tfidf_keywords": _wrap(textstats.tfidf_keywords),
+        # Arrow twin of exact_substring_dedup (same oracle)
+        "exact_substring_dedup_fast": _wrap(dedup.exact_substring_dedup_fast),
+        # ES percentiles_bucket pipeline agg (daily event counts)
+        "percentiles_bucket": _wrap(textstats.percentiles_bucket),
     }
 
 
@@ -1582,4 +1586,9 @@ def oracle_sql() -> dict[str, str]:
             hashing.MOD, hashing.FP_MULT
         ),
         "tfidf_keywords": oracles.tfidf_keywords_sql(),
+        # the fast twin answers to the SAME oracle as the slow path
+        "exact_substring_dedup_fast": oracles.exact_substring_dedup_sql(
+            dedup.SUBSTR_W
+        ),
+        "percentiles_bucket": oracles.PERCENTILES_BUCKET,
     }

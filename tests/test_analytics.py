@@ -325,3 +325,27 @@ def test_tfidf_keywords_recompute(spark):
             exp[(d, rk)] = (w, c, round(-neg, 6))
     got = {(r.doc_id, r.rk): (r.term, r.tf, r.score) for r in rows}
     assert got == exp
+
+
+def test_percentiles_bucket_recompute(spark):
+    from unichem2index_spark.operators.textstats import percentiles_bucket
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    row = percentiles_bucket(spark, t).collect()[0]
+    counts: dict = {}
+    for r in t["events"].collect():
+        d = r.ts.date()
+        counts[d] = counts.get(d, 0) + 1
+    vals = sorted(counts.values())
+    assert row.n_buckets == len(vals)
+    assert row.min_bucket == vals[0] and row.max_bucket == vals[-1]
+
+    def q(p):
+        i = (len(vals) - 1) * p
+        lo, hi = int(i), min(int(i) + 1, len(vals) - 1)
+        return round(vals[lo] + (vals[hi] - vals[lo]) * (i - lo), 6)
+
+    assert (row.p25, row.p50, row.p75) == (q(0.25), q(0.5), q(0.75))

@@ -435,6 +435,13 @@ def exact_substring_dedup(spark: SparkSession, t) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("win"),
     )
+    return _substring_doc_summary(wins)
+
+
+def _substring_doc_summary(wins: DataFrame) -> DataFrame:
+    """Shared tail of the exact-substring inventory: cross-doc dup test
+    (ONE map-side-combined hash agg, ndocs >= 2), per-doc totals, and
+    the flag-back join on the reduced dup set."""
     dup_wins = (
         wins.select("win", "doc_id")
         .distinct()
@@ -463,6 +470,44 @@ def exact_substring_dedup(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def exact_substring_dedup_fast(spark: SparkSession, t) -> DataFrame:
+    """The measured fast path for :func:`exact_substring_dedup` —
+    IDENTICAL values (same tokenizer, same window construction, same
+    rounding; checked against the SAME DuckDB oracle), but the window
+    inventory is built in an Arrow-batched ``mapInPandas`` instead of
+    the interpreted ``transform(sequence(...), slice ...)`` HOF chain
+    (Catalyst array HOFs are not whole-stage-codegen'd — the 23x
+    finding of ``dup_ngram_ratio_fast``, BENCH.md). The shuffle-side
+    plan (dup-window agg + flag-back join) is byte-identical to the
+    declarative path via the shared tail.
+
+    At 100 TB the Python side additionally emits ``xxhash64(win)``
+    digests instead of raw strings (8-byte shuffle keys, same counts);
+    the string form here keeps the oracle shared with the slow path."""
+    import re as _re
+
+    import pandas as pd
+
+    docs = t["documents"].select("doc_id", "text")
+    W_ = SUBSTR_W
+
+    def fn(batches):
+        pat = _re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            ids: list = []
+            ws: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = pat.findall(text.lower())
+                n = len(toks) - W_ + 1
+                for i in range(max(n, 0)):
+                    ids.append(doc_id)
+                    ws.append(" ".join(toks[i : i + W_]))
+            yield pd.DataFrame({"doc_id": ids, "win": ws})
+
+    wins = docs.mapInPandas(fn, "doc_id long, win string")
+    return _substring_doc_summary(wins)
 
 
 # ------------------------------------------- near-dup cluster resolution

@@ -1316,3 +1316,27 @@ def tfidf_keywords(spark: SparkSession, t, k: int = 3) -> DataFrame:
         )
         .orderBy("doc_id", "rk")
     )
+
+
+def percentiles_bucket(spark: SparkSession, t) -> DataFrame:
+    """ES ``percentiles_bucket`` pipeline aggregation: percentiles OF A
+    SIBLING METRIC ACROSS BUCKETS — here the daily event count over the
+    events date-histogram ("what does a typical / heavy day look
+    like"). Unlike the `percentiles` agg (over raw values), the
+    pipeline form runs over the REDUCED bucket frame (~|days| rows), so
+    the exact interpolated percentile is free at any event count: the
+    heavy lifting is ONE map-side-combined count per day; the
+    percentile runs driver-scale. Same linear (n-1)*q interpolation as
+    DuckDB's quantile_cont (the doclen_percentiles precedent)."""
+    e = t["events"]
+    hist = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.expr("percentile(n_events, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_events, 0.75)"), 6).alias("p75"),
+        F.min("n_events").alias("min_bucket"),
+        F.max("n_events").alias("max_bucket"),
+    )

@@ -3696,3 +3696,19 @@ SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf,
 FROM rnk WHERE rk <= {k}
 ORDER BY doc_id, rk
 """
+
+
+PERCENTILES_BUCKET = """
+WITH hist AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT count(*) AS n_buckets,
+       round(quantile_cont(n_events, 0.25), 6) AS p25,
+       round(quantile_cont(n_events, 0.5), 6) AS p50,
+       round(quantile_cont(n_events, 0.75), 6) AS p75,
+       min(n_events) AS min_bucket,
+       max(n_events) AS max_bucket
+FROM hist
+"""
