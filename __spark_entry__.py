@@ -1139,6 +1139,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup_fast": _wrap(dedup.exact_substring_dedup_fast),
         # ES percentiles_bucket pipeline agg (daily event counts)
         "percentiles_bucket": _wrap(textstats.percentiles_bucket),
+        # ES ingest-node grok processor (named captures -> new fields)
+        "grok_pipeline": lambda s, d: ingestpipe.ingest_pipeline_simulate(
+            s, load_tables(s, d), ingestpipe.GROK_PIPELINE
+        ),
     }
 
 
@@ -1591,4 +1595,7 @@ def oracle_sql() -> dict[str, str]:
             dedup.SUBSTR_W
         ),
         "percentiles_bucket": oracles.PERCENTILES_BUCKET,
+        "grok_pipeline": oracles.ingest_pipeline_sql(
+            ingestpipe.GROK_PIPELINE
+        ),
     }

@@ -27,6 +27,17 @@ DOC_PIPELINE: list[dict] = [
     {"rename": {"field": "n_chars", "target_field": "char_count"}},
 ]
 
+# Grok demo pipeline (ES ingest-node `grok` processor): structure the
+# text's lead bigram and decompose the source key, ES-style — named
+# captures become new fields, source fields kept then pruned.
+GROK_PIPELINE: list[dict] = [
+    {"grok": {"field": "text",
+              "pattern": "%{WORD:first_word} %{WORD:second_word}"}},
+    {"grok": {"field": "source",
+              "pattern": "%{ALPHA:src_family}%{INT:src_idx}"}},
+    {"remove": {"field": "text"}},
+]
+
 
 def ingest_pipeline_simulate(
     spark: SparkSession, t, procs: list[dict] | None = None
