@@ -1143,6 +1143,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_pipeline": lambda s, d: ingestpipe.ingest_pipeline_simulate(
             s, load_tables(s, d), ingestpipe.GROK_PIPELINE
         ),
+        # ES moving_percentiles pipeline agg (trailing-window p50/p90)
+        "moving_percentiles": _wrap(textstats.moving_percentiles),
+        # FAISS-style product quantization ANN (ADC + exact rerank);
+        # approximate by design -> rows-only + recall pytest
+        "cosine_topk_pq": _wrap(similarity.cosine_topk_pq),
     }
 
 
@@ -1597,5 +1602,8 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_bucket": oracles.PERCENTILES_BUCKET,
         "grok_pipeline": oracles.ingest_pipeline_sql(
             ingestpipe.GROK_PIPELINE
+        ),
+        "moving_percentiles": oracles.moving_percentiles_sql(
+            textstats.MOVING_PCT_WINDOW
         ),
     }

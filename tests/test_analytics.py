@@ -349,3 +349,36 @@ def test_percentiles_bucket_recompute(spark):
         return round(vals[lo] + (vals[hi] - vals[lo]) * (i - lo), 6)
 
     assert (row.p25, row.p50, row.p75) == (q(0.25), q(0.5), q(0.75))
+
+
+def test_moving_percentiles_recompute(spark):
+    from unichem2index_spark.operators.textstats import (
+        MOVING_PCT_WINDOW,
+        moving_percentiles,
+    )
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = moving_percentiles(spark, t).collect()
+    counts: dict = {}
+    for r in t["events"].collect():
+        d = r.ts.date()
+        counts[d] = counts.get(d, 0) + 1
+    days = sorted(counts)
+    assert [r.bucket.date() for r in rows] == days
+
+    def q(vals, p):
+        vals = sorted(vals)
+        i = (len(vals) - 1) * p
+        lo, hi = int(i), min(int(i) + 1, len(vals) - 1)
+        return round(vals[lo] + (vals[hi] - vals[lo]) * (i - lo), 6)
+
+    for idx, r in enumerate(rows):
+        wvals = [
+            counts[d]
+            for d in days[max(0, idx - MOVING_PCT_WINDOW + 1) : idx + 1]
+        ]
+        assert r.n_events == counts[days[idx]]
+        assert (r.moving_p50, r.moving_p90) == (q(wvals, 0.5), q(wvals, 0.9))

@@ -24,6 +24,7 @@ ROWS_ONLY = {
     "delete_by_query_lifecycle",
     "cosine_topk_sq",
     "doclen_percentiles_approx",
+    "cosine_topk_pq",
 }
 
 

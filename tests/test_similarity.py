@@ -166,3 +166,31 @@ def test_sq_recall_vs_bruteforce(spark):
     }
     for r in similarity.cosine_topk_sq(spark, t, k=10, rerank=30).collect():
         assert bcos[(r.query_id, r.vec_id)] == r.cosine
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """IVF-PQ's scoring half: 8x16 product quantization (64x
+    compression) + ADC + exact rerank. Measured recall@10: 0.72 mean at
+    sf0.01, 0.60 at sf0.001 (4-bit codes over random-ish synthetic
+    embeddings — FAISS-typical for this code budget)."""
+    t = load_tables(spark, SF_CORRECT)
+    brute = {}
+    for r in similarity.cosine_topk_bruteforce(spark, t, k=10).collect():
+        brute.setdefault(r.query_id, []).append(r.vec_id)
+    pq_rows = similarity.cosine_topk_pq(spark, t, k=10).collect()
+    pq = {}
+    for r in pq_rows:
+        pq.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(pq) == set(brute)
+    hits = total = 0
+    for q, ids in brute.items():
+        hits += len(set(ids) & set(pq[q]))
+        total += len(ids)
+    assert hits / total >= 0.5, f"PQ recall {hits}/{total}"
+    # Exact rerank: every returned cosine is the true cosine.
+    bcos = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in similarity.cosine_topk_bruteforce(spark, t, k=500).collect()
+    }
+    for r in pq_rows:
+        assert bcos[(r.query_id, r.vec_id)] == r.cosine

@@ -699,3 +699,186 @@ def cosine_radius(
         scored.where(F.col("cosine") >= min_cosine)
         .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
     )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iters: int = 3,
+    sample_stride: int = 1,
+) -> list[list[list[float]]]:
+    """PQ codebook training (FAISS ``ProductQuantizer.train`` shape):
+    split the dim axis into ``m`` subspaces and run k-means with ``ks``
+    centroids INSIDE each subspace, on a deterministic bounded corpus
+    sample (``vec_id % stride == 0`` — like the IVF quantizer, training
+    never sees the full corpus; the sample is a few thousand rows at ANY
+    scale, so the driver-side numpy Lloyd loop is bounded by
+    construction). Init = the ``ks`` lowest-vec_id sample subvectors;
+    empty clusters keep their previous centroid. Returns
+    ``[sub][centroid][dim]`` floats — m x ks x (dim/m), broadcast-sized
+    (for 64-dim/8x16: 1 KiB)."""
+    import numpy as np
+
+    rows = (
+        emb.where((F.col("vec_id") % sample_stride) == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([list(r.v) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:ks].copy()
+        for _ in range(n_iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(ks):
+                sel = Xs[a == j]
+                if len(sel):
+                    C[j] = sel.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def cosine_topk_pq(
+    spark: SparkSession,
+    t,
+    n_queries: int = 5,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 50,
+) -> DataFrame:
+    """Approximate cosine top-k via PRODUCT QUANTIZATION with
+    asymmetric-distance (ADC) scoring — the FAISS PQ/IVF-PQ memory-scale
+    workhorse (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"): each vector stores only ``m`` 4-bit codes
+    (64-dim float32 256 B -> 4 B, 64x — the compression that puts 10^12
+    vectors in cluster memory where SQ8's 4x cannot).
+
+    ADC is the part worth copying: because subspaces are orthogonal,
+    ``dot(q, vhat) = sum_sub LUT_dot[sub][code]`` and ``|vhat|^2 =
+    sum_sub LUT_norm[sub][code]`` — so scoring a corpus row is m array
+    lookups + adds, never a reconstruction. LUT_norm is a global
+    literal from the codebooks; LUT_dot is computed per query AS A
+    COLUMN (one transform over the codebook literal), so the whole
+    scoring pass is JVM expressions over the codes frame with the tiny
+    query+LUT frame broadcast — no Python workers, no shuffle beyond
+    the final per-query top-k. Stage 2 re-fetches floats for the
+    ``rerank`` ADC survivors only and reranks exactly (the SQ8
+    two-stage contract). Encoding is a map-side argmin over the
+    codebook literal (one scan). Approximate by design -> rows-only
+    correctness + recall@k pytest vs the brute-force spine."""
+    emb = t["embeddings"].select("vec_id", _as_double("embedding").alias("v"))
+    corpus = emb.where(F.col("vec_id") >= n_queries)
+    n_corpus = corpus.count()
+    stride = max(1, n_corpus // 4000)
+    books = train_pq_codebooks(
+        corpus, m=m, ks=ks, sample_stride=stride
+    )
+    dsub = len(books[0][0])
+
+    # codebook literal: array of per-sub struct(off, cents=array<array>)
+    book_lit = F.array(*[
+        F.struct(
+            F.lit(s * dsub).alias("off"),
+            F.array(*[
+                F.array(*[F.lit(x) for x in c]) for c in books[s]
+            ]).alias("cents"),
+        )
+        for s in range(m)
+    ])
+    # ||c||^2 LUT (global literal, m x ks)
+    lut_norm = F.array(*[
+        F.array(*[
+            F.lit(sum(x * x for x in c)) for c in books[s]
+        ])
+        for s in range(m)
+    ])
+
+    def _sub_dist(sub_v, c):
+        return F.aggregate(
+            F.zip_with(sub_v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    # encode: per subspace, argmin over centroids (struct array_min)
+    code = F.transform(
+        book_lit,
+        lambda b: F.array_min(
+            F.transform(
+                b["cents"],
+                lambda c, j: F.struct(
+                    _sub_dist(
+                        F.slice(F.col("v"), b["off"] + 1, dsub), c
+                    ).alias("d"),
+                    j.alias("j"),
+                ),
+            )
+        )["j"],
+    )
+    codes = corpus.select("vec_id", code.alias("code"))
+
+    # per-query dot LUT: m x ks of dot(q_sub, centroid)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut_dot = F.transform(
+        book_lit,
+        lambda b: F.transform(
+            b["cents"],
+            lambda c: _dot(F.slice(F.col("qv"), b["off"] + 1, dsub), c),
+        ),
+    )
+    q_lut = queries.select(
+        "query_id", "qv", lut_dot.alias("lut"), _norm(F.col("qv")).alias("qn")
+    )
+
+    def _lut_sum(lut_col):
+        return F.aggregate(
+            F.zip_with(
+                F.col("code"), lut_col,
+                lambda cd, l: F.element_at(l, cd + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    approx = codes.crossJoin(F.broadcast(q_lut)).select(
+        "query_id",
+        "vec_id",
+        (
+            _lut_sum(F.col("lut"))
+            / (F.col("qn") * F.sqrt(_lut_sum(lut_norm)))
+        ).alias("acos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("acos"), F.asc("vec_id"))
+    cands = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .where(F.col("arank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        cands.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )

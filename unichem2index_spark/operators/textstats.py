@@ -1340,3 +1340,38 @@ def percentiles_bucket(spark: SparkSession, t) -> DataFrame:
         F.min("n_events").alias("min_bucket"),
         F.max("n_events").alias("max_bucket"),
     )
+
+
+MOVING_PCT_WINDOW = 7  # trailing buckets (ES `window`)
+
+
+def moving_percentiles(spark: SparkSession, t) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline aggregation: for each
+    date-histogram bucket, percentiles of the sibling metric over the
+    TRAILING window of buckets (here: 7-day trailing p50/p90 of the
+    daily event count — the smoothed-load dashboard line). ES slides a
+    merged t-digest; the exact interpolated form here is what that
+    sketch converges to, and runs over the REDUCED bucket frame
+    (~|days| rows — the bounded-window pattern of the other pipeline
+    aggs), so exactness is free at any event count. Partial leading
+    windows use however many buckets exist, per ES semantics."""
+    e = t["events"]
+    hist = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("bucket").rowsBetween(
+        -(MOVING_PCT_WINDOW - 1), 0
+    )
+    return (
+        hist.select(
+            "bucket",
+            "n_events",
+            F.round(
+                F.expr("percentile(n_events, 0.5)").over(w), 6
+            ).alias("moving_p50"),
+            F.round(
+                F.expr("percentile(n_events, 0.9)").over(w), 6
+            ).alias("moving_p90"),
+        )
+        .orderBy("bucket")
+    )

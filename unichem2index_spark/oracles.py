@@ -3712,3 +3712,25 @@ SELECT count(*) AS n_buckets,
        max(n_events) AS max_bucket
 FROM hist
 """
+
+
+def moving_percentiles_sql(window: int) -> str:
+    """Same trailing-bucket frame; quantile_cont == Spark percentile
+    (both exact linear interpolation — the doclen_percentiles
+    precedent)."""
+    return f"""
+WITH hist AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT bucket, n_events,
+       round(quantile_cont(n_events, 0.5) OVER (
+         ORDER BY bucket ROWS BETWEEN {window - 1} PRECEDING
+         AND CURRENT ROW), 6) AS moving_p50,
+       round(quantile_cont(n_events, 0.9) OVER (
+         ORDER BY bucket ROWS BETWEEN {window - 1} PRECEDING
+         AND CURRENT ROW), 6) AS moving_p90
+FROM hist
+ORDER BY bucket
+"""
