@@ -53,6 +53,8 @@ CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
 GAUSS_ORIGIN = 300.0  # function_score gauss decay on n_chars
 EXPLAIN_DOC = 7  # _explain target: contains all three flagship terms
 SPAN_TERMS, SPAN_SLOP = ["merge", "group", "key"], 1  # span_near window 3
+# span_near over span_or clauses: (fast|slow) NEAR merge, window 3
+SPAN_OR_GROUPS, SPAN_OR_SLOP = [["fast", "slow"], ["merge"]], 2
 GAUSS_DENOM = 22500.0 / math.log(2.0)  # 2*sigma^2 for scale=150, decay=0.5
 WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
@@ -438,6 +440,19 @@ def q_span_near(spark, sf_dir):
     positional index's block-skipping kernel."""
     return Q.span_near_topk(
         spark, _pos_index_for(spark, sf_dir), SPAN_TERMS, 10, slop=SPAN_SLOP
+    )
+
+
+def q_span_near_or(spark, sf_dir):
+    """ES span_near whose clauses are span_or groups — one position per
+    group (any member) inside the window, synonym-blend scoring —
+    through the positional index's block-skipping kernel."""
+    return Q.span_near_or_topk(
+        spark,
+        _pos_index_for(spark, sf_dir),
+        SPAN_OR_GROUPS,
+        10,
+        slop=SPAN_OR_SLOP,
     )
 
 
@@ -1148,6 +1163,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FAISS-style product quantization ANN (ADC + exact rerank);
         # approximate by design -> rows-only + recall pytest
         "cosine_topk_pq": _wrap(similarity.cosine_topk_pq),
+        # nested spans: span_near over span_or clauses
+        "span_near_or": q_span_near_or,
     }
 
 
@@ -1605,5 +1622,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "moving_percentiles": oracles.moving_percentiles_sql(
             textstats.MOVING_PCT_WINDOW
+        ),
+        # cosine_topk_pq: rows-only (PQ is approximate; recall pytest)
+        "span_near_or": oracles.span_near_or_sql(
+            SPAN_OR_GROUPS, 10, SPAN_OR_SLOP
         ),
     }

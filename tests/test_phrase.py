@@ -535,3 +535,79 @@ def test_span_not_matches_bruteforce(spark, pos_index):
         for r in Q.span_not_topk(spark, h, "merge", "group", 10**6, dist=0).collect()
     }
     assert wide <= narrow
+
+
+def span_near_or_py(toks, groups, slop):
+    """Brute-force nested-span oracle: one position per GROUP (any
+    member) spans <= slop + n_groups - 1."""
+    import itertools
+
+    plists = []
+    for g in groups:
+        ps = [i for i, t in enumerate(toks) if t in set(g)]
+        if not ps:
+            return False
+        plists.append(ps)
+    window = slop + len(groups) - 1
+    return any(
+        max(c) - min(c) <= window for c in itertools.product(*plists)
+    )
+
+
+def test_span_near_or_matches_bruteforce(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import (
+        Bm25Oracle,
+        score_term,
+    )
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+
+    def blend_score(groups, doc_toks):
+        # synonym discipline: tf summed over members, idf at max df
+        s = 0.0
+        for g in groups:
+            tf = sum(1 for t in doc_toks if t in set(g))
+            df = max(len(oracle.postings.get(t, {})) for t in g)
+            from unichem2index_spark.functions.bm25 import idf as idf_fn
+
+            s += score_term(
+                tf, len(doc_toks), oracle.avgdl, idf_fn(oracle.n_docs, df)
+            )
+        return s
+
+    for groups, slop in [
+        ([["fast", "slow"], ["merge"]], 2),
+        ([["merge"], ["group", "key"]], 0),
+        ([["the"], ["merge", "group"], ["key"]], 1),
+    ]:
+        want = sorted(
+            (
+                (d, round(blend_score(groups, toks), 6))
+                for d, toks in corpus
+                if span_near_or_py(toks, groups, slop)
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.span_near_or_topk(
+                spark, h, groups, 10, slop=slop
+            ).collect()
+        ]
+        assert got == want, f"span_near_or {groups} slop {slop}"
+
+    # singleton groups degenerate to plain span_near
+    terms = ["merge", "group"]
+    a = [
+        (r.doc_id, r.score)
+        for r in Q.span_near_or_topk(
+            spark, h, [[t] for t in terms], 10, slop=1
+        ).collect()
+    ]
+    b = [
+        (r.doc_id, r.score)
+        for r in Q.span_near_topk(spark, h, terms, 10, slop=1).collect()
+    ]
+    assert a == b

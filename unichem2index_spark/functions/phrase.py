@@ -335,3 +335,93 @@ def span_not_match_topk(
         out.append((doc, score_term(tf, dl, avgdl, idf)))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def span_near_or_match_topk(
+    posts: dict[str, PosTermPostings],
+    groups: list[list[str]],
+    gidfs: list[float],
+    avgdl: float,
+    k: int,
+    slop: int = 0,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k for ``span_near`` over ``span_or`` clauses within one shard
+    — Lucene ``SpanNearQuery(SpanOrQuery(...), SpanTermQuery(...))`` /
+    ES nested spans: each clause is a GROUP of alternatives; a doc
+    matches iff one position per group (drawn from the union of its
+    members' occurrences) fits the unordered window
+    ``slop + n_groups - 1``. The "(fast|slow) NEAR merge" query no flat
+    span shape can express.
+
+    Candidate generation intersects rarest-GROUP-first (group df = sum
+    of member dfs; a group's postings are the union of its members'),
+    with the same galloping block-skipping per member and lazy position
+    decode for survivors only. Group positions are the merged union of
+    member positions — exactly Lucene's SpanOr disjunction. Scoring
+    follows the SynonymQuery discipline shared with bm25_synonyms: per
+    group, tf SUMS over members and the idf is the blend (min member
+    idf == idf of the max member df), so alternatives share one scoring
+    slot instead of double-counting."""
+    present: list[list[str]] = []
+    for g in groups:
+        mem = [t for t in sorted(set(g)) if t in posts]
+        if not mem:
+            return []
+        present.append(mem)
+    n = len(present)
+    window = slop + n - 1
+    order = sorted(
+        range(n),
+        key=lambda i: (sum(posts[t].df for t in present[i]), i),
+    )
+    mem_docs: list[dict[str, dict[int, tuple[int, int]]]] = [
+        {} for _ in range(n)
+    ]
+    gi0 = order[0]
+    for t in present[gi0]:
+        mem_docs[gi0][t] = posts[t].all_docs()
+    cand = sorted(
+        {
+            d
+            for m in mem_docs[gi0].values()
+            for d in m
+            if d not in deleted
+        }
+    )
+    for gi in order[1:]:
+        if not cand:
+            return []
+        found: set[int] = set()
+        for t in present[gi]:
+            got = posts[t].lookup_many(cand)
+            mem_docs[gi][t] = got
+            found.update(got)
+        cand = [d for d in cand if d in found]
+    out: list[tuple[int, float]] = []
+    for doc in cand:
+        plists = []
+        for gi in range(n):
+            ps = sorted(
+                {
+                    p
+                    for t, m in mem_docs[gi].items()
+                    if doc in m
+                    for p in posts[t].positions_of(doc)
+                }
+            )
+            plists.append(ps)
+        if min_span(plists) > window:
+            continue
+        dl = next(
+            m[doc][1] for m in mem_docs[gi0].values() if doc in m
+        )
+        score = 0.0
+        for gi in range(n):
+            tf = sum(
+                m[doc][0] for m in mem_docs[gi].values() if doc in m
+            )
+            score += score_term(tf, dl, avgdl, gidfs[gi])
+        out.append((doc, score))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

@@ -2928,3 +2928,94 @@ def percolate_query_strings(
         )
         .orderBy("query_id", "doc_id")
     )
+
+
+def span_near_or_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    groups: list[list[str]],
+    k: int,
+    slop: int = 0,
+) -> DataFrame:
+    """Nested spans — ES/Lucene ``span_near`` whose clauses are
+    ``span_or`` groups of alternatives ("(fast|slow) NEAR merge"): one
+    position per group, drawn from the union of that group's members'
+    occurrences, must fit the unordered window ``slop + n_groups - 1``.
+    Scoring follows the SynonymQuery discipline (tf summed over group
+    members, blended group idf = min member idf, i.e. the idf of the
+    max blended df) so alternatives share one scoring slot — identical
+    to ``bm25_topk_synonyms``' blend, proximity-gated.
+
+    Scale shape identical to :func:`span_near_topk` (shared kernel
+    machinery): pushed ``term IN`` scan over ALL member terms, per-shard
+    rarest-group-first intersection with block skipping, lazy position
+    decode for survivors only, n_shards*k rows to the global merge,
+    tombstones cogrouped."""
+    if not index.has_positions:
+        raise ValueError(
+            "span_near_or_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    gs = [sorted({str(x) for x in g}) for g in groups if g]
+    if not gs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    members = sorted({t for g in gs for t in g})
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(members))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    # blended group idf = min PRESENT member idf (== idf at max df);
+    # a group with no present member can never match.
+    gidfs: list[float] = []
+    for g in gs:
+        pres = [idfs[t] for t in g if t in idfs]
+        if not pres:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        gidfs.append(min(pres))
+    seg = index.segments(spark).where(
+        F.col("term").isin(members)
+    ).select(*_PHRASE_COLS)
+    avgdl = index.avgdl
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import (
+            span_near_or_match_topk,
+        )
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = span_near_or_match_topk(
+            posts, gs, gidfs, avgdl, k, slop=slop, deleted=deleted
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )

@@ -3734,3 +3734,78 @@ SELECT bucket, n_events,
 FROM hist
 ORDER BY bucket
 """
+
+
+def span_near_or_sql(groups: list[list[str]], k: int, slop: int) -> str:
+    """span_near over span_or clauses: one position per GROUP (any
+    member) within the window; score = synonym blend per group (tf
+    summed over members, df blended as MAX member df), the exact
+    discipline of operators/query.py::span_near_or_topk. Groups must be
+    term-disjoint."""
+    gs = [sorted({str(x) for x in g}) for g in groups if g]
+    n = len(gs)
+    window = slop + n - 1
+
+    def inlist(g):
+        return ", ".join("'" + t.replace("'", "''") + "'" for t in g)
+
+    aliases = [f"p{i}" for i in range(n)]
+    joins = " JOIN ".join(
+        [f"pos {aliases[0]}"]
+        + [f"pos {a} USING (doc_id)" for a in aliases[1:]]
+    )
+    preds = " AND ".join(
+        f"{a}.term IN ({inlist(g)})" for a, g in zip(aliases, gs)
+    )
+    plist = ", ".join(f"{a}.p" for a in aliases)
+    pairs = ", ".join(
+        f"({gi}, '" + t.replace("'", "''") + "')"
+        for gi, g in enumerate(gs)
+        for t in g
+    )
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+matched AS (
+  SELECT DISTINCT {aliases[0]}.doc_id
+  FROM {joins}
+  WHERE {preds}
+    AND greatest({plist}) - least({plist}) <= {window}
+),
+gmap(gid, term) AS (VALUES {pairs}),
+gdfs AS (
+  SELECT g.gid, max(d.df) AS df
+  FROM gmap g JOIN dfs d USING (term)
+  GROUP BY g.gid
+),
+gscore AS (
+  SELECT p.doc_id, g.gid, sum(p.tf) AS tf, min(t.doclen) AS doclen
+  FROM post p
+  JOIN gmap g USING (term)
+  JOIN tok t USING (doc_id)
+  WHERE p.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY p.doc_id, g.gid
+),
+scored AS (
+  SELECT s.doc_id,
+         sum(
+           ln(1.0 + (CAST(st.n_docs AS DOUBLE) - gd.df + 0.5)
+              / (gd.df + 0.5))
+           * (s.tf / (s.tf + 1.2 * (0.25 + 0.75 * s.doclen / st.avgdl)))
+         ) AS score
+  FROM gscore s
+  JOIN gdfs gd USING (gid)
+  CROSS JOIN stats st
+  GROUP BY s.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
