@@ -55,6 +55,8 @@ EXPLAIN_DOC = 7  # _explain target: contains all three flagship terms
 SPAN_TERMS, SPAN_SLOP = ["merge", "group", "key"], 1  # span_near window 3
 # span_near over span_or clauses: (fast|slow) NEAR merge, window 3
 SPAN_OR_GROUPS, SPAN_OR_SLOP = [["fast", "slow"], ["merge"]], 2
+# intervals (ordered, max_gaps): merge then group then key, in order
+INTERVALS_TERMS, INTERVALS_GAPS = ["merge", "group", "key"], 2
 GAUSS_DENOM = 22500.0 / math.log(2.0)  # 2*sigma^2 for scale=150, decay=0.5
 WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
@@ -453,6 +455,20 @@ def q_span_near_or(spark, sf_dir):
         SPAN_OR_GROUPS,
         10,
         slop=SPAN_OR_SLOP,
+    )
+
+
+def q_intervals_ordered(spark, sf_dir):
+    """ES intervals query (match source, ordered=true, max_gaps):
+    strictly-increasing positions in query order within the gap budget
+    — the ordered complement of span_near — through the positional
+    index's block-skipping kernel + ordered-chain sweep."""
+    return Q.intervals_ordered_topk(
+        spark,
+        _pos_index_for(spark, sf_dir),
+        INTERVALS_TERMS,
+        10,
+        max_gaps=INTERVALS_GAPS,
     )
 
 
@@ -1165,6 +1181,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_pq": _wrap(similarity.cosine_topk_pq),
         # nested spans: span_near over span_or clauses
         "span_near_or": q_span_near_or,
+        # ES intervals query: ordered proximity with a gap budget
+        "intervals_ordered": q_intervals_ordered,
     }
 
 
@@ -1626,5 +1644,8 @@ def oracle_sql() -> dict[str, str]:
         # cosine_topk_pq: rows-only (PQ is approximate; recall pytest)
         "span_near_or": oracles.span_near_or_sql(
             SPAN_OR_GROUPS, 10, SPAN_OR_SLOP
+        ),
+        "intervals_ordered": oracles.intervals_ordered_sql(
+            INTERVALS_TERMS, 10, INTERVALS_GAPS
         ),
     }

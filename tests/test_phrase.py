@@ -611,3 +611,74 @@ def test_span_near_or_matches_bruteforce(spark, pos_index):
         for r in Q.span_near_topk(spark, h, terms, 10, slop=1).collect()
     ]
     assert a == b
+
+
+def intervals_ordered_py(toks, terms, max_gaps):
+    """Brute-force oracle: exists strictly-increasing positions in
+    query order with total span <= max_gaps + n - 1."""
+    import itertools
+
+    plists = []
+    for t in terms:
+        ps = [i for i, x in enumerate(toks) if x == t]
+        if not ps:
+            return False
+        plists.append(ps)
+    window = max_gaps + len(terms) - 1
+    return any(
+        all(c[i] < c[i + 1] for i in range(len(c) - 1))
+        and c[-1] - c[0] <= window
+        for c in itertools.product(*plists)
+    )
+
+
+def test_intervals_ordered_matches_bruteforce(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+    for terms, gaps in [
+        (["merge", "group"], 0),
+        (["merge", "group", "key"], 2),
+        (["group", "merge"], 1),  # ORDER-sensitive, unlike span_near
+        (["the", "merge"], 3),
+    ]:
+        uniq = sorted(set(terms))
+        want = sorted(
+            (
+                (d, round(oracle.score_doc(uniq, d), 6))
+                for d, toks in corpus
+                if intervals_ordered_py(toks, terms, gaps)
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.intervals_ordered_topk(
+                spark, h, terms, 10, max_gaps=gaps
+            ).collect()
+        ]
+        assert got == want, f"intervals_ordered {terms} gaps {gaps}"
+    # an ordered chain inside budget B always fits the unordered
+    # window at slop B: intervals matches are a subset of span_near's
+    terms, b = ["merge", "group", "key"], 2
+    ordered = {
+        r.doc_id
+        for r in Q.intervals_ordered_topk(
+            spark, h, terms, 10**6, max_gaps=b
+        ).collect()
+    }
+    unordered = {
+        r.doc_id
+        for r in Q.span_near_topk(spark, h, terms, 10**6, slop=b).collect()
+    }
+    assert ordered <= unordered
+    # order sensitivity: reversed query must not be forced equal
+    rev = {
+        r.doc_id
+        for r in Q.intervals_ordered_topk(
+            spark, h, list(reversed(terms)), 10**6, max_gaps=b
+        ).collect()
+    }
+    assert rev <= unordered

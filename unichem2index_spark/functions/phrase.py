@@ -425,3 +425,90 @@ def span_near_or_match_topk(
         out.append((doc, score))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def ordered_chain_width(plists: list[list[int]]) -> int | None:
+    """Smallest ``p_n - p_1`` over strictly-increasing chains that pick
+    one position per slot IN QUERY ORDER — Lucene's ``NearSpansOrdered``
+    / intervals ``ordered`` minimal-interval sweep. For each start
+    position the greedy "smallest admissible next position" chain
+    minimizes the end position, and as starts increase those choices
+    only move forward, so one monotonic pointer per slot gives
+    O(total positions) per doc. Returns None when no chain exists.
+    Lists must be ascending; slots may repeat a term (positions must
+    still strictly increase, so "a b a" works naturally)."""
+    n = len(plists)
+    if any(not pl for pl in plists):
+        return None
+    best: int | None = None
+    ptr = [0] * n
+    for p1 in plists[0]:
+        prev = p1
+        dead = False
+        for i in range(1, n):
+            pl = plists[i]
+            while ptr[i] < len(pl) and pl[ptr[i]] <= prev:
+                ptr[i] += 1
+            if ptr[i] >= len(pl):
+                dead = True
+                break
+            prev = pl[ptr[i]]
+        if dead:
+            break
+        width = prev - p1
+        if best is None or width < best:
+            best = width
+            if best == n - 1:  # tightest possible ordered chain
+                break
+    return best
+
+
+def intervals_ordered_match_topk(
+    posts: dict[str, PosTermPostings],
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    max_gaps: int = 0,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k for the ES ``intervals`` query's ``match`` source with
+    ``ordered: true, max_gaps: G`` within one shard: positions
+    p_1 < p_2 < ... < p_n (strictly increasing, query order) with total
+    gap budget ``p_n - p_1 - (n - 1) <= G``. The ordered complement of
+    :func:`span_near_match_topk` (any-order window); ``max_gaps=0`` is
+    an exact ordered run == phrase slop 0 over distinct terms.
+
+    Same two-stage scale shape as the phrase kernel: rarest-first doc-id
+    intersection with block skipping, lazy position decode for survivors
+    only, then the O(total positions) ordered-chain sweep. Matching docs
+    score as a plain BM25 bag over the unique terms (the span-family
+    discipline, so the SQL oracle agrees exactly)."""
+    if not terms:
+        return []
+    uniq = sorted(set(terms))
+    if any(t not in posts for t in uniq):
+        return []
+    window = max_gaps + len(terms) - 1
+    by_rarity = sorted(uniq, key=lambda t: (posts[t].df, t))
+    rare = by_rarity[0]
+    tfdl: dict[str, dict[int, tuple[int, int]]] = {rare: posts[rare].all_docs()}
+    cand = sorted(d for d in tfdl[rare] if d not in deleted)
+    for t in by_rarity[1:]:
+        if not cand:
+            return []
+        tfdl[t] = posts[t].lookup_many(cand)
+        cand = [d for d in cand if d in tfdl[t]]
+    out: list[tuple[int, float]] = []
+    for doc in cand:
+        plists = [posts[t].positions_of(doc) for t in terms]
+        width = ordered_chain_width(plists)
+        if width is None or width > window:
+            continue
+        dl = tfdl[rare][doc][1]
+        score = sum(
+            score_term(tfdl[t][doc][0], dl, avgdl, idfs[t]) for t in uniq
+        )
+        out.append((doc, score))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

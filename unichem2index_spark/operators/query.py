@@ -3019,3 +3019,89 @@ def span_near_or_topk(
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def intervals_ordered_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+    max_gaps: int = 0,
+) -> DataFrame:
+    """ES ``intervals`` query, ``match`` source with ``ordered: true,
+    max_gaps: G``: docs containing positions p_1 < p_2 < ... < p_n in
+    QUERY ORDER whose total gap budget ``p_n - p_1 - (n-1)`` is <= G,
+    ranked BM25 over the unique terms (span-family discipline). The
+    ordered complement of :func:`span_near_topk` — "merge then group
+    then key, in that order, at most G fillers between them". Ref
+    analog: the reference delegates proximity to Lucene's intervals /
+    NearSpansOrdered via ES (SURVEY §2 W5 family).
+
+    Requires ``build_index(positions=True)``. Scale shape identical to
+    :func:`span_near_topk` (shared kernel machinery): pushed ``term IN``
+    scan, per-shard rarest-first intersection with block skipping, lazy
+    position decode + O(total positions) ordered-chain sweep for
+    survivors only, n_shards*k rows to the global merge, tombstones
+    cogrouped."""
+    if not index.has_positions:
+        raise ValueError(
+            "intervals_ordered_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    q = [str(t) for t in terms if t]
+    if not q:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    uniq = sorted(set(q))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if any(t not in idfs for t in uniq):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(uniq)).select(
+        *_PHRASE_COLS
+    )
+    avgdl = index.avgdl  # plain float in the closure, never the handle
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import (
+            intervals_ordered_match_topk,
+        )
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = intervals_ordered_match_topk(
+            posts, q, idfs, avgdl, k, max_gaps=max_gaps, deleted=deleted
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )

@@ -3809,3 +3809,64 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def intervals_ordered_sql(terms: list[str], k: int, max_gaps: int) -> str:
+    """intervals (match, ordered, max_gaps): EXISTS strictly-increasing
+    positions in query order with p_n - p_1 <= max_gaps + n - 1, then
+    BM25 over the unique terms — the exact discipline of
+    operators/query.py::intervals_ordered_topk."""
+    q = [str(t) for t in terms if t]
+    n = len(q)
+    window = max_gaps + n - 1
+    uniq = sorted(set(q))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    aliases = [f"p{i}" for i in range(n)]
+    joins = " JOIN ".join(
+        [f"pos {aliases[0]}"]
+        + [f"pos {a} USING (doc_id)" for a in aliases[1:]]
+    )
+    preds = " AND ".join(
+        f"{a}.term = '" + t.replace("'", "''") + "'"
+        for a, t in zip(aliases, q)
+    )
+    chain = " AND ".join(
+        f"{aliases[i]}.p < {aliases[i + 1]}.p" for i in range(n - 1)
+    )
+    if chain:
+        chain = f"AND {chain}"
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+matched AS (
+  SELECT DISTINCT {aliases[0]}.doc_id
+  FROM {joins}
+  WHERE {preds}
+    {chain}
+    AND {aliases[n - 1]}.p - {aliases[0]}.p <= {window}
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+    AND p.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
