@@ -57,6 +57,9 @@ SPAN_TERMS, SPAN_SLOP = ["merge", "group", "key"], 1  # span_near window 3
 SPAN_OR_GROUPS, SPAN_OR_SLOP = [["fast", "slow"], ["merge"]], 2
 # intervals (ordered, max_gaps): merge then group then key, in order
 INTERVALS_TERMS, INTERVALS_GAPS = ["merge", "group", "key"], 2
+# match_phrase_prefix: "merge s*" — s? expands to scan/slow/small/sort
+# under the cap of 4 (vocab also has spark/stream, trimmed by the cap)
+PP_FIXED, PP_PREFIX, PP_MAX_EXP = ["merge"], "s", 4
 GAUSS_DENOM = 22500.0 / math.log(2.0)  # 2*sigma^2 for scale=150, decay=0.5
 WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
@@ -469,6 +472,22 @@ def q_intervals_ordered(spark, sf_dir):
         INTERVALS_TERMS,
         10,
         max_gaps=INTERVALS_GAPS,
+    )
+
+
+def q_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix (search-as-you-type): fixed terms in
+    adjacent positions followed by ANY dictionary expansion of the
+    prefix — global deterministic expansion (unlike ES's per-shard
+    one), synonym-blended scoring slot for the group — through the
+    positional index's block-skipping kernel."""
+    return Q.match_phrase_prefix_topk(
+        spark,
+        _pos_index_for(spark, sf_dir),
+        PP_FIXED,
+        PP_PREFIX,
+        10,
+        max_expansions=PP_MAX_EXP,
     )
 
 
@@ -1183,6 +1202,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_or": q_span_near_or,
         # ES intervals query: ordered proximity with a gap budget
         "intervals_ordered": q_intervals_ordered,
+        # ES match_phrase_prefix: search-as-you-type phrase
+        "match_phrase_prefix": q_match_phrase_prefix,
     }
 
 
@@ -1647,5 +1668,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "intervals_ordered": oracles.intervals_ordered_sql(
             INTERVALS_TERMS, 10, INTERVALS_GAPS
+        ),
+        "match_phrase_prefix": oracles.match_phrase_prefix_sql(
+            PP_FIXED, PP_PREFIX, 10, max_expansions=PP_MAX_EXP
         ),
     }

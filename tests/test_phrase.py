@@ -682,3 +682,89 @@ def test_intervals_ordered_matches_bruteforce(spark, pos_index):
         ).collect()
     }
     assert rev <= unordered
+
+
+def phrase_prefix_py(toks, fixed, members, slop):
+    """Brute-force: a fixed-term chain with per-adjacent-pair gaps in
+    [1, slop+1], then ANY expansion member within the same gap."""
+    live = {i for i, t in enumerate(toks) if t == fixed[0]}
+    for term in fixed[1:]:
+        pos = [i for i, t in enumerate(toks) if t == term]
+        live = {q for q in pos if any(p < q <= p + 1 + slop for p in live)}
+        if not live:
+            return False
+    mem = set(members)
+    return any(
+        p < q <= p + 1 + slop
+        for q, t in enumerate(toks)
+        if t in mem
+        for p in live
+    )
+
+
+def test_match_phrase_prefix_matches_bruteforce(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import (
+        Bm25Oracle,
+        idf as idf_fn,
+        score_term,
+    )
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+    vocab = sorted(oracle.postings)
+
+    def expansion(prefix, fixed, cap):
+        exp = [t for t in vocab if t.startswith(prefix)][:cap]
+        return [t for t in exp if t not in set(fixed)]
+
+    def pp_score(fixed, members, doc_id):
+        dl = oracle.doclen[doc_id]
+        s = oracle.score_doc(sorted(set(fixed)), doc_id)
+        gtf = sum(oracle.postings.get(t, {}).get(doc_id, 0) for t in members)
+        gdf = max(len(oracle.postings.get(t, {})) for t in members)
+        return s + score_term(gtf, dl, oracle.avgdl, idf_fn(oracle.n_docs, gdf))
+
+    for fixed, prefix, cap, slop in [
+        (["merge"], "s", 4, 0),  # cap trims spark/stream
+        (["merge"], "s", 50, 0),  # full 6-way expansion
+        (["merge"], "s", 50, 1),  # slop-budgeted chain
+        (["the", "merge"], "g", 50, 0),  # two fixed slots
+        (["key"], "d", 50, 0),  # data | dup (rare member)
+    ]:
+        members = expansion(prefix, fixed, cap)
+        want = sorted(
+            (
+                (d, round(pp_score(fixed, members, d), 6))
+                for d, toks in corpus
+                if phrase_prefix_py(toks, fixed, members, slop)
+            ),
+            key=lambda p: (-p[1], p[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.match_phrase_prefix_topk(
+                spark, h, fixed, prefix, 10, max_expansions=cap, slop=slop
+            ).collect()
+        ]
+        assert got == want, f"match_phrase_prefix {fixed} {prefix}*"
+
+    # a single-member expansion degenerates to the plain phrase: the
+    # blended slot's tf/idf collapse to that member's own tf/idf
+    a = [
+        (r.doc_id, r.score)
+        for r in Q.match_phrase_prefix_topk(
+            spark, h, ["merge"], "gro", 10
+        ).collect()
+    ]
+    b = [
+        (r.doc_id, r.score)
+        for r in Q.phrase_topk(spark, h, ["merge", "group"], 10).collect()
+    ]
+    assert a == b and a
+    # unknown prefix and prefix-eats-fixed both yield empty, not error
+    assert Q.match_phrase_prefix_topk(spark, h, ["merge"], "zz", 10).count() == 0
+    assert (
+        Q.match_phrase_prefix_topk(spark, h, ["group"], "group", 10).count()
+        == 0
+    )

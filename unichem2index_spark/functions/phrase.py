@@ -512,3 +512,92 @@ def intervals_ordered_match_topk(
         out.append((doc, score))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def phrase_prefix_match_topk(
+    posts: dict[str, PosTermPostings],
+    fixed: list[str],
+    last_group: list[str],
+    idfs: dict[str, float],
+    group_idf: float,
+    avgdl: float,
+    k: int,
+    slop: int = 0,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k for ES ``match_phrase_prefix`` within one shard: the phrase
+    ``fixed + [<prefix>*]`` where the final slot accepts ANY member of
+    ``last_group`` (the dictionary expansion of the prefix, computed
+    globally by the caller — deterministic, unlike ES's infamous
+    per-shard expansion). Position semantics are phrase_match_topk's
+    per-adjacent-pair gaps; the final slot's positions are the merged
+    union of member positions (MultiPhraseQuery's last-slot disjunction).
+
+    Scoring: BM25 bag over the unique fixed terms plus ONE blended slot
+    for the expansion group — tf summed over members present in the doc,
+    idf = ``group_idf`` (the caller blends at max expansion df, the
+    SynonymQuery discipline shared with span_near_or) — so alternatives
+    share a single scoring slot. ``fixed`` must be non-empty and
+    disjoint from ``last_group``."""
+    if not fixed or not last_group:
+        return []
+    uniq = sorted(set(fixed))
+    if any(t not in posts for t in uniq):
+        return []
+    members = [t for t in sorted(set(last_group)) if t in posts]
+    if not members:
+        return []
+    # 1. doc-id intersection: rarest fixed term first, then the group
+    by_rarity = sorted(uniq, key=lambda t: (posts[t].df, t))
+    rare = by_rarity[0]
+    tfdl: dict[str, dict[int, tuple[int, int]]] = {rare: posts[rare].all_docs()}
+    cand = sorted(d for d in tfdl[rare] if d not in deleted)
+    for t in by_rarity[1:]:
+        if not cand:
+            return []
+        tfdl[t] = posts[t].lookup_many(cand)
+        cand = [d for d in cand if d in tfdl[t]]
+    if not cand:
+        return []
+    mem_tf: dict[str, dict[int, tuple[int, int]]] = {}
+    found: set[int] = set()
+    for t in members:
+        got = posts[t].lookup_many(cand)
+        mem_tf[t] = got
+        found.update(got)
+    cand = [d for d in cand if d in found]
+    # 2. positional chain, lazy per surviving candidate
+    out: list[tuple[int, float]] = []
+    for doc in cand:
+        live = set(posts[fixed[0]].positions_of(doc))
+        ok = bool(live)
+        for t in fixed[1:]:
+            live = {
+                q
+                for q in posts[t].positions_of(doc)
+                if any(q - d in live for d in range(1, slop + 2))
+            }
+            if not live:
+                ok = False
+                break
+        if ok:
+            last_ps = {
+                p
+                for t in members
+                if doc in mem_tf[t]
+                for p in posts[t].positions_of(doc)
+            }
+            ok = any(
+                q - d in live for q in last_ps for d in range(1, slop + 2)
+            )
+        if not ok:
+            continue
+        dl = tfdl[rare][doc][1]
+        score = sum(
+            score_term(tfdl[t][doc][0], dl, avgdl, idfs[t]) for t in uniq
+        )
+        gtf = sum(m[doc][0] for m in mem_tf.values() if doc in m)
+        score += score_term(gtf, dl, avgdl, group_idf)
+        out.append((doc, score))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

@@ -3105,3 +3105,106 @@ def intervals_ordered_topk(
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def match_phrase_prefix_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    fixed: list[str],
+    prefix: str,
+    k: int,
+    max_expansions: int = 50,
+    slop: int = 0,
+) -> DataFrame:
+    """ES ``match_phrase_prefix``: the phrase ``fixed + [prefix*]`` —
+    the fixed terms in adjacent (slop-budgeted) positions, followed by
+    ANY dictionary term starting with ``prefix``. The search-as-you-type
+    primitive. Ref analog: the reference delegates this to Lucene's
+    MultiPhraseQuery via ES (SURVEY §2 W5/W8 family).
+
+    Expansion discipline: :func:`expand_prefix` against the GLOBAL term
+    dictionary (alphabetical, capped at ``max_expansions``), minus the
+    fixed terms — deterministic, unlike ES's infamous per-shard
+    expansion which can return different result sets per shard count.
+    Scoring: BM25 over the unique fixed terms plus ONE blended slot for
+    the expansion group (tf summed over members, idf blended at max
+    member df — the SynonymQuery discipline shared with
+    :func:`span_near_or_topk`).
+
+    Scale shape identical to :func:`phrase_topk` (shared kernel
+    machinery): pushed ``term IN`` scan over fixed + expansion terms,
+    per-shard rarest-fixed-first intersection with block skipping, lazy
+    position decode for survivors only, n_shards*k rows to the global
+    merge, tombstones cogrouped. The dictionary expansion is one pushed
+    StartsWith scan returning <= max_expansions strings to the driver."""
+    if not index.has_positions:
+        raise ValueError(
+            "match_phrase_prefix_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    fx = [str(t) for t in fixed if t]
+    if not fx or not prefix:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    fset = set(fx)
+    group = [t for t in expand_prefix(spark, index, prefix, max_expansions)
+             if t not in fset]
+    if not group:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    uniq = sorted(fset)
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq + group))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if any(t not in idfs for t in uniq):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    # blended group idf = min member idf (== idf at max expansion df);
+    # expand_prefix only returns dictionary terms, so all are present.
+    group_idf = min(idfs[t] for t in group)
+    seg = index.segments(spark).where(
+        F.col("term").isin(uniq + group)
+    ).select(*_PHRASE_COLS)
+    avgdl = index.avgdl
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import (
+            phrase_prefix_match_topk,
+        )
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = phrase_prefix_match_topk(
+            posts, fx, group, idfs, group_idf, avgdl, k,
+            slop=slop, deleted=deleted,
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )

@@ -3870,3 +3870,106 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def match_phrase_prefix_sql(
+    fixed: list[str],
+    prefix: str,
+    k: int,
+    max_expansions: int = 50,
+    slop: int = 0,
+) -> str:
+    """match_phrase_prefix: fixed terms chained with per-adjacent-pair
+    gaps in [1, slop+1], final slot = ANY dictionary term starting with
+    ``prefix`` (alphabetical cap at max_expansions, minus fixed terms);
+    score = BM25 over unique fixed terms + one synonym-blended slot for
+    the expansion (tf summed over members, df blended as MAX member df)
+    — the exact discipline of
+    operators/query.py::match_phrase_prefix_topk."""
+    fx = [str(t) for t in fixed if t]
+    n = len(fx)
+    gap_hi = slop + 1
+    uniq = sorted(set(fx))
+    fx_inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    pref_esc = prefix.replace("'", "''").replace("%", "\\%").replace(
+        "_", "\\_"
+    )
+    aliases = [f"p{i}" for i in range(n)] + ["pg"]
+    joins = " JOIN ".join(
+        [f"pos {aliases[0]}"]
+        + [f"pos {a} USING (doc_id)" for a in aliases[1:]]
+    )
+    preds = " AND ".join(
+        f"{a}.term = '" + t.replace("'", "''") + "'"
+        for a, t in zip(aliases, fx)
+    )
+    chain = " AND ".join(
+        f"{aliases[i + 1]}.p - {aliases[i]}.p BETWEEN 1 AND {gap_hi}"
+        for i in range(n)
+    )
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+exp AS (
+  SELECT term FROM dfs
+  WHERE term LIKE '{pref_esc}%' ESCAPE '\\'
+  ORDER BY term LIMIT {max_expansions}
+),
+grp AS (
+  SELECT term FROM exp WHERE term NOT IN ({fx_inlist})
+),
+matched AS (
+  SELECT DISTINCT {aliases[0]}.doc_id
+  FROM {joins}
+  WHERE {preds}
+    AND pg.term IN (SELECT term FROM grp)
+    AND {chain}
+),
+gdf AS (
+  SELECT max(d.df) AS df FROM dfs d WHERE d.term IN (SELECT term FROM grp)
+),
+gscore AS (
+  SELECT p.doc_id, sum(p.tf) AS tf, min(t.doclen) AS doclen
+  FROM post p
+  JOIN tok t USING (doc_id)
+  WHERE p.term IN (SELECT term FROM grp)
+    AND p.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY p.doc_id
+),
+fscore AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({fx_inlist})
+    AND p.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY p.doc_id
+),
+scored AS (
+  SELECT f.doc_id,
+         f.score
+         + ln(1.0 + (CAST(st.n_docs AS DOUBLE) - gd.df + 0.5)
+              / (gd.df + 0.5))
+           * (g.tf / (g.tf + 1.2 * (0.25 + 0.75 * g.doclen / st.avgdl)))
+         AS score
+  FROM fscore f
+  JOIN gscore g USING (doc_id)
+  CROSS JOIN gdf gd
+  CROSS JOIN stats st
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
