@@ -60,6 +60,17 @@ INTERVALS_TERMS, INTERVALS_GAPS = ["merge", "group", "key"], 2
 # match_phrase_prefix: "merge s*" — s? expands to scan/slow/small/sort
 # under the cap of 4 (vocab also has spark/stream, trimmed by the cap)
 PP_FIXED, PP_PREFIX, PP_MAX_EXP = ["merge"], "s", 4
+# match_bool_prefix: rare fixed term OR f? (fast|filter), no adjacency
+MBP_FIXED, MBP_PREFIX = ["dup"], "f"
+# rank_feature saturation: pivot at the corpus median n_chars
+RF_PIVOT, RF_BOOST = 300.0, 1.5
+TE_PREFIX, TE_SIZE = "s", 4  # terms_enum: cap trims spark/stream
+# _msearch: three sub-queries of one batch job (the serving shape)
+MSEARCH = [
+    (0, FLAGSHIP_TERMS, 5),
+    (1, ["fast", "window"], 5),
+    (2, ["dup"], 5),
+]
 GAUSS_DENOM = 22500.0 / math.log(2.0)  # 2*sigma^2 for scale=150, decay=0.5
 WILDCARD, WILDCARD_EXP = "?a*", 5  # _a% matches 7 vocab terms; cap 5
 MLT_DOC, MLT_TERMS, MLT_K = 42, 5, 10  # more_like_this source/params
@@ -387,6 +398,31 @@ def q_esql_fulltext(spark, sf_dir):
     )
 
 
+# LOOKUP JOIN (ES|QL 8.18): join key must be a SHARED column name, so
+# the pipeline RENAMEs the fact key onto the lookup index's key first.
+ESQL_LOOKUP_QUERY = (
+    "FROM orders"
+    ' | WHERE o_orderpriority == "2-HIGH"'
+    " | RENAME o_custkey AS c_custkey"
+    " | LOOKUP JOIN customer ON c_custkey"
+    ' | WHERE c_mktsegment == "BUILDING"'
+    " | STATS n = COUNT(*), mx = ROUND(MAX(o_totalprice), 2) BY c_nationkey"
+    " | SORT c_nationkey ASC"
+    " | LIMIT 30"
+)
+
+# MV_EXPAND over a SPLIT-made multivalue column: long tokens histogram.
+ESQL_MVEXPAND_QUERY = (
+    "FROM documents"
+    " | WHERE doc_id % 11 == 3"
+    ' | EVAL tok = SPLIT(text, " ")'
+    " | MV_EXPAND tok"
+    " | WHERE LENGTH(tok) >= 6"
+    " | STATS n = COUNT(*) BY tok"
+    " | SORT n DESC, tok ASC"
+    " | LIMIT 15"
+)
+
 ESQL_DISSECT_QUERY = (
     "FROM events"
     " | DISSECT props '{\"k\": %{kval}}'"
@@ -413,6 +449,112 @@ def q_esql_enrich(spark, sf_dir):
 
     return compile_spark(
         parse_esql(ESQL_ENRICH_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_lookup_join(spark, sf_dir):
+    """ES|QL LOOKUP JOIN (8.18): left join against a lookup index on a
+    shared column name — compiled to a broadcast hash join; the same
+    parsed pipeline renders the DuckDB oracle."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_LOOKUP_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+# STATS per-agg WHERE (8.16): conditional aggregation — every filtered
+# agg stays inside the ONE hash-aggregate (F.when / SQL FILTER).
+ESQL_STATS_WHERE_QUERY = (
+    "FROM events"
+    ' | STATS errors = COUNT(*) WHERE event_type == "error",'
+    "         big = COUNT(*) WHERE value > 75.0,"
+    "         n = COUNT(*),"
+    '         click_max = MAX(value) WHERE event_type == "click"'
+    "   BY ub = user_id % 7"
+    " | SORT ub ASC"
+)
+
+# BY BUCKET(ts, 1 day): grouping expression lowered to date_trunc on
+# both engines. MIN/MAX (exact) instead of SUM(double) — float-sum
+# order-dependence is banned by the repo's determinism discipline.
+ESQL_BUCKET_QUERY = (
+    "FROM events"
+    ' | WHERE event_type IN ("click", "view")'
+    " | STATS n = COUNT(*), vmin = MIN(value), vmax = MAX(value)"
+    "   BY day = BUCKET(ts, 1 day), event_type"
+    " | SORT day ASC, event_type ASC"
+    " | LIMIT 40"
+)
+
+ESQL_CASE_QUERY = (
+    "FROM events"
+    ' | EVAL band = CASE(value < 25.0, "low", value < 75.0, "mid", "high")'
+    " | STATS n = COUNT(*) BY band, event_type"
+    " | SORT band ASC, event_type ASC"
+)
+
+# GROK: ingest-node pattern library (%{INT:kval}) over the JSON-ish
+# props string — unanchored dual regexp_extract projection.
+ESQL_GROK_QUERY = (
+    "FROM events"
+    " | GROK props '\"k\": %{INT:kval}'"
+    " | WHERE LENGTH(kval) == 2"
+    " | STATS n = COUNT(*) BY kval"
+    " | SORT n DESC, kval ASC"
+    " | LIMIT 10"
+)
+
+
+def q_esql_stats_where(spark, sf_dir):
+    """ES|QL STATS per-aggregate WHERE (8.16): filtered aggregates as
+    conditional aggregation — one shuffle, one hash-aggregate, the
+    filters never fork extra scans."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_STATS_WHERE_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_bucket(spark, sf_dir):
+    """ES|QL BUCKET grouping function in STATS BY: 1-day calendar
+    buckets via date_trunc, a grouping EXPRESSION (BY alias = expr)."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_BUCKET_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_case(spark, sf_dir):
+    """ES|QL CASE(cond, val, ..., default) in EVAL: chained WHEN on
+    both engines — the banding/categorization idiom."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_CASE_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_grok(spark, sf_dir):
+    """ES|QL GROK command: %{ALIAS:name} refs expanded from the shared
+    ingest-node pattern library into one map-only regexp_extract
+    projection (fuses into the scan at any scale)."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_GROK_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_mv_expand(spark, sf_dir):
+    """ES|QL MV_EXPAND over a SPLIT-made multivalue column: one row per
+    element (Spark explode == DuckDB unnest), then a token histogram."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_MVEXPAND_QUERY), load_tables(spark, sf_dir)
     )
 
 
@@ -488,6 +630,49 @@ def q_match_phrase_prefix(spark, sf_dir):
         PP_PREFIX,
         10,
         max_expansions=PP_MAX_EXP,
+    )
+
+
+def q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix (the other search-as-you-type half): bool
+    SHOULD of per-term clauses + one synonym-blended slot for the
+    prefix expansion, no adjacency — composed over the corpus path's
+    SynonymQuery blend."""
+    return Q.match_bool_prefix_topk(
+        spark, _docs(spark, sf_dir), MBP_FIXED, MBP_PREFIX, 10
+    )
+
+
+def q_msearch(spark, sf_dir):
+    """ES _msearch: the whole query set in ONE Spark job — segments
+    scanned once with term IN (union of terms), per-shard WAND per
+    sub-query inside a single applyInPandas stage, one global window
+    per query_id. Each sub-query rank- and score-identical to
+    bm25_topk_wand run one-by-one."""
+    return Q.bm25_topk_batch(
+        spark,
+        _index_for(spark, sf_dir),
+        [{"query_id": q, "terms": ts, "k": k} for q, ts, k in MSEARCH],
+    )
+
+
+def q_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation): BM25 + boost * x/(x+pivot) over
+    the n_chars feature — the additive bounded static-signal boost."""
+    return Q.rank_feature_topk(
+        _docs(spark, sf_dir),
+        FLAGSHIP_TERMS,
+        FLAGSHIP_K,
+        pivot=RF_PIVOT,
+        boost=RF_BOOST,
+    )
+
+
+def q_terms_enum(spark, sf_dir):
+    """ES _terms_enum: dictionary terms under a prefix, alphabetical,
+    capped — one pushed StartsWith scan over term_stats."""
+    return Q.terms_enum(
+        spark, _index_for(spark, sf_dir), TE_PREFIX, size=TE_SIZE
     )
 
 
@@ -943,6 +1128,43 @@ def q_stream_dedup_latest(spark, sf_dir):
     return spark.table(name).orderBy("source")
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming sessionization: the SAME native session_window
+    aggregation as the batch `sessionize` entry, run as a Structured
+    Streaming query (complete mode — sessions can grow/merge
+    retroactively) with Trigger.Once over the events table, then the
+    shared session projection. Emission set == batch sessionize, so
+    this streaming operator gets the full DuckDB value-hash oracle."""
+    import shutil
+
+    from unichem2index_spark.operators.eventseq import finish_sessions
+    from unichem2index_spark.streaming.stateful import stream_sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    ckpt = os.path.join(tempfile.gettempdir(), f"u2i_ssz_ckpt_{tag}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    src_dir = os.path.join(tempfile.gettempdir(), f"u2i_ssz_src_{tag}")
+    if not os.path.exists(os.path.join(src_dir, "part-0.parquet")):
+        os.makedirs(src_dir, exist_ok=True)
+        shutil.copyfile(
+            f"{sf_dir}/events.parquet",
+            os.path.join(src_dir, "part-0.parquet"),
+        )
+    name = f"u2i_ssz_{tag}"
+    out = stream_sessionize(spark, src_dir, ev.schema, gap_sec=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return finish_sessions(spark.table(name))
+
+
 def _wrap(fn):
     def run(spark, sf_dir):
         return fn(spark, load_tables(spark, sf_dir))
@@ -1204,6 +1426,36 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_ordered": q_intervals_ordered,
         # ES match_phrase_prefix: search-as-you-type phrase
         "match_phrase_prefix": q_match_phrase_prefix,
+        # ES match_bool_prefix: non-positional search-as-you-type
+        "match_bool_prefix": q_match_bool_prefix,
+        # ES rank_feature: additive saturation boost on a numeric field
+        "rank_feature": q_rank_feature,
+        # ES _terms_enum: prefix autocomplete over the dictionary
+        "terms_enum": q_terms_enum,
+        # ES|QL LOOKUP JOIN (8.18): broadcast join on a shared key
+        "esql_lookup_join": q_esql_lookup_join,
+        # ES|QL MV_EXPAND: multivalue explode (SPLIT-made column)
+        "esql_mv_expand": q_esql_mv_expand,
+        # ES _msearch: one batch job, per-sub-query WAND top-k
+        "msearch": q_msearch,
+        # ES cumulative_sum pipeline agg: running total per series
+        "cumulative_sum_agg": _wrap(textstats.cumulative_sum_agg),
+        # ES derivative pipeline agg: gap-aware per-day rate of change
+        "derivative_agg": _wrap(textstats.derivative_agg),
+        # ES bucket_correlation: per-series Pearson vs overall traffic
+        "bucket_correlation": _wrap(textstats.bucket_correlation_agg),
+        # ES change_point: deterministic CUSUM-style step-change scan
+        "change_point": _wrap(textstats.change_point_agg),
+        # streaming sessionize: native session_window, complete mode
+        "stream_sessionize": q_stream_sessionize,
+        # ES|QL STATS per-agg WHERE (8.16): conditional aggregation
+        "esql_stats_where": q_esql_stats_where,
+        # ES|QL BUCKET grouping fn in STATS BY (grouping expression)
+        "esql_bucket": q_esql_bucket,
+        # ES|QL CASE in EVAL: banding via chained WHEN
+        "esql_case": q_esql_case,
+        # ES|QL GROK command: ingest pattern library, dual render
+        "esql_grok": q_esql_grok,
     }
 
 
@@ -1671,5 +1923,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "match_phrase_prefix": oracles.match_phrase_prefix_sql(
             PP_FIXED, PP_PREFIX, 10, max_expansions=PP_MAX_EXP
+        ),
+        "match_bool_prefix": oracles.match_bool_prefix_sql(
+            MBP_FIXED, MBP_PREFIX, 10
+        ),
+        "rank_feature": oracles.rank_feature_sql(
+            FLAGSHIP_TERMS, FLAGSHIP_K, pivot=RF_PIVOT, boost=RF_BOOST
+        ),
+        "terms_enum": oracles.terms_enum_sql(TE_PREFIX, TE_SIZE),
+        "esql_lookup_join": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_LOOKUP_QUERY)
+        ),
+        "esql_mv_expand": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_MVEXPAND_QUERY)
+        ),
+        "msearch": oracles.msearch_sql(MSEARCH),
+        "cumulative_sum_agg": oracles.CUMULATIVE_SUM,
+        "derivative_agg": oracles.DERIVATIVE,
+        "bucket_correlation": oracles.BUCKET_CORRELATION,
+        "change_point": oracles.CHANGE_POINT,
+        # emission set == batch sessionize -> the same oracle
+        "stream_sessionize": oracles.sessionize_sql(1800),
+        "esql_stats_where": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_STATS_WHERE_QUERY)
+        ),
+        "esql_bucket": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_BUCKET_QUERY)
+        ),
+        "esql_case": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_CASE_QUERY)
+        ),
+        "esql_grok": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_GROK_QUERY)
         ),
     }

@@ -382,3 +382,91 @@ def test_moving_percentiles_recompute(spark):
         ]
         assert r.n_events == counts[days[idx]]
         assert (r.moving_p50, r.moving_p90) == (q(wvals, 0.5), q(wvals, 0.9))
+
+
+def test_cumulative_sum_and_derivative(spark):
+    t = load_tables(spark, SF)
+    cs = textstats.cumulative_sum_agg(spark, t).collect()
+    series: dict = {}
+    for r in cs:
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        run = 0
+        for r in rs:
+            run += r.n_events
+            assert r.running == run  # telescopes exactly
+        assert rs[-1].running == sum(x.n_events for x in rs)
+
+    dv = textstats.derivative_agg(spark, t).collect()
+    series = {}
+    for r in dv:
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        assert rs[0].per_day is None  # no predecessor
+        for prev, cur in zip(rs, rs[1:]):
+            gap = (cur.bucket.date() - prev.bucket.date()).days
+            assert gap >= 1
+            want = round((cur.n_events - prev.n_events) / gap, 6)
+            assert cur.per_day == want
+
+
+def test_bucket_correlation_matches_bruteforce(spark):
+    import math
+
+    t = load_tables(spark, SF)
+    got = {
+        r.event_type: (r.n_days, r.corr)
+        for r in textstats.bucket_correlation_agg(spark, t).collect()
+    }
+    evs = t["events"].collect()
+    days = sorted({r.ts.date() for r in evs})
+    total = {d: 0 for d in days}
+    per: dict = {}
+    for r in evs:
+        d = r.ts.date()
+        total[d] += 1
+        per.setdefault(r.event_type, {d2: 0 for d2 in days})[d] += 1
+    for et, xs in per.items():
+        x = [xs[d] for d in days]
+        y = [total[d] for d in days]
+        n = len(days)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        corr = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        assert got[et] == (n, round(corr, 6)), et
+    # a series proportional to the total correlates at exactly 1
+    assert all(-1.0 <= c <= 1.0 for _, c in got.values())
+
+
+def test_change_point_matches_bruteforce(spark):
+    import math
+
+    t = load_tables(spark, SF)
+    got = {
+        r.event_type: (r.change_bucket, r.stat, r.mean_before, r.mean_after)
+        for r in textstats.change_point_agg(spark, t).collect()
+    }
+    evs = t["events"].collect()
+    per: dict = {}
+    for r in evs:
+        per.setdefault(r.event_type, {}).setdefault(r.ts.date(), 0)
+        per[r.event_type][r.ts.date()] += 1
+    for et, byday in per.items():
+        days = sorted(byday)
+        xs = [byday[d] for d in days]
+        n, s = len(xs), sum(xs)
+        best = None
+        for i in range(1, n):  # left = 1..i, right = i+1..n
+            cum = sum(xs[:i])
+            ml, mr = cum / i, (s - cum) / (n - i)
+            stat = abs(mr - ml) * math.sqrt(i * (n - i) / n)
+            if best is None or stat > best[0]:
+                best = (stat, days[i], ml, mr)  # ties keep the earliest
+        stat, change_day, ml, mr = best
+        g = got[et]
+        assert g[0].date() == change_day, et
+        assert g[1] == round(stat, 6) and g[2] == round(ml, 6)
+        assert g[3] == round(mr, 6)

@@ -23,7 +23,8 @@ def test_parse_shapes():
     )
     assert [s[0] for s in st] == ["from", "where", "stats", "sort", "limit"]
     assert st[0][1] == "documents"
-    assert st[2][2] == ["source"]
+    assert st[2][2] == [("source", None)]  # BY pairs: (name, expr|None)
+    assert st[2][1][0][2] is None  # agg triples: (alias, expr, filter)
     assert st[3][1] == [("c", True)]
     assert st[4][1] == 3
 
@@ -239,3 +240,166 @@ def test_like_and_in_both_engines(spark):
     assert {s_ for s_, _ in got} >= {"src1", "src10", "src19"}
     with pytest.raises(ValueError):
         parse_esql('FROM t | WHERE source LIKE "a%b"')
+
+
+def test_lookup_join_both_engines(spark):
+    import duckdb as _duck
+
+    t = load_tables(spark, SF_SMOKE)
+    q = (
+        "FROM orders | RENAME o_custkey AS c_custkey"
+        " | LOOKUP JOIN customer ON c_custkey"
+        ' | WHERE c_mktsegment == "BUILDING"'
+        " | STATS n = COUNT(*) BY c_nationkey"
+        " | SORT c_nationkey ASC | LIMIT 30"
+    )
+    stages = parse_esql(q)
+    got = [(r.c_nationkey, r.n) for r in compile_spark(stages, t).collect()]
+    con = _duck.connect()
+    for tbl in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF_SMOKE}/{tbl}.parquet'"
+        )
+    want = [(k, int(n)) for k, n in con.execute(compile_sql(stages)).fetchall()]
+    con.close()
+    assert got == want and got
+    # manual recompute: join semantics are plain left-equi + filter
+    o = t["orders"].collect()
+    c = {r.c_custkey: r for r in t["customer"].collect()}
+    cnt: dict = {}
+    for r in o:
+        cr = c.get(r.o_custkey)
+        if cr is not None and cr.c_mktsegment == "BUILDING":
+            cnt[cr.c_nationkey] = cnt.get(cr.c_nationkey, 0) + 1
+    assert got == sorted(cnt.items())[:30]
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | LOOKUP customer ON k")  # missing JOIN
+
+
+def test_mv_expand_and_split_both_engines(spark):
+    import duckdb as _duck
+
+    t = load_tables(spark, SF_SMOKE)
+    q = (
+        "FROM documents | WHERE doc_id < 40"
+        ' | EVAL tok = SPLIT(text, " ") | MV_EXPAND tok'
+        " | STATS n = COUNT(*) BY tok | SORT n DESC, tok ASC | LIMIT 10"
+    )
+    stages = parse_esql(q)
+    got = [(r.tok, r.n) for r in compile_spark(stages, t).collect()]
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    )
+    want = [(s_, int(n)) for s_, n in con.execute(compile_sql(stages)).fetchall()]
+    con.close()
+    assert got == want and got
+    # manual recompute: literal-space split, one row per token
+    from collections import Counter
+
+    cnt = Counter()
+    for r in t["documents"].where("doc_id < 40").collect():
+        cnt.update(r.text.split(" "))
+    assert got == sorted(
+        cnt.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    with pytest.raises(ValueError):
+        # non-literal delimiter rejected at compile time (both renders)
+        compile_sql(parse_esql("FROM t | EVAL x = SPLIT(text, lang)"))
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | MV_EXPAND a b")
+
+
+def test_stats_where_conditional_agg(spark):
+    """Per-agg WHERE (8.16) == conditional aggregation: filtered counts
+    equal separately-run filtered queries; Spark matches DuckDB."""
+    import duckdb as _duck
+
+    t = load_tables(spark, SF_SMOKE)
+    q = (
+        "FROM events"
+        ' | STATS e = COUNT(*) WHERE event_type == "error",'
+        "         n = COUNT(*), mx = MAX(value) WHERE value < 50.0"
+        "   BY ub = user_id % 3"
+        " | SORT ub ASC"
+    )
+    stages = parse_esql(q)
+    got = [(r.ub, r.e, r.n, r.mx) for r in compile_spark(stages, t).collect()]
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    want = [
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in con.execute(compile_sql(stages)).fetchall()
+    ]
+    con.close()
+    assert got == want and len(got) == 3
+    # manual recompute of one group from the raw rows
+    rows = t["events"].where("user_id % 3 = 0").collect()
+    assert got[0][1] == sum(1 for r in rows if r.event_type == "error")
+    assert got[0][2] == len(rows)
+    assert got[0][3] == max(r.value for r in rows if r.value < 50.0)
+    with pytest.raises(ValueError):
+        # the filter must hang off an aggregate call
+        compile_sql(parse_esql("FROM t | STATS a = b WHERE c == 1"))
+
+
+def test_bucket_and_by_expression(spark):
+    """BY alias = BUCKET(ts, 1 day) groups by the day truncation on
+    both engines; bad spans/items are rejected at parse time."""
+    t = load_tables(spark, SF_SMOKE)
+    q = (
+        "FROM events | STATS n = COUNT(*) BY d = BUCKET(ts, 1 day)"
+        " | SORT d ASC | LIMIT 5"
+    )
+    got = compile_spark(parse_esql(q), t).collect()
+    want = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("d")
+        .limit(5)
+        .collect()
+    )
+    assert [(r.d, r.n) for r in got] == [(r.d, r.n) for r in want]
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | STATS n = COUNT(*) BY d = BUCKET(ts, 3 hours)")
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | STATS n = COUNT(*) BY a == b")
+
+
+def test_case_and_grok(spark):
+    """CASE chains WHEN (first matching arm wins, default otherwise);
+    GROK expands the shared pattern library unanchored."""
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            "FROM events"
+            ' | EVAL band = CASE(value < 25.0, "low", value < 75.0,'
+            ' "mid", "high")'
+            " | KEEP value, band | SORT value ASC | LIMIT 2000"
+        ),
+        t,
+    ).collect()
+    assert rows
+    for r in rows:
+        want = "low" if r.value < 25 else ("mid" if r.value < 75 else "high")
+        assert r.band == want
+    with pytest.raises(ValueError):
+        compile_sql(parse_esql('FROM t | EVAL b = CASE(a < 1.0, "x")'))
+    grokked = compile_spark(
+        parse_esql(
+            "FROM events | GROK props '\"k\": %{INT:kval}'"
+            " | KEEP props, kval | LIMIT 50"
+        ),
+        t,
+    ).collect()
+    assert grokked
+    for r in grokked:
+        assert r.props == '{"k": %s}' % r.kval
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | GROK props '%{NOPE:x}'")
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | GROK props 'no captures here'")

@@ -973,3 +973,102 @@ def test_sampler_and_stats_bucket_match_python(spark, corpus, tables):
         assert (r.min_bucket, r.max_bucket) == (min(counts), max(counts))
         assert r.sum_events == sum(counts)
         assert r.avg_per_bucket == round(sum(counts) / len(counts), 6)
+
+
+# ------------------------------------------------------- match_bool_prefix
+def test_match_bool_prefix_matches_bruteforce(spark, corpus):
+    from unichem2index_spark.functions.bm25 import score_term
+    import math
+
+    df, oracle, _ = corpus
+    vocab = sorted(oracle.postings)
+    n = len(oracle.doclen)
+
+    def blend(fixed, prefix, cap):
+        fx = sorted(set(fixed))
+        exp = [t for t in vocab if t.startswith(prefix)][:cap]
+        grp = [t for t in exp if t not in set(fx)]
+        acc = {}
+        for g in [[t] for t in fx] + ([grp] if grp else []):
+            df_g = max(len(oracle.postings.get(t, {})) for t in g)
+            if df_g == 0:
+                continue
+            idf_g = math.log(1.0 + (n - df_g + 0.5) / (df_g + 0.5))
+            tf_g = {}
+            for t in g:
+                for d, tf in oracle.postings.get(t, {}).items():
+                    tf_g[d] = tf_g.get(d, 0) + tf
+            for d, tf in tf_g.items():
+                acc[d] = acc.get(d, 0.0) + score_term(
+                    tf, oracle.doclen[d], oracle.avgdl, idf_g
+                )
+        return sorted(
+            ((d, round(s, 6)) for d, s in acc.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:K]
+
+    for fixed, prefix, cap in [
+        (["dup"], "f", 50),   # rare term OR common expansion
+        (["merge"], "s", 4),  # cap trims the expansion
+        (["merge", "key"], "zz", 50),  # empty expansion -> plain bool OR
+    ]:
+        got = [
+            (r.doc_id, r.score)
+            for r in Q.match_bool_prefix_topk(
+                spark, df, fixed, prefix, K, max_expansions=cap
+            ).collect()
+        ]
+        assert got == blend(fixed, prefix, cap), f"mbp {fixed} {prefix}*"
+
+    # empty-expansion degeneration: equals the plain bool-should query
+    got = Q.match_bool_prefix_topk(spark, df, ["merge", "key"], "zz", K)
+    plain = Q.bm25_topk_exact(df, ["merge", "key"], K)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+    # OR semantics: an absent fixed term does NOT veto expansion-only
+    # matches — the query degenerates to the blended prefix clause
+    only_exp = [
+        (r.doc_id, r.score)
+        for r in Q.match_bool_prefix_topk(spark, df, ["zzzz"], "f", K).collect()
+    ]
+    assert only_exp == blend(["zzzz"], "f", 50) and only_exp
+
+
+# ----------------------------------------------------- rank_feature / enum
+def test_rank_feature_matches_bruteforce(spark, corpus):
+    df, oracle, meta = corpus
+    terms, pivot, boost = ["merge", "vector"], 300.0, 1.5
+    want = sorted(
+        (
+            (d, round(s + boost * meta[d].n_chars /
+                      (meta[d].n_chars + pivot), 6))
+            for d, s in _scores(oracle, terms).items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:K]
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.rank_feature_topk(
+            df, terms, K, pivot=pivot, boost=boost
+        ).collect()
+    ]
+    assert got == want
+    # saturation is bounded: the feature can add at most `boost`
+    plain = {
+        r.doc_id: r.score for r in Q.bm25_topk_exact(df, terms, 10**6).collect()
+    }
+    for d, s in got:
+        assert 0.0 < s - plain[d] < boost + 1e-9
+    # monotone in the feature at equal BM25: larger n_chars never hurts
+    s1 = 1.0 + boost * 100 / (100 + pivot)
+    s2 = 1.0 + boost * 500 / (500 + pivot)
+    assert s2 > s1
+
+
+def test_terms_enum_prefix_cap(spark, index):
+    got = [r.term for r in Q.terms_enum(spark, index, "s", size=4).collect()]
+    assert got == ["scan", "slow", "small", "sort"]
+    full = [r.term for r in Q.terms_enum(spark, index, "s", size=50).collect()]
+    assert full == ["scan", "slow", "small", "sort", "spark", "stream"]
+    assert Q.terms_enum(spark, index, "zz", size=5).count() == 0

@@ -82,3 +82,48 @@ def test_within_batch_keeps_only_newest(spark, tmp_path):  # noqa: F811
         for r in spark.table("dedup_batch_test").collect()
     ]
     assert rows == [("A", 9, "new")]
+
+
+def test_stream_sessionize_merges_sessions_across_batches(spark, tmp_path):
+    from datetime import datetime
+
+    from unichem2index_spark.streaming.stateful import stream_sessionize
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    now = time.time()
+    ts = lambda m: datetime(2026, 1, 1, 12, m, 0)
+    # user 1: events at 12:00 and 12:10 land in DIFFERENT micro-batches
+    # but are 600s apart (< gap 1800) -> ONE merged session of 3 events;
+    # user 2: 12:00 then 13:30 -> TWO sessions despite same-batch arrival.
+    f1 = [(1, ts(0)), (2, ts(0)), (2, datetime(2026, 1, 1, 13, 30, 0))]
+    f2 = [(1, ts(10)), (1, ts(11))]
+    cols = ["user_id", "ts"]
+    kw = dict(coerce_timestamps="us", allow_truncated_timestamps=True)
+    pd.DataFrame(f1, columns=cols).to_parquet(str(src / "f1.parquet"), **kw)
+    os.utime(str(src / "f1.parquet"), (now - 60, now - 60))
+    pd.DataFrame(f2, columns=cols).to_parquet(str(src / "f2.parquet"), **kw)
+    os.utime(str(src / "f2.parquet"), (now - 30, now - 30))
+
+    out = stream_sessionize(
+        spark, str(src), "user_id long, ts timestamp",
+        gap_sec=1800, max_files_per_trigger=1,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_state_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.user_id, r.n_events, r.start_ts, r.end_ts)
+        for r in spark.table("sess_state_test").collect()
+    )
+    assert rows == [
+        (1, 3, ts(0), ts(11)),  # merged across the batch boundary
+        (2, 1, ts(0), ts(0)),
+        (2, 1, datetime(2026, 1, 1, 13, 30), datetime(2026, 1, 1, 13, 30)),
+    ]

@@ -12,17 +12,33 @@ Supported surface (the ES|QL core):
     | KEEP <col> [, ...]
     | DROP <col> [, ...]
     | RENAME <old> AS <new> [, ...]
-    | STATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
+    | STATS <alias> = <agg>(<expr>|*) [WHERE <cond>] [, ...]
+            BY <col> | <alias> = <expr> [, ...]
     | INLINESTATS <alias> = <agg>(<expr>|*) [, ...] BY <col> [, ...]
     | ENRICH <table> ON <left_key> == <right_key> WITH <col> [, ...]
+    | LOOKUP JOIN <table> ON <key>
+    | MV_EXPAND <col>
     | DISSECT <field> '<pattern with %{name} holes>'
+    | GROK <field> '<pattern with %{ALIAS:name} refs>'
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
+
+8.x STATS extensions: a per-aggregate ``WHERE`` filter (rendered as
+``F.when`` conditional aggregation / SQL ``FILTER (WHERE ...)`` — the
+filter stays inside the single hash-aggregate), and grouping
+EXPRESSIONS in BY (``BY day = BUCKET(ts, 1 day)``); BUCKET accepts
+1-unit calendar spans (minute/hour/day/week/month/year) and lowers to
+``date_trunc`` on both engines. CASE(cond, val, ..., default) chains
+WHEN on both engines. GROK expands the ingest-node pattern library
+(functions/ingestpipeline.py) and lowers to the same dual
+``regexp_extract`` projection as DISSECT (unanchored, per ES).
 
 Expressions: identifiers, integer/float/string literals ("..." or '...'),
 arithmetic + - * / %, comparisons == != < <= > >=, LIKE "pat*?"
 (Lucene wildcards), IN (lit, ...), AND/OR/NOT, parens,
 and the scalar functions ROUND(x[, d]) / LENGTH(s) / ABS(x) /
+SPLIT(s, "delim") (LITERAL delimiter, yields a multivalue column for
+MV_EXPAND — Spark's regex split gets the delimiter re-escaped) /
 CONTAINS_TERM(field, "term") — the ES|QL match()-family analog:
 analyzer-tokenized term membership, identical tokenizer both engines.
 Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX / AVG.
@@ -45,7 +61,15 @@ _TOKEN = re.compile(
 )
 
 _AGGS = {"count", "sum", "min", "max", "avg"}
-_FUNCS = {"round", "length", "abs", "contains_term"}
+_FUNCS = {"round", "length", "abs", "contains_term", "split", "case", "bucket"}
+
+# BUCKET spans both engines can render as a calendar truncation. ES|QL
+# BUCKET also takes a target-bucket-count form and sub-calendar spans
+# (e.g. `3 hours`) — rejected here: a fixed-width epoch-anchored bucket
+# is easy in both engines, but ES aligns sub-calendar buckets to the
+# epoch while DuckDB's time_bucket aligns to 2000-01-01, so only the
+# calendar units whose truncation semantics provably agree are allowed.
+_BUCKET_UNITS = {"day", "hour", "week", "month", "year", "minute"}
 
 
 class _P:
@@ -163,7 +187,20 @@ class _P:
             fn = t.lower()
             self.take("(")
             args = []
-            if self.peek() == "*":
+            if fn == "bucket":
+                # BUCKET(col, 1 day): the span is the two-token ES|QL
+                # duration literal, not an expression — parsed here.
+                args.append(self.expr())
+                self.take(",")
+                n = self.take()
+                unit = self.take().lower().rstrip("s")
+                if n != "1" or unit not in _BUCKET_UNITS:
+                    raise ValueError(
+                        f"ES|QL: BUCKET span must be 1 of {sorted(_BUCKET_UNITS)},"
+                        f" got {n} {unit!r}"
+                    )
+                args.append(("lit", unit))
+            elif self.peek() == "*":
                 self.take()
                 args.append(("star",))
             elif self.peek() != ")":
@@ -225,11 +262,30 @@ def parse_esql(q: str) -> list[tuple]:
             m = re.search(r"\bBY\b", rest, re.IGNORECASE)
             if m:
                 aggpart = rest[: m.start()]
-                by = [c.strip() for c in rest[m.end():].split(",")]
+                # BY items: bare column, or alias = expr (8.x grouping
+                # expressions, incl. BUCKET) — top-level split so a
+                # BUCKET(ts, 1 day) comma doesn't shear the item.
+                for piece in _split_top(rest[m.end():]):
+                    piece = piece.strip()
+                    if re.fullmatch(r"\w+", piece):
+                        by.append((piece, None))
+                    else:
+                        m6 = re.match(r"(\w+)\s*=\s*(.+)", piece, re.DOTALL)
+                        if not m6 or m6.group(2).startswith("="):
+                            raise ValueError(
+                                f"ES|QL: bad STATS BY item {piece!r}"
+                            )
+                        by.append((m6.group(1), _P(m6.group(2)).expr()))
             aggs = []
             for piece in _split_top(aggpart):
                 alias, _, e = piece.partition("=")
-                aggs.append((alias.strip(), _P(e).expr()))
+                # per-agg filter (8.16): alias = AGG(expr) WHERE cond
+                mw = re.search(r"\bWHERE\b", e, re.IGNORECASE)
+                cond = None
+                if mw:
+                    cond = _P(e[mw.end():]).expr()
+                    e = e[: mw.start()]
+                aggs.append((alias.strip(), _P(e).expr(), cond))
             stages.append(("stats", aggs, by))
         elif cmd == "SORT":
             keys = []
@@ -253,6 +309,37 @@ def parse_esql(q: str) -> list[tuple]:
                     [c.strip() for c in m2.group(4).split(",")],
                 )
             )
+        elif cmd == "LOOKUP":
+            m5 = re.fullmatch(
+                r"JOIN\s+(\w+)\s+ON\s+(\w+)", rest.strip(), re.IGNORECASE
+            )
+            if not m5:
+                raise ValueError(f"ES|QL: bad LOOKUP JOIN clause {rest!r}")
+            stages.append(("lookup", m5.group(1), m5.group(2)))
+        elif cmd == "MV_EXPAND":
+            col = rest.strip()
+            if not re.fullmatch(r"\w+", col):
+                raise ValueError(f"ES|QL: bad MV_EXPAND column {rest!r}")
+            stages.append(("mv_expand", col))
+        elif cmd == "GROK":
+            # GROK <field> '<pattern>': %{ALIAS:name} refs expand from
+            # the shared RE2-safe library (functions/ingestpipeline.py);
+            # the compiled stage is the same regexp_extract projection
+            # DISSECT lowers to, so it reuses that stage kind — grok is
+            # unanchored (ES semantics: match anywhere), dissect anchors.
+            from unichem2index_spark.functions.ingestpipeline import (
+                grok_to_regex,
+            )
+
+            m7 = re.fullmatch(
+                r"(\w+)\s+'([^']*)'", rest.strip()
+            ) or re.fullmatch(r'(\w+)\s+"([^"]*)"', rest.strip())
+            if not m7:
+                raise ValueError(f"ES|QL: bad GROK clause {rest!r}")
+            rx, names = grok_to_regex(m7.group(2))
+            if not names:
+                raise ValueError("ES|QL: GROK pattern has no named captures")
+            stages.append(("dissect", m7.group(1), rx, names))
         elif cmd == "DISSECT":
             m3 = re.fullmatch(
                 r"(\w+)\s+'([^']*)'", rest.strip()
@@ -332,6 +419,12 @@ def _sp(node) -> Column:
             return F.length(_sp(args[0]))
         if fn == "abs":
             return F.abs(_sp(args[0]))
+        if fn == "split":
+            # LITERAL delimiter (ES|QL split): Spark's split takes a
+            # regex, so the delimiter is re-escaped.
+            if args[1][0] != "lit" or not isinstance(args[1][1], str):
+                raise ValueError("ES|QL: SPLIT needs a quoted delimiter")
+            return F.split(_sp(args[0]), re.escape(args[1][1]))
         if fn == "contains_term":
             # ES|QL match()-family analog: analyzer-tokenized membership.
             from unichem2index_spark.functions.tokenize import tokens_col
@@ -344,6 +437,17 @@ def _sp(node) -> Column:
         if fn == "avg":
             # exact integer sum, ONE divide — identical across engines
             return F.sum(_sp(args[0])).cast("double") / F.count(F.lit(1))
+        if fn == "case":
+            # CASE(cond, val, [cond, val ...], default) — chained WHEN.
+            if len(args) < 3 or len(args) % 2 == 0:
+                raise ValueError("ES|QL: CASE takes cond/value pairs + default")
+            col = F.when(_sp(args[0]), _sp(args[1]))
+            for i in range(2, len(args) - 1, 2):
+                col = col.when(_sp(args[i]), _sp(args[i + 1]))
+            return col.otherwise(_sp(args[-1]))
+        if fn == "bucket":
+            # span validated at parse time to a 1-unit calendar span
+            return F.date_trunc(str(args[1][1]), _sp(args[0]))
         return getattr(F, fn)(_sp(args[0]))
     op, l, r = node[1], _sp(node[2]), _sp(node[3])
     if op == "and":
@@ -383,6 +487,11 @@ def _sq(node) -> str:
         return f"({_sq(node[1])} IN ({vals}))"
     if kind == "call":
         fn, args = node[1], node[2]
+        if fn == "split":
+            if args[1][0] != "lit" or not isinstance(args[1][1], str):
+                raise ValueError("ES|QL: SPLIT needs a quoted delimiter")
+            d = args[1][1].replace("'", "''")
+            return f"string_split({_sq(args[0])}, '{d}')"
         if fn == "contains_term":
             from unichem2index_spark.functions.tokenize import TOKEN_PATTERN
 
@@ -405,10 +514,69 @@ def _sq(node) -> str:
             return f"CAST(sum({_sq(args[0])}) AS BIGINT)"
         if fn == "round" and len(args) > 1:
             return f"round({_sq(args[0])}, {int(args[1][1])})"
+        if fn == "case":
+            if len(args) < 3 or len(args) % 2 == 0:
+                raise ValueError("ES|QL: CASE takes cond/value pairs + default")
+            whens = " ".join(
+                f"WHEN {_sq(args[i])} THEN {_sq(args[i + 1])}"
+                for i in range(0, len(args) - 1, 2)
+            )
+            return f"(CASE {whens} ELSE {_sq(args[-1])} END)"
+        if fn == "bucket":
+            # CAST pins DuckDB's per-unit DATE/TIMESTAMP return types to
+            # Spark's date_trunc timestamp (same pin as CUMULATIVE_SUM).
+            return (
+                f"CAST(date_trunc('{args[1][1]}', {_sq(args[0])}) "
+                "AS TIMESTAMP)"
+            )
         return f"{fn}({', '.join(_sq(a) for a in args)})"
     op, l, r = node[1], _sq(node[2]), _sq(node[3])
     sqlop = {"and": "AND", "or": "OR"}.get(op, _CMP.get(op, op))
     return f"({l} {sqlop} {r})"
+
+
+def _sp_agg(node, cond) -> Column:
+    """STATS aggregate, optionally with an 8.16 per-agg WHERE filter —
+    Spark's conditional-aggregation idiom: agg over ``F.when(cond, x)``
+    (nulls don't count/sum), which keeps the filter INSIDE the one
+    hash-aggregate — no extra scan per filtered agg at any scale."""
+    if cond is None:
+        return _sp(node)
+    if node[0] != "call" or node[1] not in _AGGS:
+        raise ValueError("ES|QL: per-agg WHERE needs an aggregate call")
+    fn, args = node[1], node[2]
+    c = _sp(cond)
+    if fn == "count":
+        x = F.lit(1) if args[0][0] == "star" else _sp(args[0])
+        return F.count(F.when(c, x))
+    if fn == "avg":
+        return (
+            F.sum(F.when(c, _sp(args[0]))).cast("double")
+            / F.count(F.when(c, F.lit(1)))
+        )
+    return getattr(F, fn)(F.when(c, _sp(args[0])))
+
+
+def _sq_agg(node, cond) -> str:
+    """Oracle twin of :func:`_sp_agg` — SQL's ``FILTER (WHERE ...)``
+    aggregate modifier, with the same HUGEINT→BIGINT pin on SUM."""
+    if cond is None:
+        return _sq(node)
+    if node[0] != "call" or node[1] not in _AGGS:
+        raise ValueError("ES|QL: per-agg WHERE needs an aggregate call")
+    fn, args = node[1], node[2]
+    filt = f"FILTER (WHERE {_sq(cond)})"
+    if fn == "count":
+        inner = "count(*)" if args[0][0] == "star" else f"count({_sq(args[0])})"
+        return f"{inner} {filt}"
+    if fn == "sum":
+        return f"CAST(sum({_sq(args[0])}) {filt} AS BIGINT)"
+    if fn == "avg":
+        return (
+            f"(CAST(sum({_sq(args[0])}) {filt} AS DOUBLE) "
+            f"/ count(*) {filt})"
+        )
+    return f"{fn}({_sq(args[0])}) {filt}"
 
 
 def _sp_window(node, w) -> Column:
@@ -476,9 +644,26 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
             df = df.join(
                 F.broadcast(lookup), df[lk] == lookup[rk], "left"
             ).drop(rk)
+        elif st[0] == "lookup":
+            # ES|QL LOOKUP JOIN (8.18): left join against a lookup-mode
+            # index on a SHARED column name — lookup indexes are small
+            # and replicated in ES, i.e. exactly a broadcast hash join.
+            _, tbl, key = st
+            df = df.join(F.broadcast(tables[tbl]), key, "left")
+        elif st[0] == "mv_expand":
+            # ES|QL MV_EXPAND: one row per element of the multivalue
+            # column, keeping the name. Empty/null multivalues drop the
+            # row on BOTH engines (Spark explode == DuckDB unnest) — a
+            # documented divergence from ES, which keeps a null row.
+            df = df.withColumn(st[1], F.explode(st[1]))
         elif st[0] == "stats":
-            aggs = [_sp(e).alias(a) for a, e in st[1]]
-            df = df.groupBy(*st[2]).agg(*aggs) if st[2] else df.agg(*aggs)
+            aggs = [_sp_agg(e, cond).alias(a) for a, e, cond in st[1]]
+            names = []
+            for name, e in st[2]:
+                if e is not None:  # BY alias = expr (incl. BUCKET)
+                    df = df.withColumn(name, _sp(e))
+                names.append(name)
+            df = df.groupBy(*names).agg(*aggs) if names else df.agg(*aggs)
         elif st[0] == "inlinestats":
             # ES|QL INLINESTATS: group aggregates joined back to every
             # row — Spark's window aggregate, no self-join.
@@ -531,6 +716,18 @@ def compile_sql(stages: list[tuple]) -> str:
                 f"SELECT l.*, {proj} FROM ({sql}) l "
                 f"LEFT JOIN {tbl} r ON l.{lk} = r.{rk}"
             )
+        elif st[0] == "lookup":
+            _, tbl, key = st
+            sql = (
+                f"SELECT l.*, r.* EXCLUDE ({key}) FROM ({sql}) l "
+                f"LEFT JOIN {tbl} r ON l.{key} = r.{key}"
+            )
+        elif st[0] == "mv_expand":
+            col = st[1]
+            sql = (
+                f"SELECT * EXCLUDE ({col}), unnest({col}) AS {col} "
+                f"FROM ({sql})"
+            )
         elif st[0] == "inlinestats":
             over = (
                 "OVER (PARTITION BY " + ", ".join(st[2]) + ")"
@@ -541,10 +738,18 @@ def compile_sql(stages: list[tuple]) -> str:
             )
             sql = f"SELECT *, {evals} FROM ({sql})"
         elif st[0] == "stats":
-            aggs = ", ".join(f"{_sq(e)} AS {a}" for a, e in st[1])
+            aggs = ", ".join(
+                f"{_sq_agg(e, cond)} AS {a}" for a, e, cond in st[1]
+            )
             if st[2]:
-                by = ", ".join(st[2])
-                sql = f"SELECT {by}, {aggs} FROM ({sql}) GROUP BY {by}"
+                sel = ", ".join(
+                    name if e is None else f"{_sq(e)} AS {name}"
+                    for name, e in st[2]
+                )
+                names = ", ".join(name for name, _ in st[2])
+                sql = (
+                    f"SELECT {sel}, {aggs} FROM ({sql}) GROUP BY {names}"
+                )
             else:
                 sql = f"SELECT {aggs} FROM ({sql})"
         elif st[0] == "sort":

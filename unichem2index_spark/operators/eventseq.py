@@ -155,6 +155,14 @@ def sessionize(
         )
         .drop("session_window")
     )
+    return finish_sessions(agg)
+
+
+def finish_sessions(agg: DataFrame) -> DataFrame:
+    """Shared session projection: per-user sequence number + exact
+    duration over (user_id, n_events, start_ts, end_ts) rows — used by
+    batch :func:`sessionize` and the streaming twin's collected result
+    (the window/ordering parts streaming aggregation cannot express)."""
     w = Window.partitionBy("user_id").orderBy("start_ts")
     return (
         agg.withColumn("session_seq", F.row_number().over(w))

@@ -3208,3 +3208,112 @@ def match_phrase_prefix_topk(
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def match_bool_prefix_topk(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    fixed: list[str],
+    prefix: str,
+    k: int,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_bool_prefix``: the non-positional sibling of
+    :func:`match_phrase_prefix_topk` — a bool SHOULD over one term
+    clause per unique fixed term plus ONE prefix clause for the
+    trailing partial word, no adjacency required (the other half of
+    the search-as-you-type pair; ES builds exactly this bool query).
+    Ref analog: delegated to ES/Lucene by the reference (SURVEY §2 W8).
+
+    A doc matches when ANY clause matches (operator OR,
+    minimum_should_match 1). Scoring: each fixed term is its own BM25
+    slot; the prefix expansion is ONE synonym-blended slot (tf summed
+    over members, df blended at the max member df) — so the whole
+    query is :func:`bm25_topk_synonyms` over singleton groups for the
+    fixed terms plus the expansion group, and this function is that
+    composition. Expansion: corpus vocabulary terms starting with
+    ``prefix``, alphabetical, capped at ``max_expansions``, minus the
+    fixed terms — global and deterministic.
+
+    Scale: the expansion is one distinct-term scan returning
+    <= max_expansions strings to the driver (at serving scale the
+    index's term_stats dictionary replaces it, as in
+    :func:`expand_prefix`); everything after is the synonyms plan —
+    broadcast term->group map, one rollup shuffle, global top-k."""
+    fx = sorted({str(t) for t in fixed if t})
+    if not fx or not prefix:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    vocab = (
+        exact_postings(tokenized_docs(docs_df))
+        .select("term")
+        .distinct()
+        .where(F.col("term").startswith(prefix))
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    group = [r.term for r in vocab if r.term not in set(fx)]
+    groups = [[t] for t in fx]
+    if group:
+        groups.append(group)
+    return bm25_topk_synonyms(spark, docs_df, groups, k)
+
+
+def rank_feature_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    field: str = "n_chars",
+    pivot: float = 300.0,
+    boost: float = 1.0,
+) -> DataFrame:
+    """ES ``rank_feature`` query (saturation function) inside a bool:
+    ``must: match(terms), should: rank_feature(field, pivot, boost)`` —
+    rank by ``BM25(q, d) + boost * x / (x + pivot)`` where x is the
+    doc's numeric feature (pagerank/quality/length). The ADDITIVE
+    static-signal boost, vs field_value_factor's multiplicative one;
+    saturation bounds the contribution by ``boost`` no matter how large
+    the feature gets (Lucene FeatureField's saturation). Ref analog:
+    delegated to ES/Lucene by the reference (SURVEY §2 W8 family).
+
+    Declarative corpus path (oracle-checked): the feature join is
+    doc_id-equi on the already-scored frame. Index-serving note: the
+    additive term is bounded by ``boost``, so a WAND upper bound of
+    block_bound + boost stays admissible; survivors rescore with the
+    exact per-doc feature cogrouped in — same shape as the bounded
+    multiplier family."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    feat = F.col(field).cast("double")
+    boosted = scores.join(docs_df.select("doc_id", field), "doc_id").select(
+        "doc_id",
+        (
+            F.col("score")
+            + F.lit(float(boost)) * feat / (feat + F.lit(float(pivot)))
+        ).alias("score"),
+    )
+    return (
+        boosted.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def terms_enum(
+    spark: SparkSession,
+    index: IndexHandle,
+    prefix: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``_terms_enum`` API: the terms of the dictionary starting with
+    ``prefix``, alphabetical, capped at ``size`` — the index-backed
+    autocomplete primitive (ES surfaces it for field-value suggestions).
+    One pushed StartsWith scan over the term_stats dictionary; <= size
+    rows move, at any corpus size. Shares the expansion discipline of
+    :func:`expand_prefix` (same scan, terms only)."""
+    return (
+        index.term_stats(spark)
+        .where(F.col("term").startswith(prefix))
+        .select("term")
+        .orderBy("term")
+        .limit(size)
+    )

@@ -1375,3 +1375,169 @@ def moving_percentiles(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def cumulative_sum_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `cumulative_sum` pipeline agg: running total of a
+    date-histogram metric, per event_type — the monotone counter view
+    of a daily series. Ref analog: the reference's ES analytics calls
+    return date-bucketed counts (extractor/loader.go:239-379); this is
+    the standard pipeline stage ES layers on them. Window over the
+    REDUCED bucket rows (n_types x n_days), never the raw events —
+    the shuffle is the date_histogram's, the window input is tiny."""
+    ev = t["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("running", F.sum("n_events").over(w))
+        .orderBy("event_type", "bucket")
+    )
+
+
+def derivative_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `derivative` pipeline agg with unit normalization: the
+    bucket-over-bucket rate of change of a date-histogram count, per
+    day of actual x-axis distance — gap-aware (ES divides by the fixed
+    bucket interval; dividing by the REAL timestamp gap generalizes to
+    sparse histograms and is identical when buckets are contiguous).
+    Exact integer delta and day count, ONE float divide — the shared
+    float-tree discipline. Same reduced-bucket window shape as
+    :func:`serial_diff_agg`."""
+    ev = t["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    gap_days = F.datediff(
+        F.col("bucket").cast("date"),
+        F.lag(F.col("bucket").cast("date"), 1).over(w),
+    )
+    delta = F.col("n_events") - F.lag("n_events", 1).over(w)
+    return (
+        daily.withColumn(
+            "per_day",
+            F.round(delta.cast("double") / gap_days.cast("double"), 6),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def bucket_correlation_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `bucket_correlation` pipeline agg (8.x, the count_correlation
+    function): Pearson correlation between each event_type's daily
+    count series and the OVERALL daily count series — "which signals
+    track total traffic". Missing type-days count 0 (date_histogram
+    min_doc_count=0 semantics).
+
+    Determinism: the correlation is computed from the exact mergeable
+    integer moment vector {n, Σx, Σy, Σxy, Σx², Σy²} (the same
+    shard-combinable shape as :func:`t_test_agg`), with ALL integer
+    arithmetic done exactly first and ONE shared float expression tree
+    at the end — engine-identical doubles. At 100 TB the daily counts
+    fit long and the products fit DECIMAL; the moment groupBy is
+    map-side combined, the join input is n_types x n_days rows."""
+    ev = t["events"]
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    typed = ev.groupBy("event_type", day).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    total = ev.groupBy(day).agg(F.count(F.lit(1)).alias("y"))
+    types = typed.select("event_type").distinct()
+    grid = types.crossJoin(total)  # every type x every day, y attached
+    xy = grid.join(typed, ["event_type", "bucket"], "left").select(
+        "event_type",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        "y",
+    )
+    m = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        m.select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("corr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def change_point_agg(spark: SparkSession, t) -> DataFrame:
+    """ES `change_point` agg / ES|QL CHANGE_POINT analog: the most
+    likely step-change in each event_type's daily count series. For a
+    series x_1..x_N, every split i (left 1..i, right i+1..N) scores
+    ``|mean_R - mean_L| * sqrt(i * (N - i) / N)`` — the two-sample mean
+    shift scaled by the pooled size factor (the CUSUM-style scan
+    statistic); the winner is the split with the maximal score, ties to
+    the earliest bucket, and the reported bucket is where the new
+    regime STARTS (row i+1). A documented deterministic variant of ES's
+    ML change_point (which is not reproducible across runs).
+
+    Determinism: prefix sums / counts are exact integers via one
+    ordered window over the REDUCED bucket rows; the score is one
+    shared float tree; the argmax orders on those bit-identical doubles
+    with a bucket tie-break. Scale: windows run per event_type over
+    n_days rows — the heavy lifting is the date_histogram's single
+    shuffle."""
+    ev = t["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    pre = (
+        daily.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("n_events").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("N", F.count(F.lit(1)).over(wall))
+        .withColumn("S", F.sum("n_events").over(wall))
+        # lead BEFORE the i < N filter: the last split's right segment
+        # starts at the series' final bucket, which the filter drops
+        .withColumn("change_at", F.lead("bucket", 1).over(w))
+    )
+    splits = pre.where(F.col("i") < F.col("N"))
+    i, cum = F.col("i").cast("double"), F.col("cum").cast("double")
+    n, s = F.col("N").cast("double"), F.col("S").cast("double")
+    mean_l = cum / i
+    mean_r = (s - cum) / (n - i)
+    stat = F.abs(mean_r - mean_l) * F.sqrt(i * (n - i) / n)
+    scored = splits.withColumn("stat", stat)
+    best = Window.partitionBy("event_type").orderBy(
+        F.desc("stat"), F.asc("bucket")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("change_at").alias("change_bucket"),
+            F.round(F.col("stat"), 6).alias("stat"),
+            F.round(mean_l, 6).alias("mean_before"),
+            F.round(mean_r, 6).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )

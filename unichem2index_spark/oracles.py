@@ -3973,3 +3973,268 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def match_bool_prefix_sql(
+    fixed: list[str],
+    prefix: str,
+    k: int,
+    max_expansions: int = 50,
+) -> str:
+    """match_bool_prefix: bool SHOULD of one term clause per unique
+    fixed term + ONE synonym-blended slot for the prefix expansion
+    (alphabetical cap over the dictionary, minus fixed terms); a doc
+    matches on ANY clause — the exact discipline of
+    operators/query.py::match_bool_prefix_topk."""
+    fx = sorted({str(t) for t in fixed if t})
+    fx_inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in fx)
+    p = prefix.replace("'", "''")
+    vals = ", ".join(
+        f"({gi}, '" + t.replace("'", "''") + "')" for gi, t in enumerate(fx)
+    )
+    gexp = len(fx)
+    return f"""
+WITH {_TOK_CTE},
+exp AS (
+  SELECT term FROM dfs WHERE term LIKE '{p}%'
+  ORDER BY term LIMIT {max_expansions}
+),
+grp AS (
+  SELECT term FROM exp WHERE term NOT IN ({fx_inlist})
+),
+gmap AS (
+  SELECT * FROM (VALUES {vals}) v(gid, term)
+  UNION ALL
+  SELECT {gexp} AS gid, term FROM grp
+),
+gdf AS (
+  SELECT g.gid, max(coalesce(d.df, 0)) AS df
+  FROM gmap g LEFT JOIN dfs d USING (term)
+  GROUP BY g.gid
+  HAVING max(coalesce(d.df, 0)) > 0
+),
+per_group AS (
+  SELECT g.gid, p.doc_id, t.doclen, sum(p.tf) AS tf
+  FROM post p JOIN gmap g USING (term) JOIN tok t USING (doc_id)
+  GROUP BY g.gid, p.doc_id, t.doclen
+),
+scored AS (
+  SELECT pg.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - gd.df + 0.5) / (gd.df + 0.5))
+           * (pg.tf / (pg.tf + 1.2 * (0.25 + 0.75 * pg.doclen / s.avgdl)))
+         ) AS score
+  FROM per_group pg
+  JOIN gdf gd USING (gid)
+  CROSS JOIN stats s
+  GROUP BY pg.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def rank_feature_sql(
+    terms: list[str],
+    k: int,
+    field: str = "n_chars",
+    pivot: float = 300.0,
+    boost: float = 1.0,
+) -> str:
+    """rank_feature (saturation): BM25 over the match terms plus the
+    additive bounded feature term boost * x / (x + pivot) — the exact
+    discipline of operators/query.py::rank_feature_topk."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)
+SELECT sc.doc_id,
+       round(
+         sc.score
+         + {float(boost)!r} * CAST(doc.{field} AS DOUBLE)
+           / (CAST(doc.{field} AS DOUBLE) + {float(pivot)!r}), 6
+       ) AS score
+FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+ORDER BY score DESC, sc.doc_id ASC
+LIMIT {k}
+"""
+
+
+def terms_enum_sql(prefix: str, size: int) -> str:
+    """_terms_enum: dictionary terms starting with the prefix,
+    alphabetical, capped — the exact discipline of
+    operators/query.py::terms_enum."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH {_TOK_CTE}
+SELECT term FROM dfs WHERE term LIKE '{p}%'
+ORDER BY term LIMIT {size}
+"""
+
+
+CUMULATIVE_SUM = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_events,
+       CAST(sum(n_events) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running
+FROM daily
+ORDER BY event_type, bucket
+"""
+
+
+DERIVATIVE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, bucket, n_events,
+         n_events - lag(n_events, 1)
+           OVER (PARTITION BY event_type ORDER BY bucket) AS delta,
+         date_diff('day',
+           lag(CAST(bucket AS DATE), 1)
+             OVER (PARTITION BY event_type ORDER BY bucket),
+           CAST(bucket AS DATE)) AS gap_days
+  FROM daily
+)
+SELECT event_type, bucket, n_events,
+       round(CAST(delta AS DOUBLE) / CAST(gap_days AS DOUBLE), 6) AS per_day
+FROM lagged
+ORDER BY event_type, bucket
+"""
+
+
+def msearch_sql(queries: list[tuple[int, list[str], int]]) -> str:
+    """_msearch: each sub-query's standard BM25 top-k with its own rank
+    column, unioned — rank over RAW scores, rounding at emit, the exact
+    discipline of operators/query.py::bm25_topk_batch."""
+    blocks = []
+    for qid, terms, k in queries:
+        uniq = sorted(set(terms))
+        inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+        blocks.append(f"""
+SELECT query_id, rank, doc_id, round(score, 6) AS score FROM (
+  SELECT {int(qid)} AS query_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INTEGER) AS rank,
+         doc_id, score
+  FROM (
+    SELECT p.doc_id,
+           sum(
+             ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+             * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+           ) AS score
+    FROM post p
+    JOIN dfs d USING (term)
+    JOIN tok t USING (doc_id)
+    CROSS JOIN stats s
+    WHERE p.term IN ({inlist})
+    GROUP BY p.doc_id
+  )
+) WHERE rank <= {int(k)}""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH {_TOK_CTE}
+{union}
+ORDER BY query_id, rank
+"""
+
+
+BUCKET_CORRELATION = """
+WITH typed AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+total AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS y
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT t.event_type, d.bucket, d.y
+  FROM (SELECT DISTINCT event_type FROM typed) t CROSS JOIN total d
+),
+xy AS (
+  SELECT g.event_type, coalesce(td.x, 0) AS x, g.y
+  FROM grid g LEFT JOIN typed td
+    ON g.event_type = td.event_type AND g.bucket = td.bucket
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+FROM m
+ORDER BY event_type
+"""
+
+
+CHANGE_POINT = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, bucket, n_events,
+         row_number() OVER
+           (PARTITION BY event_type ORDER BY bucket) AS i,
+         sum(n_events) OVER
+           (PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         count(*) OVER (PARTITION BY event_type) AS N,
+         sum(n_events) OVER (PARTITION BY event_type) AS S,
+         lead(bucket, 1) OVER
+           (PARTITION BY event_type ORDER BY bucket) AS change_at
+  FROM daily
+),
+scored AS (
+  SELECT *,
+         abs(
+           (CAST(S AS DOUBLE) - CAST(cum AS DOUBLE))
+             / (CAST(N AS DOUBLE) - CAST(i AS DOUBLE))
+           - CAST(cum AS DOUBLE) / CAST(i AS DOUBLE)
+         )
+         * sqrt(CAST(i AS DOUBLE)
+                * (CAST(N AS DOUBLE) - CAST(i AS DOUBLE))
+                / CAST(N AS DOUBLE)) AS stat
+  FROM pre WHERE i < N
+),
+best AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY event_type ORDER BY stat DESC, bucket ASC) AS rk
+  FROM scored
+)
+SELECT event_type, change_at AS change_bucket, round(stat, 6) AS stat,
+       round(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_before,
+       round((CAST(S AS DOUBLE) - CAST(cum AS DOUBLE))
+             / (CAST(N AS DOUBLE) - CAST(i AS DOUBLE)), 6) AS mean_after
+FROM best WHERE rk = 1
+ORDER BY event_type
+"""

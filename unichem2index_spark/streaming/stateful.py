@@ -36,6 +36,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -129,4 +130,44 @@ def stream_dedup_latest(
         ts_col=ts_col,
         out_cols=out_cols,
         ttl_minutes=ttl_minutes,
+    )
+
+
+def stream_sessionize(
+    spark,
+    input_dir: str,
+    schema,
+    gap_sec: int = 1800,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming sessionization — the SAME ``session_window`` operator
+    the batch :func:`operators.eventseq.sessionize` uses, over a file
+    stream: Spark merges a user's session state across micro-batches
+    natively (late rows extend or fuse sessions, no custom state code).
+    Returns the un-emitted aggregate; run with outputMode("complete")
+    (sessions can GROW or MERGE retroactively, so append-mode emission
+    would need a watermark and would hold back the tail — complete mode
+    re-emits the current truth every trigger, which is the right
+    contract for a bounded dashboard-size result; per-user session
+    counts are small even when the event stream is not).
+
+    Scale shape identical to the batch twin: ONE shuffle on user_id,
+    state partitioned by key in the executor state store, no driver
+    state. The batch query IS this query — Trigger.Once over a static
+    directory reproduces sessionize() row for row (pytest + shared
+    DuckDB oracle)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(input_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{int(gap_sec)} seconds")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+        .drop("session_window")
     )
