@@ -332,6 +332,10 @@ def q_highlight(spark, sf_dir):
 
 
 QS_QUERY = '(merge AND group) OR ("batch batch" AND NOT vector)'
+# simple_query_string: + is AND, | is OR, leading - negates, lenient
+SQS_QUERY = 'merge + group + -vector | "slow fast"'
+# distance_feature over the doc_id recency ordinal (0..499 at gate sf)
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 250, 60.0, 1.5
 PINNED_IDS = [7, 3, 11]  # editorial promotions, served in THIS order
 PERCOLATE_QS = [
     (1, "merge AND group"),
@@ -571,6 +575,35 @@ def q_query_string(spark, sf_dir):
     """Lucene query_string mini-language: one parsed AST rendered to both
     the Spark eligibility expression and the DuckDB oracle predicate."""
     return Q.query_string_topk(spark, _docs(spark, sf_dir), QS_QUERY, 10)
+
+
+def q_simple_query_string(spark, sf_dir):
+    """ES simple_query_string: +/|/- operator characters, lenient
+    parse, compiled to the SAME AST/renderers as query_string."""
+    return Q.query_string_topk(
+        spark, _docs(spark, sf_dir), SQS_QUERY, 10, syntax="simple"
+    )
+
+
+def q_combined_fields(spark, sf_dir):
+    """ES combined_fields (BM25F): one combined pseudo-field — weighted
+    tf/dl, single df/avgdl; contrast multi_match's per-field max."""
+    return Q.combined_fields_topk(
+        spark, _docs(spark, sf_dir), FLAGSHIP_TERMS, 12
+    )
+
+
+def q_distance_feature(spark, sf_dir):
+    """ES distance_feature: additive proximity boost
+    boost*pivot/(pivot+|doc_id-origin|) on top of BM25."""
+    return Q.distance_feature_topk(
+        _docs(spark, sf_dir),
+        FLAGSHIP_TERMS,
+        FLAGSHIP_K,
+        origin=DF_ORIGIN,
+        pivot=DF_PIVOT,
+        boost=DF_BOOST,
+    )
 
 
 def q_rescore(spark, sf_dir):
@@ -1456,6 +1489,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_case": q_esql_case,
         # ES|QL GROK command: ingest pattern library, dual render
         "esql_grok": q_esql_grok,
+        # ES simple_query_string: lenient +/|/- dialect, shared AST
+        "simple_query_string": q_simple_query_string,
+        # ES combined_fields: BM25F one-pseudo-field cross-field score
+        "combined_fields": q_combined_fields,
+        # ES distance_feature: additive proximity boost to an origin
+        "distance_feature": q_distance_feature,
     }
 
 
@@ -1955,5 +1994,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "esql_grok": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_GROK_QUERY)
+        ),
+        "simple_query_string": oracles.query_string_sql(
+            SQS_QUERY, 10, syntax="simple"
+        ),
+        "combined_fields": oracles.combined_fields_sql(FLAGSHIP_TERMS, 12),
+        "distance_feature": oracles.distance_feature_sql(
+            FLAGSHIP_TERMS,
+            FLAGSHIP_K,
+            origin=DF_ORIGIN,
+            pivot=DF_PIVOT,
+            boost=DF_BOOST,
         ),
     }

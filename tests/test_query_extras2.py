@@ -1072,3 +1072,139 @@ def test_terms_enum_prefix_cap(spark, index):
     full = [r.term for r in Q.terms_enum(spark, index, "s", size=50).collect()]
     assert full == ["scan", "slow", "small", "sort", "spark", "stream"]
     assert Q.terms_enum(spark, index, "zz", size=5).count() == 0
+
+
+def test_simple_query_string_shared_ast(spark, corpus):
+    """The simple dialect compiles to the same AST shapes as
+    query_string; an operator-equivalent pair of queries in the two
+    dialects returns identical (doc_id, score) rows; lenient fallback
+    never throws on garbage."""
+    from unichem2index_spark.functions.querystring import (
+        parse_query_string,
+        parse_simple_query_string,
+    )
+
+    df, oracle, _ = corpus
+    assert parse_simple_query_string(
+        'merge + group + -vector | "slow fast"'
+    ) == parse_query_string('(merge AND group AND NOT vector) OR "slow fast"')
+    got = [
+        tuple(r)
+        for r in Q.query_string_topk(
+            spark, df, 'merge + group + -vector | "slow fast"', 10,
+            syntax="simple",
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in Q.query_string_topk(
+            spark, df, '(merge AND group AND NOT vector) OR "slow fast"', 10
+        ).collect()
+    ]
+    assert got == want and got
+    # leniency: operator soup degrades to OR-of-terms, never raises
+    assert parse_simple_query_string("merge )( + | group") == (
+        "or", [("term", "merge"), ("term", "group")]
+    )
+    sloppy = [
+        tuple(r)
+        for r in Q.query_string_topk(
+            spark, df, "merge )( + | group", 10, syntax="simple"
+        ).collect()
+    ]
+    clean = [
+        tuple(r)
+        for r in Q.query_string_topk(
+            spark, df, "merge OR group", 10
+        ).collect()
+    ]
+    assert sloppy == clean
+
+
+def test_combined_fields_bm25f_recompute(spark, corpus):
+    """combined_fields == brute-force BM25F over the weighted pseudo
+    field (wtf = 2*tf_title + tf_body, dl = 2*len_title + len_body,
+    one df/avgdl)."""
+    df, _, rows = corpus
+    W, L = 2, 8
+    toks = {d: tokenize(r.text) for d, r in rows.items()}
+    dl = {
+        d: W * min(len(t), L) + (len(t) - min(len(t), L))
+        for d, t in toks.items()
+    }
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    wtf: dict[int, Counter] = {}
+    dfreq: Counter = Counter()
+    for d, t in toks.items():
+        c = Counter()
+        for i, term in enumerate(t):
+            c[term] += W if i < L else 1
+        wtf[d] = c
+        dfreq.update(set(t))
+    scores = {}
+    for d in toks:
+        s = 0.0
+        for term in set(TERMS):
+            f = wtf[d].get(term, 0)
+            if not f:
+                continue
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            s += idf * (f / (f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)))
+        if s:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.combined_fields_topk(
+            spark, df, TERMS, K, title_len=L, title_weight=W
+        ).collect()
+    ]
+    assert [(d, round(s, 6)) for d, s in want] == got
+    # weight 1 degenerates to plain BM25 rank/score
+    plain = [
+        (r.doc_id, r.score)
+        for r in Q.combined_fields_topk(
+            spark, df, TERMS, K, title_weight=1
+        ).collect()
+    ]
+    base = [
+        (r.doc_id, r.score)
+        for r in Q.bm25_topk_exact(df, TERMS, K).collect()
+    ]
+    assert plain == base
+
+
+def test_distance_feature_bounded_additive(spark, corpus):
+    """distance_feature == BM25 + boost*pivot/(pivot+|id-origin|):
+    recompute exactly; the delta is bounded by boost and maximal AT the
+    origin."""
+    df, oracle, _ = corpus
+    origin, pivot, boost = 250, 60.0, 1.5
+    base = {
+        d: s
+        for d, s in (
+            (d, oracle.score_doc(TERMS, d)) for d in oracle.doclen
+        )
+        if s > 0.0
+    }
+    want = sorted(
+        (
+            (d, s + boost * pivot / (pivot + float(abs(d - origin))))
+            for d, s in base.items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:K]
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.distance_feature_topk(
+            df, TERMS, K, origin=origin, pivot=pivot, boost=boost
+        ).collect()
+    ]
+    assert [(d, round(s, 6)) for d, s in want] == got
+    for d, s in got:
+        # returned scores are rounded to 6 dp -> epsilon 1e-6
+        delta = s - base.get(d, 0.0)
+        assert 0.0 < delta <= boost + 1e-6
+        if d == origin:
+            assert abs(delta - boost) < 1e-6

@@ -155,3 +155,95 @@ def render_sql(node, toks_ref: str = "toks", sent_ref: str = "s") -> str:
         return f"(NOT {render_sql(node[1], toks_ref, sent_ref)})"
     op = " AND " if kind == "and" else " OR "
     return "(" + op.join(render_sql(c, toks_ref, sent_ref) for c in node[1]) + ")"
+
+
+_SIMPLE_LEX = re.compile(r'\(|\)|\+|\||"[^"]*"|[^\s()+|]+')
+
+
+def parse_simple_query_string(q: str):
+    """ES ``simple_query_string``: the operator-character sibling of
+    query_string — ``+`` is AND, ``|`` is OR, a leading ``-`` negates,
+    quotes make a phrase, parens group; bare adjacency is the default
+    operator (OR here, ES's default). Precedence (documented subset of
+    Lucene's SimpleQueryParser): ``|``/adjacency < ``+`` < unary ``-``.
+    Produces the SAME AST node shapes as :func:`parse_query_string`, so
+    every downstream renderer/scorer is shared.
+
+    Lenient like ES (the API's defining contract — it never throws on
+    user input): if the operator grammar fails to parse, the input
+    degrades to an OR of its analyzed terms, operators stripped."""
+    try:
+        return _parse_simple_strict(q)
+    except ValueError:
+        words = tokenize(q)
+        if not words:
+            raise ValueError(f"simple_query_string: no terms in {q!r}")
+        if len(words) == 1:
+            return ("term", words[0])
+        return ("or", [("term", w) for w in words])
+
+
+def _parse_simple_strict(q: str):
+    toks = _SIMPLE_LEX.findall(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def primary():
+        t = peek()
+        if t is None:
+            raise ValueError(f"simple_query_string: unexpected end in {q!r}")
+        if t == "(":
+            take()
+            node = or_expr()
+            if peek() != ")":
+                raise ValueError(f"simple_query_string: missing ')' in {q!r}")
+            take()
+            return node
+        if t in (")", "+", "|"):
+            raise ValueError(f"simple_query_string: misplaced {t!r} in {q!r}")
+        if t.startswith('"'):
+            take()
+            words = tokenize(t.strip('"'))
+            if not words:
+                raise ValueError(f"simple_query_string: empty phrase in {q!r}")
+            return ("phrase", words)
+        take()
+        if t.startswith("-") and len(t) > 1:
+            # -term: the modifier rides on the token (no whitespace)
+            inner = tokenize(t[1:])
+            if len(inner) != 1:
+                raise ValueError(f"simple_query_string: bad term {t!r}")
+            return ("not", ("term", inner[0]))
+        words = tokenize(t)
+        if len(words) != 1:
+            raise ValueError(f"simple_query_string: bad term {t!r}")
+        return ("term", words[0])
+
+    def and_expr():
+        kids = [primary()]
+        while peek() == "+":
+            take()
+            kids.append(primary())
+        return kids[0] if len(kids) == 1 else ("and", kids)
+
+    def or_expr():
+        kids = [and_expr()]
+        while peek() is not None and peek() != ")":
+            if peek() == "|":
+                take()
+            # bare adjacency = default operator (OR)
+            kids.append(and_expr())
+        return kids[0] if len(kids) == 1 else ("or", kids)
+
+    node = or_expr()
+    if peek() is not None:
+        raise ValueError(f"simple_query_string: trailing input in {q!r}")
+    return node

@@ -2601,6 +2601,7 @@ def query_string_topk(
     docs_df: DataFrame,
     qstring: str,
     k: int = 10,
+    syntax: str = "lucene",
 ) -> DataFrame:
     """Lucene `query_string` endpoint: parse the boolean mini-language
     (AND/OR/NOT, parentheses, quoted phrases — see
@@ -2609,14 +2610,23 @@ def query_string_topk(
     computes eligibility as a single map-only boolean expression (the
     rendered AST); scoring is the standard BM25 sum over the query's
     positive terms, joined to the eligible set on doc_id. The DuckDB
-    oracle renders the SAME AST, so engine and oracle can't drift."""
+    oracle renders the SAME AST, so engine and oracle can't drift.
+
+    ``syntax="simple"`` parses ES ``simple_query_string`` instead
+    (+/|/- operator characters, lenient — never throws on user input);
+    both languages compile to the same AST, so everything downstream
+    of the parser is one shared path."""
     from unichem2index_spark.functions.querystring import (
         parse_query_string,
+        parse_simple_query_string,
         positive_terms,
         render_spark,
     )
 
-    node = parse_query_string(qstring)
+    parse = (
+        parse_simple_query_string if syntax == "simple" else parse_query_string
+    )
+    node = parse(qstring)
     pos = positive_terms(node)
     td = tokenized_docs(docs_df)
     sent = F.concat(F.lit(" "), F.concat_ws(" ", "tokens"), F.lit(" "))
@@ -3316,4 +3326,116 @@ def terms_enum(
         .select("term")
         .orderBy("term")
         .limit(size)
+    )
+
+
+def combined_fields_topk(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    title_len: int = 8,
+    title_weight: int = 2,
+) -> DataFrame:
+    """ES ``combined_fields`` query (BM25F): fields scored as ONE
+    combined pseudo-field — per-doc weighted term frequency
+    ``wtf = w_title*tf_title + tf_body`` and weighted doc length
+    ``dl = w_title*len_title + len_body``, with ONE df / avgdl from the
+    combined field (the principled cross-field model; contrast
+    :func:`multi_match_topk`, whose best_fields keeps per-field
+    statistics and takes the max). Fields come from the same
+    deterministic title/body split multi_match uses. ES restricts
+    combined_fields to same-analyzer text fields precisely because the
+    freqs must be mergeable — integer weights keep wtf/dl exact here,
+    so the BM25 float tree is bit-identical across engines.
+
+    Scale shape: ONE posexplode pass (no per-field scorer fork), one
+    partial-agg shuffle on (doc_id, term), broadcast df join — the same
+    plan as plain BM25; the weighting is a map-side CASE."""
+    uniq = sorted(set(terms))
+    tok = tokenized_docs(docs_df)
+    w, L = int(title_weight), int(title_len)
+    dl_expr = (
+        F.lit(w) * F.least(F.col("doclen"), F.lit(L))
+        + (F.col("doclen") - F.least(F.col("doclen"), F.lit(L)))
+    ).cast("long")
+    dl = tok.select("doc_id", dl_expr.alias("dl"))
+    srow = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(srow.n), int(srow.s) / int(srow.n)
+    # pos is 0-based: positions < L are title slots
+    post = (
+        tok.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+        .where(F.col("term").isin(uniq))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.sum(
+                F.when(F.col("pos") < L, F.lit(w)).otherwise(F.lit(1))
+            ).cast("long").alias("wtf")
+        )
+    )
+    dfs = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("wtf")
+        / (
+            F.col("wtf")
+            + F.lit(bm25.K1)
+            * (
+                F.lit(1.0 - bm25.B)
+                + F.lit(bm25.B) * F.col("dl") / F.lit(avgdl)
+            )
+        )
+    )
+    scored = (
+        post.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def distance_feature_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    origin: int,
+    pivot: float = 200.0,
+    boost: float = 1.5,
+) -> DataFrame:
+    """ES ``distance_feature`` query: BM25 plus the additive proximity
+    boost ``boost * pivot / (pivot + |x - origin|)`` — full boost AT the
+    origin, half at pivot distance (ES supports date/geo origins; here
+    the recency ordinal is doc_id, which the ingest contract assigns in
+    arrival order). Sibling of :func:`rank_feature_topk`: saturation
+    rewards a LARGE static feature, distance_feature rewards CLOSENESS
+    to a query-time origin. The distance is an exact integer; pivot
+    enters once — one float tree, engine-identical. Bounded by
+    ``boost``, so the WAND serving bound stays admissible (same note as
+    rank_feature)."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    dist = F.abs(F.col("doc_id") - F.lit(int(origin))).cast("double")
+    boosted = scores.select(
+        "doc_id",
+        (
+            F.col("score")
+            + F.lit(float(boost)) * F.lit(float(pivot))
+            / (F.lit(float(pivot)) + dist)
+        ).alias("score"),
+    )
+    return (
+        boosted.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
     )

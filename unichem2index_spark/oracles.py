@@ -2614,15 +2614,21 @@ FROM d ORDER BY doc_id
 
 
 # ------------------------------------------------ query_string / rescore
-def query_string_sql(qstring: str, k: int = 10) -> str:
-    """Renders the SAME parsed AST the Spark path evaluates."""
+def query_string_sql(qstring: str, k: int = 10, syntax: str = "lucene") -> str:
+    """Renders the SAME parsed AST the Spark path evaluates (both
+    query-string dialects — ``syntax="simple"`` selects the
+    simple_query_string parser, everything downstream is shared)."""
     from unichem2index_spark.functions.querystring import (
         parse_query_string,
+        parse_simple_query_string,
         positive_terms,
         render_sql,
     )
 
-    node = parse_query_string(qstring)
+    parse = (
+        parse_simple_query_string if syntax == "simple" else parse_query_string
+    )
+    node = parse(qstring)
     pos = positive_terms(node)
     inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in pos)
     cond = render_sql(node, "toks", "s")
@@ -4237,4 +4243,102 @@ SELECT event_type, change_at AS change_bucket, round(stat, 6) AS stat,
              / (CAST(N AS DOUBLE) - CAST(i AS DOUBLE)), 6) AS mean_after
 FROM best WHERE rk = 1
 ORDER BY event_type
+"""
+
+
+def combined_fields_sql(
+    terms: list[str],
+    k: int = 10,
+    title_len: int = 8,
+    title_weight: int = 2,
+) -> str:
+    """combined_fields (BM25F): ONE combined pseudo-field — weighted
+    tf/dl (exact integers), single df/avgdl — the exact float tree of
+    operators/query.py::combined_fields_topk. generate_subscripts is
+    1-based, so title slots are pos <= title_len (Spark's 0-based
+    posexplode uses pos < title_len: same slots)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    w, L = int(title_weight), int(title_len)
+    return f"""
+WITH tokall AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+dl AS (
+  SELECT doc_id,
+         {w} * least(len(toks), {L})
+         + (len(toks) - least(len(toks), {L})) AS dl
+  FROM tokall
+),
+cstats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+cpost AS (
+  SELECT doc_id, term,
+         sum(CASE WHEN pos <= {L} THEN {w} ELSE 1 END) AS wtf
+  FROM (
+    SELECT doc_id, unnest(toks) AS term,
+           generate_subscripts(toks, 1) AS pos
+    FROM tokall
+  )
+  WHERE term IN ({inlist})
+  GROUP BY doc_id, term
+),
+cdfs AS (SELECT term, count(*) AS df FROM cpost GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.wtf / (p.wtf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+         ) AS score
+  FROM cpost p
+  JOIN cdfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN cstats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def distance_feature_sql(
+    terms: list[str],
+    k: int,
+    origin: int,
+    pivot: float = 200.0,
+    boost: float = 1.5,
+) -> str:
+    """distance_feature: BM25 plus boost*pivot/(pivot + |x - origin|)
+    over the doc_id recency ordinal — the exact discipline of
+    operators/query.py::distance_feature_topk (integer distance, one
+    float tree)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+)
+SELECT doc_id,
+       round(
+         score
+         + {float(boost)!r} * {float(pivot)!r}
+           / ({float(pivot)!r} + CAST(abs(doc_id - {int(origin)}) AS DOUBLE)),
+         6
+       ) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
 """
