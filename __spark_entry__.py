@@ -1495,6 +1495,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": q_combined_fields,
         # ES distance_feature: additive proximity boost to an origin
         "distance_feature": q_distance_feature,
+        # ES extended_stats_bucket: variance/std/±2σ from exact moments
+        "extended_stats_bucket": _wrap(textstats.extended_stats_bucket),
+        # ES moving_fn (linearWeightedAvg): integer fold, one divide
+        "moving_fn_lwa": _wrap(textstats.moving_fn_agg),
+        # ES bucket_count_ks_test: KS D vs overall, integer argmax
+        "bucket_count_ks_test": _wrap(textstats.bucket_count_ks_test_agg),
+        # trainprep: per-domain cap by deterministic hash permutation
+        "domain_cap": _wrap(trainprep.domain_cap),
     }
 
 
@@ -2005,5 +2013,11 @@ def oracle_sql() -> dict[str, str]:
             origin=DF_ORIGIN,
             pivot=DF_PIVOT,
             boost=DF_BOOST,
+        ),
+        "extended_stats_bucket": oracles.EXTENDED_STATS_BUCKET,
+        "moving_fn_lwa": oracles.moving_fn_sql(textstats.MOVING_FN_WINDOW),
+        "bucket_count_ks_test": oracles.BUCKET_COUNT_KS_TEST,
+        "domain_cap": oracles.domain_cap_sql(
+            trainprep.DOMAIN_CAP, hashing.MOD, hashing.FP_MULT
         ),
     }

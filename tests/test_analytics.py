@@ -470,3 +470,123 @@ def test_change_point_matches_bruteforce(spark):
         assert g[0].date() == change_day, et
         assert g[1] == round(stat, 6) and g[2] == round(ml, 6)
         assert g[3] == round(mr, 6)
+
+
+def test_extended_stats_bucket_moments(spark):
+    """variance/std/bounds recomputed brute-force from the daily counts
+    (population variance, exact moments)."""
+    t = load_tables(spark, SF)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r.n)
+    got = {r.event_type: r for r in
+           textstats.extended_stats_bucket(spark, t).collect()}
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        r = got[et]
+        k = len(xs)
+        avg = sum(xs) / k
+        var = (k * sum(x * x for x in xs) - sum(xs) ** 2) / (k * k)
+        assert r.n_buckets == k
+        assert r.min_bucket == min(xs) and r.max_bucket == max(xs)
+        assert r.sum_events == sum(xs)
+        assert abs(r.avg_per_bucket - avg) < 1e-6
+        assert abs(r.variance - var) < 1e-6
+        assert abs(r.std_dev - var ** 0.5) < 1e-6
+        assert abs(r.upper2 - (avg + 2 * var ** 0.5)) < 1e-6
+        assert abs(r.lower2 - (avg - 2 * var ** 0.5)) < 1e-6
+
+
+def test_moving_fn_lwa_recompute(spark):
+    """linearWeightedAvg over the trailing 7-bucket window (current
+    included; partial leading windows) — brute-force recompute."""
+    t = load_tables(spark, SF)
+    daily = sorted(
+        (r.b, r.n)
+        for r in t["events"]
+        .groupBy(F.date_trunc("day", "ts").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    xs = [n for _, n in daily]
+    got = [
+        (r.bucket, r.n, r.lwa)
+        for r in textstats.moving_fn_agg(spark, t).collect()
+    ]
+    assert len(got) == len(daily)
+    for i, (b, n, lwa) in enumerate(got):
+        win = xs[max(0, i - 6): i + 1]
+        want = sum((j + 1) * v for j, v in enumerate(win)) / (
+            len(win) * (len(win) + 1) // 2
+        )
+        assert (b, n) == daily[i]
+        assert abs(lwa - want) < 1e-6
+
+
+def test_bucket_count_ks_test_bruteforce(spark):
+    """KS D == max ECDF gap vs the overall daily distribution, with
+    min_doc_count=0 grid alignment; D in [0, 1]."""
+    t = load_tables(spark, SF)
+    rows = t["events"].select("event_type", F.date_trunc("day", "ts")
+                              .alias("b")).collect()
+    days = sorted({r.b for r in rows})
+    types = sorted({r.event_type for r in rows})
+    per: dict = {et: {d: 0 for d in days} for et in types}
+    allc = {d: 0 for d in days}
+    for r in rows:
+        per[r.event_type][r.b] += 1
+        allc[r.b] += 1
+    got = {r.event_type: r for r in
+           textstats.bucket_count_ks_test_agg(spark, t).collect()}
+    assert set(got) == set(types)
+    A = sum(allc.values())
+    for et in types:
+        T = sum(per[et].values())
+        cx = cy = 0
+        dmax = 0.0
+        for d in days:
+            cx += per[et][d]
+            cy += allc[d]
+            dmax = max(dmax, abs(cx / T - cy / A))
+        r = got[et]
+        assert r.n_days == len(days)
+        assert 0.0 <= r.d_stat <= 1.0
+        assert abs(r.d_stat - dmax) < 1e-6
+
+
+def test_domain_cap_deterministic_sample(spark):
+    """Per-source counts == min(count, cap); the kept set is exactly
+    the cap lowest hash-permutation ranks per source, and the result is
+    partitioning-independent."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+    from unichem2index_spark.operators import trainprep
+
+    t = load_tables(spark, SF)
+    cap = 5
+    got = trainprep.domain_cap(spark, t, cap=cap).collect()
+    docs = t["documents"].select("source", "doc_id").collect()
+    per: dict = {}
+    for r in docs:
+        per.setdefault(r.source, []).append(r.doc_id)
+    want = {}
+    for src, ids in per.items():
+        ranked = sorted(ids, key=lambda d: (((d % MOD) + 1) * FP_MULT % MOD, d))
+        want[src] = ranked[: cap]
+    by_src: dict = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append((r.rk, r.doc_id))
+    assert set(by_src) == set(want)
+    for src, pairs in by_src.items():
+        assert [d for _, d in sorted(pairs)] == want[src]
+        assert len(pairs) == min(len(per[src]), cap)
+    # partitioning-independence: same rows from a 7-partition input
+    t2 = dict(t)
+    t2["documents"] = t["documents"].repartition(7)
+    again = trainprep.domain_cap(spark, t2, cap=cap).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))

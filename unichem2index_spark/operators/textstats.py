@@ -1541,3 +1541,161 @@ def change_point_agg(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def extended_stats_bucket(spark: SparkSession, t) -> DataFrame:
+    """ES ``extended_stats_bucket`` sibling-pipeline agg: the
+    extended-stats row (variance/std_dev/±2σ bounds on top of
+    :func:`stats_bucket`'s count/min/max/sum/avg) over each
+    event_type's daily-count buckets — the "is today's traffic outside
+    the band" dashboard primitive.
+
+    Determinism: variance comes from the exact integer moment vector
+    (n, Σx, Σx²): ``var = (n·Σx² − (Σx)²) / n²`` — integer numerator
+    and denominator computed exactly, ONE double divide; std_dev is
+    ``sqrt(var)`` (IEEE sqrt is correctly rounded — bit-identical on
+    both engines); bounds are avg ± 2.0·std, the same shared float
+    tree both sides. Same two stacked map-side-combined hash aggs as
+    stats_bucket; min_doc_count=1 semantics (observed buckets only).
+    At 100 TB the daily counts fit long and n·Σx² fits DECIMAL."""
+    e = t["events"]
+    hist = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("n").alias("min_bucket"),
+        F.max("n").alias("max_bucket"),
+        F.sum("n").alias("sum_events"),
+        F.sum(F.col("n") * F.col("n")).alias("sx2"),
+    )
+    avg = F.col("sum_events").cast("double") / F.col("n_buckets").cast(
+        "double"
+    )
+    var = (
+        F.col("n_buckets") * F.col("sx2")
+        - F.col("sum_events") * F.col("sum_events")
+    ).cast("double") / (F.col("n_buckets") * F.col("n_buckets")).cast(
+        "double"
+    )
+    std = F.sqrt(var)
+    return (
+        m.select(
+            "event_type",
+            "n_buckets",
+            "min_bucket",
+            "max_bucket",
+            "sum_events",
+            F.round(avg, 6).alias("avg_per_bucket"),
+            F.round(var, 6).alias("variance"),
+            F.round(std, 6).alias("std_dev"),
+            F.round(avg + F.lit(2.0) * std, 6).alias("upper2"),
+            F.round(avg - F.lit(2.0) * std, 6).alias("lower2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MOVING_FN_WINDOW = 7
+
+
+def moving_fn_agg(
+    spark: SparkSession, t, window: int = MOVING_FN_WINDOW
+) -> DataFrame:
+    """ES ``moving_fn`` pipeline agg with the ``linearWeightedAvg``
+    built-in: over the trailing ``window`` daily buckets (current
+    included — the same frame convention as :func:`moving_percentiles`),
+    the linearly-weighted average w·x = Σ i·x_i / Σ i with weights
+    1..k oldest→newest — the lag-reducing smoother. Partial leading
+    windows use however many buckets exist (ES semantics).
+
+    Determinism: the weighted numerator is an exact integer fold over
+    the collected window array (zip_with index weights / DuckDB
+    1-based list_transform — same weights), the denominator
+    k(k+1)/2 an exact integer (always even product), ONE double
+    divide. Window input is the REDUCED daily frame (~|days| rows),
+    so the collect_list array is bounded by ``window`` — O(w) state
+    per row at any event count."""
+    e = t["events"]
+    hist = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(-(int(window) - 1), 0)
+    out = hist.select(
+        "bucket", "n", F.collect_list("n").over(w).alias("vs")
+    )
+    num = F.expr(
+        "aggregate(zip_with(vs, sequence(1, size(vs)),"
+        " (v, i) -> v * cast(i as long)), 0L, (a, x) -> a + x)"
+    )
+    den = F.expr("(size(vs) * (size(vs) + 1)) div 2")
+    return (
+        out.select(
+            "bucket",
+            "n",
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("lwa"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def bucket_count_ks_test_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``bucket_count_ks_test`` pipeline agg (8.x, two-sample
+    Kolmogorov–Smirnov): for each event_type, the KS D statistic
+    between its daily-count distribution and the OVERALL daily-count
+    distribution across the date_histogram — "does this signal's
+    arrival shape deviate from total traffic". Missing type-days count
+    0 (min_doc_count=0 grid, the :func:`bucket_correlation_agg`
+    construction).
+
+    Determinism: D = max_i |cumT_i/T − cumA_i/A| is computed as the
+    exact integer maximum of |cumT_i·A − cumA_i·T| followed by ONE
+    double divide by T·A — no per-bucket float comparisons, so the
+    argmax cannot flip on rounding. At 100 TB cum·total products need
+    DECIMAL(38) (exactly representable); the window input is the
+    reduced n_types × n_days grid, never the raw events."""
+    ev = t["events"]
+    day = F.date_trunc("day", F.col("ts")).alias("bucket")
+    typed = ev.groupBy("event_type", day).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    total = ev.groupBy(day).agg(F.count(F.lit(1)).alias("y"))
+    types = typed.select("event_type").distinct()
+    grid = types.crossJoin(total)
+    xy = grid.join(typed, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        "y",
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cums = xy.select(
+        "event_type",
+        F.sum("x").over(wcum).alias("cx"),
+        F.sum("y").over(wcum).alias("cy"),
+        F.sum("x").over(wall).alias("tx"),
+        F.sum("y").over(wall).alias("ty"),
+    )
+    num = F.abs(F.col("cx") * F.col("ty") - F.col("cy") * F.col("tx"))
+    return (
+        cums.select("event_type", num.alias("num"), "tx", "ty")
+        .groupBy("event_type", "tx", "ty")
+        .agg(F.max("num").alias("mnum"), F.count(F.lit(1)).alias("n_days"))
+        .select(
+            "event_type",
+            "n_days",
+            F.round(
+                F.col("mnum").cast("double")
+                / (F.col("tx") * F.col("ty")).cast("double"),
+                6,
+            ).alias("d_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -559,3 +559,40 @@ def training_order(spark: SparkSession, t) -> DataFrame:
         "perm_key",
         F.col("doc_id").alias("train_order"),
     ).orderBy("train_order")
+
+
+# below the fixture's 25 docs/source so the gate exercises the filter
+DOMAIN_CAP = 15
+
+
+def domain_cap(
+    spark: SparkSession, t, cap: int = DOMAIN_CAP
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` docs per source
+    domain, selected by the same deterministic hash permutation
+    :func:`training_order` uses (an unbiased per-domain sample, not
+    "first N by crawl order" — crawl order correlates with seed URLs).
+    The standard anti-domination step of web-scale training mixes
+    (C4/Gopher-style per-domain limits): without it the head domains
+    swamp the mixture.
+
+    Scale shape: ONE row_number window partitioned by source —
+    state per partition is O(cap) after the rank filter, and the
+    shuffle key is the domain, the same key the mixture stages
+    already use. A pathological mega-domain is one skewed partition;
+    the production escape hatch is pre-aggregating a per-source count
+    and only windowing sources over the cap (the others pass
+    unranked) — the filter here keeps the semantics hash-checkable."""
+    from pyspark.sql.window import Window
+
+    d = t["documents"]
+    perm = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    w = Window.partitionBy("source").orderBy(
+        perm.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(cap))
+        .orderBy("source", "rk")
+    )

@@ -4342,3 +4342,120 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+EXTENDED_STATS_BUCKET = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS n_buckets,
+         min(n) AS min_bucket, max(n) AS max_bucket,
+         CAST(sum(n) AS BIGINT) AS sum_events,
+         CAST(sum(n * n) AS BIGINT) AS sx2
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_buckets, min_bucket, max_bucket, sum_events,
+       round(CAST(sum_events AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6)
+         AS avg_per_bucket,
+       round(CAST(n_buckets * sx2 - sum_events * sum_events AS DOUBLE)
+             / CAST(n_buckets * n_buckets AS DOUBLE), 6) AS variance,
+       round(sqrt(CAST(n_buckets * sx2 - sum_events * sum_events AS DOUBLE)
+             / CAST(n_buckets * n_buckets AS DOUBLE)), 6) AS std_dev,
+       round(CAST(sum_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+             + 2.0 * sqrt(
+                 CAST(n_buckets * sx2 - sum_events * sum_events AS DOUBLE)
+                 / CAST(n_buckets * n_buckets AS DOUBLE)), 6) AS upper2,
+       round(CAST(sum_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+             - 2.0 * sqrt(
+                 CAST(n_buckets * sx2 - sum_events * sum_events AS DOUBLE)
+                 / CAST(n_buckets * n_buckets AS DOUBLE)), 6) AS lower2
+FROM m
+ORDER BY event_type
+"""
+
+
+def moving_fn_sql(window: int) -> str:
+    """moving_fn linearWeightedAvg: trailing-window list (frame order),
+    1-based list_transform index weights == Spark's zip_with(sequence)
+    weights; integer numerator and k(k+1)/2 denominator, ONE divide —
+    the exact discipline of textstats.moving_fn_agg."""
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT bucket, n,
+         list(n) OVER (
+           ORDER BY bucket
+           ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW
+         ) AS vs
+  FROM daily
+)
+SELECT bucket, n,
+       round(
+         CAST(list_sum(list_transform(vs, (v, i) -> v * i)) AS DOUBLE)
+         / CAST((len(vs) * (len(vs) + 1)) // 2 AS DOUBLE), 6
+       ) AS lwa
+FROM win
+ORDER BY bucket
+"""
+
+
+BUCKET_COUNT_KS_TEST = """
+WITH typed AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+total AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS y
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT t.event_type, a.bucket, coalesce(d.x, 0) AS x, a.y
+  FROM (SELECT DISTINCT event_type FROM typed) t
+  CROSS JOIN total a
+  LEFT JOIN typed d ON d.event_type = t.event_type AND d.bucket = a.bucket
+),
+cums AS (
+  SELECT event_type,
+         sum(x) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+         sum(y) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy,
+         sum(x) OVER (PARTITION BY event_type) AS tx,
+         sum(y) OVER (PARTITION BY event_type) AS ty
+  FROM grid
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(max(abs(cx * ty - cy * tx)) AS DOUBLE)
+             / CAST(max(tx) * max(ty) AS DOUBLE), 6) AS d_stat
+FROM cums
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def domain_cap_sql(cap: int, mod: int, mult: int) -> str:
+    """Per-domain cap by the deterministic hash permutation — the exact
+    discipline of trainprep.domain_cap."""
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {mod} + 1) * {mult}) % {mod} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {int(cap)}
+ORDER BY source, rk
+"""
