@@ -53,6 +53,12 @@ CURSOR_RANK, SA_K = 5, 8  # search_after: cursor at rank 5, next 8 hits
 GAUSS_ORIGIN = 300.0  # function_score gauss decay on n_chars
 EXPLAIN_DOC = 7  # _explain target: contains all three flagship terms
 SPAN_TERMS, SPAN_SLOP = ["merge", "group", "key"], 1  # span_near window 3
+# span_containing: key inside a (merge NEAR group) span of window 4
+SPAN_CONT_BIG, SPAN_CONT_LITTLE, SPAN_CONT_SLOP = ["merge", "group"], "key", 3
+# span_within: scan scores, (fast NEAR slow) span is the filter
+SPAN_WITHIN_BIG, SPAN_WITHIN_LITTLE, SPAN_WITHIN_SLOP = (
+    ["fast", "slow"], "scan", 4,
+)
 # span_near over span_or clauses: (fast|slow) NEAR merge, window 3
 SPAN_OR_GROUPS, SPAN_OR_SLOP = [["fast", "slow"], ["merge"]], 2
 # intervals (ordered, max_gaps): merge then group then key, in order
@@ -336,6 +342,7 @@ QS_QUERY = '(merge AND group) OR ("batch batch" AND NOT vector)'
 SQS_QUERY = 'merge + group + -vector | "slow fast"'
 # distance_feature over the doc_id recency ordinal (0..499 at gate sf)
 DF_ORIGIN, DF_PIVOT, DF_BOOST = 250, 60.0, 1.5
+TL_DOC = 42  # terms lookup: "docs sharing doc 42's source"
 PINNED_IDS = [7, 3, 11]  # editorial promotions, served in THIS order
 PERCOLATE_QS = [
     (1, "merge AND group"),
@@ -621,6 +628,41 @@ def q_span_near(spark, sf_dir):
     return Q.span_near_topk(
         spark, _pos_index_for(spark, sf_dir), SPAN_TERMS, 10, slop=SPAN_SLOP
     )
+
+
+def q_span_containing(spark, sf_dir):
+    """ES span_containing: big = span_near(merge, group), little = key;
+    matches where a valid big span covers a key occurrence; the BIG
+    terms score (little is a pure filter)."""
+    return Q.span_containing_topk(
+        spark,
+        _pos_index_for(spark, sf_dir),
+        SPAN_CONT_BIG,
+        SPAN_CONT_LITTLE,
+        10,
+        slop=SPAN_CONT_SLOP,
+        mode="containing",
+    )
+
+
+def q_span_within(spark, sf_dir):
+    """ES span_within: the dual — the LITTLE term scores, the enclosing
+    big span is the filter (same kernel, different scoring set)."""
+    return Q.span_containing_topk(
+        spark,
+        _pos_index_for(spark, sf_dir),
+        SPAN_WITHIN_BIG,
+        SPAN_WITHIN_LITTLE,
+        10,
+        slop=SPAN_WITHIN_SLOP,
+        mode="within",
+    )
+
+
+def q_terms_lookup(spark, sf_dir):
+    """ES terms lookup: the filter's value set comes from ANOTHER
+    document's field, resolved as a broadcast semi-join (no collect)."""
+    return Q.terms_lookup(spark, _docs(spark, sf_dir), TL_DOC, "source", 15)
 
 
 def q_span_near_or(spark, sf_dir):
@@ -1503,6 +1545,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_count_ks_test": _wrap(textstats.bucket_count_ks_test_agg),
         # trainprep: per-domain cap by deterministic hash permutation
         "domain_cap": _wrap(trainprep.domain_cap),
+        # ES span_containing: little inside big span; big terms score
+        "span_containing": q_span_containing,
+        # ES span_within: the dual — little term scores, big filters
+        "span_within": q_span_within,
+        # ES terms lookup: filter by another doc's field values
+        "terms_lookup": q_terms_lookup,
+        # ES runtime_mappings: query-time field in filter + agg
+        "runtime_fields": _wrap(textstats.runtime_fields_agg),
     }
 
 
@@ -2020,4 +2070,14 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": oracles.domain_cap_sql(
             trainprep.DOMAIN_CAP, hashing.MOD, hashing.FP_MULT
         ),
+        "span_containing": oracles.span_containing_sql(
+            SPAN_CONT_BIG, SPAN_CONT_LITTLE, 10,
+            slop=SPAN_CONT_SLOP, mode="containing",
+        ),
+        "span_within": oracles.span_containing_sql(
+            SPAN_WITHIN_BIG, SPAN_WITHIN_LITTLE, 10,
+            slop=SPAN_WITHIN_SLOP, mode="within",
+        ),
+        "terms_lookup": oracles.terms_lookup_sql(TL_DOC, "source", 15),
+        "runtime_fields": oracles.RUNTIME_FIELDS,
     }

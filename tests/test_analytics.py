@@ -590,3 +590,25 @@ def test_domain_cap_deterministic_sample(spark):
     t2["documents"] = t["documents"].repartition(7)
     again = trainprep.domain_cap(spark, t2, cap=cap).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_runtime_fields_schema_on_read(spark):
+    """runtime band field recompute: integer div bands, filter applies
+    before the agg, count_distinct over source."""
+    t = load_tables(spark, SF)
+    rows = t["documents"].collect()
+    per: dict = {}
+    for r in rows:
+        if r.lang not in ("en", "de"):
+            continue
+        b = min(r.n_chars // 100, 5)
+        per.setdefault(b, []).append(r)
+    got = {r.band: r for r in
+           textstats.runtime_fields_agg(spark, t).collect()}
+    assert set(got) == set(per)
+    for b, rs in per.items():
+        g = got[b]
+        assert g.n_docs == len(rs)
+        assert g.min_chars == min(r.n_chars for r in rs)
+        assert g.max_chars == max(r.n_chars for r in rs)
+        assert g.n_sources == len({r.source for r in rs})

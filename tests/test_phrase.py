@@ -768,3 +768,64 @@ def test_match_phrase_prefix_matches_bruteforce(spark, pos_index):
         Q.match_phrase_prefix_topk(spark, h, ["group"], "group", 10).count()
         == 0
     )
+
+
+def test_span_containing_within_bruteforce(spark, pos_index):
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    out, corpus = pos_index
+    h = Q.IndexHandle.open(spark, out)
+    oracle = Bm25Oracle(corpus)
+
+    def matches(toks, big, little, slop):
+        window = slop + len(big) - 1
+        pls = [[i for i, t in enumerate(toks) if t == b] for b in big]
+        cps = [i for i, t in enumerate(toks) if t == little]
+        if not cps or any(not p for p in pls):
+            return False
+        from itertools import product as prod
+
+        for combo in prod(*pls):
+            s, e = min(combo), max(combo)
+            if e - s <= window and any(s <= c <= e for c in cps):
+                return True
+        return False
+
+    for big, little, slop in [
+        (["merge", "group"], "key", 3),
+        (["fast", "slow"], "scan", 4),
+        (["merge", "group"], "nosuchterm", 3),  # empty: absent little
+    ]:
+        for mode in ("containing", "within"):
+            score_over = sorted(set(big)) if mode == "containing" else [little]
+            want = sorted(
+                (
+                    (d, round(oracle.score_doc(score_over, d), 6))
+                    for d, toks in corpus
+                    if matches(toks, sorted(set(big)), little, slop)
+                ),
+                key=lambda p: (-p[1], p[0]),
+            )[:10]
+            got = [
+                (r.doc_id, r.score)
+                for r in Q.span_containing_topk(
+                    spark, h, big, little, 10, slop=slop, mode=mode
+                ).collect()
+            ]
+            assert got == want, (big, little, slop, mode)
+    # the two modes share the SAME match set, different scores
+    c_ids = {
+        r.doc_id
+        for r in Q.span_containing_topk(
+            spark, h, ["merge", "group"], "key", 10**6, slop=3
+        ).collect()
+    }
+    w_ids = {
+        r.doc_id
+        for r in Q.span_containing_topk(
+            spark, h, ["merge", "group"], "key", 10**6, slop=3, mode="within"
+        ).collect()
+    }
+    assert c_ids == w_ids and c_ids
+    with pytest.raises(ValueError):
+        Q.span_containing_topk(spark, h, ["a"], "b", 5, mode="nope")

@@ -1208,3 +1208,16 @@ def test_distance_feature_bounded_additive(spark, corpus):
         assert 0.0 < delta <= boost + 1e-6
         if d == origin:
             assert abs(delta - boost) < 1e-6
+
+
+def test_terms_lookup_broadcast_semijoin(spark, corpus):
+    """terms_lookup == docs sharing the lookup doc's field value; the
+    plan is a broadcast join (no collect); missing lookup doc -> empty."""
+    df, _, rows = corpus
+    out = Q.terms_lookup(spark, df, 42, "source", 15)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    src = rows[42].source
+    want = sorted(d for d, r in rows.items() if r.source == src)[:15]
+    assert [r.doc_id for r in out.collect()] == want
+    assert Q.terms_lookup(spark, df, 10**9, "source", 15).count() == 0

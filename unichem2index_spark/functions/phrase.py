@@ -601,3 +601,72 @@ def phrase_prefix_match_topk(
         out.append((doc, score))
     out.sort(key=lambda p: (-p[1], p[0]))
     return out[:k]
+
+
+def span_containing_match_topk(
+    posts: dict[str, PosTermPostings],
+    big: list[str],
+    little: str,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    slop: int = 0,
+    score_terms: list[str] | None = None,
+    deleted: frozenset[int] = frozenset(),
+) -> list[tuple[int, float]]:
+    """Top-k for ``span_containing`` / ``span_within`` in one shard —
+    Lucene ``SpanContainingQuery`` / ``SpanWithinQuery``: the big span
+    is an unordered span_near over ``big`` (window ``slop+len(big)-1``),
+    the little span a single term; a doc matches iff SOME valid big
+    span's interval [min, max] contains an occurrence of ``little``.
+    The same doc-level predicate serves both queries — they differ in
+    which side SCORES (Lucene scores the query being returned:
+    ``score_terms=big`` is span_containing, ``[little]`` span_within;
+    the other side is a pure filter), so one kernel carries both.
+
+    Candidates intersect rarest-first over big+little with the shared
+    block-skipping machinery; positions decode lazily for survivors.
+    The span check enumerates one-position-per-big-term combinations
+    (product of per-doc tfs — tf is single digits for non-stopword
+    query terms, so the combo count is tiny) with early exit on the
+    first valid covering span; the little lookup is a bisect."""
+    from itertools import product
+
+    uniq_big = sorted(set(big))
+    need = sorted(set(uniq_big + [little]))
+    if any(t not in posts for t in need):
+        return []
+    window = slop + len(uniq_big) - 1
+    score_over = sorted(set(score_terms if score_terms else uniq_big))
+    by_rarity = sorted(need, key=lambda t: (posts[t].df, t))
+    rare = by_rarity[0]
+    tfdl: dict[str, dict[int, tuple[int, int]]] = {rare: posts[rare].all_docs()}
+    cand = sorted(d for d in tfdl[rare] if d not in deleted)
+    for t in by_rarity[1:]:
+        if not cand:
+            return []
+        tfdl[t] = posts[t].lookup_many(cand)
+        cand = [d for d in cand if d in tfdl[t]]
+    out: list[tuple[int, float]] = []
+    for doc in cand:
+        plists = [posts[t].positions_of(doc) for t in uniq_big]
+        cpos = posts[little].positions_of(doc)
+        hit = False
+        for combo in product(*plists):
+            s, e = min(combo), max(combo)
+            if e - s > window:
+                continue
+            i = bisect_left(cpos, s)
+            if i < len(cpos) and cpos[i] <= e:
+                hit = True
+                break
+        if not hit:
+            continue
+        dl = tfdl[rare][doc][1]
+        score = sum(
+            score_term(tfdl[t][doc][0], dl, avgdl, idfs[t])
+            for t in score_over
+        )
+        out.append((doc, score))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out[:k]

@@ -3439,3 +3439,125 @@ def distance_feature_topk(
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+def span_containing_topk(
+    spark: SparkSession,
+    index: IndexHandle,
+    big_terms: list[str],
+    little: str,
+    k: int,
+    slop: int = 0,
+    mode: str = "containing",
+) -> DataFrame:
+    """ES ``span_containing`` / ``span_within``: the big span is an
+    unordered span_near over ``big_terms``, the little span a single
+    term; a doc matches iff some valid big span's interval contains an
+    occurrence of the little term. Lucene scores the query being
+    RETURNED — ``mode="containing"`` scores the big terms (little is a
+    filter), ``mode="within"`` scores the little term (big is the
+    filter) — so both queries share this kernel and differ only in the
+    scoring set.
+
+    Requires ``build_index(positions=True)``. Scale shape identical to
+    :func:`span_near_topk` (shared machinery): pushed ``term IN`` scan
+    over big+little, per-shard rarest-first intersection with block
+    skipping, lazy position decode for survivors, n_shards·k rows to
+    the global merge."""
+    if mode not in ("containing", "within"):
+        raise ValueError(f"span_containing_topk: bad mode {mode!r}")
+    if not index.has_positions:
+        raise ValueError(
+            "span_containing_topk requires a positional index "
+            "(build_index(..., positions=True))"
+        )
+    uniq_big = sorted(set(big_terms))
+    need = sorted(set(uniq_big + [little]))
+    score_over = uniq_big if mode == "containing" else [little]
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(need))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if any(t not in idfs for t in need):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(need)).select(
+        *_PHRASE_COLS
+    )
+    avgdl = index.avgdl
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        from unichem2index_spark.functions.phrase import (
+            span_containing_match_topk,
+        )
+
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        posts = {
+            str(t): _pos_postings_from_group(g, str(t))
+            for t, g in pdf.groupby("term", sort=True)
+        }
+        top = span_containing_match_topk(
+            posts,
+            uniq_big,
+            little,
+            idfs,
+            avgdl,
+            k,
+            slop=slop,
+            score_terms=score_over,
+            deleted=deleted,
+        )
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def terms_lookup(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    lookup_doc: int,
+    field: str = "source",
+    k: int = 15,
+) -> DataFrame:
+    """ES ``terms`` query with TERMS LOOKUP: the filter's value set is
+    fetched from another document's field at query time ("docs sharing
+    doc 42's source") — the follow-the-pointer filter ES resolves with
+    a GET against the lookup index before running the query. Constant
+    score (filter context), ties to doc_id order like ES's _doc sort.
+
+    Spark-first shape: the one-row lookup becomes a broadcast
+    semi-join key set — NO driver collect, so the plan stays one job
+    and works unchanged when the lookup matches many rows (ES caps at
+    65k lookup terms; a broadcast join is exactly that contract)."""
+    lk = docs_df.where(F.col("doc_id") == int(lookup_doc)).select(field)
+    return (
+        docs_df.join(F.broadcast(lk), field, "leftsemi")
+        .select("doc_id", field)
+        .orderBy("doc_id")
+        .limit(k)
+    )

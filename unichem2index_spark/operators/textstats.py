@@ -1699,3 +1699,31 @@ def bucket_count_ks_test_agg(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def runtime_fields_agg(spark: SparkSession, t) -> DataFrame:
+    """ES RUNTIME FIELDS (runtime_mappings): a field that exists only
+    at query time — defined by a script over stored fields, then used
+    in the query filter AND the aggregation like any mapped field
+    (schema-on-read). Here: ``band = least(n_chars // 100, 5)`` (an
+    integer script — no float), filtered to lang IN (en, de), then a
+    terms-agg row per band with count and min/max of the source field.
+
+    Spark IS schema-on-read: the runtime field is a projection column,
+    Catalyst fuses it into the scan — zero materialization, exactly
+    ES's "calculated at search time" contract. One map-side-combined
+    hash agg; the filter prunes before the projection."""
+    d = t["documents"]
+    band = F.least(F.expr("n_chars div 100"), F.lit(5)).cast("long")
+    return (
+        d.where(F.col("lang").isin(["en", "de"]))
+        .withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.count_distinct(F.col("source")).alias("n_sources"),
+        )
+        .orderBy("band")
+    )

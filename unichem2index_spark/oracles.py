@@ -4459,3 +4459,98 @@ SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {int(cap)}
 ORDER BY source, rk
 """
+
+
+def span_containing_sql(
+    big: list[str],
+    little: str,
+    k: int,
+    slop: int = 0,
+    mode: str = "containing",
+) -> str:
+    """span_containing / span_within: a doc matches iff some valid big
+    span (unordered span_near window slop+n-1) contains an occurrence
+    of the little term; the returned query's terms score (big for
+    containing, little for within) — the exact discipline of
+    operators/query.py::span_containing_topk."""
+    gs = sorted({str(t) for t in big})
+    n = len(gs)
+    window = slop + n - 1
+    lit = little.replace("'", "''")
+    aliases = [f"p{i}" for i in range(n)]
+    joins = " JOIN ".join(
+        [f"pos {aliases[0]}"]
+        + [f"pos {a} USING (doc_id)" for a in aliases[1:]]
+        + ["pos pc USING (doc_id)"]
+    )
+    preds = " AND ".join(
+        f"{a}.term = '" + t.replace("'", "''") + "'"
+        for a, t in zip(aliases, gs)
+    )
+    plist = ", ".join(f"{a}.p" for a in aliases)
+    score_terms = gs if mode == "containing" else [little]
+    inlist = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(score_terms))
+    )
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+  FROM tokd
+),
+matched AS (
+  SELECT DISTINCT {aliases[0]}.doc_id
+  FROM {joins}
+  WHERE {preds} AND pc.term = '{lit}'
+    AND greatest({plist}) - least({plist}) <= {window}
+    AND pc.p BETWEEN least({plist}) AND greatest({plist})
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+    AND p.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def terms_lookup_sql(lookup_doc: int, field: str = "source", k: int = 15) -> str:
+    """terms lookup: filter by the value set of another document's
+    field — the exact discipline of operators/query.py::terms_lookup."""
+    return f"""
+SELECT doc_id, {field}
+FROM documents
+WHERE {field} IN (
+  SELECT {field} FROM documents WHERE doc_id = {int(lookup_doc)}
+)
+ORDER BY doc_id
+LIMIT {int(k)}
+"""
+
+
+RUNTIME_FIELDS = """
+SELECT least(n_chars // 100, 5) AS band,
+       count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents
+WHERE lang IN ('en', 'de')
+GROUP BY 1
+ORDER BY band
+"""
