@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from unichem2index_spark import oracles
 from unichem2index_spark.functions import esql as esql_mod
 from unichem2index_spark.functions import hashing
+from unichem2index_spark.functions import querystring as querystring_mod
 from unichem2index_spark.functions.tokenize import tokens_col
 from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
 from unichem2index_spark.operators import eventseq, ingestpipe, parentchild
@@ -657,6 +658,52 @@ def q_span_within(spark, sf_dir):
         slop=SPAN_WITHIN_SLOP,
         mode="within",
     )
+
+
+# search_template: mustache holes rendered, then the shared QS path
+ST_TEMPLATE = '({{a}} AND {{b}}) OR "{{p1}} {{p2}}"'
+ST_PARAMS = {"a": "merge", "b": "group", "p1": "batch", "p2": "batch"}
+
+# ES|QL ROW source: literal one-row table through the full pipe
+ESQL_ROW_QUERY = (
+    'ROW s = "merge group merge sort", n = 7'
+    ' | EVAL t = SPLIT(s, " ")'
+    " | MV_EXPAND t"
+    " | STATS c = COUNT(*), mx = MAX(n) BY t"
+    " | SORT t ASC"
+)
+
+
+def q_search_template(spark, sf_dir):
+    """ES search_template: {{mustache}} holes rendered from params,
+    then the rendered string runs the normal query_string path."""
+    from unichem2index_spark.functions.querystring import (
+        render_search_template,
+    )
+
+    return Q.query_string_topk(
+        spark,
+        _docs(spark, sf_dir),
+        render_search_template(ST_TEMPLATE, ST_PARAMS),
+        10,
+    )
+
+
+def q_collapse_inner_hits(spark, sf_dir):
+    """ES collapse + inner_hits: top-k collapsed groups, each with its
+    group's top-2 hits — ONE window rank serves both roles, emitted as
+    flat (group_rank, inner_rank) rows."""
+    return Q.collapse_inner_hits_topk(
+        _docs(spark, sf_dir), FLAGSHIP_TERMS, 8, inner_size=2
+    )
+
+
+def q_esql_row(spark, sf_dir):
+    """ES|QL ROW source: a literal one-row table piped through
+    SPLIT/MV_EXPAND/STATS — the computed-constants source command."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(parse_esql(ESQL_ROW_QUERY), {})
 
 
 def q_terms_lookup(spark, sf_dir):
@@ -1553,6 +1600,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_lookup": q_terms_lookup,
         # ES runtime_mappings: query-time field in filter + agg
         "runtime_fields": _wrap(textstats.runtime_fields_agg),
+        # ES search_template: mustache render -> shared QS path
+        "search_template": q_search_template,
+        # ES collapse + inner_hits: one window rank, flat rows
+        "collapse_inner_hits": q_collapse_inner_hits,
+        # ES|QL ROW: literal one-row source through the pipe
+        "esql_row": q_esql_row,
     }
 
 
@@ -2080,4 +2133,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "terms_lookup": oracles.terms_lookup_sql(TL_DOC, "source", 15),
         "runtime_fields": oracles.RUNTIME_FIELDS,
+        "search_template": oracles.query_string_sql(
+            querystring_mod.render_search_template(ST_TEMPLATE, ST_PARAMS),
+            10,
+        ),
+        "collapse_inner_hits": oracles.collapse_inner_hits_sql(
+            FLAGSHIP_TERMS, 8, inner_size=2
+        ),
+        "esql_row": esql_mod.compile_sql(esql_mod.parse_esql(ESQL_ROW_QUERY)),
     }

@@ -403,3 +403,26 @@ def test_case_and_grok(spark):
         parse_esql("FROM t | GROK props '%{NOPE:x}'")
     with pytest.raises(ValueError):
         parse_esql("FROM t | GROK props 'no captures here'")
+
+
+def test_row_source_both_engines(spark):
+    """ROW: a literal one-row table; SPLIT/MV_EXPAND/STATS run on it
+    identically on both engines; empty ROW rejected."""
+    import duckdb as _duck
+
+    q = (
+        'ROW s = "a b a", n = 3 | EVAL t = SPLIT(s, " ") | MV_EXPAND t'
+        " | STATS c = COUNT(*), mx = MAX(n) BY t | SORT t ASC"
+    )
+    stages = parse_esql(q)
+    got = [(r.t, r.c, r.mx) for r in compile_spark(stages, {}).collect()]
+    assert got == [("a", 2, 3), ("b", 1, 3)]
+    want = [
+        (t, int(c), int(m))
+        for t, c, m in _duck.sql(compile_sql(stages)).fetchall()
+    ]
+    assert got == want
+    with pytest.raises(ValueError):
+        parse_esql("ROW | LIMIT 1")
+    with pytest.raises(ValueError):
+        parse_esql("SHOW tables")

@@ -1221,3 +1221,70 @@ def test_terms_lookup_broadcast_semijoin(spark, corpus):
     want = sorted(d for d, r in rows.items() if r.source == src)[:15]
     assert [r.doc_id for r in out.collect()] == want
     assert Q.terms_lookup(spark, df, 10**9, "source", 15).count() == 0
+
+
+def test_search_template_renders_then_shares_path(spark, corpus):
+    """The template result is IDENTICAL to running the rendered string;
+    missing params raise (never a silent hole)."""
+    from unichem2index_spark.functions.querystring import (
+        render_search_template,
+    )
+
+    df, _, _ = corpus
+    tpl = '({{a}} AND {{b}}) OR "{{p}} {{p}}"'
+    params = {"a": "merge", "b": "group", "p": "batch"}
+    rendered = render_search_template(tpl, params)
+    assert rendered == '(merge AND group) OR "batch batch"'
+    got = [
+        tuple(r)
+        for r in Q.query_string_topk(spark, df, rendered, 10).collect()
+    ]
+    direct = [
+        tuple(r)
+        for r in Q.query_string_topk(
+            spark, df, '(merge AND group) OR "batch batch"', 10
+        ).collect()
+    ]
+    assert got == direct and got
+    with pytest.raises(ValueError):
+        render_search_template(tpl, {"a": "merge"})
+
+
+def test_collapse_inner_hits_recompute(spark, corpus):
+    """group_rank rows tile the collapse_topk page; inner hits are each
+    group's top-inner_size by (score desc, doc_id); every group carries
+    rank 1."""
+    df, oracle, rows = corpus
+    k, inner = 8, 2
+    got = Q.collapse_inner_hits_topk(
+        df, TERMS, k, inner_size=inner
+    ).collect()
+    # brute force
+    acc = _scores(oracle, TERMS)
+    per: dict = {}
+    for d, s in acc.items():
+        per.setdefault(rows[d].source, []).append((d, s))
+    best = sorted(
+        ((max(v, key=lambda p: (p[1], -p[0]))[1],
+          min(d for d, s in v if s == max(p[1] for p in v)), src)
+         for src, v in per.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    want_groups = [src for _, _, src in best]
+    groups_got = [r.source for r in got if r.inner_rank == 1]
+    assert groups_got == want_groups
+    # winners agree with collapse_topk's page
+    page = Q.collapse_topk(df, TERMS, k).collect()
+    assert groups_got == [r.source for r in page]
+    for src in want_groups:
+        inner_got = [
+            (r.inner_rank, r.doc_id)
+            for r in got
+            if r.source == src
+        ]
+        want_inner = sorted(
+            per[src], key=lambda p: (-p[1], p[0])
+        )[:inner]
+        assert sorted(inner_got) == [
+            (i + 1, d) for i, (d, _) in enumerate(want_inner)
+        ]

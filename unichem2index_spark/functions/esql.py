@@ -6,7 +6,7 @@ as functions/querystring.py.
 
 Supported surface (the ES|QL core):
 
-    FROM <table>
+    FROM <table>  |  ROW <alias> = <expr> [, ...]   (literal 1-row source)
     | WHERE <expr>
     | EVAL <alias> = <expr> [, ...]
     | KEEP <col> [, ...]
@@ -218,9 +218,20 @@ class _P:
 def parse_esql(q: str) -> list[tuple]:
     stages = []
     parts = [p.strip() for p in q.strip().split("|")]
-    if not parts or not parts[0].upper().startswith("FROM "):
-        raise ValueError("ES|QL: query must start with FROM")
-    stages.append(("from", parts[0][5:].strip()))
+    if parts and parts[0].upper().startswith("ROW "):
+        # ROW source (ES|QL): a literal one-row table — the pipe
+        # playground / computed-constants source.
+        assigns = []
+        for piece in _split_top(parts[0][4:]):
+            alias, _, e = piece.partition("=")
+            assigns.append((alias.strip(), _P(e).expr()))
+        if not assigns:
+            raise ValueError("ES|QL: ROW needs at least one column")
+        stages.append(("row", assigns))
+    elif not parts or not parts[0].upper().startswith("FROM "):
+        raise ValueError("ES|QL: query must start with FROM or ROW")
+    else:
+        stages.append(("from", parts[0][5:].strip()))
     for part in parts[1:]:
         cmd, _, rest = part.partition(" ")
         cmd = cmd.upper()
@@ -618,6 +629,13 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
     for st in stages:
         if st[0] == "from":
             df = tables[st[1]]
+        elif st[0] == "row":
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            df = spark.range(1).select(
+                *[_sp(e).alias(a) for a, e in st[1]]
+            )
         elif st[0] == "where":
             df = df.where(_sp(st[1]))
         elif st[0] == "eval":
@@ -687,6 +705,9 @@ def compile_sql(stages: list[tuple]) -> str:
     for st in stages:
         if st[0] == "from":
             sql = f"SELECT * FROM {st[1]}"
+        elif st[0] == "row":
+            evals = ", ".join(f"{_sq(e)} AS {a}" for a, e in st[1])
+            sql = f"SELECT {evals}"
         elif st[0] == "where":
             sql = f"SELECT * FROM ({sql}) WHERE {_sq(st[1])}"
         elif st[0] == "eval":

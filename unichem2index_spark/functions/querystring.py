@@ -247,3 +247,31 @@ def _parse_simple_strict(q: str):
     if peek() is not None:
         raise ValueError(f"simple_query_string: trailing input in {q!r}")
     return node
+
+
+_TEMPLATE_REF = re.compile(r"\{\{(\w+)\}\}")
+
+
+def render_search_template(template: str, params: dict) -> str:
+    """ES ``search_template`` (the mustache subset ES actually renders
+    for query strings): substitute every ``{{name}}`` hole from
+    ``params``, error on missing or unused-hole leftovers — then the
+    rendered string runs through the normal query parser, exactly like
+    ES pre-renders the template before the search phase. Values are
+    analyzed by the query parser downstream, so substitution is plain
+    text (no quoting layer needed beyond the template's own)."""
+    missing: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        key = m.group(1)
+        if key not in params:
+            missing.append(key)
+            return m.group(0)
+        return str(params[key])
+
+    out = _TEMPLATE_REF.sub(sub, template)
+    if missing:
+        raise ValueError(
+            f"search_template: missing params {sorted(set(missing))}"
+        )
+    return out

@@ -3561,3 +3561,56 @@ def terms_lookup(
         .orderBy("doc_id")
         .limit(k)
     )
+
+
+def collapse_inner_hits_topk(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    inner_size: int = 2,
+    collapse_field: str = "source",
+) -> DataFrame:
+    """ES ``collapse`` with ``inner_hits``: the top-k collapsed groups
+    (best doc per ``collapse_field``), each carrying its group's top
+    ``inner_size`` hits — "one result per site, with the site's next
+    best underneath". ES runs a second per-group sub-search for the
+    inner hits; here ONE window rank serves both roles: rank 1 rows are
+    the collapsed winners, ranks ≤ inner_size are their inner hits, so
+    no second pass over the corpus happens at all.
+
+    Emitted flat (group_rank, inner_rank) rows rather than a nested
+    array — the relational shape of the same payload (and the driver
+    canon can hash it). Group page membership and ordering follow the
+    rank-1 rows exactly like :func:`collapse_topk`; inner hits ride
+    along via a broadcast semi-join of the k winning keys."""
+    scores = bm25_scores_from_corpus(docs_df, terms)
+    joined = scores.join(
+        docs_df.select("doc_id", collapse_field), "doc_id"
+    )
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = joined.withColumn("inner_rank", F.row_number().over(w))
+    winners = (
+        ranked.where(F.col("inner_rank") == 1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            F.col(collapse_field),
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("group_rank"),
+        )
+    )
+    return (
+        ranked.where(F.col("inner_rank") <= int(inner_size))
+        .join(F.broadcast(winners), collapse_field)
+        .orderBy("group_rank", "inner_rank")
+        .select(
+            "group_rank",
+            F.col(collapse_field),
+            "inner_rank",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+    )

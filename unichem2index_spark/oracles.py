@@ -4554,3 +4554,52 @@ WHERE lang IN ('en', 'de')
 GROUP BY 1
 ORDER BY band
 """
+
+
+def collapse_inner_hits_sql(
+    terms: list[str],
+    k: int,
+    inner_size: int = 2,
+    field: str = "source",
+) -> str:
+    """collapse + inner_hits: flat (group_rank, inner_rank) rows — ONE
+    window rank serves both the collapsed winners and their inner hits,
+    the exact discipline of query.py::collapse_inner_hits_topk."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT sc.doc_id, sc.score, doc.{field},
+         row_number() OVER (
+           PARTITION BY doc.{field}
+           ORDER BY sc.score DESC, sc.doc_id ASC
+         ) AS inner_rank
+  FROM scored sc JOIN documents doc ON sc.doc_id = doc.doc_id
+),
+winners AS (
+  SELECT {field},
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS group_rank
+  FROM ranked WHERE inner_rank = 1
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {int(k)}
+)
+SELECT w.group_rank, r.{field}, r.inner_rank, r.doc_id,
+       round(r.score, 6) AS score
+FROM ranked r JOIN winners w USING ({field})
+WHERE r.inner_rank <= {int(inner_size)}
+ORDER BY group_rank, inner_rank
+"""
