@@ -97,6 +97,7 @@ ANALYZE_TEXT = "The MERGE-group KEY: fast vector scan, 42 rows!"
 MGET_IDS = [3, 7, 42, 10**9]  # last id absent: found=false shape
 SAMPLER_SIZE = 50  # sampler agg: sub-agg over the 50 best hits
 TV_DOC = 7  # _termvectors target (same doc _explain inspects)
+MTV_IDS = [7, 42, 10**9]  # _mtermvectors batch (last id absent)
 PR_VALUES = (100.0, 300.0, 600.0)  # percentile_ranks probe doclens
 PERCOLATE_QUERIES = [  # stored-query registry: (id, terms, min_match)
     (0, ["merge", "group", "key"], 3),
@@ -664,6 +665,14 @@ def q_span_within(spark, sf_dir):
 ST_TEMPLATE = '({{a}} AND {{b}}) OR "{{p1}} {{p2}}"'
 ST_PARAMS = {"a": "merge", "b": "group", "p1": "batch", "p2": "batch"}
 
+# ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
+ESQL_CHANGE_POINT_QUERY = (
+    "FROM events"
+    " | STATS n = COUNT(*) BY day = BUCKET(ts, 1 day), event_type"
+    " | CHANGE_POINT n ON day BY event_type"
+    " | SORT event_type ASC"
+)
+
 # ES|QL ROW source: literal one-row table through the full pipe
 ESQL_ROW_QUERY = (
     'ROW s = "merge group merge sort", n = 7'
@@ -695,6 +704,16 @@ def q_collapse_inner_hits(spark, sf_dir):
     flat (group_rank, inner_rank) rows."""
     return Q.collapse_inner_hits_topk(
         _docs(spark, sf_dir), FLAGSHIP_TERMS, 8, inner_size=2
+    )
+
+
+def q_esql_change_point(spark, sf_dir):
+    """ES|QL CHANGE_POINT command: the deterministic CUSUM-style step
+    scan over a piped BUCKET'd series, per event_type."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_CHANGE_POINT_QUERY), load_tables(spark, sf_dir)
     )
 
 
@@ -911,6 +930,12 @@ def q_field_sort(spark, sf_dir):
         _docs(spark, sf_dir), PHRASE, PHRASE_K, field=SORT_FIELD,
         after=SORT_AFTER,
     )
+
+
+def q_mterm_vectors(spark, sf_dir):
+    """ES _mtermvectors: term_vectors for a doc SET in one call — one
+    corpus-stats pass, one broadcast of the requested docs' terms."""
+    return Q.mterm_vectors(_docs(spark, sf_dir), MTV_IDS)
 
 
 def q_term_vectors(spark, sf_dir):
@@ -1606,6 +1631,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_inner_hits": q_collapse_inner_hits,
         # ES|QL ROW: literal one-row source through the pipe
         "esql_row": q_esql_row,
+        # EQL sequence ... until: the kill-guard variant
+        "eql_sequence_until": _wrap(eventseq.eql_sequence_until),
+        # ES _mtermvectors: batched term_vectors, one stats pass
+        "mterm_vectors": q_mterm_vectors,
+        # ES|QL CHANGE_POINT command over a piped series
+        "esql_change_point": q_esql_change_point,
     }
 
 
@@ -2141,4 +2172,9 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, 8, inner_size=2
         ),
         "esql_row": esql_mod.compile_sql(esql_mod.parse_esql(ESQL_ROW_QUERY)),
+        "eql_sequence_until": oracles.eql_sequence_until_sql(),
+        "mterm_vectors": oracles.mterm_vectors_sql(MTV_IDS),
+        "esql_change_point": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_CHANGE_POINT_QUERY)
+        ),
     }

@@ -426,3 +426,39 @@ def test_row_source_both_engines(spark):
         parse_esql("ROW | LIMIT 1")
     with pytest.raises(ValueError):
         parse_esql("SHOW tables")
+
+
+def test_change_point_command_matches_agg(spark):
+    """The CHANGE_POINT pipe command over a BUCKET'd STATS series ==
+    textstats.change_point_agg row for row; bad clause rejected."""
+    from unichem2index_spark.operators import textstats
+
+    t = load_tables(spark, SF_SMOKE)
+    got = [
+        tuple(r)
+        for r in compile_spark(
+            parse_esql(
+                "FROM events"
+                " | STATS n = COUNT(*) BY day = BUCKET(ts, 1 day), event_type"
+                " | CHANGE_POINT n ON day BY event_type"
+                " | SORT event_type ASC"
+            ),
+            t,
+        ).collect()
+    ]
+    want = [
+        (r.event_type, r.change_bucket, r.stat, r.mean_before, r.mean_after)
+        for r in textstats.change_point_agg(spark, t).collect()
+    ]
+    assert got == want and got
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | CHANGE_POINT n day")
+    # keyless form: one global change point row
+    one = compile_spark(
+        parse_esql(
+            "FROM events | STATS n = COUNT(*) BY day = BUCKET(ts, 1 day)"
+            " | CHANGE_POINT n ON day"
+        ),
+        t,
+    ).collect()
+    assert len(one) == 1 and one[0].stat > 0

@@ -238,3 +238,72 @@ def test_frequent_item_sets_recompute(spark):
     for r in rows:
         assert r.item_a < r.item_b
         assert r.support == round(r.n_baskets / n_total, 6)
+
+
+def test_eql_sequence_until_kill_guard(spark):
+    """UNTIL kills pending sequences: brute-force recompute; an absent
+    until type degenerates to plain eql_sequence."""
+    t = load_tables(spark, SF_SMOKE)
+    got = eventseq.eql_sequence_until(
+        spark, t, first="click", then="purchase", until="error",
+        within_sec=7200.0,
+    ).collect()
+    assert got
+    ev = sorted(
+        t["events"]
+        .where(F.col("event_type").isin(["click", "purchase", "error"]))
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = []
+    last_click: dict = {}
+    last_err: dict = {}
+    for r in ev:
+        if r.event_type == "click":
+            last_click[r.user_id] = r
+        elif r.event_type == "error":
+            last_err[r.user_id] = r
+        elif r.user_id in last_click:
+            c = last_click[r.user_id]
+            u = last_err.get(r.user_id)
+            gap = (r.ts - c.ts).total_seconds()
+            killed = u is not None and (u.ts, u.event_id) > (c.ts, c.event_id)
+            if gap <= 7200.0 and not killed:
+                want.append((r.user_id, c.event_id, r.event_id))
+    assert [
+        (g.user_id, g.first_event_id, g.second_event_id) for g in got
+    ] == sorted(want, key=lambda x: x[2])
+    # the until guard only removes pairs, never adds
+    plain = {
+        (g.user_id, g.first_event_id, g.second_event_id)
+        for g in eventseq.eql_sequence(spark, t).collect()
+    }
+    assert set(
+        (g.user_id, g.first_event_id, g.second_event_id) for g in got
+    ) <= plain
+    # synthetic frame where the guard provably kills: click(1) ->
+    # error(2) -> purchase(3) dies; click(4) -> purchase(5) survives
+    syn = spark.createDataFrame(
+        [
+            (1, _ts(1), 9, "click", 0.0, ""),
+            (2, _ts(2), 9, "error", 0.0, ""),
+            (3, _ts(3), 9, "purchase", 0.0, ""),
+            (4, _ts(4), 9, "click", 0.0, ""),
+            (5, _ts(5), 9, "purchase", 0.0, ""),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    killed = eventseq.eql_sequence_until(
+        spark, {"events": syn}, within_sec=7200.0
+    ).collect()
+    assert [(g.first_event_id, g.second_event_id) for g in killed] == [
+        (4, 5)
+    ]
+    # absent until type == plain eql_sequence
+    same = eventseq.eql_sequence_until(
+        spark, t, until="nosuchtype"
+    ).collect()
+    assert {
+        (g.user_id, g.first_event_id, g.second_event_id) for g in same
+    } == plain

@@ -1288,3 +1288,22 @@ def test_collapse_inner_hits_recompute(spark, corpus):
         assert sorted(inner_got) == [
             (i + 1, d) for i, (d, _) in enumerate(want_inner)
         ]
+
+
+def test_mterm_vectors_batches_term_vectors(spark, corpus):
+    """_mtermvectors rows == the union of per-doc _termvectors rows;
+    absent ids contribute nothing."""
+    df, _, _ = corpus
+    got = Q.mterm_vectors(df, [7, 42, 10**9]).collect()
+    assert {r.doc_id for r in got} == {7, 42}
+    for d in (7, 42):
+        single = [
+            (r.term, r.tf, r.df, r.ttf, r.positions)
+            for r in Q.term_vectors(df, d).collect()
+        ]
+        batched = [
+            (r.term, r.tf, r.df, r.ttf, r.positions)
+            for r in got
+            if r.doc_id == d
+        ]
+        assert batched == single and single

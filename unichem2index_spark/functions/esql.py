@@ -20,6 +20,7 @@ Supported surface (the ES|QL core):
     | MV_EXPAND <col>
     | DISSECT <field> '<pattern with %{name} holes>'
     | GROK <field> '<pattern with %{ALIAS:name} refs>'
+    | CHANGE_POINT <value> ON <order> [BY <key>]
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
 
@@ -369,6 +370,26 @@ def parse_esql(q: str) -> list[tuple]:
                 rx += ("(.*)" if last and not lit else "(.*?)") + esc
             rx += "$"
             stages.append(("dissect", field, rx, names))
+        elif cmd == "CHANGE_POINT":
+            # CHANGE_POINT <value> ON <order> [BY <key>] (8.18): the
+            # most likely step change of the value series ordered by
+            # <order> — the same deterministic CUSUM-style scan
+            # statistic as textstats.change_point_agg, generalized to
+            # the piped table. BY is this dialect's per-series grouping
+            # (ES runs the command per index stream); ES's ML variant
+            # emits a pvalue and is not reproducible across runs — this
+            # one is, by construction. Integer value columns keep the
+            # prefix sums exact (the entry feeds a COUNT).
+            m8 = re.fullmatch(
+                r"(\w+)\s+ON\s+(\w+)(?:\s+BY\s+(\w+))?",
+                rest.strip(),
+                re.IGNORECASE,
+            )
+            if not m8:
+                raise ValueError(f"ES|QL: bad CHANGE_POINT clause {rest!r}")
+            stages.append(
+                ("change_point", m8.group(1), m8.group(2), m8.group(3))
+            )
         elif cmd == "LIMIT":
             stages.append(("limit", int(rest.strip())))
         else:
@@ -690,6 +711,56 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
             w = _W.partitionBy(*st[2]) if st[2] else _W.partitionBy()
             for alias, e in st[1]:
                 df = df.withColumn(alias, _sp_window(e, w))
+        elif st[0] == "change_point":
+            # One ordered window per series over the (already reduced)
+            # piped rows — exact integer prefix sums, ONE shared float
+            # tree, argmax with an order-column tie-break. Mirrors
+            # textstats.change_point_agg expression for expression.
+            from pyspark.sql.window import Window as _W
+
+            _, vcol, ocol, key = st
+            keys = [key] if key else []
+            w = (_W.partitionBy(*keys) if keys else _W.partitionBy()).orderBy(
+                ocol
+            )
+            wall = _W.partitionBy(*keys) if keys else _W.partitionBy()
+            pre = (
+                df.withColumn("_i", F.row_number().over(w))
+                .withColumn(
+                    "_cum",
+                    F.sum(vcol).over(
+                        w.rowsBetween(
+                            _W.unboundedPreceding, _W.currentRow
+                        )
+                    ),
+                )
+                .withColumn("_N", F.count(F.lit(1)).over(wall))
+                .withColumn("_S", F.sum(vcol).over(wall))
+                .withColumn("change_at", F.lead(ocol, 1).over(w))
+            )
+            splits = pre.where(F.col("_i") < F.col("_N"))
+            i = F.col("_i").cast("double")
+            cum = F.col("_cum").cast("double")
+            n = F.col("_N").cast("double")
+            s = F.col("_S").cast("double")
+            mean_l = cum / i
+            mean_r = (s - cum) / (n - i)
+            stat = F.abs(mean_r - mean_l) * F.sqrt(i * (n - i) / n)
+            scored = splits.withColumn("_stat", stat)
+            best = (
+                _W.partitionBy(*keys) if keys else _W.partitionBy()
+            ).orderBy(F.desc("_stat"), F.asc(ocol))
+            df = (
+                scored.withColumn("_rk", F.row_number().over(best))
+                .where(F.col("_rk") == 1)
+                .select(
+                    *keys,
+                    "change_at",
+                    F.round(F.col("_stat"), 6).alias("stat"),
+                    F.round(mean_l, 6).alias("mean_before"),
+                    F.round(mean_r, 6).alias("mean_after"),
+                )
+            )
         elif st[0] == "sort":
             df = df.orderBy(
                 *[F.desc(c) if d else F.asc(c) for c, d in st[1]]
@@ -773,6 +844,37 @@ def compile_sql(stages: list[tuple]) -> str:
                 )
             else:
                 sql = f"SELECT {aggs} FROM ({sql})"
+        elif st[0] == "change_point":
+            _, v, o, key = st
+            part = f"PARTITION BY {key} " if key else ""
+            pall = f"PARTITION BY {key}" if key else ""
+            keysel = f"{key}, " if key else ""
+            sql = f"""SELECT {keysel}change_at, round(_stat, 6) AS stat,
+  round(CAST(_cum AS DOUBLE) / CAST(_i AS DOUBLE), 6) AS mean_before,
+  round((CAST(_S AS DOUBLE) - CAST(_cum AS DOUBLE))
+        / (CAST(_N AS DOUBLE) - CAST(_i AS DOUBLE)), 6) AS mean_after
+FROM (
+  SELECT *, row_number() OVER ({part}ORDER BY _stat DESC, {o} ASC) AS _rk
+  FROM (
+    SELECT *,
+      abs((CAST(_S AS DOUBLE) - CAST(_cum AS DOUBLE))
+            / (CAST(_N AS DOUBLE) - CAST(_i AS DOUBLE))
+          - CAST(_cum AS DOUBLE) / CAST(_i AS DOUBLE))
+      * sqrt(CAST(_i AS DOUBLE)
+             * (CAST(_N AS DOUBLE) - CAST(_i AS DOUBLE))
+             / CAST(_N AS DOUBLE)) AS _stat
+    FROM (
+      SELECT *,
+        row_number() OVER ({part}ORDER BY {o}) AS _i,
+        sum({v}) OVER ({part}ORDER BY {o}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+        count(*) OVER ({pall}) AS _N,
+        sum({v}) OVER ({pall}) AS _S,
+        lead({o}, 1) OVER ({part}ORDER BY {o}) AS change_at
+      FROM ({sql})
+    ) WHERE _i < _N
+  )
+) WHERE _rk = 1"""
         elif st[0] == "sort":
             tail.append(
                 "ORDER BY "

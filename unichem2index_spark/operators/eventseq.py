@@ -340,3 +340,68 @@ def frequent_item_sets(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+def eql_sequence_until(
+    spark: SparkSession,
+    t,
+    first: str = "click",
+    then: str = "purchase",
+    until: str = "error",
+    within_sec: float = 7200.0,
+) -> DataFrame:
+    """EQL ``sequence by user_id [first] [then] until [until]``: the
+    :func:`eql_sequence` pairing with EQL's UNTIL guard — an ``until``
+    event arriving between the first and second steps KILLS the pending
+    sequence (the "session reset / logout invalidates the chain"
+    semantics security rules lean on).
+
+    Same one-window shape as eql_sequence with a THIRD tracked type:
+    the window carries the most recent preceding ``first`` and
+    ``until`` markers; a ``then`` row matches iff the first marker
+    exists, fits the gap, and the last until marker (if any) is OLDER
+    than it — a lexicographic (ts, event_id) struct comparison, the
+    same total order the window itself uses, so ties resolve
+    identically on both engines."""
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type")
+    e = ev.where(F.col("event_type").isin([first, then, until]))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lastf = F.last(
+        F.when(
+            F.col("event_type") == first,
+            F.struct(F.col("ts").alias("fts"), F.col("event_id").alias("fid")),
+        ),
+        True,
+    ).over(w)
+    lastu = F.last(
+        F.when(
+            F.col("event_type") == until,
+            F.struct(F.col("ts").alias("uts"), F.col("event_id").alias("uid")),
+        ),
+        True,
+    ).over(w)
+    m = e.withColumn("_f", lastf).withColumn("_u", lastu).where(
+        (F.col("event_type") == then) & F.col("_f").isNotNull()
+    )
+    gap = (
+        F.expr("timestampdiff(MICROSECOND, _f.fts, ts)").cast("double")
+        / F.lit(1000000.0)
+    )
+    alive = F.col("_u").isNull() | (
+        F.struct(F.col("_u.uts"), F.col("_u.uid"))
+        < F.struct(F.col("_f.fts"), F.col("_f.fid"))
+    )
+    return (
+        m.where((gap <= F.lit(float(within_sec))) & alive)
+        .select(
+            "user_id",
+            F.col("_f.fid").alias("first_event_id"),
+            F.col("event_id").alias("second_event_id"),
+            F.round(gap, 6).alias("gap_sec"),
+        )
+        .orderBy("second_event_id")
+    )

@@ -3614,3 +3614,44 @@ def collapse_inner_hits_topk(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def mterm_vectors(docs_df: DataFrame, doc_ids: list[int]) -> DataFrame:
+    """ES ``_mtermvectors``: :func:`term_vectors` for a SET of docs in
+    one call — per (doc, term): in-doc tf + sorted 0-based positions,
+    plus corpus-wide df/ttf. Exactly the batching contract _msearch has
+    for queries: one corpus-stats pass + ONE broadcast of all requested
+    docs' term lists, instead of len(ids) round trips.
+
+    Same broadcast direction as term_vectors (requested docs' terms are
+    small at any corpus size; the vocabulary is not); positions
+    serialize to the repo's comma-joined string convention."""
+    ids = sorted(set(int(d) for d in doc_ids))
+    tok = tokenized_docs(docs_df)
+    pos = (
+        tok.where(F.col("doc_id").isin(ids))
+        .select("doc_id", F.posexplode("tokens").alias("p", "term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("p")).alias("positions"),
+        )
+    )
+    post = exact_postings(tok)
+    tstats = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+    )
+    return (
+        tstats.join(F.broadcast(pos), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.col("ttf").cast("long").alias("ttf"),
+            F.concat_ws(
+                ",", F.transform("positions", lambda p: p.cast("string"))
+            ).alias("positions"),
+        )
+        .orderBy("doc_id", "term")
+    )

@@ -4603,3 +4603,71 @@ FROM ranked r JOIN winners w USING ({field})
 WHERE r.inner_rank <= {int(inner_size)}
 ORDER BY group_rank, inner_rank
 """
+
+
+def eql_sequence_until_sql(
+    first: str = "click",
+    then: str = "purchase",
+    until: str = "error",
+    within_sec: float = 7200.0,
+) -> str:
+    """eql_sequence with the UNTIL kill guard — the exact discipline of
+    operators/eventseq.py::eql_sequence_until (lexicographic
+    (ts, event_id) comparison between the last until and last first
+    markers)."""
+    return f"""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('{first}', '{then}', '{until}')
+),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = '{first}'
+                         THEN struct_pack(fts := ts, fid := event_id)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+         last_value(CASE WHEN event_type = '{until}'
+                         THEN struct_pack(uts := ts, uid := event_id)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS u
+  FROM e
+)
+SELECT user_id,
+       f.fid AS first_event_id,
+       event_id AS second_event_id,
+       round(CAST(date_diff('microsecond', f.fts, ts) AS DOUBLE)
+             / 1000000.0, 6) AS gap_sec
+FROM m
+WHERE event_type = '{then}' AND f IS NOT NULL
+  AND CAST(date_diff('microsecond', f.fts, ts) AS DOUBLE) / 1000000.0
+      <= {float(within_sec)!r}
+  AND (u IS NULL OR (u.uts, u.uid) < (f.fts, f.fid))
+ORDER BY second_event_id
+"""
+
+
+def mterm_vectors_sql(doc_ids: list[int]) -> str:
+    """_mtermvectors: term_vectors for a set of docs in one statement —
+    the exact discipline of operators/query.py::mterm_vectors."""
+    ids = ", ".join(str(int(d)) for d in sorted(set(doc_ids)))
+    return f"""
+WITH {_TOK_CTE},
+tokd AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS p
+  FROM tokd
+),
+tv AS (
+  SELECT doc_id, term, count(*) AS tf, list(p ORDER BY p) AS positions
+  FROM pos WHERE doc_id IN ({ids}) GROUP BY doc_id, term
+)
+SELECT t.doc_id, t.term, t.tf, d.df, CAST(d.cf AS BIGINT) AS ttf,
+       array_to_string(t.positions, ',') AS positions
+FROM tv t JOIN dfs d USING (term)
+ORDER BY t.doc_id, t.term
+"""
