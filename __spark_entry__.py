@@ -932,6 +932,12 @@ def q_field_sort(spark, sf_dir):
     )
 
 
+def q_analyze_shingles(spark, sf_dir):
+    """ES _analyze with a shingle filter: the analyzer's unigrams plus
+    word bigrams at their first word's position."""
+    return Q.analyze_shingles(spark, ANALYZE_TEXT)
+
+
 def q_mterm_vectors(spark, sf_dir):
     """ES _mtermvectors: term_vectors for a doc SET in one call — one
     corpus-stats pass, one broadcast of the requested docs' terms."""
@@ -1637,6 +1643,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mterm_vectors": q_mterm_vectors,
         # ES|QL CHANGE_POINT command over a piped series
         "esql_change_point": q_esql_change_point,
+        # trainprep: unbiased token-budget corpus slice
+        "token_budget_sample": _wrap(trainprep.token_budget_sample),
+        # ES _analyze + shingle filter: unigrams + word n-grams
+        "analyze_shingles": q_analyze_shingles,
     }
 
 
@@ -2177,4 +2187,8 @@ def oracle_sql() -> dict[str, str]:
         "esql_change_point": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_CHANGE_POINT_QUERY)
         ),
+        "token_budget_sample": oracles.token_budget_sample_sql(
+            trainprep.TOKEN_BUDGET, hashing.MOD, hashing.FP_MULT
+        ),
+        "analyze_shingles": oracles.analyze_shingles_sql(ANALYZE_TEXT),
     }

@@ -1307,3 +1307,22 @@ def test_mterm_vectors_batches_term_vectors(spark, corpus):
             if r.doc_id == d
         ]
         assert batched == single and single
+
+
+def test_analyze_shingles_positions(spark):
+    """Shingles sit at their first word's position alongside the
+    unigrams (output_unigrams=true); short input emits unigrams only."""
+    got = [
+        (r.position, r.token)
+        for r in Q.analyze_shingles(spark, "Fast merge sort").collect()
+    ]
+    assert got == [
+        (0, "fast"), (0, "fast merge"),
+        (1, "merge"), (1, "merge sort"),
+        (2, "sort"),
+    ]
+    single = [
+        (r.position, r.token)
+        for r in Q.analyze_shingles(spark, "solo").collect()
+    ]
+    assert single == [(0, "solo")]

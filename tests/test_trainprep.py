@@ -406,3 +406,37 @@ def test_training_order_permutation(spark):
     assert {(r.doc_id, r.train_order) for r in rows2} == {
         (r.doc_id, r.train_order) for r in rows
     }
+
+
+def test_token_budget_sample_monotone_superset(spark):
+    """Budget slice: running total <= budget in permutation order; a
+    bigger budget yields a strict superset; recompute brute-force."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.operators import trainprep
+    from unichem2index_spark.sources.tables import load_tables
+
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = t["documents"].collect()
+    order = sorted(
+        rows, key=lambda r: (((r.doc_id % MOD) + 1) * FP_MULT % MOD, r.doc_id)
+    )
+    want, run = [], 0
+    for r in order:
+        n = len(tokenize(r.text))
+        run += n
+        if run > 4000:
+            break
+        want.append((r.doc_id, n, run))
+    got = [
+        (r.doc_id, r.n_tokens, r.running)
+        for r in trainprep.token_budget_sample(spark, t, budget=4000).collect()
+    ]
+    assert got == want and got
+    small = {r.doc_id for r in
+             trainprep.token_budget_sample(spark, t, budget=2000).collect()}
+    big = {r.doc_id for r in
+           trainprep.token_budget_sample(spark, t, budget=4000).collect()}
+    assert small < big

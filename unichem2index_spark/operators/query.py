@@ -3655,3 +3655,39 @@ def mterm_vectors(docs_df: DataFrame, doc_ids: list[int]) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+def analyze_shingles(
+    spark: SparkSession, text: str, shingle_size: int = 2
+) -> DataFrame:
+    """ES ``_analyze`` with a ``shingle`` token filter: the analyzer's
+    tokens plus the word n-grams the shingle filter would emit —
+    (position, token) where a shingle's position is its FIRST word's
+    (Lucene shingle filter positioning, output_unigrams=true). The
+    index-side half of phrase matching as a term problem: shingled
+    fields trade index size for exact-phrase term lookups.
+
+    Same single shared tokenizer expression as :func:`analyze_text`;
+    the shingles are a map-only transform over the token array — at
+    ingest scale this is the map-side projection a shingled index field
+    adds to the build, no extra shuffle."""
+    from unichem2index_spark.functions.tokenize import tokens_col
+
+    n = int(shingle_size)
+    base = spark.createDataFrame([(text,)], "text string").select(
+        tokens_col("text").alias("toks")
+    )
+    unigrams = base.select(
+        F.posexplode("toks").alias("position", "token")
+    )
+    shingles = base.where(F.size("toks") >= n).select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("position", "token")
+    )
+    return unigrams.unionByName(shingles).orderBy("position", "token")

@@ -596,3 +596,47 @@ def domain_cap(
         .where(F.col("rk") <= int(cap))
         .orderBy("source", "rk")
     )
+
+
+TOKEN_BUDGET = 8000
+
+
+def token_budget_sample(
+    spark: SparkSession, t, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Token-budget corpus sampling: walk the corpus in the
+    deterministic :func:`training_order` permutation and keep documents
+    while the RUNNING token total stays ≤ ``budget`` — "give me a
+    bias-free N-token slice of this corpus", the op every scaled-down
+    ablation or data-mix experiment starts with. Permutation order (not
+    doc_id order) so the slice is an unbiased sample; deterministic so
+    the same budget always yields the same slice and a bigger budget
+    yields a SUPERSET (monotone, resumable — the training_order
+    contract).
+
+    The cumulative sum is one window over the permutation key. At
+    100 TB the production form replaces the global window with the
+    ingest prefix-sum machinery (per-range-bucket token totals,
+    driver-side offsets — the assign_doc_ids pattern), or simply
+    prunes whole permuted-range FILES until the budget boundary file;
+    the window here keeps the semantics hash-checkable. Token counts
+    are the analyzer's (tokens_col), not whitespace guesses."""
+    d = t["documents"]
+    perm = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "doc_id",
+        perm.alias("perm_key"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy("perm_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("running", F.sum("n_tokens").over(w))
+        .where(F.col("running") <= int(budget))
+        .select("doc_id", "n_tokens", "running")
+        .orderBy("running")
+    )

@@ -4671,3 +4671,54 @@ SELECT t.doc_id, t.term, t.tf, d.df, CAST(d.cf AS BIGINT) AS ttf,
 FROM tv t JOIN dfs d USING (term)
 ORDER BY t.doc_id, t.term
 """
+
+
+def analyze_shingles_sql(text: str, shingle_size: int = 2) -> str:
+    """_analyze + shingle filter: unigrams UNION word n-grams at their
+    first word's position — the exact discipline of
+    query.py::analyze_shingles."""
+    lit = "'" + text.replace("'", "''") + "'"
+    n = int(shingle_size)
+    parts = ", ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower({lit}), '{TOKEN_PATTERN}') AS t
+),
+uni AS (
+  SELECT generate_subscripts(t, 1) - 1 AS position, unnest(t) AS token
+  FROM toks
+),
+sh AS (
+  SELECT i - 1 AS position, concat_ws(' ', {parts}) AS token
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}
+)
+SELECT position, token FROM (
+  SELECT * FROM uni UNION ALL SELECT * FROM sh
+)
+ORDER BY position, token
+"""
+
+
+def token_budget_sample_sql(budget: int, mod: int, mult: int) -> str:
+    """Token-budget slice in hash-permutation order — the exact
+    discipline of trainprep.token_budget_sample."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ((doc_id % {mod} + 1) * {mult}) % {mod} AS perm_key,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           ORDER BY perm_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS running
+  FROM toks
+)
+SELECT doc_id, n_tokens, running FROM run
+WHERE running <= {int(budget)}
+ORDER BY running
+"""
