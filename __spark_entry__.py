@@ -665,6 +665,18 @@ def q_span_within(spark, sf_dir):
 ST_TEMPLATE = '({{a}} AND {{b}}) OR "{{p1}} {{p2}}"'
 ST_PARAMS = {"a": "merge", "b": "group", "p1": "batch", "p2": "batch"}
 
+# ES|QL order-statistic aggs: exact interpolated median/percentile
+# (Spark percentile == DuckDB quantile_cont) + EXACT COUNT_DISTINCT
+ESQL_MEDIAN_QUERY = (
+    "FROM documents"
+    " | STATS med = MEDIAN(n_chars),"
+    "         p90 = ROUND(PERCENTILE(n_chars, 0.9), 6),"
+    "         nsrc = COUNT_DISTINCT(source),"
+    '         shortmed = MEDIAN(n_chars) WHERE n_chars < 300'
+    "   BY lang"
+    " | SORT lang ASC"
+)
+
 # ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
 ESQL_CHANGE_POINT_QUERY = (
     "FROM events"
@@ -704,6 +716,17 @@ def q_collapse_inner_hits(spark, sf_dir):
     flat (group_rank, inner_rank) rows."""
     return Q.collapse_inner_hits_topk(
         _docs(spark, sf_dir), FLAGSHIP_TERMS, 8, inner_size=2
+    )
+
+
+def q_esql_median(spark, sf_dir):
+    """ES|QL MEDIAN/PERCENTILE/COUNT_DISTINCT in STATS (exact forms —
+    the values ES's t-digest/HLL estimates converge to), incl. one
+    filtered median via the per-agg WHERE."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_MEDIAN_QUERY), load_tables(spark, sf_dir)
     )
 
 
@@ -1647,6 +1670,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _wrap(trainprep.token_budget_sample),
         # ES _analyze + shingle filter: unigrams + word n-grams
         "analyze_shingles": q_analyze_shingles,
+        # ES|QL MEDIAN/PERCENTILE/COUNT_DISTINCT (exact forms)
+        "esql_median": q_esql_median,
     }
 
 
@@ -2191,4 +2216,7 @@ def oracle_sql() -> dict[str, str]:
             trainprep.TOKEN_BUDGET, hashing.MOD, hashing.FP_MULT
         ),
         "analyze_shingles": oracles.analyze_shingles_sql(ANALYZE_TEXT),
+        "esql_median": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_MEDIAN_QUERY)
+        ),
     }

@@ -462,3 +462,42 @@ def test_change_point_command_matches_agg(spark):
         t,
     ).collect()
     assert len(one) == 1 and one[0].stat > 0
+
+
+def test_median_percentile_count_distinct(spark):
+    """Exact interpolated median/percentile (numpy-checked) and exact
+    count_distinct; order-statistic aggs rejected in INLINESTATS."""
+    import numpy as np
+
+    t = load_tables(spark, SF_SMOKE)
+    got = {
+        r.lang: r
+        for r in compile_spark(
+            parse_esql(
+                "FROM documents"
+                " | STATS med = MEDIAN(n_chars),"
+                "         p90 = ROUND(PERCENTILE(n_chars, 0.9), 6),"
+                "         nsrc = COUNT_DISTINCT(source) BY lang"
+            ),
+            t,
+        ).collect()
+    }
+    per: dict = {}
+    for r in t["documents"].collect():
+        per.setdefault(r.lang, []).append(r)
+    assert set(got) == set(per)
+    for lang, rows in per.items():
+        xs = np.array(sorted(r.n_chars for r in rows), dtype=float)
+        assert got[lang].med == np.quantile(xs, 0.5)
+        assert abs(got[lang].p90 - np.quantile(xs, 0.9)) < 1e-6
+        assert got[lang].nsrc == len({r.source for r in rows})
+    with pytest.raises(ValueError):
+        compile_spark(
+            parse_esql(
+                "FROM documents | INLINESTATS m = MEDIAN(n_chars) BY lang"
+            ),
+            t,
+        )
+    with pytest.raises(ValueError):
+        # non-literal p is a render-time error (both renders raise)
+        compile_sql(parse_esql("FROM t | STATS p = PERCENTILE(x, y)"))

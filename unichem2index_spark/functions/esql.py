@@ -42,7 +42,10 @@ SPLIT(s, "delim") (LITERAL delimiter, yields a multivalue column for
 MV_EXPAND — Spark's regex split gets the delimiter re-escaped) /
 CONTAINS_TERM(field, "term") — the ES|QL match()-family analog:
 analyzer-tokenized term membership, identical tokenizer both engines.
-Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX / AVG.
+Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX /
+AVG / MEDIAN / PERCENTILE(x, p) (exact interpolated — Spark
+percentile == DuckDB quantile_cont) / COUNT_DISTINCT (EXACT —
+ES|QL's is an HLL estimate; documented divergence).
 
 Determinism note: SUM/COUNT/MIN/MAX over integers are order-independent
 (exact); AVG renders as an exact integer SUM divided once on both
@@ -61,7 +64,10 @@ _TOKEN = re.compile(
     r"\"[^\"]*\"|'[^']*'|[0-9]+\.[0-9]+|[0-9]+|[A-Za-z_][A-Za-z0-9_]*)"
 )
 
-_AGGS = {"count", "sum", "min", "max", "avg"}
+_AGGS = {
+    "count", "sum", "min", "max", "avg",
+    "median", "percentile", "count_distinct",
+}
 _FUNCS = {"round", "length", "abs", "contains_term", "split", "case", "bucket"}
 
 # BUCKET spans both engines can render as a calendar truncation. ES|QL
@@ -469,6 +475,20 @@ def _sp(node) -> Column:
         if fn == "avg":
             # exact integer sum, ONE divide — identical across engines
             return F.sum(_sp(args[0])).cast("double") / F.count(F.lit(1))
+        if fn == "median":
+            # exact interpolated median — what ES's t-digest MEDIAN
+            # converges to; Spark percentile == DuckDB quantile_cont
+            # hash-identically (the doclen_percentiles discipline)
+            return F.percentile(_sp(args[0]), F.lit(0.5))
+        if fn == "percentile":
+            if args[1][0] != "lit":
+                raise ValueError("ES|QL: PERCENTILE needs a literal p")
+            return F.percentile(_sp(args[0]), F.lit(float(args[1][1])))
+        if fn == "count_distinct":
+            # EXACT distinct count — ES|QL's COUNT_DISTINCT is an HLL
+            # estimate; the exact form is what it converges to and is
+            # the only hash-checkable reading (documented divergence).
+            return F.count_distinct(_sp(args[0]))
         if fn == "case":
             # CASE(cond, val, [cond, val ...], default) — chained WHEN.
             if len(args) < 3 or len(args) % 2 == 0:
@@ -546,6 +566,14 @@ def _sq(node) -> str:
             return f"CAST(sum({_sq(args[0])}) AS BIGINT)"
         if fn == "round" and len(args) > 1:
             return f"round({_sq(args[0])}, {int(args[1][1])})"
+        if fn == "median":
+            return f"quantile_cont({_sq(args[0])}, 0.5)"
+        if fn == "percentile":
+            if args[1][0] != "lit":
+                raise ValueError("ES|QL: PERCENTILE needs a literal p")
+            return f"quantile_cont({_sq(args[0])}, {float(args[1][1])!r})"
+        if fn == "count_distinct":
+            return f"count(DISTINCT {_sq(args[0])})"
         if fn == "case":
             if len(args) < 3 or len(args) % 2 == 0:
                 raise ValueError("ES|QL: CASE takes cond/value pairs + default")
@@ -586,6 +614,14 @@ def _sp_agg(node, cond) -> Column:
             F.sum(F.when(c, _sp(args[0]))).cast("double")
             / F.count(F.when(c, F.lit(1)))
         )
+    if fn == "median":
+        return F.percentile(F.when(c, _sp(args[0])), F.lit(0.5))
+    if fn == "percentile":
+        return F.percentile(
+            F.when(c, _sp(args[0])), F.lit(float(args[1][1]))
+        )
+    if fn == "count_distinct":
+        return F.count_distinct(F.when(c, _sp(args[0])))
     return getattr(F, fn)(F.when(c, _sp(args[0])))
 
 
@@ -608,6 +644,14 @@ def _sq_agg(node, cond) -> str:
             f"(CAST(sum({_sq(args[0])}) {filt} AS DOUBLE) "
             f"/ count(*) {filt})"
         )
+    if fn == "median":
+        return f"quantile_cont({_sq(args[0])}, 0.5) {filt}"
+    if fn == "percentile":
+        return (
+            f"quantile_cont({_sq(args[0])}, {float(args[1][1])!r}) {filt}"
+        )
+    if fn == "count_distinct":
+        return f"count(DISTINCT {_sq(args[0])}) {filt}"
     return f"{fn}({_sq(args[0])}) {filt}"
 
 
@@ -615,6 +659,10 @@ def _sp_window(node, w) -> Column:
     """Aggregate call rendered as a window aggregate (INLINESTATS)."""
     if node[0] != "call" or node[1] not in _AGGS:
         raise ValueError("ES|QL: INLINESTATS takes aggregate calls")
+    if node[1] in ("median", "percentile", "count_distinct"):
+        raise ValueError(
+            "ES|QL: order-statistic/distinct aggs are STATS-only here"
+        )
     fn, args = node[1], node[2]
     if fn == "count":
         base = F.count(F.lit(1)) if args[0][0] == "star" else F.count(_sp(args[0]))
@@ -630,6 +678,10 @@ def _sp_window(node, w) -> Column:
 def _sq_window(node, over: str) -> str:
     if node[0] != "call" or node[1] not in _AGGS:
         raise ValueError("ES|QL: INLINESTATS takes aggregate calls")
+    if node[1] in ("median", "percentile", "count_distinct"):
+        raise ValueError(
+            "ES|QL: order-statistic/distinct aggs are STATS-only here"
+        )
     fn, args = node[1], node[2]
     if fn == "count":
         inner = "count(*)" if args[0][0] == "star" else f"count({_sq(args[0])})"
