@@ -677,6 +677,25 @@ ESQL_MEDIAN_QUERY = (
     " | SORT lang ASC"
 )
 
+# _msearch/template: three param sets through ONE template
+MST_PARAMS = [
+    (0, {"a": "merge", "b": "group", "p1": "batch", "p2": "batch"}),
+    (1, {"a": "fast", "b": "window", "p1": "slow", "p2": "fast"}),
+    (2, {"a": "dup", "b": "scan", "p1": "sort", "p2": "merge"}),
+]
+
+# ES|QL multivalue family over a SPLIT-made column (two EVAL stages:
+# each EVAL is its own projection, so no lateral-alias reliance)
+ESQL_MV_STATS_QUERY = (
+    "FROM documents"
+    " | WHERE doc_id % 13 == 5"
+    ' | EVAL t = SPLIT(text, " ")'
+    " | EVAL n = MV_COUNT(t), first = MV_MIN(t), last = MV_MAX(t)"
+    " | KEEP doc_id, n, first, last"
+    " | SORT doc_id ASC"
+    " | LIMIT 20"
+)
+
 # ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
 ESQL_CHANGE_POINT_QUERY = (
     "FROM events"
@@ -716,6 +735,24 @@ def q_collapse_inner_hits(spark, sf_dir):
     flat (group_rank, inner_rank) rows."""
     return Q.collapse_inner_hits_topk(
         _docs(spark, sf_dir), FLAGSHIP_TERMS, 8, inner_size=2
+    )
+
+
+def q_msearch_template(spark, sf_dir):
+    """ES _msearch/template: one template, three param sets, one union
+    plan — each sub-search row-identical to its standalone render."""
+    return Q.msearch_template_topk(
+        spark, _docs(spark, sf_dir), ST_TEMPLATE, MST_PARAMS, 8
+    )
+
+
+def q_esql_mv_stats(spark, sf_dir):
+    """ES|QL multivalue functions MV_COUNT/MV_MIN/MV_MAX over a
+    SPLIT-made column — per-row size and element extremes."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_MV_STATS_QUERY), load_tables(spark, sf_dir)
     )
 
 
@@ -1672,6 +1709,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_shingles": q_analyze_shingles,
         # ES|QL MEDIAN/PERCENTILE/COUNT_DISTINCT (exact forms)
         "esql_median": q_esql_median,
+        # ES|QL multivalue family: MV_COUNT/MV_MIN/MV_MAX
+        "esql_mv_stats": q_esql_mv_stats,
+        # ES _msearch/template: templated batch, one union plan
+        "msearch_template": q_msearch_template,
     }
 
 
@@ -2218,5 +2259,11 @@ def oracle_sql() -> dict[str, str]:
         "analyze_shingles": oracles.analyze_shingles_sql(ANALYZE_TEXT),
         "esql_median": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_MEDIAN_QUERY)
+        ),
+        "esql_mv_stats": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_MV_STATS_QUERY)
+        ),
+        "msearch_template": oracles.msearch_template_sql(
+            ST_TEMPLATE, MST_PARAMS, 8
         ),
     }

@@ -501,3 +501,23 @@ def test_median_percentile_count_distinct(spark):
     with pytest.raises(ValueError):
         # non-literal p is a render-time error (both renders raise)
         compile_sql(parse_esql("FROM t | STATS p = PERCENTILE(x, y)"))
+
+
+def test_mv_functions_both_engines(spark):
+    """MV_COUNT/MV_MIN/MV_MAX over a SPLIT column: exact per-row size
+    and lexicographic extremes."""
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            "FROM documents | WHERE doc_id < 30"
+            ' | EVAL t = SPLIT(text, " ")'
+            " | EVAL n = MV_COUNT(t), lo = MV_MIN(t), hi = MV_MAX(t)"
+            " | KEEP doc_id, n, lo, hi"
+        ),
+        t,
+    ).collect()
+    raw = {r.doc_id: r.text for r in t["documents"].where("doc_id < 30").collect()}
+    assert rows and len(rows) == len(raw)
+    for r in rows:
+        parts = raw[r.doc_id].split(" ")
+        assert (r.n, r.lo, r.hi) == (len(parts), min(parts), max(parts))

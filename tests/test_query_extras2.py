@@ -1326,3 +1326,29 @@ def test_analyze_shingles_positions(spark):
         for r in Q.analyze_shingles(spark, "solo").collect()
     ]
     assert single == [(0, "solo")]
+
+
+def test_msearch_template_batch_identity(spark, corpus):
+    """Each batched sub-search == its standalone rendered query."""
+    from unichem2index_spark.functions.querystring import (
+        render_search_template,
+    )
+
+    df, _, _ = corpus
+    tpl = '({{a}} AND {{b}}) OR "{{p1}} {{p2}}"'
+    psets = [
+        (0, {"a": "merge", "b": "group", "p1": "batch", "p2": "batch"}),
+        (1, {"a": "fast", "b": "window", "p1": "slow", "p2": "fast"}),
+    ]
+    got = Q.msearch_template_topk(spark, df, tpl, psets, 8).collect()
+    for qid, params in psets:
+        sub = [(r.doc_id, r.score) for r in got if r.query_id == qid]
+        alone = [
+            (r.doc_id, r.score)
+            for r in Q.query_string_topk(
+                spark, df, render_search_template(tpl, params), 8
+            ).collect()
+        ]
+        assert sorted(sub) == sorted(alone) and alone
+    with pytest.raises(ValueError):
+        Q.msearch_template_topk(spark, df, tpl, [], 8)

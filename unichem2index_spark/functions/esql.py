@@ -41,7 +41,10 @@ and the scalar functions ROUND(x[, d]) / LENGTH(s) / ABS(x) /
 SPLIT(s, "delim") (LITERAL delimiter, yields a multivalue column for
 MV_EXPAND — Spark's regex split gets the delimiter re-escaped) /
 CONTAINS_TERM(field, "term") — the ES|QL match()-family analog:
-analyzer-tokenized term membership, identical tokenizer both engines.
+analyzer-tokenized term membership, identical tokenizer both engines —
+and the multivalue family MV_COUNT / MV_MAX / MV_MIN (size and
+element extremes of a multivalue column; one total order per type on
+both engines).
 Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX /
 AVG / MEDIAN / PERCENTILE(x, p) (exact interpolated — Spark
 percentile == DuckDB quantile_cont) / COUNT_DISTINCT (EXACT —
@@ -68,7 +71,10 @@ _AGGS = {
     "count", "sum", "min", "max", "avg",
     "median", "percentile", "count_distinct",
 }
-_FUNCS = {"round", "length", "abs", "contains_term", "split", "case", "bucket"}
+_FUNCS = {
+    "round", "length", "abs", "contains_term", "split", "case", "bucket",
+    "mv_count", "mv_max", "mv_min",
+}
 
 # BUCKET spans both engines can render as a calendar truncation. ES|QL
 # BUCKET also takes a target-bucket-count form and sub-calendar spans
@@ -500,6 +506,14 @@ def _sp(node) -> Column:
         if fn == "bucket":
             # span validated at parse time to a 1-unit calendar span
             return F.date_trunc(str(args[1][1]), _sp(args[0]))
+        if fn == "mv_count":
+            return F.size(_sp(args[0])).cast("long")
+        if fn == "mv_max":
+            # lexicographic for strings, numeric for numbers — the same
+            # total order both engines use for array element compare
+            return F.array_max(_sp(args[0]))
+        if fn == "mv_min":
+            return F.array_min(_sp(args[0]))
         return getattr(F, fn)(_sp(args[0]))
     op, l, r = node[1], _sp(node[2]), _sp(node[3])
     if op == "and":
@@ -589,6 +603,12 @@ def _sq(node) -> str:
                 f"CAST(date_trunc('{args[1][1]}', {_sq(args[0])}) "
                 "AS TIMESTAMP)"
             )
+        if fn == "mv_count":
+            return f"CAST(len({_sq(args[0])}) AS BIGINT)"
+        if fn == "mv_max":
+            return f"list_max({_sq(args[0])})"
+        if fn == "mv_min":
+            return f"list_min({_sq(args[0])})"
         return f"{fn}({', '.join(_sq(a) for a in args)})"
     op, l, r = node[1], _sq(node[2]), _sq(node[3])
     sqlop = {"and": "AND", "or": "OR"}.get(op, _CMP.get(op, op))

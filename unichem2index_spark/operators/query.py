@@ -3691,3 +3691,41 @@ def analyze_shingles(
         ).alias("position", "token")
     )
     return unigrams.unionByName(shingles).orderBy("position", "token")
+
+
+def msearch_template_topk(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    template: str,
+    param_sets: list[tuple[int, dict]],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``_msearch/template``: the template rendered once per param
+    set, the whole batch served as ONE union plan (query_id tagged per
+    sub-search) — the templated sibling of _msearch's batching
+    contract. Each sub-search is the full shared query_string path
+    (parser → eligibility expression → BM25 over positive terms), so a
+    batch result is row-identical to running its template alone.
+
+    The sub-plans share the one tokenize projection under Spark's plan
+    reuse, and the union executes as one job; per-sub-search rows stay
+    bounded at k before the union, so the merge is len(params)·k rows
+    regardless of corpus size."""
+    from unichem2index_spark.functions.querystring import (
+        render_search_template,
+    )
+
+    if not param_sets:
+        raise ValueError("msearch_template: empty param_sets")
+    outs = []
+    for qid, params in param_sets:
+        rendered = render_search_template(template, params)
+        outs.append(
+            query_string_topk(spark, docs_df, rendered, k).select(
+                F.lit(int(qid)).alias("query_id"), "doc_id", "score"
+            )
+        )
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))

@@ -4722,3 +4722,28 @@ SELECT doc_id, n_tokens, running FROM run
 WHERE running <= {int(budget)}
 ORDER BY running
 """
+
+
+def msearch_template_sql(
+    template: str, param_sets: list[tuple[int, dict]], k: int = 10
+) -> str:
+    """_msearch/template: UNION ALL of each rendered sub-search's
+    query_string oracle, query_id tagged — the exact discipline of
+    query.py::msearch_template_topk."""
+    from unichem2index_spark.functions.querystring import (
+        render_search_template,
+    )
+
+    parts = []
+    for qid, params in param_sets:
+        inner = query_string_sql(render_search_template(template, params), k)
+        parts.append(
+            f"SELECT {int(qid)} AS query_id, doc_id, score FROM ({inner})"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT query_id, doc_id, score FROM (
+{union}
+)
+ORDER BY query_id, score DESC, doc_id ASC
+"""
