@@ -696,6 +696,31 @@ ESQL_MV_STATS_QUERY = (
     " | LIMIT 20"
 )
 
+# ES|QL string scalar family — every function in one pipeline; REPLACE
+# is regex-based per ES|QL, LEFT/RIGHT are native on both engines
+ESQL_STRING_FNS_QUERY = (
+    "FROM documents"
+    " | WHERE doc_id % 17 == 3"
+    " | EVAL up = TO_UPPER(source), head = SUBSTRING(text, 1, 12),"
+    " tail = RIGHT(text, 8)"
+    ' | EVAL hdr = CONCAT(lang, "_", up),'
+    ' is_src1 = STARTS_WITH(source, "src1"), has_e = ENDS_WITH(text, "e")'
+    ' | EVAL clean = REPLACE(head, " ", "_"),'
+    ' path = TRIM(CONCAT(" ", LEFT(source, 4), " ")),'
+    ' lang2 = COALESCE(lang, "und")'
+    " | KEEP doc_id, hdr, head, tail, clean, path, lang2, is_src1, has_e"
+    " | SORT doc_id ASC"
+    " | LIMIT 40"
+)
+
+# ES|QL multivalue-returning aggs TOP / VALUES (serialized — canon rule)
+ESQL_TOP_VALUES_QUERY = (
+    "FROM documents"
+    ' | STATS nd = COUNT(*), top_chars = TOP(n_chars, 5, "desc"),'
+    " langs = VALUES(lang) BY source"
+    " | SORT source ASC"
+)
+
 # ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
 ESQL_CHANGE_POINT_QUERY = (
     "FROM events"
@@ -753,6 +778,27 @@ def q_esql_mv_stats(spark, sf_dir):
 
     return compile_spark(
         parse_esql(ESQL_MV_STATS_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_string_fns(spark, sf_dir):
+    """ES|QL string scalar family: CONCAT/SUBSTRING/TO_UPPER/TO_LOWER/
+    STARTS_WITH/ENDS_WITH/COALESCE/TRIM/LEFT/RIGHT/REPLACE, one
+    pipeline dual-rendered."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_STRING_FNS_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_top_values(spark, sf_dir):
+    """ES|QL TOP/VALUES multivalue aggs, serialized per the repo's
+    canon-compat list rule."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_TOP_VALUES_QUERY), load_tables(spark, sf_dir)
     )
 
 
@@ -1713,6 +1759,20 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_mv_stats": q_esql_mv_stats,
         # ES _msearch/template: templated batch, one union plan
         "msearch_template": q_msearch_template,
+        # ES|QL string scalar family (one pipeline, dual-rendered)
+        "esql_string_fns": q_esql_string_fns,
+        # ES|QL TOP/VALUES multivalue aggs (serialized)
+        "esql_top_values": q_esql_top_values,
+        # ES missing agg over a sparse JSON runtime field
+        "missing_agg": _wrap(textstats.missing_agg),
+        # ES global agg: query-scoped + whole-index rows from ONE pass
+        "global_agg": _wrap(textstats.global_agg),
+        # ES scripted_metric: map/combine/reduce as a hash aggregate
+        "scripted_metric_agg": _wrap(textstats.scripted_metric_agg),
+        # ES significant_text: query-time re-analysis + duplicate-text filter
+        "significant_text_agg": _wrap(textstats.significant_text_agg),
+        # ES geotile_grid over a runtime geo_point (slippy tile math)
+        "geotile_grid_agg": _wrap(textstats.geotile_grid_agg),
     }
 
 
@@ -2266,4 +2326,15 @@ def oracle_sql() -> dict[str, str]:
         "msearch_template": oracles.msearch_template_sql(
             ST_TEMPLATE, MST_PARAMS, 8
         ),
+        "esql_string_fns": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_STRING_FNS_QUERY)
+        ),
+        "esql_top_values": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_TOP_VALUES_QUERY)
+        ),
+        "missing_agg": oracles.MISSING_AGG,
+        "global_agg": oracles.GLOBAL_AGG,
+        "scripted_metric_agg": oracles.SCRIPTED_METRIC,
+        "significant_text_agg": oracles.SIGNIFICANT_TEXT,
+        "geotile_grid_agg": oracles.GEOTILE_GRID,
     }

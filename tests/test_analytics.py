@@ -612,3 +612,113 @@ def test_runtime_fields_schema_on_read(spark):
         assert g.min_chars == min(r.n_chars for r in rs)
         assert g.max_chars == max(r.n_chars for r in rs)
         assert g.n_sources == len({r.source for r in rs})
+
+
+def test_missing_agg_recompute(spark):
+    """missing/present/min per bucket vs a pure-Python recompute of the
+    sparse JSON runtime field."""
+    import json
+
+    t = load_tables(spark, SF)
+    per: dict = {}
+    for r in t["events"].collect():
+        k = json.loads(r.props)["k"]
+        big = k if k >= 90 else None
+        per.setdefault(r.event_type, []).append(big)
+    got = {r.event_type: r for r in textstats.missing_agg(spark, t).collect()}
+    assert set(got) == set(per)
+    for et, vals in per.items():
+        g = got[et]
+        present = [v for v in vals if v is not None]
+        assert g.missing_docs == sum(1 for v in vals if v is None)
+        assert g.present_docs == len(present)
+        assert g.min_big_k == (min(present) if present else 0)
+        assert g.missing_docs + g.present_docs == len(vals)
+
+
+def test_global_agg_escapes_query_scope(spark):
+    t = load_tables(spark, SF)
+    rows = t["documents"].collect()
+    g = textstats.global_agg(spark, t).collect()[0]
+    en = [r for r in rows if r.lang == "en"]
+    assert g.query_docs == len(en)
+    assert g.query_chars == sum(r.n_chars for r in en)
+    assert g.all_docs == len(rows)
+    assert g.all_chars == sum(r.n_chars for r in rows)
+    # the global bucket must NOT shrink to the query scope
+    assert g.all_docs > g.query_docs
+
+
+def test_scripted_metric_recompute(spark):
+    """map (+k purchase / -k other) → combine/reduce == hash agg."""
+    import json
+
+    t = load_tables(spark, SF)
+    per: dict = {}
+    for r in t["events"].collect():
+        k = json.loads(r.props)["k"]
+        per.setdefault(r.event_type, []).append(k)
+    got = {
+        r.event_type: r
+        for r in textstats.scripted_metric_agg(spark, t).collect()
+    }
+    assert set(got) == set(per)
+    for et, ks in per.items():
+        g = got[et]
+        sign = 1 if et == "purchase" else -1
+        assert g.n_events == len(ks)
+        assert g.net_amount == sign * sum(ks)
+        assert g.max_amount == max(ks)
+
+
+def test_significant_text_dedup_filters_copies(spark):
+    """filter_duplicate_text: planting an exact copy of a foreground doc
+    must not change any fg_df/bg_df count."""
+    t = load_tables(spark, SF)
+    base = textstats.significant_text_agg(spark, t, query_term="merge")
+    got = [(r.term, r.fg_df, r.bg_df, r.score) for r in base.collect()]
+    assert got, "foreground must be non-empty at sf0.001"
+    docs = t["documents"]
+    fg_doc = docs.where(
+        F.array_contains(
+            F.split(F.lower("text"), r"\s+"), "merge"
+        )
+    ).limit(1)
+    clone = fg_doc.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    t2 = dict(t)
+    t2["documents"] = docs.unionByName(clone)
+    again = textstats.significant_text_agg(spark, t2, query_term="merge")
+    assert got == [
+        (r.term, r.fg_df, r.bg_df, r.score) for r in again.collect()
+    ]
+
+
+def test_geotile_grid_recompute(spark):
+    """Slippy-tile math vs a pure-Python recompute (math.floor/tan/cos/
+    log are the same IEEE doubles)."""
+    import math
+
+    t = load_tables(spark, SF)
+    per: dict = {}
+    for r in t["documents"].collect():
+        lat = float((r.doc_id * 37 % 170) - 85) + 0.5
+        lon = float((r.doc_id * 73 % 360) - 180) + 0.5
+        if not (-60.5 <= lat <= 70.5 and -150.5 <= lon <= 150.5):
+            continue
+        rad = lat * math.pi / 180.0
+        xt = math.floor((lon + 180.0) / 360.0 * 8.0)
+        yt = math.floor(
+            (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.pi)
+            / 2.0 * 8.0
+        )
+        key = f"3/{xt}/{yt}"
+        per[key] = per.get(key, 0) + 1
+    got = {r.tile: r.doc_count for r in
+           textstats.geotile_grid_agg(spark, t).collect()}
+    assert got == per
+    # every tile index is inside the zoom-3 grid
+    for key in got:
+        z, x, y = (int(p) for p in key.split("/"))
+        assert z == 3 and 0 <= x < 8 and 0 <= y < 8

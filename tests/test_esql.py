@@ -521,3 +521,81 @@ def test_mv_functions_both_engines(spark):
     for r in rows:
         parts = raw[r.doc_id].split(" ")
         assert (r.n, r.lo, r.hi) == (len(parts), min(parts), max(parts))
+
+
+def test_string_fns_both_engines(spark):
+    """String scalar family: recompute per row in Python."""
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            "FROM documents | WHERE doc_id < 25"
+            ' | EVAL a = CONCAT(lang, "_", TO_UPPER(source)),'
+            " b = SUBSTRING(text, 3, 5), c = LEFT(text, 4),"
+            ' d = RIGHT(text, 6), e = STARTS_WITH(source, "src1"),'
+            ' f = ENDS_WITH(lang, "n"), g = REPLACE(LEFT(text, 10), " ", "-"),'
+            ' h = TRIM(CONCAT(" ", lang, " ")), i = TO_LOWER(TO_UPPER(lang))'
+            " | KEEP doc_id, a, b, c, d, e, f, g, h, i"
+        ),
+        t,
+    ).collect()
+    raw = {r.doc_id: r for r in t["documents"].where("doc_id < 25").collect()}
+    assert len(rows) == len(raw)
+    for r in rows:
+        s = raw[r.doc_id]
+        assert r.a == f"{s.lang}_{s.source.upper()}"
+        assert r.b == s.text[2:7]
+        assert r.c == s.text[:4]
+        assert r.d == s.text[-6:]
+        assert r.e == s.source.startswith("src1")
+        assert r.f == s.lang.endswith("n")
+        assert r.g == s.text[:10].replace(" ", "-")
+        assert r.h == s.lang
+        assert r.i == s.lang
+
+
+def test_string_fns_validation():
+    with pytest.raises(ValueError):
+        # zero-start SUBSTRING rejected (engine semantics differ)
+        compile_sql(parse_esql("FROM t | EVAL x = SUBSTRING(s, 0, 3)"))
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | EVAL x = LOCATE(s, 'a')")  # unknown fn
+    with pytest.raises(ValueError):
+        # REPLACE pattern must be literal on the SQL render
+        compile_sql(parse_esql("FROM t | EVAL x = REPLACE(s, p, 'y')"))
+    with pytest.raises(ValueError):
+        compile_sql(parse_esql("FROM t | EVAL x = LEFT(s, n)"))
+
+
+def test_top_values_aggs(spark):
+    """TOP slices after a full sort; VALUES is the sorted distinct set —
+    both serialized."""
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            "FROM documents"
+            ' | STATS t3 = TOP(n_chars, 3, "desc"),'
+            ' ta = TOP(n_chars, 2, "asc"), v = VALUES(lang) BY source'
+        ),
+        t,
+    ).collect()
+    per: dict = {}
+    for r in load_tables(spark, SF_SMOKE)["documents"].collect():
+        per.setdefault(r.source, []).append((r.n_chars, r.lang))
+    assert len(rows) == len(per)
+    for r in rows:
+        chars = sorted(c for c, _ in per[r.source])
+        assert r.t3 == ",".join(str(c) for c in sorted(chars, reverse=True)[:3])
+        assert r.ta == ",".join(str(c) for c in chars[:2])
+        assert r.v == ",".join(sorted({l for _, l in per[r.source]}))
+
+
+def test_top_values_validation():
+    with pytest.raises(ValueError):
+        compile_sql(parse_esql('FROM t | STATS x = TOP(a, 0, "desc")'))
+    with pytest.raises(ValueError):
+        compile_sql(parse_esql('FROM t | STATS x = TOP(a, 2, "sideways")'))
+    with pytest.raises(ValueError):
+        # per-agg WHERE composes with scalar aggs only
+        compile_sql(parse_esql('FROM t | STATS x = VALUES(a) WHERE b > 1'))
+    with pytest.raises(ValueError):
+        compile_sql(parse_esql("FROM t | INLINESTATS x = VALUES(a) BY b"))

@@ -44,11 +44,25 @@ CONTAINS_TERM(field, "term") — the ES|QL match()-family analog:
 analyzer-tokenized term membership, identical tokenizer both engines —
 and the multivalue family MV_COUNT / MV_MAX / MV_MIN (size and
 element extremes of a multivalue column; one total order per type on
-both engines).
+both engines), plus the string family CONCAT (null-propagating on
+both engines: Spark concat == SQL ||; ES|QL CONCAT is likewise null
+in → null out) / SUBSTRING(s, start, len) (1-based, literal
+positive bounds — ES|QL's negative-start form is rejected because
+the engines' negative-index semantics differ) / TO_UPPER / TO_LOWER
+/ STARTS_WITH / ENDS_WITH / COALESCE / TRIM / LEFT / RIGHT (native
+``left``/``right`` on BOTH engines — a substring render would
+diverge on strings shorter than n) / REPLACE(s, pat, new) (ES|QL
+REPLACE is regex-based: literal pattern, Spark regexp_replace ==
+DuckDB regexp_replace with the 'g' flag).
 Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX /
 AVG / MEDIAN / PERCENTILE(x, p) (exact interpolated — Spark
 percentile == DuckDB quantile_cont) / COUNT_DISTINCT (EXACT —
-ES|QL's is an HLL estimate; documented divergence).
+ES|QL's is an HLL estimate; documented divergence) / TOP(x, n,
+"asc"|"desc") and VALUES(x) — both are MULTIVALUE-returning in
+ES|QL, so the engine serializes them to a "v1,v2,..." string in the
+agg itself (the repo's canon-compat list discipline); VALUES is
+unordered in ES — the serialized form sorts ascending, the one
+deterministic reading.
 
 Determinism note: SUM/COUNT/MIN/MAX over integers are order-independent
 (exact); AVG renders as an exact integer SUM divided once on both
@@ -69,11 +83,13 @@ _TOKEN = re.compile(
 
 _AGGS = {
     "count", "sum", "min", "max", "avg",
-    "median", "percentile", "count_distinct",
+    "median", "percentile", "count_distinct", "top", "values",
 }
 _FUNCS = {
     "round", "length", "abs", "contains_term", "split", "case", "bucket",
     "mv_count", "mv_max", "mv_min",
+    "concat", "substring", "to_upper", "to_lower", "starts_with",
+    "ends_with", "coalesce", "trim", "replace", "left", "right",
 }
 
 # BUCKET spans both engines can render as a calendar truncation. ES|QL
@@ -438,6 +454,19 @@ def _split_top(s: str) -> list[str]:
 _CMP = {"==": "=", "!=": "!=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
 
 
+def _top_args(args) -> tuple[int, str]:
+    """Validate TOP(x, n, "asc"|"desc") arguments once for both renders."""
+    if (
+        len(args) != 3
+        or args[1][0] != "lit"
+        or args[2][0] != "lit"
+        or str(args[2][1]).lower() not in ("asc", "desc")
+        or int(args[1][1]) < 1
+    ):
+        raise ValueError('ES|QL: TOP(x, n>=1, "asc"|"desc") with literals')
+    return int(args[1][1]), str(args[2][1]).lower()
+
+
 def _sp(node) -> Column:
     kind = node[0]
     if kind == "lit":
@@ -514,6 +543,74 @@ def _sp(node) -> Column:
             return F.array_max(_sp(args[0]))
         if fn == "mv_min":
             return F.array_min(_sp(args[0]))
+        if fn in ("concat", "coalesce"):
+            return getattr(F, fn)(*[_sp(a) for a in args])
+        if fn == "substring":
+            # 1-based literal bounds; negative start rejected (Spark
+            # counts a negative pos from the end and clips differently
+            # than DuckDB — only the common 1-based form is safe).
+            if (
+                len(args) != 3
+                or args[1][0] != "lit"
+                or args[2][0] != "lit"
+                or int(args[1][1]) < 1
+                or int(args[2][1]) < 0
+            ):
+                raise ValueError(
+                    "ES|QL: SUBSTRING(s, start>=1, len>=0) with literals"
+                )
+            return F.substring(_sp(args[0]), int(args[1][1]), int(args[2][1]))
+        if fn == "to_upper":
+            return F.upper(_sp(args[0]))
+        if fn == "to_lower":
+            return F.lower(_sp(args[0]))
+        if fn == "starts_with":
+            return F.startswith(_sp(args[0]), _sp(args[1]))
+        if fn == "ends_with":
+            return F.endswith(_sp(args[0]), _sp(args[1]))
+        if fn in ("left", "right"):
+            # native left/right on BOTH engines: for strings shorter
+            # than n they return the whole string, which a substring
+            # render would NOT reproduce (Spark substring('ab',-5,5)='')
+            if args[1][0] != "lit" or int(args[1][1]) < 0:
+                raise ValueError(f"ES|QL: {fn.upper()} needs a literal n>=0")
+            return F.call_function(
+                fn, _sp(args[0]), F.lit(int(args[1][1]))
+            )
+        if fn == "replace":
+            # ES|QL REPLACE is regex-based; literal pattern/replacement
+            # so both engines compile the same RE.
+            if args[1][0] != "lit" or args[2][0] != "lit":
+                raise ValueError("ES|QL: REPLACE needs literal pat/new")
+            return F.regexp_replace(
+                _sp(args[0]), str(args[1][1]), str(args[2][1])
+            )
+        if fn == "top":
+            # TOP(x, n, "asc"|"desc"): multivalue in ES|QL — serialized
+            # to "v1,v2,..." inside the agg (canon-compat: no raw
+            # arrays leave an entry). Full sort THEN slice: ties are
+            # equal values, so the cut is deterministic.
+            n, order = _top_args(args)
+            arr = F.slice(
+                F.sort_array(
+                    F.collect_list(_sp(args[0])), asc=(order == "asc")
+                ),
+                1,
+                n,
+            )
+            return F.array_join(
+                F.transform(arr, lambda x: x.cast("string")), ","
+            )
+        if fn == "values":
+            # VALUES(x): the distinct multivalue — ES leaves it
+            # unordered; serialized-ascending is the deterministic form.
+            return F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set(_sp(args[0]))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
         return getattr(F, fn)(_sp(args[0]))
     op, l, r = node[1], _sp(node[2]), _sp(node[3])
     if op == "and":
@@ -609,6 +706,55 @@ def _sq(node) -> str:
             return f"list_max({_sq(args[0])})"
         if fn == "mv_min":
             return f"list_min({_sq(args[0])})"
+        if fn == "concat":
+            # || is null-propagating like Spark's concat; DuckDB's own
+            # concat() SKIPS nulls — the one render that would diverge.
+            return "(" + " || ".join(_sq(a) for a in args) + ")"
+        if fn == "to_upper":
+            return f"upper({_sq(args[0])})"
+        if fn == "to_lower":
+            return f"lower({_sq(args[0])})"
+        if fn == "replace":
+            if args[1][0] != "lit" or args[2][0] != "lit":
+                raise ValueError("ES|QL: REPLACE needs literal pat/new")
+            pat = str(args[1][1]).replace("'", "''")
+            new = str(args[2][1]).replace("'", "''")
+            return f"regexp_replace({_sq(args[0])}, '{pat}', '{new}', 'g')"
+        if fn == "top":
+            n, order = _top_args(args)
+            return (
+                f"array_to_string(list_transform((list_sort(list("
+                f"{_sq(args[0])}), '{order.upper()}'))[1:{n}], "
+                "x -> CAST(x AS VARCHAR)), ',')"
+            )
+        if fn == "values":
+            return (
+                f"array_to_string(list_transform(list_sort(list(DISTINCT "
+                f"{_sq(args[0])})), x -> CAST(x AS VARCHAR)), ',')"
+            )
+        if fn == "substring":
+            # same validation as the Spark render — both renders must
+            # reject what either engine can't do identically
+            if (
+                len(args) != 3
+                or args[1][0] != "lit"
+                or args[2][0] != "lit"
+                or int(args[1][1]) < 1
+                or int(args[2][1]) < 0
+            ):
+                raise ValueError(
+                    "ES|QL: SUBSTRING(s, start>=1, len>=0) with literals"
+                )
+            return (
+                f"substring({_sq(args[0])}, {int(args[1][1])}, "
+                f"{int(args[2][1])})"
+            )
+        if fn in ("left", "right"):
+            if args[1][0] != "lit" or int(args[1][1]) < 0:
+                raise ValueError(f"ES|QL: {fn.upper()} needs a literal n>=0")
+            return f"{fn}({_sq(args[0])}, {int(args[1][1])})"
+        # starts_with/ends_with/coalesce/trim share their DuckDB names
+        # with the generic render
         return f"{fn}({', '.join(_sq(a) for a in args)})"
     op, l, r = node[1], _sq(node[2]), _sq(node[3])
     sqlop = {"and": "AND", "or": "OR"}.get(op, _CMP.get(op, op))
@@ -625,6 +771,8 @@ def _sp_agg(node, cond) -> Column:
     if node[0] != "call" or node[1] not in _AGGS:
         raise ValueError("ES|QL: per-agg WHERE needs an aggregate call")
     fn, args = node[1], node[2]
+    if fn in ("top", "values"):
+        raise ValueError("ES|QL: per-agg WHERE is not supported for TOP/VALUES")
     c = _sp(cond)
     if fn == "count":
         x = F.lit(1) if args[0][0] == "star" else _sp(args[0])
@@ -653,6 +801,8 @@ def _sq_agg(node, cond) -> str:
     if node[0] != "call" or node[1] not in _AGGS:
         raise ValueError("ES|QL: per-agg WHERE needs an aggregate call")
     fn, args = node[1], node[2]
+    if fn in ("top", "values"):
+        raise ValueError("ES|QL: per-agg WHERE is not supported for TOP/VALUES")
     filt = f"FILTER (WHERE {_sq(cond)})"
     if fn == "count":
         inner = "count(*)" if args[0][0] == "star" else f"count({_sq(args[0])})"
@@ -679,9 +829,9 @@ def _sp_window(node, w) -> Column:
     """Aggregate call rendered as a window aggregate (INLINESTATS)."""
     if node[0] != "call" or node[1] not in _AGGS:
         raise ValueError("ES|QL: INLINESTATS takes aggregate calls")
-    if node[1] in ("median", "percentile", "count_distinct"):
+    if node[1] in ("median", "percentile", "count_distinct", "top", "values"):
         raise ValueError(
-            "ES|QL: order-statistic/distinct aggs are STATS-only here"
+            "ES|QL: order-statistic/distinct/multivalue aggs are STATS-only here"
         )
     fn, args = node[1], node[2]
     if fn == "count":
@@ -698,9 +848,9 @@ def _sp_window(node, w) -> Column:
 def _sq_window(node, over: str) -> str:
     if node[0] != "call" or node[1] not in _AGGS:
         raise ValueError("ES|QL: INLINESTATS takes aggregate calls")
-    if node[1] in ("median", "percentile", "count_distinct"):
+    if node[1] in ("median", "percentile", "count_distinct", "top", "values"):
         raise ValueError(
-            "ES|QL: order-statistic/distinct aggs are STATS-only here"
+            "ES|QL: order-statistic/distinct/multivalue aggs are STATS-only here"
         )
     fn, args = node[1], node[2]
     if fn == "count":

@@ -1727,3 +1727,198 @@ def runtime_fields_agg(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def missing_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``missing`` aggregation: per-bucket count of docs that do NOT
+    have a value for a field, next to the sibling count that do. The
+    field here is a SPARSE runtime field (``big_k = props.k when k >=
+    90`` — a JSON-extracted value most events lack), which is exactly
+    the shape the missing agg exists for in ES: optional fields where
+    absence is signal.
+
+    Scale shape: the JSON extraction and the null test are map-side
+    projections Catalyst fuses into the scan; ONE hash agg with two
+    conditional counts — missing docs never route through a second
+    scan or an anti-join (ref analog: the loader's per-batch counters,
+    extractor/loader.go:239-379, count absent fields the same single-
+    pass way)."""
+    e = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    big_k = F.when(k >= 90, k)
+    return (
+        e.select("event_type", big_k.alias("big_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("big_k").isNull(), 1)).alias("missing_docs"),
+            F.count("big_k").alias("present_docs"),
+            F.coalesce(F.min("big_k"), F.lit(0)).alias("min_big_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def global_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``global`` aggregation: a bucket that ESCAPES the query scope
+    — the response carries query-scoped aggs and whole-index aggs side
+    by side (the classic "this search vs all products" comparison row).
+    Query scope here: ``lang = 'en'`` docs.
+
+    Spark shape: ES evaluates the global bucket by re-walking the full
+    index alongside the filtered query; here both scopes come out of
+    ONE pass — the query scope is a conditional aggregate (count/sum
+    over ``F.when(scope, x)``) inside the same hash agg that computes
+    the global totals, so the "second scan" ES pays is free. Sums stay
+    long/BIGINT on both engines (canon pin)."""
+    d = t["documents"]
+    in_q = F.col("lang") == "en"
+    return d.agg(
+        F.count(F.when(in_q, 1)).alias("query_docs"),
+        F.coalesce(F.sum(F.when(in_q, F.col("n_chars"))), F.lit(0)).alias(
+            "query_chars"
+        ),
+        F.count(F.lit(1)).alias("all_docs"),
+        F.sum("n_chars").alias("all_chars"),
+    )
+
+
+def scripted_metric_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``scripted_metric`` aggregation: user init/map/combine/reduce
+    scripts folded over each shard then merged. The canonical ES-docs
+    example — map emits +amount for one transaction kind and -amount
+    for the rest; reduce sums the shard partials — over events, keyed
+    by event_type, with the amount taken from the integer ``props.k``
+    runtime field so the fold is EXACT (order-free integer adds, no
+    float-order hazard).
+
+    Spark shape: an associative-commutative map/combine/reduce IS a
+    hash aggregate — the map script is the projection, the combine is
+    the map-side partial agg, the reduce is the final merge. The only
+    scripted_metric programs that are correct on ES shards are exactly
+    the ones expressible this way (ES's own docs require associative
+    commutative combine), so the declarative form loses nothing."""
+    e = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    signed = F.when(F.col("event_type") == "purchase", k).otherwise(-k)
+    return (
+        e.select("event_type", k.alias("k"), signed.alias("signed"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("signed").alias("net_amount"),
+            F.max("k").alias("max_amount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def significant_text_agg(
+    spark: SparkSession, t, query_term: str = "merge", size: int = 20,
+    min_fg_df: int = 3,
+) -> DataFrame:
+    """ES ``significant_text`` aggregation: like significant_terms but
+    re-analyzes the free-text SOURCE at query time (no index needed)
+    and — its defining feature — ``filter_duplicate_text``: copies of
+    the same text must not inflate significance. Foreground = docs
+    matching the query term; scoring is ES's default JLH, the
+    significant_terms discipline.
+
+    Dedup semantics: one voting copy per distinct text digest (md5 of
+    the raw text), keeping each duplicate group's lowest doc_id —
+    deterministic, unlike ES's heuristic near-dup suppressor, and the
+    same digest key the dedup_exact operator uses. Scale shape: the
+    digest keep-first is one window over the 16-byte key; then the
+    single-pass fg/bg conditional agg from significant_terms — no
+    second explode, no term join."""
+    d = t["documents"]
+    keep = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        d.withColumn("_rk", F.row_number().over(keep))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    fg_flag = F.array_contains(tokens_col("text"), query_term)
+    totals = dedup.agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.count(F.when(fg_flag, 1)).alias("n_fg"),
+    ).collect()[0]
+    n_bg, n_fg = int(totals.n_bg), int(totals.n_fg)
+    if n_fg == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+    tokset = dedup.select(
+        "doc_id",
+        fg_flag.alias("_fg"),
+        F.explode(tokens_col("text")).alias("term"),
+    ).distinct()
+    stats = (
+        tokset.groupBy("term")
+        .agg(
+            F.count(F.when(F.col("_fg"), 1)).alias("fg_df"),
+            F.count(F.lit(1)).alias("bg_df"),
+        )
+        .where(F.col("fg_df") >= min_fg_df)
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_bg))
+    return (
+        stats.select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round((fg_pct - bg_pct) * fg_pct / bg_pct, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+    )
+
+
+# Web-mercator constant shared by both geotile renders — written as the
+# double literal so the Spark and DuckDB float trees are identical.
+_GEO_PI = 3.141592653589793
+
+
+def geotile_grid_agg(spark: SparkSession, t, zoom: int = 3) -> DataFrame:
+    """ES ``geotile_grid`` aggregation over a RUNTIME geo_point: docs
+    bucketed into web-mercator map tiles, keyed "z/x/y" (ES's geotile
+    key format), count-ranked. The corpus has no geo column, so the
+    point is a runtime field derived deterministically from doc_id
+    (the runtime_fields_agg discipline): lat/lon land on x.5-degree
+    grid points — exactly representable doubles that never sit on a
+    tile boundary, so the floor() at the end of the float tree cannot
+    flip between engines. A geo_bounding_box filter (pure comparisons
+    on those exact doubles) scopes the query first, as an ES geo
+    search would.
+
+    Tile math (slippy scheme, the ES formula):
+      x = floor((lon+180)/360 * 2^z)
+      y = floor((1 - ln(tan(φ) + 1/cos(φ))/π) / 2 * 2^z)
+    rendered as ONE identical float expression tree on both engines.
+    Scale shape: projection + floor are map-side; one hash agg on the
+    integer (x, y) key; no geo library, no UDF."""
+    d = t["documents"]
+    lat = ((F.col("doc_id") * 37 % 170) - 85).cast("double") + 0.5
+    lon = ((F.col("doc_id") * 73 % 360) - 180).cast("double") + 0.5
+    n = float(1 << zoom)
+    pts = d.select("doc_id", lat.alias("lat"), lon.alias("lon")).where(
+        (F.col("lat") >= -60.5) & (F.col("lat") <= 70.5)
+        & (F.col("lon") >= -150.5) & (F.col("lon") <= 150.5)
+    )
+    rad = F.col("lat") * _GEO_PI / 180.0
+    xt = F.floor((F.col("lon") + 180.0) / 360.0 * n)
+    yt = F.floor(
+        (1.0 - F.log(F.tan(rad) + 1.0 / F.cos(rad)) / _GEO_PI) / 2.0 * n
+    )
+    return (
+        pts.select(xt.alias("xt"), yt.alias("yt"))
+        .groupBy("xt", "yt")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(
+            F.concat_ws(
+                "/", F.lit(zoom), F.col("xt"), F.col("yt")
+            ).alias("tile"),
+            "doc_count",
+        )
+        .orderBy(F.desc("doc_count"), F.asc("tile"))
+    )

@@ -4747,3 +4747,101 @@ SELECT query_id, doc_id, score FROM (
 )
 ORDER BY query_id, score DESC, doc_id ASC
 """
+
+
+MISSING_AGG = """
+WITH rt AS (
+  SELECT event_type,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS big_k
+  FROM events
+)
+SELECT event_type,
+       count(*) FILTER (WHERE big_k IS NULL) AS missing_docs,
+       count(big_k) AS present_docs,
+       coalesce(min(big_k), 0) AS min_big_k
+FROM rt GROUP BY event_type ORDER BY event_type
+"""
+
+GLOBAL_AGG = """
+SELECT count(*) FILTER (WHERE lang = 'en') AS query_docs,
+       coalesce(CAST(sum(n_chars) FILTER (WHERE lang = 'en') AS BIGINT),
+                0) AS query_chars,
+       count(*) AS all_docs,
+       CAST(sum(n_chars) AS BIGINT) AS all_chars
+FROM documents
+"""
+
+SCRIPTED_METRIC = """
+WITH rt AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN k ELSE -k END)
+            AS BIGINT) AS net_amount,
+       max(k) AS max_amount
+FROM rt GROUP BY event_type ORDER BY event_type
+"""
+
+SIGNIFICANT_TEXT = f"""
+WITH dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS _rk
+    FROM documents
+  ) WHERE _rk = 1
+),
+tokset AS (
+  SELECT DISTINCT doc_id,
+         list_contains({TOKS}, 'merge') AS _fg,
+         unnest({TOKS}) AS term
+  FROM dedup
+),
+n AS (
+  SELECT (SELECT count(*) FROM dedup) AS n_bg,
+         (SELECT count(*) FROM dedup
+          WHERE list_contains({TOKS}, 'merge')) AS n_fg
+),
+stats AS (
+  SELECT term,
+         count(*) FILTER (WHERE _fg) AS fg_df,
+         count(*) AS bg_df
+  FROM tokset GROUP BY term HAVING count(*) FILTER (WHERE _fg) >= 3
+)
+SELECT term, fg_df, bg_df,
+       round(
+         (CAST(fg_df AS DOUBLE) / n.n_fg - CAST(bg_df AS DOUBLE) / n.n_bg)
+         * (CAST(fg_df AS DOUBLE) / n.n_fg)
+         / (CAST(bg_df AS DOUBLE) / n.n_bg), 6) AS score
+FROM stats CROSS JOIN n
+ORDER BY score DESC, term ASC
+LIMIT 20
+"""
+
+GEOTILE_GRID = """
+WITH pts AS (
+  SELECT CAST((doc_id * 37 % 170) - 85 AS DOUBLE) + 0.5 AS lat,
+         CAST((doc_id * 73 % 360) - 180 AS DOUBLE) + 0.5 AS lon
+  FROM documents
+),
+boxed AS (
+  SELECT * FROM pts
+  WHERE lat >= -60.5 AND lat <= 70.5 AND lon >= -150.5 AND lon <= 150.5
+),
+tiles AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 8.0) AS BIGINT) AS xt,
+         CAST(floor(
+           (1.0 - ln(tan(lat * 3.141592653589793 / 180.0)
+                     + 1.0 / cos(lat * 3.141592653589793 / 180.0))
+                  / 3.141592653589793) / 2.0 * 8.0
+         ) AS BIGINT) AS yt
+  FROM boxed
+)
+SELECT concat_ws('/', 3, xt, yt) AS tile, count(*) AS doc_count
+FROM tiles GROUP BY xt, yt
+ORDER BY doc_count DESC, tile ASC
+"""
