@@ -713,6 +713,10 @@ ESQL_STRING_FNS_QUERY = (
     " | LIMIT 40"
 )
 
+# ES sparse_vector query weights: the learned-sparse serving shape with
+# exact integer weights (the hash-checkable reading of ELSER's floats)
+SPARSE_WEIGHTS = {"merge": 3, "group": 2, "window": 1, "fast": 2}
+
 # ES|QL multivalue-returning aggs TOP / VALUES (serialized — canon rule)
 ESQL_TOP_VALUES_QUERY = (
     "FROM documents"
@@ -1773,6 +1777,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_text_agg": _wrap(textstats.significant_text_agg),
         # ES geotile_grid over a runtime geo_point (slippy tile math)
         "geotile_grid_agg": _wrap(textstats.geotile_grid_agg),
+        # ES sparse_vector query (ELSER dot product, exact-int weights)
+        "sparse_vector_topk": lambda s, d: Q.sparse_vector_topk(
+            _docs(s, d), SPARSE_WEIGHTS, 10
+        ),
+        # stratified per-domain train/eval split (exact integer ratio)
+        "stratified_split": _wrap(trainprep.stratified_split),
+        # tokenizer-fit OOV-rate diagnostic vs top-V corpus vocab
+        "vocab_coverage": _wrap(trainprep.vocab_coverage),
     }
 
 
@@ -2337,4 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "scripted_metric_agg": oracles.SCRIPTED_METRIC,
         "significant_text_agg": oracles.SIGNIFICANT_TEXT,
         "geotile_grid_agg": oracles.GEOTILE_GRID,
+        "sparse_vector_topk": oracles.sparse_vector_sql(SPARSE_WEIGHTS, 10),
+        "stratified_split": oracles.STRATIFIED_SPLIT,
+        "vocab_coverage": oracles.VOCAB_COVERAGE,
     }

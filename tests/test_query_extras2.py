@@ -1352,3 +1352,24 @@ def test_msearch_template_batch_identity(spark, corpus):
         assert sorted(sub) == sorted(alone) and alone
     with pytest.raises(ValueError):
         Q.msearch_template_topk(spark, df, tpl, [], 8)
+
+
+def test_sparse_vector_dot_product(spark, corpus):
+    """sparse_vector == exact integer dot product of query weights with
+    per-doc tf; no idf, no length norm."""
+    df, _, _ = corpus
+    weights = {"merge": 3, "group": 2, "fast": 1}
+    got = [
+        (r.doc_id, r.score)
+        for r in Q.sparse_vector_topk(df, weights, 8).collect()
+    ]
+    scores = {}
+    for r in df.collect():
+        toks = tokenize(r.text)
+        s = sum(w * toks.count(term) for term, w in weights.items())
+        if s > 0:
+            scores[r.doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert got == want and got
+    with pytest.raises(ValueError):
+        Q.sparse_vector_topk(df, {}, 8)

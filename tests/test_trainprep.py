@@ -440,3 +440,48 @@ def test_token_budget_sample_monotone_superset(spark):
     big = {r.doc_id for r in
            trainprep.token_budget_sample(spark, t, budget=4000).collect()}
     assert small < big
+
+
+def test_stratified_split_exact_quota(spark):
+    """Each source contributes exactly floor(n/10) eval docs, chosen by
+    the hash permutation; <10-doc strata contribute zero."""
+    t = load_tables(spark, SF_SMOKE)
+    rows = trainprep.stratified_split(spark, t).collect()
+    per: dict = {}
+    for r in t["documents"].collect():
+        per.setdefault(r.source, []).append(r.doc_id)
+    got_eval: dict = {}
+    for r in rows:
+        if r.split == "eval":
+            got_eval.setdefault(r.source, set()).add(r.doc_id)
+    for src, ids in per.items():
+        quota = len(ids) // 10
+        assert len(got_eval.get(src, set())) == quota, src
+        # the eval picks are the first `quota` by the permutation
+        order = sorted(ids, key=lambda i: (((i % MOD) + 1) * FP_MULT) % MOD)
+        assert got_eval.get(src, set()) == set(order[:quota]), src
+    assert len(rows) == sum(len(v) for v in per.values())
+
+
+def test_vocab_coverage_recompute(spark):
+    """OOV rate per source vs a pure-Python top-V vocab recompute."""
+    t = load_tables(spark, SF_SMOKE)
+    cf: dict = {}
+    per_src: dict = {}
+    for r in t["documents"].collect():
+        toks = tokenize(r.text)
+        per_src.setdefault(r.source, []).extend(toks)
+        for tok in toks:
+            cf[tok] = cf.get(tok, 0) + 1
+    vocab = {
+        term
+        for term, _ in sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    }
+    got = {r.source: r for r in trainprep.vocab_coverage(spark, t).collect()}
+    assert set(got) == set(per_src)
+    for src, toks in per_src.items():
+        g = got[src]
+        oov = sum(1 for tok in toks if tok not in vocab)
+        assert g.n_tokens == len(toks)
+        assert g.oov_tokens == oov
+        assert g.oov_rate == round(oov / len(toks), 6)

@@ -3729,3 +3729,51 @@ def msearch_template_topk(
     for d in outs[1:]:
         out = out.unionByName(d)
     return out.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+
+
+def sparse_vector_topk(
+    docs_df: DataFrame,
+    weights: dict[str, int],
+    k: int = 10,
+) -> DataFrame:
+    """ES ``sparse_vector`` query (8.15+, the ELSER/learned-sparse
+    serving shape): the query is a sparse term→weight vector, each doc
+    scores as the dot product of the query weights with the doc's
+    term-frequency features — NO idf, NO length norm (that's the
+    defining difference from BM25: the model already baked importance
+    into the weights). Integer weights keep the fold exact (real ELSER
+    weights are floats; the exact-integer form is this repo's
+    hash-checkable reading, the float path is the same plan).
+
+    Scale shape: the token explode filters to the query's terms FIRST
+    (``term IN`` prunes before the (doc, term) tf agg — the same
+    pushdown as the BM25 corpus path), the weight lookup is a literal
+    in-expression map (zero side data, no join), and ONE hash agg
+    sums the dot product. At index-serving scale the identical
+    scoring runs over the posting lists instead of the corpus scan —
+    postings of the query terms only, k rows out per shard."""
+    from unichem2index_spark.functions.tokenize import tokens_col
+
+    if not weights:
+        raise ValueError("sparse_vector: empty weights")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    tf = (
+        docs_df.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .where(F.col("term").isin(sorted(weights)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.select(
+            "doc_id",
+            (F.col("tf") * wmap.getItem(F.col("term")).cast("long")).alias(
+                "part"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -640,3 +640,98 @@ def token_budget_sample(
         .select("doc_id", "n_tokens", "running")
         .orderBy("running")
     )
+
+
+# Stratified eval fraction as an exact integer ratio (the FIS lesson:
+# compare rk*DEN <= n*NUM, never floats).
+STRAT_EVAL_NUM = 1
+STRAT_EVAL_DEN = 10
+
+
+def stratified_split(spark: SparkSession, t) -> DataFrame:
+    """Stratified train/eval split: every source domain contributes
+    EXACTLY ``floor(n_src * 1/10)`` eval docs — the guarantee a global
+    hash split (:func:`train_eval_split`) gives only in expectation.
+    Strata with fewer than 10 docs contribute zero eval docs rather
+    than losing a whole tiny domain's train data, the standard small-
+    stratum rule. Within a stratum, eval membership follows the same
+    deterministic hash permutation the sampling ops use, so the split
+    is an unbiased per-domain sample, stable across re-runs and
+    partitionings, and monotone in the fraction.
+
+    Eligibility is the exact integer comparison ``rk * DEN <= n * NUM``
+    (no float ratio can flip a boundary doc between engines). Scale
+    shape: one row_number window + one count window on the SAME
+    domain-keyed partitioning — a single shuffle, and the domain key
+    is the one the mixture stages already use."""
+    from pyspark.sql.window import Window
+
+    d = t["documents"]
+    perm = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    w = Window.partitionBy("source").orderBy(perm.asc(), F.col("doc_id").asc())
+    wall = Window.partitionBy("source")
+    return (
+        d.select("source", "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("_rk") * STRAT_EVAL_DEN
+                <= F.col("_n") * STRAT_EVAL_NUM,
+                "eval",
+            )
+            .otherwise("train")
+            .alias("split"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+VOCAB_TOP_V = 50
+
+
+def vocab_coverage(spark: SparkSession, t, top_v: int = VOCAB_TOP_V) -> DataFrame:
+    """Tokenizer-fit diagnostic: build the top-``V`` corpus vocabulary
+    by collection frequency (cf desc, term asc — deterministic cut),
+    then measure each source domain's OOV rate — the fraction of token
+    OCCURRENCES outside the vocabulary. The number a tokenizer/vocab
+    training loop watches: a domain with a high OOV rate under the
+    candidate vocab will fragment into bytes/unknowns at training time.
+
+    Scale shape: pass 1 is the corpus cf agg cut to V rows (a
+    broadcast-size frame by construction — V is the vocab budget, not
+    data-dependent); pass 2 joins the exploded tokens against that
+    broadcast and folds per-source counts in ONE hash agg. Exact
+    integer counts, one float divide at emit."""
+    d = t["documents"]
+    toks = d.select("source", F.explode(tokens_col("text")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(int(top_v))
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), 1)).alias(
+                "oov_tokens"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

@@ -4845,3 +4845,67 @@ SELECT concat_ws('/', 3, xt, yt) AS tile, count(*) AS doc_count
 FROM tiles GROUP BY xt, yt
 ORDER BY doc_count DESC, tile ASC
 """
+
+
+def sparse_vector_sql(weights: dict[str, int], k: int = 10) -> str:
+    """sparse_vector query oracle: dot product of the literal query
+    weight vector with per-doc term frequencies — term IN pushdown,
+    one tf agg, one weighted sum (BIGINT-pinned)."""
+    if not weights:
+        raise ValueError("sparse_vector: empty weights")
+    inlist = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(weights)
+    )
+    vals = ", ".join(
+        f"('{t}', {int(w)})" for t, w in sorted(weights.items())
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) WHERE term IN ({inlist}) GROUP BY doc_id, term
+),
+w(term, wt) AS (VALUES {vals})
+SELECT doc_id, CAST(sum(tf * wt) AS BIGINT) AS score
+FROM tf JOIN w USING (term)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
+STRATIFIED_SPLIT = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} ASC,
+                    doc_id ASC
+         ) AS _rk,
+         count(*) OVER (PARTITION BY source) AS _n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN _rk * 10 <= _n * 1 THEN 'eval' ELSE 'train' END AS split
+FROM ranked ORDER BY source, doc_id
+"""
+
+VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKS}) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cf FROM toks GROUP BY term
+    ORDER BY cf DESC, term ASC LIMIT 50
+  )
+)
+SELECT source,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab))
+         AS oov_tokens,
+       round(CAST(count(*) FILTER (
+                WHERE term NOT IN (SELECT term FROM vocab)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks GROUP BY source ORDER BY source
+"""
