@@ -1785,6 +1785,13 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": _wrap(trainprep.stratified_split),
         # tokenizer-fit OOV-rate diagnostic vs top-V corpus vocab
         "vocab_coverage": _wrap(trainprep.vocab_coverage),
+        # ES _transform pivot: entity-centric index in one hash agg
+        "transform_pivot": _wrap(eventseq.transform_pivot),
+        # ES rollup: daily query served from the hourly rollup index;
+        # the oracle computes directly from raw — hash-equal == exact
+        "rollup_search": _wrap(eventseq.rollup_search),
+        # ES geo_distance rings over the runtime geo_point (exact planar)
+        "geo_distance_agg": _wrap(textstats.geo_distance_agg),
     }
 
 
@@ -2352,4 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_vector_topk": oracles.sparse_vector_sql(SPARSE_WEIGHTS, 10),
         "stratified_split": oracles.STRATIFIED_SPLIT,
         "vocab_coverage": oracles.VOCAB_COVERAGE,
+        "transform_pivot": oracles.TRANSFORM_PIVOT,
+        "rollup_search": oracles.ROLLUP_SEARCH,
+        "geo_distance_agg": oracles.GEO_DISTANCE,
     }

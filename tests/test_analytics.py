@@ -722,3 +722,22 @@ def test_geotile_grid_recompute(spark):
     for key in got:
         z, x, y = (int(p) for p in key.split("/"))
         assert z == 3 and 0 <= x < 8 and 0 <= y < 8
+
+
+def test_geo_distance_rings_recompute(spark):
+    t = load_tables(spark, SF)
+    per: dict = {}
+    for r in t["documents"].collect():
+        lat = float((r.doc_id * 37 % 170) - 85) + 0.5
+        lon = float((r.doc_id * 73 % 360) - 180) + 0.5
+        d2 = (lat - 0.5) ** 2 + (lon - 0.5) ** 2
+        ring = (
+            "0-30" if d2 < 900 else
+            "30-60" if d2 < 3600 else
+            "60-90" if d2 < 8100 else "90-inf"
+        )
+        per[ring] = per.get(ring, 0) + 1
+    got = {r.ring: r.doc_count for r in
+           textstats.geo_distance_agg(spark, t).collect()}
+    assert got == per
+    assert sum(got.values()) == t["documents"].count()

@@ -307,3 +307,50 @@ def test_eql_sequence_until_kill_guard(spark):
     assert {
         (g.user_id, g.first_event_id, g.second_event_id) for g in same
     } == plain
+
+
+def test_transform_pivot_recompute(spark):
+    """Entity-centric pivot vs a pure-Python per-user fold."""
+    import json
+
+    t = load_tables(spark, SF_SMOKE)
+    per: dict = {}
+    for r in t["events"].collect():
+        per.setdefault(r.user_id, []).append(r)
+    got = {r.user_id: r for r in eventseq.transform_pivot(spark, t).collect()}
+    assert set(got) == set(per)
+    for uid, evs in per.items():
+        g = got[uid]
+        assert g.n_events == len(evs)
+        assert g.n_purchases == sum(
+            1 for e in evs if e.event_type == "purchase"
+        )
+        assert g.total_k == sum(json.loads(e.props)["k"] for e in evs)
+        assert g.n_types == len({e.event_type for e in evs})
+        assert g.first_seen == min(e.ts for e in evs)
+        assert g.last_seen == max(e.ts for e in evs)
+
+
+def test_rollup_search_exact_and_smaller(spark):
+    """The rollup-served daily answer equals the direct daily answer,
+    and the rollup index is strictly smaller than raw events."""
+    import json
+
+    t = load_tables(spark, SF_SMOKE)
+    direct: dict = {}
+    hours = set()
+    for r in t["events"].collect():
+        k = json.loads(r.props)["k"]
+        day = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        hours.add((r.ts.replace(minute=0, second=0, microsecond=0),
+                   r.event_type))
+        cur = direct.setdefault((day, r.event_type), [0, 0])
+        cur[0] += 1
+        cur[1] += k
+    got = {
+        (r.day, r.event_type): (r.n_events, r.total_k)
+        for r in eventseq.rollup_search(spark, t).collect()
+    }
+    assert got == {key: tuple(v) for key, v in direct.items()}
+    n_raw = t["events"].count()
+    assert len(hours) < n_raw  # the rollup index really is a reduction

@@ -405,3 +405,85 @@ def eql_sequence_until(
         )
         .orderBy("second_event_id")
     )
+
+
+def transform_pivot(spark: SparkSession, t) -> DataFrame:
+    """ES ``_transform`` (pivot mode): the entity-centric index — events
+    grouped by entity (user_id) into one summary doc per entity, the
+    continuous-transform destination a Kibana entity dashboard reads.
+    Aggs per user: event count, purchase count, exact total of the
+    integer ``props.k`` amount, distinct event types, first/last seen.
+
+    Spark shape: a pivot transform IS one hash aggregate — ES runs it
+    as checkpointed composite-agg pages (its scroll over group keys);
+    Spark's shuffle does the paging implicitly and AQE sizes the
+    partitions. The incremental/continuous form is the same plan run
+    by streaming/incremental.py's foreachBatch with the checkpointed
+    high-watermark (T1) — batch and continuous share semantics, like
+    batch sessionize vs stream_sessionize. Exact integers; timestamps
+    pass through untouched."""
+    e = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            k.alias("k"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.sum("k").alias("total_k"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def rollup_search(spark: SparkSession, t) -> DataFrame:
+    """ES rollup (`_rollup/job` + `_rollup_search`): an HOURLY rollup
+    index is materialized from raw events (date_histogram × event_type
+    with count + sum metrics), and a DAILY query is answered FROM THE
+    ROLLUP ONLY — never touching raw data. The returned frame is the
+    rollup-served answer; the DuckDB oracle computes the same daily
+    aggregate DIRECTLY from raw events, so the hash check PROVES the
+    rollup path is exact (counts and integer sums re-aggregate
+    losslessly when the query's calendar buckets align with the
+    rollup's — the rollup contract ES documents).
+
+    Scale shape: the rollup build is one hash agg whose output is
+    ~hours × types rows — the stored index is orders of magnitude
+    smaller than raw; the serving query aggregates only those reduced
+    rows. At 100 TB the rollup frame is what lands in the store
+    (SegmentStore commit protocol) and serving never rescans raw —
+    the exact ES cost model."""
+    e = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    rollup = (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+            k.alias("k"),
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sk"),
+        )
+    )
+    return (
+        rollup.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sk").alias("total_k"),
+        )
+        .orderBy("day", "event_type")
+    )

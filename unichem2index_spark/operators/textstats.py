@@ -1922,3 +1922,34 @@ def geotile_grid_agg(spark: SparkSession, t, zoom: int = 3) -> DataFrame:
         )
         .orderBy(F.desc("doc_count"), F.asc("tile"))
     )
+
+
+def geo_distance_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``geo_distance`` aggregation: docs bucketed into concentric
+    rings around an origin, over the same RUNTIME geo_point as
+    :func:`geotile_grid_agg`. ES measures arc meters; the deterministic
+    reading here is PLANAR degree distance — and because the derived
+    lat/lon sit on x.5-degree grid points with the origin at (0.5,
+    0.5), the offsets are exact INTEGERS, the squared distance is an
+    exactly-representable double, and every ring comparison is exact
+    (squared thresholds — no sqrt anywhere near a boundary).
+
+    Ring edges follow ES's from/to convention: [0,30) [30,60) [60,90)
+    [90,∞). Scale shape: projection + CASE are map-side, one 4-row
+    hash agg."""
+    d = t["documents"]
+    lat = ((F.col("doc_id") * 37 % 170) - 85).cast("double") + 0.5
+    lon = ((F.col("doc_id") * 73 % 360) - 180).cast("double") + 0.5
+    d2 = (lat - 0.5) * (lat - 0.5) + (lon - 0.5) * (lon - 0.5)
+    ring = (
+        F.when(d2 < 30.0 * 30.0, "0-30")
+        .when(d2 < 60.0 * 60.0, "30-60")
+        .when(d2 < 90.0 * 90.0, "60-90")
+        .otherwise("90-inf")
+    )
+    return (
+        d.select(ring.alias("ring"))
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("ring")
+    )

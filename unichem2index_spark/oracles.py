@@ -4909,3 +4909,56 @@ SELECT source,
              / CAST(count(*) AS DOUBLE), 6) AS oov_rate
 FROM toks GROUP BY source ORDER BY source
 """
+
+
+TRANSFORM_PIVOT = """
+WITH rt AS (
+  SELECT user_id, event_type, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       CAST(sum(k) AS BIGINT) AS total_k,
+       count(DISTINCT event_type) AS n_types,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen
+FROM rt GROUP BY user_id ORDER BY user_id
+"""
+
+# rollup_search's oracle computes the DAILY answer DIRECTLY from raw
+# events — hash-equality proves the hourly-rollup-served path is exact.
+ROLLUP_SEARCH = """
+WITH rt AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT day, event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS total_k
+FROM rt GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+GEO_DISTANCE = """
+WITH pts AS (
+  SELECT CAST((doc_id * 37 % 170) - 85 AS DOUBLE) + 0.5 AS lat,
+         CAST((doc_id * 73 % 360) - 180 AS DOUBLE) + 0.5 AS lon
+  FROM documents
+),
+rings AS (
+  SELECT CASE
+           WHEN (lat - 0.5) * (lat - 0.5) + (lon - 0.5) * (lon - 0.5)
+                < 900.0 THEN '0-30'
+           WHEN (lat - 0.5) * (lat - 0.5) + (lon - 0.5) * (lon - 0.5)
+                < 3600.0 THEN '30-60'
+           WHEN (lat - 0.5) * (lat - 0.5) + (lon - 0.5) * (lon - 0.5)
+                < 8100.0 THEN '60-90'
+           ELSE '90-inf'
+         END AS ring
+  FROM pts
+)
+SELECT ring, count(*) AS doc_count FROM rings
+GROUP BY ring ORDER BY ring
+"""
