@@ -725,6 +725,19 @@ ESQL_TOP_VALUES_QUERY = (
     " | SORT source ASC"
 )
 
+# ES|QL date scalar family — ES|QL's duration-first DATE_TRUNC plus
+# the verified-safe DATE_EXTRACT parts and DATE_FORMAT patterns
+ESQL_DATE_FNS_QUERY = (
+    "FROM events"
+    " | WHERE event_id % 11 == 4"
+    " | EVAL day = DATE_TRUNC(1 day, ts),"
+    ' y = DATE_EXTRACT("year", ts), mo = DATE_EXTRACT("month", ts),'
+    ' hh = DATE_EXTRACT("hour", ts), ds = DATE_FORMAT("yyyy-MM-dd", ts)'
+    " | KEEP event_id, day, y, mo, hh, ds"
+    " | SORT event_id ASC"
+    " | LIMIT 30"
+)
+
 # ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
 ESQL_CHANGE_POINT_QUERY = (
     "FROM events"
@@ -783,6 +796,23 @@ def q_esql_mv_stats(spark, sf_dir):
     return compile_spark(
         parse_esql(ESQL_MV_STATS_QUERY), load_tables(spark, sf_dir)
     )
+
+
+def q_esql_date_fns(spark, sf_dir):
+    """ES|QL date scalar family: DATE_TRUNC (duration-first) /
+    DATE_EXTRACT (long-pinned parts) / DATE_FORMAT (verified strftime
+    twins), one pipeline dual-rendered."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_DATE_FNS_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_analyze_edge_ngrams(spark, sf_dir):
+    """ES _analyze + edge_ngram filter (preserve_original): the
+    search-as-you-type index analyzer."""
+    return Q.analyze_edge_ngrams(spark, ANALYZE_TEXT)
 
 
 def q_esql_string_fns(spark, sf_dir):
@@ -1792,6 +1822,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_search": _wrap(eventseq.rollup_search),
         # ES geo_distance rings over the runtime geo_point (exact planar)
         "geo_distance_agg": _wrap(textstats.geo_distance_agg),
+        # ES|QL date scalar family (duration-first DATE_TRUNC etc.)
+        "esql_date_fns": q_esql_date_fns,
+        # ES _analyze + edge_ngram (search-as-you-type analyzer)
+        "analyze_edge_ngrams": q_analyze_edge_ngrams,
+        # CCNet-style unigram surprisal (deterministic sorted fold)
+        "unigram_surprisal": _wrap(textstats.unigram_surprisal),
     }
 
 
@@ -2362,4 +2398,9 @@ def oracle_sql() -> dict[str, str]:
         "transform_pivot": oracles.TRANSFORM_PIVOT,
         "rollup_search": oracles.ROLLUP_SEARCH,
         "geo_distance_agg": oracles.GEO_DISTANCE,
+        "esql_date_fns": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_DATE_FNS_QUERY)
+        ),
+        "analyze_edge_ngrams": oracles.analyze_edge_ngrams_sql(ANALYZE_TEXT),
+        "unigram_surprisal": oracles.UNIGRAM_SURPRISAL,
     }

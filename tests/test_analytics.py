@@ -741,3 +741,35 @@ def test_geo_distance_rings_recompute(spark):
            textstats.geo_distance_agg(spark, t).collect()}
     assert got == per
     assert sum(got.values()) == t["documents"].count()
+
+
+def test_unigram_surprisal_recompute(spark):
+    """Sorted-fold surprisal vs the same sequential fold in Python —
+    the fold order is part of the contract, so the recompute follows
+    it exactly."""
+    import math
+
+    from unichem2index_spark.functions.tokenize import tokenize
+
+    t = load_tables(spark, SF)
+    docs = {r.doc_id: tokenize(r.text) for r in t["documents"].collect()}
+    cf: dict = {}
+    for toks in docs.values():
+        for tok in toks:
+            cf[tok] = cf.get(tok, 0) + 1
+    total = float(sum(cf.values()))
+    got = {r.doc_id: r for r in
+           textstats.unigram_surprisal(spark, t).collect()}
+    assert set(got) == set(docs)
+    for doc_id, toks in docs.items():
+        tf: dict = {}
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0) + 1
+        acc = 0.0
+        for term in sorted(tf):
+            acc = acc + float(tf[term]) * math.log(total / float(cf[term]))
+        bits = acc / math.log(2.0) / float(len(toks))
+        g = got[doc_id]
+        assert g.n_tokens == len(toks)
+        assert abs(g.bits_per_token - bits) < 1e-6
+        assert g.bits_per_token > 0

@@ -599,3 +599,37 @@ def test_top_values_validation():
         compile_sql(parse_esql('FROM t | STATS x = VALUES(a) WHERE b > 1'))
     with pytest.raises(ValueError):
         compile_sql(parse_esql("FROM t | INLINESTATS x = VALUES(a) BY b"))
+
+
+def test_date_fns_both_engines(spark):
+    """DATE_TRUNC/DATE_EXTRACT/DATE_FORMAT recompute per row."""
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            "FROM events | WHERE event_id < 40"
+            " | EVAL day = DATE_TRUNC(1 day, ts),"
+            ' y = DATE_EXTRACT("year", ts), d = DATE_EXTRACT("day", ts),'
+            ' mi = DATE_EXTRACT("minute", ts),'
+            ' f = DATE_FORMAT("yyyy-MM", ts)'
+            " | KEEP event_id, day, y, d, mi, f"
+        ),
+        t,
+    ).collect()
+    raw = {r.event_id: r.ts for r in
+           t["events"].where("event_id < 40").collect()}
+    assert rows and len(rows) == len(raw)
+    for r in rows:
+        ts = raw[r.event_id]
+        assert r.day == ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        assert (r.y, r.d, r.mi) == (ts.year, ts.day, ts.minute)
+        assert r.f == ts.strftime("%Y-%m")
+
+
+def test_date_fns_validation():
+    with pytest.raises(ValueError):
+        # dayofweek deliberately unsupported (engine week-start clash)
+        compile_sql(parse_esql('FROM t | EVAL x = DATE_EXTRACT("dayofweek", ts)'))
+    with pytest.raises(ValueError):
+        compile_sql(parse_esql('FROM t | EVAL x = DATE_FORMAT("EEE dd", ts)'))
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | EVAL x = DATE_TRUNC(3 hours, ts)")

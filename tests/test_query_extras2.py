@@ -1373,3 +1373,24 @@ def test_sparse_vector_dot_product(spark, corpus):
     assert got == want and got
     with pytest.raises(ValueError):
         Q.sparse_vector_topk(df, {}, 8)
+
+
+def test_analyze_edge_ngrams_recompute(spark):
+    """Edge-ngram grams + preserve_original vs pure Python."""
+    from unichem2index_spark.functions.tokenize import tokenize
+
+    text = "a searching over windowed merge run"
+    want = []
+    for pos, tok in enumerate(tokenize(text)):
+        if len(tok) >= 2:
+            for g in range(2, min(len(tok), 5) + 1):
+                want.append((pos, tok[:g]))
+        if len(tok) < 2 or len(tok) > 5:
+            want.append((pos, tok))
+    got = [
+        (r.position, r.token)
+        for r in Q.analyze_edge_ngrams(spark, text, 2, 5).collect()
+    ]
+    assert got == sorted(want)
+    with pytest.raises(ValueError):
+        Q.analyze_edge_ngrams(spark, text, 0, 5)

@@ -53,7 +53,12 @@ the engines' negative-index semantics differ) / TO_UPPER / TO_LOWER
 ``left``/``right`` on BOTH engines — a substring render would
 diverge on strings shorter than n) / REPLACE(s, pat, new) (ES|QL
 REPLACE is regex-based: literal pattern, Spark regexp_replace ==
-DuckDB regexp_replace with the 'g' flag).
+DuckDB regexp_replace with the 'g' flag), and the date family
+DATE_TRUNC(1 <unit>, ts) (ES|QL's duration-first signature, same
+calendar spans as BUCKET) / DATE_EXTRACT("part", ts) (year/month/
+day/hour/minute, long-pinned; dayofweek deliberately absent — the
+engines disagree on week start) / DATE_FORMAT("pattern", ts)
+(Java-style patterns with a verified strftime twin only).
 Aggregates (STATS only): COUNT(*) / COUNT(x) / SUM / MIN / MAX /
 AVG / MEDIAN / PERCENTILE(x, p) (exact interpolated — Spark
 percentile == DuckDB quantile_cont) / COUNT_DISTINCT (EXACT —
@@ -90,6 +95,28 @@ _FUNCS = {
     "mv_count", "mv_max", "mv_min",
     "concat", "substring", "to_upper", "to_lower", "starts_with",
     "ends_with", "coalesce", "trim", "replace", "left", "right",
+    "date_trunc", "date_extract", "date_format",
+}
+
+# DATE_EXTRACT parts whose semantics provably agree: part -> (Spark fn,
+# DuckDB fn). dayofweek is deliberately ABSENT (Spark Sunday=1 vs
+# DuckDB Sunday=0 — a silent off-by-one, not a render).
+_EXTRACT_PARTS = {
+    "year": ("year", "year"),
+    "month": ("month", "month"),
+    "day": ("dayofmonth", "day"),
+    "hour": ("hour", "hour"),
+    "minute": ("minute", "minute"),
+}
+
+# DATE_FORMAT patterns: the Java-style pattern ES|QL takes, mapped to
+# the strftime DuckDB takes. Only patterns with a verified 1:1 render.
+_DATE_FMTS = {
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "yyyy-MM": "%Y-%m",
+    "yyyy": "%Y",
+    "HH": "%H",
+    "yyyy-MM-dd HH": "%Y-%m-%d %H",
 }
 
 # BUCKET spans both engines can render as a calendar truncation. ES|QL
@@ -229,6 +256,19 @@ class _P:
                         f" got {n} {unit!r}"
                     )
                 args.append(("lit", unit))
+            elif fn == "date_trunc":
+                # DATE_TRUNC(1 day, col) — ES|QL puts the duration
+                # literal FIRST; same 1-unit calendar spans as BUCKET.
+                n = self.take()
+                unit = self.take().lower().rstrip("s")
+                if n != "1" or unit not in _BUCKET_UNITS:
+                    raise ValueError(
+                        "ES|QL: DATE_TRUNC span must be 1 of "
+                        f"{sorted(_BUCKET_UNITS)}, got {n} {unit!r}"
+                    )
+                args.append(("lit", unit))
+                self.take(",")
+                args.append(self.expr())
             elif self.peek() == "*":
                 self.take()
                 args.append(("star",))
@@ -535,6 +575,25 @@ def _sp(node) -> Column:
         if fn == "bucket":
             # span validated at parse time to a 1-unit calendar span
             return F.date_trunc(str(args[1][1]), _sp(args[0]))
+        if fn == "date_trunc":
+            return F.date_trunc(str(args[0][1]), _sp(args[1]))
+        if fn == "date_extract":
+            if args[0][0] != "lit" or str(args[0][1]) not in _EXTRACT_PARTS:
+                raise ValueError(
+                    "ES|QL: DATE_EXTRACT part must be one of "
+                    f"{sorted(_EXTRACT_PARTS)}"
+                )
+            # extract returns int32 in Spark but BIGINT in DuckDB —
+            # pinned to long (the retention_cohort datediff lesson)
+            sp_fn = _EXTRACT_PARTS[str(args[0][1])][0]
+            return getattr(F, sp_fn)(_sp(args[1])).cast("long")
+        if fn == "date_format":
+            if args[0][0] != "lit" or str(args[0][1]) not in _DATE_FMTS:
+                raise ValueError(
+                    f"ES|QL: DATE_FORMAT pattern must be one of "
+                    f"{sorted(_DATE_FMTS)}"
+                )
+            return F.date_format(_sp(args[1]), str(args[0][1]))
         if fn == "mv_count":
             return F.size(_sp(args[0])).cast("long")
         if fn == "mv_max":
@@ -700,6 +759,26 @@ def _sq(node) -> str:
                 f"CAST(date_trunc('{args[1][1]}', {_sq(args[0])}) "
                 "AS TIMESTAMP)"
             )
+        if fn == "date_trunc":
+            return (
+                f"CAST(date_trunc('{args[0][1]}', {_sq(args[1])}) "
+                "AS TIMESTAMP)"
+            )
+        if fn == "date_extract":
+            if args[0][0] != "lit" or str(args[0][1]) not in _EXTRACT_PARTS:
+                raise ValueError(
+                    "ES|QL: DATE_EXTRACT part must be one of "
+                    f"{sorted(_EXTRACT_PARTS)}"
+                )
+            sq_fn = _EXTRACT_PARTS[str(args[0][1])][1]
+            return f"CAST({sq_fn}({_sq(args[1])}) AS BIGINT)"
+        if fn == "date_format":
+            if args[0][0] != "lit" or str(args[0][1]) not in _DATE_FMTS:
+                raise ValueError(
+                    f"ES|QL: DATE_FORMAT pattern must be one of "
+                    f"{sorted(_DATE_FMTS)}"
+                )
+            return f"strftime({_sq(args[1])}, '{_DATE_FMTS[str(args[0][1])]}')"
         if fn == "mv_count":
             return f"CAST(len({_sq(args[0])}) AS BIGINT)"
         if fn == "mv_max":

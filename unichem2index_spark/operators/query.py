@@ -3777,3 +3777,46 @@ def sparse_vector_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def analyze_edge_ngrams(
+    spark: SparkSession, text: str, min_gram: int = 2, max_gram: int = 5
+) -> DataFrame:
+    """ES ``_analyze`` with an ``edge_ngram`` token filter
+    (preserve_original=true): each token emits its leading grams of
+    length ``min_gram``..``min(len, max_gram)`` at the token's
+    position, plus the original token whenever it falls OUTSIDE the
+    gram range (shorter than min_gram or longer than max_gram) — the
+    Lucene preserve_original contract. The index-side analyzer behind
+    search-as-you-type fields: prefix lookups become exact term
+    lookups.
+
+    Map-only over the token array, like :func:`analyze_shingles` — at
+    ingest scale this is the extra projection an edge-ngram index
+    field adds to the build, no shuffle. The gram expansion is a
+    ``sequence`` guarded against the descending-sequence trap (Spark's
+    sequence(2, 1) counts DOWN, so short tokens must hit the guard,
+    not the sequence)."""
+    from unichem2index_spark.functions.tokenize import tokens_col
+
+    lo, hi = int(min_gram), int(max_gram)
+    if not (1 <= lo <= hi):
+        raise ValueError("edge_ngrams: need 1 <= min_gram <= max_gram")
+    base = spark.createDataFrame([(text,)], "text string").select(
+        F.posexplode(tokens_col("text")).alias("position", "tok")
+    )
+    grams = base.where(F.length("tok") >= lo).select(
+        "position",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(lo), F.least(F.length("tok"), F.lit(hi))
+                ),
+                lambda g: F.substring(F.col("tok"), 1, g),
+            )
+        ).alias("token"),
+    )
+    originals = base.where(
+        (F.length("tok") < lo) | (F.length("tok") > hi)
+    ).select("position", F.col("tok").alias("token"))
+    return grams.unionByName(originals).orderBy("position", "token")

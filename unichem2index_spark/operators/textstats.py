@@ -1953,3 +1953,56 @@ def geo_distance_agg(spark: SparkSession, t) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy("ring")
     )
+
+
+def unigram_surprisal(spark: SparkSession, t) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc unigram surprisal in bits
+    per token — ``-1/n · Σ_tokens log2(cf_term / total_tokens)`` under
+    the corpus's own unigram model. The cheap stand-in for the wiki-LM
+    perplexity CCNet buckets documents by: gibberish and rare-token
+    soup score high, stopword-heavy boilerplate scores low. (The real
+    CCNet uses a 5-gram KenLM; the unigram form is the deterministic,
+    model-free reading.)
+
+    Float-determinism: a per-doc sum of logs is ORDER-SENSITIVE in
+    IEEE doubles, and a distributed agg sums in shuffle order — so the
+    fold runs over the doc's terms sorted lexicographically, as an
+    explicit sequential left fold from 0.0 on BOTH engines (Spark
+    ``F.aggregate`` over ``sort_array`` == DuckDB ``list_reduce`` over
+    ``list(... ORDER BY term)`` with a prepended 0.0) — bit-identical,
+    the engine-reproducibility contract. Scale shape: per-doc tf and
+    corpus cf are the index build's own aggregates; the fold is
+    map-side over each doc's distinct-term array (bounded by doclen);
+    the 1-row total is the only collect."""
+    d = t["documents"]
+    tf = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = int(cf.agg(F.sum("cf")).collect()[0][0])
+    parts = (
+        tf.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct("term", "tf", "cf"))
+            ).alias("parts"),
+        )
+    )
+    fold = F.aggregate(
+        "parts",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["tf"].cast("double")
+        * F.log(F.lit(float(total)) / s["cf"].cast("double")),
+    )
+    return parts.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            fold / F.log(F.lit(2.0)) / F.col("n_tokens").cast("double"), 6
+        ).alias("bits_per_token"),
+    ).orderBy("doc_id")

@@ -4962,3 +4962,60 @@ rings AS (
 SELECT ring, count(*) AS doc_count FROM rings
 GROUP BY ring ORDER BY ring
 """
+
+
+def analyze_edge_ngrams_sql(
+    text: str, min_gram: int = 2, max_gram: int = 5
+) -> str:
+    """_analyze + edge_ngram filter (preserve_original) — the exact
+    discipline of query.py::analyze_edge_ngrams."""
+    lit = "'" + text.replace("'", "''") + "'"
+    lo, hi = int(min_gram), int(max_gram)
+    return f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower({lit}), '{TOKEN_PATTERN}') AS t
+),
+pos AS (
+  SELECT generate_subscripts(t, 1) - 1 AS position, unnest(t) AS tok
+  FROM toks
+),
+grams AS (
+  SELECT position, substring(tok, 1, i) AS token
+  FROM pos, unnest(range({lo}, least(length(tok), {hi}) + 1)) AS u(i)
+  WHERE length(tok) >= {lo}
+),
+originals AS (
+  SELECT position, tok AS token FROM pos
+  WHERE length(tok) < {lo} OR length(tok) > {hi}
+)
+SELECT position, token FROM (
+  SELECT * FROM grams UNION ALL SELECT * FROM originals
+)
+ORDER BY position, token
+"""
+
+
+UNIGRAM_SURPRISAL = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM cf),
+folded AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         list_reduce(
+           list_prepend(0.0,
+             list(CAST(tf AS DOUBLE) * ln(total / CAST(cf AS DOUBLE))
+                  ORDER BY term)),
+           (x, y) -> x + y
+         ) AS s
+  FROM tf JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(s / ln(2.0) / CAST(n_tokens AS DOUBLE), 6) AS bits_per_token
+FROM folded ORDER BY doc_id
+"""
