@@ -738,6 +738,17 @@ ESQL_DATE_FNS_QUERY = (
     " | LIMIT 30"
 )
 
+# ES|QL IS NULL / IS NOT NULL via LOOKUP JOIN misses (doc_id % 30
+# reaches past nation's 0..24 key range, so ids 25-29 miss → nulls)
+ESQL_NULL_PREDICATES_QUERY = (
+    "FROM documents"
+    " | EVAL n_nationkey = doc_id % 30"
+    " | LOOKUP JOIN nation ON n_nationkey"
+    " | STATS missing = COUNT(*) WHERE n_name IS NULL,"
+    " matched = COUNT(*) WHERE n_name IS NOT NULL BY n_nationkey"
+    " | SORT n_nationkey ASC"
+)
+
 # ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
 ESQL_CHANGE_POINT_QUERY = (
     "FROM events"
@@ -813,6 +824,16 @@ def q_analyze_edge_ngrams(spark, sf_dir):
     """ES _analyze + edge_ngram filter (preserve_original): the
     search-as-you-type index analyzer."""
     return Q.analyze_edge_ngrams(spark, ANALYZE_TEXT)
+
+
+def q_esql_null_predicates(spark, sf_dir):
+    """ES|QL IS NULL / IS NOT NULL (missing-field predicate) counted
+    via per-agg WHERE over LOOKUP JOIN misses."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_NULL_PREDICATES_QUERY), load_tables(spark, sf_dir)
+    )
 
 
 def q_esql_string_fns(spark, sf_dir):
@@ -1828,6 +1849,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_edge_ngrams": q_analyze_edge_ngrams,
         # CCNet-style unigram surprisal (deterministic sorted fold)
         "unigram_surprisal": _wrap(textstats.unigram_surprisal),
+        # ES|QL IS NULL / IS NOT NULL over LOOKUP JOIN misses
+        "esql_null_predicates": q_esql_null_predicates,
+        # ES sliced scroll (parallel export: disjoint hash slices)
+        "scroll_sliced": lambda s, d: Q.scroll_sliced(_docs(s, d), 4, 10),
+        # ES terms agg include.partition (term-space pagination)
+        "terms_partition_agg": _wrap(textstats.terms_partition_agg),
+        # ES diversified_sampler (de-biased bounded sample → terms agg)
+        "diversified_sampler_agg": _wrap(textstats.diversified_sampler_agg),
     }
 
 
@@ -2403,4 +2432,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "analyze_edge_ngrams": oracles.analyze_edge_ngrams_sql(ANALYZE_TEXT),
         "unigram_surprisal": oracles.UNIGRAM_SURPRISAL,
+        "esql_null_predicates": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_NULL_PREDICATES_QUERY)
+        ),
+        "scroll_sliced": oracles.SCROLL_SLICED,
+        "terms_partition_agg": oracles.TERMS_PARTITION,
+        "diversified_sampler_agg": oracles.DIVERSIFIED_SAMPLER,
     }

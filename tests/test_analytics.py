@@ -773,3 +773,68 @@ def test_unigram_surprisal_recompute(spark):
         assert g.n_tokens == len(toks)
         assert abs(g.bits_per_token - bits) < 1e-6
         assert g.bits_per_token > 0
+
+
+def test_terms_partition_disjoint_exhaustive(spark):
+    """The union of all partitions == the unpartitioned terms frame,
+    and partitions are disjoint (rank-mod contract)."""
+    t = load_tables(spark, SF)
+    all_terms = {
+        (r.term, r.df)
+        for p in range(3)
+        for r in textstats.terms_partition_agg(
+            spark, t, num_partitions=3, partition=p, size=10**6
+        ).collect()
+    }
+    from unichem2index_spark.functions.tokenize import tokenize
+
+    per: dict = {}
+    for r in t["documents"].collect():
+        for term in set(tokenize(r.text)):
+            per[term] = per.get(term, 0) + 1
+    assert all_terms == set(per.items())
+    counts = [
+        textstats.terms_partition_agg(
+            spark, t, num_partitions=3, partition=p, size=10**6
+        ).count()
+        for p in range(3)
+    ]
+    assert sum(counts) == len(per)
+    import pytest
+
+    with pytest.raises(ValueError):
+        textstats.terms_partition_agg(spark, t, 4, 4)
+
+
+def test_diversified_sampler_caps(spark):
+    """The sample honors max-per-source and shard_size; df counts come
+    from the sample only."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+    from unichem2index_spark.functions.tokenize import tokenize
+
+    t = load_tables(spark, SF)
+    rows = t["documents"].collect()
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    picked = []
+    for src, rs in per_src.items():
+        order = sorted(
+            rs, key=lambda r: ((((r.doc_id % MOD) + 1) * FP_MULT) % MOD,
+                               r.doc_id)
+        )
+        picked.extend(order[:2])
+    picked.sort(
+        key=lambda r: ((((r.doc_id % MOD) + 1) * FP_MULT) % MOD, r.doc_id)
+    )
+    sample = picked[:60]
+    df: dict = {}
+    for r in sample:
+        for term in set(tokenize(r.text)):
+            df[term] = df.get(term, 0) + 1
+    want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.term, r.df)
+        for r in textstats.diversified_sampler_agg(spark, t).collect()
+    ]
+    assert got == want

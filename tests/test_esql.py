@@ -633,3 +633,31 @@ def test_date_fns_validation():
         compile_sql(parse_esql('FROM t | EVAL x = DATE_FORMAT("EEE dd", ts)'))
     with pytest.raises(ValueError):
         parse_esql("FROM t | EVAL x = DATE_TRUNC(3 hours, ts)")
+
+
+def test_null_predicates_lookup_misses(spark):
+    """IS NULL/IS NOT NULL: lookup misses are null; the two conditional
+    counts tile each group."""
+    t = load_tables(spark, SF_SMOKE)
+    rows = compile_spark(
+        parse_esql(
+            "FROM documents | EVAL n_nationkey = doc_id % 30"
+            " | LOOKUP JOIN nation ON n_nationkey"
+            " | STATS missing = COUNT(*) WHERE n_name IS NULL,"
+            " matched = COUNT(*) WHERE n_name IS NOT NULL BY n_nationkey"
+            " | SORT n_nationkey ASC"
+        ),
+        t,
+    ).collect()
+    per: dict = {}
+    for r in t["documents"].collect():
+        per[r.doc_id % 30] = per.get(r.doc_id % 30, 0) + 1
+    assert {r.n_nationkey for r in rows} == set(per)
+    for r in rows:
+        assert r.missing + r.matched == per[r.n_nationkey]
+        if r.n_nationkey < 25:
+            assert r.missing == 0 and r.matched > 0
+        else:
+            assert r.matched == 0 and r.missing > 0
+    with pytest.raises(ValueError):
+        parse_esql("FROM t | WHERE x IS")  # dangling IS

@@ -1394,3 +1394,27 @@ def test_analyze_edge_ngrams_recompute(spark):
     assert got == sorted(want)
     with pytest.raises(ValueError):
         Q.analyze_edge_ngrams(spark, text, 0, 5)
+
+
+def test_scroll_sliced_disjoint_exhaustive(spark, corpus):
+    """Slices are disjoint, rank-in-slice follows _doc order, and a
+    huge page covers every doc exactly once."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    df, _, _ = corpus
+    n = df.count()
+    full = Q.scroll_sliced(df, 3, page=10**6).collect()
+    assert len(full) == n  # exhaustive, disjoint
+    per: dict = {}
+    for r in full:
+        assert r.slice_id == (((r.doc_id % MOD) + 1) * FP_MULT) % MOD % 3
+        per.setdefault(r.slice_id, []).append((r.slice_rank, r.doc_id))
+    for ranks in per.values():
+        ordered = sorted(ranks)
+        assert [r for r, _ in ordered] == list(range(1, len(ordered) + 1))
+        docs = [d for _, d in ordered]
+        assert docs == sorted(docs)  # _doc order within the slice
+    page1 = Q.scroll_sliced(df, 3, page=5).collect()
+    assert len(page1) == sum(min(5, len(v)) for v in per.values())
+    with pytest.raises(ValueError):
+        Q.scroll_sliced(df, 0)

@@ -35,7 +35,9 @@ WHEN on both engines. GROK expands the ingest-node pattern library
 ``regexp_extract`` projection as DISSECT (unanchored, per ES).
 
 Expressions: identifiers, integer/float/string literals ("..." or '...'),
-arithmetic + - * / %, comparisons == != < <= > >=, LIKE "pat*?"
+arithmetic + - * / %, comparisons == != < <= > >=, IS NULL /
+IS NOT NULL (the missing-field predicate — an enrich/lookup miss or a
+sparse field; same three-valued logic both engines), LIKE "pat*?"
 (Lucene wildcards), IN (lit, ...), AND/OR/NOT, parens,
 and the scalar functions ROUND(x[, d]) / LENGTH(s) / ABS(x) /
 SPLIT(s, "delim") (LITERAL delimiter, yields a multivalue column for
@@ -179,6 +181,17 @@ class _P:
         if nxt in (">=", "<=", "==", "!=", ">", "<"):
             op = self.take()
             node = ("bin", op, node, self.add())
+        elif nxt is not None and nxt.upper() == "IS":
+            # IS NULL / IS NOT NULL — ES|QL's missing-field predicate
+            # (an enrich/lookup miss, an unmatched dissect, a sparse
+            # field); same three-valued-logic escape hatch both engines.
+            self.take()
+            neg = False
+            if self.peek() and self.peek().upper() == "NOT":
+                self.take()
+                neg = True
+            self.take("NULL")
+            node = ("isnull", node, neg)
         elif nxt is not None and nxt.upper() == "LIKE":
             self.take()
             pat = self.take()
@@ -517,6 +530,9 @@ def _sp(node) -> Column:
         return -_sp(node[1])
     if kind == "not":
         return ~_sp(node[1])
+    if kind == "isnull":
+        col = _sp(node[1])
+        return col.isNotNull() if node[2] else col.isNull()
     if kind == "like":
         # ES|QL LIKE: * = any run, ? = one char (Lucene wildcard syntax;
         # %/_ rejected at parse time — no escape-dialect divergence).
@@ -698,6 +714,8 @@ def _sq(node) -> str:
         return f"(-{_sq(node[1])})"
     if kind == "not":
         return f"(NOT {_sq(node[1])})"
+    if kind == "isnull":
+        return f"({_sq(node[1])} IS {'NOT ' if node[2] else ''}NULL)"
     if kind == "like":
         pat = node[2].replace("'", "''").replace("*", "%").replace("?", "_")
         return f"({_sq(node[1])} LIKE '{pat}')"

@@ -3820,3 +3820,37 @@ def analyze_edge_ngrams(
         (F.length("tok") < lo) | (F.length("tok") > hi)
     ).select("position", F.col("tok").alias("token"))
     return grams.unionByName(originals).orderBy("position", "token")
+
+
+def scroll_sliced(
+    docs_df: DataFrame, n_slices: int = 4, page: int = 10
+) -> DataFrame:
+    """ES sliced scroll (``slice: {id, max}``): the parallel-export
+    API — ``max`` independent scroll streams over disjoint document
+    subsets, each consumer pulling its own slice. Slice membership is
+    a pure function of doc_id (the deterministic hash permutation the
+    sampling ops share; ES uses a hash of _id — same contract,
+    different hash, documented), so the slices are disjoint, exhaustive
+    and stable across runs. Returns each slice's FIRST page (rank in
+    _doc order within the slice), the shape a parallel exporter fans
+    out on.
+
+    Scale shape: membership is a map-side modulo — no shuffle to form
+    slices; the per-slice rank is one window partitioned by slice_id
+    (each partition is corpus/n docs, and in the production exporter
+    the rank is served by per-segment cursors, not a global window —
+    the scroll_topk discipline). The page LIMIT bounds the output at
+    n_slices · page rows."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    if n_slices < 1:
+        raise ValueError("scroll_sliced: n_slices must be >= 1")
+    perm = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    w = Window.partitionBy("slice_id").orderBy("doc_id")
+    return (
+        docs_df.select("doc_id", (perm % n_slices).alias("slice_id"))
+        # long pin: Spark row_number is int32, DuckDB's is BIGINT
+        .withColumn("slice_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("slice_rank") <= int(page))
+        .orderBy("slice_id", "slice_rank")
+    )

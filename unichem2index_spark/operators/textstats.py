@@ -2006,3 +2006,85 @@ def unigram_surprisal(spark: SparkSession, t) -> DataFrame:
             fold / F.log(F.lit(2.0)) / F.col("n_tokens").cast("double"), 6
         ).alias("bits_per_token"),
     ).orderBy("doc_id")
+
+
+def terms_partition_agg(
+    spark: SparkSession, t, num_partitions: int = 4, partition: int = 1,
+    size: int = 10,
+) -> DataFrame:
+    """ES terms aggregation with ``include: {partition,
+    num_partitions}``: the scale-out pagination for HUGE term
+    cardinalities — each request walks one deterministic partition of
+    the term space, and the union of partitions covers every term
+    exactly once. ES partitions by murmur3(term); the engine's
+    deterministic reading partitions by the term's RANK in the sorted
+    vocabulary (``dense-rank % num_partitions`` — disjoint, exhaustive,
+    reproducible on both engines, where a cross-engine murmur is not).
+
+    Scale shape: the rank comes from :func:`~unichem2index_spark.
+    operators.dedup.vocab_ids` — the two-level prefix-sum rank, NO
+    global window anywhere (the oracle's ``row_number() OVER (ORDER BY
+    term)`` is the semantic spec, not the plan) — joined to the df agg
+    on the vocab frame (terms, not postings); the partition filter
+    prunes before the top-N sort, so each request touches
+    1/num_partitions of the vocab, which is the entire point of the
+    API."""
+    if not (0 <= partition < num_partitions):
+        raise ValueError("terms_partition: need 0 <= partition < num")
+    d = t["documents"]
+    dfs = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ids = vocab_ids(d.select("doc_id", tokens_col("text").alias("tokens")))
+    return (
+        dfs.join(ids, "term")
+        .where(F.col("token_id") % num_partitions == partition)
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(size)
+    )
+
+
+def diversified_sampler_agg(
+    spark: SparkSession, t, max_per_source: int = 2, shard_size: int = 60,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: a bounded, de-biased
+    sample — at most ``max_docs_per_value`` docs per diversity field
+    value (source domain), capped at ``shard_size`` — feeding a child
+    terms agg. The anti-domination agg: one over-crawled domain cannot
+    swamp the term statistics. ES's sample is score-ordered per shard;
+    the deterministic reading picks by the shared hash permutation
+    (the domain_cap discipline), so the sample — and therefore the
+    child agg — is reproducible at any parallelism.
+
+    Scale shape: the per-source rank is one window on the domain key
+    (state O(max_per_source) after the filter), the global cap is a
+    second rank over the already-capped frame (≤ sources ·
+    max_per_source rows), and only the ≤ shard_size sampled docs ever
+    reach the tokenizer — the sampler's cost contract."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    d = t["documents"]
+    perm = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    w_src = Window.partitionBy("source").orderBy(
+        perm.asc(), F.col("doc_id").asc()
+    )
+    w_all = Window.orderBy(perm.asc(), F.col("doc_id").asc())
+    sample = (
+        d.withColumn("_rk", F.row_number().over(w_src))
+        .where(F.col("_rk") <= int(max_per_source))
+        .withColumn("_gk", F.row_number().over(w_all))
+        .where(F.col("_gk") <= int(shard_size))
+    )
+    return (
+        sample.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(size)
+    )

@@ -5019,3 +5019,58 @@ SELECT doc_id, n_tokens,
        round(s / ln(2.0) / CAST(n_tokens AS DOUBLE), 6) AS bits_per_token
 FROM folded ORDER BY doc_id
 """
+
+
+SCROLL_SLICED = f"""
+WITH sliced AS (
+  SELECT doc_id,
+         ((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} % 4 AS slice_id
+  FROM documents
+)
+SELECT doc_id, slice_id, slice_rank FROM (
+  SELECT doc_id, slice_id,
+         row_number() OVER (PARTITION BY slice_id ORDER BY doc_id)
+           AS slice_rank
+  FROM sliced
+) WHERE slice_rank <= 10
+ORDER BY slice_id, slice_rank
+"""
+
+TERMS_PARTITION = f"""
+WITH tokset AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+),
+dfs AS (SELECT term, count(*) AS df FROM tokset GROUP BY term),
+ids AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS token_id
+  FROM (SELECT DISTINCT term FROM tokset)
+)
+SELECT term, df FROM dfs JOIN ids USING (term)
+WHERE token_id % 4 = 1
+ORDER BY df DESC, term ASC
+LIMIT 10
+"""
+
+DIVERSIFIED_SAMPLER = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source
+    ORDER BY ((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} ASC, doc_id ASC
+  ) AS _rk
+  FROM documents
+),
+capped AS (SELECT * FROM ranked WHERE _rk <= 2),
+sample AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      ORDER BY ((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} ASC, doc_id ASC
+    ) AS _gk FROM capped
+  ) WHERE _gk <= 60
+),
+tokset AS (
+  SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM sample
+)
+SELECT term, count(*) AS df FROM tokset GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 10
+"""
