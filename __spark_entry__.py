@@ -1857,6 +1857,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_partition_agg": _wrap(textstats.terms_partition_agg),
         # ES diversified_sampler (de-biased bounded sample → terms agg)
         "diversified_sampler_agg": _wrap(textstats.diversified_sampler_agg),
+        # EQL pipes: sequence | unique user_id | head N
+        "eql_sequence_pipes": _wrap(eventseq.eql_sequence_pipes),
+        # ES random_sampler agg (deterministic p=1/5, exact scaling)
+        "random_sampler_agg": _wrap(textstats.random_sampler_agg),
     }
 
 
@@ -2438,4 +2442,6 @@ def oracle_sql() -> dict[str, str]:
         "scroll_sliced": oracles.SCROLL_SLICED,
         "terms_partition_agg": oracles.TERMS_PARTITION,
         "diversified_sampler_agg": oracles.DIVERSIFIED_SAMPLER,
+        "eql_sequence_pipes": oracles.eql_sequence_pipes_sql(),
+        "random_sampler_agg": oracles.RANDOM_SAMPLER,
     }

@@ -838,3 +838,24 @@ def test_diversified_sampler_caps(spark):
         for r in textstats.diversified_sampler_agg(spark, t).collect()
     ]
     assert got == want
+
+
+def test_random_sampler_scaling(spark):
+    """Inclusion is the exact perm modulo; estimates are sampled × 5."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    t = load_tables(spark, SF)
+    per: dict = {}
+    for r in t["documents"].collect():
+        if (((r.doc_id % MOD) + 1) * FP_MULT) % MOD % 5 == 0:
+            cur = per.setdefault(r.lang, [0, 0])
+            cur[0] += 1
+            cur[1] += r.n_chars
+    got = {r.lang: r for r in
+           textstats.random_sampler_agg(spark, t).collect()}
+    assert set(got) == set(per)
+    for lang, (n, chars) in per.items():
+        g = got[lang]
+        assert g.sampled_docs == n
+        assert g.est_docs == n * 5
+        assert g.est_chars == chars * 5

@@ -354,3 +354,19 @@ def test_rollup_search_exact_and_smaller(spark):
     assert got == {key: tuple(v) for key, v in direct.items()}
     n_raw = t["events"].count()
     assert len(hours) < n_raw  # the rollup index really is a reduction
+
+
+def test_eql_pipes_unique_head(spark):
+    """unique keeps each user's first match in emission order; head
+    cuts to N; pipes never add matches."""
+    t = load_tables(spark, SF_SMOKE)
+    matches = eventseq.eql_sequence(spark, t).collect()
+    first_per_user: dict = {}
+    for r in sorted(matches, key=lambda r: r.second_event_id):
+        first_per_user.setdefault(r.user_id, r)
+    want = sorted(
+        first_per_user.values(), key=lambda r: r.second_event_id
+    )[:10]
+    got = eventseq.eql_sequence_pipes(spark, t, head=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len({r.user_id for r in got}) == len(got)  # unique by key

@@ -487,3 +487,33 @@ def rollup_search(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def eql_sequence_pipes(
+    spark: SparkSession,
+    t,
+    first: str = "click",
+    then: str = "purchase",
+    within_sec: float = 7200.0,
+    head: int = 10,
+) -> DataFrame:
+    """EQL pipes over sequence output: ``sequence ... | unique user_id
+    | head N`` — EQL's post-processing stage. ``unique`` keeps each
+    key's FIRST match in match order (sequences complete in second-
+    event order, so match order == second_event_id order — the EQL
+    engine's emission order), ``head`` then cuts the stream to N.
+
+    Scale shape: the unique step is one row_number window on the SAME
+    user_id partitioning the sequence window already produced (no new
+    shuffle key), and head is a LIMIT after a sort over the already-
+    reduced match frame — pipes never touch raw events again, exactly
+    EQL's pipe contract (pipes run on matches, not the index)."""
+    seq = eql_sequence(spark, t, first, then, within_sec)
+    w = Window.partitionBy("user_id").orderBy("second_event_id")
+    return (
+        seq.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .orderBy("second_event_id")
+        .limit(int(head))
+    )

@@ -2088,3 +2088,44 @@ def diversified_sampler_agg(
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(size)
     )
+
+
+# random_sampler inclusion: perm % DEN == 0, i.e. probability 1/DEN —
+# an exact integer contract shared with the oracle.
+SAMPLER_DEN = 5
+
+
+def random_sampler_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``random_sampler`` aggregation (8.2): child aggs run over a
+    random p-fraction of matching docs and their doc_counts are scaled
+    back up by 1/p — the cheap-estimate mode for dashboards over huge
+    indices. ES's sample is seed-deterministic per shard; the engine's
+    reading is fully deterministic at ANY parallelism: inclusion is
+    ``hash_perm(doc_id) % 5 == 0`` (p = 0.2 exactly), so the oracle
+    reproduces the identical sample and the scaled estimates are
+    hash-checkable integers (estimate = sampled × 5 — exact, no float
+    scaling).
+
+    Scale shape: the inclusion test is a map-side modulo fused into
+    the scan (docs outside the sample are never tokenized/aggregated —
+    the agg's entire cost model), then ONE hash agg on the sampled
+    fraction."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    d = t["documents"]
+    perm = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD
+    return (
+        d.where(perm % SAMPLER_DEN == 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .select(
+            "lang",
+            "sampled_docs",
+            (F.col("sampled_docs") * SAMPLER_DEN).alias("est_docs"),
+            (F.col("sampled_chars") * SAMPLER_DEN).alias("est_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -5074,3 +5074,37 @@ SELECT term, count(*) AS df FROM tokset GROUP BY term
 ORDER BY df DESC, term ASC
 LIMIT 10
 """
+
+
+def eql_sequence_pipes_sql(
+    first: str = "click", then: str = "purchase",
+    within_sec: float = 7200.0, head: int = 10,
+) -> str:
+    """sequence | unique user_id | head N — the exact discipline of
+    eventseq.eql_sequence_pipes over the shared sequence oracle."""
+    inner = eql_sequence_sql(first, then, within_sec).replace(
+        "ORDER BY second_event_id", ""
+    )
+    return f"""
+WITH matches AS ({inner}),
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY second_event_id
+    ) AS _rk FROM matches
+  ) WHERE _rk = 1
+)
+SELECT user_id, first_event_id, second_event_id, gap_sec
+FROM uniq ORDER BY second_event_id LIMIT {int(head)}
+"""
+
+
+RANDOM_SAMPLER = f"""
+SELECT lang,
+       count(*) AS sampled_docs,
+       count(*) * 5 AS est_docs,
+       CAST(sum(n_chars) * 5 AS BIGINT) AS est_chars
+FROM documents
+WHERE ((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} % 5 = 0
+GROUP BY lang ORDER BY lang
+"""
