@@ -1861,6 +1861,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence_pipes": _wrap(eventseq.eql_sequence_pipes),
         # ES random_sampler agg (deterministic p=1/5, exact scaling)
         "random_sampler_agg": _wrap(textstats.random_sampler_agg),
+        # T5 span-corruption mask planning (deterministic per-doc)
+        "span_corruption": _wrap(trainprep.span_corruption),
+        # corpus bigram LM table (exact conditional probabilities)
+        "bigram_lm": _wrap(trainprep.bigram_lm),
     }
 
 
@@ -2444,4 +2448,6 @@ def oracle_sql() -> dict[str, str]:
         "diversified_sampler_agg": oracles.DIVERSIFIED_SAMPLER,
         "eql_sequence_pipes": oracles.eql_sequence_pipes_sql(),
         "random_sampler_agg": oracles.RANDOM_SAMPLER,
+        "span_corruption": oracles.SPAN_CORRUPTION,
+        "bigram_lm": oracles.BIGRAM_LM,
     }

@@ -485,3 +485,51 @@ def test_vocab_coverage_recompute(spark):
         assert g.n_tokens == len(toks)
         assert g.oov_tokens == oov
         assert g.oov_rate == round(oov / len(toks), 6)
+
+
+def test_span_corruption_recompute(spark):
+    """Mask membership recomputed per position in pure Python; rate
+    lands near the ~15% design point corpus-wide."""
+    t = load_tables(spark, SF_SMOKE)
+    got = {r.doc_id: r for r in trainprep.span_corruption(spark, t).collect()}
+    total = masked_total = 0
+    for r in t["documents"].collect():
+        n = len(tokenize(r.text))
+        starts = {
+            p
+            for p in range(n)
+            if (((r.doc_id % MOD) * 1_000_003 + p) % MOD + 1)
+            * FP_MULT % MOD % 20 == 0
+        }
+        masked = sorted(
+            p for p in range(n)
+            if any(p - k in starts for k in range(3))
+        )
+        g = got[r.doc_id]
+        assert g.n_tokens == n
+        assert g.n_masked == len(masked)
+        assert g.masked_positions == ",".join(str(p) for p in masked)
+        total += n
+        masked_total += len(masked)
+    rate = masked_total / total
+    assert 0.08 <= rate <= 0.22, rate  # ~15% design point
+
+
+def test_bigram_lm_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    pair: dict = {}
+    marg: dict = {}
+    for r in t["documents"].collect():
+        toks = tokenize(r.text)
+        for a, b in zip(toks, toks[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+            marg[a] = marg.get(a, 0) + 1
+    want = sorted(
+        ((a, b, n, marg[a]) for (a, b), n in pair.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:20]
+    got = trainprep.bigram_lm(spark, t).collect()
+    assert [(r.w1, r.w2, r.pair_n, r.w1_n) for r in got] == want
+    for r in got:
+        assert abs(r.cond_p - round(r.pair_n / r.w1_n, 6)) < 1e-9
+        assert 0 < r.cond_p <= 1

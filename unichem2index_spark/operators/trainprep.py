@@ -735,3 +735,110 @@ def vocab_coverage(spark: SparkSession, t, top_v: int = VOCAB_TOP_V) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# Span-corruption schedule: a position STARTS a masked span iff its
+# per-(doc, pos) hash % START_DEN == 0; spans run SPAN_LEN tokens.
+# 1/20 starts x 3-token spans ~= 15% corruption, the T5 default.
+SPAN_START_DEN = 20
+SPAN_LEN = 3
+_POS_MIX = 1_000_003  # prime position mixer; (MOD * _POS_MIX) < 2^62
+
+
+def span_corruption(spark: SparkSession, t) -> DataFrame:
+    """T5-style span-corruption mask planning: for each document,
+    decide which token positions a denoising objective masks — spans
+    of ``SPAN_LEN`` tokens whose starts fire on a deterministic
+    per-(doc_id, position) hash at rate 1/``SPAN_START_DEN`` (≈15%
+    corruption at the defaults, the T5 recipe). Emits per-doc
+    n_tokens / n_masked / the masked position list (serialized — canon
+    rule). Deterministic: the SAME doc always gets the SAME mask at
+    any parallelism — the property that makes training resumable and
+    eval masks reproducible.
+
+    Scale shape: a position is masked iff one of its previous
+    ``SPAN_LEN`` positions (itself included) is a span start, and the
+    start test is a pure integer hash — so membership is SPAN_LEN
+    hash evaluations per token, ALL map-side expressions after the
+    posexplode (no window, no self-join, no Python); one hash agg
+    folds the per-doc summary."""
+    d = t["documents"]
+    pos_tok = d.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "token")
+    )
+
+    def _start(p):
+        h = (
+            (F.col("doc_id") % MOD) * _POS_MIX + p
+        ) % MOD
+        return ((h + 1) * FP_MULT % MOD % SPAN_START_DEN == 0) & (p >= 0)
+
+    masked = _start(F.col("pos"))
+    for k in range(1, SPAN_LEN):
+        masked = masked | _start(F.col("pos") - k)
+    return (
+        pos_tok.withColumn("_m", masked)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("_m"), 1)).alias("n_masked"),
+            # sort as INTS then stringify (string sort would put
+            # "10" before "2"); concat_ws needs array<string>
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.when(F.col("_m"), F.col("pos")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("masked_positions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bigram_lm(spark: SparkSession, t, size: int = 20) -> DataFrame:
+    """Corpus bigram language-model table: (w1, w2) counts and the
+    exact conditional probability P(w2 | w1) = count(w1 w2) /
+    count(w1 ·) — the statistics a CCNet-style LM filter or a
+    next-token baseline trains from the corpus itself. Top-``size``
+    bigrams by count (count desc, w1/w2 asc — deterministic cut).
+
+    Scale shape: bigrams come from zipping each token array with its
+    own 1-shifted self (``arrays_zip(slice, slice)`` — map-side, no
+    positional self-join, no window); the denominator joins in from a
+    SECOND aggregate over the same pair frame (w1-margin), vocab-sized
+    and broadcastable. ONE float divide at emit; everything before it
+    is exact integers."""
+    d = t["documents"]
+    pairs = (
+        d.select(tokens_col("text").alias("tokens"))
+        .where(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1),"
+                    " i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    marg = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("w1_n"))
+    return (
+        big.join(marg, "w1")
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "w1_n",
+            F.round(
+                F.col("pair_n").cast("double") / F.col("w1_n").cast("double"),
+                6,
+            ).alias("cond_p"),
+        )
+        .orderBy(F.desc("pair_n"), F.asc("w1"), F.asc("w2"))
+        .limit(size)
+    )

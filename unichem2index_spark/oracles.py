@@ -5108,3 +5108,46 @@ FROM documents
 WHERE ((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} % 5 = 0
 GROUP BY lang ORDER BY lang
 """
+
+
+SPAN_CORRUPTION = f"""
+WITH pos_tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos
+  FROM (SELECT doc_id, {TOKS} AS t FROM documents)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         (((doc_id % {MOD}) * 1000003 + pos) % {MOD} + 1)
+           * {FP_MULT} % {MOD} % 20 = 0
+         OR (pos >= 1 AND
+             (((doc_id % {MOD}) * 1000003 + pos - 1) % {MOD} + 1)
+               * {FP_MULT} % {MOD} % 20 = 0)
+         OR (pos >= 2 AND
+             (((doc_id % {MOD}) * 1000003 + pos - 2) % {MOD} + 1)
+               * {FP_MULT} % {MOD} % 20 = 0) AS m
+  FROM pos_tok
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE m) AS n_masked,
+       coalesce(array_to_string(
+         list(CAST(pos AS VARCHAR) ORDER BY pos) FILTER (WHERE m), ','),
+         '') AS masked_positions
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+BIGRAM_LM = f"""
+WITH pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT {TOKS} AS t FROM documents),
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS pair_n FROM pairs GROUP BY w1, w2),
+marg AS (SELECT w1, count(*) AS w1_n FROM pairs GROUP BY w1)
+SELECT w1, w2, pair_n, w1_n,
+       round(CAST(pair_n AS DOUBLE) / CAST(w1_n AS DOUBLE), 6) AS cond_p
+FROM big JOIN marg USING (w1)
+ORDER BY pair_n DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
