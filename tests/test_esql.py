@@ -661,3 +661,38 @@ def test_null_predicates_lookup_misses(spark):
             assert r.matched == 0 and r.missing > 0
     with pytest.raises(ValueError):
         parse_esql("FROM t | WHERE x IS")  # dangling IS
+
+
+def test_sort_null_order_is_es_contract(spark):
+    """ES|QL: null sorts as LARGER than any value — asc puts lookup
+    misses last, desc puts them first, identically on both engines."""
+    import duckdb as _duck
+
+    t = load_tables(spark, SF_SMOKE)
+    q_asc = (
+        "FROM documents | WHERE doc_id < 60"
+        " | EVAL n_nationkey = doc_id % 30"
+        " | LOOKUP JOIN nation ON n_nationkey"
+        " | KEEP doc_id, n_name | SORT n_name ASC, doc_id ASC"
+    )
+    q_desc = q_asc.replace("SORT n_name ASC", "SORT n_name DESC")
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW nation AS SELECT * FROM '{SF_SMOKE}/nation.parquet'"
+    )
+    for q, nulls_at_end in ((q_asc, True), (q_desc, False)):
+        stages = parse_esql(q)
+        got = [(r.doc_id, r.n_name) for r in compile_spark(stages, t).collect()]
+        want = con.execute(compile_sql(stages)).fetchall()
+        assert got == want, q
+        null_idx = [i for i, (_, n) in enumerate(got) if n is None]
+        assert null_idx, "need lookup misses in the slice"
+        if nulls_at_end:
+            assert min(null_idx) == len(got) - len(null_idx)
+        else:
+            assert max(null_idx) == len(null_idx) - 1
+    con.close()

@@ -1081,8 +1081,15 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
                 )
             )
         elif st[0] == "sort":
+            # ES|QL treats null as LARGER than any value (asc → nulls
+            # last, desc → nulls first). Spark's bare asc() is
+            # nulls-FIRST — a silent divergence on nullable sort keys
+            # (lookup misses), so the null order is always explicit.
             df = df.orderBy(
-                *[F.desc(c) if d else F.asc(c) for c, d in st[1]]
+                *[
+                    F.desc_nulls_first(c) if d else F.asc_nulls_last(c)
+                    for c, d in st[1]
+                ]
             )
         elif st[0] == "limit":
             df = df.limit(st[1])
@@ -1195,9 +1202,14 @@ FROM (
   )
 ) WHERE _rk = 1"""
         elif st[0] == "sort":
+            # explicit null order — the ES|QL null-is-largest contract
+            # (DuckDB's configurable default_null_order must not leak in)
             tail.append(
                 "ORDER BY "
-                + ", ".join(f"{c} {'DESC' if d else 'ASC'}" for c, d in st[1])
+                + ", ".join(
+                    f"{c} {'DESC NULLS FIRST' if d else 'ASC NULLS LAST'}"
+                    for c, d in st[1]
+                )
             )
         elif st[0] == "limit":
             tail.append(f"LIMIT {st[1]}")
