@@ -749,6 +749,16 @@ ESQL_NULL_PREDICATES_QUERY = (
     " | SORT n_nationkey ASC"
 )
 
+# ES|QL SAMPLE command (8.16): deterministic 1/4 hash-bucket sample
+# of documents, then a grouped STATS over the kept rows — the shape
+# every "profile a slice of the corpus" pipeline takes.
+ESQL_SAMPLE_QUERY = (
+    "FROM documents"
+    " | SAMPLE 0.25"
+    " | STATS n = COUNT(*), chars = SUM(n_chars) BY lang"
+    " | SORT lang ASC"
+)
+
 # ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
 ESQL_CHANGE_POINT_QUERY = (
     "FROM events"
@@ -833,6 +843,16 @@ def q_esql_null_predicates(spark, sf_dir):
 
     return compile_spark(
         parse_esql(ESQL_NULL_PREDICATES_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_sample(spark, sf_dir):
+    """ES|QL SAMPLE (8.16): deterministic hash-bucket row sampling
+    mid-pipeline (p = 1/k exact), dual-rendered."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_SAMPLE_QUERY), load_tables(spark, sf_dir)
     )
 
 
@@ -1865,6 +1885,18 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": _wrap(trainprep.span_corruption),
         # corpus bigram LM table (exact conditional probabilities)
         "bigram_lm": _wrap(trainprep.bigram_lm),
+        # per-doc bigram-LM bits/token (CCNet perplexity stand-in)
+        "doc_perplexity": _wrap(trainprep.doc_perplexity),
+        # ES categorize_text (deterministic prefix-skeleton reading)
+        "categorize_text_agg": _wrap(textstats.categorize_text_agg),
+        # ES date_range agg (from-inclusive/to-exclusive edges)
+        "date_range_agg": _wrap(textstats.date_range_agg),
+        # ES geo_bounds (per-lang bounding box, flattened)
+        "geo_bounds_agg": _wrap(textstats.geo_bounds_agg),
+        # ES geo_centroid (exact planar mean of the x.5-degree grid)
+        "geo_centroid_agg": _wrap(textstats.geo_centroid_agg),
+        # ES|QL SAMPLE command (deterministic 1/4 hash bucket)
+        "esql_sample": q_esql_sample,
     }
 
 
@@ -2450,4 +2482,12 @@ def oracle_sql() -> dict[str, str]:
         "random_sampler_agg": oracles.RANDOM_SAMPLER,
         "span_corruption": oracles.SPAN_CORRUPTION,
         "bigram_lm": oracles.BIGRAM_LM,
+        "doc_perplexity": oracles.DOC_PERPLEXITY,
+        "categorize_text_agg": oracles.CATEGORIZE_TEXT,
+        "date_range_agg": oracles.DATE_RANGE,
+        "geo_bounds_agg": oracles.GEO_BOUNDS,
+        "geo_centroid_agg": oracles.GEO_CENTROID,
+        "esql_sample": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_SAMPLE_QUERY)
+        ),
     }

@@ -859,3 +859,87 @@ def test_random_sampler_scaling(spark):
         assert g.sampled_docs == n
         assert g.est_docs == n * 5
         assert g.est_chars == chars * 5
+
+
+def test_categorize_text_prefix_skeleton(spark):
+    """Category key recomputed per doc in pure Python; top-10 cut
+    ordered (doc_count desc, key asc)."""
+    import re
+
+    t = load_tables(spark, SF)
+    cats: dict = {}
+    for r in t["documents"].collect():
+        toks = re.findall(r"[a-z0-9]+", r.text.lower())[:2]
+        key = " ".join(
+            "*" if re.search(r"[0-9]", x) else x for x in toks
+        )
+        cats[key] = cats.get(key, 0) + 1
+    want = sorted(cats.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.category, r.doc_count)
+        for r in textstats.categorize_text_agg(spark, t).collect()
+    ]
+    assert got == want
+
+
+def test_date_range_buckets_partition_events(spark):
+    """from-inclusive/to-exclusive edges; buckets tile the stream."""
+    t = load_tables(spark, SF)
+    got = {
+        r.bucket: r.doc_count
+        for r in textstats.date_range_agg(spark, t).collect()
+    }
+    total = t["events"].count()
+    assert sum(got.values()) == total
+    lo = t["events"].where(
+        F.col("ts") < F.lit("2024-01-10").cast("timestamp")
+    ).count()
+    hi = t["events"].where(
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp")
+    ).count()
+    assert got.get("*-2024-01-10", 0) == lo
+    assert got.get("2024-01-20-*", 0) == hi
+    assert got.get("2024-01-10-2024-01-20", 0) == total - lo - hi
+
+
+def test_geo_bounds_enclose_centroid(spark):
+    """Per-lang invariants: bounds are a box, the centroid sits inside
+    it, and counts sum to the corpus."""
+    t = load_tables(spark, SF)
+    bounds = {
+        r.lang: r for r in textstats.geo_bounds_agg(spark, t).collect()
+    }
+    cent = {
+        r.lang: r for r in textstats.geo_centroid_agg(spark, t).collect()
+    }
+    assert set(bounds) == set(cent)
+    assert sum(c.doc_count for c in cent.values()) == t["documents"].count()
+    for lang, b in bounds.items():
+        c = cent[lang]
+        assert b.bottom_lat <= b.top_lat and b.left_lon <= b.right_lon
+        assert b.bottom_lat <= c.centroid_lat <= b.top_lat
+        assert b.left_lon <= c.centroid_lon <= b.right_lon
+        # x.5-degree grid: bounds land exactly on half-degrees
+        for v in (b.top_lat, b.bottom_lat, b.left_lon, b.right_lon):
+            assert v == int(v) + 0.5 or v == int(v) - 0.5
+
+
+def test_geo_centroid_exact_mean(spark):
+    """The planar mean recomputed in Python — exact because every
+    coordinate is a multiple of 0.5 (dyadic, order-insensitive)."""
+    t = load_tables(spark, SF)
+    pts: dict = {}
+    for r in t["documents"].select("doc_id", "lang").collect():
+        lat = float((r.doc_id * 37 % 170) - 85) + 0.5
+        lon = float((r.doc_id * 73 % 360) - 180) + 0.5
+        pts.setdefault(r.lang, []).append((lat, lon))
+    got = {r.lang: r for r in textstats.geo_centroid_agg(spark, t).collect()}
+    for lang, ps in pts.items():
+        g = got[lang]
+        assert g.doc_count == len(ps)
+        assert g.centroid_lat == round(
+            sum(p[0] for p in ps) / len(ps), 6
+        )
+        assert g.centroid_lon == round(
+            sum(p[1] for p in ps) / len(ps), 6
+        )

@@ -696,3 +696,46 @@ def test_sort_null_order_is_es_contract(spark):
         else:
             assert max(null_idx) == len(null_idx) - 1
     con.close()
+
+
+def test_sample_deterministic_hash_bucket(spark):
+    """SAMPLE keeps exactly the rows whose doc_id hash bucket is 0 —
+    recomputed in Python — and is parallelism-invariant."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    t = load_tables(spark, SF_SMOKE)
+    st = parse_esql("FROM documents | SAMPLE 0.25 | KEEP doc_id")
+    got = sorted(r.doc_id for r in compile_spark(st, t).collect())
+    want = sorted(
+        r.doc_id
+        for r in t["documents"].select("doc_id").collect()
+        if ((r.doc_id % MOD + 1) * FP_MULT) % MOD % 4 == 0
+    )
+    assert got == want and 0 < len(got) < t["documents"].count()
+    # repartitioned input keeps the identical sample
+    t2 = dict(t)
+    t2["documents"] = t["documents"].repartition(7)
+    got2 = sorted(r.doc_id for r in compile_spark(st, t2).collect())
+    assert got2 == want
+
+
+def test_sample_validation():
+    with pytest.raises(ValueError, match="0 < p < 1"):
+        parse_esql("FROM documents | SAMPLE 1.5")
+    with pytest.raises(ValueError, match="1/k"):
+        parse_esql("FROM documents | SAMPLE 0.3")
+    # SAMPLE after LIMIT violates the trailing-commands contract
+    with pytest.raises(ValueError, match="trailing"):
+        parse_esql("FROM documents | LIMIT 5 | SAMPLE 0.25")
+
+
+def test_sample_both_engines(spark, duck):
+    """Dual render agrees engine-to-engine on the sampled aggregate."""
+    st = parse_esql(
+        "FROM documents | SAMPLE 0.5"
+        " | STATS n = COUNT(*) BY lang | SORT lang ASC"
+    )
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    got = [(r.lang, r.n) for r in compile_spark(st, t).collect()]
+    want = [tuple(r) for r in duck.execute(compile_sql(st)).fetchall()]
+    assert got == want

@@ -533,3 +533,60 @@ def test_bigram_lm_recompute(spark):
     for r in got:
         assert abs(r.cond_p - round(r.pair_n / r.w1_n, 6)) < 1e-9
         assert 0 < r.cond_p <= 1
+
+
+def test_doc_perplexity_recompute(spark):
+    """Per-doc bits/token recomputed in pure Python from corpus bigram
+    counts; every doc bigram is in-model (no smoothing needed)."""
+    t = load_tables(spark, SF_SMOKE)
+    pair: dict = {}
+    marg: dict = {}
+    docs = {}
+    for r in t["documents"].collect():
+        toks = tokenize(r.text)
+        docs[r.doc_id] = toks
+        for a, b in zip(toks, toks[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+            marg[a] = marg.get(a, 0) + 1
+    got = {r.doc_id: r for r in trainprep.doc_perplexity(spark, t).collect()}
+    assert set(got) == {d for d, tk in docs.items() if len(tk) >= 2}
+    for doc_id, toks in docs.items():
+        if len(toks) < 2:
+            continue
+        dtf: dict = {}
+        for a, b in zip(toks, toks[1:]):
+            dtf[(a, b)] = dtf.get((a, b), 0) + 1
+        # same sequential fold order as both engines: sorted (w1, w2)
+        s = 0.0
+        for (a, b) in sorted(dtf):
+            s += dtf[(a, b)] * math.log(marg[a] / pair[(a, b)])
+        n = len(toks) - 1
+        g = got[doc_id]
+        assert g.n_bigrams == n
+        assert abs(g.bits_per_token - round(s / math.log(2.0) / n, 6)) < 1e-9
+        assert g.bits_per_token >= 0.0
+
+
+def test_doc_perplexity_orders_repetition_below_rare_transitions(spark):
+    """The filter's reason to exist, on a controlled corpus: a doc made
+    of the model's DOMINANT transition (boilerplate) scores strictly
+    fewer bits/token than a doc of corpus-unique transitions
+    (gibberish). doc 0 repeats aa->aa 6 times; doc 1's bigrams each
+    occur once, three of them sharing doc 0's heavy left margin."""
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa aa aa aa aa aa"),
+            (1, "aa bb aa cc aa dd"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in trainprep.doc_perplexity(
+            spark, {"documents": docs}
+        ).collect()
+    }
+    assert got[0].n_bigrams == 6 and got[1].n_bigrams == 5
+    # P(aa|aa) = 6/9 -> ~0.585 bits; doc 1 averages ~1.9 bits
+    assert got[0].bits_per_token < got[1].bits_per_token
+    assert abs(got[0].bits_per_token - round(math.log2(9 / 6), 6)) < 1e-9

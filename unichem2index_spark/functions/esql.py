@@ -471,6 +471,25 @@ def parse_esql(q: str) -> list[tuple]:
             stages.append(
                 ("change_point", m8.group(1), m8.group(2), m8.group(3))
             )
+        elif cmd == "SAMPLE":
+            # SAMPLE <probability> (8.16+): ES keeps each row with
+            # pseudo-random probability p — not reproducible across
+            # runs. The engine's deterministic reading reuses the
+            # random_sampler_agg bucket hash on the pipeline's doc_id
+            # column: keep rows whose hash bucket is 0 out of
+            # round(1/p). p is restricted to 1/k (integer k >= 2) so
+            # the kept fraction is EXACT, and the same row is kept at
+            # any parallelism — the reproducibility contract ES's
+            # `seed` parameter only approximates.
+            p = float(rest.strip())
+            if not (0.0 < p < 1.0):
+                raise ValueError("ES|QL: SAMPLE needs 0 < p < 1")
+            den = round(1.0 / p)
+            if den < 2 or abs(1.0 / den - p) > 1e-9:
+                raise ValueError(
+                    "ES|QL: SAMPLE p must be 1/k for integer k >= 2"
+                )
+            stages.append(("sample", den))
         elif cmd == "LIMIT":
             stages.append(("limit", int(rest.strip())))
         else:
@@ -1080,6 +1099,17 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
                     F.round(mean_r, 6).alias("mean_after"),
                 )
             )
+        elif st[0] == "sample":
+            # Deterministic hash-bucket sample — a pushed-down map-side
+            # filter (no shuffle, no RNG state), so Catalyst prunes the
+            # scan before any downstream agg sees the dropped rows.
+            from unichem2index_spark.functions.hashing import (
+                FP_MULT,
+                MOD,
+            )
+
+            h = ((F.col("doc_id") % MOD + 1) * FP_MULT) % MOD % st[1]
+            df = df.where(h == 0)
         elif st[0] == "sort":
             # ES|QL treats null as LARGER than any value (asc → nulls
             # last, desc → nulls first). Spark's bare asc() is
@@ -1201,6 +1231,17 @@ FROM (
     ) WHERE _i < _N
   )
 ) WHERE _rk = 1"""
+        elif st[0] == "sample":
+            from unichem2index_spark.functions.hashing import (
+                FP_MULT,
+                MOD,
+            )
+
+            sql = (
+                f"SELECT * FROM ({sql}) WHERE "
+                f"((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} "
+                f"% {st[1]} = 0"
+            )
         elif st[0] == "sort":
             # explicit null order — the ES|QL null-is-largest contract
             # (DuckDB's configurable default_null_order must not leak in)

@@ -2129,3 +2129,125 @@ def random_sampler_agg(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def categorize_text_agg(
+    spark: SparkSession, t, n_prefix: int = 2, size: int = 10
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation: cluster semi-structured
+    messages into categories by token pattern and count each category —
+    the log-triage aggregation. ES runs a streaming drain-tree with
+    similarity thresholds whose output depends on document ARRIVAL
+    ORDER (explicitly not reproducible across shard layouts); the
+    engine's deterministic reading is the prefix-skeleton category: the
+    doc's first ``n_prefix`` analyzer tokens with number-bearing tokens
+    wildcarded to ``*`` (ES likewise strips tokens that look numeric
+    before matching). Same doc → same category at any parallelism.
+
+    Top-``size`` categories by doc_count desc, key asc — a total order,
+    so the cut is deterministic. Scale shape: the skeleton is a
+    map-side expression over the already-tokenized array (no explode —
+    ``slice`` reads only the prefix); ONE hash agg keyed by a short
+    string, then a top-N sort over category-cardinality rows."""
+    d = t["documents"]
+    key = F.concat_ws(
+        " ",
+        F.transform(
+            F.slice(tokens_col("text"), 1, n_prefix),
+            lambda x: F.when(x.rlike("[0-9]"), F.lit("*")).otherwise(x),
+        ),
+    )
+    return (
+        d.select(key.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("category"))
+        .limit(size)
+    )
+
+
+def date_range_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``date_range`` aggregation over the events stream: docs
+    bucketed by timestamp against explicit from/to edges (from
+    inclusive, to exclusive — the ES contract), unbounded ends spelled
+    ``*``. The calendar twin of the numeric ``range`` aggregation
+    (:func:`range_agg`), and the first cut of every time-windowed
+    dashboard.
+
+    Scale shape: the bucket key is ONE map-side CASE on the timestamp
+    column (comparisons against literal timestamps — pushable,
+    codegen'd); one 3-row hash agg. At 100 TB the CASE arms align with
+    time-partition pruning when the table is partitioned by day."""
+    e = t["events"]
+    b1, b2 = "2024-01-10", "2024-01-20"
+    key = (
+        F.when(F.col("ts") < F.lit(b1).cast("timestamp"), f"*-{b1}")
+        .when(F.col("ts") < F.lit(b2).cast("timestamp"), f"{b1}-{b2}")
+        .otherwise(f"{b2}-*")
+    )
+    return (
+        e.select(key.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def _geo_point():
+    """The shared runtime geo_point derivation (same as
+    :func:`geotile_grid_agg` / :func:`geo_distance_agg`): grid points
+    at x.5 degrees, so every coordinate is an exactly-representable
+    double and min/max/sum aggregates are EXACT on both engines."""
+    lat = ((F.col("doc_id") * 37 % 170) - 85).cast("double") + 0.5
+    lon = ((F.col("doc_id") * 73 % 360) - 180).cast("double") + 0.5
+    return lat, lon
+
+
+def geo_bounds_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the smallest bounding box
+    enclosing each bucket's points, per lang — top_left = (max lat,
+    min lon), bottom_right = (min lat, max lon), flattened to four
+    numeric columns (struct outputs break pandas canonicalizers — the
+    repo's canon rule). ``wrap_longitude`` subtleties don't apply: the
+    deterministic runtime point never crosses the antimeridian.
+
+    Scale shape: four min/max aggregates over map-side projected
+    doubles — fully map-side combinable, one lang-cardinality hash
+    agg, exact arithmetic throughout (x.5-degree grid)."""
+    d = t["documents"]
+    lat, lon = _geo_point()
+    return (
+        d.select("lang", lat.alias("lat"), lon.alias("lon"))
+        .groupBy("lang")
+        .agg(
+            F.max("lat").alias("top_lat"),
+            F.min("lon").alias("left_lon"),
+            F.min("lat").alias("bottom_lat"),
+            F.max("lon").alias("right_lon"),
+        )
+        .orderBy("lang")
+    )
+
+
+def geo_centroid_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: the arithmetic mean point of
+    each bucket, per lang (ES computes exactly this planar mean of
+    lat/lon). Counts ride along as ES's ``count`` field.
+
+    Float-determinism: every coordinate is a multiple of 0.5, so
+    partial sums are EXACT integers-of-halves in doubles at any
+    partitioning — the mean is order-insensitive without a sorted
+    fold; round(6) at emit is belt-and-braces. Scale shape: one
+    map-side projection, one lang-cardinality hash agg of sum/count."""
+    d = t["documents"]
+    lat, lon = _geo_point()
+    return (
+        d.select("lang", lat.alias("lat"), lon.alias("lon"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("lat"), 6).alias("centroid_lat"),
+            F.round(F.avg("lon"), 6).alias("centroid_lon"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy("lang")
+    )

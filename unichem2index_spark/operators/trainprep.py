@@ -842,3 +842,73 @@ def bigram_lm(spark: SparkSession, t, size: int = 20) -> DataFrame:
         .orderBy(F.desc("pair_n"), F.asc("w1"), F.asc("w2"))
         .limit(size)
     )
+
+
+def doc_perplexity(spark: SparkSession, t) -> DataFrame:
+    """Per-document bigram LM quality score: bits per token under the
+    corpus's OWN bigram model (the :func:`bigram_lm` table) —
+    ``-1/n_bigrams · Σ log2 P(w_i | w_{i-1})``. The bigram upgrade of
+    :func:`~unichem2index_spark.operators.textstats.unigram_surprisal`
+    and the deterministic stand-in for CCNet's KenLM perplexity
+    bucketing: repetitive boilerplate scores LOW (its bigrams dominate
+    their left-margin), rare-transition gibberish scores HIGH. No
+    smoothing is needed because the model is trained on the corpus
+    being scored — every doc bigram has pair_n >= 1 by construction.
+
+    Float-determinism: same discipline as ``unigram_surprisal`` — the
+    per-doc sum of logs runs as an explicit sequential fold over the
+    doc's distinct bigrams sorted by (w1, w2), identical on both
+    engines; one round(6) at emit absorbs libm ULP.
+
+    Scale shape: the corpus bigram/margin tables are the same two hash
+    aggs :func:`bigram_lm` builds (vocab²-bounded, heavily map-side
+    combined); the per-doc join keys on (w1, w2) — no window, no
+    self-join — and the fold is map-side over each doc's bounded
+    distinct-bigram array."""
+    d = t["documents"]
+    pairs = (
+        d.select("doc_id", tokens_col("text").alias("tokens"))
+        .where(F.size("tokens") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1),"
+                    " i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    dtf = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    marg = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("w1_n"))
+    parts = (
+        dtf.join(big, ["w1", "w2"])
+        .join(marg, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct("w1", "w2", "cnt", "pair_n", "w1_n")
+                )
+            ).alias("parts"),
+        )
+    )
+    fold = F.aggregate(
+        "parts",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["cnt"].cast("double")
+        * F.log(s["w1_n"].cast("double") / s["pair_n"].cast("double")),
+    )
+    return parts.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            fold / F.log(F.lit(2.0)) / F.col("n_bigrams").cast("double"), 6
+        ).alias("bits_per_token"),
+    ).orderBy("doc_id")

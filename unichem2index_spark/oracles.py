@@ -5151,3 +5151,89 @@ FROM big JOIN marg USING (w1)
 ORDER BY pair_n DESC, w1 ASC, w2 ASC
 LIMIT 20
 """
+
+DOC_PERPLEXITY = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+dtf AS (
+  SELECT doc_id, w1, w2, count(*) AS cnt FROM pairs
+  GROUP BY doc_id, w1, w2
+),
+big AS (SELECT w1, w2, count(*) AS pair_n FROM pairs GROUP BY w1, w2),
+marg AS (SELECT w1, count(*) AS w1_n FROM pairs GROUP BY w1),
+folded AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         list_reduce(
+           list_prepend(0.0,
+             list(CAST(cnt AS DOUBLE)
+                  * ln(CAST(w1_n AS DOUBLE) / CAST(pair_n AS DOUBLE))
+                  ORDER BY w1, w2)),
+           (x, y) -> x + y
+         ) AS s
+  FROM dtf JOIN big USING (w1, w2) JOIN marg USING (w1)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(s / ln(2.0) / CAST(n_bigrams AS DOUBLE), 6) AS bits_per_token
+FROM folded ORDER BY doc_id
+"""
+
+CATEGORIZE_TEXT = f"""
+WITH keyed AS (
+  SELECT array_to_string(
+           list_transform(t[1:2],
+             x -> CASE WHEN regexp_matches(x, '[0-9]')
+                       THEN '*' ELSE x END),
+           ' ') AS category
+  FROM (SELECT {TOKS} AS t FROM documents)
+)
+SELECT category, count(*) AS doc_count FROM keyed
+GROUP BY category
+ORDER BY doc_count DESC, category ASC
+LIMIT 10
+"""
+
+DATE_RANGE = """
+WITH keyed AS (
+  SELECT CASE
+           WHEN ts < TIMESTAMP '2024-01-10' THEN '*-2024-01-10'
+           WHEN ts < TIMESTAMP '2024-01-20'
+             THEN '2024-01-10-2024-01-20'
+           ELSE '2024-01-20-*'
+         END AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS doc_count FROM keyed
+GROUP BY bucket ORDER BY bucket
+"""
+
+_GEO_PTS = """
+  SELECT lang,
+         CAST((doc_id * 37 % 170) - 85 AS DOUBLE) + 0.5 AS lat,
+         CAST((doc_id * 73 % 360) - 180 AS DOUBLE) + 0.5 AS lon
+  FROM documents
+"""
+
+GEO_BOUNDS = f"""
+WITH pts AS ({_GEO_PTS})
+SELECT lang,
+       max(lat) AS top_lat,
+       min(lon) AS left_lon,
+       min(lat) AS bottom_lat,
+       max(lon) AS right_lon
+FROM pts GROUP BY lang ORDER BY lang
+"""
+
+GEO_CENTROID = f"""
+WITH pts AS ({_GEO_PTS})
+SELECT lang,
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon,
+       count(*) AS doc_count
+FROM pts GROUP BY lang ORDER BY lang
+"""
