@@ -1897,6 +1897,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_centroid_agg": _wrap(textstats.geo_centroid_agg),
         # ES|QL SAMPLE command (deterministic 1/4 hash bucket)
         "esql_sample": q_esql_sample,
+        # corpus-global duplicate-paragraph removal (C4 line dedup)
+        "paragraph_dedup": _wrap(trainprep.paragraph_dedup),
+        # within-source boilerplate-line stripping (site templates)
+        "boilerplate_strip": _wrap(trainprep.boilerplate_strip),
+        # CCNet head/middle/tail perplexity terciles per language
+        "perplexity_buckets": _wrap(trainprep.perplexity_buckets),
     }
 
 
@@ -2490,4 +2496,7 @@ def oracle_sql() -> dict[str, str]:
         "esql_sample": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_SAMPLE_QUERY)
         ),
+        "paragraph_dedup": oracles.PARAGRAPH_DEDUP,
+        "boilerplate_strip": oracles.BOILERPLATE_STRIP,
+        "perplexity_buckets": oracles.PERPLEXITY_BUCKETS,
     }

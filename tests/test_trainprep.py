@@ -590,3 +590,96 @@ def test_doc_perplexity_orders_repetition_below_rare_transitions(spark):
     # P(aa|aa) = 6/9 -> ~0.585 bits; doc 1 averages ~1.9 bits
     assert got[0].bits_per_token < got[1].bits_per_token
     assert abs(got[0].bits_per_token - round(math.log2(9 / 6), 6)) < 1e-9
+
+
+def test_paragraph_dedup_recompute(spark, tables, corpus):
+    """Pure-Python recompute of the corpus-global keep-first paragraph
+    dedup, including the rebuilt-document fingerprint."""
+    import hashlib
+
+    _, by_id = corpus
+    n = trainprep.PARA_CHUNK
+    seen: set[str] = set()
+    exp: dict[int, tuple[int, int, str]] = {}
+    for doc_id in sorted(by_id):
+        toks = tokenize(by_id[doc_id].text)
+        if not toks:
+            continue
+        paras = [
+            " ".join(toks[i : i + n]) for i in range(0, len(toks), n)
+        ]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        fp = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        exp[doc_id] = (len(paras), len(kept), fp)
+
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.clean_fp)
+        for r in trainprep.paragraph_dedup(spark, tables).collect()
+    }
+    assert got == exp
+    # the corpus must contain at least one removed paragraph (planted
+    # duplicate docs), else the operator is untested
+    assert any(k < p for p, k, _ in exp.values())
+
+
+def test_boilerplate_strip_recompute(spark, tables, corpus):
+    import hashlib
+    from collections import defaultdict
+
+    _, by_id = corpus
+    n = trainprep.BOILER_CHUNK
+    lines: dict[int, list[str]] = {}
+    df_docs: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for doc_id, r in by_id.items():
+        toks = tokenize(r.text)
+        if not toks:
+            continue
+        ls = [" ".join(toks[i : i + n]) for i in range(0, len(toks), n)]
+        lines[doc_id] = ls
+        for l in ls:
+            df_docs[(r.source, l)].add(doc_id)
+    boiler = {
+        key for key, docs in df_docs.items()
+        if len(docs) >= trainprep.BOILER_MIN_DOCS
+    }
+    exp = {}
+    for doc_id, ls in lines.items():
+        src = by_id[doc_id].source
+        kept = [l for l in ls if (src, l) not in boiler]
+        exp[doc_id] = (
+            len(ls),
+            len(ls) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_lines, r.n_boiler, r.clean_fp)
+        for r in trainprep.boilerplate_strip(spark, tables).collect()
+    }
+    assert got == exp
+    assert any(b > 0 for _, b, _ in exp.values())
+
+
+def test_perplexity_buckets_partition_and_order(spark, tables):
+    """Terciles partition each language's scored docs; bucket bit
+    ranges are ordered head <= middle <= tail and sizes differ by at
+    most one (ntile contract)."""
+    rows = trainprep.perplexity_buckets(spark, tables).collect()
+    by_lang: dict[str, dict[str, tuple[int, float, float]]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = (
+            r.n_docs, r.min_bits, r.max_bits,
+        )
+    scored = trainprep.doc_perplexity(spark, tables).count()
+    docs_with_lang = sum(n for b in by_lang.values() for n, _, _ in b.values())
+    assert docs_with_lang == scored
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}
+        sizes = [b[k][0] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1
+        assert b["head"][2] <= b["middle"][1] or b["head"][2] <= b["middle"][2]
+        assert b["middle"][2] <= b["tail"][2]
+        assert b["head"][1] <= b["head"][2]

@@ -912,3 +912,192 @@ def doc_perplexity(spark: SparkSession, t) -> DataFrame:
             fold / F.log(F.lit(2.0)) / F.col("n_bigrams").cast("double"), 6
         ).alias("bits_per_token"),
     ).orderBy("doc_id")
+
+
+# Derived-paragraph constants shared with the generated oracle SQL.
+# The synthetic corpus is newline-free, so "paragraphs" are fixed
+# PARA_CHUNK-token chunks; on real webtext the chunker is split('\n').
+PARA_CHUNK = 10
+# Boilerplate lines: BOILER_CHUNK-token non-overlapping chunks seen in
+# >= BOILER_MIN_DOCS distinct documents of the same source.
+BOILER_CHUNK = 3
+BOILER_MIN_DOCS = 2
+
+
+def paragraph_dedup(spark: SparkSession, t) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal — the C4/RefinedWeb
+    "remove repeated lines across the corpus" pass (ref analog: the
+    extractor's per-record clean step, extractor/extractor.go, scaled
+    from per-row to corpus-global). Keep-first semantics: the earliest
+    (doc_id, paragraph_index) occurrence of each paragraph survives;
+    every later occurrence anywhere in the corpus is dropped.
+
+    Scale shape (the part that matters at 100 TB): the shuffle for the
+    global keep-first carries ONLY (md5 digest, doc_id, idx) — 16-byte
+    key + two longs per paragraph, never the paragraph text. The clean
+    document is rebuilt map-side AFTER the verdict comes back, by
+    re-slicing the original token array at the kept indices — the text
+    itself stays co-partitioned with the source scan and is never
+    exchanged. One shuffle on the digest (skew-safe: md5 is uniform),
+    one shuffle back on doc_id.
+    """
+    d = t["documents"]
+    base = (
+        d.select("doc_id", tokens_col("text").alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    n = PARA_CHUNK
+    ex = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor((size(toks) - 1) / {n})"
+                f" AS INT)), i -> md5(concat_ws(' ',"
+                f" slice(toks, i * {n} + 1, {n}))))"
+            )
+        ).alias("idx", "h"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    verdict = ex.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "idx",
+        (F.col("rn") == 1).alias("keep"),
+    )
+    per_doc = verdict.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("keep"), F.col("idx")))
+        ).alias("kept_idx"),
+    )
+    rebuilt = per_doc.join(base, "doc_id").select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"transform(kept_idx, i -> concat_ws(' ',"
+                    f" slice(toks, i * {n} + 1, {n})))"
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    return rebuilt.orderBy("doc_id")
+
+
+def boilerplate_strip(spark: SparkSession, t) -> DataFrame:
+    """Within-source boilerplate-line removal: a line (non-overlapping
+    BOILER_CHUNK-token chunk) that appears in >= BOILER_MIN_DOCS
+    distinct documents of the SAME source is navigation/footer
+    boilerplate and is stripped from every document of that source —
+    the per-site template-removal pass of a web-crawl pipeline.
+
+    Scale shape: line df is a hash agg over (source, digest) with full
+    map-side combine; the boilerplate SET (lines with df >= K) is a
+    tiny high-df tail, so the verdict join back to the exploded lines
+    is a BROADCAST anti-join — the only wide exchange is the df agg on
+    the 16-byte digest. Rebuild is the same map-side re-slice as
+    :func:`paragraph_dedup` (text is never shuffled).
+    """
+    d = t["documents"]
+    base = (
+        d.select("doc_id", "source", tokens_col("text").alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    n = BOILER_CHUNK
+    ex = base.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor((size(toks) - 1) / {n})"
+                f" AS INT)), i -> md5(concat_ws(' ',"
+                f" slice(toks, i * {n} + 1, {n}))))"
+            )
+        ).alias("idx", "h"),
+    )
+    boiler = (
+        ex.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .where(F.col("df_docs") >= BOILER_MIN_DOCS)
+        .select("source", "h")
+    )
+    verdict = ex.join(
+        F.broadcast(boiler).withColumn("is_boiler", F.lit(True)),
+        ["source", "h"],
+        "left",
+    ).select(
+        "doc_id",
+        "idx",
+        F.coalesce("is_boiler", F.lit(False)).alias("boiler"),
+    )
+    per_doc = verdict.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boiler"),
+        F.sort_array(
+            F.collect_list(F.when(~F.col("boiler"), F.col("idx")))
+        ).alias("kept_idx"),
+    )
+    rebuilt = per_doc.join(base, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        "n_boiler",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"transform(kept_idx, i -> concat_ws(' ',"
+                    f" slice(toks, i * {n} + 1, {n})))"
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    return rebuilt.orderBy("doc_id")
+
+
+def perplexity_buckets(spark: SparkSession, t) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: rank every document by
+    its corpus-bigram perplexity (:func:`doc_perplexity`) WITHIN its
+    language and cut each language into perplexity terciles — head =
+    fluent (lowest bits/token), tail = noisiest. Training mixtures
+    up-weight head and drop tail.
+
+    Determinism: the tercile cut is ntile(3) over a total order
+    (bits_per_token, doc_id) — no ties to break arbitrarily; the
+    emitted per-bucket stats are count/min/max (exact picks, no
+    float summation, so no cross-engine ULP risk).
+
+    Scale shape: the LM costs are :func:`doc_perplexity`'s (two
+    vocab^2-bounded hash aggs + one bounded join); the tercile is one
+    window partitioned BY LANGUAGE — ~dozens of partitions each
+    sorted independently, never a single global sort.
+    """
+    from pyspark.sql.window import Window
+
+    ppl = doc_perplexity(spark, t)
+    langs = t["documents"].select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    tiled = (
+        ppl.join(langs, "doc_id")
+        .withColumn("tile", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tile"),
+            ),
+        )
+    )
+    return (
+        tiled.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("bits_per_token").alias("min_bits"),
+            F.max("bits_per_token").alias("max_bits"),
+        )
+        .orderBy("lang", "bucket")
+    )

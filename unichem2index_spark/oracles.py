@@ -5237,3 +5237,110 @@ SELECT lang,
        count(*) AS doc_count
 FROM pts GROUP BY lang ORDER BY lang
 """
+
+# --- corpus paragraph dedup / boilerplate strip / perplexity buckets ---
+# Constants mirror operators/trainprep.py: PARA_CHUNK=10, BOILER_CHUNK=3,
+# BOILER_MIN_DOCS=2.
+
+PARAGRAPH_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+ex AS (
+  SELECT doc_id, u.i AS idx,
+         array_to_string(list_slice(toks, u.i * 10 + 1, u.i * 10 + 10),
+                         ' ') AS para
+  FROM base, unnest(range(0, ((len(toks) - 1) // 10) + 1)) AS u(i)
+),
+v AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) = 1 AS keep
+  FROM ex
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(para, ' ' ORDER BY idx)
+                    FILTER (WHERE keep), '')) AS clean_fp
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+BOILERPLATE_STRIP = f"""
+WITH base AS (
+  SELECT doc_id, source, toks
+  FROM (SELECT doc_id, source, {TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+ex AS (
+  SELECT doc_id, source, u.i AS idx,
+         array_to_string(list_slice(toks, u.i * 3 + 1, u.i * 3 + 3),
+                         ' ') AS line
+  FROM base, unnest(range(0, ((len(toks) - 1) // 3) + 1)) AS u(i)
+),
+boiler AS (
+  SELECT source, md5(line) AS h
+  FROM ex GROUP BY source, md5(line)
+  HAVING count(DISTINCT doc_id) >= 2
+),
+v AS (
+  SELECT e.doc_id, e.idx, e.line, (b.h IS NOT NULL) AS is_boiler
+  FROM ex e LEFT JOIN boiler b
+    ON e.source = b.source AND md5(e.line) = b.h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       md5(coalesce(string_agg(line, ' ' ORDER BY idx)
+                    FILTER (WHERE NOT is_boiler), '')) AS clean_fp
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+PERPLEXITY_BUCKETS = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+dtf AS (
+  SELECT doc_id, w1, w2, count(*) AS cnt FROM pairs
+  GROUP BY doc_id, w1, w2
+),
+big AS (SELECT w1, w2, count(*) AS pair_n FROM pairs GROUP BY w1, w2),
+marg AS (SELECT w1, count(*) AS w1_n FROM pairs GROUP BY w1),
+folded AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         list_reduce(
+           list_prepend(0.0,
+             list(CAST(cnt AS DOUBLE)
+                  * ln(CAST(w1_n AS DOUBLE) / CAST(pair_n AS DOUBLE))
+                  ORDER BY w1, w2)),
+           (x, y) -> x + y
+         ) AS s
+  FROM dtf JOIN big USING (w1, w2) JOIN marg USING (w1)
+  GROUP BY doc_id
+),
+ppl AS (
+  SELECT doc_id,
+         round(s / ln(2.0) / CAST(n_bigrams AS DOUBLE), 6)
+           AS bits_per_token
+  FROM folded
+),
+tiled AS (
+  SELECT d.lang, p.bits_per_token,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY p.bits_per_token, p.doc_id) AS tile
+  FROM ppl p JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(bits_per_token) AS min_bits,
+       max(bits_per_token) AS max_bits
+FROM tiled GROUP BY lang, tile ORDER BY lang, bucket
+"""
