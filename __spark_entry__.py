@@ -759,6 +759,27 @@ ESQL_SAMPLE_QUERY = (
     " | SORT lang ASC"
 )
 
+# ES|QL FORK command (9.x): two branch sub-pipelines over the shared
+# scan, tagged _fork and unioned — the multi-strategy search shape.
+ESQL_FORK_QUERY = (
+    "FROM documents"
+    " | FORK"
+    "   (WHERE n_chars > 400 | EVAL sel = 'long')"
+    "   (WHERE contains_term(text, 'merge') | EVAL sel = 'merge')"
+    " | STATS n = COUNT(*), chars = SUM(n_chars) BY _fork, sel, lang"
+    " | SORT _fork ASC, sel ASC, lang ASC"
+)
+
+# ES|QL STATS BY CATEGORIZE (8.18): log-triage categories as a
+# grouping expression (deterministic prefix-skeleton reading).
+ESQL_CATEGORIZE_QUERY = (
+    "FROM documents"
+    " | STATS n = COUNT(*), chars = SUM(n_chars)"
+    " BY cat = CATEGORIZE(text)"
+    " | SORT n DESC, cat ASC"
+    " | LIMIT 10"
+)
+
 # ES|QL CHANGE_POINT command (8.18) over a BUCKET'd STATS series
 ESQL_CHANGE_POINT_QUERY = (
     "FROM events"
@@ -853,6 +874,26 @@ def q_esql_sample(spark, sf_dir):
 
     return compile_spark(
         parse_esql(ESQL_SAMPLE_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_fork(spark, sf_dir):
+    """ES|QL FORK (9.x): branch sub-pipelines over one scan, tagged
+    and unioned, dual-rendered (Spark UNION / SQL UNION ALL)."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_FORK_QUERY), load_tables(spark, sf_dir)
+    )
+
+
+def q_esql_categorize(spark, sf_dir):
+    """ES|QL STATS BY CATEGORIZE(text) (8.18): deterministic
+    prefix-skeleton categories as a grouping expression."""
+    from unichem2index_spark.functions.esql import compile_spark, parse_esql
+
+    return compile_spark(
+        parse_esql(ESQL_CATEGORIZE_QUERY), load_tables(spark, sf_dir)
     )
 
 
@@ -1903,6 +1944,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": _wrap(trainprep.boilerplate_strip),
         # CCNet head/middle/tail perplexity terciles per language
         "perplexity_buckets": _wrap(trainprep.perplexity_buckets),
+        # ES|QL FORK (multi-branch union over one scan)
+        "esql_fork": q_esql_fork,
+        # ES|QL STATS BY CATEGORIZE (log-triage grouping fn)
+        "esql_categorize": q_esql_categorize,
     }
 
 
@@ -2499,4 +2544,10 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": oracles.PARAGRAPH_DEDUP,
         "boilerplate_strip": oracles.BOILERPLATE_STRIP,
         "perplexity_buckets": oracles.PERPLEXITY_BUCKETS,
+        "esql_fork": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_FORK_QUERY)
+        ),
+        "esql_categorize": esql_mod.compile_sql(
+            esql_mod.parse_esql(ESQL_CATEGORIZE_QUERY)
+        ),
     }

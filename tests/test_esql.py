@@ -739,3 +739,77 @@ def test_sample_both_engines(spark, duck):
     got = [(r.lang, r.n) for r in compile_spark(st, t).collect()]
     want = [tuple(r) for r in duck.execute(compile_sql(st)).fetchall()]
     assert got == want
+
+
+def test_fork_parse_and_validation():
+    st = parse_esql(
+        "FROM documents | FORK (WHERE n_chars > 10) (LIMIT 3)"
+        " | SORT _fork ASC"
+    )
+    assert [s[0] for s in st] == ["from", "fork", "sort"]
+    assert len(st[1][1]) == 2
+    assert st[1][1][0][0][0] == "where"
+    assert st[1][1][1][0][0] == "limit"
+    with pytest.raises(ValueError, match=">= 2"):
+        parse_esql("FROM documents | FORK (WHERE n_chars > 10)")
+    with pytest.raises(ValueError, match="nested"):
+        parse_esql(
+            "FROM t | FORK (FORK (LIMIT 1) (LIMIT 2)) (LIMIT 3)"
+        )
+    with pytest.raises(ValueError, match="trailing"):
+        # tail check applies INSIDE a branch too
+        parse_esql("FROM t | FORK (LIMIT 3 | WHERE x == 1) (LIMIT 2)")
+
+
+def test_fork_union_semantics(spark):
+    """Rows land in every branch they match, tagged fork1/fork2, and
+    branch evals survive the union."""
+    t = load_tables(spark, SF_SMOKE)
+    st = parse_esql(
+        "FROM documents"
+        " | FORK (WHERE n_chars > 300 | EVAL sel = 'long')"
+        "        (WHERE lang == 'en' | EVAL sel = 'english')"
+        " | STATS n = COUNT(*) BY _fork, sel | SORT _fork ASC"
+    )
+    rows = compile_spark(st, t).collect()
+    docs = t["documents"].collect()
+    want1 = sum(1 for r in docs if r.n_chars > 300)
+    want2 = sum(1 for r in docs if r.lang == "en")
+    got = {(r._fork, r.sel): r.n for r in rows}
+    assert got == {("fork1", "long"): want1, ("fork2", "english"): want2}
+
+
+def test_fork_both_engines(spark, duck):
+    st = parse_esql(
+        "FROM documents"
+        " | FORK (WHERE n_chars > 300) (WHERE lang == 'en')"
+        " | STATS n = COUNT(*), chars = SUM(n_chars) BY _fork, lang"
+        " | SORT _fork ASC, lang ASC"
+    )
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    got = [(r._fork, r.lang, r.n, r.chars)
+           for r in compile_spark(st, t).collect()]
+    want = [tuple(r) for r in duck.execute(compile_sql(st)).fetchall()]
+    assert got == want
+
+
+def test_categorize_grouping(spark, duck):
+    """CATEGORIZE as a STATS BY expression matches the prefix-skeleton
+    recompute and the DuckDB render."""
+    from unichem2index_spark.functions.tokenize import tokenize
+
+    t = load_tables(spark, SF_SMOKE)
+    st = parse_esql(
+        "FROM documents | STATS n = COUNT(*) BY cat = CATEGORIZE(text)"
+        " | SORT n DESC, cat ASC | LIMIT 5"
+    )
+    rows = [(r.cat, r.n) for r in compile_spark(st, t).collect()]
+    from collections import Counter
+
+    c = Counter()
+    for r in t["documents"].collect():
+        toks = tokenize(r.text)[:2]
+        c[" ".join("*" if any(ch.isdigit() for ch in x) else x
+                   for x in toks)] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert rows == want

@@ -94,6 +94,7 @@ _AGGS = {
 }
 _FUNCS = {
     "round", "length", "abs", "contains_term", "split", "case", "bucket",
+    "categorize",
     "mv_count", "mv_max", "mv_min",
     "concat", "substring", "to_upper", "to_lower", "starts_with",
     "ends_with", "coalesce", "trim", "replace", "left", "right",
@@ -299,7 +300,7 @@ class _P:
 
 def parse_esql(q: str) -> list[tuple]:
     stages = []
-    parts = [p.strip() for p in q.strip().split("|")]
+    parts = [p.strip() for p in _split_pipes(q.strip())]
     if parts and parts[0].upper().startswith("ROW "):
         # ROW source (ES|QL): a literal one-row table — the pipe
         # playground / computed-constants source.
@@ -315,185 +316,12 @@ def parse_esql(q: str) -> list[tuple]:
     else:
         stages.append(("from", parts[0][5:].strip()))
     for part in parts[1:]:
-        cmd, _, rest = part.partition(" ")
-        cmd = cmd.upper()
-        if cmd == "WHERE":
-            stages.append(("where", _P(rest).expr()))
-        elif cmd == "EVAL":
-            assigns = []
-            for piece in _split_top(rest):
-                alias, _, e = piece.partition("=")
-                assigns.append((alias.strip(), _P(e).expr()))
-            stages.append(("eval", assigns))
-        elif cmd == "KEEP":
-            stages.append(("keep", [c.strip() for c in rest.split(",")]))
-        elif cmd == "DROP":
-            stages.append(("drop", [c.strip() for c in rest.split(",")]))
-        elif cmd == "RENAME":
-            pairs = []
-            for piece in rest.split(","):
-                m4 = re.fullmatch(
-                    r"\s*(\w+)\s+AS\s+(\w+)\s*", piece, re.IGNORECASE
-                )
-                if not m4:
-                    raise ValueError(f"ES|QL: bad RENAME clause {piece!r}")
-                pairs.append((m4.group(1), m4.group(2)))
-            stages.append(("rename", pairs))
-        elif cmd == "INLINESTATS":
-            aggpart, by = rest, []
-            m = re.search(r"\bBY\b", rest, re.IGNORECASE)
-            if m:
-                aggpart = rest[: m.start()]
-                by = [c.strip() for c in rest[m.end():].split(",")]
-            aggs = []
-            for piece in _split_top(aggpart):
-                alias, _, e = piece.partition("=")
-                aggs.append((alias.strip(), _P(e).expr()))
-            stages.append(("inlinestats", aggs, by))
-        elif cmd == "STATS":
-            aggpart, by = rest, []
-            m = re.search(r"\bBY\b", rest, re.IGNORECASE)
-            if m:
-                aggpart = rest[: m.start()]
-                # BY items: bare column, or alias = expr (8.x grouping
-                # expressions, incl. BUCKET) — top-level split so a
-                # BUCKET(ts, 1 day) comma doesn't shear the item.
-                for piece in _split_top(rest[m.end():]):
-                    piece = piece.strip()
-                    if re.fullmatch(r"\w+", piece):
-                        by.append((piece, None))
-                    else:
-                        m6 = re.match(r"(\w+)\s*=\s*(.+)", piece, re.DOTALL)
-                        if not m6 or m6.group(2).startswith("="):
-                            raise ValueError(
-                                f"ES|QL: bad STATS BY item {piece!r}"
-                            )
-                        by.append((m6.group(1), _P(m6.group(2)).expr()))
-            aggs = []
-            for piece in _split_top(aggpart):
-                alias, _, e = piece.partition("=")
-                # per-agg filter (8.16): alias = AGG(expr) WHERE cond
-                mw = re.search(r"\bWHERE\b", e, re.IGNORECASE)
-                cond = None
-                if mw:
-                    cond = _P(e[mw.end():]).expr()
-                    e = e[: mw.start()]
-                aggs.append((alias.strip(), _P(e).expr(), cond))
-            stages.append(("stats", aggs, by))
-        elif cmd == "SORT":
-            keys = []
-            for piece in rest.split(","):
-                bits = piece.split()
-                keys.append((bits[0], len(bits) > 1 and bits[1].upper() == "DESC"))
-            stages.append(("sort", keys))
-        elif cmd == "ENRICH":
-            m2 = re.fullmatch(
-                r"(\w+)\s+ON\s+(\w+)\s*==\s*(\w+)\s+WITH\s+(.+)",
-                rest.strip(), re.IGNORECASE,
-            )
-            if not m2:
-                raise ValueError(f"ES|QL: bad ENRICH clause {rest!r}")
-            stages.append(
-                (
-                    "enrich",
-                    m2.group(1),
-                    m2.group(2),
-                    m2.group(3),
-                    [c.strip() for c in m2.group(4).split(",")],
-                )
-            )
-        elif cmd == "LOOKUP":
-            m5 = re.fullmatch(
-                r"JOIN\s+(\w+)\s+ON\s+(\w+)", rest.strip(), re.IGNORECASE
-            )
-            if not m5:
-                raise ValueError(f"ES|QL: bad LOOKUP JOIN clause {rest!r}")
-            stages.append(("lookup", m5.group(1), m5.group(2)))
-        elif cmd == "MV_EXPAND":
-            col = rest.strip()
-            if not re.fullmatch(r"\w+", col):
-                raise ValueError(f"ES|QL: bad MV_EXPAND column {rest!r}")
-            stages.append(("mv_expand", col))
-        elif cmd == "GROK":
-            # GROK <field> '<pattern>': %{ALIAS:name} refs expand from
-            # the shared RE2-safe library (functions/ingestpipeline.py);
-            # the compiled stage is the same regexp_extract projection
-            # DISSECT lowers to, so it reuses that stage kind — grok is
-            # unanchored (ES semantics: match anywhere), dissect anchors.
-            from unichem2index_spark.functions.ingestpipeline import (
-                grok_to_regex,
-            )
+        stages.append(_parse_command(part))
+    _check_tail(stages)
+    return stages
 
-            m7 = re.fullmatch(
-                r"(\w+)\s+'([^']*)'", rest.strip()
-            ) or re.fullmatch(r'(\w+)\s+"([^"]*)"', rest.strip())
-            if not m7:
-                raise ValueError(f"ES|QL: bad GROK clause {rest!r}")
-            rx, names = grok_to_regex(m7.group(2))
-            if not names:
-                raise ValueError("ES|QL: GROK pattern has no named captures")
-            stages.append(("dissect", m7.group(1), rx, names))
-        elif cmd == "DISSECT":
-            m3 = re.fullmatch(
-                r"(\w+)\s+'([^']*)'", rest.strip()
-            ) or re.fullmatch(r'(\w+)\s+"([^"]*)"', rest.strip())
-            if not m3:
-                raise ValueError(f"ES|QL: bad DISSECT clause {rest!r}")
-            field, pat = m3.group(1), m3.group(2)
-            names = re.findall(r"%\{(\w+)\}", pat)
-            if not names:
-                raise ValueError("ES|QL: DISSECT pattern has no %{name}")
-            lits = re.split(r"%\{\w+\}", pat)
-            rx = "^" + re.escape(lits[0])
-            for i, lit in enumerate(lits[1:]):
-                last = i == len(names) - 1
-                esc = re.escape(lit)
-                rx += ("(.*)" if last and not lit else "(.*?)") + esc
-            rx += "$"
-            stages.append(("dissect", field, rx, names))
-        elif cmd == "CHANGE_POINT":
-            # CHANGE_POINT <value> ON <order> [BY <key>] (8.18): the
-            # most likely step change of the value series ordered by
-            # <order> — the same deterministic CUSUM-style scan
-            # statistic as textstats.change_point_agg, generalized to
-            # the piped table. BY is this dialect's per-series grouping
-            # (ES runs the command per index stream); ES's ML variant
-            # emits a pvalue and is not reproducible across runs — this
-            # one is, by construction. Integer value columns keep the
-            # prefix sums exact (the entry feeds a COUNT).
-            m8 = re.fullmatch(
-                r"(\w+)\s+ON\s+(\w+)(?:\s+BY\s+(\w+))?",
-                rest.strip(),
-                re.IGNORECASE,
-            )
-            if not m8:
-                raise ValueError(f"ES|QL: bad CHANGE_POINT clause {rest!r}")
-            stages.append(
-                ("change_point", m8.group(1), m8.group(2), m8.group(3))
-            )
-        elif cmd == "SAMPLE":
-            # SAMPLE <probability> (8.16+): ES keeps each row with
-            # pseudo-random probability p — not reproducible across
-            # runs. The engine's deterministic reading reuses the
-            # random_sampler_agg bucket hash on the pipeline's doc_id
-            # column: keep rows whose hash bucket is 0 out of
-            # round(1/p). p is restricted to 1/k (integer k >= 2) so
-            # the kept fraction is EXACT, and the same row is kept at
-            # any parallelism — the reproducibility contract ES's
-            # `seed` parameter only approximates.
-            p = float(rest.strip())
-            if not (0.0 < p < 1.0):
-                raise ValueError("ES|QL: SAMPLE needs 0 < p < 1")
-            den = round(1.0 / p)
-            if den < 2 or abs(1.0 / den - p) > 1e-9:
-                raise ValueError(
-                    "ES|QL: SAMPLE p must be 1/k for integer k >= 2"
-                )
-            stages.append(("sample", den))
-        elif cmd == "LIMIT":
-            stages.append(("limit", int(rest.strip())))
-        else:
-            raise ValueError(f"ES|QL: unknown command {cmd!r}")
+
+def _check_tail(stages: list[tuple]) -> None:
     # SORT/LIMIT must be trailing (the SQL render hoists them to the
     # outermost query; a mid-pipeline sort would silently reorder-only).
     seen_tail = False
@@ -501,8 +329,260 @@ def parse_esql(q: str) -> list[tuple]:
         if st[0] in ("sort", "limit"):
             seen_tail = True
         elif seen_tail:
-            raise ValueError("ES|QL: SORT/LIMIT must be the trailing commands")
-    return stages
+            raise ValueError(
+                "ES|QL: SORT/LIMIT must be the trailing commands"
+            )
+
+
+def _split_pipes(s: str) -> list[str]:
+    """Split a pipeline on | at paren depth 0, outside quotes — so
+    FORK branch sub-pipelines and quoted patterns survive intact."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "|" and depth == 0 and quote is None:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def _parse_command(part: str) -> tuple:
+    cmd, _, rest = part.partition(" ")
+    cmd = cmd.upper()
+    if cmd == "WHERE":
+        return (("where", _P(rest).expr()))
+    if cmd == "EVAL":
+        assigns = []
+        for piece in _split_top(rest):
+            alias, _, e = piece.partition("=")
+            assigns.append((alias.strip(), _P(e).expr()))
+        return (("eval", assigns))
+    if cmd == "KEEP":
+        return (("keep", [c.strip() for c in rest.split(",")]))
+    if cmd == "DROP":
+        return (("drop", [c.strip() for c in rest.split(",")]))
+    if cmd == "RENAME":
+        pairs = []
+        for piece in rest.split(","):
+            m4 = re.fullmatch(
+                r"\s*(\w+)\s+AS\s+(\w+)\s*", piece, re.IGNORECASE
+            )
+            if not m4:
+                raise ValueError(f"ES|QL: bad RENAME clause {piece!r}")
+            pairs.append((m4.group(1), m4.group(2)))
+        return (("rename", pairs))
+    if cmd == "INLINESTATS":
+        aggpart, by = rest, []
+        m = re.search(r"\bBY\b", rest, re.IGNORECASE)
+        if m:
+            aggpart = rest[: m.start()]
+            by = [c.strip() for c in rest[m.end():].split(",")]
+        aggs = []
+        for piece in _split_top(aggpart):
+            alias, _, e = piece.partition("=")
+            aggs.append((alias.strip(), _P(e).expr()))
+        return (("inlinestats", aggs, by))
+    if cmd == "STATS":
+        aggpart, by = rest, []
+        m = re.search(r"\bBY\b", rest, re.IGNORECASE)
+        if m:
+            aggpart = rest[: m.start()]
+            # BY items: bare column, or alias = expr (8.x grouping
+            # expressions, incl. BUCKET) — top-level split so a
+            # BUCKET(ts, 1 day) comma doesn't shear the item.
+            for piece in _split_top(rest[m.end():]):
+                piece = piece.strip()
+                if re.fullmatch(r"\w+", piece):
+                    by.append((piece, None))
+                else:
+                    m6 = re.match(r"(\w+)\s*=\s*(.+)", piece, re.DOTALL)
+                    if not m6 or m6.group(2).startswith("="):
+                        raise ValueError(
+                            f"ES|QL: bad STATS BY item {piece!r}"
+                        )
+                    by.append((m6.group(1), _P(m6.group(2)).expr()))
+        aggs = []
+        for piece in _split_top(aggpart):
+            alias, _, e = piece.partition("=")
+            # per-agg filter (8.16): alias = AGG(expr) WHERE cond
+            mw = re.search(r"\bWHERE\b", e, re.IGNORECASE)
+            cond = None
+            if mw:
+                cond = _P(e[mw.end():]).expr()
+                e = e[: mw.start()]
+            aggs.append((alias.strip(), _P(e).expr(), cond))
+        return (("stats", aggs, by))
+    if cmd == "SORT":
+        keys = []
+        for piece in rest.split(","):
+            bits = piece.split()
+            keys.append((bits[0], len(bits) > 1 and bits[1].upper() == "DESC"))
+        return (("sort", keys))
+    if cmd == "ENRICH":
+        m2 = re.fullmatch(
+            r"(\w+)\s+ON\s+(\w+)\s*==\s*(\w+)\s+WITH\s+(.+)",
+            rest.strip(), re.IGNORECASE,
+        )
+        if not m2:
+            raise ValueError(f"ES|QL: bad ENRICH clause {rest!r}")
+        return (
+            (
+                "enrich",
+                m2.group(1),
+                m2.group(2),
+                m2.group(3),
+                [c.strip() for c in m2.group(4).split(",")],
+            )
+        )
+    if cmd == "LOOKUP":
+        m5 = re.fullmatch(
+            r"JOIN\s+(\w+)\s+ON\s+(\w+)", rest.strip(), re.IGNORECASE
+        )
+        if not m5:
+            raise ValueError(f"ES|QL: bad LOOKUP JOIN clause {rest!r}")
+        return (("lookup", m5.group(1), m5.group(2)))
+    if cmd == "MV_EXPAND":
+        col = rest.strip()
+        if not re.fullmatch(r"\w+", col):
+            raise ValueError(f"ES|QL: bad MV_EXPAND column {rest!r}")
+        return (("mv_expand", col))
+    if cmd == "GROK":
+        # GROK <field> '<pattern>': %{ALIAS:name} refs expand from
+        # the shared RE2-safe library (functions/ingestpipeline.py);
+        # the compiled stage is the same regexp_extract projection
+        # DISSECT lowers to, so it reuses that stage kind — grok is
+        # unanchored (ES semantics: match anywhere), dissect anchors.
+        from unichem2index_spark.functions.ingestpipeline import (
+            grok_to_regex,
+        )
+
+        m7 = re.fullmatch(
+            r"(\w+)\s+'([^']*)'", rest.strip()
+        ) or re.fullmatch(r'(\w+)\s+"([^"]*)"', rest.strip())
+        if not m7:
+            raise ValueError(f"ES|QL: bad GROK clause {rest!r}")
+        rx, names = grok_to_regex(m7.group(2))
+        if not names:
+            raise ValueError("ES|QL: GROK pattern has no named captures")
+        return (("dissect", m7.group(1), rx, names))
+    if cmd == "DISSECT":
+        m3 = re.fullmatch(
+            r"(\w+)\s+'([^']*)'", rest.strip()
+        ) or re.fullmatch(r'(\w+)\s+"([^"]*)"', rest.strip())
+        if not m3:
+            raise ValueError(f"ES|QL: bad DISSECT clause {rest!r}")
+        field, pat = m3.group(1), m3.group(2)
+        names = re.findall(r"%\{(\w+)\}", pat)
+        if not names:
+            raise ValueError("ES|QL: DISSECT pattern has no %{name}")
+        lits = re.split(r"%\{\w+\}", pat)
+        rx = "^" + re.escape(lits[0])
+        for i, lit in enumerate(lits[1:]):
+            last = i == len(names) - 1
+            esc = re.escape(lit)
+            rx += ("(.*)" if last and not lit else "(.*?)") + esc
+        rx += "$"
+        return (("dissect", field, rx, names))
+    if cmd == "CHANGE_POINT":
+        # CHANGE_POINT <value> ON <order> [BY <key>] (8.18): the
+        # most likely step change of the value series ordered by
+        # <order> — the same deterministic CUSUM-style scan
+        # statistic as textstats.change_point_agg, generalized to
+        # the piped table. BY is this dialect's per-series grouping
+        # (ES runs the command per index stream); ES's ML variant
+        # emits a pvalue and is not reproducible across runs — this
+        # one is, by construction. Integer value columns keep the
+        # prefix sums exact (the entry feeds a COUNT).
+        m8 = re.fullmatch(
+            r"(\w+)\s+ON\s+(\w+)(?:\s+BY\s+(\w+))?",
+            rest.strip(),
+            re.IGNORECASE,
+        )
+        if not m8:
+            raise ValueError(f"ES|QL: bad CHANGE_POINT clause {rest!r}")
+        return (
+            ("change_point", m8.group(1), m8.group(2), m8.group(3))
+        )
+    if cmd == "SAMPLE":
+        # SAMPLE <probability> (8.16+): ES keeps each row with
+        # pseudo-random probability p — not reproducible across
+        # runs. The engine's deterministic reading reuses the
+        # random_sampler_agg bucket hash on the pipeline's doc_id
+        # column: keep rows whose hash bucket is 0 out of
+        # round(1/p). p is restricted to 1/k (integer k >= 2) so
+        # the kept fraction is EXACT, and the same row is kept at
+        # any parallelism — the reproducibility contract ES's
+        # `seed` parameter only approximates.
+        p = float(rest.strip())
+        if not (0.0 < p < 1.0):
+            raise ValueError("ES|QL: SAMPLE needs 0 < p < 1")
+        den = round(1.0 / p)
+        if den < 2 or abs(1.0 / den - p) > 1e-9:
+            raise ValueError(
+                "ES|QL: SAMPLE p must be 1/k for integer k >= 2"
+            )
+        return (("sample", den))
+    if cmd == "LIMIT":
+        return (("limit", int(rest.strip())))
+    if cmd == "FORK":
+        # FORK (branch) (branch) ... (ES|QL 9.x): run each branch
+        # sub-pipeline on the current table, tag rows with _fork =
+        # "fork1"/"fork2"/..., and union the results. Branches must
+        # produce union-compatible schemas (ES null-pads missing
+        # columns; this dialect requires agreement — unionByName
+        # raises otherwise, which is the honest failure). Nested FORK
+        # is rejected. Spark side is a plan-level UNION of the shared
+        # scan — Catalyst reuses the exchange where branches share
+        # prefixes.
+        branches = []
+        depth, cur, quote = 0, [], None
+        for ch in rest:
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    branches.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if depth != 0 or len(branches) < 2:
+            raise ValueError(
+                "ES|QL: FORK needs >= 2 parenthesized branches"
+            )
+        parsed = []
+        for b in branches:
+            sub = [
+                _parse_command(pc.strip())
+                for pc in _split_pipes(b)
+                if pc.strip()
+            ]
+            if any(s[0] == "fork" for s in sub):
+                raise ValueError("ES|QL: nested FORK is not supported")
+            _check_tail(sub)
+            parsed.append(sub)
+        return ("fork", parsed)
+    raise ValueError(f"ES|QL: unknown command {cmd!r}")
+
 
 
 def _split_top(s: str) -> list[str]:
@@ -579,6 +659,23 @@ def _sp(node) -> Column:
 
             return F.array_contains(
                 tokens_col(_sp(args[0])), str(args[1][1])
+            )
+        if fn == "categorize":
+            # STATS ... BY CATEGORIZE(text) (ES|QL 8.18): the same
+            # deterministic prefix-skeleton reading as
+            # textstats.categorize_text_agg — first 2 analyzer tokens,
+            # number-bearing tokens wildcarded (ES's drain tree depends
+            # on arrival order; this is reproducible at any layout).
+            from unichem2index_spark.functions.tokenize import tokens_col
+
+            return F.concat_ws(
+                " ",
+                F.transform(
+                    F.slice(tokens_col(_sp(args[0])), 1, 2),
+                    lambda x: F.when(
+                        x.rlike("[0-9]"), F.lit("*")
+                    ).otherwise(x),
+                ),
             )
         if fn == "count":
             return F.count(F.lit(1)) if args[0][0] == "star" else F.count(_sp(args[0]))
@@ -751,6 +848,16 @@ def _sq(node) -> str:
                 raise ValueError("ES|QL: SPLIT needs a quoted delimiter")
             d = args[1][1].replace("'", "''")
             return f"string_split({_sq(args[0])}, '{d}')"
+        if fn == "categorize":
+            from unichem2index_spark.functions.tokenize import TOKEN_PATTERN
+
+            return (
+                f"array_to_string(list_transform("
+                f"regexp_extract_all(lower({_sq(args[0])}), "
+                f"'{TOKEN_PATTERN}')[1:2], "
+                f"x -> CASE WHEN regexp_matches(x, '[0-9]') "
+                f"THEN '*' ELSE x END), ' ')"
+            )
         if fn == "contains_term":
             from unichem2index_spark.functions.tokenize import TOKEN_PATTERN
 
@@ -988,6 +1095,18 @@ def compile_spark(stages: list[tuple], tables: dict) -> DataFrame:
     for st in stages:
         if st[0] == "from":
             df = tables[st[1]]
+        elif st[0] == "df":
+            # internal: FORK seeds a branch with the current plan
+            df = st[1]
+        elif st[0] == "fork":
+            outs = []
+            for bi, branch in enumerate(st[1], 1):
+                bdf = compile_spark([("df", df)] + branch, tables)
+                outs.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
+            out = outs[0]
+            for bdf in outs[1:]:
+                out = out.unionByName(bdf)
+            df = out
         elif st[0] == "row":
             from pyspark.sql import SparkSession
 
@@ -1132,6 +1251,17 @@ def compile_sql(stages: list[tuple]) -> str:
     for st in stages:
         if st[0] == "from":
             sql = f"SELECT * FROM {st[1]}"
+        elif st[0] == "sql":
+            # internal: FORK seeds a branch with the current rendering
+            sql = st[1]
+        elif st[0] == "fork":
+            outs = []
+            for bi, branch in enumerate(st[1], 1):
+                bsql = compile_sql([("sql", sql)] + branch)
+                outs.append(
+                    f"SELECT *, 'fork{bi}' AS _fork FROM ({bsql})"
+                )
+            sql = " UNION ALL ".join(outs)
         elif st[0] == "row":
             evals = ", ".join(f"{_sq(e)} AS {a}" for a, e in st[1])
             sql = f"SELECT {evals}"
