@@ -1948,6 +1948,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fork": q_esql_fork,
         # ES|QL STATS BY CATEGORIZE (log-triage grouping fn)
         "esql_categorize": q_esql_categorize,
+        # EQL sample (unordered event-set match per key)
+        "eql_sample": _wrap(eventseq.eql_sample),
+        # ES nested + reverse_nested agg pair (parent-doc counts)
+        "nested_reverse_agg": _wrap(textstats.nested_reverse_agg),
     }
 
 
@@ -2550,4 +2554,6 @@ def oracle_sql() -> dict[str, str]:
         "esql_categorize": esql_mod.compile_sql(
             esql_mod.parse_esql(ESQL_CATEGORIZE_QUERY)
         ),
+        "eql_sample": oracles.EQL_SAMPLE,
+        "nested_reverse_agg": oracles.NESTED_REVERSE,
     }

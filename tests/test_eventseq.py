@@ -370,3 +370,57 @@ def test_eql_pipes_unique_head(spark):
     got = eventseq.eql_sequence_pipes(spark, t, head=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len({r.user_id for r in got}) == len(got)  # unique by key
+
+
+def test_eql_sample_recompute(spark):
+    """Brute-force recompute: per user, the (ts, event_id)-max event of
+    each filter; keys need BOTH filters; 20 smallest user_ids."""
+    t = load_tables(spark, SF_SMOKE)
+    ev = t["events"].collect()
+    best1, best2 = {}, {}
+    for r in ev:
+        k = (r.ts, r.event_id)
+        if r.event_type == "view":
+            if r.user_id not in best1 or k > best1[r.user_id][0]:
+                best1[r.user_id] = (k, r.event_id, r.ts)
+        if r.event_type == "purchase" and r.value > 50.0:
+            if r.user_id not in best2 or k > best2[r.user_id][0]:
+                best2[r.user_id] = (k, r.event_id, r.ts)
+    keys = sorted(set(best1) & set(best2))[:20]
+    want = [
+        (u, best1[u][1], best1[u][2], best2[u][1], best2[u][2])
+        for u in keys
+    ]
+    got = [
+        (r.user_id, r.s1_event_id, r.s1_ts, r.s2_event_id, r.s2_ts)
+        for r in eventseq.eql_sample(spark, t).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_nested_reverse_counts(spark):
+    """reverse_nested parent counts never exceed nested sentence counts
+    and match a pure-Python recompute."""
+    from collections import Counter, defaultdict
+
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.operators import textstats
+
+    t = load_tables(spark, SF_SMOKE)
+    sent = Counter()
+    parents = defaultdict(set)
+    for r in t["documents"].collect():
+        toks = tokenize(r.text)
+        for i in range(0, len(toks), 10):
+            sent[toks[i]] += 1
+            parents[toks[i]].add(r.doc_id)
+    want = sorted(
+        ((term, n, len(parents[term])) for term, n in sent.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    got = [
+        (r.term, r.n_sentences, r.n_docs)
+        for r in textstats.nested_reverse_agg(spark, t).collect()
+    ]
+    assert got == want
+    assert all(nd <= ns for _, ns, nd in got)

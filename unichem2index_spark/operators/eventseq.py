@@ -517,3 +517,56 @@ def eql_sequence_pipes(
         .orderBy("second_event_id")
         .limit(int(head))
     )
+
+
+def eql_sample(
+    spark: SparkSession,
+    t,
+    first: str = "view",
+    then: str = "purchase",
+    min_value: float = 50.0,
+    n_keys: int = 20,
+) -> DataFrame:
+    """EQL ``sample by user_id [any where type == first] [any where
+    type == then and value > v]`` (ES 8.6): UNORDERED event-set
+    matching — keys that have at least one event matching EVERY filter,
+    with one representative event per filter. Unlike ``sequence``,
+    time order between the steps does not matter.
+
+    Deterministic reading (documented): ES returns "the most recent"
+    event per filter and an unspecified choice of keys; here the
+    representative is the strict (ts, event_id)-max per key per filter,
+    and the sampled keys are the ``n_keys`` smallest user_ids — a total
+    order on both choices, so the result is layout-invariant.
+
+    Plan shape: each filter branch is a pushed-down scan filter + one
+    window partitioned by user_id (rows-desc row_number, kept row 1);
+    the branches then inner-join on user_id — same key as the windows,
+    so AQE reuses the exchange. No cross-filter explosion: each branch
+    is at most one row per key before the join."""
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+
+    def pick(cond, prefix):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.where(cond)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    a = pick(F.col("event_type") == first, "s1")
+    b = pick(
+        (F.col("event_type") == then) & (F.col("value") > min_value), "s2"
+    )
+    return (
+        a.join(b, "user_id")
+        .orderBy("user_id")
+        .limit(n_keys)
+    )

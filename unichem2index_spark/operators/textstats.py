@@ -2251,3 +2251,43 @@ def geo_centroid_agg(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def nested_reverse_agg(spark: SparkSession, t, size: int = 15) -> DataFrame:
+    """ES ``nested`` + ``reverse_nested`` aggregation pair: documents
+    carry an array of nested sentence sub-documents (here the derived
+    10-token chunks — the synthetic corpus is newline/sentence-free);
+    the nested agg buckets by each sentence's LEADING term and counts
+    sentence sub-docs, and the reverse_nested step counts the distinct
+    PARENT documents per bucket — the "how many products have a review
+    mentioning X" shape, where counting flattened rows would overcount
+    parents.
+
+    Plan shape: the nested path is one map-side transform over the
+    already-tokenized array (``element_at`` reads only each chunk's
+    first token — no chunk text is materialized) + explode; ONE hash
+    agg computes count(*) and count(DISTINCT doc_id) together; top-N
+    over bucket-cardinality rows. No join back to parents — the
+    reverse_nested count rides the same shuffle."""
+    d = t["documents"]
+    base = d.select("doc_id", tokens_col("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    firsts = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(toks) - 1) / 10)"
+                " AS INT)), i -> element_at(toks, i * 10 + 1))"
+            )
+        ).alias("term"),
+    )
+    return (
+        firsts.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_sentences"), F.asc("term"))
+        .limit(size)
+    )

@@ -5344,3 +5344,47 @@ SELECT lang,
        max(bits_per_token) AS max_bits
 FROM tiled GROUP BY lang, tile ORDER BY lang, bucket
 """
+
+# --- EQL sample (unordered event-set match, deterministic reading) ---
+
+EQL_SAMPLE = """
+WITH s1 AS (
+  SELECT user_id, event_id AS s1_event_id, ts AS s1_ts
+  FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, event_id AS s2_event_id, ts AS s2_ts
+  FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase' AND value > 50.0
+  ) WHERE rn = 1
+)
+SELECT user_id, s1_event_id, s1_ts, s2_event_id, s2_ts
+FROM s1 JOIN s2 USING (user_id)
+ORDER BY user_id LIMIT 20
+"""
+
+# --- ES nested + reverse_nested aggregation pair ---
+
+NESTED_REVERSE = f"""
+WITH base AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+firsts AS (
+  SELECT doc_id, toks[u.i * 10 + 1] AS term
+  FROM base, unnest(range(0, ((len(toks) - 1) // 10) + 1)) AS u(i)
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM firsts GROUP BY term
+ORDER BY n_sentences DESC, term ASC LIMIT 15
+"""
