@@ -27,6 +27,7 @@ from unichem2index_spark.operators import dedup, embdedup, multimodal, parity
 from unichem2index_spark.operators import eventseq, ingestpipe, parentchild
 from unichem2index_spark.operators import query as Q
 from unichem2index_spark.operators import similarity, textstats, trainprep
+from unichem2index_spark.operators import webgraph
 from unichem2index_spark.operators.build import (
     build_index,
     corpus_stats,
@@ -1952,6 +1953,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sample": _wrap(eventseq.eql_sample),
         # ES nested + reverse_nested agg pair (parent-doc counts)
         "nested_reverse_agg": _wrap(textstats.nested_reverse_agg),
+        # web-graph in-degree histogram (derived 3-out link graph)
+        "link_graph_stats": _wrap(webgraph.link_graph_stats),
+        # two power iterations of PageRank, fold-deterministic
+        "pagerank_2iter": _wrap(webgraph.pagerank_2iter),
     }
 
 
@@ -2556,4 +2561,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "eql_sample": oracles.EQL_SAMPLE,
         "nested_reverse_agg": oracles.NESTED_REVERSE,
+        "link_graph_stats": oracles.LINK_GRAPH_STATS,
+        "pagerank_2iter": oracles.PAGERANK_2ITER,
     }

@@ -1,0 +1,73 @@
+"""Web-graph operators: derived link graph, degree stats, PageRank —
+checked against a pure-Python recompute on the smoke corpus."""
+
+from __future__ import annotations
+
+from unichem2index_spark.functions.hashing import FP_MULT, MOD
+from unichem2index_spark.operators import webgraph
+from unichem2index_spark.sources.tables import load_tables
+
+from tests.conftest import SF_SMOKE
+
+
+def _py_graph(doc_ids):
+    n = len(doc_ids)
+    edges = set()
+    for d in doc_ids:
+        for j in (1, 2, 3):
+            dst = ((d % MOD + j) * FP_MULT) % MOD % n
+            if dst != d:
+                edges.add((d, dst))
+    return n, sorted(edges)
+
+
+def test_link_graph_stats_recompute(spark):
+    t = load_tables(spark, SF_SMOKE)
+    ids = [r.doc_id for r in t["documents"].select("doc_id").collect()]
+    n, edges = _py_graph(ids)
+    indeg = {d: 0 for d in ids}
+    for _, dst in edges:
+        indeg[dst] += 1
+    from collections import Counter
+
+    want = sorted(Counter(indeg.values()).items())
+    got = [
+        (r.in_deg, r.n_docs)
+        for r in webgraph.link_graph_stats(spark, t).collect()
+    ]
+    assert got == want
+    assert sum(c for _, c in got) == n
+    # non-uniform in-degree: the hash graph must not be a permutation
+    assert len(got) > 2
+
+
+def test_pagerank_recompute_and_mass(spark):
+    t = load_tables(spark, SF_SMOKE)
+    ids = sorted(r.doc_id for r in t["documents"].select("doc_id").collect())
+    n, edges = _py_graph(ids)
+    outdeg = {}
+    inlinks = {d: [] for d in ids}
+    for s, dst in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        inlinks[dst].append(s)
+    assert all(d in outdeg for d in ids), "dangling node in synth graph"
+    pr = {d: 1.0 / n for d in ids}
+    for _ in range(webgraph.PR_ITERS):
+        nxt = {}
+        for d in ids:
+            c = 0.0
+            for s in sorted(inlinks[d]):  # same fold order as engines
+                c += pr[s] / float(outdeg[s])
+            nxt[d] = 0.15 / n + 0.85 * c
+        pr = nxt
+    want = sorted(
+        ((d, round(pr[d], 9)) for d in ids),
+        key=lambda x: (-x[1], x[0]),
+    )[:20]
+    got = [
+        (r.doc_id, r.pagerank)
+        for r in webgraph.pagerank_2iter(spark, t).collect()
+    ]
+    assert got == want
+    # total rank mass conserved (no dangling): sum over ALL nodes ~ 1
+    assert abs(sum(pr.values()) - 1.0) < 1e-9

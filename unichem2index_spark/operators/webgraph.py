@@ -1,0 +1,140 @@
+"""Web-graph operators over the corpus: link-graph degree statistics
+and a fixed-iteration PageRank — the two graph computations every
+web-crawl pipeline runs between fetch and ranking (in-degree / PageRank
+feed both crawl frontier prioritization and quality weighting of
+training mixtures; ref analog: the reference treats each UCI as a node
+keyed for lookup, inchiDivider.go — here the node set is the document
+corpus itself).
+
+The synthetic corpus carries no hyperlinks, so the edge set is DERIVED
+deterministically from doc_ids with the repo's shared hash constants
+(functions/hashing.py): doc d emits an edge to
+``((d % MOD + j) * FP_MULT) % MOD % N`` for j in 1..3 — a fixed,
+engine-reproducible pseudo-random 3-out graph with non-uniform
+in-degree (hash collisions concentrate mass, which is exactly what
+PageRank must handle). On real webtext the edge extractor is an href
+parse over the html column; everything downstream of the ``edges``
+frame is unchanged.
+
+Float determinism: PageRank contribution sums use the repo's
+sequential-fold discipline (sort the contribution list by source id,
+fold left) so both engines add the same doubles in the same order —
+only IEEE-exact ops (+ * /), no libm — and round(9) at emit.
+
+Scale shape at 10^12 nodes: edges/deg/pr are all hash-partitioned on
+node id; each iteration is one shuffle-on-dst aggregate plus one
+co-partitioned join back (AQE reuses the exchange); no collect, no
+driver-side adjacency. Fixed iteration count keeps the lineage bounded
+(production would checkpoint between iterations — noted, not needed at
+2 iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+PR_DAMPING = 0.85
+PR_ITERS = 2
+OUT_LINKS = 3
+
+
+def _graph(t):
+    """(docs-with-n, distinct self-loop-free edges) shared frames."""
+    docs = t["documents"].select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("n"))
+    d = docs.crossJoin(F.broadcast(n_df))
+    dsts = F.array(
+        *[
+            ((F.col("doc_id") % MOD + F.lit(j)) * FP_MULT)
+            % MOD
+            % F.col("n")
+            for j in range(1, OUT_LINKS + 1)
+        ]
+    )
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(dsts).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return d, edges
+
+
+def link_graph_stats(spark: SparkSession, t) -> DataFrame:
+    """In-degree histogram of the link graph (0-in-degree nodes
+    included via a left join from the node set): the crawl-frontier
+    summary — how concentrated is the link mass. One shuffle-on-dst
+    count, one broadcast-scale left join, one tiny histogram agg."""
+    d, edges = _graph(t)
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+    per_node = d.join(
+        indeg, d.doc_id == indeg.dst, "left"
+    ).select("doc_id", F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+    return (
+        per_node.groupBy("in_deg")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("in_deg")
+    )
+
+
+def pagerank_2iter(spark: SparkSession, t, k: int = 20) -> DataFrame:
+    """Two power iterations of PageRank (damping 0.85) over the derived
+    link graph; top-k nodes by rounded rank. No dangling-mass term: a
+    node is dangling only if all 3 emitted edges self-collide mod N
+    (P ~ N^-2 per node — none exist at any test SF, and both renders
+    share the exact same edge semantics, so the twin stays
+    value-identical regardless); the standard dangling-sum term is the
+    documented production add-on. The per-dst contribution sum is a
+    sorted sequential fold (see module docstring) — bit-identical
+    across engines."""
+    d, edges = _graph(t)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src")
+    pr = d.select(
+        "doc_id",
+        (F.lit(1.0) / F.col("n").cast("double")).alias("pr"),
+    )
+    base = d.select(
+        "doc_id",
+        (F.lit(1.0 - PR_DAMPING) / F.col("n").cast("double")).alias(
+            "base"
+        ),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ed.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "src",
+                                (
+                                    F.col("pr")
+                                    / F.col("deg").cast("double")
+                                ).alias("v"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"],
+                ).alias("c")
+            )
+        )
+        pr = base.join(
+            contrib, base.doc_id == contrib.dst, "left"
+        ).select(
+            "doc_id",
+            (
+                F.col("base")
+                + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
+            ).alias("pr"),
+        )
+    out = pr.select("doc_id", F.round("pr", 9).alias("pagerank"))
+    return out.orderBy(F.desc("pagerank"), F.asc("doc_id")).limit(k)

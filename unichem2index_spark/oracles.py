@@ -5388,3 +5388,67 @@ SELECT term,
 FROM firsts GROUP BY term
 ORDER BY n_sentences DESC, term ASC LIMIT 15
 """
+
+# --- web-graph: derived 3-out link graph, degree stats, PageRank ---
+
+_GRAPH_CTE = f"""
+nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src,
+         ((d.doc_id % {MOD} + u.j) * {FP_MULT}) % {MOD} % nn.n AS dst
+  FROM documents d CROSS JOIN nn, unnest([1, 2, 3]) AS u(j)
+),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst)
+"""
+
+LINK_GRAPH_STATS = f"""
+WITH {_GRAPH_CTE},
+indeg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst)
+SELECT in_deg, CAST(count(*) AS BIGINT) AS n_docs FROM (
+  SELECT d.doc_id, CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+  FROM documents d LEFT JOIN indeg i ON d.doc_id = i.dst
+) GROUP BY in_deg ORDER BY in_deg
+"""
+
+PAGERANK_2ITER = f"""
+WITH {_GRAPH_CTE},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (
+  SELECT d.doc_id, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+  FROM documents d CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst,
+         list_reduce(
+           list_prepend(0.0,
+             list(p.pr / CAST(g.deg AS DOUBLE) ORDER BY e.src)),
+           (x, y) -> x + y) AS c
+  FROM edges e JOIN deg g USING (src) JOIN pr0 p ON p.doc_id = e.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT d.doc_id,
+         CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         + CAST(0.85 AS DOUBLE) * coalesce(c1.c, CAST(0.0 AS DOUBLE))
+           AS pr
+  FROM documents d CROSS JOIN nn LEFT JOIN c1 ON d.doc_id = c1.dst
+),
+c2 AS (
+  SELECT e.dst,
+         list_reduce(
+           list_prepend(0.0,
+             list(p.pr / CAST(g.deg AS DOUBLE) ORDER BY e.src)),
+           (x, y) -> x + y) AS c
+  FROM edges e JOIN deg g USING (src) JOIN pr1 p ON p.doc_id = e.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT d.doc_id,
+         CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         + CAST(0.85 AS DOUBLE) * coalesce(c2.c, CAST(0.0 AS DOUBLE))
+           AS pr
+  FROM documents d CROSS JOIN nn LEFT JOIN c2 ON d.doc_id = c2.dst
+)
+SELECT doc_id, round(pr, 9) AS pagerank
+FROM pr2 ORDER BY pagerank DESC, doc_id ASC LIMIT 20
+"""
