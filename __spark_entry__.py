@@ -878,6 +878,23 @@ def q_esql_sample(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (latest view at-or-before each purchase, per user):
+    union + one window pass, never a range-join explosion. Tie at equal
+    right ts broken by the max payload struct (event_id unique)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return eventseq.asof_join(
+        left, right, "user_id", "ts", ["event_id", "value"]
+    ).orderBy("event_id")
+
+
 def q_esql_fork(spark, sf_dir):
     """ES|QL FORK (9.x): branch sub-pipelines over one scan, tagged
     and unioned, dual-rendered (Spark UNION / SQL UNION ALL)."""
@@ -1957,6 +1974,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_stats": _wrap(webgraph.link_graph_stats),
         # two power iterations of PageRank, fold-deterministic
         "pagerank_2iter": _wrap(webgraph.pagerank_2iter),
+        # BPE tokenizer-training step 1: weighted char-pair counts
+        "bpe_first_merge": _wrap(trainprep.bpe_first_merge),
+        # OLAP CUBE grouping sets in one scan (Expand + one agg)
+        "cube_counts": _wrap(parity.cube_counts),
+        # as-of join (window formulation, no range explosion)
+        "asof_join": q_asof_join,
     }
 
 
@@ -2563,4 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_reverse_agg": oracles.NESTED_REVERSE,
         "link_graph_stats": oracles.LINK_GRAPH_STATS,
         "pagerank_2iter": oracles.PAGERANK_2ITER,
+        "bpe_first_merge": oracles.BPE_FIRST_MERGE,
+        "cube_counts": oracles.CUBE_COUNTS,
+        "asof_join": oracles.ASOF_JOIN,
     }

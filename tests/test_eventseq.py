@@ -424,3 +424,50 @@ def test_nested_reverse_counts(spark):
     ]
     assert got == want
     assert all(nd <= ns for _, ns, nd in got)
+
+
+def test_cube_counts_grouping_sets(spark):
+    """CUBE emits all four grouping sets consistently: per-cell counts
+    roll up exactly to marginals and grand total."""
+    from unichem2index_spark.operators import parity
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = parity.cube_counts(spark, t).collect()
+    cells = {(r.lang_k, r.source_k): r.n_docs for r in rows if r.gid == 0}
+    lang_m = {r.lang_k: r.n_docs for r in rows if r.gid == 1}
+    src_m = {r.source_k: r.n_docs for r in rows if r.gid == 2}
+    total = [r.n_docs for r in rows if r.gid == 3]
+    assert len(total) == 1
+    assert sum(cells.values()) == total[0]
+    for lang, n in lang_m.items():
+        assert n == sum(v for (lk, _), v in cells.items() if lk == lang)
+    for src, n in src_m.items():
+        assert n == sum(v for (_, sk), v in cells.items() if sk == src)
+
+
+def test_asof_join_entry_brute(spark):
+    """Entry-shaped as-of join vs per-row brute force with the
+    (ts, event_id)-max tie-break."""
+    import __spark_entry__ as entry
+
+    got = [
+        (r.user_id, r.event_id, r.asof_event_id, r.asof_value)
+        for r in entry.q_asof_join(spark, SF_SMOKE).collect()
+    ]
+    t = load_tables(spark, SF_SMOKE)
+    ev = t["events"].collect()
+    views = [r for r in ev if r.event_type == "view"]
+    want = []
+    for l in sorted(
+        (r for r in ev if r.event_type == "purchase"),
+        key=lambda r: r.event_id,
+    ):
+        cands = [
+            r for r in views if r.user_id == l.user_id and r.ts <= l.ts
+        ]
+        if cands:
+            b = max(cands, key=lambda r: (r.ts, r.event_id))
+            want.append((l.user_id, l.event_id, b.event_id, b.value))
+        else:
+            want.append((l.user_id, l.event_id, None, None))
+    assert got == want and len(got) > 0

@@ -683,3 +683,23 @@ def test_perplexity_buckets_partition_and_order(spark, tables):
         assert b["head"][2] <= b["middle"][1] or b["head"][2] <= b["middle"][2]
         assert b["middle"][2] <= b["tail"][2]
         assert b["head"][1] <= b["head"][2]
+
+
+def test_bpe_first_merge_recompute(spark, tables, corpus):
+    """Weighted char-pair counts match a pure-Python BPE step-1."""
+    from collections import Counter
+
+    _, by_id = corpus
+    freq = Counter()
+    for r in by_id.values():
+        freq.update(tokenize(r.text))
+    pairs = Counter()
+    for term, f in freq.items():
+        for i in range(len(term) - 1):
+            pairs[term[i : i + 2]] += f
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.pair, r.n)
+        for r in trainprep.bpe_first_merge(spark, tables).collect()
+    ]
+    assert got == want and len(got) == 20

@@ -406,3 +406,32 @@ def field_caps(
         "idx string, field string, es_type string, "
         "searchable boolean, aggregatable boolean",
     ).orderBy("idx", "field")
+
+
+def cube_counts(spark: SparkSession, t) -> DataFrame:
+    """OLAP CUBE over (lang, source): doc counts at every grouping-set
+    level with an explicit grouping id (2*grouping(lang) +
+    grouping(source) — spelled out rather than grouping_id() so both
+    engines share one bit order). Catalyst expands CUBE into a single
+    Expand + one hash agg — one scan for all four grouping sets, which
+    is the point at 100 TB (four separate GROUP BYs would be four
+    scans)."""
+    d = t["documents"]
+    gid = (
+        F.grouping("lang").cast("long") * 2
+        + F.grouping("source").cast("long")
+    )
+    return (
+        d.cube("lang", "source")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "gid",
+            F.coalesce("lang", F.lit("*")).alias("lang_k"),
+            F.coalesce("source", F.lit("*")).alias("source_k"),
+            "n_docs",
+        )
+        .orderBy("gid", "lang_k", "source_k")
+    )

@@ -1101,3 +1101,41 @@ def perplexity_buckets(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+def bpe_first_merge(spark: SparkSession, t, size: int = 20) -> DataFrame:
+    """The first step of BPE tokenizer training: corpus-weighted
+    adjacent-character-pair counts over the word-type vocabulary (the
+    pair with the max count becomes merge #1). Tokenizer training is
+    part of the training-data pipeline proper — the vocab is fit ON the
+    corpus being prepared.
+
+    Pairs are 2-char substrings (``substring(term, i, 2)``) weighted by
+    word frequency — identical 1-based semantics on both engines, no
+    char-split dialect divergence. Scale shape: the vocab agg is the
+    same map-side-combined (term, freq) hash agg the index builder
+    runs; pair explosion is over word TYPES (vocab-bounded, not corpus-
+    bounded), then one small hash agg — at 100 TB the heavy input pass
+    is the vocab count, everything after is megabytes."""
+    d = t["documents"]
+    words = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.length("term") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(term) - 1),"
+                " i -> substring(term, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(size)
+    )

@@ -5452,3 +5452,52 @@ pr2 AS (
 SELECT doc_id, round(pr, 9) AS pagerank
 FROM pr2 ORDER BY pagerank DESC, doc_id ASC LIMIT 20
 """
+
+# --- BPE first-merge pair counts / OLAP cube / as-of join entry ---
+
+BPE_FIRST_MERGE = f"""
+WITH words AS (
+  SELECT term, count(*) AS freq FROM (
+    SELECT unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term HAVING length(term) >= 2
+),
+pairs AS (
+  SELECT substring(term, u.i, 2) AS pair, freq
+  FROM words, unnest(range(1, length(term))) AS u(i)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+CUBE_COUNTS = """
+SELECT CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       coalesce(lang, '*') AS lang_k,
+       coalesce(source, '*') AS source_k,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY gid, lang_k, source_k
+"""
+
+ASOF_JOIN = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'view'
+),
+cand AS (
+  SELECT l.user_id, l.event_id, l.ts,
+         r.ts AS asof_ts, r.event_id AS asof_event_id,
+         r.value AS asof_value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST
+         ) AS rn
+  FROM l LEFT JOIN r
+    ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT user_id, event_id, ts, asof_ts, asof_event_id, asof_value
+FROM cand WHERE rn = 1 ORDER BY event_id
+"""
