@@ -1980,6 +1980,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": _wrap(parity.cube_counts),
         # as-of join (window formulation, no range explosion)
         "asof_join": q_asof_join,
+        # RAG sliding-window chunk table (32-token / 24-stride)
+        "rag_chunks": _wrap(trainprep.rag_chunks),
+        # Gopher within-doc duplicate-line character ratio
+        "dup_line_chars": _wrap(trainprep.dup_line_chars_ratio),
     }
 
 
@@ -2589,4 +2593,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_first_merge": oracles.BPE_FIRST_MERGE,
         "cube_counts": oracles.CUBE_COUNTS,
         "asof_join": oracles.ASOF_JOIN,
+        "rag_chunks": oracles.RAG_CHUNKS,
+        "dup_line_chars": oracles.DUP_LINE_CHARS,
     }

@@ -703,3 +703,84 @@ def test_bpe_first_merge_recompute(spark, tables, corpus):
         for r in trainprep.bpe_first_merge(spark, tables).collect()
     ]
     assert got == want and len(got) == 20
+
+
+def test_rag_chunks_recompute(spark, tables, corpus):
+    """Pure-Python recompute of the sliding-window RAG chunk table:
+    offsets, lengths, and content fingerprints."""
+    import hashlib
+
+    _, by_id = corpus
+    n, s = trainprep.RAG_CHUNK_TOKENS, trainprep.RAG_CHUNK_STRIDE
+    exp = {}
+    for doc_id, r in by_id.items():
+        toks = tokenize(r.text)
+        if not toks:
+            continue
+        for ci in range(0, (len(toks) - 1) // s + 1):
+            window = toks[ci * s : ci * s + n]
+            exp[(doc_id, ci)] = (
+                ci * s + 1,
+                len(window),
+                hashlib.md5(" ".join(window).encode()).hexdigest(),
+            )
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_toks, r.fp)
+        for r in trainprep.rag_chunks(spark, tables).collect()
+    }
+    assert got == exp
+    # overlap contract: consecutive chunks share n - s tokens, so any
+    # span of <= n - s tokens lies fully inside at least one chunk
+    assert n - s == 8
+    # non-trivial fixture: some doc must produce >= 2 chunks
+    assert any(ci >= 1 for _, ci in exp)
+
+
+def test_dup_line_chars_recompute(spark, tables, corpus):
+    """Pure-Python recompute of the within-document duplicate-line
+    character ratio (first occurrence never counts)."""
+    _, by_id = corpus
+    exp = {}
+    for doc_id, r in by_id.items():
+        toks = tokenize(r.text)
+        if not toks:
+            continue
+        ls = [" ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)]
+        seen: set[str] = set()
+        dup = tot = 0
+        for l in ls:
+            tot += len(l)
+            if l in seen:
+                dup += len(l)
+            seen.add(l)
+        ratio = dup / tot if tot else 0.0
+        exp[doc_id] = (dup, tot, round(ratio, 6), ratio <= 0.30)
+    got = {
+        r.doc_id: (r.dup_chars, r.total_chars, r.dup_ratio, r.keep)
+        for r in trainprep.dup_line_chars_ratio(spark, tables).collect()
+    }
+    assert got == exp
+
+
+def test_dup_line_chars_planted_repeats(spark):
+    """The sf0.001 corpus has no within-doc duplicate lines, so the dup
+    branch is exercised on a planted frame: a doc whose 10-token line
+    repeats 4x must count 3 duplicate copies and fail the 0.30 rule."""
+    line = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, (line + " ") * 4, "en", "s", 0),
+            (2, "unique words only here now", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: r
+        for r in trainprep.dup_line_chars_ratio(
+            spark, {"documents": docs}
+        ).collect()
+    }
+    assert got[1].dup_chars == 3 * len(line)
+    assert got[1].total_chars == 4 * len(line)
+    assert not got[1].keep and got[1].dup_ratio == 0.75
+    assert got[2].dup_chars == 0 and got[2].keep

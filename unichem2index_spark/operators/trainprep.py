@@ -1139,3 +1139,87 @@ def bpe_first_merge(spark: SparkSession, t, size: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(size)
     )
+
+
+RAG_CHUNK_TOKENS = 32
+RAG_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def rag_chunks(spark: SparkSession, t) -> DataFrame:
+    """Sliding-window chunking for retrieval corpora (RAG prep): fixed
+    RAG_CHUNK_TOKENS-token windows every RAG_CHUNK_STRIDE tokens (8-token
+    overlap so no answer span straddles a boundary unseen). Emits one row
+    per chunk with its token offset, length, and content fingerprint —
+    the table an embedding job consumes downstream.
+
+    Map-only: each doc's chunk list derives from its own token array
+    (``transform(sequence(...))`` + ``posexplode``) with NO shuffle; at
+    100 TB this runs at scan speed and the embedding fan-out inherits
+    the source partitioning. The output ORDER BY exists only for the
+    bounded gate frame."""
+    d = t["documents"]
+    base = d.select("doc_id", tokens_col("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n, s = RAG_CHUNK_TOKENS, RAG_CHUNK_STRIDE
+    ex = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor((size(toks) - 1) / {s})"
+                f" AS INT)), i -> struct(i * {s} + 1 AS start_tok,"
+                f" size(slice(toks, i * {s} + 1, {n})) AS n_toks,"
+                f" md5(concat_ws(' ', slice(toks, i * {s} + 1, {n}))) AS fp))"
+            )
+        ).alias("chunk_id", "c"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.col("c.n_toks").cast("long").alias("n_toks"),
+        F.col("c.fp").alias("fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def dup_line_chars_ratio(spark: SparkSession, t) -> DataFrame:
+    """Gopher repetition rule at LINE granularity: the fraction of a
+    document's characters inside duplicate lines (fixed 10-token chunks
+    standing in for lines; WITHIN-document duplicates, unlike the
+    corpus-global :func:`paragraph_dedup`). Gopher drops docs with more
+    than 0.30 of characters in duplicate lines; emitted with the keep
+    verdict. A line is a duplicate iff an identical line occurs earlier
+    in the same document (``array_position`` = first occurrence, so the
+    first copy never counts — Gopher's accounting).
+
+    Map-only JVM array expressions (zip_with + aggregate), no shuffle,
+    no Python workers: per-doc state is the doc's own line list, so the
+    pass runs at scan speed at any corpus size."""
+    d = t["documents"]
+    base = d.select("doc_id", tokens_col("text").alias("toks")).where(
+        F.size("toks") > 0
+    )
+    lines = F.expr(
+        "transform(sequence(0, CAST(floor((size(toks) - 1) / 10) AS INT)),"
+        " i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"
+    )
+    w = base.select("doc_id", lines.alias("lines"))
+    # chars in lines whose FIRST occurrence index is earlier (1-based i).
+    dup_chars = F.expr(
+        "aggregate(zip_with(lines, sequence(1, size(lines)),"
+        " (x, i) -> IF(array_position(lines, x) < i, length(x), 0)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    tot_chars = F.expr(
+        "aggregate(transform(lines, x -> length(x)), 0, (a, v) -> a + v)"
+    )
+    ratio = F.when(
+        tot_chars > 0, dup_chars.cast("double") / tot_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return w.select(
+        "doc_id",
+        dup_chars.cast("long").alias("dup_chars"),
+        tot_chars.cast("long").alias("total_chars"),
+        F.round(ratio, 6).alias("dup_ratio"),
+        (ratio <= 0.30).alias("keep"),
+    ).orderBy("doc_id")

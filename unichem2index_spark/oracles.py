@@ -5501,3 +5501,66 @@ cand AS (
 SELECT user_id, event_id, ts, asof_ts, asof_event_id, asof_value
 FROM cand WHERE rn = 1 ORDER BY event_id
 """
+
+# RAG sliding-window chunking: 32-token windows every 24 tokens.
+# DuckDB list_slice(l, a, b) is begin/end INCLUSIVE (Spark slice takes a
+# LENGTH); range(0, n) elements are 0-based like Spark's sequence here.
+RAG_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+ex AS (
+  SELECT doc_id, u.i AS chunk_id, u.i * 24 + 1 AS start_tok,
+         len(list_slice(toks, u.i * 24 + 1, u.i * 24 + 32)) AS n_toks,
+         md5(array_to_string(
+           list_slice(toks, u.i * 24 + 1, u.i * 24 + 32), ' ')) AS fp
+  FROM base, unnest(range(0, ((len(toks) - 1) // 24) + 1)) AS u(i)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(n_toks AS BIGINT) AS n_toks, fp
+FROM ex ORDER BY doc_id, chunk_id
+"""
+
+# Within-document duplicate-line character ratio (Gopher line rule).
+# lines built per doc from 0-based window index i (range elements);
+# duplicate test uses list_transform's 1-based (x, i) index against
+# list_position's 1-based first occurrence, matching Spark's
+# zip_with(sequence(1, n)) + array_position formulation.
+DUP_LINE_CHARS = f"""
+WITH base AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+w AS (
+  SELECT doc_id,
+         list_transform(range(0, ((len(toks) - 1) // 10) + 1),
+           i -> array_to_string(
+                  list_slice(toks, i * 10 + 1, i * 10 + 10), ' '))
+           AS lines
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0,
+           list_transform(lines, (x, i) ->
+             CASE WHEN list_position(lines, x) < i
+                  THEN length(x) ELSE 0 END)), (a, b) -> a + b)
+           AS dup_chars,
+         list_reduce(list_prepend(0,
+           list_transform(lines, x -> length(x))), (a, b) -> a + b)
+           AS total_chars
+  FROM w
+)
+SELECT doc_id,
+       CAST(dup_chars AS BIGINT) AS dup_chars,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       round(CASE WHEN total_chars > 0
+             THEN CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_ratio,
+       (CASE WHEN total_chars > 0
+             THEN CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+             ELSE 0.0 END) <= 0.30 AS keep
+FROM m ORDER BY doc_id
+"""
