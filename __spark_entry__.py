@@ -1984,6 +1984,18 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": _wrap(trainprep.rag_chunks),
         # Gopher within-doc duplicate-line character ratio
         "dup_line_chars": _wrap(trainprep.dup_line_chars_ratio),
+        # Zipf's-law slope fit over the top-100 vocabulary
+        "zipf_fit": _wrap(textstats.zipf_fit),
+        # Heaps'-law vocabulary-growth checkpoints (exact)
+        "heaps_law": _wrap(textstats.heaps_law),
+        # skip-gram (±2 left-context) PMI collocation table
+        "skipgram_pmi": _wrap(textstats.skipgram_pmi),
+        # ES geo_line agg (per-lang path, size-capped, sorted)
+        "geo_line_agg": _wrap(textstats.geo_line_agg),
+        # anchor-text aggregation over the derived link graph
+        "anchor_text_agg": _wrap(webgraph.anchor_text_agg),
+        # URL canonicalization + crawl-dedup inventory
+        "url_normalize_dedup": _wrap(trainprep.url_normalize_dedup),
     }
 
 
@@ -2595,4 +2607,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracles.ASOF_JOIN,
         "rag_chunks": oracles.RAG_CHUNKS,
         "dup_line_chars": oracles.DUP_LINE_CHARS,
+        "zipf_fit": oracles.ZIPF_FIT,
+        "heaps_law": oracles.HEAPS_LAW,
+        "skipgram_pmi": oracles.SKIPGRAM_PMI,
+        "geo_line_agg": oracles.GEO_LINE,
+        "anchor_text_agg": oracles.ANCHOR_TEXT,
+        "url_normalize_dedup": oracles.URL_NORMALIZE_DEDUP,
     }

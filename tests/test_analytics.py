@@ -943,3 +943,143 @@ def test_geo_centroid_exact_mean(spark):
         assert g.centroid_lon == round(
             sum(p[1] for p in ps) / len(ps), 6
         )
+
+
+def test_zipf_fit_recompute(spark):
+    """Least-squares recompute (numpy-free, same fold order) of the
+    Zipf slope/intercept over the top-100 vocabulary."""
+    import math
+    from collections import Counter
+
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.operators import textstats as TS
+    from unichem2index_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    cf = Counter()
+    for r in t["documents"].select("text").collect():
+        cf.update(tokenize(r.text))
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    sx = sy = sxy = sxx = 0.0
+    for rank, (_, c) in enumerate(top, start=1):
+        x, y = math.log(rank), math.log(c)
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    n = float(len(top))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    row = TS.zipf_fit(spark, t).collect()[0]
+    assert row.n_terms == len(top)
+    assert row.zipf_slope == round(slope, 6)
+    assert row.zipf_intercept == round(intercept, 6)
+    # synthetic sf0.001 text is flatter than natural prose (measured
+    # slope ~-0.18 on the smoke corpus); only require a negative fit
+    assert row.zipf_slope < -0.05
+
+
+def test_heaps_law_recompute(spark):
+    """Exact vocabulary-growth checkpoints vs a sequential scan."""
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.operators import textstats as TS
+    from unichem2index_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = {
+        r.doc_id: tokenize(r.text)
+        for r in t["documents"].select("doc_id", "text").collect()
+    }
+    seen: set[str] = set()
+    per_bucket_tokens: dict[int, int] = {}
+    per_bucket_new: dict[int, int] = {}
+    for d in sorted(rows):
+        b = d // TS.HEAPS_BUCKET_DOCS
+        toks = rows[d]
+        per_bucket_tokens[b] = per_bucket_tokens.get(b, 0) + len(toks)
+        for tok in toks:
+            if tok not in seen:
+                seen.add(tok)
+                per_bucket_new[b] = per_bucket_new.get(b, 0) + 1
+    exp, ct, cv = [], 0, 0
+    for b in sorted(per_bucket_tokens):
+        ct += per_bucket_tokens[b]
+        cv += per_bucket_new.get(b, 0)
+        exp.append((b, ct, cv))
+    got = [
+        (r.bucket, r.cum_tokens, r.cum_vocab)
+        for r in TS.heaps_law(spark, t).collect()
+    ]
+    assert got == exp
+    # growth curve is strictly monotone in tokens, non-decreasing in vocab
+    assert all(a[1] < b2[1] and a[2] <= b2[2] for a, b2 in zip(exp, exp[1:]))
+
+
+def test_skipgram_pmi_recompute(spark):
+    """Exact-count PMI recompute over the ±2 left-context pair table."""
+    import math
+    from collections import Counter
+
+    from unichem2index_spark.functions.tokenize import tokenize
+    from unichem2index_spark.operators import textstats as TS
+    from unichem2index_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    cab, ca, cb = Counter(), Counter(), Counter()
+    total = 0
+    for r in t["documents"].select("text").collect():
+        toks = tokenize(r.text)
+        if len(toks) < 2:
+            continue
+        prs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        prs += [(toks[i], toks[i + 2]) for i in range(len(toks) - 2)]
+        for a, b in prs:
+            cab[(a, b)] += 1
+            ca[a] += 1
+            cb[b] += 1
+            total += 1
+    top = sorted(cab.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    exp = [
+        (
+            a,
+            b,
+            n,
+            ca[a],
+            cb[b],
+            round(math.log((total * n) / (ca[a] * cb[b])), 6),
+        )
+        for (a, b), n in top
+    ]
+    got = [
+        (r.w1, r.w2, r.c_ab, r.c_a, r.c_b, r.pmi)
+        for r in TS.skipgram_pmi(spark, t).collect()
+    ]
+    assert got == exp
+
+
+def test_geo_line_recompute(spark):
+    """Per-lang path recompute: first 8 x.5-grid points in doc order."""
+    from unichem2index_spark.operators import textstats as TS
+    from unichem2index_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    by_lang: dict[str, list[int]] = {}
+    for r in t["documents"].select("doc_id", "lang").collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    exp = {}
+    for lang, ids in by_lang.items():
+        pts = []
+        for d in sorted(ids)[: TS.GEO_LINE_POINTS]:
+            lon = (d * 73 % 360) - 180 + 0.5
+            lat = (d * 37 % 170) - 85 + 0.5
+            pts.append(f"{lon:.1f},{lat:.1f}")
+        exp[lang] = (";".join(pts), len(ids))
+    got = {
+        r.lang: (r.line, r.n_points)
+        for r in TS.geo_line_agg(spark, t).collect()
+    }
+    assert got == exp

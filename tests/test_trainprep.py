@@ -784,3 +784,40 @@ def test_dup_line_chars_planted_repeats(spark):
     assert got[1].total_chars == 4 * len(line)
     assert not got[1].keep and got[1].dup_ratio == 0.75
     assert got[2].dup_chars == 0 and got[2].keep
+
+
+def test_url_normalize_dedup_recompute(spark, tables, corpus):
+    """Pure-Python recompute of URL synthesis + canonicalization +
+    duplicate grouping; the planted variants must collapse."""
+    import re
+
+    _, by_id = corpus
+    groups: dict[str, list[int]] = {}
+    for doc_id, r in by_id.items():
+        url = (
+            "https://"
+            + ("www." if doc_id % 3 == 0 else "")
+            + (r.source.upper() if doc_id % 7 == 0 else r.source)
+            + ".example.com/page/"
+            + str(doc_id % 50)
+            + ("/" if doc_id % 5 == 0 else "")
+            + ("?utm_source=feed&ref=rss" if doc_id % 4 == 0 else "")
+        )
+        canon = re.sub(r"\?.*$", "", url.lower())
+        canon = re.sub(r"^https://www\.", "https://", canon)
+        canon = re.sub(r"/$", "", canon)
+        groups.setdefault(canon, []).append(doc_id)
+    exp = {
+        u: (len(ids), min(ids))
+        for u, ids in groups.items()
+        if len(ids) >= 2
+    }
+    want = sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
+    got = [
+        (r.canon_url, (r.n_dups, r.keep_doc_id))
+        for r in trainprep.url_normalize_dedup(spark, tables).collect()
+    ]
+    assert got == want
+    # the variant noise must actually exercise the normalization:
+    # some group must mix docs whose RAW urls differ
+    assert any(n >= 2 for n, _ in exp.values())

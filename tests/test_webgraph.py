@@ -71,3 +71,33 @@ def test_pagerank_recompute_and_mass(spark):
     assert got == want
     # total rank mass conserved (no dangling): sum over ALL nodes ~ 1
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_anchor_text_recompute(spark):
+    """Pure-Python recompute of the per-target anchor-text rollup:
+    link counts, distinct anchors, and the (count desc, anchor asc)
+    argmax anchor."""
+    from collections import Counter, defaultdict
+
+    from unichem2index_spark.functions.tokenize import tokenize
+
+    t = load_tables(spark, SF_SMOKE)
+    rows = t["documents"].select("doc_id", "text").collect()
+    toks = {r.doc_id: tokenize(r.text) for r in rows}
+    n, edges = _py_graph(sorted(toks))
+    per_dst: dict[int, Counter] = defaultdict(Counter)
+    for src, dst in edges:
+        ts = toks[src]
+        if not ts:
+            continue
+        per_dst[dst][ts[(src + dst) % len(ts)]] += 1
+    exp = {}
+    for dst, c in per_dst.items():
+        top = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        exp[dst] = (sum(c.values()), len(c), top)
+    want = sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
+    got = [
+        (r.dst, (r.n_links, r.n_anchors, r.top_anchor))
+        for r in webgraph.anchor_text_agg(spark, t).collect()
+    ]
+    assert got == want

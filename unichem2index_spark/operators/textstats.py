@@ -2291,3 +2291,215 @@ def nested_reverse_agg(spark: SparkSession, t, size: int = 15) -> DataFrame:
         .orderBy(F.desc("n_sentences"), F.asc("term"))
         .limit(size)
     )
+
+
+def zipf_fit(spark: SparkSession, t, top_n: int = 100) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(collection frequency) vs ln(rank) for the top-``top_n`` terms —
+    the standard corpus-health diagnostic (natural text sits near slope
+    -1; a slope far off flags boilerplate domination or tokenizer
+    breakage before any training run).
+
+    Float discipline: ranks/cfs are exact integers; the four moment
+    sums (Sx, Sy, Sxy, Sxx) each run as an explicit sequential fold in
+    rank order from 0.0 (``F.aggregate`` over the rank-sorted list ==
+    DuckDB ``list_reduce`` over ``list(... ORDER BY rank)``) so both
+    engines add the same doubles in the same order; the slope/intercept
+    tree is one shared expression. Scale shape: the vocab agg is the
+    map-side-combined (term, cf) hash agg; the window ranks only the
+    ``LIMIT top_n`` frame (bounded rows); the fold is driver-free."""
+    from pyspark.sql.window import Window
+
+    d = t["documents"]
+    vocab = (
+        d.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(top_n)
+    )
+    ranked = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("term"))),
+    )
+    arr = ranked.agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "cf"))
+        ).alias("pts")
+    )
+    def _fold(expr: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(pts, p -> {expr}),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+    m = arr.select(
+        F.size("pts").cast("double").alias("n"),
+        _fold("ln(CAST(p.rank AS DOUBLE))").alias("sx"),
+        _fold("ln(CAST(p.cf AS DOUBLE))").alias("sy"),
+        _fold("ln(CAST(p.rank AS DOUBLE)) * ln(CAST(p.cf AS DOUBLE))").alias("sxy"),
+        _fold("ln(CAST(p.rank AS DOUBLE)) * ln(CAST(p.rank AS DOUBLE))").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+HEAPS_BUCKET_DOCS = 100
+
+
+def heaps_law(spark: SparkSession, t) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct vocabulary
+    vs cumulative token count at fixed checkpoints of HEAPS_BUCKET_DOCS
+    docs in doc_id order — the tokenizer-sizing / dedup-health curve (a
+    deduplicated corpus keeps growing vocabulary; a duplicated one
+    flattens early).
+
+    Exact (no sketch): a term's first appearance is min(doc_id) over its
+    postings — one map-side-combined hash agg on term; bucket rollups
+    and the two running sums are windows over the reduced ~n_docs/100
+    bucket frame. The 100-TB swap-in for the curve is the same shape
+    with approx_count_distinct per prefix documented as the sketch twin
+    (here the gate needs exact integers)."""
+    from pyspark.sql.window import Window
+
+    d = t["documents"]
+    b = F.floor(F.col("doc_id") / HEAPS_BUCKET_DOCS).alias("bucket")
+    toks_per_bucket = (
+        d.select(b, F.size(tokens_col("text")).alias("n_toks"))
+        .groupBy("bucket")
+        .agg(F.sum("n_toks").alias("bucket_tokens"))
+    )
+    first_seen = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(
+            F.floor(F.col("first_doc") / HEAPS_BUCKET_DOCS).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        toks_per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "bucket_tokens",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+        .withColumn("cum_vocab", F.sum("new_terms").over(w))
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    ).orderBy("bucket")
+
+
+def skipgram_pmi(spark: SparkSession, t, top_n: int = 20) -> DataFrame:
+    """Skip-gram PMI association table (word2vec-style window ±2, left
+    context only — each pair is (center, context-at-offset-1-or-2)):
+    pointwise mutual information ln(T·c(a,b) / (c(a·)·c(·b))) over exact
+    integer counts — the collocation statistics an embedding or
+    phrase-mining pass trains from. Top-``top_n`` pairs by raw count
+    (count desc, then w1/w2 asc — deterministic cut).
+
+    Scale shape: pairs come from TWO map-side transforms of each token
+    array with its 1- and 2-shifted self (flattened, no self-join, no
+    window); the pair table is hash-agged map-side-combined; margins
+    are two more aggs over the SAME pair frame, vocab-sized and
+    broadcast into the top slice. Everything integer until ONE divide
+    and ONE ln at emit."""
+    d = t["documents"]
+    # offset-2 rides the SAME 1..size-1 sequence with an in-bounds guard
+    # (sequence(1, size-2) would DESCEND to [1, 0] on 2-token docs);
+    # nulled out-of-bounds slots are filtered before the flatten.
+    pair_expr = (
+        "flatten(array("
+        " transform(sequence(1, size(tokens) - 1),"
+        "   i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2)),"
+        " filter(transform(sequence(1, size(tokens) - 1),"
+        "   i -> if(i <= size(tokens) - 2,"
+        "           struct(tokens[i - 1] AS w1, tokens[i + 1] AS w2),"
+        "           null)),"
+        "   x -> x is not null)))"
+    )
+    pairs = (
+        d.select(tokens_col("text").alias("tokens"))
+        .where(F.size("tokens") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    pairs = pairs.persist()
+    cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    cb = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c_b"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("t_pairs"))
+    top = (
+        cab.orderBy(F.desc("c_ab"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+        .join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("t_pairs") * F.col("c_ab")).cast("double")
+        / (F.col("c_a") * F.col("c_b")).cast("double")
+    )
+    out = top.select(
+        "w1",
+        "w2",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(pmi, 6).alias("pmi"),
+    ).orderBy(F.desc("c_ab"), F.asc("w1"), F.asc("w2"))
+    return out
+
+
+GEO_LINE_POINTS = 8
+
+
+def geo_line_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``geo_line`` aggregation: per language, the travel path of the
+    first GEO_LINE_POINTS points in doc_id (sort-field) order,
+    serialized "lon,lat;lon,lat;..." — ES truncates at size just like
+    the slice here. The geo_point is the same runtime x.5-degree-grid
+    derivation as :func:`geotile_grid_agg` (exactly representable
+    doubles; "%.1f" formatting round-trips them identically on both
+    engines).
+
+    Scale shape: ES caps geo_line at size points per bucket for the
+    same reason this plan stays bounded — collect_list holds ≤ the
+    bucket's rows but the emitted path is a fixed-size slice; the
+    production form pre-filters to a time/doc range so per-bucket state
+    is bounded. One hash agg keyed by lang, sort+slice inside the
+    aggregated array, no window."""
+    d = t["documents"]
+    lat = ((F.col("doc_id") * 37 % 170) - 85).cast("double") + 0.5
+    lon = ((F.col("doc_id") * 73 % 360) - 180).cast("double") + 0.5
+    pts = d.select(
+        "lang",
+        F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.format_string("%.1f,%.1f", lon, lat).alias("s"),
+        ).alias("p"),
+    )
+    return (
+        pts.groupBy("lang")
+        .agg(
+            F.expr(
+                f"concat_ws(';', transform(slice(sort_array(collect_list(p)),"
+                f" 1, {GEO_LINE_POINTS}), x -> x.s))"
+            ).alias("line"),
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+        )
+        .orderBy("lang")
+    )

@@ -1223,3 +1223,61 @@ def dup_line_chars_ratio(spark: SparkSession, t) -> DataFrame:
         F.round(ratio, 6).alias("dup_ratio"),
         (ratio <= 0.30).alias("keep"),
     ).orderBy("doc_id")
+
+
+def url_normalize_dedup(spark: SparkSession, t, k: int = 50) -> DataFrame:
+    """CommonCrawl-style URL canonicalization + dedup inventory: strip
+    the query string, the "www." host prefix, and the trailing slash,
+    lowercase, then group — re-crawls of the same page under tracking
+    parameters / host aliases collapse to one canonical key. Emits the
+    duplicate groups (n_dups >= 2) with the kept doc (min doc_id) —
+    the decision table a crawl-dedup pass writes.
+
+    The corpus has no url column, so a synthetic url derives
+    deterministically from (source, doc_id) with planted variant noise
+    (query-string suffix at doc_id%4==0, trailing slash at %5==0,
+    uppercased host at %7==0, "www." at %3==0) — the identical
+    expression renders in the oracle, the pii_scrub discipline, so the
+    normalization is provably non-vacuous. On real webtext the url
+    column replaces the synthesis; the normalization and group plan
+    are unchanged.
+
+    Scale shape: synthesis + normalization are map-side string
+    expressions; ONE hash agg on the canonical url (urls are short;
+    the 100-TB variant keys on md5(canon_url) and carries min(url),
+    the dedup_exact digest discipline); top-k bounds the frame."""
+    d = t["documents"]
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&ref=rss")
+        ).otherwise(F.lit("")),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(raw), r"\?.*$", ""),
+            r"^https://www\.",
+            "https://",
+        ),
+        r"/$",
+        "",
+    )
+    groups = (
+        d.select(norm.alias("canon_url"), "doc_id")
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .where(F.col("n_dups") >= 2)
+    )
+    return groups.orderBy(
+        F.desc("n_dups"), F.asc("canon_url")
+    ).limit(k)

@@ -138,3 +138,68 @@ def pagerank_2iter(spark: SparkSession, t, k: int = 20) -> DataFrame:
         )
     out = pr.select("doc_id", F.round("pr", 9).alias("pagerank"))
     return out.orderBy(F.desc("pagerank"), F.asc("doc_id")).limit(k)
+
+
+def anchor_text_agg(spark: SparkSession, t, k: int = 50) -> DataFrame:
+    """Anchor-text aggregation over the link graph: for each link
+    target, the most common anchor text across its in-links plus link
+    and distinct-anchor counts — the classic web-search signal (anchor
+    text describes the TARGET better than its own page does; it feeds
+    both ranking fields and query-expansion dictionaries).
+
+    The synthetic corpus has no hrefs, so each derived edge's anchor is
+    a deterministic token of the SOURCE doc — the token at 0-based
+    index (src + dst) % len (DuckDB's 1-based indexing adds 1),
+    engine-reproducible. On real
+    webtext the anchor is the href's inner text from the html parse;
+    everything downstream of the (src, dst, anchor) frame is unchanged.
+
+    Scale shape: anchor extraction joins edges to source docs on src
+    (co-partitioned with the doc table's own key); the (dst, anchor)
+    agg map-side combines; the per-target argmax is one window over the
+    reduced (dst, anchor) count frame. Top-k targets by in-link count
+    bounds the emitted frame."""
+    from pyspark.sql.window import Window
+
+    from unichem2index_spark.functions.tokenize import tokens_col
+
+    d, edges = _graph(t)
+    toks = (
+        t["documents"]
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    anch = (
+        edges.join(toks, edges.src == toks.doc_id)
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "toks[CAST((src + dst) % size(toks) AS INT)]"
+            ).alias("anchor"),
+        )
+    )
+    per_pair = anch.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("anchor"))
+    best = (
+        per_pair.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"))
+    )
+    stats = per_pair.groupBy("dst").agg(
+        F.sum("n").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+    )
+    return (
+        stats.join(best, "dst")
+        .select(
+            F.col("dst").cast("long").alias("dst"),
+            "n_links",
+            "n_anchors",
+            "top_anchor",
+        )
+        .orderBy(F.desc("n_links"), F.asc("dst"))
+        .limit(k)
+    )

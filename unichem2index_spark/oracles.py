@@ -5564,3 +5564,178 @@ SELECT doc_id,
              ELSE 0.0 END) <= 0.30 AS keep
 FROM m ORDER BY doc_id
 """
+
+# Zipf fit: four sequential folds in rank order (list_reduce with a
+# prepended 0.0 == F.aggregate from 0.0) then one shared slope tree.
+ZIPF_FIT = f"""
+WITH vocab AS (
+  SELECT term, count(*) AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents)
+  GROUP BY term ORDER BY cf DESC, term LIMIT 100
+),
+ranked AS (
+  SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rank
+  FROM vocab
+),
+arr AS (
+  SELECT list(struct_pack(rank := rank, cf := cf) ORDER BY rank) AS pts
+  FROM ranked
+),
+m AS (
+  SELECT CAST(len(pts) AS DOUBLE) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(pts, p -> ln(CAST(p.rank AS DOUBLE)))),
+           (a, v) -> a + v) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(pts, p -> ln(CAST(p.cf AS DOUBLE)))),
+           (a, v) -> a + v) AS sy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(pts, p -> ln(CAST(p.rank AS DOUBLE))
+                                     * ln(CAST(p.cf AS DOUBLE)))),
+           (a, v) -> a + v) AS sxy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(pts, p -> ln(CAST(p.rank AS DOUBLE))
+                                     * ln(CAST(p.rank AS DOUBLE)))),
+           (a, v) -> a + v) AS sxx
+  FROM arr
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS zipf_intercept
+FROM m
+"""
+
+HEAPS_LAW = f"""
+WITH base AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+tpb AS (
+  SELECT doc_id // 100 AS bucket, sum(len(toks)) AS bucket_tokens
+  FROM base GROUP BY doc_id // 100
+),
+fs AS (
+  SELECT min(doc_id) // 100 AS bucket, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY term
+),
+nv AS (SELECT bucket, count(*) AS new_terms FROM fs GROUP BY bucket)
+SELECT CAST(t.bucket AS BIGINT) AS bucket,
+       CAST(sum(t.bucket_tokens)
+            OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(n.new_terms, 0))
+            OVER (ORDER BY t.bucket) AS BIGINT) AS cum_vocab
+FROM tpb t LEFT JOIN nv n ON t.bucket = n.bucket
+ORDER BY bucket
+"""
+
+# fs buckets by the term's FIRST doc: min(doc_id) per term, then // 100.
+# Left-context skip-gram pairs: offsets +1 and +2 per center token.
+SKIPGRAM_PMI = f"""
+WITH base AS (
+  SELECT {TOKS} AS toks FROM documents
+  WHERE len({TOKS}) >= 2
+),
+pairs AS (
+  SELECT p.w1, p.w2 FROM (
+    SELECT unnest(flatten([
+      list_transform(range(1, len(toks)),
+        i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])),
+      list_transform(range(1, greatest(len(toks) - 1, 1)),
+        i -> struct_pack(w1 := toks[i], w2 := toks[i + 2]))
+    ])) AS p FROM base
+  )
+),
+cab AS (SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY w1, w2),
+ca AS (SELECT w1, count(*) AS c_a FROM pairs GROUP BY w1),
+cb AS (SELECT w2, count(*) AS c_b FROM pairs GROUP BY w2),
+tot AS (SELECT count(*) AS t_pairs FROM pairs),
+top AS (
+  SELECT * FROM cab ORDER BY c_ab DESC, w1, w2 LIMIT 20
+)
+SELECT t.w1, t.w2,
+       CAST(t.c_ab AS BIGINT) AS c_ab,
+       CAST(a.c_a AS BIGINT) AS c_a,
+       CAST(b.c_b AS BIGINT) AS c_b,
+       round(ln(CAST(x.t_pairs * t.c_ab AS DOUBLE)
+                / CAST(a.c_a * b.c_b AS DOUBLE)), 6) AS pmi
+FROM top t JOIN ca a USING (w1) JOIN cb b USING (w2) CROSS JOIN tot x
+ORDER BY c_ab DESC, w1, w2
+"""
+
+GEO_LINE = """
+WITH pts AS (
+  SELECT lang, doc_id,
+         printf('%.1f,%.1f',
+                CAST((doc_id * 73 % 360) - 180 AS DOUBLE) + 0.5,
+                CAST((doc_id * 37 % 170) - 85 AS DOUBLE) + 0.5) AS s
+  FROM documents
+)
+SELECT lang,
+       array_to_string(list(s ORDER BY doc_id)[1:8], ';') AS line,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY lang ORDER BY lang
+"""
+
+# Anchor = source doc's token at 0-based (src+dst) % len — DuckDB's
+# 1-based list indexing adds 1.
+ANCHOR_TEXT = f"""
+WITH {_GRAPH_CTE},
+toks AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0
+),
+anch AS (
+  SELECT e.dst,
+         t.toks[CAST((e.src + e.dst) % len(t.toks) AS BIGINT) + 1]
+           AS anchor
+  FROM edges e JOIN toks t ON e.src = t.doc_id
+),
+per_pair AS (
+  SELECT dst, anchor, count(*) AS n FROM anch GROUP BY dst, anchor
+),
+best AS (
+  SELECT dst, anchor AS top_anchor,
+         row_number() OVER (PARTITION BY dst
+                            ORDER BY n DESC, anchor) AS rn
+  FROM per_pair
+),
+stats AS (
+  SELECT dst, sum(n) AS n_links, count(*) AS n_anchors
+  FROM per_pair GROUP BY dst
+)
+SELECT CAST(s.dst AS BIGINT) AS dst,
+       CAST(s.n_links AS BIGINT) AS n_links,
+       CAST(s.n_anchors AS BIGINT) AS n_anchors,
+       b.top_anchor
+FROM stats s JOIN best b ON s.dst = b.dst AND b.rn = 1
+ORDER BY n_links DESC, dst LIMIT 50
+"""
+
+URL_NORMALIZE_DEDUP = """
+WITH raw AS (
+  SELECT doc_id,
+         'https://'
+         || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END
+         || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=rss'
+                 ELSE '' END AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '\\?.*$', ''),
+             '^https://www\\.', 'https://'),
+           '/$', '') AS canon_url
+  FROM raw
+)
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM norm GROUP BY canon_url HAVING count(*) >= 2
+ORDER BY n_dups DESC, canon_url LIMIT 50
+"""
