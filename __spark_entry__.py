@@ -1458,6 +1458,33 @@ def q_delete_by_query_lifecycle(spark, sf_dir):
     return Q.bm25_topk_wand(spark, idx, FLAGSHIP_TERMS, FLAGSHIP_K)
 
 
+def q_reindex_lifecycle(spark, sf_dir):
+    """Rows-only lifecycle op (ES _reindex): build a webtext index with a
+    live tombstone generation, reindex the `doclen < 120` slice into a
+    fresh destination re-sharded 4->8, and return the destination's
+    top-k — deterministic by construction. The strong oracle is
+    tests/test_reindex.py (doc_id preservation, tombstone + predicate
+    filtering, rank+score identity with a fresh build over exactly the
+    copied docs, positional-phrase identity)."""
+    import shutil
+
+    from unichem2index_spark.operators.ingest import build_index_from_webtext
+    from unichem2index_spark.operators.update import delete_by_query, reindex
+    from unichem2index_spark.schemas import WEBTEXT_SCHEMA
+    from unichem2index_spark.synth import gen_webtext
+
+    src = os.path.join(tempfile.gettempdir(), "u2i_reidx_src")
+    dst = os.path.join(tempfile.gettempdir(), "u2i_reidx_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    base = spark.createDataFrame(gen_webtext(150, seed=42), schema=WEBTEXT_SCHEMA)
+    build_index_from_webtext(spark, base, src, n_shards=4)
+    delete_by_query(spark, src, "doclen >= 160", build_id="entry-reidx-del")
+    reindex(spark, src, dst, predicate="doclen < 120", n_shards=8)
+    idx = Q.IndexHandle.open(spark, dst)
+    return Q.bm25_topk_wand(spark, idx, FLAGSHIP_TERMS, FLAGSHIP_K)
+
+
 def q_csv_roundtrip(spark, sf_dir):
     """S4/S5: pipe-CSV spool sink -> pipe-CSV source round-trip (ref:
     alter/spool2M.sql:13-35 spools '|' CSVs, alter/testDataLoader.go:42-61
@@ -1996,6 +2023,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": _wrap(webgraph.anchor_text_agg),
         # URL canonicalization + crawl-dedup inventory
         "url_normalize_dedup": _wrap(trainprep.url_normalize_dedup),
+        # ftfy-style cp1252-mojibake repair scan (map-only, no regex)
+        "fix_mojibake": _wrap(trainprep.fix_mojibake),
+        # UT1 domain-blocklist filter (suffix match, broadcast rules)
+        "domain_blocklist": _wrap(trainprep.domain_blocklist_filter),
+        # ES _reindex (postings-space copy, filter + reshard; rows-only)
+        "reindex_lifecycle": q_reindex_lifecycle,
     }
 
 
@@ -2613,4 +2646,6 @@ def oracle_sql() -> dict[str, str]:
         "geo_line_agg": oracles.GEO_LINE,
         "anchor_text_agg": oracles.ANCHOR_TEXT,
         "url_normalize_dedup": oracles.URL_NORMALIZE_DEDUP,
+        "fix_mojibake": oracles.fix_mojibake_sql(),
+        "domain_blocklist": oracles.DOMAIN_BLOCKLIST_FILTER,
     }

@@ -22,6 +22,7 @@ ROWS_ONLY = {
     "resize_images",
     "frame_sample",
     "delete_by_query_lifecycle",
+    "reindex_lifecycle",
     "cosine_topk_sq",
     "doclen_percentiles_approx",
     "cosine_topk_pq",

@@ -821,3 +821,76 @@ def test_url_normalize_dedup_recompute(spark, tables, corpus):
     # the variant noise must actually exercise the normalization:
     # some group must mix docs whose RAW urls differ
     assert any(n >= 2 for n, _ in exp.values())
+
+
+# --------------------------------------------------------------- mojibake
+def test_mojibake_table_is_cp1252_inverse():
+    """Every repair-table row must be the EXACT image of the real bug:
+    good UTF-8 text whose bytes were decoded as cp1252. If this holds,
+    the chained replace is the true inverse of the corruption."""
+    for bad, good in trainprep.MOJIBAKE_TABLE:
+        assert bad == good.encode("utf-8").decode("cp1252"), (bad, good)
+    # And the injection suffix is fully repairable: corrupting the
+    # repaired suffix reproduces it byte-for-byte.
+    repaired = trainprep.MOJIBAKE_SUFFIX
+    for bad, good in trainprep.MOJIBAKE_TABLE:
+        repaired = repaired.replace(bad, good)
+    assert repaired.encode("utf-8").decode("cp1252") == trainprep.MOJIBAKE_SUFFIX
+
+
+def test_fix_mojibake_recompute(spark, corpus, tables):
+    df, by_id = corpus
+    got = {
+        r.doc_id: (r.n_fixed, r.fixed_fp)
+        for r in trainprep.fix_mojibake(spark, tables).collect()
+    }
+    import hashlib
+
+    assert len(got) == len(by_id)
+    for doc_id, row in by_id.items():
+        t2 = row.text
+        if doc_id % 3 == 0:
+            t2 = t2 + trainprep.MOJIBAKE_SUFFIX * (doc_id % 2 + 1)
+        # Counts read the ORIGINAL t2 (the Spark/SQL expression shape);
+        # replacements chain — the table's pairs never overlap, asserted
+        # non-vacuously by the >= 4 check below.
+        n = sum(t2.count(bad) for bad, _ in trainprep.MOJIBAKE_TABLE)
+        fixed = t2
+        for bad, good in trainprep.MOJIBAKE_TABLE:
+            fixed = fixed.replace(bad, good)
+        exp_fp = hashlib.md5(fixed.encode("utf-8")).hexdigest()
+        assert got[doc_id] == (n, exp_fp), doc_id
+        if doc_id % 3 == 0:
+            assert n >= 4  # the injection really exercised the repair
+        else:
+            assert n == 0 and fixed == t2  # untouched docs pass through
+
+
+def test_domain_blocklist_recompute(spark, corpus, tables):
+    """Suffix-chain semantics recomputed in pure Python: a host is
+    blocked iff any label-suffix (down to 2 labels) is a blocklist
+    rule, and the reported rule is the lexicographic min of the
+    matching suffixes."""
+    df, by_id = corpus
+    rules = {
+        f"{s}.example.com"
+        for s in {r.source for r in by_id.values()}
+        if int(s.lstrip("src")) % 3 == 0
+    }
+    got = {
+        r.doc_id: (r.host, r.blocked, r.rule)
+        for r in trainprep.domain_blocklist_filter(spark, tables).collect()
+    }
+    assert len(got) == len(by_id)
+    subdomain_hit = False
+    for doc_id, row in by_id.items():
+        pre = "cdn." if doc_id % 4 == 0 else ("www." if doc_id % 4 == 1 else "")
+        host = f"{pre}{row.source}.example.com"
+        labels = host.split(".")
+        sufs = [".".join(labels[i:]) for i in range(len(labels) - 1)]
+        matched = sorted(s for s in sufs if s in rules)
+        exp = (host, bool(matched), matched[0] if matched else None)
+        assert got[doc_id] == exp, doc_id
+        if matched and pre:
+            subdomain_hit = True  # a subdomain host blocked by a PARENT rule
+    assert subdomain_hit

@@ -314,6 +314,138 @@ def pii_scrub(spark: SparkSession, t) -> DataFrame:
     )
 
 
+# ftfy-style mojibake repair table: the classic UTF-8-bytes-decoded-as-
+# cp1252 double-encoding bug (the dominant encoding defect in web crawls).
+# Each (bad, good) pair satisfies bad == good.encode("utf-8").decode("cp1252")
+# — asserted by tests/test_trainprep.py, so the table IS the inverse
+# of the real corruption, not a lookalike. Only cp1252-defined byte
+# sequences are included ('”' maps through undefined \x9d and is omitted).
+MOJIBAKE_TABLE: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("Ã©", "é"),        # Ã© -> é
+    ("Ã¨", "è"),        # Ã¨ -> è
+    ("Ã¼", "ü"),        # Ã¼ -> ü
+    ("Ã±", "ñ"),        # Ã± -> ñ
+    ("Ã§", "ç"),        # Ã§ -> ç
+]
+
+# Deterministic injection suffix (one hit per table row group below): the
+# synthetic corpus is ASCII-clean, so docs get a doc_id-derived mojibake
+# suffix — same expression in the DuckDB oracle — making the repair
+# genuinely exercised and the oracle non-vacuous (pii_scrub precedent).
+MOJIBAKE_SUFFIX = (
+    " cafÃ© donâ€™t Ã¼ber"
+    " â€œquoted"
+)
+
+
+def fix_mojibake(spark: SparkSession, t) -> DataFrame:
+    """Encoding-repair scan (ftfy's core fix, public knowledge): undo
+    UTF-8-decoded-as-cp1252 mojibake via a fixed confusable table and
+    report per-doc repair counts + a fingerprint of the repaired text.
+
+    Docs with doc_id % 3 == 0 get the deterministic mojibake suffix
+    (repeated 1 + doc_id % 2 times); everything else must pass through
+    untouched — the oracle hash proves both the repair and the no-op.
+    Map-only chained literal `replace` (JVM whole-stage codegen; no
+    regex, no Python). At 100 TB this is one narrow projection over the
+    text column — no shuffle, no UDF."""
+    docs = t["documents"]
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.lit(MOJIBAKE_SUFFIX), (F.col("doc_id") % 2 + 1).cast("int")
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    d = docs.select("doc_id", injected.alias("t2"))
+
+    fixed = F.col("t2")
+    n_fixed = F.lit(0)
+    for bad, good in MOJIBAKE_TABLE:
+        n_fixed = n_fixed + (
+            (F.length("t2") - F.length(F.replace(F.col("t2"), F.lit(bad))))
+            / F.lit(len(bad))
+        ).cast("int")
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return (
+        d.select(
+            "doc_id",
+            n_fixed.cast("int").alias("n_fixed"),
+            F.md5(fixed.cast("binary")).alias("fixed_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def domain_blocklist_filter(spark: SparkSession, t) -> DataFrame:
+    """UT1-style domain-blocklist filtering with parent-domain (suffix)
+    matching — the RefinedWeb/FineWeb URL-filter step: a host is blocked
+    if ANY suffix of its label chain (cdn.src3.example.com ->
+    [cdn.src3.example.com, src3.example.com, example.com] minus the bare
+    TLD) appears in the blocklist, so a rule for `src3.example.com`
+    blocks every subdomain.
+
+    The corpus has no host column, so hosts are synthesized
+    deterministically from (doc_id, source) — identical expression in
+    the DuckDB oracle — and the blocklist is the tiny dim frame of
+    sources whose numeric suffix % 3 == 0. Scale shape: the suffix
+    chain is a bounded map-side explode (≤ label count per doc, ~3-4),
+    the blocklist join is an explicit ``F.broadcast`` (UT1 is ~4M rules
+    — megabytes), and the verdict folds back with one map-side-combined
+    min-agg; no shuffle ever carries the corpus more than once."""
+    docs = t["documents"]
+    host = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("cdn."))
+        .when(F.col("doc_id") % 4 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    d = docs.select("doc_id", host.alias("host"))
+    parts = F.split(F.col("host"), r"\.")
+    n = F.size(parts)
+    cand = (
+        d.withColumn("parts", parts)
+        .withColumn("i", F.explode(F.sequence(F.lit(1), n - 1)))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.col("parts"), F.col("i"), F.size("parts") - F.col("i") + 1),
+                ".",
+            ).alias("cand"),
+        )
+    )
+    blocklist = (
+        docs.select("source")
+        .distinct()
+        .where(
+            F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int") % 3
+            == 0
+        )
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
+    )
+    hits = (
+        cand.join(F.broadcast(blocklist), cand.cand == blocklist.domain)
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("rule"))
+    )
+    return (
+        d.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.col("rule").isNotNull().alias("blocked"),
+            "rule",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to the fixture's
 # scale: the synthetic corpus is 10-99 tokens, so the length band is
 # shifted down from Gopher's 50-100k words).

@@ -519,3 +519,127 @@ def delete_by_query(
     )
     store.commit_and_gc(mf, [])
     return UpdateResult(store, gen, 0, n_deleted, time.time() - t0)
+
+
+def reindex(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    predicate: str | None = None,
+    n_shards: int | None = None,
+) -> dict:
+    """ES ``_reindex``: copy the LIVE documents of a source index (optionally
+    filtered by a metadata predicate over the docs table) into a brand-new
+    destination index, re-sharded if ``n_shards`` differs.
+
+    The reference rebuilds an index by re-running the full extract pipeline
+    into a fresh ES index (extractor/init.go:44-126 chooses full vs update
+    mode; loader.go:114-136 creates the destination). Here the index itself
+    is the source of truth — no raw ``_source`` is stored (the build keeps
+    only postings + docs/url_map, like a Lucene index with stored fields
+    disabled) — so reindex runs in POSTINGS space: decode the source blocks
+    to rows, keep docs surviving tombstones + the predicate, recompute
+    df/idf/avgdl over the kept corpus (the destination scores as if freshly
+    built over exactly those docs — ES semantics, where the new index owns
+    its own statistics), re-chunk into gen-0 blocks, and commit the
+    destination manifest LAST (crash before it leaves no readable dest).
+    doc_ids are preserved (never renumbered), so cross-index joins on
+    doc_id/url_map stay valid.
+
+    Scale shape: identical to :func:`compact` — one mapInPandas decode,
+    one semi-join on the kept doc_ids (broadcast-eligible when the filter
+    is selective), one groupBy(shard, term) re-chunk; per-task state is
+    bounded by (shard, term) group size, never a term's global df. The
+    predicate is pushed to the docs-table parquet scan.
+    """
+    t0 = time.time()
+    src = SegmentStore(src_dir)
+    mf = src.read_manifest()
+    gens = mf.get("generations", [0])
+    block_size = mf["block_size"]
+    positions = bool(mf.get("positions", False))
+    src_shards = int(mf.get("n_shards", 8))
+    out_shards = int(n_shards) if n_shards else src_shards
+
+    dest = SegmentStore(dest_dir)
+    if dest.exists():
+        raise ValueError(f"reindex destination already exists: {dest_dir}")
+
+    docs = src.read_committed(spark, "docs", gens)
+    dele = _committed_deletes(spark, src, gens)
+    if dele is not None:
+        docs = docs.join(dele, "doc_id", "left_anti")
+    if predicate:
+        docs = docs.where(predicate)
+    kept_docs = docs.drop("gen").withColumn("gen", F.lit(0))
+
+    live = kept_docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doclen").alias("tt")
+    ).collect()[0]
+    n_live, total_tokens = int(live.n), int(live.tt or 0)
+    avgdl = (float(total_tokens) / float(n_live)) if n_live else 0.0
+    if n_live == 0:
+        # The parquet store cannot represent a zero-table readable index
+        # (schema inference needs rows); surface the no-op explicitly
+        # instead of committing a dest that IndexHandle.open would reject.
+        raise ValueError("reindex matched 0 live documents; nothing to copy")
+
+    seg = src.read_committed(spark, "segments", gens)
+    seg_cols = ["shard", "term", "doc_gaps", "tfs", "dls"] + (
+        ["positions"] if positions else []
+    )
+    rows = seg.select(*seg_cols).mapInPandas(
+        _decode_rows(positions),
+        DECODED_POS_ROWS_SCHEMA if positions else DECODED_ROWS_SCHEMA,
+    )
+    # One semi-join enforces BOTH the tombstones and the predicate: the
+    # kept-docs frame already excludes them.
+    rows = rows.join(kept_docs.select("doc_id"), "doc_id", "left_semi")
+    if out_shards != src_shards:
+        rows = rows.withColumn(
+            "shard", (F.col("doc_id") % out_shards).cast("int")
+        )
+
+    tstats = (
+        rows.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .withColumn("idf", idf_col(n_live))
+    )
+    dest.write_table(tstats, "term_stats", max_files=8)
+    tstats_r = spark.read.parquet(dest.path("term_stats"))
+    enriched = rows.join(tstats_r.select("term", "idf"), "term")
+    segments = enriched.groupBy("shard", "term").applyInPandas(
+        _chunk_group(avgdl, block_size, positions),
+        POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA,
+    )
+    dest.write_segments(segments)
+    dest.write_gen_partition(kept_docs, "docs")
+    if src.exists("url_map"):
+        um = _live_url_map(spark, src, gens)
+        um = um.join(kept_docs.select("doc_id"), "doc_id", "left_semi")
+        dest.write_gen_partition(
+            um.drop("gen").withColumn("gen", F.lit(0)), "url_map"
+        )
+
+    # COMMIT LAST: until this write, dest has no manifest and open() fails
+    # cleanly; a retry after any crash starts from scratch (dest.exists()
+    # guard) — the source index is never touched.
+    dest.write_manifest(
+        {
+            "n_docs": n_live,
+            "avgdl": avgdl,
+            "total_tokens": total_tokens,
+            "n_shards": out_shards,
+            "block_size": block_size,
+            "format": "parquet-v3",
+            "next_doc_id": mf.get("next_doc_id"),
+            "generations": [0],
+            "tables": {},
+            "positions": positions,
+        }
+    )
+    return {
+        "n_docs": n_live,
+        "n_shards": out_shards,
+        "elapsed_sec": time.time() - t0,
+    }

@@ -5739,3 +5739,66 @@ SELECT canon_url,
 FROM norm GROUP BY canon_url HAVING count(*) >= 2
 ORDER BY n_dups DESC, canon_url LIMIT 50
 """
+
+
+def fix_mojibake_sql() -> str:
+    """Rendered from the SAME repair table the Spark path uses
+    (trainprep.MOJIBAKE_TABLE) — one source of truth for the
+    cp1252-double-encoding inverse."""
+    from unichem2index_spark.operators.trainprep import (
+        MOJIBAKE_SUFFIX,
+        MOJIBAKE_TABLE,
+    )
+
+    counts = " + ".join(
+        f"CAST((len(t2) - len(replace(t2, '{bad}', ''))) / {len(bad)} AS INT)"
+        for bad, _ in MOJIBAKE_TABLE
+    )
+    fixed = "t2"
+    for bad, good in MOJIBAKE_TABLE:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || repeat('{MOJIBAKE_SUFFIX}',
+                                  CAST(doc_id % 2 + 1 AS INT))
+              ELSE text END AS t2
+  FROM documents
+)
+SELECT doc_id,
+       CAST({counts} AS INT) AS n_fixed,
+       md5({fixed}) AS fixed_fp
+FROM d ORDER BY doc_id
+"""
+
+
+DOMAIN_BLOCKLIST_FILTER = """
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN 'cdn.'
+               WHEN doc_id % 4 = 1 THEN 'www.'
+               ELSE '' END) || source || '.example.com' AS host
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, host, string_split(host, '.') AS p FROM d
+),
+cand AS (
+  SELECT doc_id, array_to_string(p[i:], '.') AS cand
+  FROM parts, UNNEST(generate_series(1, len(p) - 1)) AS u(i)
+),
+bl AS (
+  SELECT DISTINCT source || '.example.com' AS domain
+  FROM documents
+  WHERE TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 = 0
+),
+hits AS (
+  SELECT doc_id, min(cand) AS rule
+  FROM cand JOIN bl ON cand.cand = bl.domain
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.host, (h.rule IS NOT NULL) AS blocked, h.rule
+FROM d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
