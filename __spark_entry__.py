@@ -2001,6 +2001,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_stats": _wrap(webgraph.link_graph_stats),
         # two power iterations of PageRank, fold-deterministic
         "pagerank_2iter": _wrap(webgraph.pagerank_2iter),
+        # two HITS iterations (hubs & authorities, max-normalized)
+        "hits_2iter": _wrap(webgraph.hits_2iter),
+        # word2vec negative-sampling CDF table (cnt^0.75 via sqrt-sqrt)
+        "negative_sampling": _wrap(trainprep.negative_sampling_table),
+        # cross-dump crawl diff (added/gone/changed/unchanged per source)
+        "crawl_snapshot_diff": _wrap(trainprep.crawl_snapshot_diff),
         # BPE tokenizer-training step 1: weighted char-pair counts
         "bpe_first_merge": _wrap(trainprep.bpe_first_merge),
         # OLAP CUBE grouping sets in one scan (Expand + one agg)
@@ -2648,4 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize_dedup": oracles.URL_NORMALIZE_DEDUP,
         "fix_mojibake": oracles.fix_mojibake_sql(),
         "domain_blocklist": oracles.DOMAIN_BLOCKLIST_FILTER,
+        "hits_2iter": oracles.HITS_2ITER,
+        "negative_sampling": oracles.NEGATIVE_SAMPLING_TABLE,
+        "crawl_snapshot_diff": oracles.CRAWL_SNAPSHOT_DIFF,
     }

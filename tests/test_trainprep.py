@@ -894,3 +894,58 @@ def test_domain_blocklist_recompute(spark, corpus, tables):
         if matched and pre:
             subdomain_hit = True  # a subdomain host blocked by a PARENT rule
     assert subdomain_hit
+
+
+def test_negative_sampling_recompute(spark, corpus, tables):
+    import math
+
+    _, by_id = corpus
+    cnt: dict[str, int] = {}
+    for r in by_id.values():
+        for tok in tokenize(r.text):
+            cnt[tok] = cnt.get(tok, 0) + 1
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    raws = [math.sqrt(math.sqrt(float(c) ** 3)) for _, c in order]
+    cum, run = [], 0.0
+    for x in raws:
+        run += x
+        cum.append(run)
+    tot = cum[-1]
+    want = [
+        (t_, c, round(r_ / tot, 9), round(cm / tot, 9))
+        for (t_, c), r_, cm in zip(order, raws, cum)
+    ][:50]
+    got = [
+        (r.term, r.cnt, r.prob, r.cum_prob)
+        for r in trainprep.negative_sampling_table(spark, tables).collect()
+    ]
+    assert got == want
+    # CDF sanity: strictly increasing, last overall value would be 1.0
+    assert all(b[3] > a[3] for a, b in zip(got, got[1:]))
+
+
+def test_crawl_snapshot_diff_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    want: dict[tuple[str, str], int] = {}
+    for d, r in by_id.items():
+        in_a = d % 11 != 0
+        in_b = d % 7 != 3
+        if not in_a and not in_b:
+            continue
+        if not in_a:
+            st = "added"
+        elif not in_b:
+            st = "gone"
+        elif d % 5 == 0:
+            st = "changed"
+        else:
+            st = "unchanged"
+        key = (r.source, st)
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.source, r.status): r.n_urls
+        for r in trainprep.crawl_snapshot_diff(spark, tables).collect()
+    }
+    assert got == want
+    # every status class is genuinely exercised
+    assert {s for _, s in got} == {"added", "gone", "changed", "unchanged"}

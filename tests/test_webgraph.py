@@ -101,3 +101,53 @@ def test_anchor_text_recompute(spark):
         for r in webgraph.anchor_text_agg(spark, t).collect()
     ]
     assert got == want
+
+
+def test_hits_recompute(spark):
+    """Pure-Python HITS (same fold order, max-normalized half-steps)
+    must match the Spark top-20 exactly after round(9)."""
+    t = load_tables(spark, SF_SMOKE)
+    ids = sorted(r.doc_id for r in t["documents"].select("doc_id").collect())
+    n, edges = _py_graph(ids)
+    inlinks = {d: [] for d in ids}
+    outlinks = {d: [] for d in ids}
+    for s, dst in edges:
+        inlinks[dst].append(s)
+        outlinks[s].append(dst)
+
+    def norm(vec):
+        m = max(vec.values())
+        return {d: v / m for d, v in vec.items()}
+
+    # iteration 1: a1 = in-degree (h0 == 1), h1 from a1
+    a = norm({d: float(len(inlinks[d])) for d in ids})
+    def fold_h(avec):
+        h = {}
+        for d in ids:
+            c = 0.0
+            for v in sorted(outlinks[d]):
+                c += avec[v]
+            h[d] = c
+        return norm(h)
+    def fold_a(hvec):
+        a2 = {}
+        for d in ids:
+            c = 0.0
+            for u in sorted(inlinks[d]):
+                c += hvec[u]
+            a2[d] = c
+        return norm(a2)
+    h = fold_h(a)
+    a = fold_a(h)
+    h = fold_h(a)
+    want = sorted(
+        ((d, round(a[d], 9), round(h[d], 9)) for d in ids),
+        key=lambda x: (-x[1], -x[2], x[0]),
+    )[:20]
+    got = [
+        (r.doc_id, r.authority, r.hub)
+        for r in webgraph.hits_2iter(spark, t).collect()
+    ]
+    assert got == want
+    # sanity: normalization pins the max of each vector to 1.0
+    assert max(v for _, v, _ in got) == 1.0

@@ -1413,3 +1413,101 @@ def url_normalize_dedup(spark: SparkSession, t, k: int = 50) -> DataFrame:
     return groups.orderBy(
         F.desc("n_dups"), F.asc("canon_url")
     ).limit(k)
+
+
+def negative_sampling_table(spark: SparkSession, t, k: int = 50) -> DataFrame:
+    """word2vec negative-sampling table (Mikolov et al. 2013): draw
+    probability ∝ count^0.75, emitted as an inverse-CDF table (term,
+    count, prob, cum_prob) ordered by (count desc, term) — the exact
+    structure the trainer samples against with a uniform draw.
+
+    Float discipline: count^0.75 is computed as sqrt(sqrt(c*c*c)) —
+    sqrt is IEEE-754 correctly-rounded, unlike libm pow, so both
+    engines produce bit-identical weights; the CDF is a running-window
+    sum over the SAME (count desc, term) order on both engines, and
+    the normalizer is max(cum) of that fold (positive increments, so
+    the last partial sum), never a separately-ordered SUM().
+
+    Scale shape: one map-side-combined vocab agg; the running sum is a
+    single-partition window over |vocab| rows (vocabulary, not corpus —
+    bounded; the two-level prefix-sum in terms_partition_agg is the
+    documented drop-in if vocab ever outgrows one task)."""
+    from pyspark.sql import Window
+
+    docs = t["documents"]
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("cnt").cast("double")
+    w = Window.orderBy(F.desc("cnt"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        vocab.withColumn("raw", F.sqrt(F.sqrt(c * c * c)))
+        .withColumn("cum_raw", F.sum("raw").over(w))
+    )
+    total = cum.agg(F.max("cum_raw").alias("tot"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("raw") / F.col("tot"), 9).alias("prob"),
+            F.round(F.col("cum_raw") / F.col("tot"), 9).alias("cum_prob"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def crawl_snapshot_diff(spark: SparkSession, t) -> DataFrame:
+    """Cross-dump crawl reconciliation: diff two crawl snapshots of the
+    same url space by content fingerprint and classify every url as
+    added / gone / changed / unchanged, counted per (source, status) —
+    the accounting step a recurring web crawl runs between dumps to
+    size its re-fetch and dedup work (CommonCrawl-style monthly dumps).
+
+    The corpus is a single snapshot, so the two dumps are DERIVED
+    deterministically: dump A omits urls with doc_id % 11 == 0 (not yet
+    crawled), dump B omits doc_id % 7 == 3 (dropped from the crawl) and
+    re-fetches doc_id % 5 == 0 with changed content — identical
+    expressions in the DuckDB oracle, so every status class is
+    populated and the hash is non-vacuous.
+
+    Scale shape: one full-outer join on url (hash-partitioned; both
+    sides are (url, 16-byte fp) projections, never the text) and one
+    tiny (source, status) agg — at two 10^12-doc dumps this is the
+    minimal-width shuffle for the question asked."""
+    docs = t["documents"]
+    url = F.concat(F.col("source"), F.lit("/"), F.col("doc_id"))
+    a = docs.where(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"), F.col("source").alias("src_a"),
+        F.md5(F.col("text").cast("binary")).alias("fp_a"),
+    )
+    b = docs.where(F.col("doc_id") % 7 != 3).select(
+        url.alias("url"), F.col("source").alias("src_b"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" [revised]")),
+            ).otherwise(F.col("text")).cast("binary")
+        ).alias("fp_b"),
+    )
+    j = a.join(b, "url", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("gone"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("src_a", "src_b").alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("source", "status")
+    )

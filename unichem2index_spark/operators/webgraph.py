@@ -203,3 +203,72 @@ def anchor_text_agg(spark: SparkSession, t, k: int = 50) -> DataFrame:
         .orderBy(F.desc("n_links"), F.asc("dst"))
         .limit(k)
     )
+
+
+def hits_2iter(spark: SparkSession, t, k: int = 20) -> DataFrame:
+    """Two iterations of HITS (Kleinberg hubs & authorities) over the
+    derived link graph, max-normalized after every half-step (the
+    standard power-iteration form). h0 == 1.0, so a1 is exactly the
+    in-degree in doubles; every later half-step sums the opposite
+    vector over edges with the repo's sorted sequential fold (sort by
+    the contributing endpoint, fold left — bit-identical across
+    engines) and divides by the vector max (IEEE-exact).
+
+    Scale shape: identical to :func:`pagerank_2iter` — each half-step
+    is one shuffle-on-endpoint aggregate plus a co-partitioned join
+    back; the max is a scalar reduce broadcast into the next step; no
+    collect, no driver-side adjacency. Top-k by (authority, hub).
+    """
+    d, edges = _graph(t)
+    nodes = d.select("doc_id")
+
+    def norm(vec: DataFrame, col: str) -> DataFrame:
+        """Full node frame (missing -> 0.0), divided by the max."""
+        full = nodes.join(vec, "doc_id", "left").select(
+            "doc_id", F.coalesce(col, F.lit(0.0)).alias(col)
+        )
+        mx = full.agg(F.max(col).alias("mx"))
+        return full.crossJoin(F.broadcast(mx)).select(
+            "doc_id", (F.col(col) / F.col("mx")).alias(col)
+        )
+
+    def fold(vec: DataFrame, col: str, frm: str, to: str) -> DataFrame:
+        """out(to) = sum over edges of vec(frm), sorted-fold by frm."""
+        return (
+            edges.join(vec.withColumnRenamed("doc_id", frm), frm)
+            .groupBy(F.col(to).alias("doc_id"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col(frm), F.col(col).alias("v"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"],
+                ).alias(col)
+            )
+        )
+
+    # iteration 1: a1 from h0=1 (== in-degree), then h1 from a1
+    a = norm(
+        edges.groupBy(F.col("dst").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("double").alias("auth")
+        ),
+        "auth",
+    )
+    h = norm(fold(a.withColumnRenamed("auth", "hub"), "hub", "dst", "src"), "hub")
+    # iteration 2
+    a = norm(fold(h.withColumnRenamed("hub", "auth"), "auth", "src", "dst"), "auth")
+    h = norm(fold(a.withColumnRenamed("auth", "hub"), "hub", "dst", "src"), "hub")
+
+    return (
+        a.join(h, "doc_id")
+        .select(
+            "doc_id",
+            F.round("auth", 9).alias("authority"),
+            F.round("hub", 9).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.desc("hub"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -5802,3 +5802,109 @@ SELECT d.doc_id, d.host, (h.rule IS NOT NULL) AS blocked, h.rule
 FROM d LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+HITS_2ITER = f"""
+WITH {_GRAPH_CTE},
+nodes AS (SELECT doc_id FROM documents),
+a1r AS (
+  SELECT dst AS doc_id, CAST(count(*) AS DOUBLE) AS auth
+  FROM edges GROUP BY dst
+),
+a1f AS (
+  SELECT n.doc_id, coalesce(a.auth, CAST(0.0 AS DOUBLE)) AS auth
+  FROM nodes n LEFT JOIN a1r a USING (doc_id)
+),
+a1 AS (SELECT doc_id, auth / (SELECT max(auth) FROM a1f) AS auth FROM a1f),
+h1r AS (
+  SELECT e.src AS doc_id,
+         list_reduce(
+           list_prepend(0.0, list(a.auth ORDER BY e.dst)),
+           (x, y) -> x + y) AS hub
+  FROM edges e JOIN a1 a ON a.doc_id = e.dst GROUP BY e.src
+),
+h1f AS (
+  SELECT n.doc_id, coalesce(h.hub, CAST(0.0 AS DOUBLE)) AS hub
+  FROM nodes n LEFT JOIN h1r h USING (doc_id)
+),
+h1 AS (SELECT doc_id, hub / (SELECT max(hub) FROM h1f) AS hub FROM h1f),
+a2r AS (
+  SELECT e.dst AS doc_id,
+         list_reduce(
+           list_prepend(0.0, list(h.hub ORDER BY e.src)),
+           (x, y) -> x + y) AS auth
+  FROM edges e JOIN h1 h ON h.doc_id = e.src GROUP BY e.dst
+),
+a2f AS (
+  SELECT n.doc_id, coalesce(a.auth, CAST(0.0 AS DOUBLE)) AS auth
+  FROM nodes n LEFT JOIN a2r a USING (doc_id)
+),
+a2 AS (SELECT doc_id, auth / (SELECT max(auth) FROM a2f) AS auth FROM a2f),
+h2r AS (
+  SELECT e.src AS doc_id,
+         list_reduce(
+           list_prepend(0.0, list(a.auth ORDER BY e.dst)),
+           (x, y) -> x + y) AS hub
+  FROM edges e JOIN a2 a ON a.doc_id = e.dst GROUP BY e.src
+),
+h2f AS (
+  SELECT n.doc_id, coalesce(h.hub, CAST(0.0 AS DOUBLE)) AS hub
+  FROM nodes n LEFT JOIN h2r h USING (doc_id)
+),
+h2 AS (SELECT doc_id, hub / (SELECT max(hub) FROM h2f) AS hub FROM h2f)
+SELECT a2.doc_id, round(a2.auth, 9) AS authority, round(h2.hub, 9) AS hub
+FROM a2 JOIN h2 USING (doc_id)
+ORDER BY authority DESC, hub DESC, doc_id ASC LIMIT 20
+"""
+
+
+NEGATIVE_SAMPLING_TABLE = f"""
+WITH vocab AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest({TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+weighted AS (
+  SELECT term, cnt,
+         sqrt(sqrt(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                   * CAST(cnt AS DOUBLE))) AS raw
+  FROM vocab
+),
+cum AS (
+  SELECT term, cnt, raw,
+         sum(raw) OVER (ORDER BY cnt DESC, term
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_raw
+  FROM weighted
+),
+tot AS (SELECT max(cum_raw) AS tot FROM cum)
+SELECT term, CAST(cnt AS BIGINT) AS cnt,
+       round(raw / tot.tot, 9) AS prob,
+       round(cum_raw / tot.tot, 9) AS cum_prob
+FROM cum CROSS JOIN tot
+ORDER BY cnt DESC, term ASC LIMIT 50
+"""
+
+
+CRAWL_SNAPSHOT_DIFF = """
+WITH a AS (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         source AS src_a, md5(text) AS fp_a
+  FROM documents WHERE doc_id % 11 != 0
+),
+b AS (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         source AS src_b,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [revised]'
+                  ELSE text END) AS fp_b
+  FROM documents WHERE doc_id % 7 != 3
+),
+j AS (SELECT * FROM a FULL OUTER JOIN b USING (url))
+SELECT coalesce(src_a, src_b) AS source,
+       CASE WHEN fp_a IS NULL THEN 'added'
+            WHEN fp_b IS NULL THEN 'gone'
+            WHEN fp_a != fp_b THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM j GROUP BY 1, 2 ORDER BY source, status
+"""
