@@ -2035,6 +2035,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": _wrap(trainprep.domain_blocklist_filter),
         # ES _reindex (postings-space copy, filter + reshard; rows-only)
         "reindex_lifecycle": q_reindex_lifecycle,
+        # robots.txt exclusion verdicts (REP longest-match + allow tie)
+        "robots_filter": _wrap(trainprep.robots_filter),
+        # Flesch reading-ease featurizer + difficulty bands
+        "readability": _wrap(textstats.readability),
     }
 
 
@@ -2657,4 +2661,6 @@ def oracle_sql() -> dict[str, str]:
         "hits_2iter": oracles.HITS_2ITER,
         "negative_sampling": oracles.NEGATIVE_SAMPLING_TABLE,
         "crawl_snapshot_diff": oracles.CRAWL_SNAPSHOT_DIFF,
+        "robots_filter": oracles.ROBOTS_FILTER,
+        "readability": oracles.READABILITY,
     }

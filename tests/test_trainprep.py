@@ -949,3 +949,71 @@ def test_crawl_snapshot_diff_recompute(spark, corpus, tables):
     assert got == want
     # every status class is genuinely exercised
     assert {s for _, s in got} == {"added", "gone", "changed", "unchanged"}
+
+
+def test_robots_filter_recompute(spark, corpus, tables):
+    import hashlib
+
+    _, by_id = corpus
+    want: dict[tuple[str, str], int] = {}
+    rules_by_src: dict[str, list[tuple[str, int]]] = {}
+    allow_hole_hit = False
+    for d, r in by_id.items():
+        src = r.source
+        if src not in rules_by_src:
+            h = hashlib.md5(src.encode()).hexdigest()
+            rules_by_src[src] = [
+                ("/" + h[:1], 0),
+                ("/" + h[:2], 1),
+                ("/" + h[8:9], 0),
+            ]
+        path = "/" + hashlib.md5(str(d).encode()).hexdigest()[:3]
+        best = None
+        for pfx, allowed in rules_by_src[src]:
+            if path.startswith(pfx):
+                v = 2 * len(pfx) + allowed
+                best = v if best is None else max(best, v)
+        verdict = "allow" if best is None or best % 2 == 1 else "disallow"
+        if best is not None and best % 2 == 1:
+            # longest-match allow OVERRODE a shorter disallow (the
+            # allow-hole shape naive matchers get wrong)
+            allow_hole_hit = True
+        key = (src, verdict)
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.source, r.verdict): r.n_urls
+        for r in trainprep.robots_filter(spark, tables).collect()
+    }
+    assert got == want
+    assert {v for _, v in got} == {"allow", "disallow"}
+    assert allow_hole_hit  # the tie-break/override branch is exercised
+
+
+def test_readability_recompute(spark, corpus, tables):
+    import re
+
+    _, by_id = corpus
+    out = {r.doc_id: r for r in textstats.readability(spark, tables).collect()}
+    assert set(out) == set(by_id)
+    bands_seen = set()
+    for d, r in by_id.items():
+        w = len(r.text.strip().split())
+        s = max(len(re.findall(r"[.!?]+", r.text)), 1)
+        y = max(len(re.findall(r"[aeiouy]+", r.text.lower())), 1)
+        fl = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        row = out[d]
+        assert (row.n_words, row.n_sents, row.n_syllables) == (w, s, y)
+        # row.flesch is round(fl, 4); allow the half-ulp-of-rounding band
+        assert abs(row.flesch - fl) <= 5.0001e-5
+        band = (
+            "easy"
+            if row.flesch >= 70
+            else "standard"
+            if row.flesch >= 50
+            else "difficult"
+            if row.flesch >= 30
+            else "very_difficult"
+        )
+        assert row.band == band
+        bands_seen.add(row.band)
+    assert len(bands_seen) >= 2  # banding is non-vacuous on the corpus

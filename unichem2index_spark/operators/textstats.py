@@ -2503,3 +2503,51 @@ def geo_line_agg(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def readability(spark: SparkSession, t) -> DataFrame:
+    """Flesch reading-ease per document - the classic readability
+    featurizer corpus-quality pipelines bucket documents by. Heuristic
+    components (the standard approximations): syllables = maximal
+    lowercase vowel runs, sentences = terminal-punctuation runs, words
+    = whitespace tokens; score = 206.835 - 1.015*(w/s) - 84.6*(y/w).
+
+    Cross-engine float note: both engines evaluate the same literal
+    constants and the same two double divisions in the same order (IEEE
+    + * / only, no libm), so round(4) at emit hash-matches; the band
+    CASE compares the ROUNDED score on both sides so banding can never
+    straddle an un-rounded boundary differently.
+
+    Map-only scan -> at 100 TB this runs at scan speed with zero
+    shuffle besides the output sort (gate-bounded frame); on a real
+    cluster the sort is dropped and this is a pure projection."""
+    d = t["documents"]
+    words = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    sents = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    syl = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    ).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syl / words)
+    )
+    band = (
+        F.when(F.col("flesch") >= 70.0, F.lit("easy"))
+        .when(F.col("flesch") >= 50.0, F.lit("standard"))
+        .when(F.col("flesch") >= 30.0, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            words.cast("bigint").alias("n_words"),
+            sents.cast("bigint").alias("n_sents"),
+            syl.cast("bigint").alias("n_syllables"),
+            F.round(flesch, 4).alias("flesch"),
+        )
+        .withColumn("band", band)
+        .orderBy("doc_id")
+    )

@@ -1511,3 +1511,94 @@ def crawl_snapshot_diff(spark: SparkSession, t) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_urls"))
         .orderBy("source", "status")
     )
+
+
+ROBOTS_PATH_LEN = 3
+
+
+def robots_filter(spark: SparkSession, t) -> DataFrame:
+    """Robots-exclusion verdict per crawled url (REP longest-match, RFC
+    9309 s2.2.2): each url's path is matched against its host's rule
+    set; the LONGEST matching prefix wins, an Allow rule wins a length
+    tie (the least-restrictive tie-break), and no match means allow.
+    Emitted as (source, verdict) counts - the crawl-scope accounting a
+    fetch scheduler runs before enqueueing (ref analog: the reference
+    gates its fetch loop on source liveness, extractor/init.go - here
+    the gate is the per-host exclusion protocol itself).
+
+    The corpus carries no paths or robots.txt bodies, so both are
+    DERIVED deterministically: url path = '/' + first 3 hex chars of
+    md5(doc_id); each host publishes three rules - Disallow the 1-hex
+    prefix of md5(host), Allow the 2-hex prefix (strictly longer, so it
+    punches an allow-hole inside the disallow subtree - the classic
+    pattern naive matchers get wrong), and Disallow a second 1-hex
+    branch. Identical expressions in the DuckDB oracle, so all four
+    (rule-hit x verdict) shapes are populated and the hash is
+    non-vacuous.
+
+    Longest-match-with-tie-break is encoded ordinally: best =
+    max(2*len(prefix) + allowed) over matching rules, so ONE max-agg
+    replaces a per-url sort over rule hits. Scale shape: rules are
+    O(hosts) and broadcast; each url fans to exactly |rules-per-host|
+    rows of (url, small-int) and the verdict agg reduces straight back
+    - no shuffle ever carries text, and at 10^12 urls this is one
+    broadcast join + two narrow aggs."""
+    docs = t["documents"]
+    urls = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("/"),
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")),
+                1,
+                ROBOTS_PATH_LEN,
+            ),
+        ).alias("path"),
+    )
+    h = F.md5(F.col("source").cast("binary"))
+    rules = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("/"), F.substring(h, 1, 1)).alias("prefix"),
+                        F.lit(0).alias("allowed"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("/"), F.substring(h, 1, 2)).alias("prefix"),
+                        F.lit(1).alias("allowed"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("/"), F.substring(h, 9, 1)).alias("prefix"),
+                        F.lit(0).alias("allowed"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select("source", "r.prefix", "r.allowed")
+    )
+    best = (
+        urls.join(F.broadcast(rules), "source", "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("path").startswith(F.col("prefix")),
+                    F.length("prefix") * 2 + F.col("allowed"),
+                )
+            ).alias("best")
+        )
+    )
+    verdict = F.when(
+        F.col("best").isNull() | (F.col("best") % 2 == 1), F.lit("allow")
+    ).otherwise(F.lit("disallow"))
+    return (
+        best.select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("source", "verdict")
+    )

@@ -5908,3 +5908,59 @@ SELECT coalesce(src_a, src_b) AS source,
        CAST(count(*) AS BIGINT) AS n_urls
 FROM j GROUP BY 1, 2 ORDER BY source, status
 """
+
+
+ROBOTS_FILTER = """
+WITH urls AS (
+  SELECT doc_id, source,
+         '/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) AS path
+  FROM documents
+),
+hosts AS (SELECT DISTINCT source FROM documents),
+rules AS (
+  SELECT source, '/' || substr(md5(source), 1, 1) AS prefix, 0 AS allowed
+  FROM hosts
+  UNION ALL
+  SELECT source, '/' || substr(md5(source), 1, 2), 1 FROM hosts
+  UNION ALL
+  SELECT source, '/' || substr(md5(source), 9, 1), 0 FROM hosts
+),
+best AS (
+  SELECT u.source, u.doc_id,
+         max(CASE WHEN starts_with(u.path, r.prefix)
+                  THEN 2 * length(r.prefix) + r.allowed END) AS best
+  FROM urls u LEFT JOIN rules r ON u.source = r.source
+  GROUP BY 1, 2
+)
+SELECT source,
+       CASE WHEN best IS NULL OR best % 2 = 1
+            THEN 'allow' ELSE 'disallow' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM best GROUP BY 1, 2 ORDER BY source, verdict
+"""
+
+
+READABILITY = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+           AS w,
+         CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+           AS DOUBLE) AS s,
+         CAST(greatest(length(regexp_extract_all(lower(text), '[aeiouy]+')),
+                       1) AS DOUBLE) AS y
+  FROM documents
+),
+r AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents,
+         CAST(y AS BIGINT) AS n_syllables,
+         round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch
+  FROM f
+)
+SELECT doc_id, n_words, n_sents, n_syllables, flesch,
+       CASE WHEN flesch >= 70.0 THEN 'easy'
+            WHEN flesch >= 50.0 THEN 'standard'
+            WHEN flesch >= 30.0 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM r ORDER BY doc_id
+"""
