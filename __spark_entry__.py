@@ -2039,6 +2039,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _wrap(trainprep.robots_filter),
         # Flesch reading-ease featurizer + difficulty bands
         "readability": _wrap(textstats.readability),
+        # dup-cluster resolution: CC over LSH bucket-adjacent pairs
+        "connected_components": _wrap(dedup.connected_components),
     }
 
 
@@ -2663,4 +2665,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_snapshot_diff": oracles.CRAWL_SNAPSHOT_DIFF,
         "robots_filter": oracles.ROBOTS_FILTER,
         "readability": oracles.READABILITY,
+        "connected_components": oracles.CONNECTED_COMPONENTS,
     }

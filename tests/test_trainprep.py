@@ -1017,3 +1017,44 @@ def test_readability_recompute(spark, corpus, tables):
         assert row.band == band
         bands_seen.add(row.band)
     assert len(bands_seen) >= 2  # banding is non-vacuous on the corpus
+
+
+def test_connected_components_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    from unichem2index_spark.functions.hashing import CC_BUCKET_TARGET
+    from unichem2index_spark.operators import dedup
+
+    _, by_id = corpus
+    ids = sorted(by_id)
+    n_buckets = max(math.ceil(len(ids) / CC_BUCKET_TARGET), 1)
+    byb = defaultdict(list)
+    for d in ids:
+        byb[((d % MOD + 7) * FP_MULT) % MOD % n_buckets].append(d)
+    # union-find with min-id roots over bucket-adjacent pairs
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for mem in byb.values():
+        for a, b in zip(mem, mem[1:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want: dict[int, int] = defaultdict(int)
+    for d in ids:
+        want[find(d)] += 1
+    got = {
+        r.component_id: r.size
+        for r in dedup.connected_components(spark, tables).collect()
+    }
+    assert got == dict(want)
+    # non-vacuous: multiple clusters AND multi-member clusters exist,
+    # and at least one chain is long enough to need >1 propagation round
+    assert len(got) > 1
+    assert max(got.values()) >= 3
+

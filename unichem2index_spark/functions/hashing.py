@@ -61,3 +61,7 @@ def fingerprint(token_ids_in_order: list[int]) -> int:
     """Pure-Python oracle position-weighted document fingerprint."""
     s = sum((pos + 1) * (tid + 1) for pos, tid in enumerate(token_ids_in_order))
     return (s * FP_MULT) % MOD
+
+# target LSH-bucket population for the connected-components
+# pair derivation (operators/dedup.py::connected_components)
+CC_BUCKET_TARGET = 16

@@ -2551,3 +2551,4 @@ def readability(spark: SparkSession, t) -> DataFrame:
         .withColumn("band", band)
         .orderBy("doc_id")
     )
+

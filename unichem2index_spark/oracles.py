@@ -12,6 +12,7 @@ customer supplier part orders lineitem events documents embeddings.
 from __future__ import annotations
 
 from unichem2index_spark.functions.hashing import (
+    CC_BUCKET_TARGET,
     BAND_SIZE,
     FP_MULT,
     MINHASH_A,
@@ -5963,4 +5964,39 @@ SELECT doc_id, n_words, n_sents, n_syllables, flesch,
             WHEN flesch >= 30.0 THEN 'difficult'
             ELSE 'very_difficult' END AS band
 FROM r ORDER BY doc_id
+"""
+
+
+CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE
+nb AS (
+  SELECT greatest(CAST(ceil(count(*) / {CC_BUCKET_TARGET}.0) AS BIGINT), 1)
+    AS n_buckets
+  FROM documents
+),
+bk AS (
+  SELECT doc_id,
+         ((doc_id % {MOD} + 7) * {FP_MULT}) % {MOD} % nb.n_buckets AS bkt
+  FROM documents CROSS JOIN nb
+),
+edges AS (
+  SELECT lag(doc_id) OVER (PARTITION BY bkt ORDER BY doc_id) AS src,
+         doc_id AS dst
+  FROM bk
+  QUALIFY src IS NOT NULL
+),
+und AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT u.src AS node, reach.r
+  FROM und u JOIN reach ON reach.node = u.dst
+),
+comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+SELECT component_id, CAST(count(*) AS BIGINT) AS size
+FROM comp GROUP BY 1 ORDER BY size DESC, component_id
 """
