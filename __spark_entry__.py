@@ -89,6 +89,8 @@ RS_SEED = 7  # function_score random_score seed
 SPAN_FIRST_TERM, SPAN_FIRST_END = "merge", 3  # span_first(end=3)
 SPAN_NOT = ("merge", "group", 1)  # span_not: merge NOT within 1 of group
 RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
+NDCG_TERMS = ["merge", "vector"]  # _rank_eval dcg metric: query terms
+NDCG_HI, NDCG_LO = "key", "vector"  # graded judgments: 2*hi + lo
 SCROLL_PAGE, SCROLL_AFTER = 15, 100  # scroll: page 15 after doc_id 100
 SORT_FIELD, SORT_AFTER = "n_chars", (450, 0)  # field sort keyset cursor
 TERMS_SET_TERMS = ["merge", "group", "key", "vector"]  # terms_set query
@@ -1142,6 +1144,14 @@ def q_rank_eval(spark, sf_dir):
     )
 
 
+def q_ndcg_eval(spark, sf_dir):
+    """ES _rank_eval `dcg` metric: nDCG@k of the BM25 top-k against
+    graded judgments (rel = 2*has(hi_marker) + has(lo_marker))."""
+    return Q.ndcg_eval(
+        _docs(spark, sf_dir), NDCG_TERMS, PHRASE_K, NDCG_HI, NDCG_LO
+    )
+
+
 def q_scroll(spark, sf_dir):
     """ES scroll / search_after-on-_doc: the bulk-export page — bool-must
     matches in doc_id order, keyset cursor, no scoring."""
@@ -2041,6 +2051,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": _wrap(textstats.readability),
         # dup-cluster resolution: CC over LSH bucket-adjacent pairs
         "connected_components": _wrap(dedup.connected_components),
+        # _rank_eval dcg metric: nDCG@k with graded judgments
+        "ndcg_eval": q_ndcg_eval,
+        # casefold + diacritic-fold + whitespace-collapse scan
+        "normalize_text": _wrap(trainprep.normalize_text),
     }
 
 
@@ -2666,4 +2680,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": oracles.ROBOTS_FILTER,
         "readability": oracles.READABILITY,
         "connected_components": oracles.CONNECTED_COMPONENTS,
+        "ndcg_eval": oracles.ndcg_eval_sql(
+            NDCG_TERMS, PHRASE_K, NDCG_HI, NDCG_LO
+        ),
+        "normalize_text": oracles.normalize_text_sql(),
     }

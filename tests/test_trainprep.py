@@ -1058,3 +1058,67 @@ def test_connected_components_recompute(spark, corpus, tables):
     assert len(got) > 1
     assert max(got.values()) >= 3
 
+
+
+def test_ndcg_eval_recompute(spark, corpus, tables):
+    df, by_id = corpus
+    # python recompute over the same corpus: BM25 ranking + graded nDCG
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    orc = Bm25Oracle([(d, tokenize(r.text)) for d, r in by_id.items()])
+    k = 10
+    ranked = orc.topk(["merge", "vector"], k)
+    w = [1.0 / math.log2(p + 1) for p in range(1, k + 1)]
+
+    def rel(d):
+        toks = set(tokenize(by_id[d].text))
+        return 2 * ("key" in toks) + ("vector" in toks)
+
+    gains = [(1 << rel(d)) - 1 for d, _ in ranked]
+    dcg = 0.0
+    for i, g in enumerate(gains):
+        dcg += g * w[i]
+    idcg = 0.0
+    for i, g in enumerate(sorted(gains, reverse=True)):
+        idcg += g * w[i]
+    row = Q.ndcg_eval(df, ["merge", "vector"], k, "key", "vector").collect()[0]
+    assert abs(row.dcg - dcg) < 1e-4
+    assert abs(row.idcg - idcg) < 1e-4
+    assert abs(row.ndcg - dcg / idcg) < 1e-4
+    assert 0.0 < row.ndcg < 1.0  # graded judgments genuinely mixed
+    assert len(set(gains)) >= 2
+
+
+def test_normalize_text_recompute(spark, corpus, tables):
+    import re
+    import unicodedata
+
+    _, by_id = corpus
+    out = {
+        r.doc_id: r for r in trainprep.normalize_text(spark, tables).collect()
+    }
+    assert set(out) == set(by_id)
+    table = str.maketrans(trainprep.NORM_SRC, trainprep.NORM_DST)
+    n_folded = 0
+    for d, r in by_id.items():
+        if d % 3 == 0:
+            itext = trainprep.NORM_INJ_PRE + r.text
+        elif d % 5 == 0:
+            itext = r.text + trainprep.NORM_INJ_SUF
+        else:
+            itext = r.text
+        low = itext.lower()
+        flt = low.translate(table)
+        norm = re.sub(r"\s+", " ", flt).strip()
+        row = out[d]
+        assert row.folded == int(flt != low)
+        assert row.n_chars_norm == len(norm)
+        n_folded += row.folded
+        # the fold is the NFKD+strip subset for these code points
+        ref = "".join(
+            unicodedata.normalize("NFD", ch)[0] if ch in trainprep.NORM_SRC
+            else ch
+            for ch in low
+        )
+        assert flt == ref
+    assert n_folded > 100  # injection keeps the fold non-vacuous

@@ -17,6 +17,7 @@ Scale notes
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import pandas as pd
@@ -567,6 +568,82 @@ def rank_eval(
         ).alias("mrr"),
     )
 
+
+
+def ndcg_eval(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    marker_hi: str,
+    marker_lo: str,
+) -> DataFrame:
+    """ES _rank_eval `dcg` metric: nDCG@k of the BM25 top-k against
+    GRADED judgments - rel = 2*(doc contains marker_hi) + (doc contains
+    marker_lo), gains (2^rel - 1) read from a 4-entry lookup table (no
+    libm pow). Position discounts 1/log2(p+1) enter BOTH engines as the
+    same shortest-repr double LITERALS (computed once in Python), and
+    DCG and IDCG are sequential rank-ordered folds over the k-row
+    collected list, so every double op is IEEE-identical cross-engine.
+    One row out: dcg, idcg, ndcg (round 6).
+
+    Scale: the only global structure is the top-k itself (TakeOrdered);
+    the judgment joins touch a k-row frame. Ref analog: the reference's
+    count-reconciliation checks are its only quality gate
+    (extractor/init.go:44-126); nDCG is the ranking-quality counterpart
+    a search team regresses in CI."""
+    w = [1.0 / math.log2(p + 1) for p in range(1, k + 1)]
+    warr = F.array(*[F.lit(x) for x in w])
+    gains_tbl = F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7))
+    order = [F.desc("score"), F.asc("doc_id")]
+    ranked = (
+        bm25_scores_from_corpus(docs_df, terms)
+        .orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+    post = exact_postings(tokenized_docs(docs_df))
+    hi = (
+        post.where(F.col("term") == marker_hi)
+        .select("doc_id").distinct().withColumn("h", F.lit(1))
+    )
+    lo = (
+        post.where(F.col("term") == marker_lo)
+        .select("doc_id").distinct().withColumn("l", F.lit(1))
+    )
+    rel = F.coalesce("h", F.lit(0)) * 2 + F.coalesce("l", F.lit(0))
+    g = (
+        ranked.join(hi, "doc_id", "left")
+        .join(lo, "doc_id", "left")
+        .select("rank", F.element_at(gains_tbl, rel + 1).alias("gain"))
+    )
+    one = g.agg(
+        F.sort_array(F.collect_list(F.struct("rank", "gain"))).alias(
+            "by_rank"
+        ),
+        F.sort_array(F.collect_list("gain"), asc=False).alias("gains_desc"),
+    )
+    dcg = F.aggregate(
+        F.col("by_rank"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["gain"].cast("double") * F.element_at(warr, x["rank"]),
+    )
+    idcg = F.aggregate(
+        F.zip_with(
+            F.col("gains_desc").cast("array<double>"),
+            F.slice(warr, F.lit(1), F.size("gains_desc")),
+            lambda gg, ww: gg * ww,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return one.select(
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.round(
+            F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), 6
+        ).alias("ndcg"),
+    )
 
 def terms_set_topk(
     docs_df: DataFrame,

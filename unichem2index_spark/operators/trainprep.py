@@ -1602,3 +1602,46 @@ def robots_filter(spark: SparkSession, t) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_urls"))
         .orderBy("source", "verdict")
     )
+
+
+NORM_SRC = "\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5\u00e8\u00e9\u00ea\u00eb\u00ec\u00ed\u00ee\u00ef\u00f2\u00f3\u00f4\u00f5\u00f6\u00f9\u00fa\u00fb\u00fc\u00e7\u00f1\u00fd\u00ff"
+NORM_DST = "aaaaaaeeeeiiiiooooouuuucnyy"
+NORM_INJ_PRE = "Caf\u00e9 R\u00e9sum\u00e9 "
+NORM_INJ_SUF = " na\u00efve Z\u00fcrich"
+
+
+def normalize_text(spark: SparkSession, t) -> DataFrame:
+    """Unicode text normalization scan - the C4/FineWeb preprocessing
+    step: casefold + diacritic folding + whitespace collapse, with a
+    per-doc changed flag and a fingerprint of the normalized form.
+    Folding uses an explicit confusable table (NORM_SRC -> NORM_DST) -
+    the deterministic code-point-translate subset of NFKD+strip that
+    both engines implement identically (full ICU NFKC is the documented
+    production swap-in). The corpus is ASCII by construction, so
+    accented spans are INJECTED deterministically by doc_id - identical
+    expression in the oracle - keeping the fold non-vacuous.
+
+    Map-only: lower/translate/regexp_replace are all JVM expressions;
+    at 100 TB this runs at scan speed (the output sort is the gate's
+    bounded frame)."""
+    d = t["documents"]
+    inj = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(NORM_INJ_PRE), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(NORM_INJ_SUF)),
+        )
+        .otherwise(F.col("text"))
+    )
+    low = F.lower(inj)
+    folded = F.translate(low, NORM_SRC, NORM_DST)
+    norm = F.trim(F.regexp_replace(folded, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        (folded != low).cast("int").alias("folded"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm.cast("binary")).alias("fp"),
+    ).orderBy("doc_id")

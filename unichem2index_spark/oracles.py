@@ -6000,3 +6000,103 @@ comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
 SELECT component_id, CAST(count(*) AS BIGINT) AS size
 FROM comp GROUP BY 1 ORDER BY size DESC, component_id
 """
+
+
+def ndcg_eval_sql(terms: list[str], k: int, hi: str, lo: str) -> str:
+    """_rank_eval dcg metric: nDCG@k with graded judgments; discounts are
+    shortest-repr double literals and both folds are rank-ordered, so the
+    double math mirrors operators/query.py::ndcg_eval op for op."""
+    import math
+
+    TOK_CTE = _TOK_CTE
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    hq = "'" + hi.replace("'", "''") + "'"
+    lq = "'" + lo.replace("'", "''") + "'"
+    w = [1.0 / math.log2(p + 1) for p in range(1, k + 1)]
+    wlist = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+    return f"""
+WITH {TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+g AS (
+  SELECT r.rank,
+         ([0, 1, 3, 7])[
+           2 * (CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           + (CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) + 1
+         ] AS gain
+  FROM ranked r
+  LEFT JOIN (SELECT DISTINCT doc_id FROM post WHERE term = {hq}) h
+    USING (doc_id)
+  LEFT JOIN (SELECT DISTINCT doc_id FROM post WHERE term = {lq}) l
+    USING (doc_id)
+),
+arrs AS (
+  SELECT list(gain ORDER BY rank) AS by_rank,
+         list(gain ORDER BY gain DESC) AS gains_desc
+  FROM g
+),
+vals AS (
+  SELECT
+    list_reduce(list_prepend(0.0, list_transform(by_rank,
+      (x, i) -> CAST(x AS DOUBLE) * ({wlist})[i])), (a, b) -> a + b) AS dcg,
+    list_reduce(list_prepend(0.0, list_transform(gains_desc,
+      (x, i) -> CAST(x AS DOUBLE) * ({wlist})[i])), (a, b) -> a + b) AS idcg
+  FROM arrs
+)
+SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM vals
+"""
+
+
+def normalize_text_sql() -> str:
+    """Casefold + diacritic-fold + whitespace-collapse scan; constants are
+    IMPORTED from trainprep so both engines translate the same code
+    points byte for byte."""
+    from unichem2index_spark.operators.trainprep import (
+        NORM_DST,
+        NORM_INJ_PRE,
+        NORM_INJ_SUF,
+        NORM_SRC,
+    )
+
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{NORM_INJ_PRE}' || text
+              WHEN doc_id % 5 = 0 THEN text || '{NORM_INJ_SUF}'
+              ELSE text END AS itext
+  FROM documents
+),
+low AS (SELECT doc_id, lower(itext) AS lt FROM inj),
+nrm AS (
+  SELECT doc_id, lt, translate(lt, '{NORM_SRC}', '{NORM_DST}') AS flt
+  FROM low
+),
+fin AS (
+  SELECT doc_id, lt, flt,
+         trim(regexp_replace(flt, '\\s+', ' ', 'g')) AS norm
+  FROM nrm
+)
+SELECT doc_id,
+       CAST(flt != lt AS INT) AS folded,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       md5(norm) AS fp
+FROM fin ORDER BY doc_id
+"""
