@@ -2055,6 +2055,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         # casefold + diacritic-fold + whitespace-collapse scan
         "normalize_text": _wrap(trainprep.normalize_text),
+        # MOSS winnowing fingerprints (window-min k-gram selection)
+        "winnowing": _wrap(dedup.winnowing_fingerprints),
     }
 
 
@@ -2684,4 +2686,5 @@ def oracle_sql() -> dict[str, str]:
             NDCG_TERMS, PHRASE_K, NDCG_HI, NDCG_LO
         ),
         "normalize_text": oracles.normalize_text_sql(),
+        "winnowing": oracles.winnowing_sql(),
     }

@@ -1122,3 +1122,44 @@ def test_normalize_text_recompute(spark, corpus, tables):
         )
         assert flt == ref
     assert n_folded > 100  # injection keeps the fold non-vacuous
+
+
+def test_winnowing_recompute(spark, corpus, tables):
+    import hashlib
+
+    from unichem2index_spark.operators import dedup
+
+    _, by_id = corpus
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    out = {
+        r.doc_id: r
+        for r in dedup.winnowing_fingerprints(spark, tables).collect()
+    }
+    assert set(out) == set(by_id)
+    for d, r in by_id.items():
+        toks = tokenize(r.text)
+        m = max(len(toks) - (k - 1), 0)
+        enc = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8]
+            + ":"
+            + str(99999 - (i + 1)).zfill(5)
+            for i in range(m)
+        ]
+        if m == 0:
+            fps = []
+        else:
+            n_win = max(m - (w - 1), 1)
+            seen = []
+            for j in range(n_win):
+                p = min(enc[j : j + w])
+                if p not in seen:
+                    seen.append(p)
+            fps = seen
+        digest = hashlib.md5(",".join(sorted(fps)).encode()).hexdigest()
+        row = out[d]
+        assert row.n_fps == len(fps), d
+        assert row.fp_digest == digest, d
+        # winnowing density: ~1/w of the k-gram positions, never more
+        # than the window count, and >=1 whenever any k-gram exists
+        if m:
+            assert 1 <= row.n_fps <= max(m - (w - 1), 1)

@@ -783,3 +783,60 @@ def connected_components(spark: SparkSession, t) -> DataFrame:
         .select(F.col("lbl").alias("component_id"), "size")
         .orderBy(F.desc("size"), "component_id")
     )
+
+
+WINNOW_K = 4  # token k-gram width
+WINNOW_W = 5  # winnowing window (picks per window of k-gram hashes)
+
+
+def winnowing_fingerprints(spark: SparkSession, t) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every WINNOW_K-token k-gram, slide a
+    WINNOW_W window over the hash sequence, and keep each window's
+    minimum — guaranteeing any shared run of >= W+K-1 tokens between
+    two documents shares at least one selected fingerprint, at ~1/W
+    the storage of full k-gram shingling. Tie-break is the RIGHTMOST
+    minimal hash (the paper's rule), encoded by suffixing each hash
+    with (99999 - pos) so one lexicographic min implements (hash asc,
+    pos desc). Emits per doc the selected-set size and an order-free
+    digest of the set.
+
+    Versus :func:`exact_substring_dedup` (which materializes EVERY
+    window): winnowing is the bounded-storage variant a 100-TB corpus
+    actually persists per doc — the selection is map-only JVM array
+    HOFs over each doc's own token list, zero shuffle before the
+    output sort (gate-bounded frame), and the fingerprint column is
+    what a downstream pair-join would bucket on."""
+    k, w = WINNOW_K, WINNOW_W
+    d = t["documents"].select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    enc = F.expr(
+        f"""CASE WHEN size(toks) - {k - 1} <= 0
+          THEN CAST(array() AS ARRAY<STRING>)
+          ELSE transform(sequence(1, size(toks) - {k - 1}), i ->
+            concat(
+              substr(md5(CAST(concat_ws(' ', slice(toks, i, {k}))
+                              AS BINARY)), 1, 8),
+              ':', lpad(CAST(99999 - i AS STRING), 5, '0')))
+          END"""
+    )
+    picks = F.expr(
+        f"""CASE WHEN size(e) = 0 THEN CAST(array() AS ARRAY<STRING>)
+          ELSE array_distinct(
+            transform(sequence(1, greatest(size(e) - {w - 1}, 1)), j ->
+              array_min(slice(e, j, {w}))))
+          END"""
+    )
+    return (
+        d.select("doc_id", enc.alias("e"))
+        .select("doc_id", picks.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fps"),
+            F.md5(
+                F.concat_ws(",", F.array_sort("fps")).cast("binary")
+            ).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )

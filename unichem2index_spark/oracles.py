@@ -6100,3 +6100,40 @@ SELECT doc_id,
        md5(norm) AS fp
 FROM fin ORDER BY doc_id
 """
+
+
+def winnowing_sql() -> str:
+    """MOSS winnowing fingerprints; mirrors dedup.py op for op (same
+    k-gram hash prefix, same rightmost-min suffix encoding)."""
+    from unichem2index_spark.operators.dedup import WINNOW_K, WINNOW_W
+
+    k1, w1 = WINNOW_K - 1, WINNOW_W - 1
+    return f"""
+WITH base AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+kg AS (
+  SELECT doc_id, toks, greatest(len(toks) - {k1}, 0) AS m FROM base
+),
+enc AS (
+  SELECT doc_id, m,
+    CASE WHEN m = 0 THEN [] ELSE
+      list_transform(range(1, m + 1), i ->
+        substr(md5(array_to_string(list_slice(toks, i, i + {k1}), ' ')),
+               1, 8)
+        || ':' || lpad(CAST(99999 - i AS VARCHAR), 5, '0'))
+    END AS e
+  FROM kg
+),
+picks AS (
+  SELECT doc_id,
+    CASE WHEN m = 0 THEN [] ELSE
+      list_distinct(list_transform(range(1, greatest(m - {w1}, 1) + 1),
+        j -> list_aggregate(list_slice(e, j, j + {w1}), 'min')))
+    END AS fps
+  FROM enc
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM picks ORDER BY doc_id
+"""
