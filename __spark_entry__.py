@@ -91,6 +91,7 @@ SPAN_NOT = ("merge", "group", 1)  # span_not: merge NOT within 1 of group
 RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
 NDCG_TERMS = ["merge", "vector"]  # _rank_eval dcg metric: query terms
 NDCG_HI, NDCG_LO = "key", "vector"  # graded judgments: 2*hi + lo
+LTR_K = 20  # ltr_features: training examples per query
 SCROLL_PAGE, SCROLL_AFTER = 15, 100  # scroll: page 15 after doc_id 100
 SORT_FIELD, SORT_AFTER = "n_chars", (450, 0)  # field sort keyset cursor
 TERMS_SET_TERMS = ["merge", "group", "key", "vector"]  # terms_set query
@@ -1152,6 +1153,14 @@ def q_ndcg_eval(spark, sf_dir):
     )
 
 
+def q_ltr_features(spark, sf_dir):
+    """LTR training-example extraction: feature vector + graded label
+    for the BM25 top-k (reranker export table)."""
+    return Q.ltr_features(
+        _docs(spark, sf_dir), NDCG_TERMS, LTR_K, NDCG_HI, NDCG_LO
+    )
+
+
 def q_scroll(spark, sf_dir):
     """ES scroll / search_after-on-_doc: the bulk-export page — bool-must
     matches in doc_id order, keyset cursor, no scoring."""
@@ -2057,6 +2066,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _wrap(trainprep.normalize_text),
         # MOSS winnowing fingerprints (window-min k-gram selection)
         "winnowing": _wrap(dedup.winnowing_fingerprints),
+        # LTR feature/label export for the BM25 top-k
+        "ltr_features": q_ltr_features,
+        # WebDataset-style byte-budget output shard manifest
+        "shard_manifest": _wrap(trainprep.shard_manifest),
     }
 
 
@@ -2687,4 +2700,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "normalize_text": oracles.normalize_text_sql(),
         "winnowing": oracles.winnowing_sql(),
+        "ltr_features": oracles.ltr_features_sql(
+            NDCG_TERMS, LTR_K, NDCG_HI, NDCG_LO
+        ),
+        "shard_manifest": oracles.shard_manifest_sql(),
     }

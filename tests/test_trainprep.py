@@ -1163,3 +1163,61 @@ def test_winnowing_recompute(spark, corpus, tables):
         # than the window count, and >=1 whenever any k-gram exists
         if m:
             assert 1 <= row.n_fps <= max(m - (w - 1), 1)
+
+
+def test_ltr_features_recompute(spark, corpus, tables):
+    from collections import Counter
+
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    df, by_id = corpus
+    k = 20
+    orc = Bm25Oracle([(d, tokenize(r.text)) for d, r in by_id.items()])
+    ranked = orc.topk(["merge", "vector"], k)
+    rows = Q.ltr_features(df, ["merge", "vector"], k, "key", "vector").collect()
+    assert [r.doc_id for r in rows] == [d for d, _ in ranked]
+    labels = set()
+    for r in rows:
+        toks = tokenize(by_id[r.doc_id].text)
+        cnt = Counter(toks)
+        matched = [t for t in ("merge", "vector") if cnt[t] > 0]
+        assert r.n_matched == len(matched)
+        assert r.sum_tf == sum(cnt[t] for t in matched)
+        assert r.doclen == len(toks)
+        assert r.label == 2 * ("key" in cnt) + ("vector" in cnt)
+        labels.add(r.label)
+    assert len(labels) >= 2  # labels genuinely graded in the export
+
+
+def test_shard_manifest_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    _, by_id = corpus
+    B = trainprep.SHARD_BYTES
+    per_src: dict[str, list] = defaultdict(list)
+    for d in sorted(by_id):
+        r = by_id[d]
+        per_src[r.source].append((d, r.n_chars))
+    want = {}
+    for src, docs in per_src.items():
+        off = 0
+        for d, n in docs:
+            sid = off // B
+            key = (src, sid)
+            if key not in want:
+                want[key] = [0, 0, d, d]
+            w = want[key]
+            w[0] += 1
+            w[1] += n
+            w[3] = d
+            off += n
+    got = {
+        (r.source, r.shard_id): [r.n_docs, r.shard_bytes, r.first_doc, r.last_doc]
+        for r in trainprep.shard_manifest(spark, tables).collect()
+    }
+    assert got == {k: list(v) for k, v in want.items()}
+    # byte budget actually splits sources into multiple shards
+    assert max(sid for _, sid in got) >= 1
+    # no shard (except possibly a single-doc overflow) exceeds budget + one doc
+    for (src, sid), (nd, nb, fd, ld) in got.items():
+        assert nd >= 1 and nb > 0

@@ -3931,3 +3931,64 @@ def scroll_sliced(
         .where(F.col("slice_rank") <= int(page))
         .orderBy("slice_id", "slice_rank")
     )
+
+
+def ltr_features(
+    docs_df: DataFrame,
+    terms: list[str],
+    k: int,
+    marker_hi: str,
+    marker_lo: str,
+) -> DataFrame:
+    """Learning-to-rank training-example extraction: for the BM25 top-k
+    of a query, emit the per-doc feature vector a reranker trains on
+    (bm25 score, matched-term count, summed query-term tf, doclen) plus
+    the graded relevance LABEL (same deterministic judgment derivation
+    as :func:`ndcg_eval`: rel = 2*has(marker_hi) + has(marker_lo)) -
+    the table every search team exports from its engine into XGBoost/
+    LambdaMART.
+
+    Scale: feature joins touch only the k-row ranked frame; the
+    postings pre-agg is the same shared spine every corpus scorer uses,
+    so an N-query export amortizes one corpus pass across queries."""
+    uniq = sorted(set(terms))
+    order = [F.desc("score"), F.asc("doc_id")]
+    ranked = (
+        bm25_scores_from_corpus(docs_df, terms).orderBy(*order).limit(k)
+    )
+    post = exact_postings(tokenized_docs(docs_df))
+    qf = (
+        post.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.max("doclen").cast("long").alias("doclen"),
+        )
+    )
+    hi = (
+        post.where(F.col("term") == marker_hi)
+        .select("doc_id").distinct().withColumn("h", F.lit(1))
+    )
+    lo = (
+        post.where(F.col("term") == marker_lo)
+        .select("doc_id").distinct().withColumn("l", F.lit(1))
+    )
+    return (
+        ranked.join(qf, "doc_id", "left")
+        .join(hi, "doc_id", "left")
+        .join(lo, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.coalesce("sum_tf", F.lit(0)).cast("long").alias("sum_tf"),
+            F.coalesce("doclen", F.lit(0)).cast("long").alias("doclen"),
+            (
+                F.coalesce("h", F.lit(0)) * 2 + F.coalesce("l", F.lit(0))
+            ).cast("int").alias("label"),
+            F.col("score").alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), F.asc("doc_id"))
+        .drop("_raw")
+    )

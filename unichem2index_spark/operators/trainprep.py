@@ -1645,3 +1645,48 @@ def normalize_text(spark: SparkSession, t) -> DataFrame:
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm.cast("binary")).alias("fp"),
     ).orderBy("doc_id")
+
+
+SHARD_BYTES = 4096
+
+
+def shard_manifest(spark: SparkSession, t) -> DataFrame:
+    """WebDataset/MosaicML-style output shard manifest: assign docs to
+    fixed byte-budget shards per source by RUNNING BYTE OFFSET (shard =
+    floor(start_offset / SHARD_BYTES)) and emit the per-shard manifest
+    row (doc count, bytes, id span) an export job writes alongside the
+    data - the step that turns a cleaned corpus into the fixed-size
+    shard files a training loader streams.
+
+    Offsets are per-source prefix sums - order-dependent like
+    :func:`pack_sequences`, but LINEAR (no fill-state nonlinearity), so
+    the 100-TB upgrade is the textbook two-level prefix sum
+    (partition-local cumsum + broadcast per-partition offsets) that
+    parallelizes WITHIN a giant source; at gate scale the per-source
+    window is the same bounded plan pack_sequences ships, parallel
+    across sources."""
+    from pyspark.sql.window import Window
+
+    d = t["documents"]
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off")
+    sh = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(start / SHARD_BYTES).cast("long").alias("shard_id"),
+    )
+    return (
+        sh.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )

@@ -6137,3 +6137,78 @@ SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
        md5(array_to_string(list_sort(fps), ',')) AS fp_digest
 FROM picks ORDER BY doc_id
 """
+
+
+def shard_manifest_sql() -> str:
+    """Byte-budget output sharding manifest; integer-only math."""
+    from unichem2index_spark.operators.trainprep import SHARD_BYTES
+
+    return f"""
+WITH cum AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars
+           AS start_off
+  FROM documents
+),
+sh AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor(start_off / {SHARD_BYTES}.0) AS BIGINT) AS shard_id
+  FROM cum
+)
+SELECT source, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM sh GROUP BY 1, 2 ORDER BY source, shard_id
+"""
+
+
+def ltr_features_sql(terms: list[str], k: int, hi: str, lo: str) -> str:
+    """LTR feature/label table for the BM25 top-k; mirrors
+    operators/query.py::ltr_features column for column."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    hq = "'" + hi.replace("'", "''") + "'"
+    lq = "'" + lo.replace("'", "''") + "'"
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+),
+qf AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(p.tf) AS BIGINT) AS sum_tf,
+         CAST(max(t.doclen) AS BIGINT) AS doclen
+  FROM post p JOIN tok t USING (doc_id)
+  WHERE p.term IN ({inlist})
+  GROUP BY 1
+)
+SELECT r.doc_id, round(r.score, 6) AS score,
+       coalesce(qf.n_matched, 0) AS n_matched,
+       coalesce(qf.sum_tf, 0) AS sum_tf,
+       coalesce(qf.doclen, 0) AS doclen,
+       CAST(2 * (CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS label
+FROM ranked r
+LEFT JOIN qf USING (doc_id)
+LEFT JOIN (SELECT DISTINCT doc_id FROM post WHERE term = {hq}) h
+  USING (doc_id)
+LEFT JOIN (SELECT DISTINCT doc_id FROM post WHERE term = {lq}) l
+  USING (doc_id)
+ORDER BY r.score DESC, r.doc_id ASC
+"""
