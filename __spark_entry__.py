@@ -2070,6 +2070,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q_ltr_features,
         # WebDataset-style byte-budget output shard manifest
         "shard_manifest": _wrap(trainprep.shard_manifest),
+        # content-defined chunking (LBFS rolling-boundary dedup unit)
+        "cdc_chunks": _wrap(dedup.cdc_chunks),
     }
 
 
@@ -2704,4 +2706,5 @@ def oracle_sql() -> dict[str, str]:
             NDCG_TERMS, LTR_K, NDCG_HI, NDCG_LO
         ),
         "shard_manifest": oracles.shard_manifest_sql(),
+        "cdc_chunks": oracles.CDC_CHUNKS,
     }

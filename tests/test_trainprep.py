@@ -1221,3 +1221,61 @@ def test_shard_manifest_recompute(spark, corpus, tables):
     # no shard (except possibly a single-doc overflow) exceeds budget + one doc
     for (src, sid), (nd, nb, fd, ld) in got.items():
         assert nd >= 1 and nb > 0
+
+
+def test_cdc_chunks_recompute(spark, corpus, tables):
+    import hashlib
+
+    from unichem2index_spark.operators import dedup
+
+    _, by_id = corpus
+    out = {r.doc_id: r for r in dedup.cdc_chunks(spark, tables).collect()}
+    assert set(out) == set(by_id)
+    for d, r in by_id.items():
+        toks = tokenize(r.text)
+        chunks, cur = [], []
+        for tk in toks:
+            cur.append(tk)
+            if hashlib.md5(tk.encode()).hexdigest()[0] == "0":
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        hashes = [hashlib.md5(c.encode()).hexdigest() for c in chunks]
+        digest = hashlib.md5(",".join(hashes).encode()).hexdigest()
+        row = out[d]
+        assert row.n_toks == len(toks)
+        assert row.n_chunks == len(chunks), d
+        assert row.chunks_digest == digest, d
+
+
+def test_cdc_shift_invariance(spark, corpus, tables):
+    """The CDC property itself: prepending tokens to a doc changes only
+    the FIRST chunk hashes; every chunk after the first new boundary is
+    identical - fixed-size blocking would shift every block."""
+    import hashlib
+
+    def cdc(toks):
+        chunks, cur = [], []
+        for tk in toks:
+            cur.append(tk)
+            if hashlib.md5(tk.encode()).hexdigest()[0] == "0":
+                chunks.append(hashlib.md5(" ".join(cur).encode()).hexdigest())
+                cur = []
+        if cur:
+            chunks.append(hashlib.md5(" ".join(cur).encode()).hexdigest())
+        return chunks
+
+    _, by_id = corpus
+    checked = 0
+    for d, r in list(by_id.items())[:30]:
+        toks = tokenize(r.text)
+        if len(toks) < 20:
+            continue
+        base = cdc(toks)
+        shifted = cdc(["inserted", "preamble"] + toks)
+        if len(base) >= 3:
+            # all chunks after the first boundary survive the insertion
+            assert base[1:] == shifted[-(len(base) - 1):]
+            checked += 1
+    assert checked >= 5

@@ -840,3 +840,48 @@ def winnowing_fingerprints(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def cdc_chunks(spark: SparkSession, t) -> DataFrame:
+    """Content-defined chunking (LBFS / Muthitacharoen et al. 2001 —
+    the rsync/casync/restic storage-dedup primitive, here over the
+    token stream): a chunk boundary falls AFTER every token whose hash
+    starts with a fixed nibble (P = 1/16, expected chunk ~16 tokens).
+    Boundaries depend only on LOCAL content, so an insertion early in a
+    document shifts every byte offset but leaves all downstream chunk
+    fingerprints identical — the property fixed-size blocking lacks and
+    the reason CDC is how storage layers dedup re-crawled pages. Emits
+    per doc the chunk count and an order-preserving digest of the chunk
+    content hashes (the unit a chunk-store would key on).
+
+    Implementation is one pass of JVM array HOFs per doc: boundary
+    positions by filter-transform, chunk spans by zip_with over
+    (starts, ends) = ([0]+bpos, bpos+[n]), per-chunk md5 of the joined
+    token slice. Map-only, zero shuffle before the gate's output sort;
+    at 100 TB the chunk-hash explode feeds the same banded dedup joins
+    as MinHash."""
+    bpos = (
+        "filter(transform(toks, (tk, i) -> "
+        "IF(substr(md5(CAST(tk AS BINARY)), 1, 1) = '0', i + 1, 0)), "
+        "p -> p > 0)"
+    )
+    chunks = F.expr(
+        f"""filter(
+          zip_with(
+            concat(array(0), {bpos}),
+            concat({bpos}, array(size(toks))),
+            (a, b) -> IF(b > a,
+                         md5(CAST(concat_ws(' ', slice(toks, a + 1, b - a))
+                                  AS BINARY)),
+                         NULL)),
+          x -> x IS NOT NULL)"""
+    )
+    d = t["documents"].select("doc_id", tokens_col("text").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(chunks).cast("long").alias("n_chunks"),
+        F.md5(F.concat_ws(",", chunks).cast("binary")).alias(
+            "chunks_digest"
+        ),
+    ).orderBy("doc_id")

@@ -6212,3 +6212,39 @@ LEFT JOIN (SELECT DISTINCT doc_id FROM post WHERE term = {lq}) l
   USING (doc_id)
 ORDER BY r.score DESC, r.doc_id ASC
 """
+
+
+CDC_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+bp AS (
+  SELECT doc_id, toks,
+    list_filter(list_transform(toks,
+        (tk, i) -> CASE WHEN substr(md5(tk), 1, 1) = '0'
+                        THEN i ELSE 0 END),
+      p -> p > 0) AS bpos
+  FROM base
+),
+se AS (
+  SELECT doc_id, toks,
+         list_prepend(0, bpos) AS starts,
+         list_append(bpos, len(toks)) AS ends
+  FROM bp
+),
+ch AS (
+  SELECT doc_id, toks,
+    list_filter(
+      list_transform(range(1, len(starts) + 1), j ->
+        CASE WHEN ends[j] > starts[j]
+             THEN md5(array_to_string(
+                    list_slice(toks, starts[j] + 1, ends[j]), ' '))
+        END),
+      x -> x IS NOT NULL) AS chunks
+  FROM se
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       CAST(len(chunks) AS BIGINT) AS n_chunks,
+       md5(array_to_string(chunks, ',')) AS chunks_digest
+FROM ch ORDER BY doc_id
+"""
