@@ -2072,6 +2072,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _wrap(trainprep.shard_manifest),
         # content-defined chunking (LBFS rolling-boundary dedup unit)
         "cdc_chunks": _wrap(dedup.cdc_chunks),
+        # Manku'07 hamming-radius simhash pairs (band pigeonhole)
+        "simhash_hamming": _wrap(dedup.simhash_hamming_pairs),
+        # two-level prefix-sum shard manifest (same oracle as above)
+        "shard_manifest_fast": _wrap(trainprep.shard_manifest_fast),
     }
 
 
@@ -2707,4 +2711,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shard_manifest": oracles.shard_manifest_sql(),
         "cdc_chunks": oracles.CDC_CHUNKS,
+        "simhash_hamming": oracles.simhash_hamming_sql(),
+        "shard_manifest_fast": oracles.shard_manifest_sql(),
     }

@@ -1279,3 +1279,34 @@ def test_cdc_shift_invariance(spark, corpus, tables):
             assert base[1:] == shifted[-(len(base) - 1):]
             checked += 1
     assert checked >= 5
+
+
+def test_simhash_hamming_recompute(spark, corpus, tables):
+    from unichem2index_spark.operators import dedup
+
+    _, by_id = corpus
+    sims = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_docs(tables["documents"]).collect()
+    }
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin(sims[a] ^ sims[b]).count("1")
+            if hd <= dedup.SIMHASH_HAMMING_MAX:
+                want[(a, b)] = hd
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(spark, tables).collect()
+    }
+    # band blocking is EXACT for k < n_bands: zero missed pairs vs the
+    # all-pairs brute force, zero extras (the pigeonhole guarantee)
+    assert got == want
+    assert set(got.values()) == set(range(dedup.SIMHASH_HAMMING_MAX + 1))
+
+
+def test_shard_manifest_fast_identity(spark, corpus, tables):
+    slow = trainprep.shard_manifest(spark, tables).collect()
+    fast = trainprep.shard_manifest_fast(spark, tables).collect()
+    assert [tuple(r) for r in slow] == [tuple(r) for r in fast]

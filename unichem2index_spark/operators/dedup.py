@@ -885,3 +885,71 @@ def cdc_chunks(spark: SparkSession, t) -> DataFrame:
             "chunks_digest"
         ),
     ).orderBy("doc_id")
+
+
+SIMHASH_HAMMING_MAX = 3  # Manku et al.'s canonical k
+SIMHASH_BAND_BITS = 4  # 16-bit simhash -> 4 disjoint 4-bit bands
+
+
+def simhash_hamming_pairs(spark: SparkSession, t) -> DataFrame:
+    """Hamming-radius near-dup pairs over SimHash (Manku, Jindal &
+    Das Sarma, WWW 2007 — the Google web-crawl near-dup detector):
+    find every doc pair whose simhashes differ in <= k bits WITHOUT an
+    all-pairs scan. Pigeonhole blocking: split the 16-bit hash into 4
+    disjoint 4-bit bands; any pair within hamming distance 3 agrees
+    EXACTLY on at least one band, so an equality self-join per band
+    finds all such pairs with zero misses and only O(band collisions)
+    candidates — the paper's permute-and-block scheme with permutations
+    replaced by disjoint bands (exact for k < #bands). Exact
+    verification is one bit_count(xor) per candidate.
+
+    This corpus uses the repo's 16-bit simhash so the DuckDB oracle is
+    exact; production uses 64-bit (4x16-bit bands, same plan) where
+    radius 3 is discriminative rather than permissive. Scale shape:
+    the band join shuffles (doc, 4 small ints); candidates are
+    pre-deduped before the verify expression; output is
+    O(true near-pairs)."""
+    sim = simhash_docs(t["documents"])
+    n_bands = 16 // SIMHASH_BAND_BITS
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        (
+                            F.shiftright(
+                                F.col("simhash"), SIMHASH_BAND_BITS * b
+                            )
+                            % (1 << SIMHASH_BAND_BITS)
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hd = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("doc_a", "doc_b", hd.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1690,3 +1690,71 @@ def shard_manifest(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+SHARD_BLOCK = 256  # docs per prefix-sum block in the two-level variant
+
+
+def shard_manifest_fast(spark: SparkSession, t) -> DataFrame:
+    """Two-level prefix-sum twin of :func:`shard_manifest` — the scale
+    path that parallelizes the running-offset computation WITHIN a
+    giant source instead of one sequential window per source. Level 1:
+    docs bucket into SHARD_BLOCK-sized id blocks and cumsum INSIDE each
+    (source, block) — bounded windows, parallel across all blocks.
+    Level 2: per-block totals (a frame |docs|/SHARD_BLOCK rows tall)
+    cumsum per source to give each block its starting offset — the only
+    sequential step, now 256x smaller (recursing once more bounds it by
+    65536x; one level suffices here). start_offset = block offset +
+    local cumsum - own bytes, byte-identical to the single-window
+    formulation: registered against the SAME DuckDB oracle and pytest
+    row-identity-checked against shard_manifest."""
+    from pyspark.sql.window import Window
+
+    d = t["documents"].select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") / SHARD_BLOCK).cast("long").alias("blk"),
+    )
+    w_local = (
+        Window.partitionBy("source", "blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("local_cum", F.sum("n_chars").over(w_local))
+    totals = d.groupBy("source", "blk").agg(
+        F.sum("n_chars").alias("blk_bytes")
+    )
+    w_blk = (
+        Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "blk",
+        F.coalesce(F.sum("blk_bytes").over(w_blk), F.lit(0)).alias(
+            "blk_off"
+        ),
+    )
+    sh = local.join(offsets, ["source", "blk"]).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(
+            (F.col("blk_off") + F.col("local_cum") - F.col("n_chars"))
+            / SHARD_BYTES
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        sh.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )

@@ -6248,3 +6248,55 @@ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
        md5(array_to_string(chunks, ',')) AS chunks_digest
 FROM ch ORDER BY doc_id
 """
+
+
+def simhash_hamming_sql() -> str:
+    """Manku et al. hamming-radius pairs; band blocking + bit_count
+    verify, mirroring dedup.py::simhash_hamming_pairs."""
+    from unichem2index_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_HAMMING_MAX,
+    )
+
+    half = MOD // 2
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(cnt * (CASE WHEN ((token_id + 1) * {p}) % {MOD} "
+        f">= {half} THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(SIMHASH_P)
+    )
+    n_bands = 16 // SIMHASH_BAND_BITS
+    blist = "[" + ", ".join(str(b) for b in range(n_bands)) + "]"
+    return f"""
+WITH counts AS (
+  SELECT doc_id, term, count(*) AS cnt FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS token_id
+  FROM (SELECT DISTINCT term FROM counts)
+),
+idc AS (
+  SELECT c.doc_id, v.token_id, c.cnt FROM counts c JOIN vocab v USING (term)
+),
+sims AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+  FROM idc GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, u.b AS band_idx,
+         (simhash >> ({SIMHASH_BAND_BITS} * u.b))
+           % {1 << SIMHASH_BAND_BITS} AS band_val
+  FROM sims, unnest({blist}) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
