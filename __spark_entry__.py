@@ -92,6 +92,7 @@ RANK_EVAL_MARKER = "key"  # _rank_eval binary judgment: doc contains term
 NDCG_TERMS = ["merge", "vector"]  # _rank_eval dcg metric: query terms
 NDCG_HI, NDCG_LO = "key", "vector"  # graded judgments: 2*hi + lo
 LTR_K = 20  # ltr_features: training examples per query
+PRF_FB_K, PRF_N_TERMS = 5, 15  # PRF: feedback docs, expansion terms
 SCROLL_PAGE, SCROLL_AFTER = 15, 100  # scroll: page 15 after doc_id 100
 SORT_FIELD, SORT_AFTER = "n_chars", (450, 0)  # field sort keyset cursor
 TERMS_SET_TERMS = ["merge", "group", "key", "vector"]  # terms_set query
@@ -1153,6 +1154,14 @@ def q_ndcg_eval(spark, sf_dir):
     )
 
 
+def q_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion: top expansion terms
+    from the BM25 top-PRF_FB_K feedback docs (Rocchio/RM-style)."""
+    return Q.prf_expansion(
+        _docs(spark, sf_dir), NDCG_TERMS, PRF_FB_K, PRF_N_TERMS
+    )
+
+
 def q_ltr_features(spark, sf_dir):
     """LTR training-example extraction: feature vector + graded label
     for the BM25 top-k (reranker export table)."""
@@ -2076,6 +2085,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": _wrap(dedup.simhash_hamming_pairs),
         # two-level prefix-sum shard manifest (same oracle as above)
         "shard_manifest_fast": _wrap(trainprep.shard_manifest_fast),
+        # PRF query expansion (Rocchio/RM-style feedback terms)
+        "prf_expansion": q_prf_expansion,
     }
 
 
@@ -2713,4 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": oracles.CDC_CHUNKS,
         "simhash_hamming": oracles.simhash_hamming_sql(),
         "shard_manifest_fast": oracles.shard_manifest_sql(),
+        "prf_expansion": oracles.prf_expansion_sql(
+            NDCG_TERMS, PRF_FB_K, PRF_N_TERMS
+        ),
     }

@@ -1310,3 +1310,57 @@ def test_shard_manifest_fast_identity(spark, corpus, tables):
     slow = trainprep.shard_manifest(spark, tables).collect()
     fast = trainprep.shard_manifest_fast(spark, tables).collect()
     assert [tuple(r) for r in slow] == [tuple(r) for r in fast]
+
+
+def test_prf_expansion_recompute(spark, corpus, tables):
+    from collections import Counter
+
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+
+    df, by_id = corpus
+    terms, fb_k, n_terms = ["merge", "vector"], 5, 15
+    orc = Bm25Oracle([(d, tokenize(r.text)) for d, r in by_id.items()])
+    fb = [d for d, _ in orc.topk(terms, fb_k)]
+    # brute-force expansion weights
+    n_docs = len(by_id)
+    docs_tok = {d: tokenize(r.text) for d, r in by_id.items()}
+    dfreq: dict[str, int] = Counter()
+    for toks in docs_tok.values():
+        for w in set(toks):
+            dfreq[w] += 1
+    mass: dict[str, float] = {}
+    nfb: dict[str, int] = Counter()
+    for d in sorted(fb):
+        toks = docs_tok[d]
+        cnt = Counter(toks)
+        for w, tf in cnt.items():
+            if w in terms:
+                continue
+            mass[w] = mass.get(w, 0.0) + tf / len(toks)
+            nfb[w] += 1
+    scored = sorted(
+        (
+            (
+                round(
+                    math.log(
+                        1.0 + (n_docs - dfreq[w] + 0.5) / (dfreq[w] + 0.5)
+                    )
+                    * m,
+                    6,
+                ),
+                w,
+            )
+            for w, m in mass.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:n_terms]
+    got = [
+        (r.term, r.weight, r.n_fb_docs)
+        for r in Q.prf_expansion(df, terms, fb_k, n_terms).collect()
+    ]
+    assert [(t, w) for w, t in scored] == [(t, w) for t, w, _ in got]
+    for t, _, n in got:
+        assert n == nfb[t]
+    # expansion is non-vacuous: query terms excluded, weights vary
+    assert not {t for t, _, _ in got} & set(terms)
+    assert len({w for _, w, _ in got}) >= 3

@@ -3992,3 +3992,68 @@ def ltr_features(
         .orderBy(F.desc("_raw"), F.asc("doc_id"))
         .drop("_raw")
     )
+
+
+def prf_expansion(
+    docs_df: DataFrame,
+    terms: list[str],
+    fb_k: int,
+    n_terms: int,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio / RM-style):
+    take the BM25 top-fb_k docs as the feedback set and rank candidate
+    expansion terms by sum_d(tf/doclen) * idf over that set, excluding
+    the original query terms - the automatic query-expansion step
+    classic IR stacks run between retrieval rounds (vs
+    `significant_text_agg`, which is filter-anchored, this is
+    QUERY-anchored: the feedback set is the ranking's own head).
+
+    Float discipline: each term's feedback mass is a doc_id-ordered
+    sequential fold (same doubles, same order, both engines), scaled
+    once by idf and rounded at emit; ties after rounding break on term.
+    Scale: the feedback set is fb_k rows broadcast into the postings
+    join; candidate terms are one hash-agg over the feedback slice."""
+    uniq = sorted(set(terms))
+    order = [F.desc("score"), F.asc("doc_id")]
+    fb = (
+        bm25_scores_from_corpus(docs_df, terms)
+        .orderBy(*order)
+        .limit(fb_k)
+        .select("doc_id")
+    )
+    tok = tokenized_docs(docs_df)
+    post = exact_postings(tok)
+    stats = corpus_stats(tok)
+    tstats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    fbp = (
+        post.join(F.broadcast(fb), "doc_id")
+        .where(~F.col("term").isin(uniq))
+        .select(
+            "term",
+            "doc_id",
+            (F.col("tf") / F.col("doclen")).alias("c"),
+        )
+    )
+    per = fbp.groupBy("term").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("doc_id", "c"))),
+            F.lit(0.0),
+            lambda a, x: a + x["c"],
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_fb_docs"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(stats["n_docs"])) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    return (
+        per.join(tstats, "term")
+        .select(
+            "term",
+            F.round(idf * F.col("s"), 6).alias("weight"),
+            F.col("n_fb_docs").cast("long").alias("n_fb_docs"),
+        )
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n_terms)
+    )

@@ -6300,3 +6300,47 @@ SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
+
+
+def prf_expansion_sql(terms: list[str], fb_k: int, n_terms: int) -> str:
+    """PRF expansion-term ranking; doc_id-ordered folds mirror
+    operators/query.py::prf_expansion."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+fb AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT {fb_k}
+),
+fbp AS (
+  SELECT p.term, p.doc_id, p.tf / t.doclen AS c
+  FROM post p JOIN fb USING (doc_id) JOIN tok t USING (doc_id)
+  WHERE p.term NOT IN ({inlist})
+),
+per AS (
+  SELECT term,
+         list_reduce(list_prepend(0.0, list(c ORDER BY doc_id)),
+                     (a, b) -> a + b) AS s,
+         count(*) AS n_fb_docs
+  FROM fbp GROUP BY term
+)
+SELECT p.term,
+       round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5)
+                / (d.df + 0.5)) * p.s, 6) AS weight,
+       CAST(p.n_fb_docs AS BIGINT) AS n_fb_docs
+FROM per p JOIN dfs d USING (term) CROSS JOIN stats st
+ORDER BY weight DESC, term ASC LIMIT {n_terms}
+"""
