@@ -2087,6 +2087,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest_fast": _wrap(trainprep.shard_manifest_fast),
         # PRF query expansion (Rocchio/RM-style feedback terms)
         "prf_expansion": q_prf_expansion,
+        # >=2-of-3 near-dup method vote with provenance flags
+        "dedup_consensus": _wrap(dedup.dedup_consensus_pairs),
     }
 
 
@@ -2727,4 +2729,5 @@ def oracle_sql() -> dict[str, str]:
         "prf_expansion": oracles.prf_expansion_sql(
             NDCG_TERMS, PRF_FB_K, PRF_N_TERMS
         ),
+        "dedup_consensus": oracles.dedup_consensus_sql(),
     }

@@ -1364,3 +1364,43 @@ def test_prf_expansion_recompute(spark, corpus, tables):
     # expansion is non-vacuous: query terms excluded, weights vary
     assert not {t for t, _, _ in got} & set(terms)
     assert len({w for _, w, _ in got}) >= 3
+
+
+def test_dedup_consensus_set_algebra(spark, corpus, tables):
+    """The vote is pure set algebra over three independently
+    oracle-verified detectors: flags imply membership, n_methods is
+    the flag sum, and every >=2-vote pair appears."""
+    from unichem2index_spark.operators import dedup
+
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(spark, tables, 0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_hamming_pairs(spark, tables).collect()
+    }
+    ng = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, tables, 0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.dedup_consensus_pairs(spark, tables).collect()
+    }
+    want = {
+        p
+        for p in mh | sh | ng
+        if (p in mh) + (p in sh) + (p in ng) >= 2
+    }
+    assert set(got) == want
+    for p, r in got.items():
+        assert r.via_minhash == int(p in mh)
+        assert r.via_simhash == int(p in sh)
+        assert r.via_jaccard == int(p in ng)
+        assert r.n_methods == r.via_minhash + r.via_simhash + r.via_jaccard
+    assert any(r.n_methods == 3 for r in got.values())

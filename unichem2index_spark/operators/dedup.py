@@ -953,3 +953,52 @@ def simhash_hamming_pairs(spark: SparkSession, t) -> DataFrame:
         .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_consensus_pairs(spark: SparkSession, t) -> DataFrame:
+    """Ensemble near-dup verdicts: the pairs found by at least TWO of
+    the three independent detectors (MinHash-LSH exact-Jaccard >= 0.8,
+    SimHash hamming <= 3, 3-gram Jaccard >= 0.5) with per-method
+    provenance flags. Production dedup at web scale votes methods
+    exactly like this: each detector has a different blind spot
+    (MinHash misses short docs, SimHash radius is permissive at 16
+    bits, shingle Jaccard misses reorderings), and the >= 2 consensus
+    is the precision knob that survives all three error modes.
+
+    Composition only: each detector keeps its own (already
+    plan-audited) pipeline; the vote is ONE union + hash-agg over
+    their pair outputs - O(candidate pairs), never touching the
+    corpus again."""
+    mh = (
+        minhash_lsh_pairs(spark, t, 0.8)
+        .select("doc_a", "doc_b")
+        .withColumn("m", F.lit("mh"))
+    )
+    sh = (
+        simhash_hamming_pairs(spark, t)
+        .select("doc_a", "doc_b")
+        .withColumn("m", F.lit("sh"))
+    )
+    ng = (
+        ngram_jaccard_pairs(spark, t, 0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("m", F.lit("ng"))
+    )
+    u = mh.unionByName(sh).unionByName(ng)
+    return (
+        u.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_methods"),
+            F.max(F.when(F.col("m") == "mh", 1).otherwise(0))
+            .cast("int")
+            .alias("via_minhash"),
+            F.max(F.when(F.col("m") == "sh", 1).otherwise(0))
+            .cast("int")
+            .alias("via_simhash"),
+            F.max(F.when(F.col("m") == "ng", 1).otherwise(0))
+            .cast("int")
+            .alias("via_jaccard"),
+        )
+        .where(F.col("n_methods") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -6344,3 +6344,25 @@ SELECT p.term,
 FROM per p JOIN dfs d USING (term) CROSS JOIN stats st
 ORDER BY weight DESC, term ASC LIMIT {n_terms}
 """
+
+
+def dedup_consensus_sql() -> str:
+    """>=2-of-3 near-dup method vote; composes the three method oracles
+    as subqueries so the ensemble semantics mirror dedup.py exactly."""
+    return f"""
+WITH u AS (
+  SELECT doc_a, doc_b, 'mh' AS m FROM ({minhash_lsh_sql(0.8)})
+  UNION ALL
+  SELECT doc_a, doc_b, 'sh' AS m FROM ({simhash_hamming_sql()})
+  UNION ALL
+  SELECT doc_a, doc_b, 'ng' AS m FROM ({ngram_jaccard_sql(0.5)})
+)
+SELECT doc_a, doc_b, CAST(count(*) AS INT) AS n_methods,
+       CAST(max(CASE WHEN m = 'mh' THEN 1 ELSE 0 END) AS INT)
+         AS via_minhash,
+       CAST(max(CASE WHEN m = 'sh' THEN 1 ELSE 0 END) AS INT)
+         AS via_simhash,
+       CAST(max(CASE WHEN m = 'ng' THEN 1 ELSE 0 END) AS INT)
+         AS via_jaccard
+FROM u GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b
+"""
