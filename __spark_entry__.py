@@ -1162,6 +1162,16 @@ def q_prf_expansion(spark, sf_dir):
     )
 
 
+def q_rocchio_knn(spark, sf_dir):
+    """Rocchio relevance feedback in embedding space: BM25 top-PRF_FB_K
+    head -> centroid query -> cosine top-k over the rest."""
+    from unichem2index_spark.operators import similarity as S
+
+    return S.rocchio_knn(
+        spark, load_tables(spark, sf_dir), NDCG_TERMS, PRF_FB_K, PHRASE_K
+    )
+
+
 def q_ltr_features(spark, sf_dir):
     """LTR training-example extraction: feature vector + graded label
     for the BM25 top-k (reranker export table)."""
@@ -2089,6 +2099,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expansion": q_prf_expansion,
         # >=2-of-3 near-dup method vote with provenance flags
         "dedup_consensus": _wrap(dedup.dedup_consensus_pairs),
+        # Rocchio dense feedback: BM25 head -> centroid -> cosine top-k
+        "rocchio_knn": q_rocchio_knn,
     }
 
 
@@ -2730,4 +2742,7 @@ def oracle_sql() -> dict[str, str]:
             NDCG_TERMS, PRF_FB_K, PRF_N_TERMS
         ),
         "dedup_consensus": oracles.dedup_consensus_sql(),
+        "rocchio_knn": oracles.rocchio_knn_sql(
+            NDCG_TERMS, PRF_FB_K, PHRASE_K
+        ),
     }

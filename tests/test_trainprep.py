@@ -1404,3 +1404,45 @@ def test_dedup_consensus_set_algebra(spark, corpus, tables):
         assert r.via_jaccard == int(p in ng)
         assert r.n_methods == r.via_minhash + r.via_simhash + r.via_jaccard
     assert any(r.n_methods == 3 for r in got.values())
+
+
+def test_rocchio_knn_recompute(spark, corpus, tables):
+    from unichem2index_spark.functions.bm25 import Bm25Oracle
+    from unichem2index_spark.operators import similarity as S
+
+    df, by_id = corpus
+    terms, fb_k, k = ["merge", "vector"], 5, 10
+    orc = Bm25Oracle([(d, tokenize(r.text)) for d, r in by_id.items()])
+    fb = sorted(d for d, _ in orc.topk(terms, fb_k))
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in tables["embeddings"].collect()
+    }
+    dim = len(next(iter(emb.values())))
+    cent = [0.0] * dim
+    for d in fb:  # vec_id-sorted fold, same as both engines
+        for i, x in enumerate(emb[d]):
+            cent[i] += x
+    cent = [x / fb_k for x in cent]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    want = sorted(
+        ((round(cos(cent, v), 6), vid) for vid, v in emb.items()
+         if vid not in set(fb)),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    got = [
+        (r.rank, r.vec_id, r.cosine)
+        for r in S.rocchio_knn(spark, tables, terms, fb_k, k).collect()
+    ]
+    assert [(v, c) for r, v, c in got] == [
+        (vid, pytest.approx(c, abs=2e-6)) for c, vid in want
+    ]
+    assert [r for r, _, _ in got] == list(range(1, k + 1))
+    # feedback docs themselves are excluded from the result
+    assert not {v for _, v, _ in got} & set(fb)

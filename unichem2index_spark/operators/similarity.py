@@ -882,3 +882,74 @@ def cosine_topk_pq(
         .select("query_id", "rank", "vec_id", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def rocchio_knn(
+    spark: SparkSession,
+    t,
+    terms: list[str],
+    fb_k: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Dense-retrieval relevance feedback (Rocchio in embedding space):
+    take the BM25 top-``fb_k`` docs as positive feedback, form the
+    CENTROID of their embedding vectors as the updated query, and
+    return the cosine top-``k`` of the rest of the corpus - the
+    lexical-to-dense feedback loop modern hybrid stacks run when the
+    text query underspecifies the information need (doc_id == vec_id,
+    the fixture's one-doc-two-fields shape shared with rrf_hybrid).
+
+    Float discipline: the centroid is a per-dimension fold over the
+    feedback vectors SORTED BY vec_id (same doubles, same order, both
+    engines), divided once by the literal fb count; cosine reuses the
+    repo's ordered dot/norm folds and rounds at emit with vec_id
+    tie-break. Scale shape: the centroid is ONE driver-small row
+    broadcast into a map-side scoring scan + TakeOrdered - the
+    expensive part stays the single corpus pass every brute-force kNN
+    needs, and the IVF/LSH variants plug in unchanged for the probe
+    stage."""
+    from unichem2index_spark.operators.query import (
+        bm25_scores_from_corpus,
+    )
+
+    fb = (
+        bm25_scores_from_corpus(t["documents"], terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(fb_k)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    emb = t["embeddings"].select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    fbv = emb.join(F.broadcast(fb), "vec_id")
+    dim = 64
+    cent = fbv.agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "v"))).alias("vl")
+    ).select(
+        F.expr(
+            f"""transform(sequence(1, {dim}), d ->
+              aggregate(vl, 0D,
+                        (acc, x) -> acc + element_at(x.v, d))
+              / {fb_k}.0)"""
+        ).alias("c")
+    )
+    corpus = emb.join(F.broadcast(fb), "vec_id", "left_anti")
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("c"), F.col("v"))
+            / (_norm(F.col("c")) * _norm(F.col("v"))),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .select("rank", "vec_id", "cosine")
+    )

@@ -6366,3 +6366,59 @@ SELECT doc_a, doc_b, CAST(count(*) AS INT) AS n_methods,
          AS via_jaccard
 FROM u GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b
 """
+
+
+def rocchio_knn_sql(terms: list[str], fb_k: int, k: int) -> str:
+    """Rocchio dense feedback: BM25 head -> embedding centroid ->
+    cosine top-k; vec_id-ordered centroid fold mirrors similarity.py."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_TOK_CTE},
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+fb AS (
+  SELECT doc_id AS vec_id FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {fb_k}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+fbl AS (
+  SELECT list(e.v ORDER BY e.vec_id) AS vl
+  FROM emb e JOIN fb USING (vec_id)
+),
+cent AS (
+  SELECT list_transform(range(1, 65), d ->
+    list_reduce(list_prepend(0.0, list_transform(vl, u -> u[d])),
+                (a, b) -> a + b) / {fb_k}.0) AS c
+  FROM fbl
+),
+sc AS (
+  SELECT e.vec_id,
+         round(list_dot_product(cent.c, e.v)
+           / (sqrt(list_dot_product(cent.c, cent.c))
+              * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM emb e CROSS JOIN cent
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM fb)
+),
+r AS (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, cosine
+FROM r WHERE rank <= {k} ORDER BY rank
+"""
