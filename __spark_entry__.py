@@ -2101,6 +2101,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_consensus": _wrap(dedup.dedup_consensus_pairs),
         # Rocchio dense feedback: BM25 head -> centroid -> cosine top-k
         "rocchio_knn": q_rocchio_knn,
+        # TextRank keywords (PageRank over the co-occurrence graph)
+        "textrank": _wrap(textstats.textrank_keywords),
+        # per-node triangle counts + local clustering coefficient
+        "triangle_count": _wrap(webgraph.triangle_count),
     }
 
 
@@ -2745,4 +2749,6 @@ def oracle_sql() -> dict[str, str]:
         "rocchio_knn": oracles.rocchio_knn_sql(
             NDCG_TERMS, PRF_FB_K, PHRASE_K
         ),
+        "textrank": oracles.TEXTRANK_KEYWORDS,
+        "triangle_count": oracles.TRIANGLE_COUNT,
     }

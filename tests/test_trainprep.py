@@ -1446,3 +1446,93 @@ def test_rocchio_knn_recompute(spark, corpus, tables):
     assert [r for r, _, _ in got] == list(range(1, k + 1))
     # feedback docs themselves are excluded from the result
     assert not {v for _, v, _ in got} & set(fb)
+
+
+def test_textrank_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    _, by_id = corpus
+    # rebuild the weighted +-2-window co-occurrence graph, 2 PR iters
+    wtab: dict[tuple[str, str], int] = defaultdict(int)
+    for r in by_id.values():
+        toks = tokenize(r.text)
+        for i in range(len(toks)):
+            for j in (i + 1, i + 2):
+                if j < len(toks) and toks[i] != toks[j]:
+                    a, b = sorted((toks[i], toks[j]))
+                    wtab[(a, b)] += 1
+    edges = {}
+    for (a, b), w in wtab.items():
+        edges[(a, b)] = w
+        edges[(b, a)] = w
+    nodes = sorted({s for s, _ in edges})
+    n = len(nodes)
+    strength = defaultdict(int)
+    for (s, _), w in edges.items():
+        strength[s] += w
+    pr = {t_: 1.0 / n for t_ in nodes}
+    for _ in range(2):
+        contrib = defaultdict(list)
+        for (s, d), w in edges.items():
+            contrib[d].append((s, pr[s] * w / strength[s]))
+        new = {}
+        for t_ in nodes:
+            c = 0.0
+            for _, v in sorted(contrib.get(t_, [])):
+                c += v
+            new[t_] = 0.15 / n + 0.85 * c
+        pr = new
+    want = sorted(
+        ((round(v, 9), t_) for t_, v in pr.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [
+        (r.term, r.textrank)
+        for r in textstats.textrank_keywords(spark, tables).collect()
+    ]
+    assert got == [(t_, v) for v, t_ in want]
+    assert len({v for _, v in got}) >= 3  # mass genuinely differentiates
+
+
+def test_triangle_count_recompute(spark, corpus, tables):
+    from itertools import combinations
+
+    from unichem2index_spark.operators import webgraph
+
+    _, by_id = corpus
+    n = len(by_id)
+    und = set()
+    for d in by_id:
+        for j in (1, 2, 3):
+            dst = ((d % MOD + j) * FP_MULT) % MOD % n
+            if dst != d:
+                und.add((min(d, dst), max(d, dst)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = defaultdict_int = {}
+    for a, b in und:
+        common = adj[a] & adj[b]
+        for c in common:
+            trip = tuple(sorted((a, b, c)))
+            tri[trip] = True
+    per_node = {}
+    for a, b, c in tri:
+        for x in (a, b, c):
+            per_node[x] = per_node.get(x, 0) + 1
+    got = {
+        r.doc_id: (r.degree, r.n_triangles, r.clustering)
+        for r in webgraph.triangle_count(spark, tables).collect()
+    }
+    assert set(got) == set(by_id)
+    total_tri_spark = sum(v[1] for v in got.values())
+    assert total_tri_spark == 3 * len(tri)
+    for d, (deg, nt, cl) in got.items():
+        assert deg == len(adj.get(d, ()))
+        assert nt == per_node.get(d, 0)
+        if deg >= 2:
+            assert abs(cl - round(2.0 * nt / (deg * (deg - 1)), 6)) < 1e-9
+        else:
+            assert cl == 0.0
+    assert len(tri) > 0  # the derived graph genuinely has triangles

@@ -2552,3 +2552,107 @@ def readability(spark: SparkSession, t) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 2
+TEXTRANK_TOP = 20
+
+
+def textrank_keywords(spark: SparkSession, t) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004),
+    WEIGHTED variant: PageRank over the word co-occurrence graph -
+    nodes are vocabulary terms, an undirected edge links terms
+    co-occurring within the same ±2 window the skip-gram table uses,
+    weighted by the co-occurrence COUNT (the weighted formulation from
+    the paper's §3.1; unweighted degenerates to near-uniform mass on a
+    small near-regular vocab graph). Contribution of s to t is
+    pr(s)·w(s,t)/strength(s); two power iterations, damping 0.85, the
+    per-dst contribution list folded in src order (same doubles, same
+    order, both engines); round(9) at emit, term tie-break.
+
+    Scale shape: pairs come from the same two map-side shifted-self
+    transforms as skipgram_pmi (no self-join, no window); each
+    iteration is one shuffle-on-dst agg + one co-partitioned join over
+    vocab-sized frames."""
+    d = t["documents"]
+    pair_expr = (
+        "flatten(array("
+        " transform(sequence(1, size(tokens) - 1),"
+        "   i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2)),"
+        " filter(transform(sequence(1, size(tokens) - 1),"
+        "   i -> if(i <= size(tokens) - 2,"
+        "           struct(tokens[i - 1] AS w1, tokens[i + 1] AS w2),"
+        "           null)),"
+        "   x -> x is not null)))"
+    )
+    raw = (
+        d.select(tokens_col("text").alias("tokens"))
+        .where(F.size("tokens") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+    )
+    wtab = (
+        raw.select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        wtab.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .union(
+            wtab.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+            )
+        )
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("term")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy("src").agg(F.sum("w").alias("strength"))
+    ed = edges.join(deg, "src")
+    pr = nodes.crossJoin(F.broadcast(n_df)).select(
+        "term", (F.lit(1.0) / F.col("n").cast("double")).alias("pr")
+    )
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            ed.join(pr.withColumnRenamed("term", "src"), "src")
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "src",
+                                (
+                                    F.col("pr")
+                                    * F.col("w").cast("double")
+                                    / F.col("strength").cast("double")
+                                ).alias("v"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ).alias("c")
+            )
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(contrib, nodes["term"] == contrib["dst"], "left")
+            .select(
+                "term",
+                (
+                    F.lit(1.0 - TEXTRANK_DAMPING) / F.col("n").cast("double")
+                    + F.lit(TEXTRANK_DAMPING)
+                    * F.coalesce("c", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("term", F.round("pr", 9).alias("textrank"))
+        .orderBy(F.desc("textrank"), F.asc("term"))
+        .limit(TEXTRANK_TOP)
+    )

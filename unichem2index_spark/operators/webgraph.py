@@ -272,3 +272,84 @@ def hits_2iter(spark: SparkSession, t, k: int = 20) -> DataFrame:
         .orderBy(F.desc("authority"), F.desc("hub"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def triangle_count(spark: SparkSession, t) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected link graph — the classic web-graph cohesion metrics
+    (spam farms and mirror clusters show up as dense triangles; the
+    MapReduce formulation is Cohen 2009, Suri & Vassilvitskii WWW'11).
+    A triangle is counted ONCE as an ordered triple a<b<c via two joins
+    over the a<b edge list, then credited back to all three corners;
+    clustering = 2T / (d·(d−1)) for degree ≥ 2, exact integers until
+    the one rounded divide.
+
+    Scale note: the production guard for skew is degree-ordering (join
+    low-degree endpoints first — Suri's trick); the plan here is the
+    same two hash joins that trick feeds, and the synthetic 3-out
+    graph's max degree is log-bounded so the direct join is safe at any
+    SF of this fixture."""
+    d, edges = _graph(t)
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.a"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a"))
+            & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .select(
+            F.col("ab.a").alias("x"),
+            F.col("ab.b").alias("y"),
+            F.col("bc.b").alias("z"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    degs = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = (
+        d.select("doc_id")
+        .join(degs, d["doc_id"] == degs["node"], "left")
+        .drop("node")
+        .join(corners, d["doc_id"] == corners["node"], "left")
+        .drop("node")
+        .select(
+            "doc_id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )
+    clus = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            F.lit(2.0)
+            * F.col("n_triangles").cast("double")
+            / (
+                F.col("degree").cast("double")
+                * (F.col("degree").cast("double") - F.lit(1.0))
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("clustering", clus).orderBy("doc_id")

@@ -6422,3 +6422,105 @@ r AS (
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, cosine
 FROM r WHERE rank <= {k} ORDER BY rank
 """
+
+
+TEXTRANK_KEYWORDS = f"""
+WITH raw AS (
+  SELECT w1, w2 FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM (SELECT {TOKS} AS toks FROM documents),
+         unnest(range(1, len(toks))) AS u(i)
+    UNION ALL
+    SELECT toks[i] AS w1, toks[i + 2] AS w2
+    FROM (SELECT {TOKS} AS toks FROM documents),
+         unnest(range(1, len(toks) - 1)) AS u(i)
+  ) WHERE w1 != w2
+),
+wtab AS (
+  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, count(*) AS w
+  FROM raw GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM wtab
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM wtab
+),
+nodes AS (SELECT DISTINCT src AS term FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, sum(w) AS strength FROM edges GROUP BY src),
+pr0 AS (
+  SELECT t.term, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+  FROM nodes t CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst,
+         list_reduce(
+           list_prepend(0.0,
+             list(p.pr * CAST(e.w AS DOUBLE) / CAST(g.strength AS DOUBLE)
+                  ORDER BY e.src)),
+           (x, y) -> x + y) AS c
+  FROM edges e JOIN deg g USING (src) JOIN pr0 p ON p.term = e.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT t.term,
+         CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         + CAST(0.85 AS DOUBLE) * coalesce(c1.c, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes t CROSS JOIN nn LEFT JOIN c1 ON t.term = c1.dst
+),
+c2 AS (
+  SELECT e.dst,
+         list_reduce(
+           list_prepend(0.0,
+             list(p.pr * CAST(e.w AS DOUBLE) / CAST(g.strength AS DOUBLE)
+                  ORDER BY e.src)),
+           (x, y) -> x + y) AS c
+  FROM edges e JOIN deg g USING (src) JOIN pr1 p ON p.term = e.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT t.term,
+         CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         + CAST(0.85 AS DOUBLE) * coalesce(c2.c, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes t CROSS JOIN nn LEFT JOIN c2 ON t.term = c2.dst
+)
+SELECT term, round(pr, 9) AS textrank
+FROM pr2 ORDER BY textrank DESC, term ASC LIMIT 20
+"""
+
+
+TRIANGLE_COUNT = f"""
+WITH {_GRAPH_CTE},
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+tri AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e ab JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+corners AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+degs AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+)
+SELECT d.doc_id,
+       CAST(coalesce(g.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN coalesce(g.degree, 0) >= 2
+            THEN round(2.0 * coalesce(c.n_triangles, 0)
+                 / (CAST(g.degree AS DOUBLE) * (g.degree - 1.0)), 6)
+            ELSE 0.0 END AS clustering
+FROM documents d
+LEFT JOIN degs g ON d.doc_id = g.node
+LEFT JOIN corners c ON d.doc_id = c.node
+ORDER BY d.doc_id
+"""
