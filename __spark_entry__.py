@@ -2105,6 +2105,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": _wrap(textstats.textrank_keywords),
         # per-node triangle counts + local clustering coefficient
         "triangle_count": _wrap(webgraph.triangle_count),
+        # delta+varint postings size planning (Lucene-style)
+        "postings_size": _wrap(textstats.postings_size_estimate),
+        # first-order Markov next-event transition table
+        "next_event_markov": _wrap(eventseq.next_event_markov),
     }
 
 
@@ -2751,4 +2755,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "textrank": oracles.TEXTRANK_KEYWORDS,
         "triangle_count": oracles.TRIANGLE_COUNT,
+        "postings_size": oracles.POSTINGS_SIZE_ESTIMATE,
+        "next_event_markov": oracles.NEXT_EVENT_MARKOV,
     }

@@ -1536,3 +1536,70 @@ def test_triangle_count_recompute(spark, corpus, tables):
         else:
             assert cl == 0.0
     assert len(tri) > 0  # the derived graph genuinely has triangles
+
+
+def test_postings_size_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    _, by_id = corpus
+    post = defaultdict(set)
+    for d, r in by_id.items():
+        for w in set(tokenize(r.text)):
+            post[w].add(d)
+
+    def vb(g):
+        for i, lim in enumerate((128, 16384, 2097152, 268435456), 1):
+            if g < lim:
+                return i
+        return 5
+
+    out = {
+        r.term: r
+        for r in textstats.postings_size_estimate(spark, tables).collect()
+    }
+    assert set(out) == set(post)
+    for w, ids in post.items():
+        ids = sorted(ids)
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        nb = sum(vb(g) for g in gaps)
+        row = out[w]
+        assert row.df == len(ids)
+        assert row.encoded_bytes == nb
+        assert abs(row.bytes_per_posting - round(nb / len(ids), 6)) < 1e-9
+    # gap coding pays: high-df terms cost ~1 byte/posting
+    dense = max(out.values(), key=lambda r: r.df)
+    assert dense.bytes_per_posting < 1.5
+
+
+def test_next_event_markov_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    from unichem2index_spark.operators import eventseq
+
+    ev = sorted(
+        tables["events"].collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    cnt = defaultdict(int)
+    prev_by_user = {}
+    for r in ev:
+        p = prev_by_user.get(r.user_id)
+        if p is not None:
+            cnt[(p, r.event_type)] += 1
+        prev_by_user[r.user_id] = r.event_type
+    tot = defaultdict(int)
+    for (f, _), n in cnt.items():
+        tot[f] += n
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in eventseq.next_event_markov(spark, tables).collect()
+    }
+    assert set(got) == set(cnt)
+    for k, (n, p) in got.items():
+        assert n == cnt[k]
+        assert abs(p - round(cnt[k] / tot[k[0]], 6)) < 1e-9
+    # probabilities per from-state sum to ~1
+    by_from = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        by_from[f] += p
+    assert all(abs(s - 1.0) < 1e-4 for s in by_from.values())

@@ -570,3 +570,40 @@ def eql_sample(
         .orderBy("user_id")
         .limit(n_keys)
     )
+
+
+def next_event_markov(spark: SparkSession, t) -> DataFrame:
+    """First-order Markov transition table over each user's event
+    stream: P(next event type | current) from per-user (ts, event_id)-
+    ordered lag pairs — the model behind next-action prediction,
+    anomaly scoring, and funnel-dropoff triage in every event pipeline.
+    Counts are exact integers; the one probability divide rounds at
+    emit; (from, to) ordering makes the frame hash-stable.
+
+    Scale shape: ONE window per user (bounded partitions) to form the
+    lag pairs, then a map-side-combined count agg over (from, to) — at
+    10^12 events the transition matrix is |types|² rows, trivially
+    small."""
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -2656,3 +2656,52 @@ def textrank_keywords(spark: SparkSession, t) -> DataFrame:
         .orderBy(F.desc("textrank"), F.asc("term"))
         .limit(TEXTRANK_TOP)
     )
+
+
+def postings_size_estimate(spark: SparkSession, t) -> DataFrame:
+    """Index capacity planning: per-term postings-list size under
+    delta-gap + varint encoding (the Lucene/PForDelta family's baseline
+    layout) — doc ids sorted, gapped (first gap = id+1 so id 0 costs a
+    byte), each gap costing ceil(bits/7) varint bytes. The planning
+    numbers every index-sizing spreadsheet starts from: df, encoded
+    bytes, bytes/posting. Exact integer math except the one rounded
+    divide.
+
+    Scale shape: one postings agg (map-side combined) + per-term array
+    ops over each term's own posting list; the gap/byte computation is
+    JVM array HOFs, no second shuffle. Ref analog: the reference sizes
+    its ES bulk batches byte-wise (extractor/loader.go buffer flush) —
+    this is the same arithmetic applied to the index itself."""
+    d = _tok(t["documents"])
+    post = (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_term = post.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    gaps = F.expr(
+        """transform(ids, (x, i) ->
+             IF(i = 0, x + 1, x - element_at(ids, i)))"""
+    )
+    vbytes = F.expr(
+        """aggregate(gaps, 0L, (acc, g) -> acc +
+             CASE WHEN g < 128 THEN 1
+                  WHEN g < 16384 THEN 2
+                  WHEN g < 2097152 THEN 3
+                  WHEN g < 268435456 THEN 4
+                  ELSE 5 END)"""
+    )
+    return (
+        per_term.select("term", F.size("ids").cast("long").alias("df"), gaps.alias("gaps"))
+        .select(
+            "term",
+            "df",
+            vbytes.alias("encoded_bytes"),
+            F.round(vbytes.cast("double") / F.col("df"), 6).alias(
+                "bytes_per_posting"
+            ),
+        )
+        .orderBy("term")
+    )

@@ -6524,3 +6524,54 @@ LEFT JOIN degs g ON d.doc_id = g.node
 LEFT JOIN corners c ON d.doc_id = c.node
 ORDER BY d.doc_id
 """
+
+
+POSTINGS_SIZE_ESTIMATE = f"""
+WITH post AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+per_term AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS ids FROM post GROUP BY term
+),
+g AS (
+  SELECT term, ids,
+         list_transform(ids, (x, i) ->
+           CASE WHEN i = 1 THEN x + 1 ELSE x - ids[i - 1] END) AS gaps
+  FROM per_term
+),
+b AS (
+  SELECT term, CAST(len(ids) AS BIGINT) AS df,
+         CAST(list_reduce(list_prepend(0, list_transform(gaps, gg ->
+           CASE WHEN gg < 128 THEN 1
+                WHEN gg < 16384 THEN 2
+                WHEN gg < 2097152 THEN 3
+                WHEN gg < 268435456 THEN 4
+                ELSE 5 END)), (x, y) -> x + y) AS BIGINT) AS encoded_bytes
+  FROM g
+)
+SELECT term, df, encoded_bytes,
+       round(CAST(encoded_bytes AS DOUBLE) / df, 6) AS bytes_per_posting
+FROM b ORDER BY term
+"""
+
+
+NEXT_EVENT_MARKOV = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS tot FROM cnt GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+FROM cnt c JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
+"""
