@@ -2109,6 +2109,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_size": _wrap(textstats.postings_size_estimate),
         # first-order Markov next-event transition table
         "next_event_markov": _wrap(eventseq.next_event_markov),
+        # Dirichlet query-likelihood ranking (Zhai-Lafferty LM scorer)
+        "query_likelihood": _wrap(textstats.query_likelihood_topk),
+        # per-term top-m champion lists (early-termination sidecar)
+        "champion_lists": _wrap(textstats.champion_lists),
+        # Silvestri doc-id reassignment: varbyte bytes before/after
+        "docid_remap_bytes": _wrap(textstats.docid_remap_gap_bytes),
+        # ES avg/min/max/sum_bucket sibling pipeline aggs in one pass
+        "sibling_buckets": _wrap(textstats.sibling_bucket_aggs),
     }
 
 
@@ -2757,4 +2765,10 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": oracles.TRIANGLE_COUNT,
         "postings_size": oracles.POSTINGS_SIZE_ESTIMATE,
         "next_event_markov": oracles.NEXT_EVENT_MARKOV,
+        "query_likelihood": oracles.query_likelihood_sql(
+            ["the", "merge", "vector"]
+        ),
+        "champion_lists": oracles.champion_lists_sql(),
+        "docid_remap_bytes": oracles.DOCID_REMAP_GAP_BYTES,
+        "sibling_buckets": oracles.SIBLING_BUCKET_AGGS,
     }

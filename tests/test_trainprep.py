@@ -1603,3 +1603,106 @@ def test_next_event_markov_recompute(spark, corpus, tables):
     for (f, _), (_, p) in got.items():
         by_from[f] += p
     assert all(abs(s - 1.0) < 1e-4 for s in by_from.values())
+
+
+def test_query_likelihood_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    total = sum(len(ts) for ts in toks.values())
+    cf = {
+        t: sum(ts.count(t) for ts in toks.values()) for t in terms
+    }
+    kept = [t for t in terms if cf[t] > 0]
+    mu = textstats.QL_MU
+    p_mu = {t: mu * (cf[t] / total) for t in kept}
+    const_q = sum(_m.log(p_mu[t]) for t in kept)
+    want = {}
+    for d, ts in toks.items():
+        tfs = {t: ts.count(t) for t in kept if t in ts}
+        if not tfs:
+            continue
+        want[d] = (
+            const_q
+            - len(kept) * _m.log(len(ts) + mu)
+            + sum(_m.log(1.0 + tf / p_mu[t]) for t, tf in tfs.items())
+        )
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = textstats.query_likelihood_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+    # LM scoring is a real ranking: scores strictly ordered, all negative
+    assert all(a.score >= b.score for a, b in zip(got, got[1:]))
+    assert all(r.score < 0 for r in got)
+
+
+def test_champion_lists_recompute(spark, corpus, tables):
+    from collections import Counter, defaultdict
+
+    _, by_id = corpus
+    tf = defaultdict(Counter)
+    for d, r in by_id.items():
+        for w in tokenize(r.text):
+            tf[w][d] += 1
+    got = {r.term: r for r in
+           textstats.champion_lists(spark, tables).collect()}
+    assert set(got) == set(tf)
+    for w, cnt in tf.items():
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        row = got[w]
+        assert row.df == len(cnt)
+        assert row.champion_ids == ",".join(str(d) for d, _ in top)
+        assert row.champion_tfs == ",".join(str(n) for _, n in top)
+
+
+def test_docid_remap_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    _, by_id = corpus
+    order = sorted(by_id, key=lambda d: (by_id[d].source, by_id[d].lang, d))
+    new_id = {d: i for i, d in enumerate(order)}
+
+    def vb(g):
+        for i, lim in enumerate((128, 16384, 2097152, 268435456), 1):
+            if g < lim:
+                return i
+        return 5
+
+    def total_bytes(idmap):
+        post = defaultdict(set)
+        for d, r in by_id.items():
+            for w in set(tokenize(r.text)):
+                post[w].add(idmap(d))
+        tot = 0
+        for ids in post.values():
+            ids = sorted(ids)
+            gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+            tot += sum(vb(g) for g in gaps)
+        return tot
+
+    row = textstats.docid_remap_gap_bytes(spark, tables).collect()[0]
+    orig = total_bytes(lambda d: d)
+    remap = total_bytes(lambda d: new_id[d])
+    assert row.orig_bytes == orig
+    assert row.remap_bytes == remap
+    assert abs(row.bytes_ratio - round(remap / orig, 6)) < 1e-9
+    n_post = sum(len(set(tokenize(r.text))) for r in by_id.values())
+    assert row.n_postings == n_post
+
+
+def test_sibling_buckets_recompute(spark, tables):
+    from collections import Counter
+
+    ev = tables["events"].collect()
+    days = Counter(r.ts.date() for r in ev)
+    row = textstats.sibling_bucket_aggs(spark, tables).collect()[0]
+    assert row.n_buckets == len(days)
+    assert row.min_bucket == min(days.values())
+    assert row.max_bucket == max(days.values())
+    assert row.sum_bucket == sum(days.values()) == len(ev)
+    assert abs(
+        row.avg_bucket - round(sum(days.values()) / len(days), 6)
+    ) < 1e-9

@@ -2705,3 +2705,253 @@ def postings_size_estimate(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+QL_MU = 2000.0  # Dirichlet prior (Zhai & Lafferty 2001's standard mu)
+
+
+def query_likelihood_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+    mu: float = QL_MU,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001) — the language-modeling counterpart to BM25, the second
+    classical top-k scorer every IR stack ships. score(d) =
+    sum_t ln((tf + mu*P(t|C)) / (dl + mu)), decomposed into the
+    match-only form so only postings of the query terms are touched:
+    const_q - |q|*ln(dl + mu) + sum_{tf>0} ln(1 + tf/(mu*P(t|C))).
+    Query terms absent from the corpus (cf = 0) are dropped — their
+    smoothed probability is undefined — and |q| counts the kept terms.
+
+    Scale shape: identical to the BM25 corpus path — the tf agg is
+    filtered to the query terms BEFORE the shuffle (postings of |q|
+    terms, not the corpus), cf/total/const_q are one tiny broadcast
+    frame each, and the candidate set is docs matching >=1 term. The
+    score is one fixed-shape double expression of integer inputs
+    (tf, doclen, cf, total_tokens), mirrored token-for-token in the
+    oracle, so both engines rank identically; round(6) at emit only.
+    Ref analog: the reference serves ranked search through ES's scorer
+    (extractor/loader.go:239-379); this is the LM alternative over the
+    same statistics the index already maintains."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    tot = dl.agg(F.sum("doclen").alias("total_tokens"))
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    cf = (
+        qtok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p_mu",
+            F.lit(mu)
+            * (
+                F.col("cf").cast("double")
+                / F.col("total_tokens").cast("double")
+            ),
+        )
+    )
+    constq = cf.agg(
+        F.sum(F.log(F.col("p_mu"))).alias("const_q"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    matched = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(cf.select("term", "p_mu")), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0) + F.col("tf").cast("double") / F.col("p_mu")
+                )
+            ).alias("match_part")
+        )
+    )
+    score = (
+        F.col("const_q")
+        - F.col("nq").cast("double")
+        * F.log(F.col("doclen").cast("double") + F.lit(mu))
+        + F.col("match_part")
+    )
+    return (
+        matched.join(dl, "doc_id")
+        .crossJoin(F.broadcast(constq))
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+CHAMPION_M = 5  # champion-list depth
+
+
+def champion_lists(
+    spark: SparkSession, t, m: int = CHAMPION_M
+) -> DataFrame:
+    """Champion lists (Manning/Raghavan/Schuetze IR ch.7, a.k.a. Fagin
+    top-doc lists): for every term, the m docs with the highest tf
+    (doc_id tie-break) precomputed at index time — the classic
+    early-termination sidecar that answers single-term and lazy-union
+    queries without touching the full posting list. Emitted as
+    (term, df, champion doc ids, their tfs), lists serialized to
+    strings per the repo's canon convention (parity.py:155).
+
+    Scale shape: the tf agg is map-side combined; the rank window
+    partitions BY TERM (parallel per key, heap state bounded by the
+    posting list — the same per-key shape every WAND shard heap uses);
+    the surviving m rows per term collapse in one final term agg.
+    At 10^12 docs the output is |vocab| * m rows — index-metadata
+    sized, exactly what block-max metadata storage already holds
+    (functions/wand.py block maxes)."""
+    d = t["documents"]
+    tf = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = tf.withColumn("rk", F.row_number().over(w))
+    per_term = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    champs = (
+        top.where(F.col("rk") <= m)
+        .groupBy("term")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rk", "doc_id", "tf"))
+            ).alias("s")
+        )
+        .select(
+            "term",
+            F.concat_ws(
+                ",", F.transform("s", lambda x: x["doc_id"].cast("string"))
+            ).alias("champion_ids"),
+            F.concat_ws(
+                ",", F.transform("s", lambda x: x["tf"].cast("string"))
+            ).alias("champion_tfs"),
+        )
+    )
+    return (
+        per_term.join(champs, "term")
+        .select("term", F.col("df").cast("long").alias("df"),
+                "champion_ids", "champion_tfs")
+        .orderBy("term")
+    )
+
+
+def docid_remap_gap_bytes(spark: SparkSession, t) -> DataFrame:
+    """Doc-id reassignment for postings compression (Silvestri ECIR'07,
+    "Sorting out the document identifier assignment problem"): cluster
+    similar documents into adjacent ids — Silvestri sorts by URL; here
+    the cluster key is (source, lang), the domain-prefix analog this
+    corpus carries — and measure total varbyte postings bytes under the
+    original vs the remapped assignment. Similar docs share vocabulary,
+    so clustering shrinks the doc-id gaps inside each posting list and
+    the varbyte coding pays. One summary row: bytes before/after and
+    the ratio — the go/no-go number for an index-layout migration.
+
+    Scale shape: the remapped rank is NOT a global window — it is the
+    distributed-rank decomposition ingest.py::dedup_and_assign_doc_ids
+    ships in production: a rank window partitioned by the cluster key
+    (at CC scale source=domain -> bounded partitions) plus an exclusive
+    prefix-sum of per-group counts over the group frame (|domains|
+    rows, reduced scale). Gap/byte math reuses the JVM array-HOF kernel
+    of postings_size_estimate; the two byte sums are map-side-combined
+    final aggs. Oracle equivalence: offset + local rank ==
+    row_number() OVER (ORDER BY source, lang, doc_id) - 1, which is
+    what the DuckDB twin computes directly."""
+    d = t["documents"]
+    grp_w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    grps = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    off_w = (
+        Window.orderBy("source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = grps.select(
+        "source", "lang",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+    )
+    remap = (
+        d.select("source", "lang", "doc_id")
+        .withColumn("lrk", F.row_number().over(grp_w) - 1)
+        .join(F.broadcast(offs), ["source", "lang"])
+        .select("doc_id", (F.col("off") + F.col("lrk")).alias("new_id"))
+    )
+    post = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(remap), "doc_id")
+    )
+    gaps = F.expr(
+        """transform(ids, (x, i) ->
+             IF(i = 0, x + 1, x - element_at(ids, i)))"""
+    )
+    vbytes = F.expr(
+        """aggregate(gaps, 0L, (acc, g) -> acc +
+             CASE WHEN g < 128 THEN 1
+                  WHEN g < 16384 THEN 2
+                  WHEN g < 2097152 THEN 3
+                  WHEN g < 268435456 THEN 4
+                  ELSE 5 END)"""
+    )
+
+    def total(ids_col: str, alias: str) -> DataFrame:
+        return (
+            post.groupBy("term")
+            .agg(F.sort_array(F.collect_list(ids_col)).alias("ids"))
+            .select(gaps.alias("gaps"))
+            .select(vbytes.alias("b"))
+            .agg(F.sum("b").cast("long").alias(alias))
+        )
+
+    orig = total("doc_id", "orig_bytes")
+    new = total("new_id", "remap_bytes")
+    n_post = post.agg(F.count(F.lit(1)).cast("long").alias("n_postings"))
+    return (
+        n_post.crossJoin(orig)
+        .crossJoin(new)
+        .select(
+            "n_postings",
+            "orig_bytes",
+            "remap_bytes",
+            F.round(
+                F.col("remap_bytes").cast("double")
+                / F.col("orig_bytes").cast("double"),
+                6,
+            ).alias("bytes_ratio"),
+        )
+    )
+
+
+def sibling_bucket_aggs(spark: SparkSession, t) -> DataFrame:
+    """ES sibling pipeline aggregations ``avg_bucket`` / ``min_bucket``
+    / ``max_bucket`` / ``sum_bucket`` in one pass: the four scalar
+    reductions OF A SIBLING METRIC ACROSS BUCKETS — here the daily
+    event count over the events date-histogram (the dashboards row
+    "avg/min/max/total events per day"). Completes the pipeline-agg
+    family next to stats_bucket / extended_stats_bucket /
+    percentiles_bucket / moving_fn / derivative / cumulative_sum.
+
+    Scale shape: the heavy lifting is ONE map-side-combined count per
+    day; the four reductions then run over the reduced ~|days| bucket
+    frame. Sums emitted as BIGINT on both engines (the canon-compat
+    contract; DuckDB sum(BIGINT) is HUGEINT without the cast)."""
+    e = t["events"]
+    hist = (
+        e.groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.round(F.avg(F.col("n_events").cast("double")), 6).alias(
+            "avg_bucket"
+        ),
+        F.min("n_events").cast("long").alias("min_bucket"),
+        F.max("n_events").cast("long").alias("max_bucket"),
+        F.sum("n_events").cast("long").alias("sum_bucket"),
+    )

@@ -6575,3 +6575,120 @@ SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
 FROM cnt c JOIN tot t USING (from_type)
 ORDER BY from_type, to_type
 """
+
+
+def query_likelihood_sql(
+    terms: list[str], k: int = 15, mu: float = 2000.0
+) -> str:
+    """Dirichlet query-likelihood twin of
+    operators/textstats.py::query_likelihood_topk — the decomposed
+    match-only form with token-identical expression shapes (p_mu,
+    const_q, the per-doc score), so equal integer inputs give bit-equal
+    doubles and both engines rank identically."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+tot AS (SELECT CAST(sum(doclen) AS BIGINT) AS total_tokens FROM dl),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+cf AS (
+  SELECT term,
+         {mu!r} * (CAST(count(*) AS DOUBLE)
+                   / CAST(total_tokens AS DOUBLE)) AS p_mu
+  FROM qtok CROSS JOIN tot GROUP BY term, total_tokens
+),
+constq AS (SELECT sum(ln(p_mu)) AS const_q, count(*) AS nq FROM cf),
+matched AS (
+  SELECT doc_id, sum(ln(1.0 + CAST(tf AS DOUBLE) / p_mu)) AS match_part
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN cf USING (term) GROUP BY doc_id
+),
+scored AS (
+  SELECT m.doc_id,
+         const_q - CAST(nq AS DOUBLE)
+                   * ln(CAST(doclen AS DOUBLE) + {mu!r})
+                 + match_part AS score
+  FROM matched m JOIN dl USING (doc_id) CROSS JOIN constq
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def champion_lists_sql(m: int = 5) -> str:
+    """Twin of operators/textstats.py::champion_lists — rank by
+    (tf desc, doc_id), keep m per term, lists serialized in rank order
+    per the repo's canon convention."""
+    return f"""
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT d.term, d.df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk)
+         AS champion_ids,
+       string_agg(CAST(tf AS VARCHAR), ',' ORDER BY rk)
+         AS champion_tfs
+FROM rk JOIN dfs d USING (term)
+WHERE rk <= {m}
+GROUP BY d.term, d.df
+ORDER BY d.term
+"""
+
+
+_VB_FOLD = """list_reduce(list_prepend(0, list_transform(
+    list_transform(ids, (x, i) ->
+      CASE WHEN i = 1 THEN x + 1 ELSE x - ids[i - 1] END),
+    gg -> CASE WHEN gg < 128 THEN 1
+               WHEN gg < 16384 THEN 2
+               WHEN gg < 2097152 THEN 3
+               WHEN gg < 268435456 THEN 4
+               ELSE 5 END)), (x, y) -> x + y)"""
+
+
+DOCID_REMAP_GAP_BYTES = f"""
+WITH remap AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY source, lang, doc_id) - 1 AS new_id
+  FROM documents
+),
+post AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+o AS (SELECT term, list(doc_id ORDER BY doc_id) AS ids
+      FROM post GROUP BY term),
+r AS (SELECT term, list(new_id ORDER BY new_id) AS ids
+      FROM post JOIN remap USING (doc_id) GROUP BY term),
+ob AS (SELECT CAST(sum({_VB_FOLD}) AS BIGINT) AS orig_bytes FROM o),
+rb AS (SELECT CAST(sum({_VB_FOLD}) AS BIGINT) AS remap_bytes FROM r),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_postings FROM post)
+SELECT n_postings, orig_bytes, remap_bytes,
+       round(CAST(remap_bytes AS DOUBLE)
+             / CAST(orig_bytes AS DOUBLE), 6) AS bytes_ratio
+FROM np CROSS JOIN ob CROSS JOIN rb
+"""
+
+
+SIBLING_BUCKET_AGGS = """
+WITH hist AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(avg(CAST(n_events AS DOUBLE)), 6) AS avg_bucket,
+       CAST(min(n_events) AS BIGINT) AS min_bucket,
+       CAST(max(n_events) AS BIGINT) AS max_bucket,
+       CAST(sum(n_events) AS BIGINT) AS sum_bucket
+FROM hist
+"""
