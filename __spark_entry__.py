@@ -2117,6 +2117,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docid_remap_bytes": _wrap(textstats.docid_remap_gap_bytes),
         # ES avg/min/max/sum_bucket sibling pipeline aggs in one pass
         "sibling_buckets": _wrap(textstats.sibling_bucket_aggs),
+        # Bloom-filter membership prefilter for incremental dedup
+        "bloom_prefilter": _wrap(dedup.bloom_prefilter),
+        # BM25+ lower-bounded tf normalization (Lv-Zhai CIKM'11)
+        "bm25_plus": _wrap(textstats.bm25_plus_topk),
+        # postings-intersection size vs independence estimate (planner)
+        "intersect_estimate": _wrap(textstats.intersect_estimate),
     }
 
 
@@ -2771,4 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         "champion_lists": oracles.champion_lists_sql(),
         "docid_remap_bytes": oracles.DOCID_REMAP_GAP_BYTES,
         "sibling_buckets": oracles.SIBLING_BUCKET_AGGS,
+        "bloom_prefilter": oracles.BLOOM_PREFILTER,
+        "bm25_plus": oracles.bm25_plus_sql(["the", "merge", "vector"]),
+        "intersect_estimate": oracles.intersect_estimate_sql(),
     }

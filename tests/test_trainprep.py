@@ -1706,3 +1706,102 @@ def test_sibling_buckets_recompute(spark, tables):
     assert abs(
         row.avg_bucket - round(sum(days.values()) / len(days), 6)
     ) < 1e-9
+
+
+def test_bloom_prefilter_recompute(spark, corpus, tables):
+    import hashlib
+
+    from unichem2index_spark.operators import dedup
+
+    _, by_id = corpus
+    m = dedup.BLOOM_M
+
+    def positions(text):
+        hx = hashlib.md5(text.encode()).hexdigest()
+        return [int(hx[8 * j: 8 * j + 7], 16) % m for j in range(3)]
+
+    bits, base_hx = set(), set()
+    for d, r in by_id.items():
+        if d % 10 != 0:
+            bits.update(positions(r.text))
+            base_hx.add(hashlib.md5(r.text.encode()).hexdigest())
+    got = {r.doc_id: r for r in
+           dedup.bloom_prefilter(spark, tables).collect()}
+    probes = [d for d in by_id if d % 10 == 0]
+    assert set(got) == set(probes)
+    for d in probes:
+        txt = by_id[d].text
+        want_hit = int(all(p in bits for p in positions(txt)))
+        want_ex = int(hashlib.md5(txt.encode()).hexdigest() in base_hx)
+        assert got[d].bloom_hit == want_hit
+        assert got[d].exact_dup == want_ex
+        # Bloom contract: no false negatives
+        assert not (want_ex == 1 and got[d].bloom_hit == 0)
+
+
+def test_bm25_plus_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    df = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in terms
+    }
+    delta = textstats.BM25_PLUS_DELTA
+    want = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            idf = _m.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (
+                tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)) + delta
+            )
+        if s:
+            want[d] = s
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = textstats.bm25_plus_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+    # the delta lower-bounds every matched term's contribution
+    min_idf = min(
+        _m.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) for t in terms
+    )
+    assert all(r.score >= round(min_idf * delta, 6) for r in got)
+
+
+def test_intersect_estimate_recompute(spark, corpus, tables):
+    from collections import Counter, defaultdict
+
+    _, by_id = corpus
+    post = defaultdict(set)
+    for d, r in by_id.items():
+        for w in set(tokenize(r.text)):
+            post[w].add(d)
+    dfs = Counter({w: len(s) for w, s in post.items()})
+    top = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    n = len(by_id)
+    got = {(r.term_a, r.term_b): r for r in
+           textstats.intersect_estimate(spark, tables).collect()}
+    want_pairs = {
+        (a, b)
+        for i, (a, _) in enumerate(top)
+        for b, _ in top[i + 1:]
+    }
+    # pairs are emitted in lexicographic (a < b) orientation
+    want_pairs = {tuple(sorted(p)) for p in want_pairs}
+    assert set(got) == want_pairs
+    dfd = dict(top)
+    for (a, b), r in got.items():
+        actual = len(post[a] & post[b])
+        est = dfd[a] * dfd[b] / n
+        assert (r.df_a, r.df_b) == (dfd[a], dfd[b])
+        assert r.actual == actual
+        assert abs(r.est_independent - round(est, 6)) < 1e-9
+        assert abs(r.err_ratio - round(actual / est, 6)) < 1e-9

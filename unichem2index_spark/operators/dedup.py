@@ -1002,3 +1002,74 @@ def dedup_consensus_pairs(spark: SparkSession, t) -> DataFrame:
         .where(F.col("n_methods") >= 2)
         .orderBy("doc_a", "doc_b")
     )
+
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3  # hash functions (md5 hex slices)
+
+
+def bloom_prefilter(spark: SparkSession, t) -> DataFrame:
+    """Bloom-filter membership prefilter for INCREMENTAL exact dedup
+    (Bloom 1970; the standard front gate before the expensive dedup
+    join when a new crawl batch lands against an indexed corpus): the
+    base corpus (doc_id % 10 != 0) populates an M=8192-bit / K=3
+    filter keyed on md5(text) — the same digest exact_dedup groups on
+    (dedup.py exact path) — and each probe doc (doc_id % 10 == 0)
+    reports bloom_hit (all K bits set: "maybe seen, verify") next to
+    exact_dup ground truth (digest match). Bloom's contract holds by
+    construction: exact_dup = 1 implies bloom_hit = 1 (no false
+    negatives); the false-positive rows are the verify-join workload.
+
+    Cross-engine hashing: K positions are 28-bit integer parses of
+    disjoint md5-hex slices (hex chars 1-7, 9-15, 17-23) mod M —
+    Spark ``conv(substr(md5, ...), 16, 10)`` == DuckDB
+    ``('0x' || substr(md5, ...))::BIGINT``, both far below 2^63.
+
+    Scale shape: the filter is materialized RELATIONALLY as the
+    distinct set-bit frame (<= M rows, broadcast to the probe side) —
+    the honest local[32] stand-in for the production form, a per-
+    executor byte-array bitmap OR-merged in one treeAggregate (noted,
+    not faked). Probe membership is K broadcast-hash lookups per doc;
+    nothing shuffles on the corpus."""
+    m, hx = BLOOM_M, F.md5(F.col("text").cast("binary"))
+
+    def pos(j: int):
+        return (
+            F.conv(F.substring("hx", 1 + 8 * j, 7), 16, 10).cast("long")
+            % m
+        ).alias(f"p{j}")
+
+    d = t["documents"].select(
+        "doc_id",
+        hx.alias("hx"),
+        (F.col("doc_id") % 10 == 0).alias("is_probe"),
+    )
+    p = d.select("doc_id", "hx", "is_probe", pos(0), pos(1), pos(2))
+    base = p.where(~F.col("is_probe"))
+    bits = (
+        base.select(F.explode(F.array("p0", "p1", "p2")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = p.where("is_probe")
+    exploded = probe.select(
+        "doc_id", F.explode(F.array("p0", "p1", "p2")).alias("pos")
+    )
+    bloom = (
+        exploded.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("bloom_hit"))
+    )
+    base_hx = base.select("hx").distinct().withColumn("ex", F.lit(1))
+    exact = probe.join(F.broadcast(base_hx), "hx", "left").select(
+        "doc_id", F.coalesce("ex", F.lit(0)).alias("exact_dup")
+    )
+    return (
+        bloom.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            F.col("bloom_hit").cast("long").alias("bloom_hit"),
+            F.col("exact_dup").cast("long").alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2955,3 +2955,143 @@ def sibling_bucket_aggs(spark: SparkSession, t) -> DataFrame:
         F.max("n_events").cast("long").alias("max_bucket"),
         F.sum("n_events").cast("long").alias("sum_bucket"),
     )
+
+
+BM25_PLUS_DELTA = 0.5  # Lv & Zhai's lower bound; 0.5 for the repo kernel
+
+
+def bm25_plus_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+    delta: float = BM25_PLUS_DELTA,
+) -> DataFrame:
+    """BM25+ ranking (Lv & Zhai CIKM'11, "Lower-bounding term frequency
+    normalization"): the repo's BM25 kernel (k1=1.2, b=0.75, the exact
+    idf/norm shape of oracles.bm25_sql / functions/wand.py) with the
+    per-matched-term lower bound delta added INSIDE the idf product —
+    score = sum_t idf_t * (tf_norm + delta). Fixes BM25's over-penalty
+    of long documents: a long doc matching a term can never score below
+    idf*delta for it, so one-occurrence-in-a-long-doc still beats
+    no-occurrence. Completes the scorer family next to bm25 (corpus +
+    WAND), BM25F (combined_fields), and query_likelihood.
+
+    Scale shape: identical to the BM25 corpus path — postings filtered
+    to the query terms pre-shuffle, df/avgdl broadcast scalars, one
+    per-doc sum, TakeOrdered top-k. Same fixed-shape double-expression
+    determinism argument as tfidf_keywords."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        tokf.where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    ) * (
+        F.col("tf")
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+        )
+        + F.lit(delta)
+    )
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+INTERSECT_TOP_TERMS = 10  # analyze the heaviest terms' pairwise overlap
+
+
+def intersect_estimate(
+    spark: SparkSession, t, n_terms: int = INTERSECT_TOP_TERMS
+) -> DataFrame:
+    """Boolean-AND result-size estimation audit: for every pair of the
+    top-``n_terms`` terms by df, the ACTUAL postings-intersection size
+    next to the System-R independence estimate df_a*df_b/N — the
+    selectivity model every conjunctive query planner (and WAND's
+    candidate-budget heuristic) starts from, and err_ratio =
+    actual/estimate is exactly the correlation factor that tells the
+    planner where independence lies (correlated terms co-occur far
+    above the estimate).
+
+    Scale shape: postings are filtered to the analyzed terms BEFORE the
+    self-join (n_terms * df rows, not the corpus), the join key is
+    doc_id (co-occurring pairs bounded by n_terms^2 per doc), and the
+    pair agg is map-side combined. The term pick itself is a df agg +
+    top-n; output is n_terms-choose-2 rows at any corpus size."""
+    d = t["documents"]
+    post = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id")
+    )
+    dfs = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = (
+        dfs.orderBy(F.desc("df"), "term")
+        .limit(n_terms)
+        .select("term", "df")
+    )
+    p = post.join(F.broadcast(top.select("term")), "term")
+    pairs = (
+        p.alias("a")
+        .join(p.alias("b"), "doc_id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ta = top.select(
+        F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    tb = top.select(
+        F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    est = (
+        F.col("df_a").cast("double")
+        * F.col("df_b").cast("double")
+        / F.col("n_docs").cast("double")
+    )
+    return (
+        ta.crossJoin(tb)
+        .where(F.col("term_a") < F.col("term_b"))
+        .join(pairs, ["term_a", "term_b"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.coalesce("actual", F.lit(0)).cast("long").alias("actual"),
+            F.round(est, 6).alias("est_independent"),
+            F.round(
+                F.coalesce("actual", F.lit(0)).cast("double") / est, 6
+            ).alias("err_ratio"),
+        )
+        .orderBy("term_a", "term_b")
+    )

@@ -6692,3 +6692,104 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
        CAST(sum(n_events) AS BIGINT) AS sum_bucket
 FROM hist
 """
+
+
+BLOOM_PREFILTER = f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx, doc_id % 10 = 0 AS is_probe
+  FROM documents
+),
+p AS (
+  SELECT doc_id, hx, is_probe,
+         ('0x' || substr(hx, 1, 7))::BIGINT % 8192 AS p0,
+         ('0x' || substr(hx, 9, 7))::BIGINT % 8192 AS p1,
+         ('0x' || substr(hx, 17, 7))::BIGINT % 8192 AS p2
+  FROM h
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT unnest([p0, p1, p2]) AS pos FROM p WHERE NOT is_probe)
+),
+base_hx AS (SELECT DISTINCT hx FROM p WHERE NOT is_probe)
+SELECT doc_id,
+       CAST(CASE WHEN p0 IN (SELECT pos FROM bits)
+              AND p1 IN (SELECT pos FROM bits)
+              AND p2 IN (SELECT pos FROM bits)
+            THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN hx IN (SELECT hx FROM base_hx)
+            THEN 1 ELSE 0 END AS BIGINT) AS exact_dup
+FROM p WHERE is_probe
+ORDER BY doc_id
+"""
+
+
+def bm25_plus_sql(
+    terms: list[str], k: int = 15, delta: float = 0.5
+) -> str:
+    """BM25+ twin of operators/textstats.py::bm25_plus_topk — the repo
+    BM25 kernel shape (bm25_sql) with the Lv-Zhai lower bound added
+    inside the idf product; token-identical expression nesting."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokf
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / s.avgdl))
+              + {delta!r})
+         ) AS score
+  FROM tf JOIN dfs d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def intersect_estimate_sql(n_terms: int = 10) -> str:
+    """Twin of operators/textstats.py::intersect_estimate — actual
+    pairwise postings intersections of the top-df terms vs the
+    System-R independence estimate."""
+    return f"""
+WITH post AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+top AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT {n_terms}),
+p AS (SELECT post.term, doc_id FROM post JOIN top USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS actual
+  FROM p a JOIN p b USING (doc_id)
+  WHERE a.term < b.term GROUP BY 1, 2
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT ta.term AS term_a, tb.term AS term_b,
+       CAST(ta.df AS BIGINT) AS df_a, CAST(tb.df AS BIGINT) AS df_b,
+       CAST(coalesce(pr.actual, 0) AS BIGINT) AS actual,
+       round(CAST(ta.df AS DOUBLE) * CAST(tb.df AS DOUBLE)
+             / CAST(n_docs AS DOUBLE), 6) AS est_independent,
+       round(CAST(coalesce(pr.actual, 0) AS DOUBLE)
+             / (CAST(ta.df AS DOUBLE) * CAST(tb.df AS DOUBLE)
+                / CAST(n_docs AS DOUBLE)), 6) AS err_ratio
+FROM top ta CROSS JOIN top tb
+LEFT JOIN pairs pr ON pr.term_a = ta.term AND pr.term_b = tb.term
+CROSS JOIN n
+WHERE ta.term < tb.term
+ORDER BY term_a, term_b
+"""
