@@ -2123,6 +2123,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_plus": _wrap(textstats.bm25_plus_topk),
         # postings-intersection size vs independence estimate (planner)
         "intersect_estimate": _wrap(textstats.intersect_estimate),
+        # Carmel'01 static index pruning size/fidelity audit
+        "static_prune": _wrap(textstats.static_prune_audit),
+        # highlighter best-fragment selection (map-side HOF search)
+        "best_passage": _wrap(textstats.best_passage),
+        # Kendall tau + RBO agreement between BM25 and QL rankers
+        "rank_correlation": _wrap(textstats.rank_correlation),
     }
 
 
@@ -2780,4 +2786,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter": oracles.BLOOM_PREFILTER,
         "bm25_plus": oracles.bm25_plus_sql(["the", "merge", "vector"]),
         "intersect_estimate": oracles.intersect_estimate_sql(),
+        "static_prune": oracles.static_prune_sql(),
+        "best_passage": oracles.best_passage_sql(
+            ["the", "merge", "vector"]
+        ),
+        "rank_correlation": oracles.rank_correlation_sql(
+            ["the", "merge", "vector"]
+        ),
     }

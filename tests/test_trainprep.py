@@ -1805,3 +1805,101 @@ def test_intersect_estimate_recompute(spark, corpus, tables):
         assert r.actual == actual
         assert abs(r.est_independent - round(est, 6)) < 1e-9
         assert abs(r.err_ratio - round(actual / est, 6)) < 1e-9
+
+
+def _bm25_kernel(n, df, tf, dl, avgdl):
+    import math as _m
+
+    return _m.log(1.0 + (n - df + 0.5) / (df + 0.5)) * (
+        tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    )
+
+
+def test_static_prune_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    _, by_id = corpus
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    scores = defaultdict(list)
+    tf_all = {
+        (d, w): ts.count(w)
+        for d, ts in toks.items()
+        for w in set(ts)
+    }
+    df = defaultdict(int)
+    for (_, w) in tf_all:
+        df[w] += 1
+    for (d, w), tf in tf_all.items():
+        scores[w].append(_bm25_kernel(n, df[w], tf, dl[d], avgdl))
+    got = {r.term: r for r in
+           textstats.static_prune_audit(spark, tables).collect()}
+    assert set(got) == set(scores)
+    lam = textstats.PRUNE_LAMBDA
+    for w, ss in scores.items():
+        kept = sum(1 for s in ss if s >= lam * max(ss))
+        row = got[w]
+        assert row.df == len(ss)
+        assert row.kept == kept
+        assert abs(row.kept_ratio - round(kept / len(ss), 6)) < 1e-9
+        assert 1 <= row.kept <= row.df  # the top posting always survives
+
+
+def test_best_passage_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    terms = {"the", "merge", "vector"}
+    w = textstats.PASSAGE_W
+    want = {}
+    for d, r in by_id.items():
+        ts = tokenize(r.text)
+        qpos = [i + 1 for i, x in enumerate(ts) if x in terms]
+        if not qpos:
+            continue
+        best = min(
+            (
+                -len({ts[p - 1] for p in qpos if s <= p < s + w}),
+                s,
+            )
+            for s in qpos
+        )
+        want[d] = (-best[0], best[1],
+                   " ".join(ts[best[1] - 1: best[1] - 1 + w]))
+    top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    got = textstats.best_passage(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, (nt, st, passage)) in zip(got, top):
+        assert (r.n_terms, r.start, r.passage) == (nt, st, passage)
+        # the window really contains that many distinct query terms
+        assert len(set(r.passage.split()) & terms) == r.n_terms
+
+
+def test_rank_correlation_recompute(spark, corpus, tables):
+    import math as _m
+
+    got = textstats.rank_correlation(spark, tables).collect()[0]
+    a = [r.doc_id for r in
+         textstats.bm25_plus_topk(spark, tables, delta=0.0, k=20)
+         .collect()]
+    b = [r.doc_id for r in
+         textstats.query_likelihood_topk(spark, tables, k=20).collect()]
+    ra = {d: i + 1 for i, d in enumerate(a)}
+    rb = {d: i + 1 for i, d in enumerate(b)}
+    common = sorted(set(ra) & set(rb))
+    assert got.n_common == len(common)
+    conc = disc = 0
+    for i, x in enumerate(common):
+        for y in common[i + 1:]:
+            s = (ra[x] - ra[y]) * (rb[x] - rb[y])
+            conc, disc = conc + (s > 0), disc + (s < 0)
+    npairs = len(common) * (len(common) - 1) // 2
+    tau = (conc - disc) / npairs if npairs else 0.0
+    assert abs(got.kendall_tau - round(tau, 6)) < 1e-6
+    p = textstats.RBO_P
+    rbo = (1.0 - p) * sum(
+        sum(1 for d in common if max(ra[d], rb[d]) <= k) / k
+        * p ** (k - 1)
+        for k in range(1, 21)
+    )
+    assert abs(got.rbo - round(rbo, 6)) < 1e-5
+    assert -1.0 <= got.kendall_tau <= 1.0 and 0.0 <= got.rbo <= 1.0

@@ -3095,3 +3095,226 @@ def intersect_estimate(
         )
         .orderBy("term_a", "term_b")
     )
+
+
+PRUNE_LAMBDA = 0.75  # keep postings scoring >= lambda * term top score
+
+
+def static_prune_audit(
+    spark: SparkSession, t, lam: float = PRUNE_LAMBDA
+) -> DataFrame:
+    """Static index pruning audit (Carmel et al. SIGIR'01, top-k
+    answer-preserving pruning): score every posting with the repo's
+    BM25 kernel (the per-term partial an index stores next to block
+    maxes) and count how many survive the keep rule
+    score >= lambda * top_score(term) — per-term kept/df/kept_ratio is
+    the size-vs-fidelity curve an index-pruning migration is decided
+    on. Pruning trades disk for recall; this op is the measurement.
+
+    Scale shape: one postings agg, the per-posting score is a map-side
+    double expression (stats broadcast), the per-term max is a
+    map-side-combined agg joined back (vocabulary-sized, broadcast),
+    and the kept-count is a second combined agg — no windows, no
+    per-doc state. Determinism: both the score and lambda*max are
+    fixed-shape doubles of integer inputs, bit-equal across engines,
+    so the >= comparison decides identically."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = tokf.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    ) * (
+        F.col("tf")
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("term", score.alias("s"))
+    )
+    smax = scored.groupBy("term").agg(F.max("s").alias("smax"))
+    return (
+        scored.join(F.broadcast(smax), "term")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum(
+                F.when(
+                    F.col("s") >= F.lit(lam) * F.col("smax"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept"),
+        )
+        .select(
+            "term",
+            "df",
+            "kept",
+            F.round(
+                F.col("kept").cast("double") / F.col("df").cast("double"),
+                6,
+            ).alias("kept_ratio"),
+        )
+        .orderBy("term")
+    )
+
+
+PASSAGE_W = 20  # best-passage window, in tokens
+
+
+def best_passage(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    w: int = PASSAGE_W,
+    k: int = 10,
+) -> DataFrame:
+    """Best-passage extraction — the fragment selector behind every
+    highlighter/snippet API (ES unified highlighter, and the passage
+    stage of retrieve-then-read RAG): per doc, the ``w``-token window
+    covering the most DISTINCT query terms, earliest window on ties.
+    Only windows starting AT a query-term position need checking (a
+    shifted-left window never covers more), so the candidate set per
+    doc is its query-term positions, not its length. Emits the top-k
+    docs by (covered terms desc, doc_id) with the winning offset and
+    the serialized window text.
+
+    Scale shape: ENTIRELY map-side — the whole window search runs
+    inside JVM array HOFs on each doc's own token array (no Python, no
+    shuffle, no window function); the only distributed ops are the
+    final TakeOrdered(k). This is the shape a 10^12-doc highlight pass
+    must have: per-doc work bounded by occurrences x occurrences, zero
+    cross-doc state."""
+    inlist = ", ".join("'" + x.replace("'", "''") + "'" for x in terms)
+    d = t["documents"].select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    qpos = F.expr(
+        f"""filter(sequence(1, size(toks)),
+                   i -> array_contains(array({inlist}), toks[i - 1]))"""
+    )
+    # per candidate start s: distinct query terms in toks[s .. s+w-1]
+    best = F.expr(
+        f"""array_min(transform(qpos, s ->
+             struct(
+               -size(array_distinct(transform(
+                  filter(qpos, p -> p >= s AND p < s + {w}),
+                  p -> toks[p - 1]))) AS neg_n,
+               s AS start)))"""
+    )
+    out = (
+        d.select("doc_id", "toks", qpos.alias("qpos"))
+        .where(F.size("qpos") > 0)
+        .select("doc_id", "toks", best.alias("b"))
+        .select(
+            "doc_id",
+            (-F.col("b.neg_n")).cast("long").alias("n_terms"),
+            F.col("b.start").cast("long").alias("start"),
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(toks, b.start, {w})"),
+            ).alias("passage"),
+        )
+    )
+    return (
+        out.orderBy(F.desc("n_terms"), "doc_id")
+        .limit(k)
+        .select("doc_id", "n_terms", "start", "passage")
+    )
+
+
+RBO_P = 0.9  # rank-biased overlap persistence
+
+
+def rank_correlation(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 20,
+) -> DataFrame:
+    """Ranker-agreement eval: Kendall's tau-b style concordance (over
+    the docs BOTH rankers retrieve) and Rank-Biased Overlap (Webber et
+    al. TOIS'10, truncated prefix form, p=0.9) between the BM25 and
+    the Dirichlet query-likelihood top-k for the same query — the
+    standard pair of numbers for "does the new scorer agree with the
+    old one" before an A/B. BM25 side reuses bm25_plus_topk with
+    delta=0 (== the repo kernel exactly).
+
+    Scale shape: both rankers keep their own (already-audited) plans;
+    everything downstream runs over two k-row frames — the rank
+    windows, the pair self-join (k^2), and the depth sequence are all
+    post-limit, the accepted reduced-frame pattern (query.py:531).
+    Ranks are taken over the rounded emitted scores (doc_id
+    tie-break), identical on both engines by construction."""
+    a = bm25_plus_topk(spark, t, terms, k, delta=0.0)
+    b = query_likelihood_topk(spark, t, terms, k)
+    wa = Window.orderBy(F.desc("score"), "doc_id")
+    ra = a.select("doc_id", F.row_number().over(wa).alias("ra"))
+    rb = b.select("doc_id", F.row_number().over(wa).alias("rb"))
+    common = ra.join(rb, "doc_id")
+    pairs = (
+        common.alias("x")
+        .join(common.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            (
+                (F.col("x.ra") - F.col("y.ra"))
+                * (F.col("x.rb") - F.col("y.rb"))
+                > 0
+            )
+            .cast("int")
+            .alias("conc")
+        )
+    )
+    tau = pairs.agg(
+        F.coalesce(
+            F.round(
+                (F.sum("conc") * 2 - F.count(F.lit(1)))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("kendall_tau")
+    )
+    depths = spark.range(1, k + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    ov = (
+        depths.join(
+            common,
+            F.greatest(F.col("ra"), F.col("rb")) <= F.col("d"),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("doc_id").alias("ov"))
+    )
+    rbo = ov.agg(
+        F.round(
+            F.lit(1.0 - RBO_P)
+            * F.sum(
+                F.col("ov").cast("double")
+                / F.col("d")
+                * F.pow(F.lit(RBO_P), F.col("d") - 1)
+            ),
+            6,
+        ).alias("rbo")
+    )
+    n_common = common.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return n_common.crossJoin(tau).crossJoin(rbo)

@@ -6793,3 +6793,164 @@ CROSS JOIN n
 WHERE ta.term < tb.term
 ORDER BY term_a, term_b
 """
+
+
+def static_prune_sql(lam: float = 0.75) -> str:
+    """Twin of operators/textstats.py::static_prune_audit — same BM25
+    kernel shape as bm25_sql; the keep rule compares bit-equal
+    doubles, so both engines prune identically."""
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokf GROUP BY 1, 2),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.term,
+         ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)))
+           AS s
+  FROM tf JOIN dfs d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats st
+),
+smax AS (SELECT term, max(s) AS smax FROM scored GROUP BY 1),
+agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(CASE WHEN s >= {lam!r} * smax THEN 1 ELSE 0 END)
+              AS BIGINT) AS kept
+  FROM scored JOIN smax USING (term) GROUP BY term
+)
+SELECT term, df, kept,
+       round(CAST(kept AS DOUBLE) / CAST(df AS DOUBLE), 6) AS kept_ratio
+FROM agg ORDER BY term
+"""
+
+
+def best_passage_sql(
+    terms: list[str], w: int = 20, k: int = 10
+) -> str:
+    """Twin of operators/textstats.py::best_passage — 1-based
+    positions on both engines; arg-min via struct sort (neg count,
+    then earliest start)."""
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1),
+                     i -> list_contains([{inlist}], toks[i])) AS qpos
+  FROM d
+),
+b AS (
+  SELECT doc_id, toks,
+         list_sort(list_transform(qpos, s -> {{
+           'neg_n': -len(list_distinct(list_transform(
+              list_filter(qpos, p -> p >= s AND p < s + {w}),
+              p -> toks[p]))),
+           'start': s}}))[1] AS bp
+  FROM q WHERE len(qpos) > 0
+)
+SELECT doc_id, CAST(-bp.neg_n AS BIGINT) AS n_terms,
+       CAST(bp.start AS BIGINT) AS start,
+       array_to_string(list_slice(toks, bp.start, bp.start + {w - 1}),
+                       ' ') AS passage
+FROM b ORDER BY n_terms DESC, doc_id LIMIT {k}
+"""
+
+
+def rank_correlation_sql(
+    terms: list[str], k: int = 20, p: float = 0.9, mu: float = 2000.0
+) -> str:
+    """Twin of operators/textstats.py::rank_correlation — BM25 (repo
+    kernel) and Dirichlet-QL top-k CTEs with the exact expression
+    shapes of bm25_plus_sql(delta=0) / query_likelihood_sql, ranks
+    over the rounded scores, tau over common pairs, truncated RBO.
+    The (1-p) factor is emitted as the exact double literal Python
+    computes (DuckDB's decimal arithmetic would give exactly 0.1)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    one_minus_p = f"CAST({1.0 - p!r} AS DOUBLE)"
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokf
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm_raw AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5)
+              / (d.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))
+              + 0.0)
+         ) AS score
+  FROM tf JOIN dfs d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats st
+  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT {k}
+),
+bm AS (SELECT doc_id, round(score, 6) AS score FROM bm_raw),
+tot AS (SELECT CAST(sum(doclen) AS BIGINT) AS total_tokens FROM dl),
+cf AS (
+  SELECT term,
+         {mu!r} * (CAST(count(*) AS DOUBLE)
+                   / CAST(total_tokens AS DOUBLE)) AS p_mu
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  CROSS JOIN tot
+  WHERE term IN ({inlist}) GROUP BY term, total_tokens
+),
+constq AS (SELECT sum(ln(p_mu)) AS const_q, count(*) AS nq FROM cf),
+matched AS (
+  SELECT doc_id, sum(ln(1.0 + CAST(tf AS DOUBLE) / p_mu)) AS match_part
+  FROM tf JOIN cf USING (term) GROUP BY doc_id
+),
+ql_raw AS (
+  SELECT m.doc_id,
+         const_q - CAST(nq AS DOUBLE)
+                   * ln(CAST(doclen AS DOUBLE) + {mu!r})
+                 + match_part AS score
+  FROM matched m JOIN dl USING (doc_id) CROSS JOIN constq
+  ORDER BY score DESC, doc_id LIMIT {k}
+),
+ql AS (SELECT doc_id, round(score, 6) AS score FROM ql_raw),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         AS ra FROM bm),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         AS rb FROM ql),
+common AS (SELECT doc_id, ra, rb FROM ra JOIN rb USING (doc_id)),
+pairs AS (
+  SELECT CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1 ELSE 0 END
+           AS conc
+  FROM common x JOIN common y ON x.doc_id < y.doc_id
+),
+tau AS (
+  SELECT coalesce(round(
+           CAST(sum(conc) * 2 - count(*) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6), 0.0) AS kendall_tau
+  FROM pairs
+),
+depths AS (SELECT unnest(range(1, {k + 1})) AS d),
+ov AS (
+  SELECT d, count(doc_id) AS ov
+  FROM depths LEFT JOIN common ON greatest(ra, rb) <= d
+  GROUP BY d
+),
+rbo AS (
+  SELECT round({one_minus_p}
+               * sum(CAST(ov AS DOUBLE) / d * pow({p!r}, d - 1)), 6)
+           AS rbo
+  FROM ov
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM common)
+SELECT n_common, kendall_tau, rbo FROM nc CROSS JOIN tau CROSS JOIN rbo
+"""
