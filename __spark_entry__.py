@@ -2129,6 +2129,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage": _wrap(textstats.best_passage),
         # Kendall tau + RBO agreement between BM25 and QL rankers
         "rank_correlation": _wrap(textstats.rank_correlation),
+        # MMR diversified rerank of dense top-k (Carbonell-Goldstein)
+        "mmr_rerank": _wrap(similarity.mmr_rerank),
+        # per-doc character-entropy quality signal (gibberish flag)
+        "char_entropy": _wrap(textstats.char_entropy),
+        # per-source KL(P_src || P_corpus) domain-drift monitor
+        "source_kl": _wrap(textstats.source_kl),
     }
 
 
@@ -2793,4 +2799,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_correlation": oracles.rank_correlation_sql(
             ["the", "merge", "vector"]
         ),
+        "mmr_rerank": oracles.mmr_rerank_sql(),
+        "char_entropy": oracles.CHAR_ENTROPY,
+        "source_kl": oracles.SOURCE_KL,
     }

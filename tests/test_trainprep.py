@@ -1903,3 +1903,96 @@ def test_rank_correlation_recompute(spark, corpus, tables):
     )
     assert abs(got.rbo - round(rbo, 6)) < 1e-5
     assert -1.0 <= got.kendall_tau <= 1.0 and 0.0 <= got.rbo <= 1.0
+
+
+def test_char_entropy_recompute(spark, corpus, tables):
+    import math as _m
+    from collections import Counter
+
+    _, by_id = corpus
+    got = {r.doc_id: r for r in
+           textstats.char_entropy(spark, tables).collect()}
+    assert set(got) == set(by_id)
+    for d, r in by_id.items():
+        cnt = Counter(r.text)
+        n = sum(cnt.values())
+        ent = -sum(
+            (c / n) * (_m.log(c / n) / _m.log(2.0))
+            for _, c in sorted(cnt.items())
+        )
+        row = got[d]
+        assert row.n_chars_counted == n
+        assert row.n_symbols == len(cnt)
+        assert abs(row.entropy_bits - round(ent, 6)) < 1e-6
+        assert row.low_entropy == int(ent < textstats.ENTROPY_LOW_BITS)
+    # word-soup text: entropy sits in the natural-language band
+    assert all(2.5 < r.entropy_bits < 6.0 for r in got.values())
+
+
+def test_source_kl_recompute(spark, corpus, tables):
+    import math as _m
+    from collections import Counter, defaultdict
+
+    _, by_id = corpus
+    per_src = defaultdict(Counter)
+    corpus_cnt = Counter()
+    for r in by_id.values():
+        ts = tokenize(r.text)
+        per_src[r.source].update(ts)
+        corpus_cnt.update(ts)
+    n_all = sum(corpus_cnt.values())
+    got = {r.source: r for r in
+           textstats.source_kl(spark, tables).collect()}
+    assert set(got) == set(per_src)
+    for s, cnt in per_src.items():
+        n = sum(cnt.values())
+        kl = sum(
+            (c / n) * _m.log((c / n) / (corpus_cnt[w] / n_all))
+            for w, c in sorted(cnt.items())
+        )
+        row = got[s]
+        assert (row.n_tokens, row.vocab) == (n, len(cnt))
+        assert abs(row.kl_nats - round(kl, 6)) < 1e-6
+        assert row.kl_nats >= 0.0  # Gibbs' inequality
+
+
+def test_mmr_rerank_recompute(spark, tables):
+    from unichem2index_spark.operators import similarity
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in tables["embeddings"].collect()
+    }
+
+    def cos(a, b):
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        return round(dot / (n1 ** 0.5 * n2 ** 0.5), 6)
+
+    q = emb[0]
+    rel = {v: cos(q, emb[v]) for v in emb if v >= 5}
+    cand = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    rel = dict(cand)
+    lam, beta = similarity.MMR_LAMBDA, similarity.MMR_BETA
+    picked, want_mmr = [], []
+    while len(picked) < 10:
+        best = None
+        for c in rel:
+            if c in picked:
+                continue
+            ms = max((cos(emb[c], emb[s]) for s in picked), default=0.0)
+            key = (-(lam * rel[c] - beta * ms), c)
+            if best is None or key < best:
+                best = key
+        picked.append(best[1])
+        want_mmr.append(round(-best[0], 6))
+    got = similarity.mmr_rerank(spark, tables).collect()
+    assert [r.vec_id for r in got] == picked
+    assert [r.rank for r in got] == list(range(1, 11))
+    for r, m in zip(got, want_mmr):
+        assert abs(r.mmr - m) < 2e-6
+    # diversification really happened: mmr scores are non-increasing
+    assert all(a.mmr >= b.mmr - 2e-6 for a, b in zip(got, got[1:]))

@@ -953,3 +953,118 @@ def rocchio_knn(
         )
         .select("rank", "vec_id", "cosine")
     )
+
+
+# MMR: lambda and (1-lambda) are SEPARATE literals — Python's
+# 1.0 - 0.7 is 0.30000000000000004, not the double both engines parse
+# from the literal '0.3'; computing the complement would diverge.
+MMR_LAMBDA = 0.7
+MMR_BETA = 0.3
+MMR_CAND = 30
+MMR_K = 10
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    t,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified reranking (Carbonell &
+    Goldstein SIGIR'98): greedily pick k of the top-``n_cand`` cosine
+    candidates, each step maximizing lambda*rel(c) -
+    beta*max_{s in S} sim(c, s) — relevance traded against redundancy,
+    the standard result-diversification pass after dense retrieval
+    (and the de-dup stage of RAG context packing). Query = vec_id 0,
+    corpus = vec_id >= 5, the repo's embedding-entry convention.
+
+    Determinism/scale shape: the distributed work is the exact cosine
+    top-n_cand scan (the audited brute-force plan) plus one n_cand^2
+    broadcast self-join for the candidate sim matrix — both emit
+    ROUND-6 doubles. The greedy argmax loop is driver-side over those
+    <= n_cand^2 collected rounded values (bounded, like every <=k
+    candidate frame in this file) and decides ONLY the integer pick
+    order; both engines compare the same doubles built from the same
+    literals, so the order matches the oracle's recursive-CTE argmax
+    bit-for-bit. The EMITTED mmr column is then computed back in
+    Spark (join selection -> rel/sim frames, F.round) so no Python
+    rounding enters the result."""
+    emb = t["embeddings"].select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        emb.where(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(n_cand)
+    )
+    cand = cand.persist()
+    sim = (
+        cand.alias("a")
+        .join(
+            F.broadcast(cand.select("vec_id", "v").alias("b")),
+            F.col("a.vec_id") != F.col("b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    rel = {r.vec_id: r.rel for r in cand.select("vec_id", "rel").collect()}
+    sims = {(r.ca, r.cb): r.sim for r in sim.collect()}
+    picked: list[int] = []
+    while len(picked) < min(k, len(rel)):
+        best = None
+        for c in rel:
+            if c in picked:
+                continue
+            ms = max((sims[(c, s)] for s in picked), default=0.0)
+            obj = MMR_LAMBDA * rel[c] - MMR_BETA * ms
+            key = (-obj, c)
+            if best is None or key < best:
+                best = key
+        picked.append(best[1])
+    sel = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(picked)], "rank long, vec_id long"
+    )
+    simf = sim.withColumnRenamed("ca", "vec_id")
+    prev = sel.select(
+        F.col("rank").alias("prk"), F.col("vec_id").alias("cb")
+    )
+    maxsim = (
+        sel.crossJoin(prev)
+        .where(F.col("prk") < F.col("rank"))
+        .join(simf, ["vec_id", "cb"])
+        .groupBy("rank", "vec_id")
+        .agg(F.max("sim").alias("ms"))
+    )
+    out = (
+        sel.join(maxsim.select("rank", "ms"), "rank", "left")
+        .join(cand.select("vec_id", "rel"), "vec_id")
+        .select(
+            "rank",
+            "vec_id",
+            F.round(
+                F.lit(MMR_LAMBDA) * F.col("rel")
+                - F.lit(MMR_BETA) * F.coalesce("ms", F.lit(0.0)),
+                6,
+            ).alias("mmr"),
+        )
+        .orderBy("rank")
+    )
+    return out

@@ -3318,3 +3318,108 @@ def rank_correlation(
         F.count(F.lit(1)).cast("long").alias("n_common")
     )
     return n_common.crossJoin(tau).crossJoin(rbo)
+
+
+ENTROPY_LOW_BITS = 3.0  # below this, text is repetition/gibberish-like
+
+
+def char_entropy(spark: SparkSession, t) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    bits) — the compression-ratio quality proxy web pipelines use to
+    flag binary junk, encoding garbage, and pathological repetition
+    (low entropy = few distinct symbols dominate; CCNet/Gopher-era
+    cleaning stacks all carry a variant). Emits the entropy, the
+    distinct-symbol count, and a low_entropy flag at
+    ``ENTROPY_LOW_BITS``.
+
+    Determinism: the per-doc fold runs over the CHARACTER-SORTED
+    (symbol, count) list — sort_array + sequential aggregate in Spark,
+    list(... ORDER BY ch) + list_reduce in DuckDB — so the float sum
+    order is pinned on both engines (the rocchio/textrank fold
+    discipline). log2 is spelled ln(p)/ln(2.0) identically on both.
+
+    Scale shape: one explode + two combined aggs; per-doc state is the
+    doc's own alphabet (<= a few hundred symbols at any corpus size —
+    bounded, unlike token vocab)."""
+    d = t["documents"]
+    ch = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda x: x != "")).alias(
+            "ch"
+        ),
+    )
+    per = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    ent = F.expr(
+        """-aggregate(cl, 0D, (acc, x) ->
+             acc + (x.cnt / CAST(n AS DOUBLE))
+                   * (ln(x.cnt / CAST(n AS DOUBLE)) / ln(2.0D)))"""
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ch", "cnt"))).alias("cl"),
+            F.sum("cnt").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars_counted"),
+            F.size("cl").cast("long").alias("n_symbols"),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.when(ent < ENTROPY_LOW_BITS, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("low_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_kl(spark: SparkSession, t) -> DataFrame:
+    """Per-source KL divergence KL(P_source || P_corpus) over term
+    distributions (nats) — the domain-drift monitor of a mixture
+    pipeline: a source whose language diverges from the corpus mix
+    gets flagged before it skews training (the same quantity CCNet
+    uses against a reference LM, here against the corpus itself, so
+    it needs no model). Q covers P by construction (the corpus is a
+    superset), so no smoothing is needed.
+
+    Determinism: per-source fold over the TERM-SORTED (term, cnt,
+    corpus_cnt) list — same pinned-order float discipline as
+    char_entropy. Scale shape: two combined count aggs (per source+
+    term, per term), one broadcast join of the term totals, and one
+    per-source fold whose state is that source's vocabulary; at open-
+    web vocabularies the fold becomes a two-level sorted-segment sum,
+    noted not faked."""
+    d = t["documents"]
+    tokf = d.select(
+        "source", F.explode(tokens_col("text")).alias("term")
+    )
+    st = tokf.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ct = tokf.groupBy("term").agg(F.count(F.lit(1)).alias("ccnt"))
+    n_all = tokf.agg(F.count(F.lit(1)).alias("n_corpus"))
+    kl = F.expr(
+        """aggregate(cl, 0D, (acc, x) ->
+             acc + (x.cnt / CAST(n_src AS DOUBLE))
+                   * ln((x.cnt / CAST(n_src AS DOUBLE))
+                        / (x.ccnt / CAST(n_corpus AS DOUBLE))))"""
+    )
+    return (
+        st.join(F.broadcast(ct), "term")
+        .groupBy("source")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("term", "cnt", "ccnt"))
+            ).alias("cl"),
+            F.sum("cnt").alias("n_src"),
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            F.col("n_src").cast("long").alias("n_tokens"),
+            F.size("cl").cast("long").alias("vocab"),
+            F.round(kl, 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

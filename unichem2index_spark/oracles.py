@@ -6954,3 +6954,111 @@ rbo AS (
 nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM common)
 SELECT n_common, kendall_tau, rbo FROM nc CROSS JOIN tau CROSS JOIN rbo
 """
+
+
+def mmr_rerank_sql(
+    k: int = 10, n_cand: int = 30, lam: float = 0.7, beta: float = 0.3
+) -> str:
+    """Recursive-CTE twin of operators/similarity.py::mmr_rerank —
+    each recursion step LATERAL-picks the argmax of
+    lam*rel - beta*max_sim_to_selected over the unpicked candidates
+    (same rounded-6 rel/sim inputs, same literals, doc_id tie-break),
+    so the greedy order matches the Spark/driver selection
+    bit-for-bit."""
+    return f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+c0 AS (
+  SELECT vec_id,
+         round(list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(v, v))), 6) AS rel
+  FROM emb CROSS JOIN q WHERE vec_id >= 5
+  ORDER BY rel DESC, vec_id LIMIT {n_cand}
+),
+cand AS (SELECT c0.vec_id, c0.rel, emb.v FROM c0 JOIN emb USING (vec_id)),
+sim AS (
+  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         round(list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+sel AS (
+  SELECT 1 AS rank, vec_id, [vec_id] AS picked,
+         round({lam!r} * rel - {beta!r} * 0.0, 6) AS mmr
+  FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+  UNION ALL
+  SELECT s.rank + 1, nxt.vec_id, list_append(s.picked, nxt.vec_id),
+         nxt.mmr
+  FROM sel s, LATERAL (
+    SELECT c.vec_id,
+           round({lam!r} * c.rel - {beta!r} * coalesce(
+             (SELECT max(p.sim) FROM sim p
+              WHERE p.ca = c.vec_id AND list_contains(s.picked, p.cb)),
+             0.0), 6) AS mmr
+    FROM cand c WHERE NOT list_contains(s.picked, c.vec_id)
+    ORDER BY {lam!r} * c.rel - {beta!r} * coalesce(
+             (SELECT max(p.sim) FROM sim p
+              WHERE p.ca = c.vec_id AND list_contains(s.picked, p.cb)),
+             0.0) DESC, c.vec_id
+    LIMIT 1) nxt
+  WHERE s.rank < {k}
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, mmr
+FROM sel ORDER BY rank
+"""
+
+
+CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+per AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+g AS (
+  SELECT doc_id,
+         list({'ch': ch, 'cnt': cnt} ORDER BY ch) AS cl,
+         sum(cnt) AS n
+  FROM per GROUP BY doc_id
+),
+e AS (
+  SELECT doc_id, n, len(cl) AS n_symbols,
+         -list_reduce(list_prepend(0.0, list_transform(cl, x ->
+            (x.cnt / CAST(n AS DOUBLE))
+            * (ln(x.cnt / CAST(n AS DOUBLE)) / ln(2.0)))),
+           (a, b) -> a + b) AS ent
+  FROM g
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       round(ent, 6) AS entropy_bits,
+       CAST(CASE WHEN ent < 3.0 THEN 1 ELSE 0 END AS BIGINT)
+         AS low_entropy
+FROM e ORDER BY doc_id
+"""
+
+
+SOURCE_KL = f"""
+WITH tokf AS (SELECT source, unnest({TOKS}) AS term FROM documents),
+st AS (SELECT source, term, count(*) AS cnt FROM tokf GROUP BY 1, 2),
+ct AS (SELECT term, count(*) AS ccnt FROM tokf GROUP BY 1),
+na AS (SELECT count(*) AS n_corpus FROM tokf),
+g AS (
+  SELECT source,
+         list({{'term': term, 'cnt': cnt, 'ccnt': ccnt}} ORDER BY term)
+           AS cl,
+         sum(cnt) AS n_src
+  FROM st JOIN ct USING (term) GROUP BY source
+)
+SELECT source, CAST(n_src AS BIGINT) AS n_tokens,
+       CAST(len(cl) AS BIGINT) AS vocab,
+       round(list_reduce(list_prepend(0.0, list_transform(cl, x ->
+           (x.cnt / CAST(n_src AS DOUBLE))
+           * ln((x.cnt / CAST(n_src AS DOUBLE))
+                / (x.ccnt / CAST(n_corpus AS DOUBLE))))),
+         (a, b) -> a + b), 6) AS kl_nats
+FROM g CROSS JOIN na ORDER BY source
+"""
