@@ -2135,6 +2135,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _wrap(textstats.char_entropy),
         # per-source KL(P_src || P_corpus) domain-drift monitor
         "source_kl": _wrap(textstats.source_kl),
+        # Broder containment (asymmetric near-dup: quote inclusion)
+        "containment_pairs": _wrap(dedup.containment_pairs),
+        # pre-retrieval query-performance prediction (SCQ/ICTF/scope)
+        "qpp_preretrieval": _wrap(textstats.qpp_preretrieval),
+        # Lucene-style front-coded term dictionary size audit
+        "front_coding": _wrap(textstats.front_coding_audit),
+        # Fox-Shaw CombSUM/CombMNZ fusion of BM25 + QL
+        "combsum_hybrid": _wrap(textstats.combsum_hybrid),
     }
 
 
@@ -2802,4 +2810,12 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": oracles.mmr_rerank_sql(),
         "char_entropy": oracles.CHAR_ENTROPY,
         "source_kl": oracles.SOURCE_KL,
+        "containment_pairs": oracles.containment_sql(),
+        "qpp_preretrieval": oracles.qpp_preretrieval_sql(
+            ["the", "merge", "vector"]
+        ),
+        "front_coding": oracles.front_coding_sql(),
+        "combsum_hybrid": oracles.combsum_hybrid_sql(
+            ["the", "merge", "vector"]
+        ),
     }

@@ -1996,3 +1996,138 @@ def test_mmr_rerank_recompute(spark, tables):
         assert abs(r.mmr - m) < 2e-6
     # diversification really happened: mmr scores are non-increasing
     assert all(a.mmr >= b.mmr - 2e-6 for a, b in zip(got, got[1:]))
+
+
+def test_containment_recompute(spark, corpus, tables):
+    from collections import defaultdict
+
+    from unichem2index_spark.operators import dedup
+
+    _, by_id = corpus
+    shing = {}
+    for d, r in by_id.items():
+        ts = tokenize(r.text)
+        shing[d] = {
+            " ".join(ts[i: i + 3]) for i in range(len(ts) - 2)
+        } if len(ts) >= 3 else set()
+    df = defaultdict(int)
+    for s in shing.values():
+        for x in s:
+            df[x] += 1
+    rare = {x for x, c in df.items() if c <= dedup.NGRAM_DF_CAP}
+    got = {(r.doc_a, r.doc_b): r for r in
+           dedup.containment_pairs(spark, tables).collect()}
+    want = {}
+    ids = sorted(shing)
+    for a in ids:
+        if not shing[a]:
+            continue
+        for b in ids:
+            if a == b or not (shing[a] & shing[b] & rare):
+                continue
+            inter = len(shing[a] & shing[b])
+            c = round(inter / len(shing[a]), 6)
+            if c >= dedup.CONTAINMENT_TAU:
+                want[(a, b)] = (inter, c)
+    assert set(got) == set(want)
+    for k, (inter, c) in want.items():
+        assert got[k].shared_shingles == inter
+        assert abs(got[k].containment - c) < 1e-9
+    # each direction is normalized by ITS OWN |A|: for every emitted
+    # pair the containment equals inter/|A| of the FIRST doc, and the
+    # reverse direction (when present) uses the other denominator
+    for (a, b), (inter, _) in want.items():
+        assert abs(got[(a, b)].containment
+                   - round(inter / len(shing[a]), 6)) < 1e-9
+        if (b, a) in got:
+            assert abs(got[(b, a)].containment
+                       - round(inter / len(shing[b]), 6)) < 1e-9
+    assert len(want) > 0
+
+
+def test_qpp_recompute(spark, corpus, tables):
+    import math as _m
+    from collections import Counter
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    total = sum(len(ts) for ts in toks.values())
+    n = len(by_id)
+    cf = Counter()
+    dfc = Counter()
+    match = set()
+    for d, ts in toks.items():
+        for w in terms:
+            c = ts.count(w)
+            if c:
+                cf[w] += c
+                dfc[w] += 1
+                match.add(d)
+    kept = sorted(w for w in terms if cf[w])
+    scqs = [
+        (1.0 + _m.log(cf[w])) * _m.log(1.0 + n / dfc[w]) for w in kept
+    ]
+    ictf = sum(_m.log(total / cf[w]) for w in kept)
+    row = textstats.qpp_preretrieval(spark, tables).collect()[0]
+    assert row.n_terms_kept == len(kept)
+    assert abs(row.scq_sum - round(sum(scqs), 6)) < 1e-6
+    assert abs(row.scq_max - round(max(scqs), 6)) < 1e-6
+    assert abs(row.avg_ictf - round(ictf / len(kept), 6)) < 1e-6
+    assert abs(
+        row.query_scope - round(-_m.log(len(match) / n), 6)
+    ) < 1e-6
+
+
+def test_front_coding_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    vocab = sorted({w for r in by_id.values() for w in tokenize(r.text)})
+    block = textstats.FRONT_CODE_BLOCK
+    raw = sum(len(w) + 1 for w in vocab)
+    front = 0
+    for i, w in enumerate(vocab):
+        if i % block == 0:
+            front += len(w) + 1
+        else:
+            p = vocab[i - 1]
+            lcp = 0
+            for x, y in zip(p, w):
+                if x != y:
+                    break
+                lcp += 1
+            front += len(w) - lcp + 2
+    row = textstats.front_coding_audit(spark, tables).collect()[0]
+    assert row.n_terms == len(vocab)
+    assert row.raw_bytes == raw
+    assert row.front_bytes == front
+    assert abs(row.bytes_ratio - round(front / raw, 6)) < 1e-9
+
+
+def test_combsum_recompute(spark, corpus, tables):
+    a = {r.doc_id: r.score for r in
+         textstats.bm25_plus_topk(spark, tables, delta=0.0, k=20)
+         .collect()}
+    b = {r.doc_id: r.score for r in
+         textstats.query_likelihood_topk(spark, tables, k=20).collect()}
+
+    def norm(d):
+        mn, mx = min(d.values()), max(d.values())
+        return {
+            k: 1.0 if mx == mn else (v - mn) / (mx - mn)
+            for k, v in d.items()
+        }
+    na, nb = norm(a), norm(b)
+    fused = {}
+    for d in set(na) | set(nb):
+        cs = na.get(d, 0.0) + nb.get(d, 0.0)
+        nz = (d in na) + (d in nb)
+        fused[d] = (cs, cs * nz, nz)
+    top = sorted(fused.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    got = textstats.combsum_hybrid(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, (cs, mnz, nz)) in zip(got, top):
+        assert abs(r.combsum - round(cs, 6)) < 1e-6
+        assert abs(r.combmnz - round(mnz, 6)) < 1e-6
+        assert r.n_lists == nz
+    # consensus docs (both lists) outrank single-list docs at the top
+    assert got[0].n_lists == 2

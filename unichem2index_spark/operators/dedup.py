@@ -1073,3 +1073,82 @@ def bloom_prefilter(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CONTAINMENT_TAU = 0.6
+
+
+def containment_pairs(
+    spark: SparkSession,
+    t,
+    threshold: float = CONTAINMENT_TAU,
+    df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Broder containment near-dups (Broder SEQUENCES'97 distinguishes
+    resemblance — Jaccard — from CONTAINMENT c(A,B) = |A∩B| / |A|):
+    the asymmetric measure that catches quote-inclusion and
+    subset-duplicates a Jaccard threshold misses (a short doc fully
+    embedded in a long one has low Jaccard but containment ~1).
+    Emits ORDERED pairs (doc_a contained-in doc_b direction, both
+    orientations of a candidate) with c >= threshold.
+
+    Same scale machinery as ngram_jaccard_pairs (dedup.py:329): 3-token
+    shingle blocking with the df-cap guard against boilerplate-shingle
+    quadratic blocks, candidate verification over full shingle sets via
+    one count agg — semantics are "pairs sharing >= 1 rare shingle"."""
+    d = _tok(t["documents"])
+    sh = (
+        d.select("doc_id", F.expr(shingles_expr()).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    n_part = sh.sparkSession.sparkContext.defaultParallelism * 2
+    blocked = sh.join(rare, "shingle").repartition(n_part, "shingle")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ia, ib = sh.alias("ia"), sh.alias("ib")
+    inter = (
+        cand.join(ia, F.col("doc_a") == F.col("ia.doc_id"))
+        .join(
+            ib,
+            (F.col("doc_b") == F.col("ib.doc_id"))
+            & (F.col("ia.shingle") == F.col("ib.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.round(F.col("inter") / F.col("sz"), 6)
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz")
+            ),
+            "doc_a",
+        )
+        .where(cont >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("shared_shingles"),
+            cont.alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

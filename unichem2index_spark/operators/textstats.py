@@ -3423,3 +3423,222 @@ def source_kl(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def qpp_preretrieval(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+) -> DataFrame:
+    """Pre-retrieval query-performance prediction (He & Ounis SPIRE'04
+    / Zhao-Scholer-Tsegay ECIR'08 SCQ): the statistics a serving tier
+    computes BEFORE running a query to predict how well it will do —
+    route hopeless queries to expansion, easy ones to the cheap path.
+    One row per query: SCQ_t = (1 + ln(cf)) * ln(1 + N/df) summed and
+    maxed over terms, avg ICTF = mean ln(total_tokens/cf), and query
+    scope = -ln(n_matching_docs / N) (He-Ounis omega; bigger = more
+    selective). OOV query terms are dropped, like query_likelihood.
+
+    Scale shape: everything reads the term-stats frame (df, cf) the
+    index already maintains — |q| rows after an IN-pushed filter — plus
+    ONE distinct-count for scope over postings of the query terms; no
+    per-doc work at all. The per-term float fold is pinned by the
+    term-sorted list discipline."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = tokf.agg(F.count(F.lit(1)).alias("total_tokens"))
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    ts = qtok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    scope_n = qtok.agg(
+        F.countDistinct("doc_id").alias("n_match")
+    )
+    scq = F.expr(
+        """transform(tl, x ->
+             (1.0D + ln(CAST(x.cf AS DOUBLE)))
+             * ln(1.0D + CAST(n_docs AS DOUBLE) / x.df))"""
+    )
+    ictf = F.expr(
+        """aggregate(tl, 0D, (acc, x) ->
+             acc + ln(CAST(total_tokens AS DOUBLE) / x.cf))"""
+    )
+    folded = (
+        ts.agg(
+            F.sort_array(F.collect_list(F.struct("term", "cf", "df"))).alias(
+                "tl"
+            )
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.size("tl").cast("long").alias("n_terms_kept"),
+            scq.alias("scqs"),
+            ictf.alias("ictf_sum"),
+            "n_docs",
+        )
+        .select(
+            "n_terms_kept",
+            F.round(
+                F.aggregate(
+                    "scqs", F.lit(0.0), lambda acc, x: acc + x
+                ),
+                6,
+            ).alias("scq_sum"),
+            F.round(F.array_max("scqs"), 6).alias("scq_max"),
+            F.round(
+                F.col("ictf_sum") / F.col("n_terms_kept").cast("double"),
+                6,
+            ).alias("avg_ictf"),
+            "n_docs",
+        )
+    )
+    return folded.crossJoin(F.broadcast(scope_n)).select(
+        "n_terms_kept",
+        "scq_sum",
+        "scq_max",
+        "avg_ictf",
+        F.round(
+            -F.log(
+                F.col("n_match").cast("double")
+                / F.col("n_docs").cast("double")
+            ),
+            6,
+        ).alias("query_scope"),
+    )
+
+
+FRONT_CODE_BLOCK = 16  # Lucene-style restart interval
+
+
+def front_coding_audit(
+    spark: SparkSession, t, block: int = FRONT_CODE_BLOCK
+) -> DataFrame:
+    """Term-dictionary front-coding size audit (the prefix compression
+    Lucene's BlockTree term dictionary ships; Witten/Moffat/Bell
+    "Managing Gigabytes" §4): sorted terms share prefixes with their
+    predecessors, so each non-restart entry stores (lcp byte, suffix
+    len byte, suffix bytes) while every ``block``-th term restarts raw
+    (1 length byte + full bytes, the binary-search anchor). One row:
+    raw vs front-coded dictionary bytes and the ratio — the companion
+    planning number to postings_size_estimate, sizing the OTHER half
+    of the index.
+
+    Scale shape: the term dictionary is the REDUCED vocabulary frame
+    (the accepted textstats window scale); lag + row_number run over
+    one term-sorted window and the lcp is a per-row bounded JVM fold
+    over min(len) characters. Exact integer byte math throughout."""
+    d = t["documents"]
+    vocab = (
+        d.select(F.explode(tokens_col("text")).alias("term")).distinct()
+    )
+    w = Window.orderBy("term")
+    lcp = F.expr(
+        """CASE WHEN prev IS NULL THEN 0 ELSE
+             aggregate(sequence(1, least(length(prev), length(term))),
+                       0, (acc, i) ->
+                 IF(acc = i - 1
+                    AND substring(prev, i, 1) = substring(term, i, 1),
+                    i, acc))
+           END"""
+    )
+    coded = (
+        vocab.select(
+            "term",
+            F.lag("term").over(w).alias("prev"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .select(
+            "term",
+            lcp.alias("lcp"),
+            ((F.col("rn") - 1) % block == 0).alias("restart"),
+        )
+        .select(
+            F.length("term").alias("tl"),
+            F.when(F.col("restart"), F.length("term") + 1)
+            .otherwise(F.length("term") - F.col("lcp") + 2)
+            .alias("fb"),
+        )
+    )
+    return coded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.col("tl") + 1).cast("long").alias("raw_bytes"),
+        F.sum("fb").cast("long").alias("front_bytes"),
+        F.round(
+            F.sum("fb").cast("double")
+            / F.sum(F.col("tl") + 1).cast("double"),
+            6,
+        ).alias("bytes_ratio"),
+    )
+
+
+COMB_K = 10
+
+
+def combsum_hybrid(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = COMB_K,
+) -> DataFrame:
+    """CombSUM / CombMNZ rank fusion (Fox & Shaw TREC-2 '94) — the
+    third classical fusion next to RRF and linear: min-max normalize
+    each ranker's top-20 scores to [0,1], CombSUM = sum of normalized
+    scores (missing list -> 0), CombMNZ = CombSUM * number of lists
+    that retrieved the doc (rewards consensus). Fuses the BM25 kernel
+    (bm25_plus delta=0) with Dirichlet QL, like rank_correlation.
+
+    Scale shape: each ranker keeps its audited plan; the min-max
+    scalars, the outer join, and the fused top-k all run over two
+    k-row frames (post-limit reduced-frame pattern). Normalization
+    divides rounded-6 scores by rounded-score ranges — identical
+    doubles on both engines."""
+    a = bm25_plus_topk(spark, t, terms, 20, delta=0.0)
+    b = query_likelihood_topk(spark, t, terms, 20)
+
+    def norm(df: DataFrame, alias: str) -> DataFrame:
+        mm = df.agg(
+            F.min("score").alias("mn"), F.max("score").alias("mx")
+        )
+        return df.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+            .otherwise(
+                (F.col("score") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+            )
+            .alias(alias),
+        )
+    na, nb = norm(a, "sa"), norm(b, "sb")
+    fused = (
+        na.join(nb, "doc_id", "full")
+        .select(
+            "doc_id",
+            (F.coalesce("sa", F.lit(0.0)) + F.coalesce("sb", F.lit(0.0)))
+            .alias("combsum"),
+            (
+                F.col("sa").isNotNull().cast("int")
+                + F.col("sb").isNotNull().cast("int")
+            ).alias("nz"),
+        )
+        .select(
+            "doc_id",
+            "combsum",
+            (F.col("combsum") * F.col("nz").cast("double")).alias(
+                "combmnz"
+            ),
+            F.col("nz").cast("long").alias("n_lists"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("combmnz"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            F.round("combsum", 6).alias("combsum"),
+            F.round("combmnz", 6).alias("combmnz"),
+            "n_lists",
+        )
+    )

@@ -7062,3 +7062,224 @@ SELECT source, CAST(n_src AS BIGINT) AS n_tokens,
          (a, b) -> a + b), 6) AS kl_nats
 FROM g CROSS JOIN na ORDER BY source
 """
+
+
+def containment_sql(
+    threshold: float = 0.6, df_cap: int = 50
+) -> str:
+    """Twin of operators/dedup.py::containment_pairs — Broder
+    containment c(A,B) = inter/|A| over ORDERED candidate pairs, same
+    shingle/df-cap machinery as ngram_jaccard_sql."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(len(toks) - 2),
+        i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+    ELSE CAST([] AS VARCHAR[]) END
+  ) AS shingle
+  FROM tok
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+rare AS (
+  SELECT shingle FROM (
+    SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+  ) WHERE df <= {df_cap}
+),
+blocked AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a
+  JOIN blocked b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh ia ON c.doc_a = ia.doc_id
+  JOIN sh ib ON c.doc_b = ib.doc_id AND ia.shingle = ib.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS shared_shingles,
+       round(i.inter / sa.sz, 6) AS containment
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+WHERE round(i.inter / sa.sz, 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def qpp_preretrieval_sql(terms: list[str]) -> str:
+    """Twin of operators/textstats.py::qpp_preretrieval — SCQ / avg
+    ICTF / query scope over the same term-sorted folds."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+tot AS (SELECT count(*) AS total_tokens FROM tokf),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+ts AS (
+  SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM qtok GROUP BY 1
+),
+g AS (
+  SELECT list({{'term': term, 'cf': cf, 'df': df}} ORDER BY term) AS tl
+  FROM ts
+),
+sc AS (
+  SELECT len(tl) AS n_terms_kept,
+         list_transform(tl, x ->
+           (1.0 + ln(CAST(x.cf AS DOUBLE)))
+           * ln(1.0 + CAST(n_docs AS DOUBLE) / x.df)) AS scqs,
+         list_reduce(list_prepend(0.0, list_transform(tl, x ->
+           ln(CAST(total_tokens AS DOUBLE) / x.cf))),
+           (a, b) -> a + b) AS ictf_sum,
+         n_docs
+  FROM g CROSS JOIN nd CROSS JOIN tot
+),
+sn AS (SELECT count(DISTINCT doc_id) AS n_match FROM qtok)
+SELECT CAST(n_terms_kept AS BIGINT) AS n_terms_kept,
+       round(list_reduce(list_prepend(0.0, scqs), (a, b) -> a + b), 6)
+         AS scq_sum,
+       round(list_max(scqs), 6) AS scq_max,
+       round(ictf_sum / CAST(n_terms_kept AS DOUBLE), 6) AS avg_ictf,
+       round(-ln(CAST(n_match AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+         AS query_scope
+FROM sc CROSS JOIN sn
+"""
+
+
+def front_coding_sql(block: int = 16) -> str:
+    """Twin of operators/textstats.py::front_coding_audit — same
+    restart-every-``block`` front-coding byte model over the sorted
+    vocabulary. The lcp is computed ROW-WISE (unnest positions, min
+    first-mismatch) instead of via a list lambda: DuckDB misbinds
+    lambda captures of lag()-window outputs to the wrong row (verified
+    off-by-one on this very query), so no lambda may reference
+    ``prev``/``term`` here."""
+    return f"""
+WITH vocab AS (SELECT DISTINCT unnest({TOKS}) AS term FROM documents),
+o AS (
+  SELECT term, lag(term) OVER (ORDER BY term) AS prev,
+         row_number() OVER (ORDER BY term) AS rn
+  FROM vocab
+),
+o2 AS (
+  SELECT term, prev, rn,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE least(length(prev), length(term)) END AS L
+  FROM o
+),
+pos AS (
+  SELECT rn, term, prev, unnest(range(1, L + 1)) AS i
+  FROM o2 WHERE prev IS NOT NULL
+),
+mism AS (
+  SELECT rn, min(i) AS fm FROM pos
+  WHERE substr(prev, i, 1) <> substr(term, i, 1) GROUP BY rn
+),
+c AS (
+  SELECT length(o2.term) AS tl,
+         CASE WHEN (o2.rn - 1) % {block} = 0 THEN length(o2.term) + 1
+              ELSE length(o2.term)
+                   - (CASE WHEN o2.prev IS NULL THEN 0
+                           ELSE coalesce(m.fm - 1, o2.L) END) + 2
+         END AS fb
+  FROM o2 LEFT JOIN mism m USING (rn)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(tl + 1) AS BIGINT) AS raw_bytes,
+       CAST(sum(fb) AS BIGINT) AS front_bytes,
+       round(CAST(sum(fb) AS DOUBLE) / CAST(sum(tl + 1) AS DOUBLE), 6)
+         AS bytes_ratio
+FROM c
+"""
+
+
+def combsum_hybrid_sql(
+    terms: list[str], k: int = 10, mu: float = 2000.0
+) -> str:
+    """Twin of operators/textstats.py::combsum_hybrid — min-max
+    normalized CombSUM/CombMNZ over the same BM25/QL top-20 CTEs as
+    rank_correlation_sql."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokf
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm_raw AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5)
+              / (d.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))
+              + 0.0)
+         ) AS score
+  FROM tf JOIN dfs d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats st
+  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20
+),
+bm AS (SELECT doc_id, round(score, 6) AS score FROM bm_raw),
+tot AS (SELECT CAST(sum(doclen) AS BIGINT) AS total_tokens FROM dl),
+cf AS (
+  SELECT term,
+         {mu!r} * (CAST(count(*) AS DOUBLE)
+                   / CAST(total_tokens AS DOUBLE)) AS p_mu
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  CROSS JOIN tot
+  WHERE term IN ({inlist}) GROUP BY term, total_tokens
+),
+constq AS (SELECT sum(ln(p_mu)) AS const_q, count(*) AS nq FROM cf),
+matched AS (
+  SELECT doc_id, sum(ln(1.0 + CAST(tf AS DOUBLE) / p_mu)) AS match_part
+  FROM tf JOIN cf USING (term) GROUP BY doc_id
+),
+ql_raw AS (
+  SELECT m.doc_id,
+         const_q - CAST(nq AS DOUBLE)
+                   * ln(CAST(doclen AS DOUBLE) + {mu!r})
+                 + match_part AS score
+  FROM matched m JOIN dl USING (doc_id) CROSS JOIN constq
+  ORDER BY score DESC, doc_id LIMIT 20
+),
+ql AS (SELECT doc_id, round(score, 6) AS score FROM ql_raw),
+mma AS (SELECT min(score) AS mn, max(score) AS mx FROM bm),
+na AS (
+  SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+                      ELSE (score - mn) / (mx - mn) END AS sa
+  FROM bm CROSS JOIN mma
+),
+mmb AS (SELECT min(score) AS mn, max(score) AS mx FROM ql),
+nb AS (
+  SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+                      ELSE (score - mn) / (mx - mn) END AS sb
+  FROM ql CROSS JOIN mmb
+),
+fused AS (
+  SELECT doc_id,
+         coalesce(sa, 0.0) + coalesce(sb, 0.0) AS combsum,
+         (CASE WHEN sa IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN sb IS NOT NULL THEN 1 ELSE 0 END) AS nz
+  FROM na FULL JOIN nb USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, combsum, combsum * CAST(nz AS DOUBLE) AS combmnz, nz
+  FROM fused ORDER BY combmnz DESC, doc_id LIMIT {k}
+)
+SELECT doc_id, round(combsum, 6) AS combsum,
+       round(combmnz, 6) AS combmnz, CAST(nz AS BIGINT) AS n_lists
+FROM ranked
+"""
