@@ -2143,6 +2143,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "front_coding": _wrap(textstats.front_coding_audit),
         # Fox-Shaw CombSUM/CombMNZ fusion of BM25 + QL
         "combsum_hybrid": _wrap(textstats.combsum_hybrid),
+        # 8-bit impact-quantization ranking fidelity (Anh-Moffat)
+        "quantize_fidelity": _wrap(textstats.quantize_fidelity),
+        # ES dfs_query_then_fetch vs local-idf drift audit
+        "shard_idf_drift": _wrap(textstats.shard_idf_drift),
+        # Dunning G^2 collocation extraction
+        "collocations_llr": _wrap(textstats.collocations_llr),
     }
 
 
@@ -2818,4 +2824,11 @@ def oracle_sql() -> dict[str, str]:
         "combsum_hybrid": oracles.combsum_hybrid_sql(
             ["the", "merge", "vector"]
         ),
+        "quantize_fidelity": oracles.quantize_fidelity_sql(
+            ["the", "merge", "vector"]
+        ),
+        "shard_idf_drift": oracles.shard_idf_drift_sql(
+            ["the", "merge", "vector"]
+        ),
+        "collocations_llr": oracles.collocations_llr_sql(),
     }

@@ -2131,3 +2131,124 @@ def test_combsum_recompute(spark, corpus, tables):
         assert r.n_lists == nz
     # consensus docs (both lists) outrank single-list docs at the top
     assert got[0].n_lists == 2
+
+
+def test_quantize_fidelity_recompute(spark, corpus, tables):
+    import math as _m
+    from collections import defaultdict
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    parts = defaultdict(list)
+    for d, ts in toks.items():
+        for t in terms:
+            tf = ts.count(t)
+            if tf:
+                parts[d].append(
+                    _m.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    * (tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)))
+                )
+    smax = max(s for ss in parts.values() for s in ss)
+    es = {d: sum(ss) for d, ss in parts.items()}
+    qs = {
+        d: sum(int(_m.floor(s / smax * 255.0)) for s in ss)
+        for d, ss in parts.items()
+    }
+    etop = [d for d, _ in sorted(
+        es.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    qtop = [d for d, _ in sorted(
+        qs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]]
+    re = {d: i + 1 for i, d in enumerate(etop)}
+    rq = {d: i + 1 for i, d in enumerate(qtop)}
+    common = set(etop) & set(qtop)
+    row = textstats.quantize_fidelity(spark, tables).collect()[0]
+    assert row.k == 20
+    assert row.overlap_at_k == len(common)
+    assert row.footrule == sum(abs(re[d] - rq[d]) for d in common)
+    # 8-bit quantization preserves most of the top-k on this corpus
+    assert row.overlap_at_k >= 10
+
+
+def test_shard_idf_drift_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    nsh = textstats.SHARD_N
+
+    def score(doc_ids):
+        nn = len(doc_ids)
+        ad = sum(dl[d] for d in doc_ids) / nn
+        dfc = {
+            t: sum(1 for d in doc_ids if t in toks[d]) for t in terms
+        }
+        out = {}
+        for d in doc_ids:
+            s = 0.0
+            for t in terms:
+                tf = toks[d].count(t)
+                if tf and dfc[t]:
+                    s += _m.log(
+                        1.0 + (nn - dfc[t] + 0.5) / (dfc[t] + 0.5)
+                    ) * (tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / ad)))
+            if s:
+                out[d] = s
+        return out
+
+    gs = score(list(dl))
+    ls = {}
+    for sh in range(nsh):
+        ls.update(score([d for d in dl if d % nsh == sh]))
+    gtop = sorted(gs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    ltop = sorted(ls.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    common = {d for d, _ in gtop} & {d for d, _ in ltop}
+    row = textstats.shard_idf_drift(spark, tables).collect()[0]
+    assert (row.k, row.n_shards) == (20, nsh)
+    assert row.overlap_at_k == len(common)
+    if common:
+        want = max(abs(ls[d] - gs[d]) / gs[d] for d in common)
+        assert abs(row.max_rel_err - round(want, 6)) < 1e-6
+    # small shards genuinely drift (125 docs/shard) — which is exactly
+    # why ES grew dfs_query_then_fetch; just require a sane range
+    assert 0 < row.overlap_at_k <= 20 and row.max_rel_err > 0.0
+
+
+def test_collocations_llr_recompute(spark, corpus, tables):
+    import math as _m
+    from collections import Counter
+
+    _, by_id = corpus
+    pairs = []
+    for r in by_id.values():
+        ts = tokenize(r.text)
+        pairs += list(zip(ts, ts[1:]))
+    k11 = Counter(pairs)
+    rowc = Counter(a for a, _ in pairs)
+    colc = Counter(b for _, b in pairs)
+    nn = len(pairs)
+
+    def xlx(x):
+        return x * _m.log(x) if x > 0 else 0.0
+
+    llr = {}
+    for (a, b), c in k11.items():
+        r1, c1 = rowc[a], colc[b]
+        llr[(a, b)] = 2.0 * (
+            xlx(c) + xlx(r1 - c) + xlx(c1 - c)
+            + xlx(nn - r1 - c1 + c) + xlx(nn)
+            - xlx(r1) - xlx(nn - r1) - xlx(c1) - xlx(nn - c1)
+        )
+    top = sorted(llr.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = textstats.collocations_llr(spark, tables).collect()
+    assert [(r.a, r.b) for r in got] == [p for p, _ in top]
+    for r, (p, v) in zip(got, top):
+        assert r.n_bigram == k11[p]
+        assert abs(r.llr - round(v, 6)) < 1e-4
+    # G^2 is nonnegative everywhere in the emitted top-k
+    assert all(r.llr >= 0.0 for r in got)

@@ -3642,3 +3642,320 @@ def combsum_hybrid(
             "n_lists",
         )
     )
+
+
+
+QUANT_BITS = 255  # 8-bit impact quantization ceiling
+
+
+def quantize_fidelity(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 20,
+) -> DataFrame:
+    """Impact-quantization fidelity audit (Anh & Moffat SIGIR'06
+    quantized impacts; the storage layout of JASS/IOQP anytime
+    ranking): linearly quantize each query-term posting's BM25 partial
+    to 8 bits against the global max partial, rank top-k by summed
+    INTEGER impacts, and report agreement with the exact-score top-k
+    — overlap@k plus Spearman footrule over the common docs. This is
+    the go/no-go measurement for shipping an impact-ordered index: it
+    answers "how much ranking do we lose for 8-bit postings".
+
+    Scale shape: the exact scorer's audited plan (postings filtered
+    to query terms pre-shuffle) plus one broadcast global-max scalar;
+    quantization is a map-side floor(); both top-k frames and the
+    comparison run post-limit at k rows. The integer impact sums are
+    exact on both engines; floor of the same fixed-shape double ties
+    out bit-for-bit."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        tokf.where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    s = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    ) * (
+        F.col("tf")
+        / (
+            F.col("tf")
+            + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    scored = scored.persist()
+    smax = scored.agg(F.max("s").alias("smax"))
+    both = (
+        scored.crossJoin(F.broadcast(smax))
+        .select(
+            "doc_id",
+            "s",
+            F.floor(
+                F.col("s") / F.col("smax") * F.lit(float(QUANT_BITS))
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("es"), F.sum("q").alias("qs"))
+    )
+    exact = (
+        both.orderBy(F.desc("es"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "re",
+            F.row_number().over(Window.orderBy(F.desc("es"), "doc_id")),
+        )
+        .select("doc_id", "re")
+    )
+    quant = (
+        both.orderBy(F.desc("qs"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rq",
+            F.row_number().over(Window.orderBy(F.desc("qs"), "doc_id")),
+        )
+        .select("doc_id", "rq")
+    )
+    j = exact.join(quant, "doc_id")
+    return (
+        j.agg(
+            F.count(F.lit(1)).cast("long").alias("overlap_at_k"),
+            F.coalesce(
+                F.sum(F.abs(F.col("re") - F.col("rq"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("footrule"),
+        )
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "overlap_at_k",
+            "footrule",
+        )
+    )
+
+
+SHARD_N = 4
+
+
+def shard_idf_drift(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 20,
+    n_shards: int = SHARD_N,
+) -> DataFrame:
+    """Distributed-scoring drift audit — the measurable difference
+    between ES ``query_then_fetch`` (each shard scores with its OWN
+    df/N/avgdl) and ``dfs_query_then_fetch`` (one global-stats
+    pre-pass): score the corpus both ways (shard = doc_id %
+    ``n_shards``, the index's doc-sharding function), take each top-k,
+    and report overlap@k + the max relative score error among common
+    docs. The number that decides whether an index can skip the DFS
+    round-trip (ES's default says yes for big uniform shards; this op
+    verifies it for THIS corpus).
+
+    Scale shape: the local-stats pass reuses the same postings frame
+    with shard-grouped (map-side combined) stats aggs — no extra scan;
+    all comparison math is post-limit over k rows."""
+    d = t["documents"]
+    tokf = d.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.explode(tokens_col("text")).alias("term"),
+    )
+    dl = tokf.groupBy("doc_id", "shard").agg(
+        F.count(F.lit(1)).alias("doclen")
+    )
+    gstats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    lstats = dl.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("l_n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("l_avgdl"),
+    )
+    tf = (
+        tokf.where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "shard", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    gdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ldf = tf.groupBy("shard", "term").agg(
+        F.count(F.lit(1)).alias("l_df")
+    )
+
+    def kernel(nd, dfc, dlc, ad):
+        return F.log(
+            F.lit(1.0)
+            + (nd.cast("double") - dfc + 0.5) / (dfc + 0.5)
+        ) * (
+            F.col("tf")
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * dlc / ad))
+        )
+
+    gscore = (
+        tf.join(F.broadcast(gdf), "term")
+        .join(dl.select("doc_id", "doclen"), "doc_id")
+        .crossJoin(F.broadcast(gstats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                kernel(
+                    F.col("n_docs"),
+                    F.col("df"),
+                    F.col("doclen"),
+                    F.col("avgdl"),
+                )
+            ).alias("gs")
+        )
+    )
+    lscore = (
+        tf.join(F.broadcast(ldf), ["shard", "term"])
+        .join(dl.select("doc_id", "doclen"), "doc_id")
+        .join(F.broadcast(lstats), "shard")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                kernel(
+                    F.col("l_n_docs"),
+                    F.col("l_df"),
+                    F.col("doclen"),
+                    F.col("l_avgdl"),
+                )
+            ).alias("ls")
+        )
+    )
+    gtop = (
+        gscore.orderBy(F.desc("gs"), "doc_id")
+        .limit(k)
+        .select("doc_id", "gs")
+    )
+    ltop = (
+        lscore.orderBy(F.desc("ls"), "doc_id")
+        .limit(k)
+        .select("doc_id", "ls")
+    )
+    j = gtop.join(ltop, "doc_id")
+    return j.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+        F.count(F.lit(1)).cast("long").alias("overlap_at_k"),
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.abs(F.col("ls") - F.col("gs")) / F.col("gs")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("max_rel_err"),
+    )
+
+
+LLR_TOP = 20
+
+
+def collocations_llr(
+    spark: SparkSession, t, k: int = LLR_TOP
+) -> DataFrame:
+    """Collocation extraction by Dunning's log-likelihood ratio
+    (Dunning CL'93, the G^2 statistic; the standard replacement for
+    PMI when counts are small): for every adjacent bigram, G^2 = 2 *
+    (xlx(k11)+xlx(k12)+xlx(k21)+xlx(k22)+xlx(N)-xlx(row1)-xlx(row2)
+    -xlx(col1)-xlx(col2)) over the 2x2 contingency of (first word,
+    second word) — emitted top-k by (llr desc, bigram). Collocations
+    feed phrase dictionaries, shingle selection, and tokenizer merges.
+
+    Scale shape: the bigram frame comes from the shifted-self zip (the
+    bigram-LM precedent, map-side), marginals are two combined aggs
+    broadcast back, and G^2 is ONE fixed-shape double expression of
+    integer counts — explicit term-by-term additions, no float agg, so
+    both engines compute bit-equal statistics."""
+    d = t["documents"]
+    big = (
+        d.select(tokens_col("text").alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    """CASE WHEN size(ts) >= 2 THEN
+                         transform(sequence(0, size(ts) - 2),
+                           i -> struct(ts[i] AS a, ts[i + 1] AS b))
+                       ELSE array() END"""
+                )
+            ).alias("bg")
+        )
+        .select("bg.a", "bg.b")
+    )
+    k11 = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("k11"))
+    rowc = big.groupBy("a").agg(F.count(F.lit(1)).alias("row1"))
+    colc = big.groupBy("b").agg(F.count(F.lit(1)).alias("col1"))
+    n = big.agg(F.count(F.lit(1)).alias("nn"))
+    j = (
+        k11.join(F.broadcast(rowc), "a")
+        .join(F.broadcast(colc), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "k11",
+            (F.col("row1") - F.col("k11")).alias("k12"),
+            (F.col("col1") - F.col("k11")).alias("k21"),
+            (
+                F.col("nn") - F.col("row1") - F.col("col1")
+                + F.col("k11")
+            ).alias("k22"),
+            "row1",
+            "col1",
+            "nn",
+        )
+    )
+
+    def xlx(col):
+        return F.when(
+            col > 0, col.cast("double") * F.log(col.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    llr = F.lit(2.0) * (
+        xlx(F.col("k11"))
+        + xlx(F.col("k12"))
+        + xlx(F.col("k21"))
+        + xlx(F.col("k22"))
+        + xlx(F.col("nn"))
+        - xlx(F.col("row1"))
+        - xlx(F.col("nn") - F.col("row1"))
+        - xlx(F.col("col1"))
+        - xlx(F.col("nn") - F.col("col1"))
+    )
+    return (
+        j.select("a", "b", F.col("k11").cast("long").alias("n_bigram"),
+                 llr.alias("llr"))
+        .orderBy(F.desc("llr"), "a", "b")
+        .limit(k)
+        .select("a", "b", "n_bigram", F.round("llr", 6).alias("llr"))
+    )

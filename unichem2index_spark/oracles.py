@@ -7283,3 +7283,172 @@ SELECT doc_id, round(combsum, 6) AS combsum,
        round(combmnz, 6) AS combmnz, CAST(nz AS BIGINT) AS n_lists
 FROM ranked
 """
+
+def quantize_fidelity_sql(
+    terms: list[str], k: int = 20, qmax: int = 255
+) -> str:
+    """Twin of operators/textstats.py::quantize_fidelity — same kernel,
+    same floor(s / smax * qmax) quantizer, ranks over each top-k."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokf
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)))
+           AS s
+  FROM tf JOIN dfs d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats st
+),
+smax AS (SELECT max(s) AS smax FROM scored),
+agg AS (
+  SELECT doc_id, sum(s) AS es,
+         CAST(sum(CAST(floor(s / smax * {float(qmax)!r}) AS BIGINT))
+              AS BIGINT) AS qs
+  FROM scored CROSS JOIN smax GROUP BY doc_id
+),
+exact AS (
+  SELECT doc_id, row_number() OVER (ORDER BY es DESC, doc_id) AS re
+  FROM (SELECT * FROM agg ORDER BY es DESC, doc_id LIMIT {k})
+),
+quant AS (
+  SELECT doc_id, row_number() OVER (ORDER BY qs DESC, doc_id) AS rq
+  FROM (SELECT * FROM agg ORDER BY qs DESC, doc_id LIMIT {k})
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS overlap_at_k,
+       CAST(coalesce(sum(abs(re - rq)), 0) AS BIGINT) AS footrule
+FROM exact JOIN quant USING (doc_id)
+"""
+
+
+def shard_idf_drift_sql(
+    terms: list[str], k: int = 20, n_shards: int = 4
+) -> str:
+    """Twin of operators/textstats.py::shard_idf_drift — global vs
+    shard-local BM25 statistics, same kernel shape both ways."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard, unnest({TOKS}) AS term
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, shard, count(*) AS doclen FROM tokf GROUP BY 1, 2
+),
+gstats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+lstats AS (
+  SELECT shard, count(*) AS l_n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS l_avgdl
+  FROM dl GROUP BY shard
+),
+tf AS (
+  SELECT doc_id, shard, term, count(*) AS tf FROM tokf
+  WHERE term IN ({inlist}) GROUP BY 1, 2, 3
+),
+gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ldf AS (SELECT shard, term, count(*) AS l_df FROM tf GROUP BY 1, 2),
+gscore AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(g.n_docs AS DOUBLE) - d.df + 0.5)
+              / (d.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / g.avgdl)))
+         ) AS gs
+  FROM tf JOIN gdf d USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN gstats g
+  GROUP BY tf.doc_id
+),
+lscore AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(l.l_n_docs AS DOUBLE) - d.l_df + 0.5)
+              / (d.l_df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / l.l_avgdl)))
+         ) AS ls
+  FROM tf JOIN ldf d ON tf.shard = d.shard AND tf.term = d.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN lstats l ON tf.shard = l.shard
+  GROUP BY tf.doc_id
+),
+gtop AS (SELECT doc_id, gs FROM gscore ORDER BY gs DESC, doc_id LIMIT {k}),
+ltop AS (SELECT doc_id, ls FROM lscore ORDER BY ls DESC, doc_id LIMIT {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST({n_shards} AS BIGINT) AS n_shards,
+       CAST(count(*) AS BIGINT) AS overlap_at_k,
+       round(coalesce(max(abs(ls - gs) / gs), 0.0), 6) AS max_rel_err
+FROM gtop JOIN ltop USING (doc_id)
+"""
+
+
+def collocations_llr_sql(k: int = 20) -> str:
+    """Twin of operators/textstats.py::collocations_llr — Dunning G^2
+    as one fixed-shape double expression with term-by-term additions
+    in the same order as the Spark column expression."""
+    xlx = (
+        "CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE)"
+        " * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END"
+    )
+    terms = [
+        xlx.format(x="k11"),
+        xlx.format(x="k12"),
+        xlx.format(x="k21"),
+        xlx.format(x="k22"),
+        xlx.format(x="nn"),
+    ]
+    minus = [
+        xlx.format(x="row1"),
+        xlx.format(x="(nn - row1)"),
+        xlx.format(x="col1"),
+        xlx.format(x="(nn - col1)"),
+    ]
+    expr = (
+        "2.0 * ("
+        + " + ".join(terms)
+        + " - "
+        + " - ".join(minus)
+        + ")"
+    )
+    return f"""
+WITH big AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)),
+        i -> {{'a': toks[i], 'b': toks[i + 1]}})
+    ELSE [] END
+  ) AS bg
+  FROM (SELECT {TOKS} AS toks FROM documents)
+),
+pairs AS (SELECT bg.a AS a, bg.b AS b FROM big),
+k11t AS (SELECT a, b, count(*) AS k11 FROM pairs GROUP BY 1, 2),
+rowc AS (SELECT a, count(*) AS row1 FROM pairs GROUP BY 1),
+colc AS (SELECT b, count(*) AS col1 FROM pairs GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM pairs),
+j AS (
+  SELECT a, b, k11, row1 - k11 AS k12, col1 - k11 AS k21,
+         nn - row1 - col1 + k11 AS k22, row1, col1, nn
+  FROM k11t JOIN rowc USING (a) JOIN colc USING (b) CROSS JOIN n
+),
+scored AS (SELECT a, b, k11, {expr} AS llr FROM j)
+SELECT a, b, CAST(k11 AS BIGINT) AS n_bigram, round(llr, 6) AS llr
+FROM (SELECT * FROM scored ORDER BY llr DESC, a, b LIMIT {k})
+"""
