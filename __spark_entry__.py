@@ -2149,6 +2149,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_idf_drift": _wrap(textstats.shard_idf_drift),
         # Dunning G^2 collocation extraction
         "collocations_llr": _wrap(textstats.collocations_llr),
+        # ES similarity modules beyond BM25/Dirichlet: LM Jelinek-
+        # Mercer, chi-squared DFI, and multi-field BM25F
+        "lm_jelinek_mercer": _wrap(textstats.lm_jelinek_mercer_topk),
+        "dfi_topk": _wrap(textstats.dfi_topk),
+        "bm25f_topk": _wrap(textstats.bm25f_topk),
     }
 
 
@@ -2831,4 +2836,9 @@ def oracle_sql() -> dict[str, str]:
             ["the", "merge", "vector"]
         ),
         "collocations_llr": oracles.collocations_llr_sql(),
+        "lm_jelinek_mercer": oracles.lm_jelinek_mercer_sql(
+            ["the", "merge", "vector"]
+        ),
+        "dfi_topk": oracles.dfi_sql(["the", "merge", "vector"]),
+        "bm25f_topk": oracles.bm25f_sql(["the", "merge", "vector"]),
     }

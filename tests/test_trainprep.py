@@ -2252,3 +2252,119 @@ def test_collocations_llr_recompute(spark, corpus, tables):
         assert abs(r.llr - round(v, 6)) < 1e-4
     # G^2 is nonnegative everywhere in the emitted top-k
     assert all(r.llr >= 0.0 for r in got)
+
+
+# ------------------------------------------- similarity-module family
+def test_lm_jelinek_mercer_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    total = sum(len(ts) for ts in toks.values())
+    cf = {t: sum(ts.count(t) for ts in toks.values()) for t in terms}
+    lam = textstats.JM_LAMBDA
+    want = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0 or cf[t] == 0:
+                continue
+            p_c = cf[t] / total
+            s += _m.log(1.0 + ((1.0 - lam) * tf / len(ts)) / (lam * p_c))
+        if s > 0:
+            want[d] = s
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = textstats.lm_jelinek_mercer_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+    # match-only form: every emitted score is positive
+    assert all(r.score > 0 for r in got)
+
+
+def test_dfi_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    total = sum(len(ts) for ts in toks.values())
+    cf = {t: sum(ts.count(t) for ts in toks.values()) for t in terms}
+    want = {}
+    for d, ts in toks.items():
+        s, any_term = 0.0, False
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            any_term = True
+            e = cf[t] * len(ts) / total
+            if tf > e:
+                s += _m.log(1.0 + (tf - e) ** 2 / e) / _m.log(2.0)
+        if any_term and s > 0:
+            want[d] = s
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = textstats.dfi_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+
+
+def test_bm25f_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    tl = textstats.BM25F_TITLE_LEN
+    fields = {}
+    for d, r in by_id.items():
+        ts = tokenize(r.text)
+        fields[d] = {"title": ts[:tl], "body": ts[tl:]}
+    n_docs = len(fields)
+    avg = {
+        f: sum(len(v[f]) for v in fields.values()) / n_docs
+        for f in ("title", "body")
+    }
+    w = {"title": textstats.BM25F_W_TITLE, "body": textstats.BM25F_W_BODY}
+    b, k1 = textstats.BM25F_B, textstats.BM25F_K1
+    df = {
+        t: sum(
+            1
+            for v in fields.values()
+            if t in v["title"] or t in v["body"]
+        )
+        for t in terms
+    }
+    want = {}
+    for d, v in fields.items():
+        s = 0.0
+        for t in terms:
+            if df[t] == 0:
+                continue
+            tft = 0.0
+            for f in ("title", "body"):
+                tf = v[f].count(t)
+                if tf:
+                    tft += w[f] * tf / (1 - b + b * len(v[f]) / avg[f])
+            if tft == 0:
+                continue
+            idf = _m.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tft / (k1 + tft)
+        if s > 0:
+            want[d] = s
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = textstats.bm25f_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+    # BM25F joint saturation differs from naive per-field BM25 sum:
+    # a doc whose query term sits in the (weight-2) title outranks an
+    # equal-tf body-only doc — verify the title weight actually binds.
+    title_hits = {
+        d
+        for d, v in fields.items()
+        if any(t in v["title"] for t in terms)
+    }
+    assert any(r.doc_id in title_hits for r in got)

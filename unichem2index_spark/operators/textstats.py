@@ -3959,3 +3959,249 @@ def collocations_llr(
         .limit(k)
         .select("a", "b", "n_bigram", F.round("llr", 6).alias("llr"))
     )
+
+
+# ------------------------------------------------- similarity modules
+# ES exposes pluggable per-field similarities beyond BM25 (the
+# reference's index is served through ES scoring,
+# extractor/loader.go:239-379): LM Jelinek-Mercer, DFI, and the
+# multi-field BM25F shape below complete the classical scorer family
+# next to bm25_topk / query_likelihood_topk (Dirichlet).
+
+JM_LAMBDA = 0.7  # Zhai & Lafferty 2001's long-query setting
+
+
+def lm_jelinek_mercer_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+    lam: float = JM_LAMBDA,
+) -> DataFrame:
+    """LM ranking with Jelinek-Mercer smoothing (Zhai & Lafferty 2001;
+    Lucene's ``LMJelinekMercerSimilarity``, an ES `similarity` module
+    option): per matched term the contribution is
+    ``ln(1 + ((1-lambda) * tf/dl) / (lambda * P(t|C)))`` with
+    ``P(t|C) = cf/total_tokens`` — already the match-only form (absent
+    terms contribute ln(1) = 0), so only postings of the query terms
+    are ever touched.
+
+    Scale shape: identical to query_likelihood_topk — the tf agg is
+    filtered to |q| terms BEFORE the shuffle, cf/total are one tiny
+    broadcast frame, and the score is one fixed-shape double
+    expression of integer inputs mirrored token-for-token in the
+    oracle; round(6) at emit only."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    tot = dl.agg(F.sum("doclen").alias("total_tokens"))
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    cf = (
+        qtok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            (
+                F.col("cf").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("p_c"),
+        )
+    )
+    contrib = F.log(
+        F.lit(1.0)
+        + (
+            F.lit(1.0 - lam)
+            * F.col("tf").cast("double")
+            / F.col("doclen").cast("double")
+        )
+        / (F.lit(lam) * F.col("p_c"))
+    )
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def dfi_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+) -> DataFrame:
+    """Divergence-From-Independence ranking (Kocabas/Dincer/Karaoglan
+    IRJ'14; Lucene's ``DFISimilarity``, chi-squared measure — an ES
+    `similarity` module option): expected tf under independence is
+    ``e = cf * dl / total_tokens``; a term contributes
+    ``ln(1 + (tf-e)^2/e) / ln(2)`` when ``tf > e`` and 0 otherwise
+    (observed-at-most-chance terms carry no evidence). log2 is written
+    as ln(x)/ln(2) on BOTH engines so the expression trees are
+    identical libm calls.
+
+    Scale shape: same filtered-postings plan as the LM scorers — the
+    only per-doc state is (tf, doclen), cf is broadcast, one shuffle
+    on doc_id."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    tot = dl.agg(F.sum("doclen").alias("total_tokens"))
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    cf = qtok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    e = (
+        F.col("cf").cast("double")
+        * F.col("doclen").cast("double")
+        / F.col("total_tokens").cast("double")
+    )
+    diff = F.col("tf").cast("double") - F.col("e")
+    contrib = F.when(
+        F.col("tf").cast("double") > F.col("e"),
+        F.log(F.lit(1.0) + diff * diff / F.col("e"))
+        / F.log(F.lit(2.0)),
+    ).otherwise(F.lit(0.0))
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", e)
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+BM25F_TITLE_LEN = 5  # synthetic title field: the first 5 tokens
+BM25F_W_TITLE, BM25F_W_BODY = 2.0, 1.0  # field weights
+BM25F_B = 0.75
+BM25F_K1 = 1.2
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+) -> DataFrame:
+    """BM25F (Robertson & Zaragoza 2009 §3.3; ES ``combined_fields``
+    query is this exact model): per-field tf is length-normalized
+    THEN weight-combined into a single pseudo-frequency
+    ``tf~ = sum_f w_f * tf_f / (1 - b + b * len_f/avglen_f)`` which
+    saturates ONCE — ``score = sum_t idf(t) * tf~ / (k1 + tf~)`` with
+    document-level df. This differs from per-field BM25 + sum
+    (bm25_topk_field_boost / combined_fields' naive cousin): a term in
+    both fields saturates jointly instead of double-counting.
+
+    The corpus has one text column, so the field split is synthesized
+    deterministically on BOTH engines: title = first 5 tokens, body =
+    the rest (every webtext pipeline derives title/body this way when
+    structure is absent). avglen_f averages over ALL docs including
+    zero-length bodies.
+
+    Scale shape: two slice-explodes of the same token array (map-side,
+    no extra scan), per-(doc,field) tf agg filtered to |q| terms
+    before the shuffle, field stats broadcast, one final doc_id agg."""
+    d = t["documents"]
+    toks = d.select(
+        "doc_id", tokens_col("text").alias("ts")
+    ).select(
+        "doc_id",
+        F.slice("ts", 1, BM25F_TITLE_LEN).alias("title_ts"),
+        F.expr(
+            f"slice(ts, {BM25F_TITLE_LEN + 1},"
+            f" greatest(size(ts) - {BM25F_TITLE_LEN}, 0))"
+        ).alias("body_ts"),
+    )
+    lens = toks.select(
+        "doc_id",
+        F.size("title_ts").alias("len_title"),
+        F.size("body_ts").alias("len_body"),
+    )
+    avgs = lens.agg(
+        (
+            F.sum("len_title").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_title"),
+        (
+            F.sum("len_body").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_body"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    fielded = toks.select(
+        "doc_id", F.lit("title").alias("field"),
+        F.explode("title_ts").alias("term"),
+    ).unionByName(
+        toks.select(
+            "doc_id", F.lit("body").alias("field"),
+            F.explode("body_ts").alias("term"),
+        )
+    ).where(F.col("term").isin(list(terms)))
+    tf = fielded.groupBy("doc_id", "field", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfs = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w_f = F.when(
+        F.col("field") == "title", F.lit(BM25F_W_TITLE)
+    ).otherwise(F.lit(BM25F_W_BODY))
+    len_f = F.when(
+        F.col("field") == "title", F.col("len_title")
+    ).otherwise(F.col("len_body")).cast("double")
+    avg_f = F.when(
+        F.col("field") == "title", F.col("avg_title")
+    ).otherwise(F.col("avg_body"))
+    norm_tf = (
+        w_f
+        * F.col("tf").cast("double")
+        / (
+            F.lit(1.0 - BM25F_B)
+            + F.lit(BM25F_B) * len_f / avg_f
+        )
+    )
+    pseudo = (
+        tf.join(lens, "doc_id")
+        .crossJoin(F.broadcast(avgs))
+        .groupBy("doc_id", "term", "n_docs")
+        .agg(F.sum(norm_tf).alias("tft"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    scored = (
+        pseudo.join(F.broadcast(dfs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                idf
+                * F.col("tft")
+                / (F.lit(BM25F_K1) + F.col("tft"))
+            ).alias("score")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )

@@ -7452,3 +7452,140 @@ scored AS (SELECT a, b, k11, {expr} AS llr FROM j)
 SELECT a, b, CAST(k11 AS BIGINT) AS n_bigram, round(llr, 6) AS llr
 FROM (SELECT * FROM scored ORDER BY llr DESC, a, b LIMIT {k})
 """
+
+
+def lm_jelinek_mercer_sql(
+    terms: list[str], k: int = 15, lam: float = 0.7
+) -> str:
+    """Twin of operators/textstats.py::lm_jelinek_mercer_topk — the
+    match-only J-M form with token-identical expression shapes (p_c,
+    the per-term contribution), so equal integer inputs give bit-equal
+    doubles and both engines rank identically."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+tot AS (SELECT CAST(sum(doclen) AS BIGINT) AS total_tokens FROM dl),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+cf AS (
+  SELECT term, CAST(count(*) AS DOUBLE)
+               / CAST(total_tokens AS DOUBLE) AS p_c
+  FROM qtok CROSS JOIN tot GROUP BY term, total_tokens
+),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + ({1.0 - lam!r} * CAST(tf AS DOUBLE)
+                        / CAST(doclen AS DOUBLE))
+                      / ({lam!r} * p_c))) AS score
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN cf USING (term) JOIN dl USING (doc_id)
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def dfi_sql(terms: list[str], k: int = 15) -> str:
+    """Twin of operators/textstats.py::dfi_topk — chi-squared DFI with
+    log2 written as ln(x)/ln(2.0) on both engines."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+tot AS (SELECT CAST(sum(doclen) AS BIGINT) AS total_tokens FROM dl),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+cf AS (SELECT term, count(*) AS cf FROM qtok GROUP BY 1),
+j AS (
+  SELECT doc_id, CAST(tf AS DOUBLE) AS tf,
+         CAST(cf AS DOUBLE) * CAST(doclen AS DOUBLE)
+           / CAST(total_tokens AS DOUBLE) AS e
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN tf > e
+                  THEN ln(1.0 + (tf - e) * (tf - e) / e) / ln(2.0)
+                  ELSE 0.0 END) AS score
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def bm25f_sql(
+    terms: list[str],
+    k: int = 15,
+    title_len: int = 5,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    b: float = 0.75,
+    k1: float = 1.2,
+) -> str:
+    """Twin of operators/textstats.py::bm25f_topk — the same synthetic
+    title/body split (first title_len tokens vs the rest), per-field
+    length normalization before weight combination, single saturation,
+    document-level df."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_slice(ts, 1, {title_len}) AS title_ts,
+         list_slice(ts, {title_len + 1}, len(ts)) AS body_ts
+  FROM (SELECT doc_id, {TOKS} AS ts FROM documents)
+),
+lens AS (
+  SELECT doc_id, len(title_ts) AS len_title, len(body_ts) AS len_body
+  FROM toks
+),
+avgs AS (
+  SELECT CAST(sum(len_title) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_title,
+         CAST(sum(len_body) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_body,
+         count(*) AS n_docs
+  FROM lens
+),
+fielded AS (
+  SELECT doc_id, 'title' AS field, unnest(title_ts) AS term FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS field, unnest(body_ts) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, field, term, count(*) AS tf
+  FROM fielded WHERE term IN ({inlist})
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+pseudo AS (
+  SELECT doc_id, term, n_docs,
+         sum(
+           (CASE WHEN field = 'title' THEN {w_title!r}
+                 ELSE {w_body!r} END)
+           * CAST(tf AS DOUBLE)
+           / ({1.0 - b!r} + {b!r}
+              * CAST(CASE WHEN field = 'title' THEN len_title
+                          ELSE len_body END AS DOUBLE)
+              / (CASE WHEN field = 'title' THEN avg_title
+                      ELSE avg_body END))
+         ) AS tft
+  FROM tf JOIN lens USING (doc_id) CROSS JOIN avgs
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                       + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * tft / ({k1!r} + tft)) AS score
+  FROM pseudo JOIN dfs USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
