@@ -2154,6 +2154,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_jelinek_mercer": _wrap(textstats.lm_jelinek_mercer_topk),
         "dfi_topk": _wrap(textstats.dfi_topk),
         "bm25f_topk": _wrap(textstats.bm25f_topk),
+        # KMV distinct sketch with per-source -> merged shard combine
+        "kmv_distinct": _wrap(textstats.kmv_distinct),
+        # Lucene LogByteSize tiered-merge planning pass
+        "merge_policy_plan": _wrap(textstats.merge_policy_plan),
+        # ES `parent` aggregation (children_agg's mirror)
+        "parent_agg": _wrap(parentchild.parent_agg_by_child_bucket),
     }
 
 
@@ -2841,4 +2847,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dfi_topk": oracles.dfi_sql(["the", "merge", "vector"]),
         "bm25f_topk": oracles.bm25f_sql(["the", "merge", "vector"]),
+        "kmv_distinct": oracles.kmv_distinct_sql(),
+        "merge_policy_plan": oracles.merge_policy_plan_sql(),
+        "parent_agg": oracles.PARENT_AGG,
     }

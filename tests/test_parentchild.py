@@ -69,3 +69,34 @@ def test_children_agg_totals_reconcile(spark):
         .count()
     )
     assert total_children == joined
+
+
+def test_parent_agg_counts_each_parent_once(spark):
+    from collections import defaultdict
+
+    from unichem2index_spark.operators.parentchild import (
+        parent_agg_by_child_bucket,
+    )
+    from unichem2index_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    t = load_tables(spark, SF_SMOKE)
+    li = t["lineitem"].select("l_returnflag", "l_orderkey").collect()
+    price = {
+        r.o_orderkey: round(r.o_totalprice * 100)
+        for r in t["orders"].select("o_orderkey", "o_totalprice").collect()
+    }
+    parents = defaultdict(set)
+    for r in li:
+        parents[r.l_returnflag].add(r.l_orderkey)
+    got = {r.returnflag: r for r in
+           parent_agg_by_child_bucket(spark, t).collect()}
+    assert set(got) == set(parents)
+    for flag, oks in parents.items():
+        row = got[flag]
+        # each parent exactly once, regardless of its child count
+        assert row.n_parents == len(oks)
+        assert abs(
+            row.parent_revenue
+            - round(sum(price[o] for o in oks) / 100.0, 2)
+        ) < 1e-6

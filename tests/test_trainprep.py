@@ -2368,3 +2368,82 @@ def test_bm25f_recompute(spark, corpus, tables):
         if any(t in v["title"] for t in terms)
     }
     assert any(r.doc_id in title_hits for r in got)
+
+
+def test_kmv_distinct_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    k = textstats.KMV_K
+    per_src: dict[str, set] = {}
+    for _, r in by_id.items():
+        per_src.setdefault(r.source, set()).update(tokenize(r.text))
+    vocab = sorted(set().union(*per_src.values()))
+    tid = {t: i for i, t in enumerate(vocab)}
+
+    def h(t):
+        return ((tid[t] + 1) * FP_MULT) % MOD
+
+    def est(hashes):
+        hs = sorted(hashes)[:k]
+        if len(hs) >= k:
+            return (k - 1) * MOD / hs[k - 1]
+        return float(len(hs))
+
+    got = {r.source: r for r in
+           textstats.kmv_distinct(spark, tables).collect()}
+    assert set(got) == set(per_src) | {"__merged__"}
+    merged_sketch: set = set()
+    for src, terms in per_src.items():
+        hashes = {h(t) for t in terms}
+        merged_sketch.update(sorted(hashes)[:k])
+        row = got[src]
+        assert row.n_exact == len(terms)
+        assert abs(row.kmv_est - round(est(hashes), 6)) < 1e-6
+    # mergeability: the __merged__ row must equal the estimate from
+    # the UNION of the per-source min-k sketches (never the raw union
+    # of all hashes — that's the property under test)
+    allterms = set().union(*per_src.values())
+    mrow = got["__merged__"]
+    assert mrow.n_exact == len(allterms)
+    assert abs(mrow.kmv_est - round(est(merged_sketch), 6)) < 1e-6
+    # and because min-k(union of sketches) == min-k(union of sets),
+    # it also equals the direct global sketch
+    assert abs(
+        mrow.kmv_est - round(est({h(t) for t in allterms}), 6)
+    ) < 1e-6
+    # sanity: the estimator is in the right ballpark at k=16
+    assert 0 < mrow.rel_err < 0.6
+
+
+def test_merge_policy_plan_recompute(spark, corpus, tables):
+    import math as _m
+    from collections import defaultdict
+
+    _, by_id = corpus
+    mf, fd = textstats.MERGE_FACTOR, textstats.FLUSH_DOCS
+    seg_bytes: dict[int, int] = defaultdict(int)
+    for d, r in by_id.items():
+        seg_bytes[d // fd] += r.n_chars
+    by_level: dict[int, list] = defaultdict(list)
+    for s in sorted(seg_bytes):
+        lev = _m.floor(_m.log(seg_bytes[s]) / _m.log(mf))
+        by_level[lev].append(s)
+    want = {}
+    for lev, segs in by_level.items():
+        for gi in range(0, len(segs), mf):
+            grp = segs[gi:gi + mf]
+            want[(lev, gi // mf)] = grp
+    got = {(r.level, r.grp): r for r in
+           textstats.merge_policy_plan(spark, tables).collect()}
+    assert set(got) == set(want)
+    for key, grp in want.items():
+        row = got[key]
+        assert row.n_segments == len(grp)
+        assert (row.first_seg, row.last_seg) == (grp[0], grp[-1])
+        assert row.total_bytes == sum(seg_bytes[s] for s in grp)
+        assert row.will_merge == (len(grp) == mf)
+    # only FULL groups merge; at most one partial group per level
+    partial = [k for k, r in got.items() if not r.will_merge]
+    by_lev = defaultdict(int)
+    for lev, _ in partial:
+        by_lev[lev] += 1
+    assert all(n == 1 for n in by_lev.values())

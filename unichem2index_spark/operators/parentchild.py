@@ -115,3 +115,40 @@ def children_agg_by_parent_bucket(spark, t, k: int = 10) -> DataFrame:
         .orderBy("priority")
         .limit(k)
     )
+
+
+def parent_agg_by_child_bucket(spark, t, k: int = 10) -> DataFrame:
+    """ES `parent` aggregation (the `children` agg's mirror, mapped to
+    the same orders/lineitem parent-child pair): bucket CHILD docs (by
+    l_returnflag), then step UP to the parent scope — each parent
+    counts ONCE per bucket no matter how many of its children landed
+    there, and parent metrics aggregate over that deduplicated parent
+    set. Emits (returnflag, n_parents, parent_revenue).
+
+    Scale shape: the child->parent-key projection is deduplicated
+    map-side FIRST ((flag, orderkey) distinct — the shuffle carries
+    one row per parent per bucket, not per child), then one equi-join
+    to the parent table and a partial-agg per bucket. Same
+    exact-cents recipe as children_agg_by_parent_bucket so bucket
+    totals are order-independent across engines."""
+    o, li = t["orders"], t["lineitem"]
+    pk = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_orderkey").alias("orderkey"),
+    ).distinct()
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        pk.join(o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            cents.alias("price_cents"),
+        ), "orderkey")
+        .groupBy("returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_parents"),
+            F.round(F.sum("price_cents") / 100.0, 2).alias(
+                "parent_revenue"
+            ),
+        )
+        .orderBy("returnflag")
+        .limit(k)
+    )

@@ -4205,3 +4205,172 @@ def bm25f_topk(
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
     )
+
+
+# --------------------------------------------------- KMV / merge plan
+
+KMV_K = 16  # sketch size; estimator error ~ 1/sqrt(k-2)
+
+
+def kmv_distinct(spark: SparkSession, t, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. RANDOM'02;
+    Beyer et al. SIGMOD'07 unbiased estimator) over per-source term
+    vocabularies, plus a ``__merged__`` row computed by MERGING the
+    per-source sketches — the property that makes KMV the
+    distributed-agg workhorse (DataSketches theta, ES cardinality's
+    cousin): a union's sketch is the min-k of the unioned sketches,
+    so shard sketches combine without rescanning. Estimator:
+    ``(k-1) * MOD / h_(k)`` when a scope holds >= k distinct hashes,
+    exact count otherwise. Emits (scope, n_exact, kmv_est, rel_err) —
+    n_exact is the fidelity audit column (same pattern as
+    quantize_fidelity), the sketch is the scale path.
+
+    Scale shape: (source, term) distinct is map-side partial; hashes
+    come from the two-level vocab rank (no global window); per-source
+    min-k is a window bounded at k rows per key; the merge step runs
+    over (n_sources * k) rows only. Hash = ((token_id+1)*FP_MULT)
+    % MOD — the repo's shared integer-mix constants, identical in the
+    oracle."""
+    d = t["documents"]
+    st = (
+        d.select(
+            "source", F.explode(tokens_col("text")).alias("term")
+        )
+        .distinct()
+    )
+    vocab = vocab_ids(
+        d.select(tokens_col("text").alias("tokens"))
+    )
+    hashed = st.join(vocab, "term").select(
+        "source",
+        (
+            (F.col("token_id").cast("long") + F.lit(1))
+            * F.lit(FP_MULT) % F.lit(MOD)
+        ).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = hashed.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    merged = (
+        sk.select(F.lit("__merged__").alias("source"), "h")
+        .distinct()  # a KMV sketch is a SET: shared terms across
+        # sources hash identically and must collapse before re-ranking
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("h")
+            ),
+        )
+        .where(F.col("rk") <= k)
+    )
+    both = sk.select("source", "h", "rk").unionByName(merged)
+    est = both.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_min"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("hk"),
+    ).select(
+        "source",
+        F.when(
+            F.col("n_min") >= k,
+            F.lit(float(k - 1)) * F.lit(float(MOD))
+            / F.col("hk").cast("double"),
+        )
+        .otherwise(F.col("n_min").cast("double"))
+        .alias("kmv_est"),
+    )
+    exact = st.groupBy("source").agg(
+        F.countDistinct("term").alias("n_exact")
+    )
+    exact_all = exact.unionByName(
+        st.agg(
+            F.lit("__merged__").alias("source"),
+            F.countDistinct("term").alias("n_exact"),
+        ).select("source", "n_exact")
+    )
+    return (
+        est.join(exact_all, "source")
+        .select(
+            "source",
+            "n_exact",
+            F.round("kmv_est", 6).alias("kmv_est"),
+            F.round(
+                F.abs(
+                    F.col("kmv_est") - F.col("n_exact").cast("double")
+                )
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+MERGE_FACTOR = 10  # Lucene LogMergePolicy mergeFactor default
+FLUSH_DOCS = 50  # synthetic flush size: one segment per 50 doc ids
+
+
+def merge_policy_plan(
+    spark: SparkSession,
+    t,
+    merge_factor: int = MERGE_FACTOR,
+    flush_docs: int = FLUSH_DOCS,
+) -> DataFrame:
+    """Lucene ``LogByteSizeMergePolicy`` planning pass over synthetic
+    flush segments (segment = floor(doc_id/flush_docs), size = its
+    n_chars sum — the arrival-order flush stream an indexer produces):
+    each segment's level is ``floor(ln(bytes)/ln(mergeFactor))``;
+    within a level, segments are windowed in ARRIVAL order into groups
+    of mergeFactor, and only FULL groups merge (Lucene merges
+    contiguous same-level runs of mergeFactor segments; partial runs
+    wait for more flushes). Emits one row per (level, group):
+    n_segments, first/last segment id, total bytes, will_merge.
+
+    This is the maintenance planner the SegmentStore compaction path
+    (operators/update.py::compact) would grow into at 10^12 docs —
+    full compaction every cycle is O(corpus); tiered merging is
+    O(new data * log(corpus)).
+
+    Scale shape: the segment frame is index-metadata-sized (corpus /
+    flush_docs rows); the one window partitions BY LEVEL, bounded per
+    key; everything downstream is a partial-agg over group keys."""
+    d = t["documents"]
+    segs = (
+        d.groupBy(
+            F.floor(F.col("doc_id") / flush_docs).alias("seg_id")
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    lev = segs.select(
+        "seg_id",
+        "bytes",
+        F.floor(
+            F.log(F.col("bytes").cast("double"))
+            / F.log(F.lit(float(merge_factor)))
+        )
+        .cast("long")
+        .alias("level"),
+    )
+    w = Window.partitionBy("level").orderBy("seg_id")
+    grouped = lev.withColumn(
+        "grp",
+        F.floor((F.row_number().over(w) - 1) / merge_factor),
+    )
+    return (
+        grouped.groupBy("level", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.min("seg_id").alias("first_seg"),
+            F.max("seg_id").alias("last_seg"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .select(
+            "level",
+            F.col("grp").cast("long").alias("grp"),
+            "n_segments",
+            "first_seg",
+            "last_seg",
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+            (F.col("n_segments") == merge_factor).alias("will_merge"),
+        )
+        .orderBy("level", "grp")
+    )

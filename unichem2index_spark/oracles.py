@@ -7589,3 +7589,110 @@ scored AS (
 SELECT doc_id, round(score, 6) AS score
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def kmv_distinct_sql(k: int = 16) -> str:
+    """Twin of operators/textstats.py::kmv_distinct — same vocab-rank
+    hash ((token_id+1)*FP_MULT % MOD), same min-k window, same
+    (k-1)*MOD/h_k estimator with the exact-count fallback below k."""
+    return f"""
+WITH st AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest({TOKS}) AS term FROM documents
+  )
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS token_id
+  FROM (SELECT DISTINCT term FROM st)
+),
+hashed AS (
+  SELECT source, ((token_id + 1) * {FP_MULT}) % {MOD} AS h
+  FROM st JOIN vocab USING (term)
+),
+sk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM hashed
+),
+kept AS (SELECT * FROM sk WHERE rk <= {k}),
+merged AS (
+  SELECT '__merged__' AS source, h,
+         row_number() OVER (ORDER BY h) AS rk
+  FROM (SELECT DISTINCT h FROM kept)
+),
+unioned AS (
+  SELECT source, h, rk FROM kept
+  UNION ALL
+  SELECT source, h, rk FROM merged WHERE rk <= {k}
+),
+est AS (
+  SELECT source,
+         CASE WHEN count(*) >= {k}
+              THEN {float(k - 1)!r} * {float(MOD)!r}
+                   / CAST(max(CASE WHEN rk = {k} THEN h END) AS DOUBLE)
+              ELSE CAST(count(*) AS DOUBLE) END AS kmv_est
+  FROM unioned GROUP BY source
+),
+exact AS (
+  SELECT source, count(DISTINCT term) AS n_exact FROM st GROUP BY 1
+  UNION ALL
+  SELECT '__merged__', count(DISTINCT term) FROM st
+)
+SELECT source, n_exact, round(kmv_est, 6) AS kmv_est,
+       round(abs(kmv_est - CAST(n_exact AS DOUBLE))
+             / CAST(n_exact AS DOUBLE), 6) AS rel_err
+FROM est JOIN exact USING (source)
+ORDER BY source
+"""
+
+
+def merge_policy_plan_sql(
+    merge_factor: int = 10, flush_docs: int = 50
+) -> str:
+    """Twin of operators/textstats.py::merge_policy_plan — same
+    synthetic flush segments, log-mergeFactor level, arrival-order
+    windows of mergeFactor per level."""
+    return f"""
+WITH segs AS (
+  SELECT CAST(floor(doc_id / {flush_docs}) AS BIGINT) AS seg_id,
+         CAST(sum(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1
+),
+lev AS (
+  SELECT seg_id, bytes,
+         CAST(floor(ln(CAST(bytes AS DOUBLE))
+                    / ln({float(merge_factor)!r})) AS BIGINT) AS level
+  FROM segs
+),
+grouped AS (
+  SELECT *,
+         CAST(floor((row_number() OVER (
+             PARTITION BY level ORDER BY seg_id) - 1)
+             / {merge_factor}) AS BIGINT) AS grp
+  FROM lev
+)
+SELECT level, grp,
+       count(*) AS n_segments,
+       min(seg_id) AS first_seg,
+       max(seg_id) AS last_seg,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       count(*) = {merge_factor} AS will_merge
+FROM grouped GROUP BY level, grp
+ORDER BY level, grp
+"""
+
+
+PARENT_AGG = """
+WITH pk AS (
+  SELECT DISTINCT l_returnflag AS returnflag, l_orderkey AS orderkey
+  FROM lineitem
+)
+SELECT returnflag,
+       count(*) AS n_parents,
+       round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             / 100.0, 2) AS parent_revenue
+FROM pk JOIN orders ON orderkey = o_orderkey
+GROUP BY returnflag
+ORDER BY returnflag
+LIMIT 10
+"""
