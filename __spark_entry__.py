@@ -101,6 +101,13 @@ SUGGEST_PHRASE, SUGGEST_DIST, SUGGEST_SIZE = ("mrge", "grup"), 1, 5
 ANALYZE_TEXT = "The MERGE-group KEY: fast vector scan, 42 rows!"
 MGET_IDS = [3, 7, 42, 10**9]  # last id absent: found=false shape
 SAMPLER_SIZE = 50  # sampler agg: sub-agg over the 50 best hits
+# Average-Precision eval: (query_id, terms, relevance-marker term)
+AP_QUERIES = [
+    (0, ["merge", "group"], "key"),
+    (1, ["fast", "window"], "scan"),
+    (2, ["the", "vector"], "merge"),
+]
+AP_K = 20
 TV_DOC = 7  # _termvectors target (same doc _explain inspects)
 MTV_IDS = [7, 42, 10**9]  # _mtermvectors batch (last id absent)
 PR_VALUES = (100.0, 300.0, 600.0)  # percentile_ranks probe doclens
@@ -2160,6 +2167,20 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_policy_plan": _wrap(textstats.merge_policy_plan),
         # ES `parent` aggregation (children_agg's mirror)
         "parent_agg": _wrap(parentchild.parent_agg_by_child_bucket),
+        # MaxScore serving kernel (Lucene's other dynamic-pruning
+        # strategy) through the compressed-segment path — same oracle
+        # as the exact/WAND paths: rank identity is the whole point
+        "bm25_maxscore": lambda spark, sf_dir: Q.bm25_topk_maxscore(
+            spark, _index_for(spark, sf_dir), FLAGSHIP_TERMS, FLAGSHIP_K
+        ),
+        # TREC Average Precision @ k over a multi-query set
+        "avg_precision_eval": lambda spark, sf_dir: Q.avg_precision_eval(
+            _docs(spark, sf_dir), AP_QUERIES, AP_K
+        ),
+        # ReDDE federated resource selection over the doc shards
+        "redde_selection": lambda spark, sf_dir: (
+            Q.redde_resource_selection(_docs(spark, sf_dir), FLAGSHIP_TERMS)
+        ),
     }
 
 
@@ -2850,4 +2871,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": oracles.kmv_distinct_sql(),
         "merge_policy_plan": oracles.merge_policy_plan_sql(),
         "parent_agg": oracles.PARENT_AGG,
+        "bm25_maxscore": oracles.bm25_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
+        "avg_precision_eval": oracles.avg_precision_sql(AP_QUERIES, AP_K),
+        "redde_selection": oracles.redde_sql(FLAGSHIP_TERMS),
     }

@@ -104,6 +104,20 @@ def test_wand_topk_rank_identical(spark, corpus, index, terms, k):
         assert r.score == pytest.approx(s, abs=1e-5)
 
 
+@pytest.mark.parametrize("terms,k", WAND_QUERIES)
+def test_maxscore_topk_rank_identical(spark, corpus, index, terms, k):
+    """The MaxScore serving path must reproduce the brute-force oracle
+    exactly, like the WAND path — Lucene swaps these strategies per
+    query, so the two kernels being interchangeable is the contract."""
+    _, oracle = corpus
+    handle, _ = index
+    got = Q.bm25_topk_maxscore(spark, handle, terms, k).collect()
+    want = oracle.topk(terms, k)
+    assert [r.doc_id for r in got] == [d for d, _ in want], terms
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, abs=1e-5)
+
+
 def test_lineage_reconciliation(spark, corpus, index):
     """E1 invariant: input count == docs table count == sum(lineage.docs)
     (extractor/init.go:44-126 analog)."""

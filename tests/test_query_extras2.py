@@ -1418,3 +1418,70 @@ def test_scroll_sliced_disjoint_exhaustive(spark, corpus):
     assert len(page1) == sum(min(5, len(v)) for v in per.values())
     with pytest.raises(ValueError):
         Q.scroll_sliced(df, 0)
+
+
+# -------------------------------------------------- avg_precision / redde
+def test_avg_precision_matches_python(spark, corpus):
+    df, oracle, _ = corpus
+    queries = [
+        (0, ["merge", "group"], "key"),
+        (1, ["fast", "window"], "scan"),
+        (2, ["the", "vector"], "merge"),
+    ]
+    k = 20
+    got = {r.query_id: r for r in
+           Q.avg_precision_eval(df, queries, k).collect()}
+    assert set(got) == {q[0] for q in queries}
+    for qid, terms, marker in queries:
+        topk = _ranking(_scores(oracle, terms))[:k]
+        relevant = set(oracle.postings.get(marker, {}))
+        hit_ranks = [
+            i + 1 for i, (d, _) in enumerate(topk) if d in relevant
+        ]
+        # exact-integer accumulation, one final divide — same as the op
+        num = sum(
+            (j + 1) * (Q.AP_LCM // r)
+            for j, r in enumerate(hit_ranks)
+        )
+        ap = num / (float(Q.AP_LCM) * len(relevant))
+        row = got[qid]
+        assert row.n_rel == len(relevant)
+        assert row.n_hits == len(hit_ranks)
+        assert row.ap == round(ap, 6)
+    # AP is order-sensitive where P@k is not: a relevant doc at rank 1
+    # must contribute more than the same doc at rank k, so ap <= 1 and
+    # ap > 0 whenever any hit landed
+    assert all(0.0 <= r.ap <= 1.0 for r in got.values())
+
+
+def test_redde_estimates_match_python(spark, corpus):
+    df, oracle, _ = corpus
+    terms, n_shards, every, top_n = ["the", "merge", "vector"], 4, 3, 40
+    sampled = sorted(d for d in oracle.doclen if d % every == 0)
+    # CSI oracle: rebuilt from the sampled docs only (ReDDE scores with
+    # the sample's own stats, never the full corpus')
+    import unichem2index_spark.functions.tokenize as _tk
+    texts = {r.doc_id: r.text for r in df.collect()}
+    csi = Bm25Oracle(
+        [(d, _tk.tokenize(texts[d])) for d in sampled]
+    )
+    top = csi.topk(terms, top_n)
+    votes: dict[int, int] = {}
+    for d, _ in top:
+        votes[d % n_shards] = votes.get(d % n_shards, 0) + 1
+    got = {r.shard: r for r in
+           Q.redde_resource_selection(
+               df, terms, n_shards, every, top_n
+           ).collect()}
+    assert set(got) == set(range(n_shards))
+    est = {}
+    for s in range(n_shards):
+        sd = sum(1 for d in oracle.doclen if d % n_shards == s)
+        cd = sum(1 for d in sampled if d % n_shards == s)
+        v = votes.get(s, 0)
+        row = got[s]
+        assert (row.shard_docs, row.csi_docs, row.n_votes) == (sd, cd, v)
+        est[s] = (float(v) * float(sd)) / float(cd) if cd else 0.0
+        assert row.est_rel == round(est[s], 6)
+    # votes must sum to the CSI top-n actually retrieved
+    assert sum(votes.values()) == len(top)

@@ -213,3 +213,55 @@ def test_wand_callable_mult_equals_bruteforce(docs, terms, k, block_size, seed):
         key=lambda kv: (-kv[1], kv[0]),
     )
     _check(got, want[:k])
+
+
+# ---------------------------------------------------------------- maxscore
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpora, queries, st.integers(1, 10), st.integers(1, 6))
+def test_maxscore_equals_bruteforce(docs, terms, k, block_size):
+    from unichem2index_spark.functions.wand import maxscore_topk
+
+    oracle = Bm25Oracle(list(enumerate(docs)))
+    got = maxscore_topk(
+        _cursors(oracle, terms, block_size), oracle.avgdl, k
+    )
+    _check(got, _full_ranking(oracle, terms)[:k])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    corpora, queries, st.integers(1, 8), st.integers(1, 5),
+    st.sets(st.integers(0, 39)),
+)
+def test_maxscore_deleted_set(docs, terms, k, block_size, deleted):
+    from unichem2index_spark.functions.wand import maxscore_topk
+
+    oracle = Bm25Oracle(list(enumerate(docs)))
+    got = maxscore_topk(
+        _cursors(oracle, terms, block_size), oracle.avgdl, k,
+        deleted=frozenset(deleted),
+    )
+    want = [
+        (d, s) for d, s in _full_ranking(oracle, terms)
+        if d not in deleted
+    ][:k]
+    _check(got, want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpora, queries, st.integers(1, 10), st.integers(1, 6))
+def test_maxscore_bit_equal_to_wand(docs, terms, k, block_size):
+    """Both kernels accumulate full evaluations in canonical term order,
+    so their (doc_id, score) outputs must be BIT-equal — the property
+    that lets serving swap strategies per query (as Lucene does) without
+    a visible ranking flip."""
+    from unichem2index_spark.functions.wand import maxscore_topk
+
+    oracle = Bm25Oracle(list(enumerate(docs)))
+    a = wand_topk(_cursors(oracle, terms, block_size), oracle.avgdl, k)
+    b = maxscore_topk(
+        _cursors(oracle, terms, block_size), oracle.avgdl, k
+    )
+    assert a == b

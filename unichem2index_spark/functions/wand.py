@@ -262,3 +262,120 @@ def wand_topk(
     out = [(-nd, s) for s, nd in heap]
     out.sort(key=lambda p: (-p[1], p[0]))
     return out
+
+
+def maxscore_topk(
+    terms: list[TermBlocks],
+    avgdl: float,
+    k: int,
+    deleted: frozenset[int] | set[int] | None = None,
+) -> list[tuple[int, float]]:
+    """Exact top-k via the MaxScore strategy (Turtle & Flood, IPM'95) —
+    the OTHER dynamic-pruning kernel Lucene ships next to WAND (Lucene's
+    ``MaxScoreBulkScorer``, picked for long-postings disjunctions where
+    pivoting thrash makes WAND lose). Rank- and score-identical to
+    :func:`wand_topk` and to the brute-force oracle, including the
+    (score desc, doc_id asc) tie-break.
+
+    Strategy: sort terms by term-level max-score ascending; the maximal
+    prefix whose cumulative upper bound is STRICTLY below the current
+    heap threshold is "non-essential" — no doc containing only those
+    terms can enter the top-k, so candidate generation iterates the
+    essential suffix's postings only. Non-essential cursors move lazily,
+    probed per-candidate in descending-bound order with early exit the
+    moment the remaining bound cannot reach the threshold. As the heap
+    threshold rises, the non-essential prefix grows monotonically —
+    MaxScore's pruning improves mid-query, exactly the behavior that
+    makes it the stable choice on heavy disjunctions.
+
+    Two float-safety details shared with the WAND kernel: (1) full
+    evaluations accumulate in CANONICAL term-sorted order so equal docs
+    are bit-equal across kernels/engines (the tie-break depends on it);
+    (2) every skip comparison inflates the upper bound by one part in
+    1e12 so float rounding in the bound sums can only LOOSEN pruning,
+    never drop a threshold-tied true top-k member.
+
+    Ref analog: the reference delegates this entirely to Lucene
+    (extractor/loader.go:260-261); this kernel and wand_topk are the
+    from-scratch twins of the two scorers Lucene chooses between.
+    """
+    if k <= 0 or not terms:
+        return []
+    deleted = deleted or frozenset()
+    slack = 1.0 + 1e-12  # bound inflation: rounding may only loosen
+    heap: list[tuple[float, int]] = []
+    threshold = -INF
+    canon = sorted(
+        (t for t in terms if t.enc_blocks), key=lambda t: t.term
+    )
+    if not canon:
+        return []
+    # MaxScore partition order: ascending term upper bound (ties broken
+    # by term so the split is deterministic across runs/shards).
+    by_ub = sorted(canon, key=lambda t: (t.max_score, t.term))
+    prefix = [0.0]
+    for t in by_ub:
+        prefix.append(prefix[-1] + t.max_score)
+    ne = 0  # by_ub[:ne] is the non-essential prefix
+
+    def repartition() -> int:
+        """Largest prefix whose cumulative bound cannot beat the
+        threshold (strict <, inflated): grows monotonically with the
+        threshold. Never the full set while a candidate could win —
+        if every prefix qualifies the query is fully pruned."""
+        i = ne
+        while i < len(by_ub) and prefix[i + 1] * slack < threshold:
+            i += 1
+        return i
+
+    while True:
+        doc = INF
+        for t in by_ub[ne:]:
+            d = t.cur_doc()
+            if d < doc:
+                doc = d
+        if doc == INF:
+            # every remaining doc lives only in non-essential lists and
+            # is bounded by prefix[ne] < threshold: done.
+            break
+        doc = int(doc)
+        ess_at = [t for t in by_ub[ne:] if t.cur_doc() == doc]
+        if doc in deleted:
+            for t in ess_at:
+                t.advance_to(doc + 1)
+            continue
+        # Exact essential partial + conservative non-essential bound.
+        s_ess = 0.0
+        for t in ess_at:
+            s_ess += t.score_at(doc, avgdl)
+        bound = s_ess + prefix[ne]
+        skip = len(heap) >= k and bound * slack < threshold
+        if not skip:
+            # Probe non-essential lists, best bound first; each probe
+            # replaces that term's upper bound with its exact
+            # contribution (0 if absent), exiting as soon as the doc
+            # provably cannot reach the threshold.
+            for t in reversed(by_ub[:ne]):
+                t.advance_to(doc)
+                bound += t.score_at(doc, avgdl) - t.max_score
+                if len(heap) >= k and bound * slack < threshold:
+                    skip = True
+                    break
+        if not skip:
+            s = 0.0
+            for t in canon:  # canonical order: see docstring
+                s += t.score_at(doc, avgdl)
+            cand = (s, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+            if len(heap) >= k and heap[0][0] > threshold:
+                threshold = heap[0][0]
+                ne = repartition()
+        for t in ess_at:
+            t.advance_to(doc + 1)
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out

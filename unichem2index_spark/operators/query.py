@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from unichem2index_spark.functions import bm25
-from unichem2index_spark.functions.wand import TermBlocks, wand_topk
+from unichem2index_spark.functions.wand import (
+    TermBlocks,
+    maxscore_topk,
+    wand_topk,
+)
 from unichem2index_spark.operators.build import (
     corpus_stats,
     exact_postings,
@@ -568,6 +572,172 @@ def rank_eval(
         ).alias("mrr"),
     )
 
+
+
+AP_LCM = 232792560  # lcm(1..20): exact-integer precision@rank weights
+
+
+def avg_precision_eval(
+    docs_df: DataFrame,
+    queries: list[tuple[int, list[str], str]],
+    k: int = 20,
+) -> DataFrame:
+    """TREC-style Average Precision @ k per query (the metric behind
+    MAP, the one number relevance dashboards track) over a multi-query
+    set with deterministic binary judgments — doc is relevant to query
+    q iff it contains q's marker term (same judgment convention as
+    :func:`rank_eval`, so no external ratings file).
+
+    AP = (1/n_rel) * sum over relevant hits at rank r of P@r. Both the
+    hit counts and the rank weights are exact integers here: P@r =
+    cnt_r / r is accumulated as ``cnt_r * (LCM(1..k)/r)`` — an integer
+    sum — and the ONLY float operation is the final single divide by
+    ``LCM * n_rel``, so the emitted ap is bit-identical across engines
+    regardless of aggregation order (the same order-proofing trick
+    ndcg_eval gets from its sequential fold, without the fold).
+
+    Scale shape: contributions are computed ONCE over the union of all
+    query terms (a term's BM25 contribution is query-independent), then
+    fanned out to queries by a broadcast (query_id, term) join — Q
+    queries cost one postings pass, not Q. Ranked lists are per-query
+    windows over score-matched rows only; judgments join on a
+    marker-postings frame. One row out per query."""
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    qterms = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
+    spark = docs_df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    mdf = spark.createDataFrame(
+        [(qid, m) for qid, _, m in queries], "query_id long, marker string"
+    )
+    contribs = bm25_contribs_from_corpus(docs_df, all_terms)
+    scored = (
+        contribs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+    post = exact_postings(tokenized_docs(docs_df))
+    rel = (
+        post.join(
+            F.broadcast(mdf), post["term"] == mdf["marker"]
+        )
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    hits = ranked.join(rel, ["query_id", "doc_id"])
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    weighted = hits.withColumn("cnt_r", F.count(F.lit(1)).over(wc)).select(
+        "query_id",
+        (
+            F.col("cnt_r") * (F.lit(AP_LCM) / F.col("rank")).cast("long")
+        ).alias("term_num"),
+    )
+    agg = weighted.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("term_num").alias("num"),
+    )
+    return (
+        nrel.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("num"), F.lit(0)).cast("double")
+                / (
+                    F.lit(float(AP_LCM))
+                    * F.col("n_rel").cast("double")
+                ),
+                6,
+            ).alias("ap"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def redde_resource_selection(
+    docs_df: DataFrame,
+    terms: list[str],
+    n_shards: int = 4,
+    sample_every: int = 3,
+    top_n: int = 40,
+) -> DataFrame:
+    """ReDDE resource selection (Si & Callan, SIGIR'03) — the federated
+    -search step that decides WHICH index shards/collections a query
+    should fan out to, the broker-side counterpart of the doc-sharded
+    serving path. A central sample index (CSI) holds every
+    ``sample_every``-th doc (deterministic systematic sample — no RNG,
+    both engines agree on membership); the query runs BM25 top-n on the
+    CSI with the CSI's OWN collection stats (that's ReDDE: the broker
+    only ever sees the sample), and each sampled hit votes for its home
+    shard scaled by that shard's inverse sampling rate:
+    ``est_rel_j = n_votes_j * |S_j| / |CSI_j|`` — an unbiased estimate
+    of how many relevant docs shard j holds. Shards rank by est_rel;
+    zero-vote shards still report (the broker needs the full ranking to
+    cut off fan-out).
+
+    Float exactness: scores reuse the frozen BM25 expression on the
+    sampled sub-corpus; est_rel is integers in, ONE multiply and ONE
+    divide out, in a fixed association — bit-identical cross-engine.
+
+    Scale shape: the CSI is a tiny fraction of the corpus (fixed
+    sampling rate — at 10^12 docs the broker samples per shard and the
+    CSI itself shards; nothing here is corpus-global except the
+    doc_id%-derived membership predicates, which push down to the
+    scan). Votes aggregate n_shards rows; the shard-stats pass is one
+    map-side-combinable groupBy."""
+    sample = docs_df.where((F.col("doc_id") % sample_every) == 0)
+    top = (
+        bm25_scores_from_corpus(sample, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+    votes = top.groupBy(
+        (F.col("doc_id") % n_shards).cast("int").alias("shard")
+    ).agg(F.count(F.lit(1)).alias("n_votes"))
+    shard_stats = docs_df.groupBy(
+        (F.col("doc_id") % n_shards).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("shard_docs"),
+        F.sum(
+            F.when((F.col("doc_id") % sample_every) == 0, 1).otherwise(0)
+        ).cast("long").alias("csi_docs"),
+    )
+    return (
+        shard_stats.join(votes, "shard", "left")
+        .select(
+            "shard",
+            "shard_docs",
+            "csi_docs",
+            F.coalesce("n_votes", F.lit(0)).alias("n_votes"),
+            F.round(
+                F.when(
+                    F.col("csi_docs") > 0,
+                    (
+                        F.coalesce("n_votes", F.lit(0)).cast("double")
+                        * F.col("shard_docs").cast("double")
+                    )
+                    / F.col("csi_docs").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("est_rel"),
+        )
+        .orderBy(F.desc("est_rel"), F.asc("shard"))
+    )
 
 
 def ndcg_eval(
@@ -1265,6 +1435,79 @@ def bm25_topk_wand(
     else:
         # Never-updated index: skip the cogroup's extra (empty) grouped
         # side — per-query latency, the serving hot path.
+        empty = pd.DataFrame({"doc_id": []})
+        per_shard = seg.groupBy("shard").applyInPandas(
+            lambda pdf: fn(pdf, empty), TOPK_SCHEMA
+        )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def bm25_topk_maxscore(
+    spark: SparkSession,
+    index: IndexHandle,
+    terms: list[str],
+    k: int,
+) -> DataFrame:
+    """BM25 top-k via the per-shard MaxScore kernel — the same serving
+    plumbing as :func:`bm25_topk_wand` (term-pruned segment scan,
+    tombstone cogroup, n_shards*k global merge) with the other of
+    Lucene's two dynamic-pruning strategies underneath
+    (``functions/wand.py::maxscore_topk``; Lucene picks MaxScore over
+    WAND for long-postings disjunctions — ref delegates both to Lucene,
+    extractor/loader.go:260-261). Rank- and score-identical to the
+    exact path and to the WAND path (bit-equal full evaluations — both
+    kernels accumulate in canonical term order), so the serving tier
+    can choose per query shape without a visible ranking flip.
+
+    Scale shape: identical to the WAND path — the kernel choice is
+    per-shard-local and changes nothing about the scan, the shuffle, or
+    the candidate merge."""
+    uniq = sorted(set(terms))
+    ts = (
+        index.term_stats(spark)
+        .where(F.col("term").isin(uniq))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r.term: float(r.idf) for r in ts}
+    if not idfs:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    seg = index.segments(spark).where(F.col("term").isin(list(idfs))).select(
+        *_WAND_COLS
+    )
+    use_stored = not index.multi_gen
+    avgdl = index.avgdl
+
+    def fn(pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        deleted = (
+            frozenset(int(x) for x in del_pdf["doc_id"])
+            if len(del_pdf)
+            else frozenset()
+        )
+        cursors = [
+            _cursors_from_group(
+                grp, str(term), idfs[str(term)], avgdl, use_stored
+            )
+            for term, grp in pdf.groupby("term", sort=True)
+        ]
+        top = maxscore_topk(cursors, avgdl, k, deleted=deleted)
+        return pd.DataFrame(
+            {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+        )
+
+    if index.store.exists("deletes"):
+        per_shard = (
+            seg.groupBy("shard")
+            .cogroup(index.deletes_by_shard(spark).groupBy("shard"))
+            .applyInPandas(fn, TOPK_SCHEMA)
+        )
+    else:
         empty = pd.DataFrame({"doc_id": []})
         per_shard = seg.groupBy("shard").applyInPandas(
             lambda pdf: fn(pdf, empty), TOPK_SCHEMA

@@ -7696,3 +7696,142 @@ GROUP BY returnflag
 ORDER BY returnflag
 LIMIT 10
 """
+
+
+def avg_precision_sql(
+    queries: list[tuple[int, list[str], str]], k: int = 20
+) -> str:
+    """Twin of operators/query.py::avg_precision_eval — same binary
+    marker judgments, same exact-integer P@r accumulation (cnt_r *
+    (LCM(1..k) // r) summed as integers), same single final divide."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    mrows = ", ".join(f"({qid}, '{m}')" for qid, _, m in queries)
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+m(query_id, marker) AS (VALUES {mrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {k}),
+rel AS (
+  SELECT DISTINCT m.query_id, p.doc_id
+  FROM post p JOIN m ON p.term = m.marker
+),
+nrel AS (
+  SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id
+),
+hits AS (
+  SELECT t.query_id, t.rank FROM topk t
+  JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+),
+weighted AS (
+  SELECT query_id,
+         count(*) OVER (
+           PARTITION BY query_id ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) * (232792560 // rank) AS term_num
+  FROM hits
+),
+agg AS (
+  SELECT query_id, count(*) AS n_hits,
+         CAST(sum(term_num) AS BIGINT) AS num
+  FROM weighted GROUP BY query_id
+)
+SELECT n.query_id, n.n_rel,
+       coalesce(a.n_hits, 0) AS n_hits,
+       round(CAST(coalesce(a.num, 0) AS DOUBLE)
+             / (232792560.0 * CAST(n.n_rel AS DOUBLE)), 6) AS ap
+FROM nrel n LEFT JOIN agg a ON n.query_id = a.query_id
+ORDER BY n.query_id
+"""
+
+
+def redde_sql(
+    terms: list[str],
+    n_shards: int = 4,
+    sample_every: int = 3,
+    top_n: int = 40,
+) -> str:
+    """Twin of operators/query.py::redde_resource_selection — same
+    systematic CSI sample (doc_id % sample_every = 0), same CSI-local
+    BM25 stats, same integers-in/two-float-ops-out est_rel."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH csi AS (
+  SELECT * FROM documents WHERE doc_id % {sample_every} = 0
+),
+tok AS (
+  SELECT doc_id, len({TOKS}) AS doclen FROM csi
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM tok
+),
+post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM csi
+  ) GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN dfs d USING (term)
+  JOIN tok t USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+topn AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT {top_n}
+),
+votes AS (
+  SELECT CAST(doc_id % {n_shards} AS INT) AS shard,
+         count(*) AS n_votes
+  FROM topn GROUP BY 1
+),
+shard_stats AS (
+  SELECT CAST(doc_id % {n_shards} AS INT) AS shard,
+         count(*) AS shard_docs,
+         CAST(sum(CASE WHEN doc_id % {sample_every} = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS csi_docs
+  FROM documents GROUP BY 1
+)
+SELECT s.shard, s.shard_docs, s.csi_docs,
+       coalesce(v.n_votes, 0) AS n_votes,
+       round(CASE WHEN s.csi_docs > 0
+                  THEN (CAST(coalesce(v.n_votes, 0) AS DOUBLE)
+                        * CAST(s.shard_docs AS DOUBLE))
+                       / CAST(s.csi_docs AS DOUBLE)
+                  ELSE 0.0 END, 6) AS est_rel
+FROM shard_stats s LEFT JOIN votes v ON s.shard = v.shard
+ORDER BY est_rel DESC, s.shard ASC
+"""
