@@ -2181,6 +2181,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redde_selection": lambda spark, sf_dir: (
             Q.redde_resource_selection(_docs(spark, sf_dir), FLAGSHIP_TERMS)
         ),
+        # Elias-Fano vs varbyte postings codec audit (closed-form EF)
+        "elias_fano_audit": _wrap(textstats.elias_fano_audit),
+        # Soft-404 detection over planted error/truncated pages
+        "soft404_filter": _wrap(trainprep.soft404_filter),
+        # Lexical URL feature extraction per (source, tld)
+        "url_features": _wrap(trainprep.url_features),
     }
 
 
@@ -2874,4 +2880,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_maxscore": oracles.bm25_sql(FLAGSHIP_TERMS, FLAGSHIP_K),
         "avg_precision_eval": oracles.avg_precision_sql(AP_QUERIES, AP_K),
         "redde_selection": oracles.redde_sql(FLAGSHIP_TERMS),
+        "elias_fano_audit": oracles.ELIAS_FANO_AUDIT,
+        "soft404_filter": oracles.SOFT404_FILTER,
+        "url_features": oracles.URL_FEATURES,
     }

@@ -2447,3 +2447,114 @@ def test_merge_policy_plan_recompute(spark, corpus, tables):
     for lev, _ in partial:
         by_lev[lev] += 1
     assert all(n == 1 for n in by_lev.values())
+
+
+def test_soft404_recompute(spark, corpus, tables):
+    import re
+
+    _, by_id = corpus
+    want: dict[tuple, int] = {}
+    pat = re.compile(trainprep.SOFT404_PHRASES)
+    for d, r in by_id.items():
+        if d % 13 == 0:
+            planted = "error_page"
+            body = (
+                "Error 404: the page you requested was not found"
+                " on this server."
+                if d % 2 == 0
+                else "Sorry, this page does not exist or is no longer"
+                " available."
+            )
+        elif d % 17 == 5:
+            planted, body = "truncated", r.text[:40]
+        else:
+            planted, body = "normal", r.text
+        det = bool(pat.search(body.lower())) or len(body) < trainprep.SOFT404_MIN_CHARS
+        key = (r.source, planted, det)
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.source, r.planted, r.detected): r.n_docs
+        for r in trainprep.soft404_filter(spark, tables).collect()
+    }
+    assert got == want
+    # every planted error page must be detected (phrase rule is total)
+    for (_, planted, det), n in got.items():
+        if planted == "error_page":
+            assert det, "phrase detector missed a planted error page"
+
+
+def test_url_features_recompute(spark, corpus, tables):
+    import hashlib
+
+    _, by_id = corpus
+    urls: dict[tuple, list] = {}
+    for d, r in by_id.items():
+        h = hashlib.md5(str(d).encode()).hexdigest()
+        tld = trainprep.URL_TLDS[d % 3]
+        depth = d % 3 + 1
+        path = "/" + h[0:3]
+        if depth >= 2:
+            path += "/" + h[3:6]
+        if depth >= 3:
+            path += "/" + h[6:9]
+        url = f"https://{r.source}.{tld}{path}"
+        if d % 5 == 1:
+            url += ".html"
+        if d % 6 == 0:
+            url += f"?q={d}"
+        urls.setdefault((r.source, tld), []).append(
+            (len(url), sum(c.isdigit() for c in url), depth,
+             d % 6 == 0, d % 5 == 1)
+        )
+    got = {
+        (r.source, r.tld): r
+        for r in trainprep.url_features(spark, tables).collect()
+    }
+    assert set(got) == set(urls)
+    for key, rows in urls.items():
+        r = got[key]
+        assert r.n_urls == len(rows)
+        assert abs(r.avg_url_len - round(sum(x[0] for x in rows) / len(rows), 6)) < 1e-9
+        assert abs(r.avg_digits - round(sum(x[1] for x in rows) / len(rows), 6)) < 1e-9
+        assert r.max_depth == max(x[2] for x in rows)
+        assert r.n_query == sum(x[3] for x in rows)
+        assert r.n_html == sum(x[4] for x in rows)
+
+
+def test_elias_fano_audit_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    posts: dict[str, set] = {}
+    for d, r in by_id.items():
+        for term in set(tokenize(r.text)):
+            posts.setdefault(term, set()).add(d)
+    u = max(d for ids in posts.values() for d in ids) + 1
+
+    def vbyte(g: int) -> int:
+        if g < 128:
+            return 1
+        if g < 16384:
+            return 2
+        if g < 2097152:
+            return 3
+        if g < 268435456:
+            return 4
+        return 5
+
+    vb_tot = eb_tot = wins = 0
+    for ids in posts.values():
+        s = sorted(ids)
+        gaps = [s[0] + 1] + [b - a for a, b in zip(s, s[1:])]
+        vb = sum(vbyte(g) for g in gaps)
+        n = len(s)
+        l = max(0, (u // n).bit_length() - 1)
+        bits = n * l + n + u // (1 << l) + 1
+        eb = (bits + 7) // 8
+        vb_tot += vb
+        eb_tot += eb
+        wins += eb < vb
+    row = textstats.elias_fano_audit(spark, tables).collect()[0]
+    assert row.n_terms == len(posts)
+    assert row.varbyte_bytes == vb_tot
+    assert row.ef_bytes == eb_tot
+    assert row.ef_wins == wins
+    assert abs(row.ef_to_varbyte - round(eb_tot / vb_tot, 6)) < 1e-9

@@ -4374,3 +4374,90 @@ def merge_policy_plan(
         )
         .orderBy("level", "grp")
     )
+
+
+EF_RESTART = 1  # closed-form audit: one EF sequence per term
+
+
+def elias_fano_audit(spark: SparkSession, t) -> DataFrame:
+    """Elias-Fano postings-size audit (Vigna "Quasi-succinct indices"
+    WSDM'13 — the encoding Lucene ships for doc-id deltas since 8.4 and
+    the core of partitioned-EF indexes): a monotone doc-id list of
+    length n over universe u costs n*l low bits (l = max(0,
+    floor(log2(u/n)))) plus a unary upper-bits stream of n stop bits
+    and at most u >> l zero bits — size is a CLOSED FORM of (n, u),
+    independent of the actual gaps. This audit compares that bound
+    against the gap+varbyte bytes postings_size_estimate plans with,
+    per the standard capacity question: which terms should switch
+    codec? One row: term count, both byte totals, the EF/varbyte
+    ratio, and how many terms EF wins (dense lists — exactly where
+    varbyte's 1-byte-per-gap floor loses to EF's sub-bit low arrays).
+
+    Scale shape: one postings agg (map-side combined) feeds a per-term
+    frame of (df, gaps); u is one broadcast scalar; the EF arithmetic
+    is exact integer math on (df, u) via bin()-length log2 — no
+    doubles anywhere except the final rounded ratio, so both engines
+    hash-agree. At 10^12 docs this is the same single-shuffle plan the
+    varbyte estimate already runs; the audit adds zero shuffles."""
+    d = _tok(t["documents"])
+    post = (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    u = post.agg((F.max("doc_id") + 1).alias("u"))
+    per_term = (
+        post.groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .crossJoin(F.broadcast(u))
+    )
+    gaps = F.expr(
+        """transform(ids, (x, i) ->
+             IF(i = 0, x + 1, x - element_at(ids, i)))"""
+    )
+    vbytes = F.expr(
+        """aggregate(gaps, 0L, (acc, g) -> acc +
+             CASE WHEN g < 128 THEN 1
+                  WHEN g < 16384 THEN 2
+                  WHEN g < 2097152 THEN 3
+                  WHEN g < 268435456 THEN 4
+                  ELSE 5 END)"""
+    )
+    sized = (
+        per_term.select(
+            "term",
+            F.size("ids").cast("long").alias("df"),
+            "u",
+            gaps.alias("gaps"),
+        )
+        .withColumn(
+            "l",
+            F.greatest(
+                F.lit(0),
+                (F.length(F.expr("bin(u div df)")) - 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "ef_bits",
+            F.col("df") * F.col("l")
+            + F.col("df")
+            + F.expr("u div shiftleft(1L, l)")
+            + F.lit(1),
+        )
+        .select(
+            "df",
+            vbytes.alias("vb"),
+            F.expr("(ef_bits + 7) div 8").alias("eb"),
+        )
+    )
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("vb").cast("long").alias("varbyte_bytes"),
+        F.sum("eb").cast("long").alias("ef_bytes"),
+        F.round(
+            F.sum("eb").cast("double") / F.sum("vb").cast("double"), 6
+        ).alias("ef_to_varbyte"),
+        F.sum((F.col("eb") < F.col("vb")).cast("long"))
+        .cast("long")
+        .alias("ef_wins"),
+    )

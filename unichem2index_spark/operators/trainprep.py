@@ -1758,3 +1758,153 @@ def shard_manifest_fast(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+SOFT404_PHRASES = "page not found|does not exist|no longer available|error 404"
+SOFT404_MIN_CHARS = 64
+
+
+def soft404_filter(spark: SparkSession, t) -> DataFrame:
+    """Soft-404 detection (Bar-Yossef/Broder/Kumar/Tomkins, WWW'04 "Sic
+    transit gloria telae"): web servers routinely answer HTTP 200 with
+    an "oops, not found" body, and every crawl-derived corpus has to
+    strip these before training. Detector = error-phrase match OR a
+    suspiciously short body (< SOFT404_MIN_CHARS) — the two lexical
+    signals a pipeline applies when it can't afford the paper's
+    random-probe re-fetch.
+
+    The corpus is clean synthetic text, so the condition is PLANTED
+    deterministically (the crawl_snapshot_diff/robots_filter pattern):
+    doc_id % 13 == 0 swaps in one of two error templates (alternating
+    by doc_id % 2 so the phrase branch isn't single-valued) and
+    doc_id % 17 == 5 truncates the body to 40 chars (a soft-404 with
+    NO error phrase — only the length rule can catch it). Identical
+    expressions in the DuckDB oracle keep every confusion cell
+    populated: natural short docs are flagged too, which is exactly
+    the length heuristic's documented false-positive class.
+
+    Scale shape: one map-only pass per doc (template swap + regexp +
+    length are JVM expressions on the text column) into a tiny
+    (source, class, detected) count agg — at 10^12 pages this is a
+    scan plus one narrow shuffle of three small columns, the minimal
+    plan for the question. Ref analog: the reference gates extraction
+    on per-row validity checks (extractor/extractor.go) — this is the
+    crawl-side analog of that row gate."""
+    docs = t["documents"]
+    planted = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("error_page"))
+        .when(F.col("doc_id") % 17 == 5, F.lit("truncated"))
+        .otherwise(F.lit("normal"))
+    )
+    body = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(
+                    "Error 404: the page you requested was not found"
+                    " on this server."
+                ),
+            ).otherwise(
+                F.lit(
+                    "Sorry, this page does not exist or is no longer"
+                    " available."
+                )
+            ),
+        )
+        .when(F.col("doc_id") % 17 == 5, F.substring("text", 1, 40))
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select(
+        "source", planted.alias("planted"), body.alias("body")
+    )
+    detected = F.lower(F.col("body")).rlike(SOFT404_PHRASES) | (
+        F.length("body") < SOFT404_MIN_CHARS
+    )
+    return (
+        staged.select("source", "planted", detected.alias("detected"))
+        .groupBy("source", "planted", "detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "planted", "detected")
+    )
+
+
+URL_TLDS = ("com", "org", "net")
+
+
+def url_features(spark: SparkSession, t) -> DataFrame:
+    """Lexical URL feature extraction — the signal set URL-only quality
+    classifiers train on (length, path depth, digit density, query
+    strings, extension; cf. Baykan et al. WWW'09 "Purely URL-based
+    topic classification"), aggregated per (source, tld) as the
+    corpus-level feature audit a pipeline runs before fitting the
+    classifier.
+
+    The corpus stores no urls, so each doc's url is DERIVED
+    deterministically (the robots_filter md5-path pattern):
+    https://{source}.{tld}/{seg1[/seg2[/seg3]]}[.html][?q={doc_id}]
+    with tld = URL_TLDS[doc_id % 3], depth = 1 + doc_id % 3 segments
+    of 3 hex chars sliced from md5(doc_id), '.html' when doc_id % 5
+    == 1, and a query string when doc_id % 6 == 0 — identical
+    expressions in the DuckDB oracle, so every feature varies and the
+    hash is non-vacuous.
+
+    Scale shape: url synthesis + feature extraction are map-only JVM
+    string expressions (md5, substring, concat, one digit-strip
+    regexp), then a single narrow (source, tld) agg — at 10^12 urls
+    one scan and one tiny shuffle. The digit count strips non-digits
+    with a global regexp_replace (DuckDB needs the explicit 'g'
+    flag), the one cross-engine regexp trap this file documents."""
+    docs = t["documents"]
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    depth = (F.col("doc_id") % 3 + 1).cast("int")
+    path = F.concat(
+        F.lit("/"),
+        F.substring(h, 1, 3),
+        F.when(depth >= 2, F.concat(F.lit("/"), F.substring(h, 4, 3))).otherwise(F.lit("")),
+        F.when(depth >= 3, F.concat(F.lit("/"), F.substring(h, 7, 3))).otherwise(F.lit("")),
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(x) for x in URL_TLDS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("."),
+        tld,
+        path,
+        F.when(F.col("doc_id") % 5 == 1, F.lit(".html")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit("?q="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    feats = docs.select(
+        "source",
+        tld.alias("tld"),
+        url.alias("url"),
+        depth.cast("long").alias("path_depth"),
+        (F.col("doc_id") % 5 == 1).cast("long").alias("is_html"),
+        (F.col("doc_id") % 6 == 0).cast("long").alias("has_query"),
+    ).select(
+        "source",
+        "tld",
+        "path_depth",
+        "is_html",
+        "has_query",
+        F.length("url").cast("long").alias("url_len"),
+        F.length(F.regexp_replace("url", "[^0-9]", "")).cast("long").alias("n_digits"),
+    )
+    return (
+        feats.groupBy("source", "tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.round(F.avg("url_len"), 6).alias("avg_url_len"),
+            F.round(F.avg("n_digits"), 6).alias("avg_digits"),
+            F.max("path_depth").alias("max_depth"),
+            F.sum("has_query").cast("long").alias("n_query"),
+            F.sum("is_html").cast("long").alias("n_html"),
+        )
+        .orderBy("source", "tld")
+    )

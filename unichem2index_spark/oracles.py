@@ -7835,3 +7835,108 @@ SELECT s.shard, s.shard_docs, s.csi_docs,
 FROM shard_stats s LEFT JOIN votes v ON s.shard = v.shard
 ORDER BY est_rel DESC, s.shard ASC
 """
+
+
+ELIAS_FANO_AUDIT = f"""
+WITH post AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+u AS (SELECT max(doc_id) + 1 AS u FROM post),
+per_term AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS ids FROM post GROUP BY term
+),
+g AS (
+  SELECT term, CAST(len(ids) AS BIGINT) AS df,
+         list_transform(ids, (x, i) ->
+           CASE WHEN i = 1 THEN x + 1 ELSE x - ids[i - 1] END) AS gaps
+  FROM per_term
+),
+sized AS (
+  SELECT df,
+         CAST(list_reduce(list_prepend(0, list_transform(gaps, gg ->
+           CASE WHEN gg < 128 THEN 1
+                WHEN gg < 16384 THEN 2
+                WHEN gg < 2097152 THEN 3
+                WHEN gg < 268435456 THEN 4
+                ELSE 5 END)), (x, y) -> x + y) AS BIGINT) AS vb,
+         greatest(0, length(bin(u.u // df)) - 1) AS l
+  FROM g CROSS JOIN u
+),
+eb AS (
+  SELECT df, vb,
+         (df * l + df + (SELECT u FROM u) // (CAST(1 AS BIGINT) << l)
+          + 1 + 7) // 8 AS eb
+  FROM sized
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(vb) AS BIGINT) AS varbyte_bytes,
+       CAST(sum(eb) AS BIGINT) AS ef_bytes,
+       round(CAST(sum(eb) AS DOUBLE) / CAST(sum(vb) AS DOUBLE), 6)
+         AS ef_to_varbyte,
+       CAST(sum(CASE WHEN eb < vb THEN 1 ELSE 0 END) AS BIGINT) AS ef_wins
+FROM eb
+"""
+
+
+SOFT404_FILTER = """
+WITH staged AS (
+  SELECT source,
+         CASE WHEN doc_id % 13 = 0 THEN 'error_page'
+              WHEN doc_id % 17 = 5 THEN 'truncated'
+              ELSE 'normal' END AS planted,
+         CASE WHEN doc_id % 13 = 0 THEN
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'Error 404: the page you requested was not found on this server.'
+                     ELSE 'Sorry, this page does not exist or is no longer available.'
+                END
+              WHEN doc_id % 17 = 5 THEN substr(text, 1, 40)
+              ELSE text END AS body
+  FROM documents
+)
+SELECT source, planted,
+       (regexp_matches(lower(body),
+          'page not found|does not exist|no longer available|error 404')
+        OR length(body) < 64) AS detected,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM staged
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+URL_FEATURES = """
+WITH f AS (
+  SELECT source,
+         ['com', 'org', 'net'][CAST(doc_id % 3 AS INT) + 1] AS tld,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS path_depth,
+         CAST(doc_id % 5 = 1 AS BIGINT) AS is_html,
+         CAST(doc_id % 6 = 0 AS BIGINT) AS has_query,
+         'https://' || source || '.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 AS INT) + 1]
+           || '/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+           || CASE WHEN doc_id % 3 + 1 >= 2
+                   THEN '/' || substr(md5(CAST(doc_id AS VARCHAR)), 4, 3)
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 + 1 >= 3
+                   THEN '/' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 3)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 1 THEN '.html' ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+                   THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END
+           AS url
+  FROM documents
+)
+SELECT source, tld,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       round(avg(length(url)), 6) AS avg_url_len,
+       round(avg(length(regexp_replace(url, '[^0-9]', '', 'g'))), 6)
+         AS avg_digits,
+       max(path_depth) AS max_depth,
+       CAST(sum(has_query) AS BIGINT) AS n_query,
+       CAST(sum(is_html) AS BIGINT) AS n_html
+FROM f
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
