@@ -2187,6 +2187,16 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_filter": _wrap(trainprep.soft404_filter),
         # Lexical URL feature extraction per (source, tld)
         "url_features": _wrap(trainprep.url_features),
+        # DFR PL2 ranking (Terrier default / Lucene DFRSimilarity)
+        "dfr_pl2": _wrap(textstats.dfr_pl2_topk),
+        # CORI federated resource selection (stats-only broker)
+        "cori_selection": lambda spark, sf_dir: (
+            Q.cori_selection(_docs(spark, sf_dir), FLAGSHIP_TERMS)
+        ),
+        # Rank-biased precision @ k (p = 1/2, exact dyadic accumulation)
+        "rbp_eval": lambda spark, sf_dir: (
+            Q.rbp_eval(_docs(spark, sf_dir), AP_QUERIES, AP_K)
+        ),
     }
 
 
@@ -2883,4 +2893,7 @@ def oracle_sql() -> dict[str, str]:
         "elias_fano_audit": oracles.ELIAS_FANO_AUDIT,
         "soft404_filter": oracles.SOFT404_FILTER,
         "url_features": oracles.URL_FEATURES,
+        "dfr_pl2": oracles.dfr_pl2_sql(FLAGSHIP_TERMS),
+        "cori_selection": oracles.cori_sql(FLAGSHIP_TERMS),
+        "rbp_eval": oracles.rbp_sql(AP_QUERIES, AP_K),
     }

@@ -1485,3 +1485,72 @@ def test_redde_estimates_match_python(spark, corpus):
         assert row.est_rel == round(est[s], 6)
     # votes must sum to the CSI top-n actually retrieved
     assert sum(votes.values()) == len(top)
+
+
+def test_cori_beliefs_match_python(spark, corpus):
+    import math as _m
+
+    df, oracle, rows = corpus
+    terms, n_shards = ["the", "merge", "vector"], 4
+    toks = {d: tokenize(r.text) for d, r in rows.items()}
+    cw = {s: 0 for s in range(n_shards)}
+    df_tc: dict[tuple[int, str], int] = {}
+    for d, ts in toks.items():
+        sh = d % n_shards
+        cw[sh] += len(ts)
+        for t in set(ts) & set(terms):
+            df_tc[(sh, t)] = df_tc.get((sh, t), 0) + 1
+    avg_cw = sum(cw.values()) / n_shards
+    cf_t = {
+        t: sum(1 for s in range(n_shards) if (s, t) in df_tc)
+        for t in terms
+    }
+    want = {}
+    for s in range(n_shards):
+        sc = 0.0
+        for t in terms:
+            if cf_t[t] == 0:
+                sc += 0.4
+                continue
+            dd = df_tc.get((s, t), 0)
+            T = dd / (dd + 50.0 + 150.0 * cw[s] / avg_cw)
+            I = _m.log((n_shards + 0.5) / cf_t[t]) / _m.log(
+                n_shards + 1.0
+            )
+            sc += 0.4 + 0.6 * T * I
+        want[s] = sc
+    got = {r.shard: r for r in Q.cori_selection(df, terms, n_shards).collect()}
+    assert set(got) == set(range(n_shards))
+    for s in range(n_shards):
+        assert got[s].cw == cw[s]
+        assert abs(got[s].score - round(want[s], 6)) < 1e-6
+    # each term contributes at least the belief floor and at most 1
+    lo, hi = 0.4 * len(terms), 1.0 * len(terms)
+    assert all(lo <= r.score <= hi for r in got.values())
+
+
+def test_rbp_matches_python_and_is_exact(spark, corpus):
+    df, oracle, _ = corpus
+    queries = [
+        (0, ["merge", "group"], "key"),
+        (1, ["fast", "window"], "scan"),
+        (2, ["the", "vector"], "merge"),
+    ]
+    k = 20
+    got = {r.query_id: r for r in Q.rbp_eval(df, queries, k).collect()}
+    assert set(got) == {q[0] for q in queries}
+    for qid, terms, marker in queries:
+        topk = _ranking(_scores(oracle, terms))[:k]
+        relevant = set(oracle.postings.get(marker, {}))
+        hit_ranks = [
+            i + 1 for i, (d, _) in enumerate(topk) if d in relevant
+        ]
+        num = sum(1 << (k - r) for r in hit_ranks)
+        rbp = 0.5 * num / float(1 << (k - 1))
+        row = got[qid]
+        assert row.n_rel == len(relevant)
+        assert row.n_hits == len(hit_ranks)
+        # dyadic accumulation: EQUALITY, not tolerance
+        assert row.rbp == round(rbp, 6)
+        # RBP is bounded by the geometric tail: <= 1 - p^k
+        assert 0.0 <= row.rbp <= 1.0 - 0.5 ** k + 1e-12

@@ -2558,3 +2558,39 @@ def test_elias_fano_audit_recompute(spark, corpus, tables):
     assert row.ef_bytes == eb_tot
     assert row.ef_wins == wins
     assert abs(row.ef_to_varbyte - round(eb_tot / vb_tot, 6)) < 1e-9
+
+
+def test_dfr_pl2_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms = ["the", "merge", "vector"]
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    cf = {t: sum(ts.count(t) for ts in toks.values()) for t in terms}
+    want = {}
+    for d, ts in toks.items():
+        s, matched = 0.0, False
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            matched = True
+            tfn = tf * _m.log(1.0 + avgdl / len(ts)) / _m.log(2.0)
+            lam = cf[t] / n_docs
+            s += (
+                tfn * _m.log(tfn / lam)
+                + (lam - tfn)
+                + 0.5 * _m.log(2.0 * _m.pi * tfn)
+            ) / (_m.log(2.0) * (tfn + 1.0))
+        if matched:
+            want[d] = s
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = textstats.dfr_pl2_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+    # PL2 anti-evidence: a stopword-only doc can score negative, but the
+    # top of the ranking must be positive on this corpus
+    assert got[0].score > 0

@@ -740,6 +740,170 @@ def redde_resource_selection(
     )
 
 
+CORI_B = 0.4  # CORI default belief floor
+CORI_DF_K = 50.0  # df saturation constant
+CORI_CW_K = 150.0  # collection-size normalization constant
+
+
+def cori_selection(
+    docs_df: DataFrame,
+    terms: list[str],
+    n_shards: int = 4,
+) -> DataFrame:
+    """CORI resource selection (Callan/Lu/Croft SIGIR'95) — the OTHER
+    classical federated-search broker next to ReDDE
+    (:func:`redde_resource_selection`): instead of sampling documents,
+    CORI ranks collections from collection-level statistics alone,
+    treating each collection as one giant document in an inference
+    network. Per (collection c, query term t):
+
+        T = df_tc / (df_tc + 50 + 150 * cw_c / avg_cw)
+        I = ln((C + 0.5) / cf_t) / ln(C + 1.0)
+        p(t|c) = 0.4 + 0.6 * T * I
+
+    with df_tc = docs in c containing t, cw_c = tokens in c, C =
+    number of collections, cf_t = number of collections containing t.
+    Collections are the serving shards (doc_id % n_shards, same split
+    redde uses). Terms absent from a shard still contribute the
+    belief floor b = 0.4 (T = 0), so every shard scores all |q| terms
+    — the broker needs a complete ranking to cut fan-out.
+
+    Float exactness: T, I, p are fixed-shape expressions of integer
+    inputs, mirrored token-for-token in the oracle; the per-shard sum
+    folds |q| <= a handful of doubles, round(6) at emit.
+
+    Scale shape: UNLIKE redde there is no central sample index — the
+    broker state is (C x |vocab-of-q|) numbers. df_tc is a postings
+    agg filtered to the query terms BEFORE the shuffle; cw_c is one
+    map-side-combinable groupBy; everything downstream is n_shards
+    rows. At 10^12 docs this is the cheapest possible selection pass:
+    one filtered scan, two tiny aggs."""
+    uniq = sorted(set(terms))
+    shard = (F.col("doc_id") % n_shards).cast("int").alias("shard")
+    tokf = tokenized_docs(docs_df).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    cw = tokf.groupBy(shard).agg(F.count(F.lit(1)).alias("cw"))
+    avg_cw = cw.agg(
+        (
+            F.sum("cw").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_cw")
+    )
+    df_tc = (
+        tokf.where(F.col("term").isin(uniq))
+        .select(shard, "term", "doc_id")
+        .distinct()
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cf_t = df_tc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf_t")
+    )
+    spark = docs_df.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    grid = cw.crossJoin(F.broadcast(qdf)).crossJoin(F.broadcast(avg_cw))
+    t_belief = F.coalesce(F.col("df"), F.lit(0)).cast("double") / (
+        F.coalesce(F.col("df"), F.lit(0)).cast("double")
+        + F.lit(CORI_DF_K)
+        + F.lit(CORI_CW_K) * F.col("cw").cast("double") / F.col("avg_cw")
+    )
+    i_belief = F.log(
+        (F.lit(float(n_shards)) + F.lit(0.5))
+        / F.col("cf_t").cast("double")
+    ) / F.log(F.lit(float(n_shards)) + F.lit(1.0))
+    p = F.lit(CORI_B) + F.lit(1.0 - CORI_B) * t_belief * i_belief
+    return (
+        grid.join(df_tc, ["shard", "term"], "left")
+        .join(F.broadcast(cf_t), "term", "left")
+        .withColumn(
+            "p",
+            F.when(F.col("cf_t").isNotNull(), p).otherwise(F.lit(CORI_B)),
+        )
+        .groupBy("shard")
+        .agg(
+            F.max("cw").alias("cw"),
+            F.round(F.sum("p"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("shard"))
+    )
+
+
+RBP_P = 0.5  # persistence: dyadic so every partial sum is an exact double
+
+
+def rbp_eval(
+    docs_df: DataFrame,
+    queries: list[tuple[int, list[str], str]],
+    k: int = 20,
+) -> DataFrame:
+    """Rank-Biased Precision @ k per query (Moffat & Zobel TOIS'08):
+    ``RBP = (1-p) * sum_r rel_r * p^(r-1)`` — the eval metric built on
+    an explicit user model (keep reading with persistence p), the
+    standard complement to AP/nDCG on relevance dashboards. Judgments
+    are the same deterministic marker convention as
+    :func:`avg_precision_eval` / :func:`rank_eval`.
+
+    p is pinned to 1/2 so the metric is EXACT: each hit contributes
+    the integer ``2^(k-r)``, the per-query accumulator is a BIGINT sum
+    (order-proof), and the only float operations are one multiply and
+    one divide at emit — ``rbp = 0.5 * num / 2^(k-1)`` — so both
+    engines produce bit-equal doubles regardless of aggregation order
+    (the avg_precision_eval LCM trick, binary edition).
+
+    Scale shape: identical to avg_precision_eval — contributions
+    computed once over the union of query terms, fanned out by a
+    broadcast (query_id, term) join, per-query windows over matched
+    rows only, one row out per query."""
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    qterms = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
+    spark = docs_df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    mdf = spark.createDataFrame(
+        [(qid, m) for qid, _, m in queries], "query_id long, marker string"
+    )
+    contribs = bm25_contribs_from_corpus(docs_df, all_terms)
+    scored = (
+        contribs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+    post = exact_postings(tokenized_docs(docs_df))
+    rel = (
+        post.join(F.broadcast(mdf), post["term"] == mdf["marker"])
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = ranked.join(rel, ["query_id", "doc_id"])
+    agg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(F.expr(f"shiftleft(1L, {k} - rank)")).alias("num"),
+    )
+    return (
+        nrel.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.lit(1.0 - RBP_P)
+                * F.coalesce(F.col("num"), F.lit(0)).cast("double")
+                / F.lit(float(1 << (k - 1))),
+                6,
+            ).alias("rbp"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def ndcg_eval(
     docs_df: DataFrame,
     terms: list[str],

@@ -4085,6 +4085,81 @@ def dfi_topk(
     )
 
 
+PL2_C = 1.0  # DFR H2 length-normalization strength
+TWO_PI = 6.283185307179586  # 2*pi literal, identical on both engines
+
+
+def dfr_pl2_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+    c: float = PL2_C,
+) -> DataFrame:
+    """DFR PL2 ranking (Amati & van Rijsbergen TOIS'02; Terrier's
+    default model, Lucene's ``DFRSimilarity(P, L, H2)`` — an ES
+    `similarity` module option): Poisson basic model with Laplace
+    after-effect and H2 length normalization. Per matched term:
+    ``tfn = tf * log2(1 + c * avgdl/dl)`` (H2), ``lambda = cf/N``
+    (Poisson mean under randomness), and the weight is
+
+        (tfn*ln(tfn/lambda) + (lambda - tfn) + 0.5*ln(2*pi*tfn))
+        / (ln(2) * (tfn + 1))
+
+    — the Stirling-approximated -log2 P(tf|lambda), risk-discounted
+    by 1/(tfn+1) (Laplace). log2 is spelled ln(x)/ln(2) with one
+    shared /ln(2) factored out, token-identically on both engines, so
+    equal integer inputs give bit-equal doubles. Common terms can go
+    NEGATIVE (lambda > tfn carries anti-evidence under P); Terrier
+    sums them as-is and so does this.
+
+    Scale shape: identical filtered-postings plan to
+    lm_jelinek_mercer_topk / dfi_topk — postings restricted to |q|
+    terms before the shuffle, (cf, N, avgdl) one broadcast row, one
+    doc_id shuffle, round(6) at emit only."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    cf = qtok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tfn = F.col("tf").cast("double") * (
+        F.log(
+            F.lit(1.0)
+            + F.lit(c) * F.col("avgdl") / F.col("doclen").cast("double")
+        )
+        / F.log(F.lit(2.0))
+    )
+    lam = F.col("cf").cast("double") / F.col("n_docs").cast("double")
+    contrib = (
+        F.col("tfn") * F.log(F.col("tfn") / F.col("lam"))
+        + (F.col("lam") - F.col("tfn"))
+        + F.lit(0.5) * F.log(F.lit(TWO_PI) * F.col("tfn"))
+    ) / (F.log(F.lit(2.0)) * (F.col("tfn") + F.lit(1.0)))
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(cf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("tfn", tfn)
+        .withColumn("lam", lam)
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 BM25F_TITLE_LEN = 5  # synthetic title field: the first 5 tokens
 BM25F_W_TITLE, BM25F_W_BODY = 2.0, 1.0  # field weights
 BM25F_B = 0.75

@@ -7940,3 +7940,152 @@ FROM f
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def dfr_pl2_sql(terms: list[str], k: int = 15, c: float = 1.0) -> str:
+    """Twin of operators/textstats.py::dfr_pl2_topk — PL2 with H2
+    tfn, lambda = cf/N, and the Stirling Poisson weight; log2 spelled
+    ln(x)/ln(2.0) with the shared /ln(2) factored identically."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+cf AS (SELECT term, count(*) AS cf FROM qtok GROUP BY 1),
+j AS (
+  SELECT doc_id,
+         CAST(tf AS DOUBLE)
+           * (ln(1.0 + {c!r} * avgdl / CAST(doclen AS DOUBLE))
+              / ln(2.0)) AS tfn,
+         CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE) AS lam
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+scored AS (
+  SELECT doc_id,
+         sum((tfn * ln(tfn / lam) + (lam - tfn)
+              + 0.5 * ln(6.283185307179586 * tfn))
+             / (ln(2.0) * (tfn + 1.0))) AS score
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def cori_sql(terms: list[str], n_shards: int = 4) -> str:
+    """Twin of operators/query.py::cori_selection — same shard split,
+    same T/I/p belief expressions, belief floor 0.4 for terms absent
+    from the whole corpus (cf_t NULL)."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    qrows = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    return f"""
+WITH tokf AS (
+  SELECT doc_id, CAST(doc_id % {n_shards} AS INT) AS shard,
+         unnest({TOKS}) AS term
+  FROM documents
+),
+cw AS (SELECT shard, count(*) AS cw FROM tokf GROUP BY 1),
+acw AS (
+  SELECT CAST(sum(cw) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cw
+  FROM cw
+),
+df_tc AS (
+  SELECT shard, term, count(*) AS df FROM (
+    SELECT DISTINCT shard, term, doc_id FROM tokf
+    WHERE term IN ({inlist})
+  ) GROUP BY 1, 2
+),
+cf_t AS (SELECT term, count(*) AS cf_t FROM df_tc GROUP BY 1),
+q(term) AS (VALUES {qrows}),
+grid AS (
+  SELECT c.shard, c.cw, q.term, a.avg_cw
+  FROM cw c CROSS JOIN q CROSS JOIN acw a
+),
+belief AS (
+  SELECT g.shard, g.cw,
+         CASE WHEN f.cf_t IS NOT NULL THEN
+           0.4 + 0.6
+             * (CAST(coalesce(d.df, 0) AS DOUBLE)
+                / (CAST(coalesce(d.df, 0) AS DOUBLE) + 50.0
+                   + 150.0 * CAST(g.cw AS DOUBLE) / g.avg_cw))
+             * (ln(({float(n_shards)!r} + 0.5) / CAST(f.cf_t AS DOUBLE))
+                / ln({float(n_shards)!r} + 1.0))
+         ELSE 0.4 END AS p
+  FROM grid g
+  LEFT JOIN df_tc d ON g.shard = d.shard AND g.term = d.term
+  LEFT JOIN cf_t f ON g.term = f.term
+)
+SELECT shard, max(cw) AS cw, round(sum(p), 6) AS score
+FROM belief GROUP BY shard
+ORDER BY score DESC, shard
+"""
+
+
+def rbp_sql(
+    queries: list[tuple[int, list[str], str]], k: int = 20
+) -> str:
+    """Twin of operators/query.py::rbp_eval — p = 1/2, integer
+    2^(k-r) hit weights summed as BIGINT, one multiply + one divide
+    at emit."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    mrows = ", ".join(f"({qid}, '{m}')" for qid, _, m in queries)
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+m(query_id, marker) AS (VALUES {mrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {k}),
+rel AS (
+  SELECT DISTINCT m.query_id, p.doc_id
+  FROM post p JOIN m ON p.term = m.marker
+),
+nrel AS (
+  SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id
+),
+hits AS (
+  SELECT t.query_id, t.rank FROM topk t
+  JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+),
+agg AS (
+  SELECT query_id, count(*) AS n_hits,
+         CAST(sum(CAST(1 AS BIGINT) << ({k} - rank)) AS BIGINT) AS num
+  FROM hits GROUP BY query_id
+)
+SELECT n.query_id, n.n_rel,
+       coalesce(a.n_hits, 0) AS n_hits,
+       round(0.5 * CAST(coalesce(a.num, 0) AS DOUBLE)
+             / {float(1 << (k - 1))!r}, 6) AS rbp
+FROM nrel n LEFT JOIN agg a ON n.query_id = a.query_id
+ORDER BY n.query_id
+"""
