@@ -2197,6 +2197,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbp_eval": lambda spark, sf_dir: (
             Q.rbp_eval(_docs(spark, sf_dir), AP_QUERIES, AP_K)
         ),
+        # C4 cleaning rules over planted line structure (Raffel'20)
+        "c4_filter": _wrap(trainprep.c4_filter),
+        # DSIR hashed-ngram importance weights (Xie'23)
+        "dsir_weights": _wrap(trainprep.dsir_weights),
+        # Fill-in-the-middle split audit (Bavarian'22)
+        "fim_transform": _wrap(trainprep.fim_transform),
     }
 
 
@@ -2896,4 +2902,7 @@ def oracle_sql() -> dict[str, str]:
         "dfr_pl2": oracles.dfr_pl2_sql(FLAGSHIP_TERMS),
         "cori_selection": oracles.cori_sql(FLAGSHIP_TERMS),
         "rbp_eval": oracles.rbp_sql(AP_QUERIES, AP_K),
+        "c4_filter": oracles.C4_FILTER,
+        "dsir_weights": oracles.DSIR_WEIGHTS,
+        "fim_transform": oracles.FIM_TRANSFORM,
     }

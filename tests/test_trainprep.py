@@ -2594,3 +2594,141 @@ def test_dfr_pl2_recompute(spark, corpus, tables):
     # PL2 anti-evidence: a stopword-only doc can score negative, but the
     # top of the ranking must be positive on this corpus
     assert got[0].score > 0
+
+
+def test_c4_filter_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    w, m, minl = trainprep.C4_LINE_W, trainprep.C4_MIN_LINE_TOKENS, \
+        trainprep.C4_MIN_LINES
+    agg: dict[str, dict] = {}
+    for d, r in by_id.items():
+        body = r.text
+        if d % 7 == 1:
+            body += " Lorem ipsum dolor sit amet"
+        elif d % 11 == 3:
+            body += " var f = function() { return 1; }"
+        lorem = "lorem ipsum" in body.lower()
+        brace = "{" in body
+        n = len(tokenize(body))
+        ret = [
+            i for i in range(max((n + w - 1) // w, 1))
+            if min(w, n - w * i) >= m and (d + i) % 3 != 0
+        ]
+        rtoks = sum(min(w, n - w * i) for i in ret)
+        kept = not lorem and not brace and len(ret) >= minl
+        a = agg.setdefault(r.source, dict(
+            n=0, lorem=0, brace=0, few=0, kept=0, ktok=0, ratios=[]
+        ))
+        a["n"] += 1
+        a["lorem"] += lorem
+        a["brace"] += brace
+        a["few"] += (not lorem and not brace and len(ret) < minl)
+        if kept:
+            a["kept"] += 1
+            a["ktok"] += rtoks
+            a["ratios"].append(rtoks / n)
+    got = {r.source: r for r in trainprep.c4_filter(spark, tables).collect()}
+    assert set(got) == set(agg)
+    for s, a in agg.items():
+        r = got[s]
+        assert (r.n_docs, r.n_lorem, r.n_brace, r.n_fewlines,
+                r.n_kept, r.kept_tokens) == (
+            a["n"], a["lorem"], a["brace"], a["few"], a["kept"], a["ktok"]
+        )
+        if a["ratios"]:
+            assert abs(
+                r.kept_ratio - round(sum(a["ratios"]) / len(a["ratios"]), 6)
+            ) < 1e-6
+    # every rule branch must actually fire somewhere in the corpus
+    assert sum(a["lorem"] for a in agg.values()) > 0
+    assert sum(a["brace"] for a in agg.values()) > 0
+    assert sum(a["kept"] for a in agg.values()) > 0
+
+
+def test_dsir_weights_recompute(spark, corpus, tables):
+    import hashlib
+    import math as _m
+
+    _, by_id = corpus
+
+    def buckets(ts):
+        grams = list(ts) + [
+            f"{a} {b}" for a, b in zip(ts, ts[1:])
+        ]
+        return [hashlib.md5(g.encode()).hexdigest()[:2] for g in grams]
+
+    per_doc = {}
+    for d, r in by_id.items():
+        cnt: dict[str, int] = {}
+        for b in buckets(tokenize(r.text)):
+            cnt[b] = cnt.get(b, 0) + 1
+        per_doc[d] = (r.source, cnt)
+    all_b: dict[str, int] = {}
+    tgt_b: dict[str, int] = {}
+    for _, (s, cnt) in per_doc.items():
+        for b, c in cnt.items():
+            all_b[b] = all_b.get(b, 0) + c
+            if s == trainprep.DSIR_TARGET:
+                tgt_b[b] = tgt_b.get(b, 0) + c
+    a_tot, t_tot = sum(all_b.values()), sum(tgt_b.values())
+    lr = {
+        b: _m.log(
+            ((tgt_b.get(b, 0) + 1.0) * (a_tot + 256.0))
+            / ((all_b[b] + 1.0) * (t_tot + 256.0))
+        )
+        for b in all_b
+    }
+    srcs: dict[str, list[float]] = {}
+    for _, (s, cnt) in per_doc.items():
+        w = sum(c * lr[b] for b, c in cnt.items())
+        srcs.setdefault(s, []).append(w)
+    got = {r.source: r for r in
+           trainprep.dsir_weights(spark, tables).collect()}
+    assert set(got) == set(srcs)
+    for s, ws in srcs.items():
+        r = got[s]
+        assert r.n_docs == len(ws)
+        assert abs(r.avg_logw - round(sum(ws) / len(ws), 6)) < 1e-4
+        assert r.n_target_like == sum(1 for x in ws if x > 0)
+    # the target domain itself must carry the highest mean weight
+    top = max(got.values(), key=lambda r: r.avg_logw)
+    assert top.source == trainprep.DSIR_TARGET
+
+
+def test_fim_transform_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    agg: dict[tuple[str, str], dict] = {}
+    for d, r in by_id.items():
+        n = len(tokenize(r.text))
+        m = d // 20
+        if m % 4 == 0:
+            mode, pre, mid = "ar", n, 0
+        else:
+            mode = "psm" if m % 2 == 0 else "spm"
+            pre = (n * (1 + m % 8)) // 10
+            mid = ((n - pre) * (1 + m % 5)) // 6
+        a = agg.setdefault((r.source, mode), dict(
+            n=0, p=0, m=0, s=0, fr=[]
+        ))
+        a["n"] += 1
+        a["p"] += pre
+        a["m"] += mid
+        a["s"] += n - pre - mid
+        a["fr"].append(mid / n if n else 0.0)
+    got = {(r.source, r.mode): r for r in
+           trainprep.fim_transform(spark, tables).collect()}
+    assert set(got) == set(agg)
+    for k, a in agg.items():
+        r = got[k]
+        assert (r.n_docs, r.prefix_tokens, r.middle_tokens,
+                r.suffix_tokens) == (a["n"], a["p"], a["m"], a["s"])
+        assert abs(
+            r.avg_middle_frac - round(sum(a["fr"]) / len(a["fr"]), 6)
+        ) < 1e-6
+    # split is a partition: masses add back to the corpus token count
+    total = sum(len(tokenize(r.text)) for r in by_id.values())
+    assert sum(a["p"] + a["m"] + a["s"] for a in agg.values()) == total
+    # all three modes appear, and AR docs carry no middle mass
+    assert {m for _, m in agg} == {"ar", "psm", "spm"}
+    assert all(r.middle_tokens == 0 for (_, m), r in got.items()
+               if m == "ar")

@@ -1908,3 +1908,286 @@ def url_features(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("source", "tld")
     )
+
+
+C4_LINE_W = 7  # planted line width (tokens) — corpus has no newlines
+C4_MIN_LINE_TOKENS = 5  # C4: retain lines with >= 5 words
+C4_MIN_LINES = 3  # C4: drop pages with < 3 retained sentences
+
+
+def c4_filter(spark: SparkSession, t) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. JMLR'20 §2.2 — the filter that
+    built the T5 pretraining corpus): drop pages containing "lorem
+    ipsum" or a curly brace (code), retain only "sentences" of >= 5
+    words, and drop pages with < 3 retained sentences. Every modern
+    webtext pipeline starts from some descendant of these rules.
+
+    The corpus is one unbroken token stream (no newlines/periods), so
+    the LINE STRUCTURE IS PLANTED deterministically (same convention
+    as soft404_filter): lines are fixed windows of 7 tokens, and line
+    i of doc d "ends with terminal punctuation" iff (d + i) % 3 != 0 —
+    so the terminal-punct rule drops a third of lines and the final
+    partial window usually fails the >= 5-words rule, keeping every
+    branch populated. The lorem/brace conditions are planted as real
+    text suffixes (doc_id % 7 == 1 / % 11 == 3, lorem wins ties) and
+    re-DETECTED with LIKE, exercising the detector not the plant.
+
+    Scale shape: map-only per doc (tokenize + two LIKEs + one
+    fixed-depth lambda fold over the line index list) into a tiny
+    per-source agg — one scan, one narrow shuffle at any corpus size.
+    Ref analog: the reference's per-row validity gate
+    (extractor/extractor.go) — this is the corpus-cleaning analog."""
+    docs = t["documents"]
+    body = (
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(" Lorem ipsum dolor sit amet")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.col("text"), F.lit(" var f = function() { return 1; }")),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select(
+        "source", "doc_id", body.alias("body"),
+        tokens_col(body).alias("toks"),
+    ).select(
+        "source",
+        "doc_id",
+        F.expr("lower(body) LIKE '%lorem ipsum%'").alias("has_lorem"),
+        F.expr("body LIKE '%{%'").alias("has_brace"),
+        F.size("toks").alias("n"),
+        "toks",
+    )
+    w, m = C4_LINE_W, C4_MIN_LINE_TOKENS
+    lines = staged.withColumn(
+        "retained",
+        F.expr(
+            f"filter(sequence(0, greatest((n + {w - 1}) div {w}, 1) - 1),"
+            f" i -> least({w}, n - {w} * i) >= {m}"
+            f" AND (doc_id + i) % 3 != 0)"
+        ),
+    ).select(
+        "source",
+        "has_lorem",
+        "has_brace",
+        "n",
+        F.size("retained").alias("n_retained"),
+        F.expr(
+            f"aggregate(retained, 0L,"
+            f" (acc, i) -> acc + least({w}, n - {w} * i))"
+        ).alias("retained_tokens"),
+    )
+    kept = (
+        ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & (F.col("n_retained") >= C4_MIN_LINES)
+    )
+    return (
+        lines.withColumn("kept", kept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("has_lorem").cast("long")).cast("long").alias("n_lorem"),
+            F.sum(F.col("has_brace").cast("long")).cast("long").alias("n_brace"),
+            F.sum(
+                (
+                    ~F.col("has_lorem")
+                    & ~F.col("has_brace")
+                    & (F.col("n_retained") < C4_MIN_LINES)
+                ).cast("long")
+            ).cast("long").alias("n_fewlines"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept"), F.col("retained_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("kept_tokens"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("kept"),
+                        F.col("retained_tokens").cast("double")
+                        / F.col("n").cast("double"),
+                    )
+                ),
+                6,
+            ).alias("kept_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+DSIR_TARGET = "src0"  # target domain the importance weights aim at
+DSIR_B = 256.0  # bucket count (md5 first byte) as the smoothing constant
+
+
+def dsir_weights(spark: SparkSession, t) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS'23 "Data Selection
+    for Language Models via Importance Resampling"): featurize each
+    doc as hashed unigrams+bigrams, fit bag-of-buckets distributions
+    p (target domain) and q (raw pool), and weight each doc by
+    ``log p(doc)/q(doc) = sum_b count_b * ln(p_b/q_b)`` — the
+    log-likelihood ratio importance sampling resamples by. Target =
+    source 'src0'; output is the per-source audit (mean log-weight,
+    docs scoring target-like > 0) a pipeline reads before resampling —
+    src0 itself must rank top, the built-in sanity oracle.
+
+    Hashing: bucket = first 2 hex chars of md5(gram) — 256 buckets,
+    identical strings on both engines (the url_features md5 pattern),
+    so no engine-specific string hash anywhere. Laplace (+1 / +256)
+    smoothing; the per-bucket log-ratio is ONE ln of one ratio of
+    integer-derived doubles, shaped token-identically in the oracle.
+
+    Scale shape: the model is 256 numbers — a broadcast — exactly why
+    DSIR scales to web corpora in the paper: one pass to count bucket
+    frequencies (map-side combinable), one map-side join to score
+    docs, one tiny per-source agg. No shuffle keyed on anything wider
+    than (doc_id) ever."""
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", "source", tokens_col("text").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.expr(
+                    "IF(size(toks) >= 2,"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1))), array())"
+                ),
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5("gram"), 1, 2).alias("b")
+    )
+    per_doc = grams.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    all_b = per_doc.groupBy("b").agg(F.sum("cnt").alias("a_cnt"))
+    tgt_b = (
+        per_doc.where(F.col("source") == DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("t_cnt"))
+    )
+    tot = all_b.agg(
+        F.sum("a_cnt").cast("double").alias("a_tot"),
+    )
+    ttot = tgt_b.agg(F.sum("t_cnt").cast("double").alias("t_tot"))
+    lr = (
+        all_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            F.log(
+                (
+                    (
+                        F.coalesce("t_cnt", F.lit(0)).cast("double")
+                        + F.lit(1.0)
+                    )
+                    * (F.col("a_tot") + F.lit(DSIR_B))
+                )
+                / (
+                    (F.col("a_cnt").cast("double") + F.lit(1.0))
+                    * (F.col("t_tot") + F.lit(DSIR_B))
+                )
+            ).alias("lr"),
+        )
+    )
+    weights = (
+        per_doc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt").cast("double") * F.col("lr")).alias("logw"))
+    )
+    return (
+        weights.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("logw"), 6).alias("avg_logw"),
+            F.sum((F.col("logw") > 0).cast("long")).cast("long").alias(
+                "n_target_like"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+FIM_AR_MOD = 4  # doc_id % 4 == 0 stays autoregressive (FIM rate 0.75)
+
+
+def fim_transform(spark: SparkSession, t) -> DataFrame:
+    """Fill-in-the-middle split audit (Bavarian et al. 2022 "Efficient
+    Training of Language Models to Fill in the Middle"): each doc is
+    cut into (prefix, middle, suffix) and re-serialized PSM or SPM;
+    the paper's headline knobs are the FIM rate and the split-point
+    distribution, and this op emits exactly the audit a pipeline
+    checks them with — per (source, mode) doc counts and the
+    prefix/middle/suffix token masses.
+
+    Determinism: all selectors run on ``m = doc_id div 20`` (NOT
+    doc_id itself: source == doc_id % 20 in this corpus, so mod-based
+    selectors would pin one mode per source and degenerate the group
+    keys) — ``cut1 = n*(1 + m%8) div 10`` (10%-80% of the doc),
+    ``cut2 = cut1 + (n-cut1)*(1 + m%5) div 6``, m % 4 == 0 stays AR
+    (rate 0.75), else PSM on even m, SPM on odd. Integer arithmetic
+    throughout; the only float is the emitted middle fraction (one
+    divide, round 6).
+
+    Scale shape: pure map-only integer expressions per doc plus one
+    tiny (source, mode) agg — the transform itself never materializes
+    the split strings here (the audit needs only lengths; the actual
+    packer reuses pack_sequences), so the pass is scan-speed at any
+    corpus size."""
+    docs = t["documents"]
+    staged = docs.select(
+        "source",
+        F.expr("doc_id div 20").alias("m"),
+        F.size(tokens_col("text")).cast("long").alias("n"),
+    ).select(
+        "source",
+        "n",
+        F.when(F.col("m") % FIM_AR_MOD == 0, F.lit("ar"))
+        .when(F.col("m") % 2 == 0, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("mode"),
+        F.expr("(n * (1 + m % 8)) div 10").alias("cut1"),
+        "m",
+    ).select(
+        "source",
+        "mode",
+        "n",
+        F.when(F.col("mode") == "ar", F.col("n"))
+        .otherwise(F.col("cut1"))
+        .alias("prefix_len"),
+        F.when(F.col("mode") == "ar", F.lit(0).cast("long"))
+        .otherwise(F.expr("((n - cut1) * (1 + m % 5)) div 6"))
+        .alias("middle_len"),
+    ).withColumn(
+        "suffix_len", F.col("n") - F.col("prefix_len") - F.col("middle_len")
+    )
+    return (
+        staged.groupBy("source", "mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("prefix_len").cast("long").alias("prefix_tokens"),
+            F.sum("middle_len").cast("long").alias("middle_tokens"),
+            F.sum("suffix_len").cast("long").alias("suffix_tokens"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("n") > 0,
+                        F.col("middle_len").cast("double")
+                        / F.col("n").cast("double"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("avg_middle_frac"),
+        )
+        .orderBy("source", "mode")
+    )

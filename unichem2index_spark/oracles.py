@@ -8089,3 +8089,132 @@ SELECT n.query_id, n.n_rel,
 FROM nrel n LEFT JOIN agg a ON n.query_id = a.query_id
 ORDER BY n.query_id
 """
+
+
+# Twin of operators/trainprep.py::c4_filter — same planted suffixes,
+# LIKE detectors, 7-token planted lines, and >=5-words / >=3-lines
+# retention policy.
+C4_FILTER = f"""
+WITH staged AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN text || ' Lorem ipsum dolor sit amet'
+              WHEN doc_id % 11 = 3
+              THEN text || ' var f = function() {{ return 1; }}'
+              ELSE text END AS body
+  FROM documents
+),
+f AS (
+  SELECT source, doc_id,
+         lower(body) LIKE '%lorem ipsum%' AS has_lorem,
+         body LIKE '%{{%' AS has_brace,
+         len(regexp_extract_all(lower(body), '{TOKEN_PATTERN}')) AS n
+  FROM staged
+),
+lines AS (
+  SELECT source, has_lorem, has_brace, n,
+         list_filter(range(greatest((n + 6) // 7, 1)),
+                     i -> least(7, n - 7 * i) >= 5
+                          AND (doc_id + i) % 3 != 0) AS retained
+  FROM f
+),
+g AS (
+  SELECT source, has_lorem, has_brace, n,
+         len(retained) AS n_retained,
+         coalesce(list_sum(list_transform(retained,
+                    i -> least(7, n - 7 * i))), 0) AS retained_tokens,
+         (NOT has_lorem AND NOT has_brace AND len(retained) >= 3) AS kept
+  FROM lines
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+       CAST(sum(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+       CAST(sum(CASE WHEN NOT has_lorem AND NOT has_brace
+                     AND n_retained < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fewlines,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN retained_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       round(avg(CASE WHEN kept
+                      THEN CAST(retained_tokens AS DOUBLE)
+                           / CAST(n AS DOUBLE) END), 6) AS kept_ratio
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+# Twin of operators/trainprep.py::dsir_weights — same md5-bucket
+# unigram+bigram features, +1/+256 Laplace smoothing, one-ln ratio.
+DSIR_WEIGHTS = f"""
+WITH toks AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, source, substr(md5(gram), 1, 2) AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_concat(toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END)) AS gram
+    FROM toks
+  )
+),
+per_doc AS (
+  SELECT doc_id, source, b, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+),
+all_b AS (
+  SELECT b, CAST(sum(cnt) AS BIGINT) AS a_cnt FROM per_doc GROUP BY 1
+),
+tgt_b AS (
+  SELECT b, CAST(sum(cnt) AS BIGINT) AS t_cnt FROM per_doc
+  WHERE source = 'src0' GROUP BY 1
+),
+tot AS (SELECT CAST(sum(a_cnt) AS DOUBLE) AS a_tot FROM all_b),
+ttot AS (SELECT CAST(sum(t_cnt) AS DOUBLE) AS t_tot FROM tgt_b),
+lr AS (
+  SELECT b,
+         ln(((CAST(coalesce(t_cnt, 0) AS DOUBLE) + 1.0) * (a_tot + 256.0))
+            / ((CAST(a_cnt AS DOUBLE) + 1.0) * (t_tot + 256.0))) AS lr
+  FROM all_b LEFT JOIN tgt_b USING (b) CROSS JOIN tot CROSS JOIN ttot
+),
+weights AS (
+  SELECT doc_id, source, sum(CAST(cnt AS DOUBLE) * lr) AS logw
+  FROM per_doc JOIN lr USING (b) GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(logw), 6) AS avg_logw,
+       CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_target_like
+FROM weights GROUP BY source ORDER BY source
+"""
+
+
+# Twin of operators/trainprep.py::fim_transform — same integer cut
+# points, AR/PSM/SPM mode split, one divide at emit.
+FIM_TRANSFORM = f"""
+WITH f AS (
+  SELECT source, doc_id // 20 AS m,
+         CAST(len({TOKS}) AS BIGINT) AS n,
+         CASE WHEN doc_id // 20 % 4 = 0 THEN 'ar'
+              WHEN doc_id // 20 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+  FROM documents
+),
+g AS (
+  SELECT source, mode, n,
+         CASE WHEN mode = 'ar' THEN n
+              ELSE (n * (1 + m % 8)) // 10 END AS prefix_len,
+         CASE WHEN mode = 'ar' THEN CAST(0 AS BIGINT)
+              ELSE ((n - (n * (1 + m % 8)) // 10)
+                    * (1 + m % 5)) // 6 END AS middle_len
+  FROM f
+)
+SELECT source, mode,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(prefix_len) AS BIGINT) AS prefix_tokens,
+       CAST(sum(middle_len) AS BIGINT) AS middle_tokens,
+       CAST(sum(n - prefix_len - middle_len) AS BIGINT) AS suffix_tokens,
+       round(avg(CASE WHEN n > 0
+                      THEN CAST(middle_len AS DOUBLE) / CAST(n AS DOUBLE)
+                      ELSE 0.0 END), 6) AS avg_middle_frac
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
