@@ -2203,6 +2203,18 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _wrap(trainprep.dsir_weights),
         # Fill-in-the-middle split audit (Bavarian'22)
         "fim_transform": _wrap(trainprep.fim_transform),
+        # Lucene multi-level skip-list capacity audit
+        "skiplist_audit": _wrap(textstats.skiplist_audit),
+        # ES variable_width_histogram (equal-depth deterministic variant)
+        "variable_width_histogram": _wrap(
+            textstats.variable_width_histogram_agg
+        ),
+        # ES intervals all_of ordered:false max_gaps (corpus path)
+        "intervals_unordered": lambda spark, sf_dir: (
+            Q.intervals_unordered_match(
+                _docs(spark, sf_dir), "merge", "group", 4
+            )
+        ),
     }
 
 
@@ -2905,4 +2917,9 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": oracles.C4_FILTER,
         "dsir_weights": oracles.DSIR_WEIGHTS,
         "fim_transform": oracles.FIM_TRANSFORM,
+        "skiplist_audit": oracles.SKIPLIST_AUDIT,
+        "variable_width_histogram": oracles.VARIABLE_WIDTH_HISTOGRAM,
+        "intervals_unordered": oracles.intervals_unordered_sql(
+            "merge", "group", 4
+        ),
     }

@@ -2732,3 +2732,92 @@ def test_fim_transform_recompute(spark, corpus, tables):
     assert {m for _, m in agg} == {"ar", "psm", "spm"}
     assert all(r.middle_tokens == 0 for (_, m), r in got.items()
                if m == "ar")
+
+
+def test_skiplist_audit_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    posts: dict[str, set[int]] = {}
+    for d, r in by_id.items():
+        for t in set(tokenize(r.text)):
+            posts.setdefault(t, set()).add(d)
+    s, m = textstats.SKIP_INTERVAL, textstats.SKIP_MULT
+    tot_lv = tot_e = skipped = mx = 0
+    for ids in posts.values():
+        df = len(ids)
+        lv = 1 + ((df // s).bit_length() - 1) // 3 if df >= s else 0
+        e = sum(df // (s * m ** l) for l in range(lv))
+        tot_lv += lv
+        tot_e += e
+        skipped += lv > 0
+        mx = max(mx, lv)
+    row = textstats.skiplist_audit(spark, tables).collect()[0]
+    assert row.n_terms == len(posts)
+    assert row.n_skipped_terms == skipped
+    assert row.total_levels == tot_lv
+    assert row.max_levels == mx
+    assert row.total_entries == tot_e
+    assert row.est_bytes == tot_e * 9
+    assert abs(
+        row.avg_entries_per_skipped - round(tot_e / max(skipped, 1), 6)
+    ) < 1e-9
+    # df < skipInterval must contribute no levels; df >= must contribute >= 1
+    assert mx >= 1  # the corpus has common terms with df >= 16
+
+
+def test_variable_width_histogram_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    from collections import Counter
+
+    cnt = Counter(r.n_chars for r in by_id.values())
+    total = sum(cnt.values())
+    n = textstats.VWH_BUCKETS
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    cum = 0
+    for v in sorted(cnt):
+        b = (cum * n) // total
+        buckets.setdefault(b, []).append((v, cnt[v]))
+        cum += cnt[v]
+    got = {r.bucket: r for r in
+           textstats.variable_width_histogram_agg(spark, tables).collect()}
+    assert set(got) == set(buckets)
+    for b, vs in buckets.items():
+        r = got[b]
+        nd = sum(c for _, c in vs)
+        assert (r.min_val, r.max_val, r.n_docs) == (
+            vs[0][0], vs[-1][0], nd
+        )
+        assert abs(
+            r.avg_val - round(sum(v * c for v, c in vs) / nd, 6)
+        ) < 1e-6
+    # equal-depth: no bucket exceeds ~2x the ideal mass unless one value
+    # dominates; buckets are value-atomic and contiguous
+    all_ranges = sorted((r.min_val, r.max_val) for r in got.values())
+    for (a1, b1), (a2, b2) in zip(all_ranges, all_ranges[1:]):
+        assert b1 < a2  # non-overlapping, increasing
+
+
+def test_intervals_unordered_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    a, b, g = "merge", "group", 4
+    want = {}
+    for d, r in by_id.items():
+        ts = tokenize(r.text)
+        pas = [i for i, t in enumerate(ts) if t == a]
+        pbs = [i for i, t in enumerate(ts) if t == b]
+        if not pas or not pbs:
+            continue
+        gaps = [abs(x - y) - 1 for x in pas for y in pbs]
+        if min(gaps) <= g:
+            want[d] = (min(gaps), sum(1 for x in gaps if x <= g))
+    got = {r.doc_id: r for r in Q.intervals_unordered_match(
+        corpus[0], a, b, g
+    ).collect()}
+    assert set(got) == set(want)
+    for d, (mg, np_) in want.items():
+        assert (got[d].min_gap, got[d].n_pairs_within) == (mg, np_)
+    # unordered: symmetric in (a, b)
+    got_rev = {r.doc_id: r for r in Q.intervals_unordered_match(
+        corpus[0], b, a, g
+    ).collect()}
+    assert {d: (r.min_gap, r.n_pairs_within) for d, r in got.items()} == \
+        {d: (r.min_gap, r.n_pairs_within) for d, r in got_rev.items()}

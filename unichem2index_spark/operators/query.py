@@ -3515,6 +3515,57 @@ def span_near_or_topk(
     )
 
 
+def intervals_unordered_match(
+    docs_df: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_gaps: int = 4,
+) -> DataFrame:
+    """ES ``intervals`` query, ``all_of`` with ``ordered: false,
+    max_gaps: G`` for two terms (corpus path): a doc matches when SOME
+    occurrence of term_a and SOME occurrence of term_b sit within G
+    filler positions of each other IN EITHER ORDER — the unordered
+    complement of :func:`intervals_ordered_topk` ("merge near group,
+    order irrelevant"). Emits the match evidence ES's intervals
+    iterator exposes: the doc's minimal gap and how many position
+    pairs fall inside the budget.
+
+    Exactness: pure integer position arithmetic (``|pa - pb| - 1``),
+    no floats anywhere.
+
+    Scale shape: positions come from ONE posexplode filtered to the
+    two terms before any shuffle; the pair frame is a self-join
+    co-partitioned on doc_id whose per-doc size is tf_a * tf_b — the
+    same bounded-verify shape the phrase kernel's candidate check has
+    (functions/phrase.py), applied corpus-side. The index-path twin
+    would ride span_near_topk's machinery with the order check
+    dropped. Ref analog: SURVEY §2 W5 span/proximity family."""
+    tokp = tokenized_docs(docs_df).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "term")
+    )
+    pa = tokp.where(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = tokp.where(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    pairs = pa.join(pb, "doc_id").select(
+        "doc_id",
+        (F.abs(F.col("pa") - F.col("pb")) - F.lit(1)).alias("gap"),
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.min("gap").cast("long").alias("min_gap"),
+            F.sum((F.col("gap") <= max_gaps).cast("long"))
+            .cast("long")
+            .alias("n_pairs_within"),
+        )
+        .where(F.col("min_gap") <= max_gaps)
+        .orderBy("doc_id")
+    )
+
+
 def intervals_ordered_topk(
     spark: SparkSession,
     index: IndexHandle,

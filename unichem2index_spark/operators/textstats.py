@@ -4536,3 +4536,129 @@ def elias_fano_audit(spark: SparkSession, t) -> DataFrame:
         .cast("long")
         .alias("ef_wins"),
     )
+
+
+SKIP_INTERVAL = 16  # level-1 skip stride (Lucene default 128; audit knob)
+SKIP_MULT = 8  # Lucene skipMultiplier
+SKIP_ENTRY_BYTES = 9  # doc-delta vint + pointer-delta vint, audit constant
+
+
+def skiplist_audit(spark: SparkSession, t) -> DataFrame:
+    """Lucene multi-level skip-list capacity audit (the
+    MultiLevelSkipListWriter structure every Lucene postings format
+    carries next to the doc deltas — what advance()/WAND jumps ride):
+    a postings list of df docs gets skip levels only when df >=
+    skipInterval; the level count is ``1 + floor(log_m(df / s))``
+    (s = 16 here, m = 8 = Lucene's skipMultiplier) and level l holds
+    ``df // (s * m^l)`` entries. This audit sizes the whole index's
+    skip structure — the planner input for the "how much advance()
+    acceleration does this segment buy" capacity question, the same
+    family as postings_size_estimate / elias_fano_audit.
+
+    Exactness: log_m is exact integer math — ``floor(log_8 x) =
+    floor(floor(log2 x) / 3)`` (floor-division identity), and
+    floor(log2) is ``length(bin(x)) - 1`` on both engines; entry
+    counts fold an integer list; zero doubles anywhere except the
+    final rounded average.
+
+    Scale shape: one postings agg (map-side combined) to per-term df,
+    then a closed-form map over the term dictionary and one global
+    one-row agg — the same single-shuffle plan the other codec audits
+    run; nothing touches positions or payloads."""
+    d = _tok(t["documents"])
+    dfs = (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    s, m = SKIP_INTERVAL, SKIP_MULT
+    sized = dfs.select(
+        "df",
+        F.expr(
+            f"IF(df >= {s},"
+            f" 1 + (length(bin(df div {s})) - 1) div 3, 0)"
+        ).cast("long").alias("levels"),
+    ).withColumn(
+        "entries",
+        F.expr(
+            f"IF(levels > 0,"
+            f" aggregate(sequence(0, levels - 1), 0L,"
+            f" (acc, l) -> acc + df div ({s} * shiftleft(1L, 3 * l))),"
+            f" 0L)"
+        ),
+    )
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum((F.col("levels") > 0).cast("long")).cast("long").alias(
+            "n_skipped_terms"
+        ),
+        F.sum("levels").cast("long").alias("total_levels"),
+        F.max("levels").cast("long").alias("max_levels"),
+        F.sum("entries").cast("long").alias("total_entries"),
+        (F.sum("entries") * F.lit(SKIP_ENTRY_BYTES)).cast("long").alias(
+            "est_bytes"
+        ),
+        F.round(
+            F.sum("entries").cast("double")
+            / F.greatest(
+                F.sum((F.col("levels") > 0).cast("long")), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("avg_entries_per_skipped"),
+    )
+
+
+VWH_BUCKETS = 8  # variable_width_histogram target bucket count
+
+
+def variable_width_histogram_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``variable_width_histogram`` aggregation (equal-depth
+    variant): cluster a numeric field (n_chars) into ~N buckets of
+    VARIABLE width holding ~equal document mass — the agg ES built
+    for skewed numeric fields where fixed-interval histograms put
+    everything in two buckets. ES's native algorithm is
+    order-dependent (streaming k-means-ish) and unreproducible by
+    design; this is the deterministic equal-depth formulation:
+    ``bucket(v) = (docs_below_v * N) // total`` — all docs sharing a
+    value land in one bucket (value-atomic, the property ES
+    guarantees), and bucket boundaries fall wherever the mass says,
+    not on a fixed grid.
+
+    Scale shape: the window runs over the DISTINCT-VALUE frame, not
+    docs — (value, count) rows, bounded by the field's value
+    cardinality exactly like the pipeline-agg family's bucket-row
+    windows (textstats date_histogram pipeline precedent); the doc
+    pass is one map-side-combinable groupBy. Output <= N rows."""
+    vals = (
+        t["documents"]
+        .groupBy(F.col("n_chars").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = vals.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    bucketed = (
+        vals.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(f"(cum_before * {VWH_BUCKETS}) div total").cast("long"),
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("v").cast("double") * F.col("cnt").cast("double"))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("avg_val"),
+        )
+        .orderBy("bucket")
+    )

@@ -8218,3 +8218,94 @@ SELECT source, mode,
                       ELSE 0.0 END), 6) AS avg_middle_frac
 FROM g GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# Twin of operators/textstats.py::skiplist_audit — same s=16 / m=8
+# integer level math (floor-div identity), same entry fold.
+SKIPLIST_AUDIT = f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+    SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok
+  ) GROUP BY term
+),
+sized AS (
+  SELECT df,
+         CASE WHEN df >= 16
+              THEN 1 + (length(bin(df // 16)) - 1) // 3
+              ELSE 0 END AS levels
+  FROM dfs
+),
+e AS (
+  SELECT df, levels,
+         CASE WHEN levels > 0
+              THEN coalesce(list_sum(list_transform(range(levels),
+                     l -> df // (16 * (CAST(1 AS BIGINT) << (3 * l))))), 0)
+              ELSE 0 END AS entries
+  FROM sized
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN levels > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skipped_terms,
+       CAST(sum(levels) AS BIGINT) AS total_levels,
+       CAST(max(levels) AS BIGINT) AS max_levels,
+       CAST(sum(entries) AS BIGINT) AS total_entries,
+       CAST(sum(entries) * 9 AS BIGINT) AS est_bytes,
+       round(CAST(sum(entries) AS DOUBLE)
+             / CAST(greatest(sum(CASE WHEN levels > 0 THEN 1 ELSE 0 END),
+                             1) AS DOUBLE), 6)
+         AS avg_entries_per_skipped
+FROM e
+"""
+
+
+# Twin of operators/textstats.py::variable_width_histogram_agg —
+# same value-atomic equal-depth bucket assignment over the
+# distinct-value frame.
+VARIABLE_WIDTH_HISTOGRAM = """
+WITH vals AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vals),
+b AS (
+  SELECT v, cnt,
+         (coalesce(sum(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          * 8) // total AS bucket
+  FROM vals CROSS JOIN tot
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       min(v) AS min_val, max(v) AS max_val,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       round(sum(CAST(v AS DOUBLE) * CAST(cnt AS DOUBLE))
+             / CAST(sum(cnt) AS DOUBLE), 6) AS avg_val
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def intervals_unordered_sql(
+    term_a: str, term_b: str, max_gaps: int = 4
+) -> str:
+    """Twin of operators/query.py::intervals_unordered_match — same
+    |pa - pb| - 1 gap arithmetic over zipped position/term unnests."""
+    a = term_a.replace("'", "''")
+    b = term_b.replace("'", "''")
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+  FROM tok
+),
+pa AS (SELECT doc_id, pos AS pa FROM pos WHERE term = '{a}'),
+pb AS (SELECT doc_id, pos AS pb FROM pos WHERE term = '{b}'),
+pairs AS (
+  SELECT pa.doc_id, abs(pa.pa - pb.pb) - 1 AS gap
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+)
+SELECT doc_id, CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(sum(CASE WHEN gap <= {max_gaps} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs_within
+FROM pairs GROUP BY doc_id HAVING min(gap) <= {max_gaps}
+ORDER BY doc_id
+"""
