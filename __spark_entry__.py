@@ -2215,6 +2215,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(spark, sf_dir), "merge", "group", 4
             )
         ),
+        # Borda-count rank fusion (pure-rank integer ballots)
+        "borda_fusion": _wrap(textstats.borda_fusion),
+        # Expected reciprocal rank @ k (cascade model, graded judgments)
+        "err_eval": lambda spark, sf_dir: (
+            Q.err_eval(_docs(spark, sf_dir), AP_QUERIES, AP_K)
+        ),
+        # SALSA 2-iteration link analysis (degree-normalized HITS)
+        "salsa_2iter": _wrap(webgraph.salsa_2iter),
     }
 
 
@@ -2922,4 +2930,7 @@ def oracle_sql() -> dict[str, str]:
         "intervals_unordered": oracles.intervals_unordered_sql(
             "merge", "group", 4
         ),
+        "borda_fusion": oracles.borda_fusion_sql(FLAGSHIP_TERMS),
+        "err_eval": oracles.err_sql(AP_QUERIES, AP_K),
+        "salsa_2iter": oracles.SALSA_2ITER,
     }

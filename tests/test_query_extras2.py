@@ -1554,3 +1554,33 @@ def test_rbp_matches_python_and_is_exact(spark, corpus):
         assert row.rbp == round(rbp, 6)
         # RBP is bounded by the geometric tail: <= 1 - p^k
         assert 0.0 <= row.rbp <= 1.0 - 0.5 ** k + 1e-12
+
+
+def test_err_matches_python_fold(spark, corpus):
+    df, oracle, rows = corpus
+    from unichem2index_spark.functions.tokenize import tokenize as _tok
+
+    queries = [
+        (0, ["merge", "group"], "key"),
+        (1, ["fast", "window"], "scan"),
+        (2, ["the", "vector"], "merge"),
+    ]
+    k = 20
+    toks = {d: _tok(r.text) for d, r in rows.items()}
+    got = {r.query_id: r for r in Q.err_eval(df, queries, k).collect()}
+    assert set(got) == {q[0] for q in queries}
+    for qid, terms, marker in queries:
+        topk = _ranking(_scores(oracle, terms))[:k]
+        e, p, graded = 0.0, 1.0, 0
+        for i, (d, _) in enumerate(topk):
+            g = min(toks[d].count(marker), 3)
+            R = ((1 << g) - 1.0) / 8.0
+            if R > 0:
+                graded += 1
+            e += p * (R / (i + 1))
+            p *= 1.0 - R
+        row = got[qid]
+        assert row.n_graded == graded
+        assert abs(row.err - round(e, 6)) < 1e-9
+        # cascade bound: ERR <= 1 and monotone in any prefix
+        assert 0.0 <= row.err <= 1.0

@@ -2821,3 +2821,31 @@ def test_intervals_unordered_recompute(spark, corpus, tables):
     ).collect()}
     assert {d: (r.min_gap, r.n_pairs_within) for d, r in got.items()} == \
         {d: (r.min_gap, r.n_pairs_within) for d, r in got_rev.items()}
+
+
+def test_borda_fusion_recompute(spark, corpus, tables):
+    from pyspark.sql import functions as F
+
+    a = [r.doc_id for r in
+         textstats.bm25_plus_topk(spark, tables, delta=0.0, k=20)
+         .orderBy(F.desc("score"), "doc_id").collect()]
+    b = [r.doc_id for r in
+         textstats.query_likelihood_topk(spark, tables, k=20)
+         .orderBy(F.desc("score"), "doc_id").collect()]
+    w = textstats.BORDA_W
+    pts: dict[int, int] = {}
+    lists: dict[int, int] = {}
+    for lst in (a, b):
+        for i, d in enumerate(lst):
+            pts[d] = pts.get(d, 0) + (w - i)
+            lists[d] = lists.get(d, 0) + 1
+    top = sorted(
+        pts.items(), key=lambda kv: (-kv[1], -lists[kv[0]], kv[0])
+    )[:15]
+    got = textstats.borda_fusion(spark, tables).collect()
+    assert [(r.doc_id, r.borda, r.n_lists) for r in got] == [
+        (d, p, lists[d]) for d, p in top
+    ]
+    # integer ballots: consensus docs in both lists lead
+    assert got[0].n_lists == 2
+    assert got[0].borda <= 2 * w

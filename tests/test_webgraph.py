@@ -151,3 +151,60 @@ def test_hits_recompute(spark):
     assert got == want
     # sanity: normalization pins the max of each vector to 1.0
     assert max(v for _, v, _ in got) == 1.0
+
+
+def test_salsa_recompute(spark):
+    """Pure-Python SALSA (degree-normalized folds, max-normalized
+    half-steps, a0 == 1) must match the Spark top-20 after round(9),
+    and must diverge from HITS somewhere in the ranking."""
+    t = load_tables(spark, SF_SMOKE)
+    ids = sorted(r.doc_id for r in t["documents"].select("doc_id").collect())
+    n, edges = _py_graph(ids)
+    inlinks = {d: [] for d in ids}
+    outlinks = {d: [] for d in ids}
+    for s, dst in edges:
+        inlinks[dst].append(s)
+        outlinks[s].append(dst)
+    ideg = {d: float(len(inlinks[d])) for d in ids}
+    odeg = {d: float(len(outlinks[d])) for d in ids}
+
+    def norm(vec):
+        m = max(vec.values())
+        return {d: v / m for d, v in vec.items()}
+
+    def fold_h(avec):
+        h = {}
+        for d in ids:
+            c = 0.0
+            for v in sorted(outlinks[d]):
+                c += avec[v] / ideg[v]
+            h[d] = c
+        return norm(h)
+
+    def fold_a(hvec):
+        a2 = {}
+        for d in ids:
+            c = 0.0
+            for u in sorted(inlinks[d]):
+                c += hvec[u] / odeg[u]
+            a2[d] = c
+        return norm(a2)
+
+    a = {d: 1.0 for d in ids}
+    h = fold_h(a)
+    a = fold_a(h)
+    h = fold_h(a)
+    a = fold_a(h)
+    want = sorted(
+        ((d, round(a[d], 9), round(h[d], 9)) for d in ids),
+        key=lambda x: (-x[1], -x[2], x[0]),
+    )[:20]
+    got = [
+        (r.doc_id, r.authority, r.hub)
+        for r in webgraph.salsa_2iter(spark, t).collect()
+    ]
+    assert got == want
+    assert max(v for _, v, _ in got) == 1.0
+    # degree normalization must change the order vs HITS somewhere
+    hits = [r.doc_id for r in webgraph.hits_2iter(spark, t).collect()]
+    assert [d for d, _, _ in got] != hits

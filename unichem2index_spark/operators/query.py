@@ -904,6 +904,105 @@ def rbp_eval(
     )
 
 
+ERR_GMAX_DENOM = 8.0  # 2^gmax with gmax = 3
+
+
+def err_eval(
+    docs_df: DataFrame,
+    queries: list[tuple[int, list[str], str]],
+    k: int = 20,
+) -> DataFrame:
+    """Expected Reciprocal Rank @ k per query (Chapelle et al.
+    CIKM'09) — the cascade-model metric next to AP (:func:`
+    avg_precision_eval`) and RBP (:func:`rbp_eval`): the user scans
+    down, stops at a doc with probability ``R_r = (2^g - 1)/2^gmax``,
+    and ERR is the expected reciprocal stopping rank
+    ``sum_r (1/r) * R_r * prod_{i<r} (1 - R_i)``. GRADED judgments,
+    derived deterministically: g = min(tf(marker in doc), 3), gmax=3,
+    so R is a dyadic in {0, 1/8, 3/8, 7/8}.
+
+    Float determinism: ERR is inherently sequential (the survival
+    product), so it is computed as ONE rank-ordered left fold over
+    the collected top-k list with a (err, survival) struct
+    accumulator — the ndcg_eval discipline — making every double op
+    IEEE-identical cross-engine; round(6) at emit.
+
+    Scale shape: same one-postings-pass multi-query plan as
+    avg_precision_eval; the fold runs over k-row collected lists
+    (post-limit), one row out per query."""
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    qterms = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
+    spark = docs_df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    mdf = spark.createDataFrame(
+        [(qid, m) for qid, _, m in queries], "query_id long, marker string"
+    )
+    contribs = bm25_contribs_from_corpus(docs_df, all_terms)
+    scored = (
+        contribs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank")
+    )
+    post = exact_postings(tokenized_docs(docs_df))
+    grades = (
+        post.join(F.broadcast(mdf), post["term"] == mdf["marker"])
+        .select("query_id", "doc_id", F.least("tf", F.lit(3)).alias("g"))
+    )
+    judged = (
+        ranked.join(grades, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            (
+                (
+                    F.expr(
+                        "CAST(shiftleft(1, CAST(coalesce(g, 0) AS INT))"
+                        " AS DOUBLE)"
+                    )
+                    - F.lit(1.0)
+                )
+                / F.lit(ERR_GMAX_DENOM)
+            ).alias("R"),
+        )
+    )
+    folded = judged.groupBy("query_id").agg(
+        F.count(F.when(F.col("R") > 0, 1)).cast("long").alias("n_graded"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "rank",
+                        (F.col("R") / F.col("rank").cast("double")).alias(
+                            "rr"
+                        ),
+                        F.col("R").alias("r_stop"),
+                    )
+                )
+            ),
+            F.struct(
+                F.lit(0.0).alias("e"), F.lit(1.0).alias("p")
+            ),
+            lambda acc, x: F.struct(
+                (acc["e"] + acc["p"] * x["rr"]).alias("e"),
+                (acc["p"] * (F.lit(1.0) - x["r_stop"])).alias("p"),
+            ),
+        )["e"].alias("err_raw"),
+    )
+    return folded.select(
+        "query_id",
+        "n_graded",
+        F.round("err_raw", 6).alias("err"),
+    ).orderBy("query_id")
+
+
 def ndcg_eval(
     docs_df: DataFrame,
     terms: list[str],

@@ -4662,3 +4662,61 @@ def variable_width_histogram_agg(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+BORDA_W = 20  # per-ranker list depth
+
+
+def borda_fusion(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+) -> DataFrame:
+    """Borda-count rank fusion (the voting-theory baseline every
+    fusion paper benchmarks against, cf. Aslam & Montague SIGIR'01
+    "Models for metasearch"): each ranker's top-w list is a ballot —
+    the doc at rank r earns ``w - r + 1`` points, unranked docs earn
+    0 — and the fused order is by total points. Unlike CombSUM/RRF
+    this needs NO score comparability at all (pure ranks, integer
+    points), which is why it's the fusion of last resort across
+    engines that can't exchange calibrated scores. Fuses the same two
+    rankers as combsum_hybrid (BM25 and Dirichlet QL) so the three
+    fusion surfaces are directly comparable.
+
+    Exactness: points are integers end-to-end; ties broken (points
+    desc, n_lists desc, doc_id) — no floats anywhere.
+
+    Scale shape: each ranker keeps its own audited plan; ranks come
+    from windows over the two POST-LIMIT w-row frames, and the fusion
+    is one full outer join of two w-row frames — driver-scale
+    regardless of corpus size."""
+    w = BORDA_W
+    a = bm25_plus_topk(spark, t, terms, w, delta=0.0)
+    b = query_likelihood_topk(spark, t, terms, w)
+
+    def points(df: DataFrame, alias: str) -> DataFrame:
+        win = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return df.select(
+            "doc_id",
+            (F.lit(w) - F.row_number().over(win) + 1)
+            .cast("long")
+            .alias(alias),
+        )
+
+    pa, pb = points(a, "pa"), points(b, "pb")
+    return (
+        pa.join(pb, "doc_id", "full")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("pa", F.lit(0)) + F.coalesce("pb", F.lit(0))
+            ).cast("long").alias("borda"),
+            (
+                F.col("pa").isNotNull().cast("int")
+                + F.col("pb").isNotNull().cast("int")
+            ).cast("long").alias("n_lists"),
+        )
+        .orderBy(F.desc("borda"), F.desc("n_lists"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -353,3 +353,107 @@ def triangle_count(spark: SparkSession, t) -> DataFrame:
         ),
     ).otherwise(F.lit(0.0))
     return out.withColumn("clustering", clus).orderBy("doc_id")
+
+
+def salsa_2iter(spark: SparkSession, t, k: int = 20) -> DataFrame:
+    """Two iterations of SALSA (Lempel & Moran WWW'00 "Stochastic
+    Approach for Link-Structure Analysis") over the derived link
+    graph — the degree-normalized cousin of HITS that powered
+    production web search link features (e.g. the classic
+    query-dependent neighborhood rankers): where HITS sums raw
+    opposite-vector mass over edges (TKC-drift-prone), SALSA walks a
+    RANDOM in/out link, so every contribution is divided by the
+    contributing node's degree:
+
+        h(i) = sum over i->j of a(j) / indeg(j)
+        a(j) = sum over i->j of h(i) / outdeg(i)
+
+    a0 == 1.0, max-normalized after every half-step — the exact
+    discipline of :func:`hits_2iter` so the two operators differ ONLY
+    in the degree normalization (the point of the comparison; on this
+    graph SALSA's authority order visibly diverges from HITS' wherever
+    a high-out-degree hub inflates HITS mass).
+
+    Float determinism: each per-node sum is the repo's sorted
+    sequential fold (sort by contributing endpoint, fold left); the
+    degree divides are IEEE-exact same-shape ops. round(9) at emit.
+
+    Scale shape: identical to hits_2iter — each half-step is one
+    shuffle-on-endpoint aggregate plus a co-partitioned join back;
+    degree frames are computed once and reused; no collect, no
+    driver-side adjacency."""
+    d, edges = _graph(t)
+    nodes = d.select("doc_id")
+    outdeg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("odeg")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("double").alias("ideg")
+    )
+
+    def norm(vec: DataFrame, col: str) -> DataFrame:
+        full = nodes.join(vec, "doc_id", "left").select(
+            "doc_id", F.coalesce(col, F.lit(0.0)).alias(col)
+        )
+        mx = full.agg(F.max(col).alias("mx"))
+        return full.crossJoin(F.broadcast(mx)).select(
+            "doc_id", (F.col(col) / F.col("mx")).alias(col)
+        )
+
+    def fold(vec: DataFrame, col: str, deg: DataFrame, dcol: str,
+             frm: str, to: str) -> DataFrame:
+        """out(to) = sum over edges of vec(frm)/deg(frm), sorted fold."""
+        v = (
+            vec.join(deg, "doc_id")
+            .select(
+                F.col("doc_id").alias(frm),
+                (F.col(col) / F.col(dcol)).alias("v"),
+            )
+        )
+        return (
+            edges.join(v, frm)
+            .groupBy(F.col(to).alias("doc_id"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(frm), F.col("v")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"],
+                ).alias(col)
+            )
+        )
+
+    a = nodes.select("doc_id", F.lit(1.0).alias("auth"))
+    # iteration 1: h1 from a0 (degree-normalized), then a1 from h1
+    h = norm(
+        fold(a.withColumnRenamed("auth", "hub"), "hub",
+             indeg, "ideg", "dst", "src"),
+        "hub",
+    )
+    a = norm(
+        fold(h.withColumnRenamed("hub", "auth"), "auth",
+             outdeg, "odeg", "src", "dst"),
+        "auth",
+    )
+    # iteration 2
+    h = norm(
+        fold(a.withColumnRenamed("auth", "hub"), "hub",
+             indeg, "ideg", "dst", "src"),
+        "hub",
+    )
+    a = norm(
+        fold(h.withColumnRenamed("hub", "auth"), "auth",
+             outdeg, "odeg", "src", "dst"),
+        "auth",
+    )
+    return (
+        a.join(h, "doc_id")
+        .select(
+            "doc_id",
+            F.round("auth", 9).alias("authority"),
+            F.round("hub", 9).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), F.desc("hub"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -8309,3 +8309,228 @@ SELECT doc_id, CAST(min(gap) AS BIGINT) AS min_gap,
 FROM pairs GROUP BY doc_id HAVING min(gap) <= {max_gaps}
 ORDER BY doc_id
 """
+
+
+def borda_fusion_sql(
+    terms: list[str], k: int = 15, mu: float = 2000.0
+) -> str:
+    """Twin of operators/textstats.py::borda_fusion — same BM25/QL
+    top-20 CTEs as combsum_hybrid_sql, ballots ranked over the
+    rounded scores, integer points end-to-end."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokf
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+bm_raw AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5)
+              / (d.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))
+              + 0.0)
+         ) AS score
+  FROM tf JOIN dfs d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats st
+  GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20
+),
+bm AS (SELECT doc_id, round(score, 6) AS score FROM bm_raw),
+tot AS (SELECT CAST(sum(doclen) AS BIGINT) AS total_tokens FROM dl),
+cf AS (
+  SELECT term,
+         {mu!r} * (CAST(count(*) AS DOUBLE)
+                   / CAST(total_tokens AS DOUBLE)) AS p_mu
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  CROSS JOIN tot
+  WHERE term IN ({inlist}) GROUP BY term, total_tokens
+),
+constq AS (SELECT sum(ln(p_mu)) AS const_q, count(*) AS nq FROM cf),
+matched AS (
+  SELECT doc_id, sum(ln(1.0 + CAST(tf AS DOUBLE) / p_mu)) AS match_part
+  FROM tf JOIN cf USING (term) GROUP BY doc_id
+),
+ql_raw AS (
+  SELECT m.doc_id,
+         const_q - CAST(nq AS DOUBLE)
+                   * ln(CAST(doclen AS DOUBLE) + {mu!r})
+                 + match_part AS score
+  FROM matched m JOIN dl USING (doc_id) CROSS JOIN constq
+  ORDER BY score DESC, doc_id LIMIT 20
+),
+ql AS (SELECT doc_id, round(score, 6) AS score FROM ql_raw),
+pa AS (
+  SELECT doc_id,
+         20 - row_number() OVER (ORDER BY score DESC, doc_id) + 1 AS pa
+  FROM bm
+),
+pb AS (
+  SELECT doc_id,
+         20 - row_number() OVER (ORDER BY score DESC, doc_id) + 1 AS pb
+  FROM ql
+),
+fused AS (
+  SELECT doc_id,
+         coalesce(pa, 0) + coalesce(pb, 0) AS borda,
+         (CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN pb IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+  FROM pa FULL JOIN pb USING (doc_id)
+)
+SELECT doc_id, CAST(borda AS BIGINT) AS borda,
+       CAST(n_lists AS BIGINT) AS n_lists
+FROM fused ORDER BY borda DESC, n_lists DESC, doc_id LIMIT {k}
+"""
+
+
+def err_sql(
+    queries: list[tuple[int, list[str], str]], k: int = 20
+) -> str:
+    """Twin of operators/query.py::err_eval — same graded judgments
+    (least(tf, 3), gmax 3), same rank-ordered struct-accumulator
+    left fold."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    mrows = ", ".join(f"({qid}, '{m}')" for qid, _, m in queries)
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+m(query_id, marker) AS (VALUES {mrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {k}),
+grades AS (
+  SELECT m.query_id, p.doc_id, least(p.tf, 3) AS g
+  FROM post p JOIN m ON p.term = m.marker
+),
+judged AS (
+  SELECT t.query_id, t.rank,
+         (CAST((CAST(1 AS INT) << CAST(coalesce(g.g, 0) AS INT))
+               AS DOUBLE) - 1.0) / 8.0 AS R
+  FROM topk t
+  LEFT JOIN grades g
+    ON t.query_id = g.query_id AND t.doc_id = g.doc_id
+),
+folded AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN R > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_graded,
+         list_reduce(
+           list_prepend(
+             struct_pack(e := CAST(0.0 AS DOUBLE),
+                         p := CAST(1.0 AS DOUBLE),
+                         rr := CAST(0.0 AS DOUBLE),
+                         rs := CAST(0.0 AS DOUBLE)),
+             list(struct_pack(e := CAST(0.0 AS DOUBLE),
+                              p := CAST(0.0 AS DOUBLE),
+                              rr := R / CAST(rank AS DOUBLE),
+                              rs := R) ORDER BY rank)),
+           (acc, x) -> struct_pack(e := acc.e + acc.p * x.rr,
+                                   p := acc.p * (1.0 - x.rs),
+                                   rr := x.rr, rs := x.rs)
+         ).e AS err_raw
+  FROM judged GROUP BY query_id
+)
+SELECT query_id, n_graded, round(err_raw, 6) AS err
+FROM folded ORDER BY query_id
+"""
+
+
+# Twin of operators/webgraph.py::salsa_2iter — HITS_2ITER's structure
+# with degree-normalized contributions (a/ideg to hubs, h/odeg to
+# authorities), a0 == 1.0, max-normalize per half-step.
+SALSA_2ITER = f"""
+WITH {_GRAPH_CTE},
+nodes AS (SELECT doc_id FROM documents),
+odeg AS (
+  SELECT src AS doc_id, CAST(count(*) AS DOUBLE) AS odeg
+  FROM edges GROUP BY 1
+),
+ideg AS (
+  SELECT dst AS doc_id, CAST(count(*) AS DOUBLE) AS ideg
+  FROM edges GROUP BY 1
+),
+h1r AS (
+  SELECT e.src AS doc_id,
+         list_reduce(
+           list_prepend(0.0, list(1.0 / i.ideg ORDER BY e.dst)),
+           (x, y) -> x + y) AS hub
+  FROM edges e JOIN ideg i ON i.doc_id = e.dst GROUP BY e.src
+),
+h1f AS (
+  SELECT n.doc_id, coalesce(h.hub, CAST(0.0 AS DOUBLE)) AS hub
+  FROM nodes n LEFT JOIN h1r h USING (doc_id)
+),
+h1 AS (SELECT doc_id, hub / (SELECT max(hub) FROM h1f) AS hub FROM h1f),
+a1r AS (
+  SELECT e.dst AS doc_id,
+         list_reduce(
+           list_prepend(0.0, list(h.hub / o.odeg ORDER BY e.src)),
+           (x, y) -> x + y) AS auth
+  FROM edges e JOIN h1 h ON h.doc_id = e.src
+  JOIN odeg o ON o.doc_id = e.src GROUP BY e.dst
+),
+a1f AS (
+  SELECT n.doc_id, coalesce(a.auth, CAST(0.0 AS DOUBLE)) AS auth
+  FROM nodes n LEFT JOIN a1r a USING (doc_id)
+),
+a1 AS (SELECT doc_id, auth / (SELECT max(auth) FROM a1f) AS auth FROM a1f),
+h2r AS (
+  SELECT e.src AS doc_id,
+         list_reduce(
+           list_prepend(0.0, list(a.auth / i.ideg ORDER BY e.dst)),
+           (x, y) -> x + y) AS hub
+  FROM edges e JOIN a1 a ON a.doc_id = e.dst
+  JOIN ideg i ON i.doc_id = e.dst GROUP BY e.src
+),
+h2f AS (
+  SELECT n.doc_id, coalesce(h.hub, CAST(0.0 AS DOUBLE)) AS hub
+  FROM nodes n LEFT JOIN h2r h USING (doc_id)
+),
+h2 AS (SELECT doc_id, hub / (SELECT max(hub) FROM h2f) AS hub FROM h2f),
+a2r AS (
+  SELECT e.dst AS doc_id,
+         list_reduce(
+           list_prepend(0.0, list(h.hub / o.odeg ORDER BY e.src)),
+           (x, y) -> x + y) AS auth
+  FROM edges e JOIN h2 h ON h.doc_id = e.src
+  JOIN odeg o ON o.doc_id = e.src GROUP BY e.dst
+),
+a2f AS (
+  SELECT n.doc_id, coalesce(a.auth, CAST(0.0 AS DOUBLE)) AS auth
+  FROM nodes n LEFT JOIN a2r a USING (doc_id)
+),
+a2 AS (SELECT doc_id, auth / (SELECT max(auth) FROM a2f) AS auth FROM a2f)
+SELECT a2.doc_id, round(a2.auth, 9) AS authority, round(h2.hub, 9) AS hub
+FROM a2 JOIN h2 USING (doc_id)
+ORDER BY authority DESC, hub DESC, doc_id ASC LIMIT 20
+"""
