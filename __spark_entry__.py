@@ -2223,6 +2223,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # SALSA 2-iteration link analysis (degree-normalized HITS)
         "salsa_2iter": _wrap(webgraph.salsa_2iter),
+        # Lucene index-sorting early-termination benefit audit
+        "index_sort_audit": _wrap(textstats.index_sort_audit),
+        # SymSpell symmetric-delete spell correction (join-indexed)
+        "symspell_suggest": _wrap(textstats.symspell_suggest),
+        # ES custom _routing shard-skew audit (id vs tenant routing)
+        "routing_skew_audit": _wrap(textstats.routing_skew_audit),
     }
 
 
@@ -2933,4 +2939,9 @@ def oracle_sql() -> dict[str, str]:
         "borda_fusion": oracles.borda_fusion_sql(FLAGSHIP_TERMS),
         "err_eval": oracles.err_sql(AP_QUERIES, AP_K),
         "salsa_2iter": oracles.SALSA_2ITER,
+        "index_sort_audit": oracles.index_sort_audit_sql(FLAGSHIP_TERMS),
+        "symspell_suggest": oracles.symspell_sql(
+            list(textstats.SYMSPELL_TYPOS)
+        ),
+        "routing_skew_audit": oracles.ROUTING_SKEW_AUDIT,
     }

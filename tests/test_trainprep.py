@@ -2849,3 +2849,94 @@ def test_borda_fusion_recompute(spark, corpus, tables):
     # integer ballots: consensus docs in both lists lead
     assert got[0].n_lists == 2
     assert got[0].borda <= 2 * w
+
+
+def test_index_sort_audit_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], textstats.SORT_AUDIT_K
+    order = sorted(by_id.values(), key=lambda r: (-r.n_chars, r.doc_id))
+    pos = {r.doc_id: i + 1 for i, r in enumerate(order)}
+    n = len(order)
+    got = {r.term: r for r in
+           textstats.index_sort_audit(spark, tables).collect()}
+    assert set(got) == set(terms)
+    for t in terms:
+        match_pos = sorted(
+            pos[d] for d, r in by_id.items() if t in tokenize(r.text)
+        )
+        df = len(match_pos)
+        scanned = match_pos[k - 1] if df >= k else n
+        r = got[t]
+        assert (r.df, r.scanned_docs, r.n_docs) == (df, scanned, n)
+        assert abs(r.skip_ratio - round(1.0 - scanned / n, 6)) < 1e-9
+    # a high-df term must terminate early: it skips most of the index
+    assert got["the"].skip_ratio > 0.5
+
+
+def test_symspell_suggest_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    from collections import Counter
+
+    cf = Counter(
+        t for r in by_id.values() for t in tokenize(r.text)
+    )
+
+    def keys(x):
+        return {x} | {x[:i] + x[i + 1:] for i in range(len(x))}
+
+    got = {}
+    for r in textstats.symspell_suggest(spark, tables).collect():
+        got.setdefault(r.query, []).append((r.rank, r.term, r.dist, r.cf))
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for q in textstats.SYMSPELL_TYPOS:
+        qk = keys(q)
+        cand = {
+            t for t in cf if qk & keys(t)
+        }
+        scored = sorted(
+            ((lev(q, t), -cf[t], t) for t in cand if lev(q, t) <= 1),
+        )[:3]
+        want = [
+            (i + 1, t, d, -negcf) for i, (d, negcf, t) in enumerate(scored)
+        ]
+        assert got.get(q, []) == want
+    # every planted typo finds its intended correction at rank 1
+    fixes = {"merg": "merge", "groupp": "group", "windoe": "window"}
+    for q, t in fixes.items():
+        assert got[q][0][1] == t
+
+
+def test_routing_skew_audit_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    n = textstats.ROUTING_SHARDS
+
+    def shard(key):
+        return ((key % MOD + 1) * FP_MULT) % MOD % n
+
+    agg: dict[tuple[str, int], list[int]] = {}
+    for d, r in by_id.items():
+        src = int(r.source[3:])
+        agg.setdefault(("id", shard(d)), []).append(d)
+        agg.setdefault(("source", shard(src)), []).append(src)
+    got = {(r.scheme, r.shard): r for r in
+           textstats.routing_skew_audit(spark, tables).collect()}
+    assert set(got) == set(agg)
+    for k2, keys2 in agg.items():
+        assert (got[k2].n_docs, got[k2].n_keys) == (
+            len(keys2), len(set(keys2))
+        )
+    # the audit's point: source routing is lumpier than id routing
+    id_counts = [r.n_docs for (s, _), r in got.items() if s == "id"]
+    src_counts = [r.n_docs for (s, _), r in got.items() if s == "source"]
+    id_imb = max(id_counts) / (sum(id_counts) / len(id_counts))
+    src_imb = max(src_counts) / (sum(src_counts) / len(src_counts))
+    assert src_imb > id_imb

@@ -4720,3 +4720,198 @@ def borda_fusion(
         .orderBy(F.desc("borda"), F.desc("n_lists"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+SORT_AUDIT_K = 10  # top-k an early-terminated sorted-index query needs
+
+
+def index_sort_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = SORT_AUDIT_K,
+) -> DataFrame:
+    """Lucene index-sorting benefit audit (``index.sort`` in ES;
+    Fontoura et al. and the Lucene EarlyTerminatingSortingCollector):
+    when segments are sorted by the query's sort key at WRITE time
+    (here: quality proxy n_chars desc, doc_id tiebreak), a
+    sort-by-that-key query can stop after the k-th hit — the audit
+    question is "how much of each postings list does early
+    termination actually skip". Per query term: docs scanned = the
+    sort-order POSITION of the k-th matching doc (or N when df < k:
+    the scan runs dry), and the skip ratio vs a full scan of N.
+
+    Exactness: positions and counts are integers; one rounded divide
+    at emit.
+
+    Scale shape: the sort ordinal is exactly the doc ordinal the
+    sorted index materializes at BUILD time — at scale it comes from
+    the build's range-partitioned rank (operators/ingest.py's doc-id
+    machinery), not a runtime window; the audit form here computes it
+    with one window over (n_chars, doc_id) and everything downstream
+    is a filtered postings join plus a per-term k-th order statistic
+    over df-bounded frames."""
+    docs = t["documents"]
+    n_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("sort_pos")
+    )
+    matched = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .where(F.col("term").isin(list(terms)))
+        .distinct()
+        .join(ranked, "doc_id")
+    )
+    wk = Window.partitionBy("term").orderBy("sort_pos")
+    kth = (
+        matched.withColumn("rn", F.row_number().over(wk))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.max(F.when(F.col("rn") == k, F.col("sort_pos"))).alias(
+                "kth_pos"
+            ),
+        )
+    )
+    return (
+        kth.crossJoin(F.broadcast(n_df))
+        .select(
+            "term",
+            "df",
+            F.when(F.col("df") >= k, F.col("kth_pos"))
+            .otherwise(F.col("n_docs"))
+            .cast("long")
+            .alias("scanned_docs"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .withColumn(
+            "skip_ratio",
+            F.round(
+                F.lit(1.0)
+                - F.col("scanned_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("term")
+    )
+
+
+SYMSPELL_TYPOS = ("merg", "groupp", "windoe")  # planted d=1 misspellings
+
+
+def symspell_suggest(
+    spark: SparkSession,
+    t,
+    queries: tuple[str, ...] = SYMSPELL_TYPOS,
+    top_n: int = 3,
+) -> DataFrame:
+    """SymSpell spelling correction (Garbe's symmetric-delete
+    algorithm — the indexed alternative to term_suggest's scan-side
+    edit distance): precompute every dictionary term's 1-deletes at
+    INDEX time, generate the query's 1-deletes at QUERY time, and
+    candidates are exactly the terms sharing a delete key — an
+    equi-JOIN instead of a fuzzy scan, which is why SymSpell is ~1e6x
+    faster than Norvig-style enumeration at large vocabularies.
+    Candidates are verified with true levenshtein <= 1 (the delete
+    intersection admits distance-2 pairs) and ranked (distance asc,
+    corpus frequency desc, term) — top 3 per query.
+
+    Exactness: keys are deterministic substring splices, identical on
+    both engines; distance and cf are integers; no floats at all.
+
+    Scale shape: THIS is the Spark-native spell index — the delete-key
+    frame is term-dictionary-sized x avg term length, built once and
+    reusable (a real deployment persists it as an index sidecar); the
+    query side is a handful of broadcast keys, so lookup is one
+    broadcast join + one df-bounded verify. No scan of the corpus at
+    query time."""
+    d = t["documents"]
+    vocab = (
+        d.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    del_expr = (
+        "explode(concat(array({col}), transform(sequence(1,"
+        " length({col})), i -> concat(substring({col}, 1, i - 1),"
+        " substring({col}, i + 1, length({col}))))))"
+    )
+    tkeys = vocab.select(
+        "term", "cf", F.expr(del_expr.format(col="term")).alias("key")
+    )
+    qdf = spark.createDataFrame(
+        [(q,) for q in queries], "query string"
+    )
+    qkeys = qdf.select(
+        "query", F.expr(del_expr.format(col="query")).alias("key")
+    )
+    cand = (
+        tkeys.join(F.broadcast(qkeys), "key")
+        .select("query", "term", "cf")
+        .distinct()
+        .withColumn("dist", F.levenshtein("query", "term").cast("long"))
+        .where(F.col("dist") <= 1)
+    )
+    wq = Window.partitionBy("query").orderBy(
+        F.asc("dist"), F.desc("cf"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select("query", "rank", "term", "dist", "cf")
+        .orderBy("query", "rank")
+    )
+
+
+ROUTING_SHARDS = 8
+
+
+def routing_skew_audit(spark: SparkSession, t) -> DataFrame:
+    """ES custom ``_routing`` skew audit: routing every doc by its own
+    id spreads uniformly, but routing by a LOW-CARDINALITY key (here
+    the source/tenant — the classic "route by customer for query
+    locality" setup) pins each key to one shard and the shard sizes
+    inherit the key distribution — the exact trade every multi-tenant
+    index operator has to measure before enabling custom routing
+    (query fan-out 1 shard vs write skew). Both schemes use the same
+    hash ((key % MOD + 1) * FP_MULT) % MOD % n_shards with the repo's
+    shared constants; the source key is the numeric suffix of
+    'src<k>'. Output per (scheme, shard): doc count and distinct
+    routing keys — the skew is readable straight off the rows (some
+    shards get multiple sources, some get none).
+
+    Exactness: pure integer hashing, no floats.
+
+    Scale shape: two map-only shard assignments + one tiny
+    (scheme, shard) agg; n_keys is a count-distinct over the already
+    narrow (scheme, shard, key) frame. One scan at any corpus size."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    docs = t["documents"]
+    n = ROUTING_SHARDS
+
+    def shard_of(key):
+        return ((key % MOD + 1) * F.lit(FP_MULT)) % MOD % n
+
+    by_id = docs.select(
+        F.lit("id").alias("scheme"),
+        shard_of(F.col("doc_id")).cast("long").alias("shard"),
+        F.col("doc_id").alias("rkey"),
+    )
+    srcnum = F.expr("CAST(substring(source, 4) AS BIGINT)")
+    by_src = docs.select(
+        F.lit("source").alias("scheme"),
+        shard_of(srcnum).cast("long").alias("shard"),
+        srcnum.alias("rkey"),
+    )
+    return (
+        by_id.unionAll(by_src)
+        .groupBy("scheme", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rkey").cast("long").alias("n_keys"),
+        )
+        .orderBy("scheme", "shard")
+    )

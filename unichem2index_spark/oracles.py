@@ -8534,3 +8534,112 @@ SELECT a2.doc_id, round(a2.auth, 9) AS authority, round(h2.hub, 9) AS hub
 FROM a2 JOIN h2 USING (doc_id)
 ORDER BY authority DESC, hub DESC, doc_id ASC LIMIT 20
 """
+
+
+def index_sort_audit_sql(
+    terms: list[str], k: int = 10
+) -> str:
+    """Twin of operators/textstats.py::index_sort_audit — same
+    (n_chars desc, doc_id) sort ordinal and k-th-match position."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH n_df AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS sort_pos
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT m.term, m.doc_id, r.sort_pos FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) m JOIN ranked r USING (doc_id)
+  WHERE m.term IN ({inlist})
+),
+kth AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         max(CASE WHEN rn = {k} THEN sort_pos END) AS kth_pos
+  FROM (
+    SELECT term, sort_pos,
+           row_number() OVER (PARTITION BY term ORDER BY sort_pos) AS rn
+    FROM matched
+  ) GROUP BY term
+)
+SELECT term, df,
+       CAST(CASE WHEN df >= {k} THEN kth_pos ELSE n_docs END AS BIGINT)
+         AS scanned_docs,
+       n_docs,
+       round(1.0 - CAST(CASE WHEN df >= {k} THEN kth_pos ELSE n_docs END
+                        AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS skip_ratio
+FROM kth CROSS JOIN n_df ORDER BY term
+"""
+
+
+def symspell_sql(queries: list[str], top_n: int = 3) -> str:
+    """Twin of operators/textstats.py::symspell_suggest — same
+    1-delete key generation, levenshtein <= 1 verify, and
+    (dist, cf desc, term) ranking."""
+    qrows = ", ".join(
+        "('" + q.replace("'", "''") + "')" for q in queries
+    )
+    dels = (
+        "list_prepend({col}, list_transform(range(1, len({col}) + 1),"
+        " i -> substr({col}, 1, i - 1)"
+        " || substr({col}, i + 1, len({col}))))"
+    )
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM (SELECT unnest({TOKS}) AS term FROM documents) GROUP BY term
+),
+tkeys AS (
+  SELECT term, cf, unnest({dels.format(col='term')}) AS key FROM vocab
+),
+q(query) AS (VALUES {qrows}),
+qkeys AS (
+  SELECT query, unnest({dels.format(col='query')}) AS key FROM q
+),
+cand AS (
+  SELECT DISTINCT query, term, cf FROM tkeys JOIN qkeys USING (key)
+),
+scored AS (
+  SELECT query, term, cf,
+         CAST(levenshtein(query, term) AS BIGINT) AS dist
+  FROM cand WHERE levenshtein(query, term) <= 1
+),
+r AS (
+  SELECT query, term, dist, cf,
+         CAST(row_number() OVER (
+           PARTITION BY query ORDER BY dist, cf DESC, term
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query, rank, term, dist, cf FROM r
+WHERE rank <= {top_n} ORDER BY query, rank
+"""
+
+
+# Twin of operators/textstats.py::routing_skew_audit — same shared-hash
+# shard assignment for both routing schemes.
+ROUTING_SKEW_AUDIT = f"""
+WITH by_id AS (
+  SELECT 'id' AS scheme,
+         CAST(((doc_id % {MOD} + 1) * {FP_MULT}) % {MOD} % 8 AS BIGINT)
+           AS shard,
+         doc_id AS rkey
+  FROM documents
+),
+by_src AS (
+  SELECT 'source' AS scheme,
+         CAST(((CAST(substr(source, 4) AS BIGINT) % {MOD} + 1)
+               * {FP_MULT}) % {MOD} % 8 AS BIGINT) AS shard,
+         CAST(substr(source, 4) AS BIGINT) AS rkey
+  FROM documents
+),
+u AS (SELECT * FROM by_id UNION ALL SELECT * FROM by_src)
+SELECT scheme, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rkey) AS BIGINT) AS n_keys
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
