@@ -2229,6 +2229,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symspell_suggest": _wrap(textstats.symspell_suggest),
         # ES custom _routing shard-skew audit (id vs tenant routing)
         "routing_skew_audit": _wrap(textstats.routing_skew_audit),
+        # TREC judgment-pool construction audit (two-run overlap)
+        "trec_pool": lambda spark, sf_dir: (
+            Q.trec_pool(_docs(spark, sf_dir), AP_QUERIES)
+        ),
+        # Block-max upper-bound tightness (BMW pruning power)
+        "blockmax_tightness": _wrap(textstats.blockmax_tightness),
+        # Trending event types across a fixed window boundary
+        "trending_events": _wrap(textstats.trending_events),
     }
 
 
@@ -2944,4 +2952,9 @@ def oracle_sql() -> dict[str, str]:
             list(textstats.SYMSPELL_TYPOS)
         ),
         "routing_skew_audit": oracles.ROUTING_SKEW_AUDIT,
+        "trec_pool": oracles.trec_pool_sql(AP_QUERIES),
+        "blockmax_tightness": oracles.blockmax_tightness_sql(
+            FLAGSHIP_TERMS
+        ),
+        "trending_events": oracles.TRENDING_EVENTS,
     }

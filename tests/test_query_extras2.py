@@ -1584,3 +1584,49 @@ def test_err_matches_python_fold(spark, corpus):
         assert abs(row.err - round(e, 6)) < 1e-9
         # cascade bound: ERR <= 1 and monotone in any prefix
         assert 0.0 <= row.err <= 1.0
+
+
+def test_trec_pool_matches_python(spark, corpus):
+    df, oracle, rows = corpus
+    queries = [
+        (0, ["merge", "group"], "key"),
+        (1, ["fast", "window"], "scan"),
+        (2, ["the", "vector"], "merge"),
+    ]
+    d = Q.POOL_DEPTH
+    toks = {did: tokenize(r.text) for did, r in rows.items()}
+    dl = {did: len(ts) for did, ts in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    got = {r.query_id: r for r in Q.trec_pool(df, queries).collect()}
+    assert set(got) == {q[0] for q in queries}
+    import math as _m
+
+    for qid, terms, _ in queries:
+        sa: dict[int, float] = {}
+        sb: dict[int, float] = {}
+        for t in sorted(set(terms)):
+            dfreq = sum(1 for ts in toks.values() if t in ts)
+            if not dfreq:
+                continue
+            idf = _m.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            for did, ts in toks.items():
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                sa[did] = sa.get(did, 0.0) + idf * (
+                    tf / (tf + 1.2 * (0.25 + 0.75 * dl[did] / avgdl))
+                )
+                sb[did] = sb.get(did, 0.0) + idf * (tf / (tf + 1.2))
+        ta = {x for x, _ in sorted(
+            sa.items(), key=lambda kv: (-kv[1], kv[0]))[:d]}
+        tb = {x for x, _ in sorted(
+            sb.items(), key=lambda kv: (-kv[1], kv[0]))[:d]}
+        r = got[qid]
+        assert r.pool_size == len(ta | tb)
+        assert r.n_overlap == len(ta & tb)
+        assert r.n_only_a == len(ta - tb)
+        assert r.n_only_b == len(tb - ta)
+        assert r.jaccard == round(len(ta & tb) / len(ta | tb), 6)
+        # two correlated systems must overlap but not coincide
+        assert 0 < r.n_overlap < r.pool_size

@@ -2940,3 +2940,63 @@ def test_routing_skew_audit_recompute(spark, corpus, tables):
     id_imb = max(id_counts) / (sum(id_counts) / len(id_counts))
     src_imb = max(src_counts) / (sum(src_counts) / len(src_counts))
     assert src_imb > id_imb
+
+
+def test_blockmax_tightness_recompute(spark, corpus, tables):
+    import math as _m
+    from collections import defaultdict
+
+    _, by_id = corpus
+    terms, blk = ["the", "merge", "vector"], textstats.BLOCKMAX_B
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    got = {r.term: r for r in
+           textstats.blockmax_tightness(spark, tables).collect()}
+    assert set(got) == set(terms)
+    for t in terms:
+        dfreq = sum(1 for ts in toks.values() if t in ts)
+        idf = _m.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        bmax: dict[int, float] = defaultdict(float)
+        for d, ts in toks.items():
+            tf = ts.count(t)
+            if not tf:
+                continue
+            p = idf * (
+                tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+            )
+            bmax[d // blk] = max(bmax[d // blk], p)
+        gmax = max(bmax.values())
+        tight = [b / gmax for b in bmax.values()]
+        r = got[t]
+        assert r.n_blocks == len(bmax)
+        assert abs(r.avg_tightness - round(sum(tight) / len(tight), 6)) \
+            < 1e-6
+        assert abs(r.min_tightness - round(min(tight), 6)) < 1e-9
+        assert r.n_prunable == sum(1 for x in tight if x < 0.5)
+    # tightness is a ratio against the per-term global max: bounded by 1,
+    # and some block must achieve exactly 1
+    for r in got.values():
+        assert 0.0 < r.min_tightness <= r.avg_tightness <= 1.0
+
+
+def test_trending_events_recompute(spark, tables):
+    from datetime import datetime
+
+    split = datetime(2024, 1, 16)
+    ev = tables["events"].select("event_type", "ts").collect()
+    agg: dict[str, list[int]] = {}
+    for r in ev:
+        a = agg.setdefault(r.event_type, [0, 0])
+        a[0 if r.ts < split else 1] += 1
+    got = {r.event_type: r for r in
+           textstats.trending_events(spark, tables).collect()}
+    assert set(got) == set(agg)
+    for et, (e, l) in agg.items():
+        r = got[et]
+        rise = round((l + 1.0) / (e + 1.0), 6)
+        assert (r.n_early, r.n_late) == (e, l)
+        assert r.rise == rise
+        want = ("rising" if rise >= 1.1 else
+                "falling" if rise <= 0.9 else "flat")
+        assert r.trend == want

@@ -4915,3 +4915,147 @@ def routing_skew_audit(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("scheme", "shard")
     )
+
+
+BLOCKMAX_B = 64  # docs per block (Lucene impact block is 128; audit knob)
+
+
+def blockmax_tightness(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    block: int = BLOCKMAX_B,
+) -> DataFrame:
+    """Block-max upper-bound tightness audit (Ding & Suel SIGIR'11
+    Block-Max WAND): BMW's pruning power is exactly the gap between
+    each block's LOCAL max impact and the term's GLOBAL max — if
+    block maxes hug the global max, block skipping degenerates to
+    plain WAND. Per query term: block count, mean and min
+    block-max/global-max tightness, and how many blocks sit below
+    0.5 (skippable at typical heap thresholds). This is the
+    measurement that decides whether impact-ordering or larger blocks
+    are worth shipping — the audit sibling of quantize_fidelity, and
+    the justification for the serving kernel's per-shard block maxes
+    (functions/wand.py).
+
+    Exactness: partials reuse the frozen BM25 expression; tightness
+    is one divide of two identically-derived doubles; round(6) at
+    emit on the two averaged columns only.
+
+    Scale shape: one filtered-postings pass (|q| terms pre-shuffle)
+    to per-(term, block) maxes — map-side combinable, block id is
+    doc_id div B so no extra shuffle key width — then a per-term agg
+    over block rows. Postings-bounded at any corpus size."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    partial = (
+        F.log(
+            F.lit(1.0)
+            + (
+                F.col("n_docs").cast("double")
+                - F.col("df").cast("double")
+                + F.lit(0.5)
+            )
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        * (
+            F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75)
+                    * F.col("doclen").cast("double")
+                    / F.col("avgdl")
+                )
+            )
+        )
+    )
+    per_block = (
+        qtok.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.expr(f"doc_id div {block}").alias("blk"),
+            partial.alias("p"),
+        )
+        .groupBy("term", "blk")
+        .agg(F.max("p").alias("bmax"))
+    )
+    gmax = per_block.groupBy("term").agg(F.max("bmax").alias("gmax"))
+    tight = per_block.join(F.broadcast(gmax), "term").select(
+        "term", (F.col("bmax") / F.col("gmax")).alias("tightness")
+    )
+    return (
+        tight.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.round(F.avg("tightness"), 6).alias("avg_tightness"),
+            F.round(F.min("tightness"), 6).alias("min_tightness"),
+            F.sum((F.col("tightness") < 0.5).cast("long"))
+            .cast("long")
+            .alias("n_prunable"),
+        )
+        .orderBy("term")
+    )
+
+
+TREND_SPLIT = "2024-01-16 00:00:00"  # fixed mid-corpus boundary
+
+
+def trending_events(spark: SparkSession, t) -> DataFrame:
+    """Trending detector over the event stream (the "trending
+    queries/topics" dashboard op every search deployment runs): split
+    the window at a fixed boundary, count each event_type early vs
+    late, and flag rising/falling by the add-one-smoothed rate ratio
+    ``(late + 1) / (early + 1)`` — add-one keeps new and vanished
+    types finite, the standard dashboard smoothing. The batch twin of
+    what streaming/stateful.py's windowed counts feed incrementally.
+
+    Exactness: integer counts; ONE smoothed divide, round(6); the
+    label thresholds (>= 1.1 rising, <= 0.9 falling) compare that
+    single rounded-input double identically on both engines.
+
+    Scale shape: map-only boundary compare + one (event_type) agg —
+    one scan, one narrow shuffle at any event volume; the streaming
+    deployment replaces the fixed boundary with sliding windows."""
+    ev = t["events"]
+    early = (F.col("ts") < F.lit(TREND_SPLIT).cast("timestamp")).cast(
+        "long"
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.sum(early).cast("long").alias("n_early"),
+        F.sum(F.lit(1) - early).cast("long").alias("n_late"),
+    )
+    rise = (F.col("n_late").cast("double") + F.lit(1.0)) / (
+        F.col("n_early").cast("double") + F.lit(1.0)
+    )
+    return (
+        agg.withColumn("rise", F.round(rise, 6))
+        .withColumn(
+            "trend",
+            F.when(F.col("rise") >= 1.1, F.lit("rising"))
+            .when(F.col("rise") <= 0.9, F.lit("falling"))
+            .otherwise(F.lit("flat")),
+        )
+        .orderBy("event_type")
+    )

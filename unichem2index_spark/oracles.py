@@ -8643,3 +8643,139 @@ SELECT scheme, shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT rkey) AS BIGINT) AS n_keys
 FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def trec_pool_sql(
+    queries: list[tuple[int, list[str], str]], depth: int = 10
+) -> str:
+    """Twin of operators/query.py::trec_pool — same shared postings
+    pass, BM25 b=0.75 vs b=0 system pair, top-depth pools."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score_a,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2))
+         ) AS score_b
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ta AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_a DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {depth}
+),
+tb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_b DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {depth}
+),
+tagged AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM ta a FULL JOIN tb b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS pool_size,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_overlap,
+       CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+       CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS n_only_b,
+       round(CAST(sum(in_a * in_b) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS jaccard
+FROM tagged GROUP BY query_id ORDER BY query_id
+"""
+
+
+def blockmax_tightness_sql(
+    terms: list[str], block: int = 64
+) -> str:
+    """Twin of operators/textstats.py::blockmax_tightness — same
+    frozen BM25 partial, doc_id div block blocks, one tightness
+    divide."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+pb AS (
+  SELECT term, doc_id // {block} AS blk,
+         max(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS bmax
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+),
+g AS (SELECT term, max(bmax) AS gmax FROM pb GROUP BY 1),
+tight AS (
+  SELECT term, bmax / gmax AS tightness FROM pb JOIN g USING (term)
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n_blocks,
+       round(avg(tightness), 6) AS avg_tightness,
+       round(min(tightness), 6) AS min_tightness,
+       CAST(sum(CASE WHEN tightness < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_prunable
+FROM tight GROUP BY term ORDER BY term
+"""
+
+
+# Twin of operators/textstats.py::trending_events — same fixed
+# boundary, add-one-smoothed rise ratio, thresholds on the ROUNDED
+# ratio.
+TRENDING_EVENTS = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT event_type, n_early, n_late,
+         round((CAST(n_late AS DOUBLE) + 1.0)
+               / (CAST(n_early AS DOUBLE) + 1.0), 6) AS rise
+  FROM agg
+)
+SELECT event_type, n_early, n_late, rise,
+       CASE WHEN rise >= 1.1 THEN 'rising'
+            WHEN rise <= 0.9 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM r ORDER BY event_type
+"""
