@@ -2237,6 +2237,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockmax_tightness": _wrap(textstats.blockmax_tightness),
         # Trending event types across a fixed window boundary
         "trending_events": _wrap(textstats.trending_events),
+        # Polite-crawl makespan planning over derived hosts
+        "crawl_politeness_plan": _wrap(trainprep.crawl_politeness_plan),
+        # Temperature (alpha) mixture allocation, largest remainder
+        "temperature_mixture": _wrap(trainprep.temperature_mixture),
+        # Church-Gale term burstiness (cf/df) dictionary audit
+        "term_burstiness": _wrap(textstats.term_burstiness),
     }
 
 
@@ -2957,4 +2963,7 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS
         ),
         "trending_events": oracles.TRENDING_EVENTS,
+        "crawl_politeness_plan": oracles.CRAWL_POLITENESS_PLAN,
+        "temperature_mixture": oracles.TEMPERATURE_MIXTURE,
+        "term_burstiness": oracles.TERM_BURSTINESS,
     }

@@ -3000,3 +3000,84 @@ def test_trending_events_recompute(spark, tables):
         want = ("rising" if rise >= 1.1 else
                 "falling" if rise <= 0.9 else "flat")
         assert r.trend == want
+
+
+def test_crawl_politeness_plan_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    from collections import Counter
+
+    tlds = trainprep.URL_TLDS
+    hosts = Counter(
+        f"{r.source}.{tlds[d % 3]}" for d, r in by_id.items()
+    )
+    total, mx = sum(hosts.values()), max(hosts.values())
+    k = trainprep.CRAWL_THREADS
+    row = trainprep.crawl_politeness_plan(spark, tables).collect()[0]
+    assert row.n_hosts == len(hosts)
+    assert row.total_urls == total
+    assert row.max_host_urls == mx
+    assert row.crawlers == k
+    assert row.lb_makespan_sec == max(mx, -(-total // k))
+    assert abs(row.imbalance - round(mx * k / total, 6)) < 1e-9
+    # both lower-bound terms are live: the bound dominates total/k
+    assert row.lb_makespan_sec >= row.total_urls // k
+
+
+def test_temperature_mixture_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    from collections import Counter
+
+    n_by_src = Counter(r.source for r in by_id.values())
+    b = trainprep.MIX_ALPHA_BUDGET
+    ws = {s: _m.sqrt(n) for s, n in n_by_src.items()}
+    tot = 0.0
+    for s in sorted(ws):
+        tot += ws[s]
+    shares = {s: w * float(b) / tot for s, w in ws.items()}
+    base = {s: int(_m.floor(sh)) for s, sh in shares.items()}
+    fracs = sorted(
+        ((shares[s] - base[s], s) for s in shares),
+        key=lambda x: (-x[0], x[1]),
+    )
+    r = b - sum(base.values())
+    topped = {s for _, s in fracs[:r]}
+    got = {row.source: row for row in
+           trainprep.temperature_mixture(spark, tables).collect()}
+    assert set(got) == set(n_by_src)
+    for s in n_by_src:
+        row = got[s]
+        assert row.n_docs == n_by_src[s]
+        assert row.weight == round(ws[s], 6)
+        assert row.alloc == base[s] + (s in topped)
+        assert row.share == round(shares[s] / b, 6)
+    # apportionment is exact: allocations sum to the budget
+    assert sum(row.alloc for row in got.values()) == b
+
+
+def test_term_burstiness_recompute(spark, corpus, tables):
+    from collections import Counter, defaultdict
+
+    _, by_id = corpus
+    df: dict[str, int] = defaultdict(int)
+    cf: dict[str, int] = defaultdict(int)
+    for r in by_id.values():
+        c = Counter(tokenize(r.text))
+        for t2, n in c.items():
+            df[t2] += 1
+            cf[t2] += n
+    cand = sorted(
+        (
+            (-(cf[t2] / df[t2]), t2)
+            for t2 in df
+            if df[t2] >= textstats.BURST_MIN_DF
+        )
+    )[:20]
+    got = textstats.term_burstiness(spark, tables).collect()
+    assert [r.term for r in got] == [t2 for _, t2 in cand]
+    for r in got:
+        assert (r.df, r.cf) == (df[r.term], cf[r.term])
+        assert r.burstiness == round(cf[r.term] / df[r.term], 6)
+    # burstiness >= 1 by construction (cf >= df)
+    assert all(r.burstiness >= 1.0 for r in got)

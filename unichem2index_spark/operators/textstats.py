@@ -5059,3 +5059,48 @@ def trending_events(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BURST_MIN_DF = 5  # ignore tail terms (burstiness undefined-ish at df 1)
+
+
+def term_burstiness(
+    spark: SparkSession, t, k: int = 20, min_df: int = BURST_MIN_DF
+) -> DataFrame:
+    """Term burstiness audit (Church & Gale '95 "Poisson mixtures";
+    Katz's k-mixture): burstiness = cf/df — the mean within-document
+    frequency GIVEN the term appears — separates topical terms (a doc
+    about merging says "merge" many times) from function words that
+    appear once everywhere. This is the empirical fact the
+    two-Poisson model behind BM25's tf saturation rests on, and the
+    statistic an indexer consults when picking impact-quantization
+    ranges and stopword cuts. Top-k terms by (burstiness desc, term),
+    df >= min_df.
+
+    Exactness: cf and df are integers; one rounded divide at emit.
+
+    Scale shape: one postings agg (map-side combined) to (term, df,
+    cf), a term-dictionary-bounded frame, then a global top-k — the
+    same single-shuffle plan as every other dictionary audit here."""
+    d = t["documents"]
+    per = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+    return (
+        per.withColumn(
+            "burstiness",
+            F.round(
+                F.col("cf").cast("double") / F.col("df").cast("double"), 6
+            ),
+        )
+        .orderBy(F.desc("burstiness"), F.asc("term"))
+        .limit(k)
+    )

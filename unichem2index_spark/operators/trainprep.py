@@ -2191,3 +2191,124 @@ def fim_transform(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("source", "mode")
     )
+
+
+CRAWL_THREADS = 8  # concurrent polite crawlers
+CRAWL_RPS = 1  # requests/sec/host politeness budget
+
+
+def crawl_politeness_plan(spark: SparkSession, t) -> DataFrame:
+    """Polite-crawl scheduling plan (the capacity math behind every
+    crawler's frontier, cf. Mercator / Heydon & Najork '99): with at
+    most 1 request/sec against any single host, a host's queue alone
+    lower-bounds the crawl time, and K crawler threads can't beat
+    ``max(largest_host_queue, ceil(total/K))`` seconds — the two-term
+    makespan lower bound every scheduler quotes (the LPT assignment
+    then provably lands within 4/3 of it). Hosts derive from the
+    url_features convention (source x tld via doc_id % 3), so the
+    queue distribution is the real per-host URL mass of this corpus.
+
+    Exactness: pure integer queue math; one rounded imbalance divide.
+
+    Scale shape: one map-only host derivation + one (host) count agg
+    + one single-row reduce — at 10^12 urls the host frame is
+    domain-cardinality-bounded (millions, not trillions), the
+    canonical crawl-planning shape."""
+    docs = t["documents"]
+    host = F.concat(
+        F.col("source"),
+        F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(x) for x in URL_TLDS]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    per_host = docs.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    k = CRAWL_THREADS
+    return per_host.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("n_urls").cast("long").alias("total_urls"),
+        F.max("n_urls").cast("long").alias("max_host_urls"),
+        F.lit(k).cast("long").alias("crawlers"),
+        F.greatest(
+            F.max("n_urls"),
+            F.expr(f"(sum(n_urls) + {k - 1}) div {k}"),
+        ).cast("long").alias("lb_makespan_sec"),
+        F.round(
+            F.max("n_urls").cast("double")
+            * F.lit(float(k))
+            / F.sum("n_urls").cast("double"),
+            6,
+        ).alias("imbalance"),
+    )
+
+
+MIX_ALPHA_BUDGET = 200  # docs to allocate across sources
+MIX_TEMP = 0.5  # sampling temperature alpha (multilingual standard)
+
+
+def temperature_mixture(spark: SparkSession, t) -> DataFrame:
+    """Temperature-based mixture allocation (the alpha-sampling rule
+    from multilingual pretraining — mBERT/XLM-R's p_s proportional to
+    n_s^alpha, alpha = 0.5): upweight small domains, downweight huge
+    ones, then turn the real-valued shares into an INTEGER doc budget
+    with largest-remainder apportionment (floor everyone, hand the
+    leftover to the largest fractional remainders) — the standard
+    exact apportionment, so the allocations sum to the budget by
+    construction. Complements sample_mixture (fixed quotas): this op
+    COMPUTES the quotas a temperature recipe implies.
+
+    Float discipline: the weight total is a sorted sequential fold
+    over the per-source sqrt weights (webgraph discipline) so both
+    engines divide by the bit-identical total; remainder ranking
+    compares identically-derived doubles.
+
+    Scale shape: everything after the one (source) count agg runs on
+    a domain-cardinality frame (windows included) — tiny at any
+    corpus size."""
+    docs = t["documents"]
+    b = MIX_ALPHA_BUDGET
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = per_src.select(
+        "source",
+        "n_docs",
+        F.sqrt(F.col("n_docs").cast("double")).alias("w"),
+    )
+    tot = w.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("tot_w")
+    )
+    staged = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("w") * F.lit(float(b)) / F.col("tot_w"))
+        .withColumn("base", F.floor("share").cast("long"))
+        .withColumn("frac", F.col("share") - F.col("base").cast("double"))
+    )
+    rem = staged.agg(
+        (F.lit(b) - F.sum("base")).cast("long").alias("r")
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.orderBy(F.desc("frac"), F.asc("source"))
+    return (
+        staged.crossJoin(F.broadcast(rem))
+        .withColumn("rk", F.row_number().over(win))
+        .select(
+            "source",
+            "n_docs",
+            F.round("w", 6).alias("weight"),
+            (
+                F.col("base")
+                + (F.col("rk") <= F.col("r")).cast("long")
+            ).cast("long").alias("alloc"),
+            F.round(F.col("share") / F.lit(float(b)), 6).alias("share"),
+        )
+        .orderBy("source")
+    )

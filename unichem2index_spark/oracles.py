@@ -8779,3 +8779,76 @@ SELECT event_type, n_early, n_late, rise,
             ELSE 'flat' END AS trend
 FROM r ORDER BY event_type
 """
+
+
+# Twin of operators/trainprep.py::crawl_politeness_plan — same host
+# derivation (url_features tld convention) and two-term makespan
+# lower bound.
+CRAWL_POLITENESS_PLAN = """
+WITH per_host AS (
+  SELECT source || '.'
+           || ['com', 'org', 'net'][CAST(doc_id % 3 AS INT) + 1] AS host,
+         count(*) AS n_urls
+  FROM documents GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(n_urls) AS BIGINT) AS total_urls,
+       CAST(max(n_urls) AS BIGINT) AS max_host_urls,
+       CAST(8 AS BIGINT) AS crawlers,
+       CAST(greatest(max(n_urls), (sum(n_urls) + 7) // 8) AS BIGINT)
+         AS lb_makespan_sec,
+       round(CAST(max(n_urls) AS DOUBLE) * 8.0
+             / CAST(sum(n_urls) AS DOUBLE), 6) AS imbalance
+FROM per_host
+"""
+
+
+# Twin of operators/trainprep.py::temperature_mixture — same sqrt
+# weights, sorted-fold total, largest-remainder apportionment.
+TEMPERATURE_MIXTURE = """
+WITH per_src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM per_src
+),
+tot AS (
+  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                     (x, y) -> x + y) AS tot_w
+  FROM w
+),
+staged AS (
+  SELECT source, n_docs, w, w * 200.0 / tot_w AS share,
+         CAST(floor(w * 200.0 / tot_w) AS BIGINT) AS base
+  FROM w CROSS JOIN tot
+),
+f AS (SELECT *, share - CAST(base AS DOUBLE) AS frac FROM staged),
+rem AS (SELECT CAST(200 - sum(base) AS BIGINT) AS r FROM f),
+rk AS (
+  SELECT f.*, rem.r,
+         row_number() OVER (ORDER BY frac DESC, source) AS rk
+  FROM f CROSS JOIN rem
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(w, 6) AS weight,
+       CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc,
+       round(share / 200.0, 6) AS share
+FROM rk ORDER BY source
+"""
+
+
+# Twin of operators/textstats.py::term_burstiness — cf/df over the
+# term dictionary, df >= 5, top-20.
+TERM_BURSTINESS = f"""
+WITH per AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf FROM (
+    SELECT doc_id, term, count(*) AS tf FROM (
+      SELECT doc_id, unnest({TOKS}) AS term FROM documents
+    ) GROUP BY 1, 2
+  ) GROUP BY term
+)
+SELECT term, df, cf,
+       round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+FROM per WHERE df >= 5
+ORDER BY burstiness DESC, term LIMIT 20
+"""
