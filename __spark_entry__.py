@@ -2243,6 +2243,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _wrap(trainprep.temperature_mixture),
         # Church-Gale term burstiness (cf/df) dictionary audit
         "term_burstiness": _wrap(textstats.term_burstiness),
+        # Lucene SmallFloat 1-byte norms ranking-drift audit
+        "norms_quant_audit": _wrap(textstats.norms_quant_audit),
+        # Stoplist go/no-go: rank drift vs postings-scan saving
+        "stopword_prune_audit": _wrap(textstats.stopword_prune_audit),
+        # ES ILM hot/warm/cold phase mass plan over the event stream
+        "ilm_phase_plan": _wrap(textstats.ilm_phase_plan),
     }
 
 
@@ -2966,4 +2972,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_politeness_plan": oracles.CRAWL_POLITENESS_PLAN,
         "temperature_mixture": oracles.TEMPERATURE_MIXTURE,
         "term_burstiness": oracles.TERM_BURSTINESS,
+        "norms_quant_audit": oracles.norms_quant_audit_sql(FLAGSHIP_TERMS),
+        "stopword_prune_audit": oracles.stopword_prune_audit_sql(
+            FLAGSHIP_TERMS
+        ),
+        "ilm_phase_plan": oracles.ILM_PHASE_PLAN,
     }

@@ -3081,3 +3081,116 @@ def test_term_burstiness_recompute(spark, corpus, tables):
         assert r.burstiness == round(cf[r.term] / df[r.term], 6)
     # burstiness >= 1 by construction (cf >= df)
     assert all(r.burstiness >= 1.0 for r in got)
+
+
+def test_norms_quant_audit_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], 20
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+
+    def dec(x):
+        if x < 8:
+            return x
+        e = x.bit_length() - 1
+        return (8 + ((x >> (e - 3)) & 7)) << (e - 3)
+
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    rel = [abs(x - dec(x)) / x for x in dl.values()]
+
+    def scores(use_dec):
+        acc: dict[int, float] = {}
+        for t in terms:
+            dfq = sum(1 for ts in toks.values() if t in ts)
+            idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            for d, ts in toks.items():
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                ln = dec(dl[d]) if use_dec else dl[d]
+                acc[d] = acc.get(d, 0.0) + idf * (
+                    tf / (tf + 1.2 * (0.25 + 0.75 * ln / avgdl))
+                )
+        return [x for x, _ in sorted(
+            acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+    te, tq = set(scores(False)), set(scores(True))
+    row = textstats.norms_quant_audit(spark, tables).collect()[0]
+    assert row.k == k
+    assert row.n_overlap == len(te & tq)
+    assert row.overlap_ratio == round(len(te & tq) / k, 6)
+    assert abs(row.avg_rel_err - round(sum(rel) / len(rel), 6)) < 1e-6
+    # 1-byte norms must barely move the ranking on this corpus
+    assert row.overlap_ratio >= 0.8
+    # ...and the decode error stays under SmallFloat's ~6% bound
+    assert row.avg_rel_err < 0.0625
+
+
+def test_stopword_prune_audit_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], 20
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    dfq = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    keep = {t: dfq[t] <= 0.5 * n for t in terms}
+    full: dict[int, float] = {}
+    pruned: dict[int, float] = {}
+    any_kept: set[int] = set()
+    for t in terms:
+        idf = _m.log(1.0 + (n - dfq[t] + 0.5) / (dfq[t] + 0.5))
+        for d, ts in toks.items():
+            tf = ts.count(t)
+            if not tf:
+                continue
+            c = idf * (tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)))
+            full[d] = full.get(d, 0.0) + c
+            if keep[t]:
+                pruned[d] = pruned.get(d, 0.0) + c
+                any_kept.add(d)
+            else:
+                pruned.setdefault(d, 0.0)
+    tf_ = {x for x, _ in sorted(
+        full.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+    tp = {x for x, _ in sorted(
+        ((d, s) for d, s in pruned.items() if d in any_kept),
+        key=lambda kv: (-kv[1], kv[0]))[:k]}
+    row = textstats.stopword_prune_audit(spark, tables).collect()[0]
+    assert row.n_overlap == len(tf_ & tp)
+    assert row.postings_full == sum(dfq.values())
+    assert row.postings_pruned == sum(
+        dfq[t] for t in terms if keep[t]
+    )
+    assert row.scan_saved == round(
+        1.0 - row.postings_pruned / row.postings_full, 6
+    )
+    # 'the' is in >half the docs: the stoplist must actually prune it
+    assert not keep["the"] and row.postings_pruned < row.postings_full
+
+
+def test_ilm_phase_plan_recompute(spark, tables):
+    ev = tables["events"].select("ts").collect()
+    days = [r.ts.date() for r in ev]
+    mx = max(days)
+    ages = [(mx - d).days for d in days]
+    agg: dict[str, list[int]] = {}
+    for a in ages:
+        ph = "hot" if a <= 7 else "warm" if a <= 21 else "cold"
+        agg.setdefault(ph, []).append(a)
+    got = {r.phase: r for r in
+           textstats.ilm_phase_plan(spark, tables).collect()}
+    assert set(got) == set(agg)
+    tot = len(ages)
+    for ph, a in agg.items():
+        r = got[ph]
+        assert (r.n_events, r.n_days, r.min_age, r.max_age) == (
+            len(a), len(set(a)), min(a), max(a)
+        )
+        assert r.share == round(len(a) / tot, 6)
+    # phases partition the stream and appear in age order
+    assert sum(r.n_events for r in got.values()) == tot
+    assert got["hot"].min_age == 0

@@ -5104,3 +5104,290 @@ def term_burstiness(
         .orderBy(F.desc("burstiness"), F.asc("term"))
         .limit(k)
     )
+
+
+def norms_quant_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 20,
+) -> DataFrame:
+    """Lucene norms-quantization audit (SmallFloat byte norms: since
+    Lucene 7 the per-doc field length is stored as ONE byte — a
+    3-bit-mantissa float — and BM25's length normalization runs on
+    the DECODED lossy value at query time): encode
+    ``e = floor(log2 dl)``, ``m = the 3 bits after the leading 1``,
+    ``decoded = (8 + m) << (e - 3)`` (exact below 8, <= ~6% relative
+    error above), then measure what the loss does to ranking — the
+    decoded-doclen BM25 top-k overlap against the exact top-k, plus
+    the mean relative doclen error. This is the measurement that
+    justifies 1-byte norms: scores move, ranks barely do. Audit
+    sibling of quantize_fidelity (impacts) and blockmax_tightness
+    (bounds).
+
+    Exactness: encode/decode is pure integer math (bin()-length
+    log2, shifts); both rankings reuse the frozen BM25 expression
+    over the SAME postings frame; the two emitted ratios are the
+    only rounded floats.
+
+    Scale shape: one filtered-postings pass computes both scores
+    (the decoded doclen is a map-side expression); the rank
+    comparison runs over two post-limit k-row lists."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("doclen")
+    ).withColumn(
+        "dec",
+        F.expr(
+            "IF(doclen < 8, doclen,"
+            " (8 + shiftright(doclen, length(bin(doclen)) - 4) % 8)"
+            " * shiftleft(1L, length(bin(doclen)) - 4))"
+        ),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        F.round(
+            F.avg(
+                F.abs(
+                    F.col("doclen").cast("double")
+                    - F.col("dec").cast("double")
+                )
+                / F.col("doclen").cast("double")
+            ),
+            6,
+        ).alias("avg_rel_err"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+
+    def norm_of(len_col: str):
+        return F.col("tf").cast("double") / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * F.col(len_col).cast("double")
+                / F.col("avgdl")
+            )
+        )
+
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * norm_of("doclen")).alias("s_exact"),
+            F.sum(idf * norm_of("dec")).alias("s_quant"),
+        )
+    )
+
+    def topk(col: str) -> DataFrame:
+        return (
+            scored.orderBy(F.desc(col), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id")
+        )
+
+    overlap = topk("s_exact").join(topk("s_quant"), "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    err = stats.select("avg_rel_err")
+    return (
+        overlap.crossJoin(F.broadcast(err))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.lit(float(k)), 6
+            ).alias("overlap_ratio"),
+            "avg_rel_err",
+        )
+    )
+
+
+STOPWORD_DF_FRAC = 0.5  # a term in more than half the docs is a stopword
+
+
+def stopword_prune_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 20,
+) -> DataFrame:
+    """Stopword-pruning serving audit (the oldest index trade there
+    is — Salton-era stoplists through Lucene's StopFilter): drop
+    query terms whose df exceeds half the corpus, compare the pruned
+    BM25 top-k against the full one, and price the saving in
+    postings scanned (sum of df over query terms — exactly the rows
+    a DAAT scan touches). The go/no-go numbers for an index-time
+    stoplist: how much scan volume goes away vs how much the ranking
+    moves.
+
+    Exactness: postings counts are integers; the two rankings reuse
+    the frozen BM25 expression; two rounded ratios at emit.
+
+    Scale shape: one filtered-postings pass scores both variants
+    (the pruned score is a conditional sum over the same frame);
+    set comparison over post-limit k-row lists."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    keep = (
+        F.col("df").cast("double")
+        <= F.lit(STOPWORD_DF_FRAC) * F.col("n_docs").cast("double")
+    )
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * tfn).alias("s_full"),
+            F.sum(F.when(keep, idf * tfn).otherwise(F.lit(0.0))).alias(
+                "s_pruned"
+            ),
+            F.max(keep.cast("int")).alias("any_kept"),
+        )
+    )
+    full = (
+        scored.orderBy(F.desc("s_full"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+    )
+    pruned = (
+        scored.where(F.col("any_kept") == 1)
+        .orderBy(F.desc("s_pruned"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id")
+    )
+    overlap = full.join(pruned, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    scan = dfs.crossJoin(F.broadcast(stats)).agg(
+        F.sum("df").cast("long").alias("postings_full"),
+        F.sum(F.when(keep, F.col("df")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("postings_pruned"),
+    )
+    return overlap.crossJoin(F.broadcast(scan)).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / F.lit(float(k)), 6
+        ).alias("overlap_ratio"),
+        "postings_full",
+        "postings_pruned",
+        F.round(
+            F.lit(1.0)
+            - F.col("postings_pruned").cast("double")
+            / F.col("postings_full").cast("double"),
+            6,
+        ).alias("scan_saved"),
+    )
+
+
+ILM_HOT_DAYS = 7
+ILM_WARM_DAYS = 21
+
+
+def ilm_phase_plan(spark: SparkSession, t) -> DataFrame:
+    """ES Index Lifecycle Management phase plan (hot/warm/cold
+    tiering — the ops policy every time-series deployment runs next
+    to rollover, operators/rollover.py): bucket events by day age
+    relative to the newest event — hot <= 7 days, warm <= 21, cold
+    beyond — and emit per phase the doc mass and day span the policy
+    would move. The audit an operator reads before setting ILM
+    min_age thresholds: how much data each phase actually holds.
+
+    Exactness: day arithmetic is integer datediff against one
+    broadcast max-date scalar; no floats except the rounded share.
+
+    Scale shape: one map-only phase assignment + one 3-row agg; the
+    max-date is a scalar reduce. At 10^12 events the day-bucketing
+    pushes into the partition layout (time-partitioned tables make
+    this metadata-only), as rollover.py documents."""
+    ev = t["events"]
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mx"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        F.datediff("mx", F.to_date("ts")).alias("age_days")
+    )
+    phase = (
+        F.when(F.col("age_days") <= ILM_HOT_DAYS, F.lit("hot"))
+        .when(F.col("age_days") <= ILM_WARM_DAYS, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    tot = ev.count()
+    return (
+        aged.groupBy(phase.alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("age_days").cast("long").alias("n_days"),
+            F.min("age_days").cast("long").alias("min_age"),
+            F.max("age_days").cast("long").alias("max_age"),
+        )
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_events").cast("double") / F.lit(float(tot)), 6
+            ),
+        )
+        .orderBy("min_age")
+    )

@@ -8852,3 +8852,150 @@ SELECT term, df, cf,
 FROM per WHERE df >= 5
 ORDER BY burstiness DESC, term LIMIT 20
 """
+
+
+def norms_quant_audit_sql(terms: list[str], k: int = 20) -> str:
+    """Twin of operators/textstats.py::norms_quant_audit — same
+    3-bit-mantissa encode/decode and dual-score postings pass."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (
+  SELECT doc_id, doclen,
+         CASE WHEN doclen < 8 THEN doclen
+              ELSE (8 + (doclen >> (length(bin(doclen)) - 4)) % 8)
+                   * (CAST(1 AS BIGINT) << (length(bin(doclen)) - 4))
+              END AS dec
+  FROM (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1)
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         round(avg(abs(CAST(doclen AS DOUBLE) - CAST(dec AS DOUBLE))
+                   / CAST(doclen AS DOUBLE)), 6) AS avg_rel_err
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS s_exact,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dec AS DOUBLE) / avgdl)))
+         ) AS s_quant
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+te AS (SELECT doc_id FROM scored ORDER BY s_exact DESC, doc_id LIMIT {k}),
+tq AS (SELECT doc_id FROM scored ORDER BY s_quant DESC, doc_id LIMIT {k}),
+ov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM te JOIN tq USING (doc_id)
+)
+SELECT CAST({k} AS BIGINT) AS k, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 6) AS overlap_ratio,
+       avg_rel_err
+FROM ov CROSS JOIN stats
+"""
+
+
+def stopword_prune_audit_sql(terms: list[str], k: int = 20) -> str:
+    """Twin of operators/textstats.py::stopword_prune_audit — same
+    df > n/2 stoplist, dual conditional score, postings pricing."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+j AS (
+  SELECT doc_id,
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+         * (CAST(tf AS DOUBLE)
+            / (CAST(tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+           AS contrib,
+         CAST(df AS DOUBLE) <= 0.5 * CAST(n_docs AS DOUBLE) AS keep
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, sum(contrib) AS s_full,
+         sum(CASE WHEN keep THEN contrib ELSE 0.0 END) AS s_pruned,
+         max(CASE WHEN keep THEN 1 ELSE 0 END) AS any_kept
+  FROM j GROUP BY doc_id
+),
+tf_ AS (SELECT doc_id FROM scored ORDER BY s_full DESC, doc_id LIMIT {k}),
+tp AS (
+  SELECT doc_id FROM scored WHERE any_kept = 1
+  ORDER BY s_pruned DESC, doc_id LIMIT {k}
+),
+ov AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_overlap
+  FROM tf_ JOIN tp USING (doc_id)
+),
+scan AS (
+  SELECT CAST(sum(df) AS BIGINT) AS postings_full,
+         CAST(sum(CASE WHEN CAST(df AS DOUBLE)
+                            <= 0.5 * CAST(n_docs AS DOUBLE)
+                       THEN df ELSE 0 END) AS BIGINT) AS postings_pruned
+  FROM dfs CROSS JOIN stats
+)
+SELECT CAST({k} AS BIGINT) AS k, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / {float(k)!r}, 6) AS overlap_ratio,
+       postings_full, postings_pruned,
+       round(1.0 - CAST(postings_pruned AS DOUBLE)
+             / CAST(postings_full AS DOUBLE), 6) AS scan_saved
+FROM ov CROSS JOIN scan
+"""
+
+
+# Twin of operators/textstats.py::ilm_phase_plan — same day-age
+# phases against the broadcast max date.
+ILM_PHASE_PLAN = """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+aged AS (
+  SELECT date_diff('day', CAST(ts AS DATE), mx) AS age_days
+  FROM events CROSS JOIN mx
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM events),
+p AS (
+  SELECT CASE WHEN age_days <= 7 THEN 'hot'
+              WHEN age_days <= 21 THEN 'warm'
+              ELSE 'cold' END AS phase,
+         age_days
+  FROM aged
+)
+SELECT phase, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT age_days) AS BIGINT) AS n_days,
+       CAST(min(age_days) AS BIGINT) AS min_age,
+       CAST(max(age_days) AS BIGINT) AS max_age,
+       round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM p CROSS JOIN tot GROUP BY phase, tot ORDER BY min_age
+"""
