@@ -2249,6 +2249,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_prune_audit": _wrap(textstats.stopword_prune_audit),
         # ES ILM hot/warm/cold phase mass plan over the event stream
         "ilm_phase_plan": _wrap(textstats.ilm_phase_plan),
+        # Proximity-enhanced BM25 (pair min-distance bonus)
+        "bm25_prox": _wrap(textstats.bm25_prox_topk),
+        # ES ip_range aggregation over derived client IPs
+        "ip_range_agg": _wrap(textstats.ip_range_agg),
+        # ES TSDB counter rate with reset handling
+        "counter_rate": _wrap(textstats.counter_rate),
     }
 
 
@@ -2977,4 +2983,7 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS
         ),
         "ilm_phase_plan": oracles.ILM_PHASE_PLAN,
+        "bm25_prox": oracles.bm25_prox_sql(FLAGSHIP_TERMS),
+        "ip_range_agg": oracles.IP_RANGE_AGG,
+        "counter_rate": oracles.COUNTER_RATE,
     }

@@ -3194,3 +3194,100 @@ def test_ilm_phase_plan_recompute(spark, tables):
     # phases partition the stream and appear in age order
     assert sum(r.n_events for r in got.values()) == tot
     assert got["hot"].min_age == 0
+
+
+def test_bm25_prox_recompute(spark, corpus, tables):
+    import math as _m
+    from itertools import combinations
+
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], 15
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    bm: dict[int, float] = {}
+    for t in terms:
+        dfq = sum(1 for ts in toks.values() if t in ts)
+        idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+        for d, ts in toks.items():
+            tf = ts.count(t)
+            if tf:
+                bm[d] = bm.get(d, 0.0) + idf * (
+                    tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                )
+    prox: dict[int, float] = {}
+    for a, b in combinations(sorted(set(terms)), 2):
+        for d, ts in toks.items():
+            pa = [i for i, x in enumerate(ts) if x == a]
+            pb = [i for i, x in enumerate(ts) if x == b]
+            if pa and pb:
+                md = min(abs(x - y) for x in pa for y in pb)
+                prox[d] = prox.get(d, 0.0) + 1.0 / (md * md)
+    want = {
+        d: bm[d] + textstats.PROX_LAMBDA * prox.get(d, 0.0) for d in bm
+    }
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = textstats.bm25_prox_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+    # the bonus must actually reorder something vs plain BM25
+    plain = [d for d, _ in sorted(
+        bm.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    assert [r.doc_id for r in got] != plain
+
+
+def test_ip_range_agg_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    ips = {}
+    for d in by_id:
+        ip = ((d % 65536 + 1) * textstats.IP_MULT) % 2 ** 32
+        ips[d] = ip
+    agg: dict[int, list[int]] = {}
+    for ip in ips.values():
+        agg.setdefault((ip >> 24) // 64, []).append(ip)
+    got = {r.bucket: r for r in
+           textstats.ip_range_agg(spark, tables).collect()}
+    assert set(got) == set(agg)
+    for b, vs in agg.items():
+        r = got[b]
+        assert (r.from_octet, r.to_octet) == (b * 64, b * 64 + 64)
+        assert (r.n_docs, r.n_ips) == (len(vs), len(set(vs)))
+    # the Knuth hash spreads mass into every /2 prefix
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_counter_rate_recompute(spark, tables):
+    rows = tables["events"].select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    agg: dict[str, list[int]] = {}
+    for u, evs in per_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        prev = None
+        for i, r in enumerate(evs, 1):
+            c = (i % textstats.COUNTER_PERIOD) * 3
+            if prev is None:
+                inc, reset = 0, 0
+            elif c >= prev:
+                inc, reset = c - prev, 0
+            else:
+                inc, reset = c, 1
+            day = str(r.ts.date())
+            a = agg.setdefault(day, [0, 0, 0])
+            a[0] += 1
+            a[1] += inc
+            a[2] += reset
+            prev = c
+    got = {r.day: r for r in
+           textstats.counter_rate(spark, tables).collect()}
+    assert set(got) == set(agg)
+    for day, (ns, inc, nr) in agg.items():
+        r = got[day]
+        assert (r.n_samples, r.increase, r.n_resets) == (ns, inc, nr)
+    # sawtooth sanity: resets happen, and increase stays non-negative
+    assert sum(a[2] for a in agg.values()) > 0
+    assert all(r.increase >= 0 for r in got.values())

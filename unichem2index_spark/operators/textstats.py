@@ -5391,3 +5391,228 @@ def ilm_phase_plan(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("min_age")
     )
+
+
+PROX_LAMBDA = 2.0  # proximity-bonus weight
+PROX_MAX = 1.0  # cap: adjacent pair (dist 1) contributes 1.0
+
+
+def bm25_prox_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+) -> DataFrame:
+    """Proximity-enhanced BM25 (Rasolofo & Savoy ECIR'03; Buttcher/
+    Clarke/Lushman SIGIR'06 term-proximity scoring): rank by
+    ``BM25(q,d) + lambda * sum over query-term pairs 1/min_dist^2``
+    — documents where the query terms sit NEAR each other outrank
+    bag-of-words ties, the retrieval-model cousin of the span/
+    intervals match family (which filters but doesn't score). Pair
+    distance is the minimum absolute position gap; absent pairs
+    contribute 0.
+
+    Exactness: BM25 reuses the frozen expression; min_dist is
+    integer; the bonus is one divide per pair of an exact integer
+    square; round(6) at emit.
+
+    Scale shape: the BM25 leg is the audited filtered-postings plan;
+    the proximity leg explodes positions for |q| terms only and
+    self-joins co-partitioned on doc_id with per-doc pair cost
+    tf_a * tf_b — the intervals_unordered verify bound. At serving
+    QPS the same bonus folds into the WAND kernel as a rescore
+    (rescore_topk pattern)."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    bm = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfn).alias("bm25"))
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "term")
+    ).where(F.col("term").isin(list(terms)))
+    uniq = sorted(set(terms))
+    pair_frames = []
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            pa = pos.where(F.col("term") == a).select(
+                "doc_id", F.col("pos").alias("pa")
+            )
+            pb = pos.where(F.col("term") == b).select(
+                "doc_id", F.col("pos").alias("pb")
+            )
+            pair_frames.append(
+                pa.join(pb, "doc_id")
+                .groupBy("doc_id")
+                .agg(
+                    F.min(F.abs(F.col("pa") - F.col("pb")))
+                    .cast("long")
+                    .alias("md")
+                )
+            )
+    prox = pair_frames[0]
+    for f2 in pair_frames[1:]:
+        prox = prox.unionAll(f2)
+    bonus = prox.groupBy("doc_id").agg(
+        F.sum(
+            F.lit(1.0)
+            / (F.col("md").cast("double") * F.col("md").cast("double"))
+        ).alias("prox")
+    )
+    return (
+        bm.join(bonus, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("bm25")
+                + F.lit(PROX_LAMBDA) * F.coalesce("prox", F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+IP_MULT = 2654435761  # Knuth multiplicative hash (shared style)
+
+
+def ip_range_agg(spark: SparkSession, t) -> DataFrame:
+    """ES ``ip_range`` aggregation: bucket documents by client-IP
+    ranges — the access-log slicing agg (per-subnet traffic, abuse
+    ranges). The corpus stores no IPs, so each doc's IPv4 is DERIVED
+    deterministically (the url_features convention): ``ip_int =
+    ((doc_id % 65536 + 1) * 2654435761) % 2^32``, rendered dotted-quad
+    from its four octets. Buckets are the four /2 prefixes ([0,64),
+    [64,128), [128,192), [192,256) on the first octet — fixed ranges
+    exactly as an ip_range request lists them), each reporting doc
+    count and distinct IPs.
+
+    Exactness: pure integer hash/shift arithmetic, far below 2^63.
+
+    Scale shape: map-only derivation + one 4-row agg; count-distinct
+    runs per bucket over the already-derived int — one scan, one
+    narrow shuffle."""
+    docs = t["documents"]
+    ip_int = ((F.col("doc_id") % 65536 + 1) * F.lit(IP_MULT)) % F.lit(
+        4294967296
+    )
+    staged = docs.select(
+        ip_int.alias("ip_int"),
+        F.expr(
+            f"(((doc_id % 65536 + 1) * {IP_MULT}) % 4294967296)"
+            " div 16777216"
+        ).alias("o1"),
+    )
+    return (
+        staged.groupBy(
+            F.expr("o1 div 64").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ip_int").cast("long").alias("n_ips"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 64).cast("long").alias("from_octet"),
+            (F.col("bucket") * 64 + 64).cast("long").alias("to_octet"),
+            "n_docs",
+            "n_ips",
+        )
+        .orderBy("bucket")
+    )
+
+
+COUNTER_PERIOD = 17  # planted sawtooth period (resets every 17 events)
+
+
+def counter_rate(spark: SparkSession, t) -> DataFrame:
+    """ES TSDB ``rate`` over a counter field with RESET handling (the
+    time-series metric type ES 8 added for monitoring data): a
+    monotonic counter that occasionally resets (process restart) must
+    contribute ``delta`` when it grew and ``current_value`` after a
+    reset — naive last-minus-first under-counts across resets. The
+    counter is PLANTED as a per-user sawtooth (``(rn % 17) * 3`` over
+    the user's event sequence — resets every 17 events, deterministic
+    on both engines), and the agg reports per-day sample counts and
+    the reset-aware total increase.
+
+    Exactness: pure integer window arithmetic; no floats.
+
+    Scale shape: one window per user partition (the same
+    partitioning sessionize/eventseq use — user-bounded state), then
+    a map-side-combinable day agg. At 10^12 events the user window
+    rides the time-partitioned layout like eventseq documents."""
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            (F.row_number().over(w) % COUNTER_PERIOD) * 3
+        ).cast("long").alias("counter"),
+    ).withColumn("prev", F.lag("counter").over(w))
+    contrib = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(
+            F.col("counter") >= F.col("prev"),
+            F.col("counter") - F.col("prev"),
+        )
+        .otherwise(F.col("counter"))
+    )
+    return (
+        staged.groupBy(
+            F.to_date("ts").cast("string").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(contrib).cast("long").alias("increase"),
+            F.sum(
+                (
+                    F.col("prev").isNotNull()
+                    & (F.col("counter") < F.col("prev"))
+                ).cast("long")
+            ).cast("long").alias("n_resets"),
+        )
+        .orderBy("day")
+    )

@@ -8999,3 +8999,113 @@ SELECT phase, CAST(count(*) AS BIGINT) AS n_events,
        round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
 FROM p CROSS JOIN tot GROUP BY phase, tot ORDER BY min_age
 """
+
+
+def bm25_prox_sql(terms: list[str], k: int = 15) -> str:
+    """Twin of operators/textstats.py::bm25_prox_topk — same frozen
+    BM25 leg plus 1/min_dist^2 pair bonuses, lambda 2.0."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    pair_sel = "\nUNION ALL\n".join(
+        f"""SELECT pa.doc_id, min(abs(pa.pos - pb.pos)) AS md
+  FROM (SELECT doc_id, pos FROM pos WHERE term = '{a}') pa
+  JOIN (SELECT doc_id, pos FROM pos WHERE term = '{b}') pb
+    ON pa.doc_id = pb.doc_id
+  GROUP BY pa.doc_id"""
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tokf AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+bm AS (
+  SELECT doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS bm25
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id, unnest(range(len(toks))) AS pos,
+           unnest(toks) AS term
+    FROM tok
+  ) WHERE term IN ({inlist})
+),
+pr AS (
+{pair_sel}
+),
+bonus AS (
+  SELECT doc_id,
+         sum(1.0 / (CAST(md AS DOUBLE) * CAST(md AS DOUBLE))) AS prox
+  FROM pr GROUP BY doc_id
+)
+SELECT doc_id,
+       round(bm25 + 2.0 * coalesce(prox, 0.0), 6) AS score
+FROM bm LEFT JOIN bonus USING (doc_id)
+ORDER BY bm25 + 2.0 * coalesce(prox, 0.0) DESC, doc_id LIMIT {k}
+"""
+
+
+# Twin of operators/textstats.py::ip_range_agg — same Knuth-hash IPv4
+# derivation and /2-prefix fixed ranges.
+IP_RANGE_AGG = """
+WITH staged AS (
+  SELECT ((doc_id % 65536 + 1) * 2654435761) % 4294967296 AS ip_int,
+         (((doc_id % 65536 + 1) * 2654435761) % 4294967296)
+           // 16777216 AS o1
+  FROM documents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * 64 AS BIGINT) AS from_octet,
+       CAST(bucket * 64 + 64 AS BIGINT) AS to_octet,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT ip_int) AS BIGINT) AS n_ips
+FROM (SELECT o1 // 64 AS bucket, ip_int FROM staged)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+# Twin of operators/textstats.py::counter_rate — same planted
+# per-user sawtooth and reset-aware delta sum.
+COUNTER_RATE = """
+WITH staged AS (
+  SELECT user_id, ts, event_id,
+         (row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) % 17) * 3
+           AS counter
+  FROM events
+),
+lagged AS (
+  SELECT CAST(ts AS DATE) AS day, counter,
+         lag(counter) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM staged
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                     WHEN counter >= prev THEN counter - prev
+                     ELSE counter END) AS BIGINT) AS increase,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND counter < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+FROM lagged GROUP BY day ORDER BY day
+"""
