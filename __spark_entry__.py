@@ -2255,6 +2255,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_range_agg": _wrap(textstats.ip_range_agg),
         # ES TSDB counter rate with reset handling
         "counter_rate": _wrap(textstats.counter_rate),
+        # Sequential Dependence Model ranking (Metzler-Croft SDM)
+        "sdm_topk": _wrap(textstats.sdm_topk),
+        # K-gram index wildcard expansion (IIR 3.2)
+        "kgram_wildcard": _wrap(textstats.kgram_wildcard),
+        # Language-ID confusion matrix vs gold labels
+        "langid_confusion": _wrap(textstats.langid_confusion),
     }
 
 
@@ -2986,4 +2992,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prox": oracles.bm25_prox_sql(FLAGSHIP_TERMS),
         "ip_range_agg": oracles.IP_RANGE_AGG,
         "counter_rate": oracles.COUNTER_RATE,
+        "sdm_topk": oracles.sdm_sql(FLAGSHIP_TERMS),
+        "kgram_wildcard": oracles.kgram_wildcard_sql(
+            [
+                (p, g, len(textstats._kgram_required(p)))
+                for p in textstats.KGRAM_PATTERNS
+                for g in textstats._kgram_required(p)
+            ]
+        ),
+        "langid_confusion": oracles.LANGID_CONFUSION,
     }

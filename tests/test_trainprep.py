@@ -3291,3 +3291,133 @@ def test_counter_rate_recompute(spark, tables):
     # sawtooth sanity: resets happen, and increase stays non-negative
     assert sum(a[2] for a in agg.values()) > 0
     assert all(r.increase >= 0 for r in got.values())
+
+
+def test_sdm_recompute(spark, corpus, tables):
+    import math as _m
+    from itertools import combinations
+
+    _, by_id = corpus
+    q = ["the", "merge", "vector"]
+    uniq = sorted(set(q))
+    k, mu, uw = 15, textstats.SDM_MU, textstats.SDM_UW
+    wt, wo, wu = textstats.SDM_W
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    total = sum(len(ts) for ts in toks.values())
+
+    def uni_tf(ts, t):
+        return ts.count(t)
+
+    def bi_tf(ts, a, b):
+        return sum(
+            1 for x, y in zip(ts, ts[1:]) if x == a and y == b
+        )
+
+    def uw_tf(ts, a, b):
+        pa = [i for i, x in enumerate(ts) if x == a]
+        pb = [i for i, x in enumerate(ts) if x == b]
+        return sum(
+            1 for x in pa for y in pb if abs(x - y) < uw
+        )
+
+    feats = (
+        [("u", (t2,), wt) for t2 in uniq]
+        + [("o", p, wo) for p in zip(q, q[1:])]
+        + [("w", p, wu) for p in combinations(uniq, 2)]
+    )
+
+    def tf_of(kind, args, ts):
+        if kind == "u":
+            return uni_tf(ts, *args)
+        if kind == "o":
+            return bi_tf(ts, *args)
+        return uw_tf(ts, *args)
+
+    cf = {
+        (kind, args): sum(tf_of(kind, args, ts) for ts in toks.values())
+        for kind, args, _ in feats
+    }
+    cand = [d for d, ts in toks.items() if any(t2 in ts for t2 in uniq)]
+    want = {}
+    for d in cand:
+        ts = toks[d]
+        s = 0.0
+        for kind, args, w in feats:
+            p_f = (cf[(kind, args)] + 0.5) / total
+            s += w * _m.log(
+                (tf_of(kind, args, ts) + mu * p_f) / (len(ts) + mu)
+            )
+        want[d] = s
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = textstats.sdm_topk(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert abs(r.score - round(s, 6)) < 1e-6
+    # dependence features must reorder something vs unigrams alone
+    uni_only = {}
+    for d in cand:
+        ts = toks[d]
+        s = 0.0
+        for t2 in uniq:
+            p_f = (cf[("u", (t2,))] + 0.5) / total
+            s += wt * _m.log((ts.count(t2) + mu * p_f) / (len(ts) + mu))
+        uni_only[d] = s
+    plain = [d for d, _ in sorted(
+        uni_only.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    assert [r.doc_id for r in got] != plain
+
+
+def test_kgram_wildcard_recompute(spark, corpus, tables):
+    import fnmatch
+
+    _, by_id = corpus
+    df: dict[str, set] = {}
+    for d, r in by_id.items():
+        for t2 in set(tokenize(r.text)):
+            df.setdefault(t2, set()).add(d)
+
+    got: dict[str, list] = {}
+    for r in textstats.kgram_wildcard(spark, tables).collect():
+        got.setdefault(r.pattern, []).append((r.term, r.df))
+    for pat in textstats.KGRAM_PATTERNS:
+        req = set(textstats._kgram_required(pat))
+        want = []
+        for t2 in sorted(df):
+            aug = f"${t2}$"
+            grams = {aug[i:i + 2] for i in range(len(aug) - 1)}
+            if req <= grams and fnmatch.fnmatchcase(t2, pat):
+                want.append((t2, len(df[t2])))
+        assert got.get(pat, []) == want
+    # every planted pattern expands to its intended vocabulary term
+    hits = {p: {t2 for t2, _ in v} for p, v in got.items()}
+    assert "merge" in hits["m*e"]
+    assert "group" in hits["gr*p"]
+    assert "window" in hits["w*dow"]
+
+
+def test_langid_confusion_recompute(spark, corpus, tables):
+    from collections import Counter
+
+    _, by_id = corpus
+    en_m = set(textstats.EN_MARKERS)
+    de_m = set(textstats.DE_MARKERS)
+    cells: Counter = Counter()
+    for r in by_id.values():
+        ts = tokenize(r.text)
+        en = sum(1 for x in ts if x in en_m)
+        de = sum(1 for x in ts if x in de_m)
+        pred = "en" if en > de else "de" if de > en else "und"
+        cells[(r.lang, pred)] += 1
+    gold_tot = Counter()
+    for (g, _), n in cells.items():
+        gold_tot[g] += n
+    got = {(r.gold, r.pred): r for r in
+           textstats.langid_confusion(spark, tables).collect()}
+    assert set(got) == set(cells)
+    for (g, p), n in cells.items():
+        r = got[(g, p)]
+        assert r.n_docs == n
+        assert r.share == round(n / gold_tot[g], 6)
+    # the audit's finding: non-en gold classes get predicted en/und,
+    # never de (the corpus text carries no German markers)
+    assert not any(p == "de" for _, p in got)

@@ -5616,3 +5616,281 @@ def counter_rate(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+SDM_W = (0.85, 0.10, 0.05)  # Metzler-Croft unigram/ordered/unordered
+SDM_MU = 2000.0  # Dirichlet smoothing
+SDM_UW = 8  # unordered window width (positions |i-j| <= 7)
+
+
+def sdm_topk(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = 15,
+) -> DataFrame:
+    """Sequential Dependence Model ranking (Metzler & Croft SIGIR'05
+    — THE term-dependence retrieval model; Indri/Galago's default and
+    the standard strong lexical baseline in every neural-IR paper):
+
+        score(q,d) = 0.85 * sum_t f_T + 0.10 * sum_adjacent f_O
+                   + 0.05 * sum_pairs f_U
+
+    with Dirichlet-smoothed log-probabilities per FEATURE
+    ``f = ln((tf_f + mu * p_f) / (dl + mu))``: f_T over query
+    unigrams, f_O over adjacent query bigrams matched EXACTLY ordered
+    (#1 windows), f_U over query-term pairs co-occurring within an
+    8-wide unordered window (#uw8, counted as position pairs with
+    |i - j| < 8). Collection probabilities carry a +0.5 floor
+    (p_f = (cf_f + 0.5)/total_tokens) so zero-cf bigrams stay
+    finite — the Indri convention. Candidates = docs matching any
+    unigram; absent features contribute their background
+    log-probability, exactly as the model specifies.
+
+    Exactness: every feature tf is an integer (array-lambda counts
+    for #1, bounded position-pair joins for #uw8); p_f, the per-
+    feature log and the weighted sum are fixed-shape doubles mirrored
+    token-for-token in the oracle; round(6) at emit.
+
+    Scale shape: unigram/bigram counts are map-side array lambdas;
+    #uw8 is |pairs| co-partitioned position joins bounded by
+    tf_a * tf_b per doc (the intervals_unordered verify bound); the
+    feature model is ~8 broadcast rows; one shuffle on doc_id for the
+    final sum. The serving-tier version folds f_T into the WAND
+    kernel and rescores top-R with f_O/f_U (rescore_topk pattern)."""
+    d = t["documents"]
+    tok = d.select("doc_id", tokens_col("text").alias("toks"))
+    tokf = tok.select("doc_id", F.explode("toks").alias("term"))
+    dl = tokf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("doclen")
+    )
+    tot = dl.agg(F.sum("doclen").cast("long").alias("total_tokens"))
+    q = list(terms)
+    uniq = sorted(set(q))
+    # unigram tfs
+    uni = (
+        tokf.where(F.col("term").isin(uniq))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(
+            "doc_id",
+            F.concat(F.lit("u:"), F.col("term")).alias("feat"),
+            "tf",
+        )
+    )
+    # ordered adjacent bigram tfs (#1 windows)
+    bi_frames = []
+    for a, b in zip(q, q[1:]):
+        cnt = F.expr(
+            f"IF(size(toks) >= 2, size(filter(sequence(1,"
+            f" size(toks) - 1), i -> element_at(toks, i) = '{a}'"
+            f" AND element_at(toks, i + 1) = '{b}')), 0)"
+        ).cast("long")
+        bi_frames.append(
+            tok.select(
+                "doc_id",
+                F.lit(f"o:{a} {b}").alias("feat"),
+                cnt.alias("tf"),
+            ).where(F.col("tf") > 0)
+        )
+    # unordered-window pair tfs (#uw8)
+    pos = tok.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).where(F.col("term").isin(uniq))
+    uw_frames = []
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            pa = pos.where(F.col("term") == a).select(
+                "doc_id", F.col("pos").alias("pa")
+            )
+            pb = pos.where(F.col("term") == b).select(
+                "doc_id", F.col("pos").alias("pb")
+            )
+            uw_frames.append(
+                pa.join(pb, "doc_id")
+                .where(F.abs(F.col("pa") - F.col("pb")) < SDM_UW)
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                .select(
+                    "doc_id",
+                    F.lit(f"w:{a} {b}").alias("feat"),
+                    "tf",
+                )
+            )
+    feats_tf = uni
+    for f2 in bi_frames + uw_frames:
+        feats_tf = feats_tf.unionAll(f2)
+    cf = feats_tf.groupBy("feat").agg(
+        F.sum("tf").cast("long").alias("cf")
+    )
+    wmap = (
+        [(f"u:{t2}", SDM_W[0]) for t2 in uniq]
+        + [(f"o:{a} {b}", SDM_W[1]) for a, b in zip(q, q[1:])]
+        + [
+            (f"w:{a} {b}", SDM_W[2])
+            for i, a in enumerate(uniq)
+            for b in uniq[i + 1:]
+        ]
+    )
+    wdf = spark.createDataFrame(wmap, "feat string, w double")
+    model = wdf.join(cf, "feat", "left").select(
+        "feat",
+        "w",
+        F.coalesce("cf", F.lit(0)).cast("long").alias("cf"),
+    )
+    cand = (
+        tokf.where(F.col("term").isin(uniq)).select("doc_id").distinct()
+    )
+    grid = (
+        cand.join(dl, "doc_id")
+        .crossJoin(F.broadcast(model))
+        .crossJoin(F.broadcast(tot))
+        .join(feats_tf, ["doc_id", "feat"], "left")
+    )
+    p_f = (F.col("cf").cast("double") + F.lit(0.5)) / F.col(
+        "total_tokens"
+    ).cast("double")
+    contrib = F.col("w") * F.log(
+        (F.coalesce("tf", F.lit(0)).cast("double") + F.lit(SDM_MU) * p_f)
+        / (F.col("doclen").cast("double") + F.lit(SDM_MU))
+    )
+    return (
+        grid.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+KGRAM_PATTERNS = ("m*e", "gr*p", "w*dow")  # single-star wildcards
+
+
+def _kgram_required(pattern: str) -> list[str]:
+    """Boundary-augmented bigrams a single-star wildcard REQUIRES
+    (Manning/Raghavan/Schutze IIR §3.2.2): grams of '$'+prefix and
+    suffix+'$', deduplicated, computed query-side in Python (the
+    pattern is a literal — only the dictionary side needs engine
+    gram generation)."""
+    p, s = pattern.split("*", 1)
+    grams: list[str] = []
+    for seg in ("$" + p, s + "$"):
+        grams += [seg[i:i + 2] for i in range(len(seg) - 1)]
+    out: list[str] = []
+    for g in grams:
+        if len(g) == 2 and g not in out:
+            out.append(g)
+    return out
+
+
+def kgram_wildcard(
+    spark: SparkSession,
+    t,
+    patterns: tuple[str, ...] = KGRAM_PATTERNS,
+) -> DataFrame:
+    """K-gram index wildcard expansion (the IR-textbook structure
+    behind Lucene/ES wildcard handling when a rewrite can't use the
+    term dictionary's prefix order): index every dictionary term's
+    boundary-augmented character bigrams ('$mer$...' style), answer
+    'm*e' by intersecting the postings of its required grams, then
+    post-filter the candidates with the real pattern (the mandatory
+    verify step — gram containment over-generates, e.g. 'm*e'
+    grams also admit terms where the grams appear out of order).
+    Output: every matching dictionary term per pattern with its df —
+    what the wildcard REWRITES TO before scoring (bm25_regexp /
+    bm25_wildcard then consume the expansion).
+
+    Exactness: pure string/integer ops, no floats.
+
+    Scale shape: the gram-postings frame is vocabulary-sized x term
+    length, built once (an index sidecar, same lifecycle as
+    symspell_suggest's delete keys); each query is a broadcast join
+    of a handful of gram keys + a HAVING count intersection + a
+    dictionary-row LIKE verify. No corpus scan at query time."""
+    d = t["documents"]
+    vocab = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    tgrams = vocab.select(
+        "term",
+        "df",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1,"
+                " length(concat('$', term, '$')) - 1),"
+                " i -> substring(concat('$', term, '$'), i, 2)))"
+            )
+        ).alias("gram"),
+    )
+    qrows = [
+        (pat, g, len(_kgram_required(pat)))
+        for pat in patterns
+        for g in _kgram_required(pat)
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "pattern string, gram string, n_req int"
+    )
+    cand = (
+        tgrams.join(F.broadcast(qdf), "gram")
+        .groupBy("pattern", "term", "df", "n_req")
+        .agg(F.countDistinct("gram").alias("n_hit"))
+        .where(F.col("n_hit") == F.col("n_req"))
+    )
+    verified = cand.where(
+        F.expr("term LIKE replace(pattern, '*', '%')")
+    )
+    return (
+        verified.select("pattern", "term", "df")
+        .orderBy("pattern", "term")
+    )
+
+
+def langid_confusion(spark: SparkSession, t) -> DataFrame:
+    """Language-ID confusion matrix — the eval every lang-filter
+    deploys before trusting the classifier (lang_id's marker-word
+    heuristic) against the corpus's GOLD ``lang`` labels: per (gold,
+    predicted) cell the doc count, plus the per-cell share of the
+    gold class. The synthetic corpus's text is English-vocabulary for
+    every gold label, so the matrix EXPOSES the heuristic's real
+    failure mode: non-en gold rows predicted en/und — exactly the
+    audit result that tells a pipeline to not filter zh/es/fr on an
+    en/de marker list. Prediction logic is lang_id's, unchanged.
+
+    Exactness: integer counts + one rounded share divide.
+
+    Scale shape: map-only marker counting (the lang_id plan) + one
+    (gold, pred) agg; the share join touches a label-cardinality
+    frame."""
+    d = t["documents"]
+    toks = tokens_col("text")
+    en = F.size(F.filter(toks, lambda x: x.isin(EN_MARKERS)))
+    de = F.size(F.filter(toks, lambda x: x.isin(DE_MARKERS)))
+    pred = (
+        F.when(en > de, "en").when(de > en, "de").otherwise("und")
+    )
+    cells = (
+        d.select(F.col("lang").alias("gold"), pred.alias("pred"))
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    gold_tot = cells.groupBy("gold").agg(
+        F.sum("n_docs").alias("n_gold")
+    )
+    return (
+        cells.join(gold_tot, "gold")
+        .select(
+            "gold",
+            "pred",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("n_gold").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("gold", "pred")
+    )

@@ -9109,3 +9109,179 @@ SELECT CAST(day AS VARCHAR) AS day,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
 FROM lagged GROUP BY day ORDER BY day
 """
+
+
+def sdm_sql(terms: list[str], k: int = 15) -> str:
+    """Twin of operators/textstats.py::sdm_topk — same unigram /
+    ordered-#1 / unordered-#uw8 features, Dirichlet mu 2000, +0.5 cf
+    floor, (0.85, 0.10, 0.05) weights."""
+    q = list(terms)
+    uniq = sorted(set(q))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    bi_sel = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, 'o:{a} {b}' AS feat, tf FROM (
+  SELECT doc_id,
+         CAST(CASE WHEN len(toks) >= 2
+              THEN len(list_filter(range(1, len(toks)),
+                   i -> toks[i] = '{a}' AND toks[i + 1] = '{b}'))
+              ELSE 0 END AS BIGINT) AS tf
+  FROM tok
+) WHERE tf > 0"""
+        for a, b in zip(q, q[1:])
+    )
+    uw_sel = "\nUNION ALL\n".join(
+        f"""SELECT pa.doc_id, 'w:{a} {b}' AS feat,
+       CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, pos FROM pos WHERE term = '{a}') pa
+  JOIN (SELECT doc_id, pos FROM pos WHERE term = '{b}') pb
+    ON pa.doc_id = pb.doc_id
+  WHERE abs(pa.pos - pb.pos) < 8
+  GROUP BY pa.doc_id"""
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+    )
+    wrows = "\nUNION ALL\n".join(
+        [
+            f"SELECT 'u:{t2}' AS feat, CAST(0.85 AS DOUBLE) AS w"
+            for t2 in uniq
+        ]
+        + [
+            f"SELECT 'o:{a} {b}', CAST(0.10 AS DOUBLE)"
+            for a, b in zip(q, q[1:])
+        ]
+        + [
+            f"SELECT 'w:{a} {b}', CAST(0.05 AS DOUBLE)"
+            for i, a in enumerate(uniq)
+            for b in uniq[i + 1:]
+        ]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tokf AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen
+  FROM tokf GROUP BY 1
+),
+tot AS (SELECT CAST(sum(doclen) AS BIGINT) AS total_tokens FROM dl),
+pos AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id, unnest(range(len(toks))) AS pos,
+           unnest(toks) AS term
+    FROM tok
+  ) WHERE term IN ({inlist})
+),
+uni AS (
+  SELECT doc_id, 'u:' || term AS feat, CAST(count(*) AS BIGINT) AS tf
+  FROM tokf WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+feats_tf AS (
+  SELECT * FROM uni
+UNION ALL
+{bi_sel}
+UNION ALL
+{uw_sel}
+),
+cf AS (
+  SELECT feat, CAST(sum(tf) AS BIGINT) AS cf FROM feats_tf GROUP BY 1
+),
+wdf AS (
+{wrows}
+),
+model AS (
+  SELECT w.feat, w.w, coalesce(c.cf, 0) AS cf
+  FROM wdf w LEFT JOIN cf c USING (feat)
+),
+cand AS (
+  SELECT DISTINCT doc_id FROM tokf WHERE term IN ({inlist})
+),
+grid AS (
+  SELECT c.doc_id, d.doclen, m.feat, m.w, m.cf, t.total_tokens, f.tf
+  FROM cand c
+  JOIN dl d USING (doc_id)
+  CROSS JOIN model m
+  CROSS JOIN tot t
+  LEFT JOIN feats_tf f
+    ON f.doc_id = c.doc_id AND f.feat = m.feat
+),
+scored AS (
+  SELECT doc_id,
+         sum(w * ln(
+           (CAST(coalesce(tf, 0) AS DOUBLE)
+            + 2000.0 * ((CAST(cf AS DOUBLE) + 0.5)
+                        / CAST(total_tokens AS DOUBLE)))
+           / (CAST(doclen AS DOUBLE) + 2000.0)
+         )) AS score
+  FROM grid GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def kgram_wildcard_sql(
+    pattern_grams: list[tuple[str, str, int]]
+) -> str:
+    """Twin of operators/textstats.py::kgram_wildcard — same
+    boundary-bigram dictionary index, gram-intersection HAVING, and
+    LIKE verify. ``pattern_grams`` = (pattern, gram, n_required)
+    rows computed by the same python helper."""
+    qrows = ", ".join(
+        f"('{p}', '{g.replace(chr(39), chr(39) * 2)}', {n})"
+        for p, g, n in pattern_grams
+    )
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+    SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term
+),
+tg AS (
+  SELECT term, df, unnest(list_distinct(list_transform(
+    range(1, length('$' || term || '$')),
+    i -> substr('$' || term || '$', i, 2)))) AS gram
+  FROM vocab
+),
+q(pattern, gram, n_req) AS (VALUES {qrows}),
+cand AS (
+  SELECT pattern, term, df, n_req,
+         count(DISTINCT gram) AS n_hit
+  FROM tg JOIN q USING (gram) GROUP BY 1, 2, 3, 4
+)
+SELECT pattern, term, df FROM cand
+WHERE n_hit = n_req AND term LIKE replace(pattern, '*', '%')
+ORDER BY pattern, term
+"""
+
+
+# Twin of operators/textstats.py::langid_confusion — lang_id's marker
+# prediction against the gold lang column.
+LANGID_CONFUSION = f"""
+WITH tok AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+m AS (
+  SELECT lang AS gold,
+    CASE WHEN len(list_filter(toks,
+            x -> list_contains(['the','a','of','and','is'], x)))
+          > len(list_filter(toks,
+            x -> list_contains(['der','die','das','und','ist'], x)))
+         THEN 'en'
+         WHEN len(list_filter(toks,
+            x -> list_contains(['der','die','das','und','ist'], x)))
+          > len(list_filter(toks,
+            x -> list_contains(['the','a','of','and','is'], x)))
+         THEN 'de'
+         ELSE 'und' END AS pred
+  FROM tok
+),
+cells AS (
+  SELECT gold, pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM m GROUP BY 1, 2
+),
+gt AS (
+  SELECT gold, CAST(sum(n_docs) AS BIGINT) AS n_gold
+  FROM cells GROUP BY 1
+)
+SELECT gold, pred, n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(n_gold AS DOUBLE), 6)
+         AS share
+FROM cells JOIN gt USING (gold) ORDER BY gold, pred
+"""
