@@ -2261,6 +2261,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgram_wildcard": _wrap(textstats.kgram_wildcard),
         # Language-ID confusion matrix vs gold labels
         "langid_confusion": _wrap(textstats.langid_confusion),
+        # ES context suggester (per-lang completion)
+        "completion_context": _wrap(textstats.completion_context),
+        # SERP result clustering (star-graph Scatter/Gather)
+        "serp_clusters": _wrap(textstats.serp_clusters),
+        # Singhal pivoted length-normalization audit
+        "pivoted_length_audit": lambda spark, sf_dir: (
+            Q.pivoted_length_audit(_docs(spark, sf_dir), AP_QUERIES)
+        ),
     }
 
 
@@ -3001,4 +3009,9 @@ def oracle_sql() -> dict[str, str]:
             ]
         ),
         "langid_confusion": oracles.LANGID_CONFUSION,
+        "completion_context": oracles.completion_context_sql(),
+        "serp_clusters": oracles.serp_clusters_sql(FLAGSHIP_TERMS),
+        "pivoted_length_audit": oracles.pivoted_length_audit_sql(
+            AP_QUERIES
+        ),
     }

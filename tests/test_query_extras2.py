@@ -1630,3 +1630,46 @@ def test_trec_pool_matches_python(spark, corpus):
         assert r.jaccard == round(len(ta & tb) / len(ta | tb), 6)
         # two correlated systems must overlap but not coincide
         assert 0 < r.n_overlap < r.pool_size
+
+
+def test_pivoted_length_audit_recompute(spark, corpus):
+    import math as _m
+
+    df, oracle, rows = corpus
+    queries = [
+        (0, ["merge", "group"], "key"),
+        (1, ["fast", "window"], "scan"),
+        (2, ["the", "vector"], "merge"),
+    ]
+    depth = Q.PIVOT_DEPTH
+    toks = {d: tokenize(r.text) for d, r in rows.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    from collections import Counter
+
+    cnt = Counter(dl.values())
+    total = sum(cnt.values())
+    bucket_of = {}
+    cum = 0
+    for v in sorted(cnt):
+        bucket_of[v] = (cum * Q.PIVOT_BUCKETS) // total
+        cum += cnt[v]
+    retr: Counter = Counter()
+    n_retr = 0
+    for qid, terms, _ in queries:
+        topd = _ranking(_scores(oracle, terms))[:depth]
+        for d, _ in topd:
+            retr[bucket_of[dl[d]]] += 1
+            n_retr += 1
+    docs_b: Counter = Counter(bucket_of[v2] for v2 in dl.values())
+    got = {r.bucket: r for r in
+           Q.pivoted_length_audit(df, queries).collect()}
+    assert set(got) == set(docs_b)
+    for b in docs_b:
+        r = got[b]
+        assert r.n_docs == docs_b[b]
+        assert r.n_retrieved == retr.get(b, 0)
+        assert r.doc_share == round(docs_b[b] / total, 6)
+        assert r.retr_share == round(retr.get(b, 0) / n_retr, 6)
+    # shares each sum to ~1
+    assert abs(sum(r.doc_share for r in got.values()) - 1.0) < 1e-3
+    assert abs(sum(r.retr_share for r in got.values()) - 1.0) < 1e-3

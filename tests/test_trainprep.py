@@ -3421,3 +3421,76 @@ def test_langid_confusion_recompute(spark, corpus, tables):
     # the audit's finding: non-en gold classes get predicted en/und,
     # never de (the corpus text carries no German markers)
     assert not any(p == "de" for _, p in got)
+
+
+def test_completion_context_recompute(spark, corpus, tables):
+    from collections import Counter
+
+    _, by_id = corpus
+    per: Counter = Counter()
+    for r in by_id.values():
+        for t2 in tokenize(r.text):
+            if t2.startswith("s"):
+                per[(r.lang, t2)] += 1
+    want: dict[str, list] = {}
+    langs = {l for l, _ in per}
+    for lang in langs:
+        ranked = sorted(
+            ((w, s) for (l, s), w in per.items() if l == lang),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        want[lang] = [
+            (i + 1, s, w) for i, (w, s) in enumerate(ranked)
+        ]
+    got: dict[str, list] = {}
+    for r in textstats.completion_context(spark, tables).collect():
+        got.setdefault(r.lang, []).append(
+            (r.rank, r.suggestion, r.weight)
+        )
+    assert got == want
+    # context filtering: every lang slice ranks independently
+    assert len(got) == len(langs)
+
+
+def test_serp_clusters_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms, k, tau = ["the", "merge", "vector"], textstats.SERP_K, \
+        textstats.SERP_TAU
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    bm: dict[int, float] = {}
+    for t2 in terms:
+        dfq = sum(1 for ts in toks.values() if t2 in ts)
+        idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+        for d, ts in toks.items():
+            tf = ts.count(t2)
+            if tf:
+                bm[d] = bm.get(d, 0.0) + idf * (
+                    tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                )
+    top = [d for d, _ in sorted(
+        bm.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    rank = {d: i + 1 for i, d in enumerate(top)}
+    sets = {d: set(toks[d]) for d in top}
+    want = {}
+    for d in top:
+        best = None
+        for other in top:
+            if rank[other] >= rank[d]:
+                continue
+            j = len(sets[d] & sets[other]) / len(sets[d] | sets[other])
+            if j >= tau and (best is None or rank[other] < rank[best[0]]):
+                best = (other, j)
+        if best:
+            want[d] = (rank[d], best[0], round(best[1], 6))
+        else:
+            want[d] = (rank[d], d, 1.0)
+    got = {r.doc_id: (r.rank, r.leader, r.sim) for r in
+           textstats.serp_clusters(spark, tables).collect()}
+    assert got == want
+    # at least one non-trivial cluster forms on this corpus
+    assert any(lead != d for d, (_, lead, _) in got.items())
+

@@ -904,6 +904,112 @@ def rbp_eval(
     )
 
 
+PIVOT_DEPTH = 50  # retrieval depth per query for the length audit
+PIVOT_BUCKETS = 10  # length deciles
+
+
+def pivoted_length_audit(
+    docs_df: DataFrame,
+    queries: list[tuple[int, list[str], str]],
+    depth: int = PIVOT_DEPTH,
+) -> DataFrame:
+    """Pivoted length-normalization audit (Singhal/Buckley/Mitra
+    SIGIR'96 — the retrieval-probability-vs-length plot that
+    motivated pivoted normalization and BM25's b parameter): bucket
+    docs into length deciles (value-atomic equal-depth cut, the
+    variable_width_histogram assignment), run the query set's BM25
+    top-depth, and per decile compare the share of RETRIEVALS landing
+    there against the share of DOCS living there — ratio > 1 means
+    the scorer over-retrieves that length band, the exact signal the
+    paper tuned the pivot against.
+
+    Exactness: all shares are integer ratios, round(6).
+
+    Scale shape: the multi-query leg is avg_precision_eval's shared
+    postings pass; the decile assignment windows over the
+    DISTINCT-LENGTH frame (value-cardinality-bounded), never docs;
+    the final join is deciles x retrievals on a bucket key."""
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    qterms = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
+    spark = docs_df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    tok = tokenized_docs(docs_df)
+    dl = tok.select("doc_id", "doclen")
+    vals = dl.groupBy("doclen").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vals.agg(F.sum("cnt").alias("total"))
+    wv = Window.orderBy("doclen").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    buckets = (
+        vals.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.expr(f"(cum_before * {PIVOT_BUCKETS}) div total").cast(
+                "long"
+            ),
+        )
+        .select("doclen", "bucket")
+    )
+    contribs = bm25_contribs_from_corpus(docs_df, all_terms)
+    scored = (
+        contribs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    retr = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= depth)
+        .join(dl, "doc_id")
+        .join(buckets, "doclen")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_retrieved"))
+    )
+    docs_b = (
+        dl.join(buckets, "doclen")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = docs_b.agg(
+        F.sum("n_docs").cast("double").alias("td")
+    )
+    rtot = retr.agg(F.sum("n_retrieved").cast("double").alias("tr"))
+    return (
+        docs_b.join(retr, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_retrieved", F.lit(0))
+            .cast("long")
+            .alias("n_retrieved"),
+            F.round(F.col("n_docs").cast("double") / F.col("td"), 6).alias(
+                "doc_share"
+            ),
+            F.round(
+                F.coalesce("n_retrieved", F.lit(0)).cast("double")
+                / F.col("tr"),
+                6,
+            ).alias("retr_share"),
+            F.round(
+                (
+                    F.coalesce("n_retrieved", F.lit(0)).cast("double")
+                    / F.col("tr")
+                )
+                / (F.col("n_docs").cast("double") / F.col("td")),
+                6,
+            ).alias("ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
 POOL_DEPTH = 10  # per-system pool contribution depth
 
 

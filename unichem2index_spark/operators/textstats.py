@@ -5894,3 +5894,169 @@ def langid_confusion(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("gold", "pred")
     )
+
+
+def completion_context(
+    spark: SparkSession, t, prefix: str = "s", k: int = 5
+) -> DataFrame:
+    """ES context suggester (``completion`` field with a ``category``
+    context): the same prefix-FST lookup as
+    :func:`completion_suggest`, but completions are FILTERED AND
+    RANKED within a context value — here the doc's gold ``lang`` —
+    so 'type s, get suggestions popular in YOUR language slice'. Per
+    (lang, rank<=k): suggestion + in-context weight. This is the API
+    shape ES serves storefront/tenant-scoped autocomplete with.
+
+    Exactness: integer weights, no floats.
+
+    Scale shape: one (lang, term) prefix-filtered agg (map-side
+    combined; the prefix predicate prunes before the shuffle) + one
+    window over the per-lang dictionary slice — ES's per-context FST
+    analog. Dictionary-bounded at any corpus size."""
+    docs = t["documents"]
+    per = (
+        docs.select(
+            "lang",
+            F.explode(tokens_col(F.col("text"))).alias("suggestion"),
+        )
+        .where(F.col("suggestion").startswith(prefix))
+        .groupBy("lang", "suggestion")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("weight"), F.asc("suggestion")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("lang", "rank", "suggestion", "weight")
+        .orderBy("lang", "rank")
+    )
+
+
+SERP_TAU = 0.25  # Jaccard threshold for cluster attachment
+SERP_K = 20  # SERP depth to cluster
+
+
+def serp_clusters(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = SERP_K,
+    tau: float = SERP_TAU,
+) -> DataFrame:
+    """SERP result clustering, star-graph variant (the Scatter/Gather
+    / carrot2 family of result-page grouping, Cutting et al.
+    SIGIR'92): take the BM25 top-k, compute pairwise token-set
+    Jaccard, and attach each result to its HIGHEST-RANKED neighbor
+    with J >= tau (itself if none) — the non-recursive star
+    assignment (Aslam et al.'s star clustering without the leader
+    chain, so the plan is one join, no iteration). Output per result:
+    rank, its leader's doc_id, and the pair similarity — plus leaders
+    attach to themselves, so cluster count is readable off the rows.
+
+    Exactness: Jaccard is a ratio of integer set sizes, round(6); the
+    leader choice minimizes an integer rank.
+
+    Scale shape: everything downstream of the audited BM25 top-k runs
+    on a k-row frame — the k x k candidate pair join is 400 rows at
+    the default depth. Token sets ride along as sorted arrays only
+    within this bounded frame."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    top = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfn).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "rank")
+    )
+    sets = top.join(
+        d.select("doc_id", tokens_col("text").alias("toks")), "doc_id"
+    ).select(
+        "doc_id", "rank", F.array_distinct(F.sort_array("toks")).alias("s")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("d_a"),
+        F.col("rank").alias("r_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("d_b"),
+        F.col("rank").alias("r_b"),
+        F.col("s").alias("s_b"),
+    )
+    jac = (
+        F.size(F.array_intersect("s_a", "s_b")).cast("double")
+        / F.size(F.array_union("s_a", "s_b")).cast("double")
+    )
+    pairs = (
+        a.join(b, F.col("r_b") < F.col("r_a"))
+        .withColumn("j", jac)
+        .where(F.col("j") >= tau)
+    )
+    wbest = Window.partitionBy("d_a").orderBy(F.asc("r_b"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("d_a").alias("doc_id"),
+            F.col("d_b").alias("leader"),
+            F.round("j", 6).alias("sim"),
+        )
+    )
+    return (
+        sets.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "rank",
+            F.coalesce("leader", F.col("doc_id")).alias("leader"),
+            F.coalesce("sim", F.lit(1.0)).alias("sim"),
+        )
+        .orderBy("rank")
+    )

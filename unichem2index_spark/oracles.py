@@ -9285,3 +9285,159 @@ SELECT gold, pred, n_docs,
          AS share
 FROM cells JOIN gt USING (gold) ORDER BY gold, pred
 """
+
+
+def completion_context_sql(prefix: str = "s", k: int = 5) -> str:
+    """Twin of operators/textstats.py::completion_context — per-lang
+    prefix dictionary with in-context popularity ranking."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH per AS (
+  SELECT lang, term AS suggestion, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT lang, unnest({TOKS}) AS term FROM documents)
+  WHERE term LIKE '{p}%' GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, suggestion, weight,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY weight DESC, suggestion
+         ) AS BIGINT) AS rank
+  FROM per
+)
+SELECT lang, rank, suggestion, weight FROM r
+WHERE rank <= {k} ORDER BY lang, rank
+"""
+
+
+def serp_clusters_sql(
+    terms: list[str], k: int = 20, tau: float = 0.25
+) -> str:
+    """Twin of operators/textstats.py::serp_clusters — same BM25
+    top-k, token-set Jaccard, highest-ranked-neighbor star attach."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tokf AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS score
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {k})
+),
+sets AS (
+  SELECT t2.doc_id, t2.rank, list_distinct(tok.toks) AS s
+  FROM top t2 JOIN tok ON tok.doc_id = t2.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS d_a, b.doc_id AS d_b, b.rank AS r_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(a.s, b.s)))
+                  AS DOUBLE) AS j
+  FROM sets a JOIN sets b ON b.rank < a.rank
+),
+best AS (
+  SELECT d_a AS doc_id, d_b AS leader, round(j, 6) AS sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY d_a ORDER BY r_b) AS rn
+    FROM pairs WHERE j >= {tau!r}
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.rank,
+       coalesce(b.leader, s.doc_id) AS leader,
+       coalesce(b.sim, 1.0) AS sim
+FROM sets s LEFT JOIN best b USING (doc_id) ORDER BY s.rank
+"""
+
+
+def pivoted_length_audit_sql(
+    queries: list[tuple[int, list[str], str]], depth: int = 50
+) -> str:
+    """Twin of operators/query.py::pivoted_length_audit — same
+    value-atomic length deciles and retrieval-share ratio."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+vals AS (SELECT doclen, count(*) AS cnt FROM tok GROUP BY 1),
+vtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vals),
+bkt AS (
+  SELECT doclen,
+         (coalesce(sum(cnt) OVER (ORDER BY doclen
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          * 10) // total AS bucket
+  FROM vals CROSS JOIN vtot
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+topd AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {depth}
+),
+retr AS (
+  SELECT bucket, count(*) AS n_retrieved
+  FROM topd JOIN tok USING (doc_id) JOIN bkt USING (doclen)
+  GROUP BY 1
+),
+docs_b AS (
+  SELECT bucket, count(*) AS n_docs
+  FROM tok JOIN bkt USING (doclen) GROUP BY 1
+),
+td AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td FROM docs_b),
+tr AS (SELECT CAST(sum(n_retrieved) AS DOUBLE) AS tr FROM retr)
+SELECT CAST(b.bucket AS BIGINT) AS bucket,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       round(CAST(b.n_docs AS DOUBLE) / td.td, 6) AS doc_share,
+       round(CAST(coalesce(r.n_retrieved, 0) AS DOUBLE) / tr.tr, 6)
+         AS retr_share,
+       round((CAST(coalesce(r.n_retrieved, 0) AS DOUBLE) / tr.tr)
+             / (CAST(b.n_docs AS DOUBLE) / td.td), 6) AS ratio
+FROM docs_b b LEFT JOIN retr r USING (bucket)
+CROSS JOIN td CROSS JOIN tr
+ORDER BY bucket
+"""
