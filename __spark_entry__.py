@@ -2269,6 +2269,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivoted_length_audit": lambda spark, sf_dir: (
             Q.pivoted_length_audit(_docs(spark, sf_dir), AP_QUERIES)
         ),
+        # Post-retrieval QPP (WIG + NQC score-shape predictors)
+        "qpp_postretrieval": lambda spark, sf_dir: (
+            Q.qpp_postretrieval(_docs(spark, sf_dir), AP_QUERIES)
+        ),
+        # Two-phase rescore-window recall curve
+        "rerank_depth_audit": _wrap(textstats.rerank_depth_audit),
+        # Hourly burst intervals (thresholded Kleinberg, islands merge)
+        "event_bursts": _wrap(textstats.event_bursts),
     }
 
 
@@ -3014,4 +3022,9 @@ def oracle_sql() -> dict[str, str]:
         "pivoted_length_audit": oracles.pivoted_length_audit_sql(
             AP_QUERIES
         ),
+        "qpp_postretrieval": oracles.qpp_postretrieval_sql(AP_QUERIES),
+        "rerank_depth_audit": oracles.rerank_depth_audit_sql(
+            FLAGSHIP_TERMS
+        ),
+        "event_bursts": oracles.EVENT_BURSTS,
     }

@@ -1673,3 +1673,33 @@ def test_pivoted_length_audit_recompute(spark, corpus):
     # shares each sum to ~1
     assert abs(sum(r.doc_share for r in got.values()) - 1.0) < 1e-3
     assert abs(sum(r.retr_share for r in got.values()) - 1.0) < 1e-3
+
+
+def test_qpp_postretrieval_matches_python(spark, corpus):
+    import math as _m
+
+    df, oracle, _ = corpus
+    queries = [
+        (0, ["merge", "group"], "key"),
+        (1, ["fast", "window"], "scan"),
+        (2, ["the", "vector"], "merge"),
+    ]
+    k = Q.QPP_K
+    got = {r.query_id: r for r in
+           Q.qpp_postretrieval(df, queries).collect()}
+    for qid, terms, _ in queries:
+        sc = _scores(oracle, terms)
+        n = len(sc)
+        mu_all = sum(sc.values()) / n
+        topk = [s for _, s in _ranking(sc)[:k]]
+        mu_k = sum(topk) / len(topk)
+        m2 = sum(s * s for s in topk) / len(topk)
+        sigma = _m.sqrt(m2 - mu_k * mu_k)
+        nq = len(sorted(set(terms)))
+        r = got[qid]
+        assert r.n_matched == n
+        assert abs(r.mu_k - round(mu_k, 6)) < 1e-5
+        assert abs(r.wig - round((mu_k - mu_all) / _m.sqrt(nq), 6)) < 1e-5
+        assert abs(r.nqc - round(sigma / mu_all, 6)) < 1e-5
+        # peaked rankings: top-k mean must beat the all-matched mean
+        assert r.wig > 0

@@ -3494,3 +3494,90 @@ def test_serp_clusters_recompute(spark, corpus, tables):
     # at least one non-trivial cluster forms on this corpus
     assert any(lead != d for d, (_, lead, _) in got.items())
 
+
+
+def test_rerank_depth_audit_recompute(spark, corpus, tables):
+    import math as _m
+    from itertools import combinations
+
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], textstats.RERANK_K
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    bm: dict[int, float] = {}
+    for t2 in terms:
+        dfq = sum(1 for ts in toks.values() if t2 in ts)
+        idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+        for d, ts in toks.items():
+            tf = ts.count(t2)
+            if tf:
+                bm[d] = bm.get(d, 0.0) + idf * (
+                    tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                )
+    prox: dict[int, float] = {}
+    for a, b in combinations(sorted(set(terms)), 2):
+        for d, ts in toks.items():
+            pa = [i for i, x in enumerate(ts) if x == a]
+            pb = [i for i, x in enumerate(ts) if x == b]
+            if pa and pb:
+                md = min(abs(x - y) for x in pa for y in pb)
+                prox[d] = prox.get(d, 0.0) + 1.0 / (md * md)
+    final = {d: bm[d] + 2.0 * prox.get(d, 0.0) for d in bm}
+    ok = {d for d, _ in sorted(
+        final.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+    got = {r.depth: r for r in
+           textstats.rerank_depth_audit(spark, tables).collect()}
+    assert set(got) == set(textstats.RERANK_DEPTHS)
+    prev = -1.0
+    for r2 in textstats.RERANK_DEPTHS:
+        cand = [d for d, _ in sorted(
+            bm.items(), key=lambda kv: (-kv[1], kv[0]))[:r2]]
+        reranked = sorted(
+            cand, key=lambda d: (-final[d], d)
+        )[:k]
+        hit = len(set(reranked) & ok)
+        row = got[r2]
+        assert (row.n_hit, row.recall) == (hit, round(hit / k, 6))
+        # recall must be non-decreasing in depth, reaching 1.0 in the
+        # limit of R -> corpus
+        assert row.recall >= prev
+        prev = row.recall
+
+
+def test_event_bursts_recompute(spark, tables):
+    from collections import Counter
+
+    ev = tables["events"].select("ts").collect()
+    hourly = Counter(r.ts.replace(
+        minute=0, second=0, microsecond=0) for r in ev)
+    cnts = sorted(hourly.values())
+    m = len(cnts)
+    if m % 2:
+        med = float(cnts[m // 2])
+    else:
+        med = (cnts[m // 2 - 1] + cnts[m // 2]) / 2.0
+    hours = sorted(hourly)
+    h0 = hours[0]
+    flagged = [
+        (h, hourly[h], int((h - h0).total_seconds() // 3600))
+        for h in hours
+        if hourly[h] > 2.0 * med
+    ]
+    bursts = []
+    for i, (h, c, idx) in enumerate(flagged):
+        if i == 0 or idx != flagged[i - 1][2] + 1:
+            bursts.append([h, h, 1, c, c])
+        else:
+            b = bursts[-1]
+            b[1], b[2] = h, b[2] + 1
+            b[3] = max(b[3], c)
+            b[4] += c
+    got = textstats.event_bursts(spark, tables).collect()
+    assert len(got) == len(bursts)
+    for r, b in zip(got, bursts):
+        assert r.start_hour == str(b[0])
+        assert r.end_hour == str(b[1])
+        assert (r.n_hours, r.peak, r.total) == (b[2], b[3], b[4])
+    # every burst hour really exceeds the threshold
+    assert all(r.peak > 2.0 * med for r in got)

@@ -904,6 +904,83 @@ def rbp_eval(
     )
 
 
+QPP_K = 20  # top-k the post-retrieval predictors inspect
+
+
+def qpp_postretrieval(
+    docs_df: DataFrame,
+    queries: list[tuple[int, list[str], str]],
+    k: int = QPP_K,
+) -> DataFrame:
+    """Post-retrieval query-performance prediction (WIG, Zhou & Croft
+    SIGIR'07; NQC, Shtok/Kurland/Carmel TOIS'12) — the score-shape
+    predictors a broker computes AFTER retrieval to decide whether to
+    trust, expand, or re-route a query (complement of the
+    pre-retrieval qpp entry): over each query's BM25 score list,
+
+        WIG = (mean(top-k) - mean(all matched)) / sqrt(|q|)
+        NQC = stddev(top-k) / mean(all matched)
+
+    — high WIG/NQC = a peaked, confident ranking; flat scores predict
+    poor effectiveness. Deterministic stddev shape:
+    ``sqrt(avg(s^2) - avg(s)^2)`` (population), spelled identically
+    in the oracle.
+
+    Exactness: fixed-shape double expressions over integer-derived
+    scores; round(6) at emit.
+
+    Scale shape: the avg_precision_eval shared postings pass; the
+    predictors aggregate per-query score frames (matched rows only);
+    one row out per query."""
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    qterms = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
+    spark = docs_df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    qn = spark.createDataFrame(
+        [(qid, len(sorted(set(ts)))) for qid, ts, _ in queries],
+        "query_id long, nq int",
+    )
+    contribs = bm25_contribs_from_corpus(docs_df, all_terms)
+    scored = (
+        contribs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    allstats = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.avg("score").alias("mu_all"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    kstats = topk.groupBy("query_id").agg(
+        F.avg("score").alias("mu_k"),
+        F.avg(F.col("score") * F.col("score")).alias("m2_k"),
+    )
+    sigma = F.sqrt(
+        F.col("m2_k") - F.col("mu_k") * F.col("mu_k")
+    )
+    return (
+        allstats.join(kstats, "query_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "n_matched",
+            F.round("mu_k", 6).alias("mu_k"),
+            F.round(
+                (F.col("mu_k") - F.col("mu_all"))
+                / F.sqrt(F.col("nq").cast("double")),
+                6,
+            ).alias("wig"),
+            F.round(sigma / F.col("mu_all"), 6).alias("nqc"),
+        )
+        .orderBy("query_id")
+    )
+
+
 PIVOT_DEPTH = 50  # retrieval depth per query for the length audit
 PIVOT_BUCKETS = 10  # length deciles
 

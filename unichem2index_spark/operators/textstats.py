@@ -6060,3 +6060,198 @@ def serp_clusters(
         )
         .orderBy("rank")
     )
+
+
+RERANK_DEPTHS = (10, 20, 50)  # phase-1 candidate depths audited
+RERANK_K = 10  # final page size
+
+
+def rerank_depth_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = RERANK_K,
+) -> DataFrame:
+    """Two-phase ranking depth audit (the rescore-window tuning curve
+    every cascade deployment draws; cf. Wang/Lin/Metzler SIGIR'11
+    cascade ranking): phase 1 retrieves top-R by cheap BM25, phase 2
+    reranks those R candidates with the expensive scorer (here the
+    proximity-enhanced score of :func:`bm25_prox_topk`), and the
+    audit asks: against the ORACLE (phase-2 score over all docs),
+    what fraction of the true top-k survives each candidate depth R?
+    Output one row per R in (10, 20, 50): hits and recall@k — the
+    curve that picks the smallest safe rescore window.
+
+    Exactness: set sizes are integers; the two scores reuse the
+    frozen expressions; one rounded recall divide per row.
+
+    Scale shape: ONE scored frame (bm25 + prox legs, both audited
+    plans) feeds every depth — the per-R work is window/limit over
+    k-to-R-row frames, so auditing 3 depths costs one corpus pass."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    bm = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfn).alias("bm25"))
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "term")
+    ).where(F.col("term").isin(list(terms)))
+    uniq = sorted(set(terms))
+    pair_frames = []
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            pa = pos.where(F.col("term") == a).select(
+                "doc_id", F.col("pos").alias("pa")
+            )
+            pb = pos.where(F.col("term") == b).select(
+                "doc_id", F.col("pos").alias("pb")
+            )
+            pair_frames.append(
+                pa.join(pb, "doc_id")
+                .groupBy("doc_id")
+                .agg(
+                    F.min(F.abs(F.col("pa") - F.col("pb")))
+                    .cast("long")
+                    .alias("md")
+                )
+            )
+    prox = pair_frames[0]
+    for f2 in pair_frames[1:]:
+        prox = prox.unionAll(f2)
+    bonus = prox.groupBy("doc_id").agg(
+        F.sum(
+            F.lit(1.0)
+            / (F.col("md").cast("double") * F.col("md").cast("double"))
+        ).alias("prox")
+    )
+    scored = bm.join(bonus, "doc_id", "left").select(
+        "doc_id",
+        "bm25",
+        (
+            F.col("bm25")
+            + F.lit(PROX_LAMBDA) * F.coalesce("prox", F.lit(0.0))
+        ).alias("final"),
+    )
+    oracle_k = (
+        scored.orderBy(F.desc("final"), "doc_id")
+        .limit(k)
+        .select("doc_id")
+    )
+    out = None
+    for r in RERANK_DEPTHS:
+        cand = (
+            scored.orderBy(F.desc("bm25"), "doc_id")
+            .limit(r)
+            .orderBy(F.desc("final"), "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
+        row = (
+            cand.join(oracle_k, "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+            .select(
+                F.lit(r).cast("long").alias("depth"),
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("depth")
+
+
+BURST_FACTOR = 2.0  # burst = hourly count > factor * median
+
+
+def event_bursts(spark: SparkSession, t) -> DataFrame:
+    """Burst detection over the event stream (the thresholded
+    two-state simplification of Kleinberg KDD'02's burst automaton —
+    what monitoring dashboards actually ship): mark every hour whose
+    event count exceeds 2x the median hourly count, and merge
+    consecutive marked hours into burst intervals via the classic
+    gaps-and-islands window (island id = hour index minus the marked
+    row_number). Per burst: start/end hour, duration, peak and total
+    counts. Complements change_point (single structural break) with
+    multi-interval anomaly spans.
+
+    Exactness: counts and hour indices are integers; the median
+    threshold compares one interpolated double computed identically
+    (percentile 0.5) on both engines.
+
+    Scale shape: one hour-bucket agg (map-side combined), then
+    windows over the HOURLY frame (720 rows/month at any event
+    volume) — the heavy lifting never leaves the bucket frame."""
+    ev = t["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    med = hourly.agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    mn = hourly.agg(F.min("hour").alias("h0"))
+    flagged = (
+        hourly.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mn))
+        .withColumn(
+            "hidx",
+            F.expr("timestampdiff(HOUR, h0, hour)").cast("long"),
+        )
+        .where(F.col("cnt") > F.lit(BURST_FACTOR) * F.col("med"))
+    )
+    w = Window.orderBy("hidx")
+    islands = flagged.withColumn(
+        "grp", F.col("hidx") - F.row_number().over(w).cast("long")
+    )
+    return (
+        islands.groupBy("grp")
+        .agg(
+            F.min("hour").cast("string").alias("start_hour"),
+            F.max("hour").cast("string").alias("end_hour"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("cnt").cast("long").alias("peak"),
+            F.sum("cnt").cast("long").alias("total"),
+        )
+        .drop("grp")
+        .orderBy("start_hour")
+    )

@@ -9441,3 +9441,180 @@ FROM docs_b b LEFT JOIN retr r USING (bucket)
 CROSS JOIN td CROSS JOIN tr
 ORDER BY bucket
 """
+
+
+def qpp_postretrieval_sql(
+    queries: list[tuple[int, list[str], str]], k: int = 20
+) -> str:
+    """Twin of operators/query.py::qpp_postretrieval — same WIG/NQC
+    shapes over the shared BM25 score frame."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    nrows = ", ".join(
+        f"({qid}, {len(sorted(set(ts)))})" for qid, ts, _ in queries
+    )
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+qn(query_id, nq) AS (VALUES {nrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+allstats AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_matched,
+         avg(score) AS mu_all
+  FROM scored GROUP BY 1
+),
+topk AS (
+  SELECT query_id, score FROM (
+    SELECT query_id, score, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {k}
+),
+kstats AS (
+  SELECT query_id, avg(score) AS mu_k,
+         avg(score * score) AS m2_k
+  FROM topk GROUP BY 1
+)
+SELECT a.query_id, a.n_matched,
+       round(k2.mu_k, 6) AS mu_k,
+       round((k2.mu_k - a.mu_all) / sqrt(CAST(nq AS DOUBLE)), 6) AS wig,
+       round(sqrt(k2.m2_k - k2.mu_k * k2.mu_k) / a.mu_all, 6) AS nqc
+FROM allstats a JOIN kstats k2 USING (query_id) JOIN qn USING (query_id)
+ORDER BY query_id
+"""
+
+
+def rerank_depth_audit_sql(
+    terms: list[str],
+    k: int = 10,
+    depths: tuple[int, ...] = (10, 20, 50),
+) -> str:
+    """Twin of operators/textstats.py::rerank_depth_audit — same
+    bm25/prox scored frame, oracle top-k, per-depth recall rows."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    pair_sel = "\nUNION ALL\n".join(
+        f"""SELECT pa.doc_id, min(abs(pa.pos - pb.pos)) AS md
+  FROM (SELECT doc_id, pos FROM pos WHERE term = '{a}') pa
+  JOIN (SELECT doc_id, pos FROM pos WHERE term = '{b}') pb
+    ON pa.doc_id = pb.doc_id
+  GROUP BY pa.doc_id"""
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+    )
+    depth_ctes = ",\n".join(
+        f"""r{r} AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, final FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {r}
+  ) ORDER BY final DESC, doc_id LIMIT {k}
+)"""
+        for r in depths
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS depth,
+       CAST((SELECT count(*) FROM r{r} JOIN ok USING (doc_id))
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM r{r} JOIN ok USING (doc_id))
+                  AS DOUBLE) / {float(k)!r}, 6) AS recall"""
+        for r in depths
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tokf AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+bm AS (
+  SELECT doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS bm25
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id, unnest(range(len(toks))) AS pos,
+           unnest(toks) AS term
+    FROM tok
+  ) WHERE term IN ({inlist})
+),
+pr AS (
+{pair_sel}
+),
+bonus AS (
+  SELECT doc_id,
+         sum(1.0 / (CAST(md AS DOUBLE) * CAST(md AS DOUBLE))) AS prox
+  FROM pr GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, bm25,
+         bm25 + 2.0 * coalesce(prox, 0.0) AS final
+  FROM bm LEFT JOIN bonus USING (doc_id)
+),
+ok AS (
+  SELECT doc_id FROM scored ORDER BY final DESC, doc_id LIMIT {k}
+),
+{depth_ctes}
+{rows}
+ORDER BY depth
+"""
+
+
+# Twin of operators/textstats.py::event_bursts — same 2x-median
+# hourly threshold and gaps-and-islands merge.
+EVENT_BURSTS = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(cnt, 0.5) AS med FROM hourly),
+mn AS (SELECT min(hour) AS h0 FROM hourly),
+flagged AS (
+  SELECT hour, cnt, date_diff('hour', h0, hour) AS hidx
+  FROM hourly CROSS JOIN med CROSS JOIN mn
+  WHERE cnt > 2.0 * med
+),
+islands AS (
+  SELECT hour, cnt,
+         hidx - row_number() OVER (ORDER BY hidx) AS grp
+  FROM flagged
+)
+SELECT CAST(min(hour) AS VARCHAR) AS start_hour,
+       CAST(max(hour) AS VARCHAR) AS end_hour,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(max(cnt) AS BIGINT) AS peak,
+       CAST(sum(cnt) AS BIGINT) AS total
+FROM islands GROUP BY grp ORDER BY start_hour
+"""
