@@ -2277,6 +2277,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_depth_audit": _wrap(textstats.rerank_depth_audit),
         # Hourly burst intervals (thresholded Kleinberg, islands merge)
         "event_bursts": _wrap(textstats.event_bursts),
+        # Embedding-table QA (norms/dims/zeros before ANN builds)
+        "embedding_qa": _wrap(similarity.embedding_qa),
+        # BM25 hard-negative mining (DPR training recipe)
+        "hard_negatives": lambda spark, sf_dir: (
+            Q.hard_negatives(_docs(spark, sf_dir), AP_QUERIES)
+        ),
+        # Freshness-driven recrawl intervals (Cho & Garcia-Molina)
+        "recrawl_schedule": _wrap(trainprep.recrawl_schedule),
     }
 
 
@@ -3027,4 +3035,7 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS
         ),
         "event_bursts": oracles.EVENT_BURSTS,
+        "embedding_qa": oracles.EMBEDDING_QA,
+        "hard_negatives": oracles.hard_negatives_sql(AP_QUERIES),
+        "recrawl_schedule": oracles.RECRAWL_SCHEDULE,
     }

@@ -1703,3 +1703,35 @@ def test_qpp_postretrieval_matches_python(spark, corpus):
         assert abs(r.nqc - round(sigma / mu_all, 6)) < 1e-5
         # peaked rankings: top-k mean must beat the all-matched mean
         assert r.wig > 0
+
+
+def test_hard_negatives_matches_python(spark, corpus):
+    df, oracle, _ = corpus
+    queries = [
+        (0, ["merge", "group"], "key"),
+        (1, ["fast", "window"], "scan"),
+        (2, ["the", "vector"], "merge"),
+    ]
+    n = Q.NEG_PER_QUERY
+    got: dict[int, list] = {}
+    for r in Q.hard_negatives(df, queries).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neg_rank, r.doc_id, r.score)
+        )
+    for qid, terms, marker in queries:
+        ranked = _ranking(_scores(oracle, terms))
+        relevant = set(oracle.postings.get(marker, {}))
+        negs = [
+            (d, s) for d, s in ranked if d not in relevant
+        ][:n]
+        want = [
+            (i + 1, d, round(s, 6)) for i, (d, s) in enumerate(negs)
+        ]
+        rows = got[qid]
+        assert [(rk, d) for rk, d, _ in rows] == [
+            (rk, d) for rk, d, _ in want
+        ]
+        for (_, _, s_got), (_, _, s_want) in zip(rows, want):
+            assert abs(s_got - s_want) < 1e-6
+        # negatives must be lexically matched yet non-relevant
+        assert all(d not in relevant for _, d, _ in rows)

@@ -3581,3 +3581,66 @@ def test_event_bursts_recompute(spark, tables):
         assert (r.n_hours, r.peak, r.total) == (b[2], b[3], b[4])
     # every burst hour really exceeds the threshold
     assert all(r.peak > 2.0 * med for r in got)
+
+
+def test_embedding_qa_recompute(spark, tables):
+    import math as _m
+
+    from unichem2index_spark.operators import similarity
+
+    rows = tables["embeddings"].select(
+        "label", "embedding"
+    ).collect()
+    agg: dict[int, list[float]] = {}
+    dims: dict[int, int] = {}
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        agg.setdefault(r.label, []).append(_m.sqrt(acc))
+        dims[r.label] = max(dims.get(r.label, 0), len(v))
+    got = {r.label: r for r in
+           similarity.embedding_qa(spark, tables).collect()}
+    assert set(got) == set(agg)
+    for lbl, ns in agg.items():
+        r = got[lbl]
+        assert (r.n_vecs, r.dim) == (len(ns), dims[lbl])
+        assert abs(r.mean_norm - round(sum(ns) / len(ns), 6)) < 1e-5
+        assert r.min_norm == round(min(ns), 6)
+        assert r.max_norm == round(max(ns), 6)
+        assert r.n_unnormalized == sum(
+            1 for x in ns if abs(x - 1.0) > similarity.NORM_TOL
+        )
+        assert r.n_zero == sum(1 for x in ns if x == 0.0)
+    # this corpus ships unit vectors: the audit certifies clean input
+    assert all(r.n_unnormalized == 0 and r.n_zero == 0
+               for r in got.values())
+    assert all(abs(r.mean_norm - 1.0) <= similarity.NORM_TOL
+               for r in got.values())
+
+
+def test_recrawl_schedule_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    agg: dict[str, list[int]] = {}
+    for d, r in by_id.items():
+        changed = (d // 20) % (3 + d % 20 % 4) == 0
+        a = agg.setdefault(r.source, [0, 0])
+        a[0] += 1
+        a[1] += changed
+    got = {r.source: r for r in
+           trainprep.recrawl_schedule(spark, tables).collect()}
+    assert set(got) == set(agg)
+    rates = set()
+    for s, (np_, nc) in agg.items():
+        r = got[s]
+        rate = nc / np_
+        days = max(1, min(30, int(_m.floor(1.0 / rate))))
+        assert (r.n_pages, r.n_changed) == (np_, nc)
+        assert r.change_rate == round(rate, 6)
+        assert r.recrawl_days == days
+        rates.add(days)
+    # the planted rates differ across sources: schedule is non-constant
+    assert len(rates) > 1

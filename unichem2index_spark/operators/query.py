@@ -904,6 +904,65 @@ def rbp_eval(
     )
 
 
+NEG_PER_QUERY = 5  # hard negatives mined per query
+
+
+def hard_negatives(
+    docs_df: DataFrame,
+    queries: list[tuple[int, list[str], str]],
+    n_neg: int = NEG_PER_QUERY,
+) -> DataFrame:
+    """BM25 hard-negative mining (the DPR/ANCE recipe — Karpukhin et
+    al. EMNLP'20 mine dense-retriever training negatives as 'top BM25
+    hits that are NOT relevant'): per query, the highest-scoring
+    matched docs that fail the relevance judgment (marker convention,
+    as avg_precision_eval) — lexically confusable, semantically
+    wrong, exactly the contrastive examples a retriever trains
+    against. Emits (query_id, neg_rank, doc_id, score).
+
+    Exactness: the ranking reuses the frozen BM25 contributions;
+    score rounds at emit; everything else is integer.
+
+    Scale shape: one shared postings pass for all queries
+    (avg_precision_eval plan), relevance as a broadcast
+    marker-postings anti-join, per-query windows over matched rows
+    only."""
+    all_terms = sorted({t for _, ts, _ in queries for t in ts})
+    qterms = [(qid, t) for qid, ts, _ in queries for t in sorted(set(ts))]
+    spark = docs_df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    mdf = spark.createDataFrame(
+        [(qid, m) for qid, _, m in queries], "query_id long, marker string"
+    )
+    contribs = bm25_contribs_from_corpus(docs_df, all_terms)
+    scored = (
+        contribs.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    post = exact_postings(tokenized_docs(docs_df))
+    rel = (
+        post.join(F.broadcast(mdf), post["term"] == mdf["marker"])
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    negs = scored.join(rel, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= n_neg)
+        .select(
+            "query_id",
+            "neg_rank",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
 QPP_K = 20  # top-k the post-retrieval predictors inspect
 
 

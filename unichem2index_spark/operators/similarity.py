@@ -1068,3 +1068,45 @@ def mmr_rerank(
         .orderBy("rank")
     )
     return out
+
+
+NORM_TOL = 0.01  # |norm - 1| above this counts as unnormalized
+
+
+def embedding_qa(spark: SparkSession, t) -> DataFrame:
+    """Embedding-table QA audit — the sanity pass every ANN build
+    runs BEFORE indexing (FAISS's own docs open with it): per label
+    partition, vector count, dimensionality, the norm distribution
+    (mean/min/max), and how many vectors are not unit-normalized —
+    cosine indexes silently degrade to dot-product rankings when
+    norms drift, and zero vectors poison IVF training. This is the
+    gate that decides whether the pipeline normalizes before
+    :func:`cosine_topk_ivf` / :func:`cosine_topk_sq` run.
+
+    Exactness: each norm is sqrt of the same sequential array fold
+    both engines use for dot products (the cosine_topk idiom);
+    per-label avgs round(6).
+
+    Scale shape: map-only per-vector arithmetic + one
+    label-cardinality agg — one scan at any corpus size."""
+    emb = t["embeddings"].select(
+        "label", F.size("embedding").alias("dim"),
+        _norm(_as_double("embedding")).alias("nrm"),
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.max("dim").cast("long").alias("dim"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.sum(
+                (F.abs(F.col("nrm") - F.lit(1.0)) > NORM_TOL).cast("long")
+            ).cast("long").alias("n_unnormalized"),
+            F.sum((F.col("nrm") == 0.0).cast("long")).cast("long").alias(
+                "n_zero"
+            ),
+        )
+        .orderBy("label")
+    )

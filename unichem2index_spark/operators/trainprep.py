@@ -2312,3 +2312,51 @@ def temperature_mixture(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+RECRAWL_MAX_DAYS = 30
+
+
+def recrawl_schedule(spark: SparkSession, t) -> DataFrame:
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina
+    VLDB'00 "Synchronizing a database to improve freshness"): sources
+    that change often get short revisit intervals — the frontier
+    policy is interval ~ 1/(observed change rate), clamped to
+    [1, 30] days. The per-page changed-since-last-crawl flag is
+    PLANTED deterministically with a SOURCE-DEPENDENT rate
+    (``(doc_id div 20) % (3 + doc_id % 20 % 4) == 0`` — div-based so
+    it varies within a source, modulus 3..6 so rates differ ACROSS
+    sources; doc_id % 20 == the source index in this corpus), the
+    crawl_snapshot_diff convention. Output per source: page count,
+    changed count, observed rate, and the clamped revisit interval.
+
+    Exactness: integer counts; one rate divide; floor + clamp in
+    integers.
+
+    Scale shape: map-only flag + one source agg — one scan, one
+    narrow shuffle at any frontier size."""
+    docs = t["documents"]
+    changed = (
+        F.expr("(doc_id div 20) % (3 + doc_id % 20 % 4) = 0")
+    ).cast("long")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(changed).cast("long").alias("n_changed"),
+    )
+    rate = F.col("n_changed").cast("double") / F.col("n_pages").cast(
+        "double"
+    )
+    return (
+        agg.withColumn("change_rate", F.round(rate, 6))
+        .withColumn(
+            "recrawl_days",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(
+                    F.lit(RECRAWL_MAX_DAYS).cast("long"),
+                    F.floor(F.lit(1.0) / rate).cast("long"),
+                ),
+            ),
+        )
+        .orderBy("source")
+    )

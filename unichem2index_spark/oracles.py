@@ -9618,3 +9618,96 @@ SELECT CAST(min(hour) AS VARCHAR) AS start_hour,
        CAST(sum(cnt) AS BIGINT) AS total
 FROM islands GROUP BY grp ORDER BY start_hour
 """
+
+
+# Twin of operators/similarity.py::embedding_qa — same fold-based
+# norms and label-partition stats.
+EMBEDDING_QA = """
+WITH emb AS (
+  SELECT label, len(embedding) AS dim,
+         sqrt(list_dot_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(max(dim) AS BIGINT) AS dim,
+       round(avg(nrm), 6) AS mean_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.01 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unnormalized,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero
+FROM emb GROUP BY label ORDER BY label
+"""
+
+
+def hard_negatives_sql(
+    queries: list[tuple[int, list[str], str]], n_neg: int = 5
+) -> str:
+    """Twin of operators/query.py::hard_negatives — same shared BM25
+    frame, marker anti-join, per-query negative ranking."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    mrows = ", ".join(f"({qid}, '{m}')" for qid, _, m in queries)
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+m(query_id, marker) AS (VALUES {mrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+rel AS (
+  SELECT DISTINCT m.query_id, p.doc_id
+  FROM post p JOIN m ON p.term = m.marker
+),
+negs AS (
+  SELECT s.query_id, s.doc_id, s.score FROM scored s
+  LEFT JOIN rel r
+    ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+  WHERE r.doc_id IS NULL
+),
+r2 AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS BIGINT) AS neg_rank
+  FROM negs
+)
+SELECT query_id, neg_rank, doc_id, round(score, 6) AS score
+FROM r2 WHERE neg_rank <= {n_neg} ORDER BY query_id, neg_rank
+"""
+
+
+# Twin of operators/trainprep.py::recrawl_schedule — same planted
+# source-dependent change rate and clamped 1/rate interval.
+RECRAWL_SCHEDULE = """
+WITH agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+         CAST(sum(CASE WHEN (doc_id // 20) % (3 + doc_id % 20 % 4) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+  FROM documents GROUP BY source
+)
+SELECT source, n_pages, n_changed,
+       round(CAST(n_changed AS DOUBLE) / CAST(n_pages AS DOUBLE), 6)
+         AS change_rate,
+       CAST(greatest(1, least(30,
+         CAST(floor(1.0 / (CAST(n_changed AS DOUBLE)
+                           / CAST(n_pages AS DOUBLE))) AS BIGINT)))
+         AS BIGINT) AS recrawl_days
+FROM agg ORDER BY source
+"""
