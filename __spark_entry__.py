@@ -2285,6 +2285,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # Freshness-driven recrawl intervals (Cho & Garcia-Molina)
         "recrawl_schedule": _wrap(trainprep.recrawl_schedule),
+        # BM25 b-parameter grid sweep (mean P@10 per grid point)
+        "bm25_param_sweep": _wrap(textstats.bm25_param_sweep),
+        # Good-Turing missing-mass / hapax audit per source
+        "good_turing_mass": _wrap(textstats.good_turing_mass),
+        # Federated z-score result merging with provenance
+        "zscore_merge": _wrap(textstats.zscore_merge_audit),
     }
 
 
@@ -3038,4 +3044,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_qa": oracles.EMBEDDING_QA,
         "hard_negatives": oracles.hard_negatives_sql(AP_QUERIES),
         "recrawl_schedule": oracles.RECRAWL_SCHEDULE,
+        "bm25_param_sweep": oracles.bm25_param_sweep_sql(
+            textstats.SWEEP_QUERIES
+        ),
+        "good_turing_mass": oracles.GOOD_TURING_MASS,
+        "zscore_merge": oracles.zscore_merge_sql(FLAGSHIP_TERMS),
     }

@@ -3644,3 +3644,116 @@ def test_recrawl_schedule_recompute(spark, corpus, tables):
         rates.add(days)
     # the planted rates differ across sources: schedule is non-constant
     assert len(rates) > 1
+
+
+def test_bm25_param_sweep_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    queries = textstats.SWEEP_QUERIES
+    k = textstats.SWEEP_K
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    got = {r.b: r for r in
+           textstats.bm25_param_sweep(spark, tables).collect()}
+    assert set(got) == set(textstats.SWEEP_BS)
+    for b in textstats.SWEEP_BS:
+        hits = 0
+        for qid, terms, marker in queries:
+            acc: dict[int, float] = {}
+            for t2 in sorted(set(terms)):
+                dfq = sum(1 for ts in toks.values() if t2 in ts)
+                if not dfq:
+                    continue
+                idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+                for d, ts in toks.items():
+                    tf = ts.count(t2)
+                    if not tf:
+                        continue
+                    acc[d] = acc.get(d, 0.0) + idf * (
+                        tf
+                        / (tf + 1.2 * ((1.0 - b) + b * dl[d] / avgdl))
+                    )
+            topk = [d for d, _ in sorted(
+                acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+            rel = {
+                d for d, ts in toks.items() if marker in ts
+            }
+            hits += sum(1 for d in topk if d in rel)
+        r = got[b]
+        assert r.n_hits == hits
+        assert r.mean_p_at_k == round(hits / (len(queries) * k), 6)
+    # the sweep must actually discriminate: not all grid points equal
+    assert len({r.n_hits for r in got.values()}) > 1
+
+
+def test_good_turing_mass_recompute(spark, corpus, tables):
+    from collections import Counter
+
+    _, by_id = corpus
+    per: dict[str, Counter] = {}
+    for r in by_id.values():
+        c = per.setdefault(r.source, Counter())
+        c.update(tokenize(r.text))
+    got = {r.source: r for r in
+           textstats.good_turing_mass(spark, tables).collect()}
+    assert set(got) == set(per)
+    for s, c in per.items():
+        v, n = len(c), sum(c.values())
+        n1 = sum(1 for x in c.values() if x == 1)
+        n2 = sum(1 for x in c.values() if x == 2)
+        r = got[s]
+        assert (r.v, r.n, r.n1, r.n2) == (v, n, n1, n2)
+        assert r.missing_mass == round(n1 / n, 6)
+        want = round((2.0 * n2 / n1) / n, 6) if n1 else 0.0
+        assert r.p_hapax_gt == want
+    # dense synthetic corpus: missing mass is tiny everywhere
+    assert all(r.missing_mass < 0.01 for r in got.values())
+
+
+def test_zscore_merge_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms, k, ns = ["the", "merge", "vector"], textstats.ZMERGE_K, \
+        textstats.ZMERGE_SHARDS
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    by_shard: dict[int, list[int]] = {}
+    for d in toks:
+        by_shard.setdefault(d % ns, []).append(d)
+    zed = []
+    for sh, ids in by_shard.items():
+        dl = {d: len(toks[d]) for d in ids if toks[d]}
+        n, avgdl = len(dl), sum(dl.values()) / len(dl)
+        acc: dict[int, float] = {}
+        for t2 in sorted(set(terms)):
+            dfq = sum(1 for d in ids if t2 in toks[d])
+            if not dfq:
+                continue
+            idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            for d in ids:
+                tf = toks[d].count(t2)
+                if not tf:
+                    continue
+                acc[d] = acc.get(d, 0.0) + idf * (
+                    tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                )
+        local = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        mu = sum(s for _, s in local) / len(local)
+        m2 = sum(s * s for _, s in local) / len(local)
+        sd = _m.sqrt(m2 - mu * mu)
+        for lr, (d, s) in enumerate(local, 1):
+            zed.append((d, sh, lr, s, (s - mu) / sd))
+    merged = sorted(zed, key=lambda x: (-x[4], x[0]))[:k]
+    naive = {d for d, *_ in sorted(zed, key=lambda x: (-x[3], x[0]))[:k]}
+    got = textstats.zscore_merge_audit(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, *_ in merged]
+    for r, (d, sh, lr, s, z) in zip(got, merged):
+        assert (r.rank, r.shard, r.local_rank) == (
+            got.index(r) + 1, sh, lr
+        )
+        assert abs(r.z - round(z, 6)) < 1e-6
+        assert r.n_raw_agree == (1 if d in naive else 0)
+    # normalization must change the page vs raw-score merging
+    assert any(r.n_raw_agree == 0 for r in got)

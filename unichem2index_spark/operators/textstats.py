@@ -6255,3 +6255,298 @@ def event_bursts(spark: SparkSession, t) -> DataFrame:
         .drop("grp")
         .orderBy("start_hour")
     )
+
+
+SWEEP_BS = (0.0, 0.375, 0.75, 1.0)  # length-normalization grid
+SWEEP_K = 10  # P@k cut
+SWEEP_QUERIES = [  # (query_id, terms, relevance marker) — AP_QUERIES set
+    (0, ["merge", "group"], "key"),
+    (1, ["fast", "window"], "scan"),
+    (2, ["the", "vector"], "merge"),
+]
+
+
+def bm25_param_sweep(
+    spark: SparkSession,
+    t,
+    queries=None,
+    k: int = SWEEP_K,
+) -> DataFrame:
+    """BM25 b-parameter grid sweep (the tuning loop behind every
+    "we tuned b on held-out queries" line since Robertson's TREC-3
+    runs): score the query set at b in {0, 0.375, 0.75, 1}, judge
+    with the marker convention (rank_eval's), and emit mean P@10 per
+    grid point — the curve a search team reads before pinning the
+    production b. One postings pass scores EVERY b (the norm is a
+    per-row expression family, not a re-scan), which is exactly why
+    grid sweeps are cheap on a column engine and painful on a live
+    index.
+
+    Exactness: P@k counts are integers; one mean divide per grid
+    point (n_queries is a constant), round(6).
+
+    Scale shape: shared filtered-postings frame, one window per
+    (b, query) over match-only rows, judgments via a broadcast
+    marker join — sweep cost is O(grid) windows over k-bounded
+    frames, not O(grid) scans."""
+    queries = queries or SWEEP_QUERIES
+    d = t["documents"]
+    all_terms = sorted({t2 for _, ts, _ in queries for t2 in ts})
+    qterms = [
+        (qid, t2) for qid, ts, _ in queries for t2 in sorted(set(ts))
+    ]
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    mdf = spark.createDataFrame(
+        [(qid, m) for qid, _, m in queries],
+        "query_id long, marker string",
+    )
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(all_terms))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    base = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+    )
+    rel = (
+        tokf.join(F.broadcast(mdf), tokf["term"] == mdf["marker"])
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    n_q = float(len(queries))
+    out = None
+    for b in SWEEP_BS:
+        tfn = F.col("tf").cast("double") / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * F.col("doclen").cast("double")
+                / F.col("avgdl")
+            )
+        )
+        scored = base.groupBy("query_id", "doc_id").agg(
+            F.sum(idf * tfn).alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        topk = scored.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= k
+        )
+        hits = topk.join(rel, ["query_id", "doc_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        row = hits.select(
+            F.lit(b).alias("b"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(n_q * k), 6
+            ).alias("mean_p_at_k"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("b")
+
+
+def good_turing_mass(spark: SparkSession, t) -> DataFrame:
+    """Good-Turing missing-mass audit (Good '53; Gale & Sampson's
+    simple GT): per source, vocabulary size V, token count N, the
+    hapax/dis legomena counts N1/N2, the Good-Turing estimate of
+    UNSEEN-type probability mass ``N1/N`` (how much of this domain's
+    distribution the corpus hasn't seen yet — the number that says
+    whether more crawl is worth it), and the GT-smoothed probability
+    of a currently-hapax type ``(2 * N2 / N1) / N``. The vocabulary-
+    saturation complement of heaps_law's growth curve.
+
+    Exactness: all counts are integers; two rounded divides.
+
+    Scale shape: one (source, term) agg (map-side combined) into a
+    count-of-counts frame per source — dictionary-bounded, the same
+    single-shuffle plan as every vocabulary audit here."""
+    d = t["documents"]
+    per = (
+        d.select("source", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("v"),
+            F.sum("cf").cast("long").alias("n"),
+            F.sum((F.col("cf") == 1).cast("long")).cast("long").alias(
+                "n1"
+            ),
+            F.sum((F.col("cf") == 2).cast("long")).cast("long").alias(
+                "n2"
+            ),
+        )
+        .withColumn(
+            "missing_mass",
+            F.round(
+                F.col("n1").cast("double") / F.col("n").cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "p_hapax_gt",
+            F.when(
+                F.col("n1") > 0,
+                F.round(
+                    (
+                        F.lit(2.0)
+                        * F.col("n2").cast("double")
+                        / F.col("n1").cast("double")
+                    )
+                    / F.col("n").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("source")
+    )
+
+
+ZMERGE_SHARDS = 4
+ZMERGE_K = 10  # per-shard depth and merged page size
+
+
+def zscore_merge_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = ZMERGE_K,
+) -> DataFrame:
+    """Federated result merging with z-score normalization (the
+    CORI-merge / Z-norm family, Si & Callan's result-merging line) —
+    the third leg of the federation stack next to selection
+    (redde/cori) and serving (maxscore): shards score with their OWN
+    local statistics (local df/avgdl — real federation can't share
+    global stats), so raw scores aren't comparable across shards;
+    the broker z-normalizes each shard's top-k against that shard's
+    top-k mean/std before merging. Emits the merged z-ordered page
+    with provenance (shard, local rank, z) — plus how the merge
+    would differ under naive raw-score ordering (n_raw_agree column
+    per row: 1 if this doc also makes the naive page).
+
+    Exactness: local BM25 reuses the frozen expression with
+    shard-local stats; z = (s - mu)/sigma with the deterministic
+    population-sigma shape; round(6) at emit.
+
+    Scale shape: per-shard scoring partitions on the shard key (one
+    pass, shard-local aggs via groupBy shard); the merge and the
+    naive comparison run over n_shards * k rows."""
+    d = t["documents"]
+    shard = (F.col("doc_id") % ZMERGE_SHARDS).cast("int").alias("shard")
+    tokf = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    ).select(shard, "doc_id", "term")
+    dl = tokf.groupBy("shard", "doc_id").agg(
+        F.count(F.lit(1)).alias("doclen")
+    )
+    stats = dl.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("shard", "term", "doc_id")
+        .distinct()
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    scored = (
+        qtok.groupBy("shard", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dfs, ["shard", "term"])
+        .join(dl, ["shard", "doc_id"])
+        .join(stats, "shard")
+        .groupBy("shard", "doc_id")
+        .agg(F.sum(idf * tfn).alias("s"))
+    )
+    wloc = Window.partitionBy("shard").orderBy(
+        F.desc("s"), F.asc("doc_id")
+    )
+    local = scored.withColumn(
+        "local_rank", F.row_number().over(wloc).cast("long")
+    ).where(F.col("local_rank") <= k)
+    lstats = local.groupBy("shard").agg(
+        F.avg("s").alias("mu"),
+        F.avg(F.col("s") * F.col("s")).alias("m2"),
+    )
+    z = (F.col("s") - F.col("mu")) / F.sqrt(
+        F.col("m2") - F.col("mu") * F.col("mu")
+    )
+    zed = local.join(F.broadcast(lstats), "shard").withColumn("z", z)
+    wz = Window.orderBy(F.desc("z"), F.asc("doc_id"))
+    merged = (
+        zed.withColumn("rank", F.row_number().over(wz).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+    wraw = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    naive = (
+        zed.withColumn("rr", F.row_number().over(wraw))
+        .where(F.col("rr") <= k)
+        .select("doc_id", F.lit(1).alias("in_naive"))
+    )
+    return (
+        merged.join(naive, "doc_id", "left")
+        .select(
+            "rank",
+            "doc_id",
+            F.col("shard").cast("long").alias("shard"),
+            "local_rank",
+            F.round("z", 6).alias("z"),
+            F.coalesce("in_naive", F.lit(0)).cast("long").alias(
+                "n_raw_agree"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -9711,3 +9711,173 @@ SELECT source, n_pages, n_changed,
          AS BIGINT) AS recrawl_days
 FROM agg ORDER BY source
 """
+
+
+def bm25_param_sweep_sql(
+    queries: list[tuple[int, list[str], str]],
+    k: int = 10,
+    bs: tuple[float, ...] = (0.0, 0.375, 0.75, 1.0),
+) -> str:
+    """Twin of operators/textstats.py::bm25_param_sweep — same shared
+    postings frame, per-b dyadic norm constants, integer P@k."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    mrows = ", ".join(f"({qid}, '{m}')" for qid, _, m in queries)
+    n_q = float(len(queries))
+    blocks = []
+    rows = []
+    for i, b in enumerate(bs):
+        blocks.append(f"""s_{i} AS (
+  SELECT query_id, doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * ({1.0 - b!r}
+                          + {b!r} * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS score
+  FROM base GROUP BY 1, 2
+),
+t_{i} AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM s_{i}
+  ) WHERE rn <= {k}
+),
+h_{i} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits
+  FROM t_{i} JOIN rel USING (query_id, doc_id)
+)""")
+        rows.append(f"""SELECT CAST({b!r} AS DOUBLE) AS b, n_hits,
+       round(CAST(n_hits AS DOUBLE) / {n_q * k!r}, 6) AS mean_p_at_k
+FROM h_{i}""")
+    block_sql = ",\n".join(blocks)
+    row_sql = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+m(query_id, marker) AS (VALUES {mrows}),
+base AS (
+  SELECT q.query_id, p.doc_id, p.tf, t.doclen, d.df, s.n_docs, s.avgdl
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+rel AS (
+  SELECT DISTINCT m.query_id, p.doc_id
+  FROM post p JOIN m ON p.term = m.marker
+),
+{block_sql}
+{row_sql}
+ORDER BY b
+"""
+
+
+# Twin of operators/textstats.py::good_turing_mass — count-of-counts
+# per source, guarded GT hapax probability.
+GOOD_TURING_MASS = f"""
+WITH per AS (
+  SELECT source, term, count(*) AS cf FROM (
+    SELECT source, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY 1, 2
+),
+g AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(cf) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN cf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM per GROUP BY source
+)
+SELECT source, v, n, n1, n2,
+       round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS missing_mass,
+       CASE WHEN n1 > 0
+            THEN round((2.0 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / CAST(n AS DOUBLE), 6)
+            ELSE 0.0 END AS p_hapax_gt
+FROM g ORDER BY source
+"""
+
+
+def zscore_merge_sql(terms: list[str], k: int = 10) -> str:
+    """Twin of operators/textstats.py::zscore_merge_audit — same
+    shard-local BM25, population z-normalization, merged page with
+    naive-merge agreement flags."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (
+  SELECT CAST(doc_id % 4 AS INT) AS shard, doc_id,
+         unnest({TOKS}) AS term
+  FROM documents
+),
+dl AS (
+  SELECT shard, doc_id, count(*) AS doclen FROM tokf GROUP BY 1, 2
+),
+stats AS (
+  SELECT shard, count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl GROUP BY 1
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT shard, term, count(*) AS df FROM (
+    SELECT DISTINCT shard, term, doc_id FROM qtok
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT t2.shard, t2.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                     + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(t2.tf AS DOUBLE)
+              / (CAST(t2.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(l.doclen AS DOUBLE)
+                          / s.avgdl)))
+         ) AS s
+  FROM (SELECT shard, doc_id, term, count(*) AS tf
+        FROM qtok GROUP BY 1, 2, 3) t2
+  JOIN dfs d ON t2.shard = d.shard AND t2.term = d.term
+  JOIN dl l ON t2.shard = l.shard AND t2.doc_id = l.doc_id
+  JOIN stats s ON t2.shard = s.shard
+  GROUP BY t2.shard, t2.doc_id
+),
+local AS (
+  SELECT shard, doc_id, s,
+         CAST(row_number() OVER (
+           PARTITION BY shard ORDER BY s DESC, doc_id
+         ) AS BIGINT) AS local_rank
+  FROM scored QUALIFY local_rank <= {k}
+),
+lstats AS (
+  SELECT shard, avg(s) AS mu, avg(s * s) AS m2 FROM local GROUP BY 1
+),
+zed AS (
+  SELECT l.shard, l.doc_id, l.s, l.local_rank,
+         (l.s - t3.mu) / sqrt(t3.m2 - t3.mu * t3.mu) AS z
+  FROM local l JOIN lstats t3 USING (shard)
+),
+merged AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY z DESC, doc_id)
+                 AS BIGINT) AS rank
+  FROM zed QUALIFY rank <= {k}
+),
+naive AS (
+  SELECT doc_id, 1 AS in_naive
+  FROM (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+               AS rr FROM zed)
+  WHERE rr <= {k}
+)
+SELECT m.rank, m.doc_id, CAST(m.shard AS BIGINT) AS shard,
+       m.local_rank, round(m.z, 6) AS z,
+       CAST(coalesce(n.in_naive, 0) AS BIGINT) AS n_raw_agree
+FROM merged m LEFT JOIN naive n USING (doc_id)
+ORDER BY m.rank
+"""
