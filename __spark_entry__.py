@@ -2291,6 +2291,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing_mass": _wrap(textstats.good_turing_mass),
         # Federated z-score result merging with provenance
         "zscore_merge": _wrap(textstats.zscore_merge_audit),
+        # PFOR postings codec audit (completes varbyte/EF/PFOR)
+        "pfor_audit": _wrap(textstats.pfor_audit),
+        # Source-vocabulary Jaccard similarity (mixture design input)
+        "source_vocab_overlap": _wrap(textstats.source_vocab_overlap),
+        # Cohen's kappa between strict and lenient judges
+        "judge_agreement_kappa": _wrap(textstats.judge_agreement_kappa),
     }
 
 
@@ -3049,4 +3055,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "good_turing_mass": oracles.GOOD_TURING_MASS,
         "zscore_merge": oracles.zscore_merge_sql(FLAGSHIP_TERMS),
+        "pfor_audit": oracles.PFOR_AUDIT,
+        "source_vocab_overlap": oracles.SOURCE_VOCAB_OVERLAP,
+        "judge_agreement_kappa": oracles.judge_agreement_kappa_sql(
+            textstats.KAPPA_QUERIES
+        ),
     }

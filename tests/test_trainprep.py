@@ -3757,3 +3757,125 @@ def test_zscore_merge_recompute(spark, corpus, tables):
         assert r.n_raw_agree == (1 if d in naive else 0)
     # normalization must change the page vs raw-score merging
     assert any(r.n_raw_agree == 0 for r in got)
+
+
+def test_pfor_audit_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    posts: dict[str, list[int]] = {}
+    for d, r in by_id.items():
+        for t2 in set(tokenize(r.text)):
+            posts.setdefault(t2, []).append(d)
+
+    def vbyte(g):
+        if g < 128:
+            return 1
+        if g < 16384:
+            return 2
+        if g < 2097152:
+            return 3
+        if g < 268435456:
+            return 4
+        return 5
+
+    vb_t = pf_t = ex_t = wins = 0
+    for ids in posts.values():
+        s = sorted(ids)
+        gaps = [s[0] + 1] + [y - x for x, y in zip(s, s[1:])]
+        vb = sum(vbyte(g) for g in gaps)
+        widths = sorted(g.bit_length() for g in gaps)
+        b = widths[int(_m.ceil(0.9 * len(widths))) - 1]
+        exc = sum(1 for w in widths if w > b)
+        pf = (len(gaps) * b + 7) // 8 + 4 * exc
+        vb_t += vb
+        pf_t += pf
+        ex_t += exc
+        wins += pf < vb
+    row = textstats.pfor_audit(spark, tables).collect()[0]
+    assert row.n_terms == len(posts)
+    assert row.varbyte_bytes == vb_t
+    assert row.pfor_bytes == pf_t
+    assert row.n_exceptions == ex_t
+    assert row.pfor_wins == wins
+    assert row.pfor_to_varbyte == round(pf_t / vb_t, 6)
+    # patch rate honors the 90th percentile: exceptions <= ~10% of gaps
+    total_gaps = sum(len(v) for v in posts.values())
+    assert row.n_exceptions <= 0.11 * total_gaps
+
+
+def test_source_vocab_overlap_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    vocab: dict[str, set] = {}
+    for r in by_id.values():
+        vocab.setdefault(r.source, set()).update(tokenize(r.text))
+    pairs = []
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            jac = inter / len(vocab[a] | vocab[b])
+            pairs.append((round(jac, 6), a, b, inter))
+    top = sorted(pairs, key=lambda x: (-x[0], x[1], x[2]))[:10]
+    got = textstats.source_vocab_overlap(spark, tables).collect()
+    assert [(r.src_a, r.src_b) for r in got] == [
+        (a, b) for _, a, b, _ in top
+    ]
+    for r, (jac, a, b, inter) in zip(got, top):
+        assert (r.v_a, r.v_b, r.n_common) == (
+            len(vocab[a]), len(vocab[b]), inter
+        )
+        assert r.jaccard == jac
+    # shared synthetic vocabulary: top pairs overlap heavily
+    assert got[0].jaccard > 0.8
+
+
+def test_judge_agreement_kappa_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    queries, k = textstats.KAPPA_QUERIES, 20
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    got = {r.query_id: r for r in
+           textstats.judge_agreement_kappa(spark, tables).collect()}
+    for qid, terms, marker in queries:
+        acc: dict[int, float] = {}
+        for t2 in sorted(set(terms)):
+            dfq = sum(1 for ts in toks.values() if t2 in ts)
+            if not dfq:
+                continue
+            idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            for d, ts in toks.items():
+                tf = ts.count(t2)
+                if tf:
+                    acc[d] = acc.get(d, 0.0) + idf * (
+                        tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                    )
+        page = [d for d, _ in sorted(
+            acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+        cells = [0, 0, 0, 0]  # both, a_only, b_only, neither
+        for d in page:
+            mtf = toks[d].count(marker)
+            ja, jb = mtf >= 1, mtf >= 2
+            if ja and jb:
+                cells[0] += 1
+            elif ja:
+                cells[1] += 1
+            elif jb:
+                cells[2] += 1
+            else:
+                cells[3] += 1
+        po = (cells[0] + cells[3]) / k
+        pa = (cells[0] + cells[1]) / k
+        pb = (cells[0] + cells[2]) / k
+        pe = pa * pb + (1 - pa) * (1 - pb)
+        kap = (po - pe) / (1 - pe) if pe < 1.0 else 1.0
+        r = got[qid]
+        assert (r.n_both, r.n_a_only, r.n_b_only, r.n_neither) == \
+            tuple(cells)
+        assert r.po == round(po, 6)
+        assert abs(r.kappa - round(kap, 6)) < 1e-9
+    # the strict judge only ever removes labels: no b-only cell
+    assert all(r.n_b_only == 0 for r in got.values())

@@ -6550,3 +6550,281 @@ def zscore_merge_audit(
         )
         .orderBy("rank")
     )
+
+
+PFOR_PCTL = 0.9  # patch rate: base width covers 90% of gaps
+PFOR_EXC_BYTES = 4  # bytes per patched exception
+
+
+def pfor_audit(spark: SparkSession, t) -> DataFrame:
+    """PFOR postings-size audit (Zukowski/Heman/Nes/Boncz ICDE'06
+    "Super-scalar RAM-CPU cache compression" — the patched
+    frame-of-reference codec behind Lucene's PackedInts blocks and
+    every columnar engine's integer compression): pick a base bit
+    width b covering the ~90th-percentile gap, bit-pack everything at
+    b, and PATCH the outliers as exceptions. Whole-list variant per
+    term: b = bit width of the ceil(0.9 * df)-th smallest doc-gap,
+    bytes = ceil(df * b / 8) + 4 * exceptions. One summary row
+    against the varbyte baseline — completing the codec triptych
+    with postings_size (varbyte) and elias_fano_audit (EF): which
+    families win where is THE index-format capacity question.
+
+    Exactness: widths are bin()-length integers; the percentile pick
+    is an exact order statistic (sorted array element), no
+    interpolation; only the final ratio is a rounded float.
+
+    Scale shape: the same one-shuffle postings agg as the sibling
+    audits; per-term gap arrays are df-bounded and the order
+    statistic is an in-array sort (array lambdas, no extra
+    shuffle)."""
+    d = _tok(t["documents"])
+    post = (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_term = post.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    gaps = F.expr(
+        """transform(ids, (x, i) ->
+             IF(i = 0, x + 1, x - element_at(ids, i)))"""
+    )
+    vbytes = F.expr(
+        """aggregate(gaps, 0L, (acc, g) -> acc +
+             CASE WHEN g < 128 THEN 1
+                  WHEN g < 16384 THEN 2
+                  WHEN g < 2097152 THEN 3
+                  WHEN g < 268435456 THEN 4
+                  ELSE 5 END)"""
+    )
+    sized = (
+        per_term.select(
+            "term", F.size("ids").cast("long").alias("df"),
+            gaps.alias("gaps"),
+        )
+        .withColumn(
+            "widths",
+            F.sort_array(
+                F.expr("transform(gaps, g -> length(bin(g)))")
+            ),
+        )
+        .withColumn(
+            "b",
+            F.expr(
+                f"element_at(widths,"
+                f" CAST(ceil({PFOR_PCTL} * size(widths)) AS INT))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "exc",
+            F.expr("size(filter(widths, w -> w > b))").cast("long"),
+        )
+        .withColumn("vb", vbytes)
+        .withColumn(
+            "pfor",
+            F.expr(
+                f"(df * b + 7) div 8 + {PFOR_EXC_BYTES} * exc"
+            ).cast("long"),
+        )
+    )
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("vb").cast("long").alias("varbyte_bytes"),
+        F.sum("pfor").cast("long").alias("pfor_bytes"),
+        F.sum("exc").cast("long").alias("n_exceptions"),
+        F.round(
+            F.sum("pfor").cast("double") / F.sum("vb").cast("double"), 6
+        ).alias("pfor_to_varbyte"),
+        F.sum((F.col("pfor") < F.col("vb")).cast("long"))
+        .cast("long")
+        .alias("pfor_wins"),
+    )
+
+
+def source_vocab_overlap(
+    spark: SparkSession, t, k: int = 10
+) -> DataFrame:
+    """Source-vocabulary overlap matrix (the domain-similarity input
+    to mixture design — near-identical domains get merged quotas,
+    outliers get their own; the same Jaccard statistic dedup uses on
+    docs, lifted to DOMAIN vocabularies): distinct-term Jaccard for
+    every source pair, top-k most similar pairs with the set sizes.
+
+    Exactness: set sizes are integers; one rounded divide.
+
+    Scale shape: the (source, term) distinct frame is
+    domains x vocabulary; the pair join keys on term so |pairs| is
+    co-occurrence-bounded, and per-source sizes broadcast — at
+    web-scale the same plan runs on hashed vocab samples (MinHash),
+    as dedup.py documents for the doc-level case."""
+    d = t["documents"]
+    sv = (
+        d.select("source", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    a = sv.select(F.col("source").alias("src_a"), "term")
+    b = sv.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("source", "src_a")
+            .withColumnRenamed("v", "v_a"),
+            "src_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "src_b")
+            .withColumnRenamed("v", "v_b"),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("v_a").cast("long").alias("v_a"),
+            F.col("v_b").cast("long").alias("v_b"),
+            F.col("inter").cast("long").alias("n_common"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "src_a", "src_b")
+        .limit(k)
+    )
+
+
+KAPPA_QUERIES = SWEEP_QUERIES  # same query/marker set
+
+
+def judge_agreement_kappa(
+    spark: SparkSession, t, k: int = 20
+) -> DataFrame:
+    """Inter-judge agreement via Cohen's kappa (the QA statistic
+    every judgment collection reports before its labels are trusted;
+    Cohen '60): two deterministic judges label the BM25 top-k —
+    judge A says relevant iff the marker term appears (tf >= 1),
+    judge B is stricter (tf >= 2) — and kappa corrects raw agreement
+    for chance: ``kappa = (po - pe) / (1 - pe)`` with pe from the
+    marginals. Per query: the 2x2 confusion counts, po, and kappa —
+    the strict-vs-lenient calibration readout.
+
+    Exactness: confusion cells are integers; po/pe/kappa are
+    fixed-shape ratios of integers over the constant k, round(6).
+
+    Scale shape: the avg_precision_eval shared postings pass ranks
+    all queries at once; judging joins a broadcast marker-tf frame
+    against k-row pages."""
+    d = t["documents"]
+    queries = KAPPA_QUERIES
+    all_terms = sorted({t2 for _, ts, _ in queries for t2 in ts})
+    qterms = [
+        (qid, t2) for qid, ts, _ in queries for t2 in sorted(set(ts))
+    ]
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    mdf = spark.createDataFrame(
+        [(qid, m) for qid, _, m in queries],
+        "query_id long, marker string",
+    )
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(all_terms))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * tfn).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    page = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    mtf = (
+        tokf.join(F.broadcast(mdf), tokf["term"] == mdf["marker"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("mtf"))
+    )
+    judged = page.join(mtf, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        (F.coalesce("mtf", F.lit(0)) >= 1).cast("long").alias("ja"),
+        (F.coalesce("mtf", F.lit(0)) >= 2).cast("long").alias("jb"),
+    )
+    cells = judged.groupBy("query_id").agg(
+        F.sum(F.col("ja") * F.col("jb")).cast("long").alias("n_both"),
+        F.sum(F.col("ja") * (1 - F.col("jb"))).cast("long").alias(
+            "n_a_only"
+        ),
+        F.sum((1 - F.col("ja")) * F.col("jb")).cast("long").alias(
+            "n_b_only"
+        ),
+        F.sum((1 - F.col("ja")) * (1 - F.col("jb")))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    kd = float(k)
+    po = (F.col("n_both") + F.col("n_neither")).cast("double") / F.lit(kd)
+    pa = (F.col("n_both") + F.col("n_a_only")).cast("double") / F.lit(kd)
+    pb = (F.col("n_both") + F.col("n_b_only")).cast("double") / F.lit(kd)
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    return cells.select(
+        "query_id",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.round(po, 6).alias("po"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)).otherwise(
+                F.lit(1.0)
+            ),
+            6,
+        ).alias("kappa"),
+    ).orderBy("query_id")

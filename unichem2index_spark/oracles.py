@@ -9881,3 +9881,158 @@ SELECT m.rank, m.doc_id, CAST(m.shard AS BIGINT) AS shard,
 FROM merged m LEFT JOIN naive n USING (doc_id)
 ORDER BY m.rank
 """
+
+
+# Twin of operators/textstats.py::pfor_audit — same gap arrays as the
+# EF audit, exact order-statistic base width, patched exceptions.
+PFOR_AUDIT = f"""
+WITH post AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+per_term AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS ids FROM post GROUP BY term
+),
+g AS (
+  SELECT term, CAST(len(ids) AS BIGINT) AS df,
+         list_transform(ids, (x, i) ->
+           CASE WHEN i = 1 THEN x + 1 ELSE x - ids[i - 1] END) AS gaps
+  FROM per_term
+),
+sized AS (
+  SELECT term, df,
+         CAST(list_reduce(list_prepend(0, list_transform(gaps, gg ->
+           CASE WHEN gg < 128 THEN 1
+                WHEN gg < 16384 THEN 2
+                WHEN gg < 2097152 THEN 3
+                WHEN gg < 268435456 THEN 4
+                ELSE 5 END)), (x, y) -> x + y) AS BIGINT) AS vb,
+         list_sort(list_transform(gaps, gg -> length(bin(gg)))) AS widths
+  FROM g
+),
+p AS (
+  SELECT df, vb,
+         CAST(widths[CAST(ceil(0.9 * len(widths)) AS INT)] AS BIGINT)
+           AS b,
+         widths
+  FROM sized
+),
+e AS (
+  SELECT df, vb, b,
+         CAST(len(list_filter(widths, w -> w > b)) AS BIGINT) AS exc
+  FROM p
+),
+f AS (
+  SELECT df, vb, exc, (df * b + 7) // 8 + 4 * exc AS pfor FROM e
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(vb) AS BIGINT) AS varbyte_bytes,
+       CAST(sum(pfor) AS BIGINT) AS pfor_bytes,
+       CAST(sum(exc) AS BIGINT) AS n_exceptions,
+       round(CAST(sum(pfor) AS DOUBLE) / CAST(sum(vb) AS DOUBLE), 6)
+         AS pfor_to_varbyte,
+       CAST(sum(CASE WHEN pfor < vb THEN 1 ELSE 0 END) AS BIGINT)
+         AS pfor_wins
+FROM f
+"""
+
+
+# Twin of operators/textstats.py::source_vocab_overlap — distinct-term
+# Jaccard over source pairs, top-10.
+SOURCE_VOCAB_OVERLAP = f"""
+WITH sv AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest({TOKS}) AS term FROM documents
+  )
+),
+sizes AS (SELECT source, count(*) AS v FROM sv GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+  FROM sv a JOIN sv b USING (term)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(sa.v AS BIGINT) AS v_a, CAST(sb.v AS BIGINT) AS v_b,
+       CAST(inter AS BIGINT) AS n_common,
+       round(CAST(inter AS DOUBLE)
+             / CAST(sa.v + sb.v - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON src_a = sa.source
+JOIN sizes sb ON src_b = sb.source
+ORDER BY jaccard DESC, src_a, src_b LIMIT 10
+"""
+
+
+def judge_agreement_kappa_sql(
+    queries: list[tuple[int, list[str], str]], k: int = 20
+) -> str:
+    """Twin of operators/textstats.py::judge_agreement_kappa — same
+    tf>=1 vs tf>=2 judges over the BM25 page, same po/pe shapes."""
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in queries
+        for t in sorted(set(ts))
+    )
+    mrows = ", ".join(f"({qid}, '{m}')" for qid, _, m in queries)
+    kd = float(k)
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term) AS (VALUES {qrows}),
+m(query_id, marker) AS (VALUES {mrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf / (p.tf + 1.2 * (0.25 + 0.75 * t.doclen / s.avgdl)))
+         ) AS score
+  FROM post p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  JOIN tok t ON p.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+page AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= {k}
+),
+mtf AS (
+  SELECT m.query_id, p.doc_id, CAST(p.tf AS BIGINT) AS mtf
+  FROM post p JOIN m ON p.term = m.marker
+),
+judged AS (
+  SELECT pg.query_id,
+         CASE WHEN coalesce(mt.mtf, 0) >= 1 THEN 1 ELSE 0 END AS ja,
+         CASE WHEN coalesce(mt.mtf, 0) >= 2 THEN 1 ELSE 0 END AS jb
+  FROM page pg
+  LEFT JOIN mtf mt
+    ON pg.query_id = mt.query_id AND pg.doc_id = mt.doc_id
+),
+cells AS (
+  SELECT query_id,
+         CAST(sum(ja * jb) AS BIGINT) AS n_both,
+         CAST(sum(ja * (1 - jb)) AS BIGINT) AS n_a_only,
+         CAST(sum((1 - ja) * jb) AS BIGINT) AS n_b_only,
+         CAST(sum((1 - ja) * (1 - jb)) AS BIGINT) AS n_neither
+  FROM judged GROUP BY 1
+),
+rates AS (
+  SELECT query_id, n_both, n_a_only, n_b_only, n_neither,
+         CAST(n_both + n_neither AS DOUBLE) / {kd!r} AS po,
+         (CAST(n_both + n_a_only AS DOUBLE) / {kd!r})
+           * (CAST(n_both + n_b_only AS DOUBLE) / {kd!r})
+         + (1.0 - CAST(n_both + n_a_only AS DOUBLE) / {kd!r})
+           * (1.0 - CAST(n_both + n_b_only AS DOUBLE) / {kd!r}) AS pe
+  FROM cells
+)
+SELECT query_id, n_both, n_a_only, n_b_only, n_neither,
+       round(po, 6) AS po,
+       round(CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe)
+                  ELSE 1.0 END, 6) AS kappa
+FROM rates ORDER BY query_id
+"""
