@@ -2297,6 +2297,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": _wrap(textstats.source_vocab_overlap),
         # Cohen's kappa between strict and lenient judges
         "judge_agreement_kappa": _wrap(textstats.judge_agreement_kappa),
+        # Negative-IDF audit (why Lucene smooths Robertson idf)
+        "idf_negative_audit": _wrap(textstats.idf_negative_audit),
+        # Count-Min sketch fidelity (completes the sketch shelf)
+        "countmin_audit": _wrap(textstats.countmin_audit),
+        # Nextword-index plan for common-word phrase serving
+        "nextword_index_plan": _wrap(textstats.nextword_index_plan),
     }
 
 
@@ -3060,4 +3066,9 @@ def oracle_sql() -> dict[str, str]:
         "judge_agreement_kappa": oracles.judge_agreement_kappa_sql(
             textstats.KAPPA_QUERIES
         ),
+        "idf_negative_audit": oracles.IDF_NEGATIVE_AUDIT,
+        "countmin_audit": oracles.countmin_audit_sql(
+            list(textstats.CMS_PROBES)
+        ),
+        "nextword_index_plan": oracles.nextword_index_plan_sql(),
     }

@@ -3879,3 +3879,91 @@ def test_judge_agreement_kappa_recompute(spark, corpus, tables):
         assert abs(r.kappa - round(kap, 6)) < 1e-9
     # the strict judge only ever removes labels: no b-only cell
     assert all(r.n_b_only == 0 for r in got.values())
+
+
+def test_idf_negative_audit_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    df: dict[str, int] = {}
+    for r in by_id.values():
+        for t2 in set(tokenize(r.text)):
+            df[t2] = df.get(t2, 0) + 1
+    n = len(by_id)
+    idfs = {
+        t2: _m.log((n - d + 0.5) / (d + 0.5)) for t2, d in df.items()
+    }
+    neg = [t2 for t2, v in idfs.items() if v < 0]
+    row = textstats.idf_negative_audit(spark, tables).collect()[0]
+    assert row.n_terms == len(df)
+    assert row.n_negative == len(neg)
+    assert row.negative_postings == sum(df[t2] for t2 in neg)
+    assert row.total_postings == sum(df.values())
+    assert row.negative_share == round(
+        sum(df[t2] for t2 in neg) / sum(df.values()), 6
+    )
+    assert abs(row.min_idf - round(min(idfs.values()), 6)) < 1e-9
+    # dense synthetic vocab: the classic formula DOES go negative here
+    assert row.n_negative > 0
+
+
+def test_countmin_audit_recompute(spark, corpus, tables):
+    import hashlib
+    from collections import Counter
+
+    _, by_id = corpus
+    cf = Counter(
+        t2 for r in by_id.values() for t2 in tokenize(r.text)
+    )
+    cells: Counter = Counter()
+    for t2, c in cf.items():
+        h = hashlib.md5(t2.encode()).hexdigest()
+        for j in range(textstats.CMS_ROWS):
+            cells[(j, h[2 * j:2 * j + 2])] += c
+    got = {r.term: r for r in
+           textstats.countmin_audit(spark, tables).collect()}
+    assert set(got) == set(textstats.CMS_PROBES)
+    for t2 in textstats.CMS_PROBES:
+        h = hashlib.md5(t2.encode()).hexdigest()
+        est = min(
+            cells[(j, h[2 * j:2 * j + 2])]
+            for j in range(textstats.CMS_ROWS)
+        )
+        r = got[t2]
+        assert (r.true_cf, r.cms_est) == (cf.get(t2, 0), est)
+        assert r.overestimate == est - cf.get(t2, 0)
+        # the CMS one-sided guarantee
+        assert r.overestimate >= 0
+
+
+def test_nextword_index_plan_recompute(spark, corpus, tables):
+    from collections import Counter
+
+    _, by_id = corpus
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    per_doc: Counter = Counter()
+    for d, ts in toks.items():
+        for a, b in zip(ts, ts[1:]):
+            per_doc[(f"{a} {b}", d)] += 1
+    tot: Counter = Counter()
+    dfp: Counter = Counter()
+    for (bg, d), c in per_doc.items():
+        tot[bg] += c
+        dfp[bg] += 1
+    top = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :textstats.NEXTWORD_TOP
+    ]
+    got = textstats.nextword_index_plan(spark, tables).collect()
+    assert [r.bigram for r in got] == [bg for bg, _ in top]
+    for r in got:
+        a, b = r.bigram.split(" ")
+        decode = sum(
+            toks[d].count(a) + toks[d].count(b)
+            for (bg, d) in per_doc
+            if bg == r.bigram
+        )
+        assert (r.n_pairs, r.df_pair) == (tot[r.bigram], dfp[r.bigram])
+        assert r.decode_positions == decode
+        assert r.nw_bytes == dfp[r.bigram] * 5 + tot[r.bigram]
+        # the nextword trade: postings bytes far below decode volume
+        assert r.nw_bytes < r.decode_positions * 4

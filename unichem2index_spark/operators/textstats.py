@@ -6828,3 +6828,232 @@ def judge_agreement_kappa(
             6,
         ).alias("kappa"),
     ).orderBy("query_id")
+
+
+def idf_negative_audit(spark: SparkSession, t) -> DataFrame:
+    """Negative-IDF audit (the reason Lucene moved from Robertson's
+    ``ln((N - df + 0.5)/(df + 0.5))`` — negative for df > N/2, letting
+    a matching term LOWER a document's score — to the +1-smoothed
+    ``ln(1 + ...)`` this repo freezes): count the vocabulary terms the
+    classic formula sends negative, the postings mass they carry, and
+    the worst offender — the numbers that justify either the smooth
+    idf or a score floor. One summary row.
+
+    Exactness: df counts are integers; the two idf evaluations are
+    fixed-shape doubles; rounds at emit only.
+
+    Scale shape: the standard one-shuffle term-dictionary agg plus a
+    one-row reduce."""
+    d = _tok(t["documents"])
+    n_df = d.agg(F.count(F.lit(1)).alias("n"))
+    dfs = (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_df))
+    )
+    classic = F.log(
+        (
+            F.col("n").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    sized = dfs.withColumn("idf_classic", classic)
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum((F.col("idf_classic") < 0).cast("long"))
+        .cast("long")
+        .alias("n_negative"),
+        F.sum(
+            F.when(F.col("idf_classic") < 0, F.col("df")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("negative_postings"),
+        F.sum("df").cast("long").alias("total_postings"),
+        F.round(
+            F.sum(
+                F.when(F.col("idf_classic") < 0, F.col("df")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("df").cast("double"),
+            6,
+        ).alias("negative_share"),
+        F.round(F.min("idf_classic"), 6).alias("min_idf"),
+    )
+
+
+CMS_ROWS = 4  # CountMin depth (independent hash rows)
+CMS_PROBES = ("the", "merge", "vector", "customer", "spark", "window")
+
+
+def countmin_audit(
+    spark: SparkSession,
+    t,
+    probes: tuple[str, ...] = CMS_PROBES,
+) -> DataFrame:
+    """Count-Min sketch fidelity audit (Cormode & Muthukrishnan '05 —
+    THE streaming frequency sketch, the one backing heavy-hitter
+    dashboards): 4 hash rows x 256 counters, hashes = successive
+    md5-hex-pair buckets (the engine-portable hash family this repo's
+    dsir/url ops use), estimate = min over rows of the probed
+    counter. CMS never underestimates; the audit reports, per probe
+    term, the true collection frequency, the sketch estimate, and the
+    collision overestimate — completing the sketch shelf next to HLL
+    (cardinality_agg), KMV (kmv_distinct), Bloom (bloom_prefilter)
+    and MinHash.
+
+    Exactness: counters and estimates are pure integer sums/mins.
+
+    Scale shape: sketch construction is ONE map-side-combinable agg
+    over (row, bucket) — 1024 cells regardless of corpus size (the
+    entire point of CMS); probing joins a handful of broadcast keys."""
+    d = t["documents"]
+    tokf = d.select(F.explode(tokens_col("text")).alias("term"))
+    rows = []
+    for j in range(CMS_ROWS):
+        rows.append(
+            tokf.select(
+                F.lit(j).alias("row"),
+                F.substring(F.md5("term"), 1 + 2 * j, 2).alias("bucket"),
+            )
+        )
+    cells = rows[0]
+    for fr in rows[1:]:
+        cells = cells.unionAll(fr)
+    sketch = cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    uniq = sorted(set(probes))
+    probe_rows = [
+        (t2, j, __import__("hashlib").md5(t2.encode()).hexdigest()[
+            2 * j:2 * j + 2
+        ])
+        for t2 in uniq
+        for j in range(CMS_ROWS)
+    ]
+    pdf = spark.createDataFrame(
+        probe_rows, "term string, row int, bucket string"
+    )
+    est = (
+        sketch.join(F.broadcast(pdf), ["row", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+    true_cf = (
+        tokf.where(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cf"))
+    )
+    return (
+        est.join(true_cf, "term", "left")
+        .select(
+            "term",
+            F.coalesce("true_cf", F.lit(0)).cast("long").alias("true_cf"),
+            "cms_est",
+            (
+                F.col("cms_est") - F.coalesce("true_cf", F.lit(0))
+            ).cast("long").alias("overestimate"),
+        )
+        .orderBy("term")
+    )
+
+
+NEXTWORD_TOP = 20
+
+
+def nextword_index_plan(
+    spark: SparkSession, t, k: int = NEXTWORD_TOP
+) -> DataFrame:
+    """Nextword-index planning (Williams/Zobel/Bahle IPM'04 "Fast
+    phrase querying with combined indexes"): the classic fix for
+    slow common-word phrases ("the merge") is a dedicated bigram
+    postings list for the most frequent word PAIRS, skipping the
+    positional intersection entirely. This plan ranks the top-k
+    adjacency bigrams and prices both sides of the trade: the
+    positions a phrase query would otherwise decode (sum over
+    matching docs of tf_first + tf_second — the intersection's
+    decode volume) vs the nextword postings size (one vbyte-ish
+    doc entry + count per posting, 5 bytes/doc + 1/occurrence,
+    the audit constant).
+
+    Exactness: all counts integer; no floats.
+
+    Scale shape: adjacency pairs come from one array-lambda pass
+    (no position self-join); the decode-cost join touches only the
+    top-k bigrams' doc sets, each df-bounded; the same single-shuffle
+    dictionary plan as the codec audits."""
+    d = t["documents"]
+    tok = d.select("doc_id", tokens_col("text").alias("toks"))
+    big = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "IF(size(toks) >= 2, transform(sequence(1,"
+                " size(toks) - 1), i -> concat(element_at(toks, i),"
+                " ' ', element_at(toks, i + 1))), array())"
+            )
+        ).alias("bigram"),
+    )
+    per_doc = big.groupBy("bigram", "doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = (
+        per_doc.groupBy("bigram")
+        .agg(
+            F.sum("n").cast("long").alias("n_pairs"),
+            F.count(F.lit(1)).cast("long").alias("df_pair"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("bigram"))
+        .limit(k)
+    )
+    post = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    parts = top.select(
+        "bigram",
+        F.expr("split(bigram, ' ')[0]").alias("w1"),
+        F.expr("split(bigram, ' ')[1]").alias("w2"),
+    )
+    cost = (
+        per_doc.join(F.broadcast(parts), "bigram")
+        .join(
+            post.select(
+                "doc_id", F.col("term").alias("w1"),
+                F.col("tf").alias("tf1"),
+            ),
+            ["doc_id", "w1"],
+        )
+        .join(
+            post.select(
+                "doc_id", F.col("term").alias("w2"),
+                F.col("tf").alias("tf2"),
+            ),
+            ["doc_id", "w2"],
+        )
+        .groupBy("bigram")
+        .agg(
+            F.sum(F.col("tf1") + F.col("tf2"))
+            .cast("long")
+            .alias("decode_positions")
+        )
+    )
+    return (
+        top.join(cost, "bigram")
+        .select(
+            "bigram",
+            "n_pairs",
+            "df_pair",
+            "decode_positions",
+            (F.col("df_pair") * 5 + F.col("n_pairs")).cast("long").alias(
+                "nw_bytes"
+            ),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("bigram"))
+    )

@@ -10036,3 +10036,122 @@ SELECT query_id, n_both, n_a_only, n_b_only, n_neither,
                   ELSE 1.0 END, 6) AS kappa
 FROM rates ORDER BY query_id
 """
+
+
+# Twin of operators/textstats.py::idf_negative_audit — classic
+# Robertson idf over the term dictionary, one summary row.
+IDF_NEGATIVE_AUDIT = f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dfs AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+    SELECT DISTINCT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term
+),
+sized AS (
+  SELECT df,
+         ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5)) AS idf_classic
+  FROM dfs CROSS JOIN nn
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN idf_classic < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(sum(CASE WHEN idf_classic < 0 THEN df ELSE 0 END) AS BIGINT)
+         AS negative_postings,
+       CAST(sum(df) AS BIGINT) AS total_postings,
+       round(CAST(sum(CASE WHEN idf_classic < 0 THEN df ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(df) AS DOUBLE), 6)
+         AS negative_share,
+       round(min(idf_classic), 6) AS min_idf
+FROM sized
+"""
+
+
+def countmin_audit_sql(probes: list[str]) -> str:
+    """Twin of operators/textstats.py::countmin_audit — same 4x256
+    md5-hex-pair sketch and min-over-rows estimate; probe buckets
+    computed by the same python md5."""
+    import hashlib
+
+    uniq = sorted(set(probes))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    prows = ", ".join(
+        f"('{t}', {j}, '{hashlib.md5(t.encode()).hexdigest()[2 * j:2 * j + 2]}')"
+        for t in uniq
+        for j in range(4)
+    )
+    return f"""
+WITH tokf AS (SELECT unnest({TOKS}) AS term FROM documents),
+cells AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT 0 AS row, substr(md5(term), 1, 2) AS bucket FROM tokf
+    UNION ALL SELECT 1, substr(md5(term), 3, 2) FROM tokf
+    UNION ALL SELECT 2, substr(md5(term), 5, 2) FROM tokf
+    UNION ALL SELECT 3, substr(md5(term), 7, 2) FROM tokf
+  ) GROUP BY 1, 2
+),
+p(term, row, bucket) AS (VALUES {prows}),
+est AS (
+  SELECT term, CAST(min(cnt) AS BIGINT) AS cms_est
+  FROM cells JOIN p USING (row, bucket) GROUP BY term
+),
+tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS true_cf
+  FROM tokf WHERE term IN ({inlist}) GROUP BY 1
+)
+SELECT e.term,
+       CAST(coalesce(tc.true_cf, 0) AS BIGINT) AS true_cf,
+       e.cms_est,
+       CAST(e.cms_est - coalesce(tc.true_cf, 0) AS BIGINT)
+         AS overestimate
+FROM est e LEFT JOIN tc ON e.term = tc.term ORDER BY e.term
+"""
+
+
+def nextword_index_plan_sql(k: int = 20) -> str:
+    """Twin of operators/textstats.py::nextword_index_plan — same
+    adjacency bigrams, decode-volume join, 5-byte/doc + 1/occurrence
+    sizing constant."""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END) AS bigram
+  FROM tok
+),
+per_doc AS (
+  SELECT bigram, doc_id, count(*) AS n FROM big GROUP BY 1, 2
+),
+top AS (
+  SELECT bigram, CAST(sum(n) AS BIGINT) AS n_pairs,
+         CAST(count(*) AS BIGINT) AS df_pair
+  FROM per_doc GROUP BY 1
+  ORDER BY n_pairs DESC, bigram LIMIT {k}
+),
+post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM tok
+  ) GROUP BY 1, 2
+),
+parts AS (
+  SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM top
+),
+cost AS (
+  SELECT pd.bigram, CAST(sum(p1.tf + p2.tf) AS BIGINT)
+           AS decode_positions
+  FROM per_doc pd
+  JOIN parts pa USING (bigram)
+  JOIN post p1 ON p1.doc_id = pd.doc_id AND p1.term = pa.w1
+  JOIN post p2 ON p2.doc_id = pd.doc_id AND p2.term = pa.w2
+  GROUP BY 1
+)
+SELECT t2.bigram, t2.n_pairs, t2.df_pair, c.decode_positions,
+       CAST(t2.df_pair * 5 + t2.n_pairs AS BIGINT) AS nw_bytes
+FROM top t2 JOIN cost c USING (bigram)
+ORDER BY t2.n_pairs DESC, t2.bigram
+"""
