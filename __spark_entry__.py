@@ -2303,6 +2303,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_audit": _wrap(textstats.countmin_audit),
         # Nextword-index plan for common-word phrase serving
         "nextword_index_plan": _wrap(textstats.nextword_index_plan),
+        # Gen-over-gen rank drift with refreshed statistics
+        "generation_rank_drift": _wrap(textstats.generation_rank_drift),
+        # ES post_filter facet semantics (counts unfiltered, hits not)
+        "post_filter_facets": _wrap(textstats.post_filter_facets),
+        # Sampled term-statistics calibration (1-in-3 systematic)
+        "sampled_df_accuracy": _wrap(textstats.sampled_df_accuracy),
     }
 
 
@@ -3071,4 +3077,13 @@ def oracle_sql() -> dict[str, str]:
             list(textstats.CMS_PROBES)
         ),
         "nextword_index_plan": oracles.nextword_index_plan_sql(),
+        "generation_rank_drift": oracles.generation_rank_drift_sql(
+            FLAGSHIP_TERMS
+        ),
+        "post_filter_facets": oracles.post_filter_facets_sql(
+            FLAGSHIP_TERMS
+        ),
+        "sampled_df_accuracy": oracles.sampled_df_accuracy_sql(
+            ["the", "merge", "vector", "customer"]
+        ),
     }

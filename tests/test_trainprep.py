@@ -3967,3 +3967,96 @@ def test_nextword_index_plan_recompute(spark, corpus, tables):
         assert r.nw_bytes == dfp[r.bigram] * 5 + tot[r.bigram]
         # the nextword trade: postings bytes far below decode volume
         assert r.nw_bytes < r.decode_positions * 4
+
+
+def _bm25_py(toks, dl, terms):
+    import math as _m
+
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    acc: dict[int, float] = {}
+    for t2 in sorted(set(terms)):
+        dfq = sum(1 for d in dl if t2 in toks[d])
+        if not dfq:
+            continue
+        idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+        for d in dl:
+            tf = toks[d].count(t2)
+            if tf:
+                acc[d] = acc.get(d, 0.0) + idf * (
+                    tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                )
+    return acc
+
+
+def test_generation_rank_drift_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], textstats.DRIFT_K
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl_all = {d: len(ts) for d, ts in toks.items() if ts}
+    surv = {d: n for d, n in dl_all.items() if d % 10 != 3}
+    old = [d for d, _ in sorted(
+        _bm25_py(toks, dl_all, terms).items(),
+        key=lambda kv: (-kv[1], kv[0]))[:k]]
+    old_rank = {d: i + 1 for i, d in enumerate(old)}
+    new_scores = _bm25_py(toks, surv, terms)
+    new = sorted(
+        new_scores.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:k]
+    got = textstats.generation_rank_drift(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in new]
+    for i, (r, (d, s)) in enumerate(zip(got, new), 1):
+        assert r.rank == i
+        assert abs(r.score - round(s, 6)) < 1e-6
+        assert r.old_rank == old_rank.get(d, 0)
+        assert r.moved == (1 if old_rank.get(d, 0) != i else 0)
+    # no tombstoned doc survives into the new page
+    assert all(r.doc_id % 10 != 3 for r in got)
+
+
+def test_post_filter_facets_recompute(spark, corpus, tables):
+    from collections import Counter
+
+    _, by_id = corpus
+    terms, sel, k = ["the", "merge", "vector"], "en", 10
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    scores = _bm25_py(toks, dl, terms)
+    langs = {d: by_id[d].lang for d in by_id}
+    facets = Counter(langs[d] for d in scores)
+    page = [d for d, _ in sorted(
+        ((d, s) for d, s in scores.items() if langs[d] == sel),
+        key=lambda kv: (-kv[1], kv[0]))[:k]]
+    got = {r.lang: r for r in
+           textstats.post_filter_facets(spark, tables).collect()}
+    assert set(got) == set(facets)
+    for lg, n in facets.items():
+        r = got[lg]
+        assert r.n_matched == n
+        assert r.selected == (1 if lg == sel else 0)
+        assert r.n_topk == (len(page) if lg == sel else 0)
+    # the post_filter invariant: unselected facets keep full counts
+    assert sum(r.n_matched for r in got.values()) == len(scores)
+
+
+def test_sampled_df_accuracy_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    terms = ["the", "merge", "vector", "customer"]
+    toks = {d: set(tokenize(r.text)) for d, r in by_id.items()}
+    got = {r.term: r for r in
+           textstats.sampled_df_accuracy(spark, tables).collect()}
+    assert set(got) == set(terms)
+    for t2 in terms:
+        exact = sum(1 for ts in toks.values() if t2 in ts)
+        samp = sum(
+            1 for d, ts in toks.items()
+            if d % textstats.SAMPLED_DF_EVERY == 0 and t2 in ts
+        )
+        r = got[t2]
+        assert (r.exact_df, r.sample_df, r.est_df) == (
+            exact, samp, samp * textstats.SAMPLED_DF_EVERY
+        )
+        assert r.rel_err == round(
+            abs(samp * 3.0 - exact) / exact, 6
+        )
+    # systematic sampling tracks high-df terms tightly
+    assert got["the"].rel_err < 0.1

@@ -7057,3 +7057,270 @@ def nextword_index_plan(
         )
         .orderBy(F.desc("n_pairs"), F.asc("bigram"))
     )
+
+
+DRIFT_DELETE_MOD = 10  # gen N+1 tombstones doc_id % 10 == 3
+DRIFT_K = 15
+
+
+def generation_rank_drift(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = DRIFT_K,
+) -> DataFrame:
+    """Generation-over-generation rank drift audit (the regression
+    check an index operator runs before promoting gen N+1 — the
+    query-level complement of update.py's count reconciliation):
+    simulate the next generation by tombstoning a deterministic 10%
+    of docs (doc_id % 10 == 3, the update-lifecycle convention),
+    re-rank the flagship query against the SURVIVING corpus with its
+    OWN refreshed statistics (df/avgdl shift when docs leave — the
+    part naive diffing misses), and emit the new page with drift
+    provenance: each doc's old rank (0 = new entrant) and whether it
+    moved. Summary readable off the rows: entrants are exactly the
+    rows with old_rank 0.
+
+    Exactness: both rankings reuse the frozen BM25 expression over
+    their respective corpora; integer ranks; round(6) scores.
+
+    Scale shape: two filtered-postings passes (the gen-N+1 pass adds
+    one pushed-down tombstone predicate — exactly how the real
+    generation scan works, operators/update.py); the diff joins two
+    k-row pages."""
+    d = t["documents"]
+
+    def topk(docs) -> DataFrame:
+        tokf = docs.select(
+            "doc_id", F.explode(tokens_col("text")).alias("term")
+        )
+        dl = tokf.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("doclen")
+        )
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("doclen").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+        )
+        qtok = tokf.where(F.col("term").isin(list(terms)))
+        dfs = (
+            qtok.select("term", "doc_id")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (
+                F.col("n_docs").cast("double")
+                - F.col("df").cast("double")
+                + F.lit(0.5)
+            )
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        tfn = F.col("tf").cast("double") / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75)
+                * F.col("doclen").cast("double")
+                / F.col("avgdl")
+            )
+        )
+        scored = (
+            qtok.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(F.broadcast(dfs), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(idf * tfn).alias("score"))
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.orderBy(F.desc("score"), "doc_id")
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+        )
+
+    old = topk(d).select(
+        "doc_id", F.col("rank").alias("old_rank")
+    )
+    new = topk(d.where(F.col("doc_id") % DRIFT_DELETE_MOD != 3))
+    return (
+        new.join(old, "doc_id", "left")
+        .select(
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.coalesce("old_rank", F.lit(0)).cast("long").alias(
+                "old_rank"
+            ),
+            (
+                F.coalesce("old_rank", F.lit(0)) != F.col("rank")
+            ).cast("long").alias("moved"),
+        )
+        .orderBy("rank")
+    )
+
+
+def post_filter_facets(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    selected: str = "en",
+    k: int = 10,
+) -> DataFrame:
+    """ES ``post_filter`` semantics audit — the subtlety every
+    faceted-search UI depends on: the selected facet filters the
+    HITS but NOT the facet counts (so the sidebar keeps showing what
+    the other choices would return). Per lang facet: the doc count
+    over the UNFILTERED match set (the sidebar number), whether it's
+    the selected facet, and how many of the filtered top-k hits
+    carry it (nonzero only for the selection, by construction — the
+    invariant that proves the filter applied post-aggregation).
+
+    Exactness: integer counts; the BM25 leg reuses the frozen
+    expression; no rounded floats beyond the score-ordering
+    (internal only).
+
+    Scale shape: one match pass feeds BOTH the facet agg (unfiltered,
+    map-side combined) and the filtered top-k (selectivity predicate
+    pushed into the page window only) — the exact double-use ES
+    executes post_filter with."""
+    d = t["documents"]
+    tokf = d.select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("term")
+    )
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    scored = (
+        qtok.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(idf * tfn).alias("score"))
+    )
+    facets = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    page = (
+        scored.where(F.col("lang") == selected)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+    in_page = page.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_topk")
+    )
+    return (
+        facets.join(in_page, "lang", "left")
+        .select(
+            "lang",
+            "n_matched",
+            (F.col("lang") == selected).cast("long").alias("selected"),
+            F.coalesce("n_topk", F.lit(0)).cast("long").alias("n_topk"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLED_DF_EVERY = 3  # systematic 1-in-3 doc sample
+
+
+def sampled_df_accuracy(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector", "customer"),
+) -> DataFrame:
+    """Sampled term-statistics accuracy audit (the trade behind
+    approximate df in distributed term dictionaries — shard-sampled
+    stats are cheap but biased for mid-frequency terms): estimate
+    each term's df from a 1-in-3 systematic doc sample scaled by the
+    inverse rate (the redde CSI convention, so membership is
+    engine-exact), against the exact df. Per term: exact, sampled
+    raw, scaled estimate, and the relative error — the calibration
+    table that decides where sampled stats are safe.
+
+    Exactness: counts are integers; the estimate is integers times
+    the constant rate; one rounded error divide.
+
+    Scale shape: two filtered postings aggs, the sampled one behind
+    a pushed-down modulus predicate — both map-side combinable."""
+    d = t["documents"]
+    uniq = sorted(set(terms))
+    tokf = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    ).where(F.col("term").isin(uniq))
+    exact = (
+        tokf.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_df"))
+    )
+    sampled = (
+        tokf.where(F.col("doc_id") % SAMPLED_DF_EVERY == 0)
+        .select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("sample_df"))
+    )
+    return (
+        exact.join(sampled, "term", "left")
+        .select(
+            "term",
+            "exact_df",
+            F.coalesce("sample_df", F.lit(0)).cast("long").alias(
+                "sample_df"
+            ),
+            (
+                F.coalesce("sample_df", F.lit(0)) * SAMPLED_DF_EVERY
+            ).cast("long").alias("est_df"),
+            F.round(
+                F.abs(
+                    F.coalesce("sample_df", F.lit(0)).cast("double")
+                    * F.lit(float(SAMPLED_DF_EVERY))
+                    - F.col("exact_df").cast("double")
+                )
+                / F.col("exact_df").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("term")
+    )

@@ -10155,3 +10155,163 @@ SELECT t2.bigram, t2.n_pairs, t2.df_pair, c.decode_positions,
 FROM top t2 JOIN cost c USING (bigram)
 ORDER BY t2.n_pairs DESC, t2.bigram
 """
+
+
+def _bm25_block(
+    name: str, terms_inlist: str, where: str = ""
+) -> str:
+    """Shared CTE block: frozen BM25 over a (possibly filtered)
+    corpus with its OWN statistics; emits {name}_scored."""
+    return f"""
+{name}_tokf AS (
+  SELECT doc_id, unnest({TOKS}) AS term FROM documents {where}
+),
+{name}_dl AS (
+  SELECT doc_id, count(*) AS doclen FROM {name}_tokf GROUP BY 1
+),
+{name}_stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM {name}_dl
+),
+{name}_qtok AS (
+  SELECT * FROM {name}_tokf WHERE term IN ({terms_inlist})
+),
+{name}_dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM {name}_qtok
+  ) GROUP BY 1
+),
+{name}_scored AS (
+  SELECT doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS score
+  FROM (SELECT doc_id, term, count(*) AS tf FROM {name}_qtok
+        GROUP BY 1, 2)
+  JOIN {name}_dfs USING (term) JOIN {name}_dl USING (doc_id)
+  CROSS JOIN {name}_stats
+  GROUP BY doc_id
+)"""
+
+
+def generation_rank_drift_sql(terms: list[str], k: int = 15) -> str:
+    """Twin of operators/textstats.py::generation_rank_drift — same
+    tombstone predicate and refreshed-statistics re-rank."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_bm25_block('o', inlist)},
+{_bm25_block('g', inlist, 'WHERE doc_id % 10 != 3')},
+old AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS old_rank
+  FROM (SELECT * FROM o_scored ORDER BY score DESC, doc_id LIMIT {k})
+),
+new AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM (SELECT * FROM g_scored ORDER BY score DESC, doc_id LIMIT {k})
+)
+SELECT n.rank, n.doc_id, round(n.score, 6) AS score,
+       CAST(coalesce(o2.old_rank, 0) AS BIGINT) AS old_rank,
+       CAST(CASE WHEN coalesce(o2.old_rank, 0) != n.rank
+                 THEN 1 ELSE 0 END AS BIGINT) AS moved
+FROM new n LEFT JOIN old o2 USING (doc_id)
+ORDER BY n.rank
+"""
+
+
+def post_filter_facets_sql(
+    terms: list[str], selected: str = "en", k: int = 10
+) -> str:
+    """Twin of operators/textstats.py::post_filter_facets — facet
+    counts over the unfiltered match set, page filtered."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    sel = selected.replace("'", "''")
+    return f"""
+WITH tokf AS (
+  SELECT doc_id, lang, unnest({TOKS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, lang,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS score
+  FROM (SELECT doc_id, lang, term, count(*) AS tf FROM qtok
+        GROUP BY 1, 2, 3)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id, lang
+),
+facets AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_matched
+  FROM scored GROUP BY 1
+),
+page AS (
+  SELECT lang FROM scored WHERE lang = '{sel}'
+  ORDER BY score DESC, doc_id LIMIT {k}
+),
+in_page AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_topk FROM page GROUP BY 1
+)
+SELECT f.lang, f.n_matched,
+       CAST(CASE WHEN f.lang = '{sel}' THEN 1 ELSE 0 END AS BIGINT)
+         AS selected,
+       CAST(coalesce(p.n_topk, 0) AS BIGINT) AS n_topk
+FROM facets f LEFT JOIN in_page p USING (lang)
+ORDER BY f.lang
+"""
+
+
+def sampled_df_accuracy_sql(terms: list[str]) -> str:
+    """Twin of operators/textstats.py::sampled_df_accuracy — 1-in-3
+    systematic sample scaled by the inverse rate."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tokf AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) WHERE term IN ({inlist})
+),
+exact AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_df FROM (
+    SELECT DISTINCT term, doc_id FROM tokf
+  ) GROUP BY 1
+),
+sampled AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS sample_df FROM (
+    SELECT DISTINCT term, doc_id FROM tokf WHERE doc_id % 3 = 0
+  ) GROUP BY 1
+)
+SELECT e.term, e.exact_df,
+       CAST(coalesce(s.sample_df, 0) AS BIGINT) AS sample_df,
+       CAST(coalesce(s.sample_df, 0) * 3 AS BIGINT) AS est_df,
+       round(abs(CAST(coalesce(s.sample_df, 0) AS DOUBLE) * 3.0
+                 - CAST(e.exact_df AS DOUBLE))
+             / CAST(e.exact_df AS DOUBLE), 6) AS rel_err
+FROM exact e LEFT JOIN sampled s USING (term)
+ORDER BY e.term
+"""
