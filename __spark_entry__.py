@@ -2309,6 +2309,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_filter_facets": _wrap(textstats.post_filter_facets),
         # Sampled term-statistics calibration (1-in-3 systematic)
         "sampled_df_accuracy": _wrap(textstats.sampled_df_accuracy),
+        # Moffat-Zobel TAAT accumulator-limit recall curve
+        "taat_accumulator_audit": _wrap(textstats.taat_accumulator_audit),
+        # JASS anytime impact-ordered budget recall curve
+        "jass_anytime_audit": _wrap(textstats.jass_anytime_audit),
+        # Min-gap histogram for a term pair (proximity calibration)
+        "proximity_histogram": _wrap(textstats.proximity_histogram),
     }
 
 
@@ -3086,4 +3092,9 @@ def oracle_sql() -> dict[str, str]:
         "sampled_df_accuracy": oracles.sampled_df_accuracy_sql(
             ["the", "merge", "vector", "customer"]
         ),
+        "taat_accumulator_audit": oracles.taat_accumulator_sql(
+            FLAGSHIP_TERMS
+        ),
+        "jass_anytime_audit": oracles.jass_anytime_sql(FLAGSHIP_TERMS),
+        "proximity_histogram": oracles.proximity_histogram_sql(),
     }

@@ -4060,3 +4060,126 @@ def test_sampled_df_accuracy_recompute(spark, corpus, tables):
         )
     # systematic sampling tracks high-df terms tightly
     assert got["the"].rel_err < 0.1
+
+
+def test_taat_accumulator_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], textstats.TAAT_K
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    scores = _bm25_py(toks, dl, terms)
+    df = {
+        t2: sum(1 for ts in toks.values() if t2 in ts)
+        for t2 in sorted(set(terms))
+    }
+    order = sorted(df, key=lambda t2: (df[t2], t2))
+    phase = {t2: i + 1 for i, t2 in enumerate(order)}
+    first_phase = {
+        d: min(phase[t2] for t2 in terms if t2 in toks[d])
+        for d in scores
+    }
+    adm_order = sorted(scores, key=lambda d: (first_phase[d], d))
+    exact = {d for d, _ in sorted(
+        scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+    got = {r.a_cap: r for r in
+           textstats.taat_accumulator_audit(spark, tables).collect()}
+    assert set(got) == set(textstats.TAAT_CAPS)
+    prev = -1.0
+    for a in textstats.TAAT_CAPS:
+        adm = set(adm_order[:a])
+        page = {d for d, _ in sorted(
+            ((d, scores[d]) for d in adm),
+            key=lambda kv: (-kv[1], kv[0]))[:k]}
+        r = got[a]
+        assert r.n_acc == min(a, len(scores))
+        assert r.n_hit == len(page & exact)
+        assert r.recall == round(len(page & exact) / k, 6)
+        assert r.recall >= prev  # more accumulators never hurt
+        prev = r.recall
+    # at the largest cap on this corpus the curve has converged
+    assert got[max(textstats.TAAT_CAPS)].recall >= 0.5
+
+
+def test_jass_anytime_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], textstats.JASS_K
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n, avgdl = len(dl), sum(dl.values()) / len(dl)
+    partials = []
+    for t2 in sorted(set(terms)):
+        dfq = sum(1 for ts in toks.values() if t2 in ts)
+        if not dfq:
+            continue
+        idf = _m.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+        for d, ts in toks.items():
+            tf = ts.count(t2)
+            if tf:
+                partials.append(
+                    (d, t2, idf * (
+                        tf / (tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+                    ))
+                )
+    gmax = max(p for _, _, p in partials)
+    quant = [
+        (d, t2, int(_m.floor(p / gmax * 255.0)))
+        for d, t2, p in partials
+    ]
+    ordered = sorted(quant, key=lambda x: (-x[2], x[1], x[0]))
+    full: dict[int, float] = {}
+    for d, _, p in partials:
+        full[d] = full.get(d, 0.0) + p
+    exact = {d for d, _ in sorted(
+        full.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+    got = {round(r.rho, 3): r for r in
+           textstats.jass_anytime_audit(spark, tables).collect()}
+    for rho in textstats.JASS_RHOS:
+        take = int(_m.ceil(rho * len(ordered)))
+        isc: dict[int, int] = {}
+        for d, _, imp in ordered[:take]:
+            isc[d] = isc.get(d, 0) + imp
+        page = {d for d, _ in sorted(
+            isc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+        r = got[rho]
+        assert r.postings_used == take
+        assert r.n_hit == len(page & exact)
+        assert r.recall == round(len(page & exact) / k, 6)
+    # full budget with 8-bit impacts still tracks the float ranking
+    assert got[1.0].recall >= 0.8
+
+
+def test_proximity_histogram_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    a, b = "merge", "group"
+    gaps = {}
+    for d, r in by_id.items():
+        ts = tokenize(r.text)
+        pa = [i for i, x in enumerate(ts) if x == a]
+        pb = [i for i, x in enumerate(ts) if x == b]
+        if pa and pb:
+            gaps[d] = min(abs(x - y) for x in pa for y in pb) - 1
+
+    def bucket(g):
+        for label, hi in (("0", 0), ("1", 1), ("2-3", 3),
+                          ("4-7", 7), ("8-15", 15)):
+            if g <= hi:
+                return label
+        return "16+"
+
+    from collections import Counter
+
+    want = Counter(bucket(g) for g in gaps.values())
+    got = {r.bucket: r for r in
+           textstats.proximity_histogram(spark, tables).collect()}
+    assert set(got) == set(want)
+    for lbl, n in want.items():
+        r = got[lbl]
+        sub = [g for g in gaps.values() if bucket(g) == lbl]
+        assert (r.n_docs, r.min_gap, r.max_gap) == (
+            n, min(sub), max(sub)
+        )
+        assert r.share == round(n / len(gaps), 6)
+    # shares partition the co-occurring docs
+    assert sum(r.n_docs for r in got.values()) == len(gaps)

@@ -7324,3 +7324,316 @@ def sampled_df_accuracy(
         )
         .orderBy("term")
     )
+
+
+TAAT_CAPS = (50, 100, 200)  # accumulator limits audited
+TAAT_K = 10
+
+
+def taat_accumulator_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = TAAT_K,
+) -> DataFrame:
+    """TAAT accumulator-limiting audit (Moffat & Zobel TOIS'96
+    "Self-indexing inverted files" — the CONTINUE strategy: process
+    terms rarest-first, admit new accumulators only while the table
+    has room, keep updating existing ones after): the memory-bounded
+    term-at-a-time alternative to WAND's doc-at-a-time pruning. Per
+    accumulator cap A in (50, 100, 200): how many accumulators
+    actually allocate, and the recall of the capped top-k against the
+    unbounded ranking. Admission order is the processing order —
+    (term phase = rarest-first rank, then doc order within a
+    postings list) — exactly the paper's traversal, expressed as one
+    window instead of a loop.
+
+    Exactness: admission is pure integer ordering; capped scores
+    reuse the frozen BM25 sum restricted to admitted docs; one
+    rounded recall per row.
+
+    Scale shape: ONE scored frame serves every cap; admission is a
+    window over (phase, doc_id) on the matched-doc frame; each cap
+    costs a k-row set compare. The real TAAT engine bounds MEMORY by
+    A — here A bounds the frame the window admits, same contract."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    wphase = Window.orderBy(F.asc("df"), F.asc("term"))
+    phases = dfs.withColumn(
+        "phase", F.row_number().over(wphase).cast("long")
+    ).select("term", "df", "phase")
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(phases), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * tfn).alias("score"),
+            F.min("phase").cast("long").alias("first_phase"),
+        )
+    )
+    wadm = Window.orderBy(F.asc("first_phase"), F.asc("doc_id"))
+    admitted = scored.withColumn(
+        "adm", F.row_number().over(wadm).cast("long")
+    )
+    exact = (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id")
+    )
+    out = None
+    for a in TAAT_CAPS:
+        capped = (
+            admitted.where(F.col("adm") <= a)
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
+        n_acc = admitted.where(F.col("adm") <= a).agg(
+            F.count(F.lit(1)).cast("long").alias("n_acc")
+        )
+        row = (
+            capped.join(exact, "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+            .crossJoin(F.broadcast(n_acc))
+            .select(
+                F.lit(a).cast("long").alias("a_cap"),
+                "n_acc",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("a_cap")
+
+
+JASS_RHOS = (0.1, 0.5, 1.0)  # postings-budget fractions
+JASS_K = 10
+
+
+def jass_anytime_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = JASS_K,
+) -> DataFrame:
+    """JASS anytime-ranking audit (Lin & Trotman SIGIR'15 "Anytime
+    ranking for impact-ordered indexes"): with postings sorted by
+    QUANTIZED IMPACT globally, a traversal budget of rho * total
+    postings yields a strict effectiveness/latency dial — the audit
+    is the recall-at-budget curve that picks the production rho. 8-bit
+    impacts reuse quantize_fidelity's scheme (floor against the
+    global max partial); budget selection order is (impact desc,
+    term, doc_id) — the deterministic tie-broken form of the
+    impact-ordered traversal.
+
+    Exactness: impacts and budget cutoffs are integers; the exact
+    reference ranking reuses the frozen float BM25; one rounded
+    recall per row.
+
+    Scale shape: one partial-scores frame feeds the quantization,
+    the global impact ordering (a window over the
+    query-postings-bounded frame), and every budget row; each rho
+    costs one k-row set compare."""
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    partials = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", (idf * tfn).alias("p"))
+    )
+    gmax = partials.agg(F.max("p").alias("gmax"))
+    quant = partials.crossJoin(F.broadcast(gmax)).select(
+        "doc_id",
+        "term",
+        "p",
+        F.floor(F.col("p") / F.col("gmax") * F.lit(255.0))
+        .cast("long")
+        .alias("impact"),
+    )
+    word = Window.orderBy(
+        F.desc("impact"), F.asc("term"), F.asc("doc_id")
+    )
+    ordered = quant.withColumn(
+        "pos", F.row_number().over(word).cast("long")
+    )
+    total = ordered.agg(F.max("pos").alias("total"))
+    exact = (
+        partials.groupBy("doc_id")
+        .agg(F.sum("p").alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(k)
+        .select("doc_id")
+    )
+    out = None
+    for rho in JASS_RHOS:
+        sel = ordered.crossJoin(F.broadcast(total)).where(
+            F.col("pos") <= F.ceil(F.lit(rho) * F.col("total"))
+        )
+        page = (
+            sel.groupBy("doc_id")
+            .agg(F.sum("impact").cast("long").alias("iscore"))
+            .orderBy(F.desc("iscore"), "doc_id")
+            .limit(k)
+            .select("doc_id")
+        )
+        used = sel.agg(
+            F.count(F.lit(1)).cast("long").alias("postings_used")
+        )
+        row = (
+            page.join(exact, "doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+            .crossJoin(F.broadcast(used))
+            .select(
+                F.lit(rho).alias("rho"),
+                "postings_used",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.lit(float(k)), 6
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("rho")
+
+
+PROX_BUCKETS = (0, 1, 3, 7, 15)  # gap <= these; else "16+"
+
+
+def proximity_histogram(
+    spark: SparkSession,
+    t,
+    term_a: str = "merge",
+    term_b: str = "group",
+) -> DataFrame:
+    """Corpus proximity histogram for a term pair — the statistic
+    that calibrates proximity scoring (bm25_prox's lambda) and
+    intervals max_gaps defaults: for every doc containing both
+    terms, the MINIMUM position gap, bucketed on the power-of-two
+    ladder (0, 1, 2-3, 4-7, 8-15, 16+). Reading: how often do these
+    words actually sit together vs merely co-occur — the empirical
+    basis for treating adjacency as signal.
+
+    Exactness: integer position arithmetic and bucket edges; one
+    rounded share.
+
+    Scale shape: the intervals_unordered position-join (per-doc
+    tf_a * tf_b bound) into a 6-row histogram agg."""
+    d = t["documents"]
+    pos = d.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "term")
+    )
+    pa = pos.where(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = pos.where(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    md = (
+        pa.join(pb, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (F.min(F.abs(F.col("pa") - F.col("pb"))) - 1)
+            .cast("long")
+            .alias("gap")
+        )
+    )
+    bucket = (
+        F.when(F.col("gap") <= 0, F.lit("0"))
+        .when(F.col("gap") <= 1, F.lit("1"))
+        .when(F.col("gap") <= 3, F.lit("2-3"))
+        .when(F.col("gap") <= 7, F.lit("4-7"))
+        .when(F.col("gap") <= 15, F.lit("8-15"))
+        .otherwise(F.lit("16+"))
+    )
+    tot = md.count()
+    return (
+        md.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("gap").cast("long").alias("min_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
+        )
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n_docs").cast("double") / F.lit(float(tot)), 6
+            ),
+        )
+        .orderBy("min_gap")
+    )

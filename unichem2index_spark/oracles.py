@@ -10315,3 +10315,252 @@ SELECT e.term, e.exact_df,
 FROM exact e LEFT JOIN sampled s USING (term)
 ORDER BY e.term
 """
+
+
+def taat_accumulator_sql(terms: list[str], k: int = 10) -> str:
+    """Twin of operators/textstats.py::taat_accumulator_audit — same
+    rarest-first phases, (phase, doc_id) admission window, capped
+    recall rows."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    kf = float(k)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+phases AS (
+  SELECT term, df,
+         CAST(row_number() OVER (ORDER BY df, term) AS BIGINT) AS phase
+  FROM dfs
+),
+scored AS (
+  SELECT doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS score,
+         CAST(min(phase) AS BIGINT) AS first_phase
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN phases USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+admitted AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY first_phase, doc_id)
+                 AS BIGINT) AS adm
+  FROM scored
+),
+exact AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+),
+c50 AS (
+  SELECT doc_id FROM admitted WHERE adm <= 50
+  ORDER BY score DESC, doc_id LIMIT {k}
+),
+n50 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_acc FROM admitted
+  WHERE adm <= 50
+),
+c100 AS (
+  SELECT doc_id FROM admitted WHERE adm <= 100
+  ORDER BY score DESC, doc_id LIMIT {k}
+),
+n100 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_acc FROM admitted
+  WHERE adm <= 100
+),
+c200 AS (
+  SELECT doc_id FROM admitted WHERE adm <= 200
+  ORDER BY score DESC, doc_id LIMIT {k}
+),
+n200 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_acc FROM admitted
+  WHERE adm <= 200
+)
+SELECT CAST(50 AS BIGINT) AS a_cap,
+       (SELECT n_acc FROM n50) AS n_acc,
+       CAST((SELECT count(*) FROM c50 JOIN exact USING (doc_id))
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM c50 JOIN exact USING (doc_id))
+                  AS DOUBLE) / {kf!r}, 6) AS recall
+UNION ALL
+SELECT CAST(100 AS BIGINT) AS a_cap,
+       (SELECT n_acc FROM n100) AS n_acc,
+       CAST((SELECT count(*) FROM c100 JOIN exact USING (doc_id))
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM c100 JOIN exact USING (doc_id))
+                  AS DOUBLE) / {kf!r}, 6) AS recall
+UNION ALL
+SELECT CAST(200 AS BIGINT) AS a_cap,
+       (SELECT n_acc FROM n200) AS n_acc,
+       CAST((SELECT count(*) FROM c200 JOIN exact USING (doc_id))
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM c200 JOIN exact USING (doc_id))
+                  AS DOUBLE) / {kf!r}, 6) AS recall
+ORDER BY a_cap
+"""
+
+
+def jass_anytime_sql(terms: list[str], k: int = 10) -> str:
+    """Twin of operators/textstats.py::jass_anytime_audit — same
+    8-bit impacts, global (impact desc, term, doc_id) ordering,
+    per-rho budget recall."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    kf = float(k)
+    return f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (SELECT * FROM tokf WHERE term IN ({inlist})),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+partials AS (
+  SELECT doc_id, term,
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))
+         * (CAST(tf AS DOUBLE)
+            / (CAST(tf AS DOUBLE)
+               + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+           AS p
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2)
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+gmax AS (SELECT max(p) AS gmax FROM partials),
+quant AS (
+  SELECT doc_id, term, p,
+         CAST(floor(p / gmax * 255.0) AS BIGINT) AS impact
+  FROM partials CROSS JOIN gmax
+),
+ordered AS (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY impact DESC, term, doc_id) AS BIGINT) AS pos
+  FROM quant
+),
+total AS (SELECT max(pos) AS total FROM ordered),
+exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, sum(p) AS s FROM partials GROUP BY 1
+  ) ORDER BY s DESC, doc_id LIMIT {k}
+),
+sel0 AS (
+  SELECT o.* FROM ordered o CROSS JOIN total t
+  WHERE o.pos <= ceil(0.1 * t.total)
+),
+pg0 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST(sum(impact) AS BIGINT) AS iscore
+    FROM sel0 GROUP BY 1
+  ) ORDER BY iscore DESC, doc_id LIMIT {k}
+),
+u0 AS (
+  SELECT CAST(count(*) AS BIGINT) AS postings_used FROM sel0
+),
+sel1 AS (
+  SELECT o.* FROM ordered o CROSS JOIN total t
+  WHERE o.pos <= ceil(0.5 * t.total)
+),
+pg1 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST(sum(impact) AS BIGINT) AS iscore
+    FROM sel1 GROUP BY 1
+  ) ORDER BY iscore DESC, doc_id LIMIT {k}
+),
+u1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS postings_used FROM sel1
+),
+sel2 AS (
+  SELECT o.* FROM ordered o CROSS JOIN total t
+  WHERE o.pos <= ceil(1.0 * t.total)
+),
+pg2 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST(sum(impact) AS BIGINT) AS iscore
+    FROM sel2 GROUP BY 1
+  ) ORDER BY iscore DESC, doc_id LIMIT {k}
+),
+u2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS postings_used FROM sel2
+)
+SELECT CAST(0.1 AS DOUBLE) AS rho,
+       (SELECT postings_used FROM u0) AS postings_used,
+       CAST((SELECT count(*) FROM pg0 JOIN exact USING (doc_id))
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM pg0 JOIN exact USING (doc_id))
+                  AS DOUBLE) / {kf!r}, 6) AS recall
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE) AS rho,
+       (SELECT postings_used FROM u1) AS postings_used,
+       CAST((SELECT count(*) FROM pg1 JOIN exact USING (doc_id))
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM pg1 JOIN exact USING (doc_id))
+                  AS DOUBLE) / {kf!r}, 6) AS recall
+UNION ALL
+SELECT CAST(1.0 AS DOUBLE) AS rho,
+       (SELECT postings_used FROM u2) AS postings_used,
+       CAST((SELECT count(*) FROM pg2 JOIN exact USING (doc_id))
+            AS BIGINT) AS n_hit,
+       round(CAST((SELECT count(*) FROM pg2 JOIN exact USING (doc_id))
+                  AS DOUBLE) / {kf!r}, 6) AS recall
+ORDER BY rho
+"""
+
+
+def proximity_histogram_sql(
+    term_a: str = "merge", term_b: str = "group"
+) -> str:
+    """Twin of operators/textstats.py::proximity_histogram — same
+    min-gap join and power-of-two ladder."""
+    a = term_a.replace("'", "''")
+    b = term_b.replace("'", "''")
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+  FROM tok
+),
+md AS (
+  SELECT pa.doc_id,
+         CAST(min(abs(pa.pos - pb.pos)) - 1 AS BIGINT) AS gap
+  FROM (SELECT doc_id, pos FROM pos WHERE term = '{a}') pa
+  JOIN (SELECT doc_id, pos FROM pos WHERE term = '{b}') pb
+    ON pa.doc_id = pb.doc_id
+  GROUP BY pa.doc_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM md),
+g AS (
+  SELECT CASE WHEN gap <= 0 THEN '0'
+              WHEN gap <= 1 THEN '1'
+              WHEN gap <= 3 THEN '2-3'
+              WHEN gap <= 7 THEN '4-7'
+              WHEN gap <= 15 THEN '8-15'
+              ELSE '16+' END AS bucket,
+         gap
+  FROM md
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(max(gap) AS BIGINT) AS max_gap,
+       round(CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+FROM g CROSS JOIN tot GROUP BY bucket, tot
+ORDER BY min_gap
+"""
