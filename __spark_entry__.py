@@ -2315,6 +2315,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jass_anytime_audit": _wrap(textstats.jass_anytime_audit),
         # Min-gap histogram for a term pair (proximity calibration)
         "proximity_histogram": _wrap(textstats.proximity_histogram),
+        # Long-query reduction: NQC predictor vs actual P@k per variant
+        "query_reduction_audit": _wrap(textstats.query_reduction_audit),
+        # Static link-authority prior mixed into BM25
+        "prior_mix_audit": _wrap(textstats.prior_mix_audit),
+        # Near-dup Jaccard threshold sweep (dedup tau tuning)
+        "dedup_threshold_sweep": _wrap(textstats.dedup_threshold_sweep),
     }
 
 
@@ -3097,4 +3103,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jass_anytime_audit": oracles.jass_anytime_sql(FLAGSHIP_TERMS),
         "proximity_histogram": oracles.proximity_histogram_sql(),
+        "query_reduction_audit": oracles.QUERY_REDUCTION_AUDIT,
+        "prior_mix_audit": oracles.prior_mix_sql(FLAGSHIP_TERMS),
+        "dedup_threshold_sweep": oracles.DEDUP_THRESHOLD_SWEEP,
     }

@@ -4183,3 +4183,103 @@ def test_proximity_histogram_recompute(spark, corpus, tables):
         assert r.share == round(n / len(gaps), 6)
     # shares partition the co-occurring docs
     assert sum(r.n_docs for r in got.values()) == len(gaps)
+
+
+def test_query_reduction_audit_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    base = list(textstats.QRED_BASE)
+    k = textstats.QRED_K
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    variants = [(0, base)] + [
+        (i + 1, [t2 for j, t2 in enumerate(base) if j != i])
+        for i in range(len(base))
+    ]
+    rel = {d for d, ts in toks.items()
+           if textstats.QRED_MARKER in ts}
+    got = {r.vid: r for r in
+           textstats.query_reduction_audit(spark, tables).collect()}
+    assert set(got) == {v for v, _ in variants}
+    for vid, terms in variants:
+        sc = _bm25_py(toks, dl, terms)
+        mu_all = sum(sc.values()) / len(sc)
+        page = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        mu_k = sum(s for _, s in page) / len(page)
+        m2 = sum(s * s for _, s in page) / len(page)
+        nqc = _m.sqrt(m2 - mu_k * mu_k) / mu_all
+        hits = sum(1 for d, _ in page if d in rel)
+        r = got[vid]
+        assert r.terms == ",".join(terms)
+        assert r.n_matched == len(sc)
+        assert abs(r.nqc - round(nqc, 6)) < 1e-5
+        assert r.n_rel_topk == hits
+        assert r.p_at_k == round(hits / k, 6)
+    # the sweep discriminates: variants do not all score equal P@k
+    assert len({r.n_rel_topk for r in got.values()}) > 1
+
+
+def test_prior_mix_audit_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    terms, k = ["the", "merge", "vector"], textstats.PRIOR_K
+    toks = {d: tokenize(r.text) for d, r in by_id.items()}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    bm = _bm25_py(toks, dl, terms)
+    ids = sorted(by_id)
+    n = len(ids)
+    edges = set()
+    for d in ids:
+        for j in (1, 2, 3):
+            dst = ((d % MOD + j) * FP_MULT) % MOD % n
+            if dst != d:
+                edges.add((d, dst))
+    indeg = {}
+    for _, dst in edges:
+        indeg[dst] = indeg.get(dst, 0) + 1
+    mixed = {
+        d: s + textstats.PRIOR_W * _m.log(1.0 + indeg.get(d, 0))
+        for d, s in bm.items()
+    }
+    plain = [d for d, _ in sorted(
+        bm.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    old_rank = {d: i + 1 for i, d in enumerate(plain)}
+    page = sorted(mixed.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = textstats.prior_mix_audit(spark, tables).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in page]
+    for i, (r, (d, s)) in enumerate(zip(got, page), 1):
+        assert r.rank == i
+        assert abs(r.score - round(s, 6)) < 1e-6
+        assert r.indeg == indeg.get(d, 0)
+        assert r.old_rank == old_rank.get(d, 0)
+    # the prior must actually move the page vs plain BM25
+    assert [r.doc_id for r in got] != plain
+
+
+def test_dedup_threshold_sweep_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    sets = {d: set(tokenize(r.text)) for d, r in by_id.items()}
+    ids = sorted(sets)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                pairs.append(
+                    (a, b, inter / len(sets[a] | sets[b]))
+                )
+    got = {round(r.tau, 3): r for r in
+           textstats.dedup_threshold_sweep(spark, tables).collect()}
+    assert set(got) == set(textstats.DEDUP_TAUS)
+    prev_pairs = None
+    for tau in textstats.DEDUP_TAUS:
+        hit = [(a, b) for a, b, j in pairs if j >= tau]
+        docs = {x for p in hit for x in p}
+        r = got[tau]
+        assert (r.n_pairs, r.n_docs) == (len(hit), len(docs))
+        # monotone: higher tau never finds more pairs
+        if prev_pairs is not None:
+            assert r.n_pairs <= prev_pairs
+        prev_pairs = r.n_pairs

@@ -7637,3 +7637,361 @@ def proximity_histogram(
         )
         .orderBy("min_gap")
     )
+
+
+QRED_BASE = ("the", "merge", "vector", "customer")
+QRED_MARKER = "group"
+QRED_K = 10
+
+
+def query_reduction_audit(
+    spark: SparkSession, t, k: int = QRED_K
+) -> DataFrame:
+    """Long-query reduction audit (Kumaran & Carvalho SIGIR'09
+    "Reducing long queries using query quality predictors"): for a
+    verbose query, score the full query and every leave-one-out
+    subquery, and report each variant's post-retrieval NQC predictor
+    next to its ACTUAL P@k — the audit that shows whether the
+    predictor would have picked the right reduction (the paper's
+    whole premise). Variants ride the multi-query machinery as
+    distinct query_ids, so the sweep costs ONE postings pass.
+
+    Exactness: NQC reuses qpp_postretrieval's deterministic stddev
+    shape; P@k is an integer count; round(6) floats at emit.
+
+    Scale shape: one shared filtered-postings pass fans out to all
+    |q|+1 variants via a broadcast (variant, term) join; per-variant
+    windows over matched rows; judgments via one broadcast marker
+    join."""
+    d = t["documents"]
+    base = list(QRED_BASE)
+    variants = [(0, base)] + [
+        (i + 1, [t2 for j, t2 in enumerate(base) if j != i])
+        for i in range(len(base))
+    ]
+    vterms = [
+        (vid, t2) for vid, ts in variants for t2 in sorted(set(ts))
+    ]
+    vdf = spark.createDataFrame(vterms, "vid long, term string")
+    labels = spark.createDataFrame(
+        [(vid, ",".join(ts)) for vid, ts in variants],
+        "vid long, terms string",
+    )
+    all_terms = sorted(set(base))
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(all_terms))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    scored = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(vdf), "term")
+        .groupBy("vid", "doc_id")
+        .agg(F.sum(idf * tfn).alias("score"))
+    )
+    allstats = scored.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.avg("score").alias("mu_all"),
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    kstats = topk.groupBy("vid").agg(
+        F.avg("score").alias("mu_k"),
+        F.avg(F.col("score") * F.col("score")).alias("m2_k"),
+    )
+    rel = (
+        tokf.where(F.col("term") == QRED_MARKER)
+        .select("doc_id")
+        .distinct()
+    )
+    p10 = (
+        topk.join(rel, "doc_id")
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_topk"))
+    )
+    sigma = F.sqrt(F.col("m2_k") - F.col("mu_k") * F.col("mu_k"))
+    return (
+        labels.join(allstats, "vid")
+        .join(kstats, "vid")
+        .join(p10, "vid", "left")
+        .select(
+            "vid",
+            "terms",
+            "n_matched",
+            F.round(sigma / F.col("mu_all"), 6).alias("nqc"),
+            F.coalesce("n_rel_topk", F.lit(0)).cast("long").alias(
+                "n_rel_topk"
+            ),
+            F.round(
+                F.coalesce("n_rel_topk", F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("p_at_k"),
+        )
+        .orderBy("vid")
+    )
+
+
+PRIOR_W = 0.3  # link-authority prior weight
+PRIOR_K = 15
+
+
+def prior_mix_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+    k: int = PRIOR_K,
+) -> DataFrame:
+    """Static link-authority prior mixing (the Brin/Page-era web
+    ranking recipe, formalized as a document prior by Kraaij/
+    Westerveld/Hiemstra SIGIR'02 "The importance of prior
+    probabilities for entry page search"): final score =
+    BM25 + w * ln(1 + in_degree) over the derived link graph
+    (webgraph module's edge convention) — exactly how a static
+    quality signal joins a dynamic relevance score. Emits the mixed
+    page with the prior evidence (indeg) and each doc's unmixed rank
+    (0 = entrant pulled in by authority alone).
+
+    Exactness: indeg is an integer; one ln per doc mirrored in the
+    oracle; round(6) at emit.
+
+    Scale shape: the BM25 leg keeps its audited plan; the prior is
+    one shuffle-on-dst count co-joined on doc_id — the static-score
+    column a real index bakes in at build time (function_score's
+    in-kernel twin, bm25_topk_field_boost_wand, shows the serving
+    form)."""
+    from unichem2index_spark.functions.hashing import FP_MULT, MOD
+
+    d = t["documents"]
+    tokf = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    dl = tokf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("doclen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qtok = tokf.where(F.col("term").isin(list(terms)))
+    dfs = (
+        qtok.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfn = F.col("tf").cast("double") / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * F.col("doclen").cast("double")
+            / F.col("avgdl")
+        )
+    )
+    bm = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tfn).alias("bm25"))
+    )
+    docs = d.select("doc_id")
+    n_df = docs.agg(F.count(F.lit(1)).alias("n"))
+    dn = docs.crossJoin(F.broadcast(n_df))
+    dsts = F.array(
+        *[
+            ((F.col("doc_id") % MOD + F.lit(j)) * FP_MULT)
+            % MOD
+            % F.col("n")
+            for j in range(1, 4)
+        ]
+    )
+    edges = (
+        dn.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    indeg = edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    mixed = (
+        bm.join(indeg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bm25",
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+        )
+        .withColumn(
+            "mixed",
+            F.col("bm25")
+            + F.lit(PRIOR_W)
+            * F.log(F.lit(1.0) + F.col("indeg").cast("double")),
+        )
+    )
+    plain_top = (
+        mixed.orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "old_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "old_rank")
+    )
+    return (
+        mixed.orderBy(F.desc("mixed"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("mixed"), F.asc("doc_id")))
+            .cast("long"),
+        )
+        .join(plain_top, "doc_id", "left")
+        .select(
+            "rank",
+            "doc_id",
+            F.round("mixed", 6).alias("score"),
+            "indeg",
+            F.coalesce("old_rank", F.lit(0)).cast("long").alias(
+                "old_rank"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+DEDUP_TAUS = (0.5, 0.7, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, t) -> DataFrame:
+    """Near-dup threshold sweep (the tuning table behind every
+    dedup deployment — too low over-merges topics, too high leaks
+    templates): exact token-SET Jaccard over all doc pairs, counted
+    at tau in (0.5, 0.7, 0.9): candidate pairs and distinct docs
+    touched per threshold — read directly against the corpus size to
+    pick the production tau. EXACT here as the audit oracle; the
+    production path runs the same sweep on the LSH candidate set
+    (minhash_lsh_pairs / simhash_groups), whose banding thresholds
+    this table calibrates.
+
+    Exactness: set sizes are integers; Jaccard one divide; the
+    threshold compares the unrounded ratio on both engines.
+
+    Scale shape: pairs come from a co-occurrence join on the
+    (doc, term) distinct frame — quadratic ONLY within shared-term
+    doc groups; at web scale this frame is replaced by the banded
+    LSH candidates (documented), making the sweep linear in
+    candidates."""
+    d = t["documents"]
+    dt = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+    )
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = dt.select(F.col("doc_id").alias("da"), "term")
+    b = dt.select(F.col("doc_id").alias("db"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "da").withColumnRenamed(
+                "sz", "sa"
+            ),
+            "da",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "db").withColumnRenamed(
+                "sz", "sb"
+            ),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("j"),
+        )
+    )
+    out = None
+    for tau in DEDUP_TAUS:
+        hits = jac.where(F.col("j") >= tau)
+        row = hits.agg(
+            F.lit(tau).alias("tau"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct(
+                F.col("da")
+            ).cast("long").alias("_na"),
+        )
+        docs_touched = (
+            hits.select(F.col("da").alias("d"))
+            .unionAll(hits.select(F.col("db").alias("d")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+        row = row.crossJoin(F.broadcast(docs_touched)).select(
+            "tau", "n_pairs", "n_docs"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("tau")

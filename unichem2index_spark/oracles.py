@@ -10564,3 +10564,159 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
 FROM g CROSS JOIN tot GROUP BY bucket, tot
 ORDER BY min_gap
 """
+
+
+# Twin of operators/textstats.py::query_reduction_audit — full query
+# plus leave-one-out variants as query_ids over one postings pass.
+QUERY_REDUCTION_AUDIT = f"""
+WITH tokf AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS doclen FROM tokf GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+qtok AS (
+  SELECT * FROM tokf
+  WHERE term IN ('customer', 'merge', 'the', 'vector')
+),
+dfs AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT term, doc_id FROM qtok
+  ) GROUP BY 1
+),
+v(vid, term) AS (VALUES (0, 'customer'), (0, 'merge'), (0, 'the'), (0, 'vector'), (1, 'customer'), (1, 'merge'), (1, 'vector'), (2, 'customer'), (2, 'the'), (2, 'vector'), (3, 'customer'), (3, 'merge'), (3, 'the'), (4, 'merge'), (4, 'the'), (4, 'vector')),
+lab(vid, terms) AS (VALUES (0, 'the,merge,vector,customer'), (1, 'merge,vector,customer'), (2, 'the,vector,customer'), (3, 'the,merge,customer'), (4, 'the,merge,vector')),
+scored AS (
+  SELECT v.vid, q2.doc_id,
+         sum(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl)))
+         ) AS score
+  FROM (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2) q2
+  JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  JOIN v ON v.term = q2.term
+  GROUP BY v.vid, q2.doc_id
+),
+allstats AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n_matched,
+         avg(score) AS mu_all
+  FROM scored GROUP BY 1
+),
+topk AS (
+  SELECT vid, doc_id, score FROM (
+    SELECT vid, doc_id, score, row_number() OVER (
+      PARTITION BY vid ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+kstats AS (
+  SELECT vid, avg(score) AS mu_k, avg(score * score) AS m2_k
+  FROM topk GROUP BY 1
+),
+rel AS (
+  SELECT DISTINCT doc_id FROM tokf WHERE term = 'group'
+),
+p10 AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n_rel_topk
+  FROM topk JOIN rel USING (doc_id) GROUP BY 1
+)
+SELECT l.vid, l.terms, a.n_matched,
+       round(sqrt(k2.m2_k - k2.mu_k * k2.mu_k) / a.mu_all, 6) AS nqc,
+       CAST(coalesce(p.n_rel_topk, 0) AS BIGINT) AS n_rel_topk,
+       round(CAST(coalesce(p.n_rel_topk, 0) AS DOUBLE) / 10.0, 6)
+         AS p_at_k
+FROM lab l JOIN allstats a USING (vid) JOIN kstats k2 USING (vid)
+LEFT JOIN p10 p USING (vid)
+ORDER BY l.vid
+"""
+
+
+def prior_mix_sql(terms: list[str], k: int = 15) -> str:
+    """Twin of operators/textstats.py::prior_mix_audit — frozen BM25
+    plus 0.3 * ln(1 + indeg) over the shared derived graph."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH {_GRAPH_CTE},
+{_bm25_block('m', inlist)},
+indeg AS (
+  SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS indeg
+  FROM edges GROUP BY 1
+),
+mixed AS (
+  SELECT s.doc_id, s.score AS bm25,
+         CAST(coalesce(i.indeg, 0) AS BIGINT) AS indeg,
+         s.score + 0.3 * ln(1.0 + CAST(coalesce(i.indeg, 0) AS DOUBLE))
+           AS mixed
+  FROM m_scored s LEFT JOIN indeg i USING (doc_id)
+),
+plain AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS BIGINT) AS old_rank
+  FROM (SELECT * FROM mixed ORDER BY bm25 DESC, doc_id LIMIT {k})
+),
+page AS (
+  SELECT doc_id, mixed, indeg,
+         CAST(row_number() OVER (ORDER BY mixed DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM (SELECT * FROM mixed ORDER BY mixed DESC, doc_id LIMIT {k})
+)
+SELECT p.rank, p.doc_id, round(p.mixed, 6) AS score, p.indeg,
+       CAST(coalesce(pl.old_rank, 0) AS BIGINT) AS old_rank
+FROM page p LEFT JOIN plain pl USING (doc_id)
+ORDER BY p.rank
+"""
+
+
+# Twin of operators/textstats.py::dedup_threshold_sweep — exact
+# token-set Jaccard pairs, counted at three thresholds.
+DEDUP_THRESHOLD_SWEEP = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM dt a JOIN dt b USING (term)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT da, db,
+         CAST(inter AS DOUBLE)
+           / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS j
+  FROM inter
+  JOIN sizes sa ON da = sa.doc_id
+  JOIN sizes sb ON db = sb.doc_id
+)
+SELECT CAST(0.5 AS DOUBLE) AS tau,
+       CAST((SELECT count(*) FROM jac WHERE j >= 0.5) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT count(*) FROM (
+         SELECT da AS d FROM jac WHERE j >= 0.5
+         UNION SELECT db FROM jac WHERE j >= 0.5)) AS BIGINT)
+         AS n_docs
+UNION ALL
+SELECT CAST(0.7 AS DOUBLE) AS tau,
+       CAST((SELECT count(*) FROM jac WHERE j >= 0.7) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT count(*) FROM (
+         SELECT da AS d FROM jac WHERE j >= 0.7
+         UNION SELECT db FROM jac WHERE j >= 0.7)) AS BIGINT)
+         AS n_docs
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE) AS tau,
+       CAST((SELECT count(*) FROM jac WHERE j >= 0.9) AS BIGINT)
+         AS n_pairs,
+       CAST((SELECT count(*) FROM (
+         SELECT da AS d FROM jac WHERE j >= 0.9
+         UNION SELECT db FROM jac WHERE j >= 0.9)) AS BIGINT)
+         AS n_docs
+ORDER BY tau
+"""
