@@ -2321,6 +2321,18 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_mix_audit": _wrap(textstats.prior_mix_audit),
         # Near-dup Jaccard threshold sweep (dedup tau tuning)
         "dedup_threshold_sweep": _wrap(textstats.dedup_threshold_sweep),
+        # Doc- vs term-partitioned index cost (Moffat/Webber/Zobel)
+        "partitioning_cost_audit": _wrap(
+            textstats.partitioning_cost_audit
+        ),
+        # Per-list argmin codec assignment over varbyte/EF/PFOR
+        "hybrid_codec_assignment": _wrap(
+            textstats.hybrid_codec_assignment
+        ),
+        # BMW per-block metadata storage overhead
+        "blockmax_metadata_overhead": _wrap(
+            textstats.blockmax_metadata_overhead
+        ),
     }
 
 
@@ -3106,4 +3118,9 @@ def oracle_sql() -> dict[str, str]:
         "query_reduction_audit": oracles.QUERY_REDUCTION_AUDIT,
         "prior_mix_audit": oracles.prior_mix_sql(FLAGSHIP_TERMS),
         "dedup_threshold_sweep": oracles.DEDUP_THRESHOLD_SWEEP,
+        "partitioning_cost_audit": oracles.partitioning_cost_sql(
+            FLAGSHIP_TERMS
+        ),
+        "hybrid_codec_assignment": oracles.HYBRID_CODEC_ASSIGNMENT,
+        "blockmax_metadata_overhead": oracles.blockmax_metadata_sql(),
     }

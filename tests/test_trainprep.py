@@ -4283,3 +4283,112 @@ def test_dedup_threshold_sweep_recompute(spark, corpus, tables):
         if prev_pairs is not None:
             assert r.n_pairs <= prev_pairs
         prev_pairs = r.n_pairs
+
+
+def test_partitioning_cost_audit_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    terms, ns = ["the", "merge", "vector"], textstats.PART_SHARDS
+    rows_per_shard = [0] * ns
+    for d, r in by_id.items():
+        ts = set(tokenize(r.text))
+        hit = sum(1 for t2 in terms if t2 in ts)
+        rows_per_shard[d % ns] += hit
+    row = textstats.partitioning_cost_audit(spark, tables).collect()[0]
+    assert row.n_shards == ns
+    assert row.termp_network_rows == sum(rows_per_shard)
+    assert row.docp_max_shard_rows == max(rows_per_shard)
+    assert row.docp_min_shard_rows == min(rows_per_shard)
+    assert row.docp_imbalance == round(
+        max(rows_per_shard) * ns / sum(rows_per_shard), 6
+    )
+    # uniform doc sharding: near-balanced load
+    assert row.docp_imbalance < 1.5
+
+
+def test_hybrid_codec_assignment_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    posts: dict[str, list[int]] = {}
+    for d, r in by_id.items():
+        for t2 in set(tokenize(r.text)):
+            posts.setdefault(t2, []).append(d)
+    u = max(d for ids in posts.values() for d in ids) + 1
+
+    def vbyte(g):
+        for n, lim in ((1, 128), (2, 16384), (3, 2097152),
+                       (4, 268435456)):
+            if g < lim:
+                return n
+        return 5
+
+    tot = dict(vb=0, eb=0, pf=0, best=0, wv=0, we=0, wp=0)
+    for ids in posts.values():
+        s = sorted(ids)
+        gaps = [s[0] + 1] + [y - x for x, y in zip(s, s[1:])]
+        df = len(s)
+        vb = sum(vbyte(g) for g in gaps)
+        l = max(0, (u // df).bit_length() - 1)
+        eb = (df * l + df + u // (1 << l) + 1 + 7) // 8
+        widths = sorted(g.bit_length() for g in gaps)
+        b = widths[int(_m.ceil(0.9 * len(widths))) - 1]
+        exc = sum(1 for w in widths if w > b)
+        pf = (df * b + 7) // 8 + 4 * exc
+        best = min(vb, eb, pf)
+        tot["vb"] += vb
+        tot["eb"] += eb
+        tot["pf"] += pf
+        tot["best"] += best
+        if best == vb:
+            tot["wv"] += 1
+        elif best == eb:
+            tot["we"] += 1
+        else:
+            tot["wp"] += 1
+    row = textstats.hybrid_codec_assignment(
+        spark, tables
+    ).collect()[0]
+    assert row.n_terms == len(posts)
+    assert (row.varbyte_total, row.ef_total, row.pfor_total,
+            row.hybrid_total) == (
+        tot["vb"], tot["eb"], tot["pf"], tot["best"]
+    )
+    assert (row.varbyte_wins, row.ef_wins, row.pfor_wins) == (
+        tot["wv"], tot["we"], tot["wp"]
+    )
+    best_single = min(tot["vb"], tot["eb"], tot["pf"])
+    assert row.hybrid_saving == round(
+        1.0 - tot["best"] / best_single, 6
+    )
+    # argmin can never lose to the best single codec
+    assert row.hybrid_total <= best_single
+
+
+def test_blockmax_metadata_overhead_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    posts: dict[str, list[int]] = {}
+    for d, r in by_id.items():
+        for t2 in set(tokenize(r.text)):
+            posts.setdefault(t2, []).append(d)
+
+    def vbyte(g):
+        for n, lim in ((1, 128), (2, 16384), (3, 2097152),
+                       (4, 268435456)):
+            if g < lim:
+                return n
+        return 5
+
+    blocks = vb_t = 0
+    for ids in posts.values():
+        s = sorted(ids)
+        blocks += len({d // 64 for d in s})
+        gaps = [s[0] + 1] + [y - x for x, y in zip(s, s[1:])]
+        vb_t += sum(vbyte(g) for g in gaps)
+    row = textstats.blockmax_metadata_overhead(
+        spark, tables
+    ).collect()[0]
+    assert row.n_terms == len(posts)
+    assert row.total_blocks == blocks
+    assert row.metadata_bytes == blocks * 6
+    assert row.postings_bytes == vb_t
+    assert row.overhead_ratio == round(blocks * 6.0 / vb_t, 6)

@@ -7995,3 +7995,239 @@ def dedup_threshold_sweep(spark: SparkSession, t) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("tau")
+
+
+PART_SHARDS = 4
+
+
+def partitioning_cost_audit(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector"),
+) -> DataFrame:
+    """Document- vs term-partitioned index cost audit (Moffat, Webber
+    & Zobel CIKM'06 "A pipelined architecture for distributed text
+    query evaluation" — THE distributed-IR layout question): for a
+    query, doc-partitioning broadcasts the query and each shard scans
+    its local slice of every postings list (latency = the SLOWEST
+    shard's matched rows; network = n_shards * k result rows), while
+    term-partitioning ships every query term's ENTIRE postings list
+    to one scorer (latency = the full scan; network = all postings
+    rows). Per query term set, the numbers that decide the layout:
+    per-shard row loads (max = docP latency proxy), their imbalance,
+    and termP's network volume. The audit behind this repo's
+    doc-sharded serving choice (functions/wand.py's per-shard
+    kernels).
+
+    Exactness: all row counts are integers; one rounded imbalance.
+
+    Scale shape: one postings agg keyed (shard, term) — map-side
+    combinable — and a shard-cardinality reduce."""
+    d = t["documents"]
+    ns = PART_SHARDS
+    qtok = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .where(F.col("term").isin(list(terms)))
+        .select(
+            (F.col("doc_id") % ns).cast("int").alias("shard"),
+            "term",
+            "doc_id",
+        )
+        .distinct()
+    )
+    per_shard = qtok.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("rows")
+    )
+    return per_shard.agg(
+        F.lit(ns).cast("long").alias("n_shards"),
+        F.sum("rows").cast("long").alias("termp_network_rows"),
+        F.max("rows").cast("long").alias("docp_max_shard_rows"),
+        F.min("rows").cast("long").alias("docp_min_shard_rows"),
+        F.round(
+            F.max("rows").cast("double")
+            * F.lit(float(ns))
+            / F.sum("rows").cast("double"),
+            6,
+        ).alias("docp_imbalance"),
+    )
+
+
+def hybrid_codec_assignment(spark: SparkSession, t) -> DataFrame:
+    """Hybrid per-list codec assignment — the capstone over the codec
+    triptych (postings_size varbyte, elias_fano_audit, pfor_audit):
+    real formats pick a codec PER POSTINGS LIST (Lucene's
+    FOR-vs-bitset choice, PISA's block-codec mixing), so the planning
+    question is "what does the argmin assignment save over the best
+    single codec". Per term all three byte costs are computed with
+    the exact formulas of the sibling audits; output: winner counts,
+    the hybrid total, each single-codec total, and the hybrid's
+    saving over the best single choice.
+
+    Exactness: every byte count is the siblings' integer math; one
+    rounded saving ratio.
+
+    Scale shape: the same single-shuffle postings agg as the
+    siblings; the three costs are computed in ONE pass over the
+    per-term gap arrays (no extra shuffles vs running one audit)."""
+    d = _tok(t["documents"])
+    post = (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    u = post.agg((F.max("doc_id") + 1).alias("u"))
+    per_term = (
+        post.groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .crossJoin(F.broadcast(u))
+    )
+    gaps = F.expr(
+        """transform(ids, (x, i) ->
+             IF(i = 0, x + 1, x - element_at(ids, i)))"""
+    )
+    vbytes = F.expr(
+        """aggregate(gaps, 0L, (acc, g) -> acc +
+             CASE WHEN g < 128 THEN 1
+                  WHEN g < 16384 THEN 2
+                  WHEN g < 2097152 THEN 3
+                  WHEN g < 268435456 THEN 4
+                  ELSE 5 END)"""
+    )
+    sized = (
+        per_term.select(
+            "term",
+            F.size("ids").cast("long").alias("df"),
+            "u",
+            gaps.alias("gaps"),
+        )
+        .withColumn("vb", vbytes)
+        .withColumn(
+            "l",
+            F.greatest(
+                F.lit(0),
+                (F.length(F.expr("bin(u div df)")) - 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "eb",
+            F.expr(
+                "(df * l + df + u div shiftleft(1L, l) + 1 + 7) div 8"
+            ),
+        )
+        .withColumn(
+            "widths",
+            F.sort_array(
+                F.expr("transform(gaps, g -> length(bin(g)))")
+            ),
+        )
+        .withColumn(
+            "b",
+            F.expr(
+                "element_at(widths,"
+                " CAST(ceil(0.9 * size(widths)) AS INT))"
+            ).cast("long"),
+        )
+        .withColumn(
+            "pf",
+            F.expr(
+                "(df * b + 7) div 8"
+                " + 4 * size(filter(widths, w -> w > b))"
+            ).cast("long"),
+        )
+        .withColumn("best", F.least("vb", "eb", "pf"))
+    )
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum((F.col("best") == F.col("vb")).cast("long"))
+        .cast("long")
+        .alias("varbyte_wins"),
+        F.sum(
+            (
+                (F.col("best") == F.col("eb"))
+                & (F.col("eb") < F.col("vb"))
+            ).cast("long")
+        ).cast("long").alias("ef_wins"),
+        F.sum(
+            (
+                (F.col("best") == F.col("pf"))
+                & (F.col("pf") < F.col("vb"))
+                & (F.col("pf") < F.col("eb"))
+            ).cast("long")
+        ).cast("long").alias("pfor_wins"),
+        F.sum("vb").cast("long").alias("varbyte_total"),
+        F.sum("eb").cast("long").alias("ef_total"),
+        F.sum("pf").cast("long").alias("pfor_total"),
+        F.sum("best").cast("long").alias("hybrid_total"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("best").cast("double")
+            / F.least(
+                F.sum("vb"), F.sum("eb"), F.sum("pf")
+            ).cast("double"),
+            6,
+        ).alias("hybrid_saving"),
+    )
+
+
+def blockmax_metadata_overhead(
+    spark: SparkSession,
+    t,
+    block: int = 64,
+) -> DataFrame:
+    """Block-max metadata storage overhead (the BMW storage tax:
+    Ding & Suel's per-block max scores must live SOMEWHERE — one
+    float + one block-offset vint per block per term): total blocks
+    across the whole dictionary, metadata bytes at 6 bytes/block
+    (4-byte float + ~2-byte offset, the audit constant), against the
+    varbyte postings bytes they annotate — the overhead ratio that
+    decides the block size (bigger blocks = less metadata, weaker
+    bounds; blockmax_tightness measures the other side of exactly
+    this dial).
+
+    Exactness: block counts and byte totals are integers; one
+    rounded ratio.
+
+    Scale shape: the sibling audits' one-shuffle postings agg; block
+    counts are a closed-form array expression over per-term id
+    lists."""
+    d = _tok(t["documents"])
+    post = (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_term = post.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    gaps = F.expr(
+        """transform(ids, (x, i) ->
+             IF(i = 0, x + 1, x - element_at(ids, i)))"""
+    )
+    vbytes = F.expr(
+        """aggregate(gaps, 0L, (acc, g) -> acc +
+             CASE WHEN g < 128 THEN 1
+                  WHEN g < 16384 THEN 2
+                  WHEN g < 2097152 THEN 3
+                  WHEN g < 268435456 THEN 4
+                  ELSE 5 END)"""
+    )
+    sized = per_term.select(
+        "term",
+        F.expr(
+            f"size(array_distinct(transform(ids,"
+            f" x -> x div {block})))"
+        ).cast("long").alias("n_blocks"),
+        gaps.alias("gaps"),
+    ).withColumn("vb", vbytes)
+    return sized.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n_blocks").cast("long").alias("total_blocks"),
+        (F.sum("n_blocks") * 6).cast("long").alias("metadata_bytes"),
+        F.sum("vb").cast("long").alias("postings_bytes"),
+        F.round(
+            F.sum("n_blocks").cast("double")
+            * F.lit(6.0)
+            / F.sum("vb").cast("double"),
+            6,
+        ).alias("overhead_ratio"),
+    )

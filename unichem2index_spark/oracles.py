@@ -10720,3 +10720,130 @@ SELECT CAST(0.9 AS DOUBLE) AS tau,
          AS n_docs
 ORDER BY tau
 """
+
+
+def partitioning_cost_sql(
+    terms: list[str], n_shards: int = 4
+) -> str:
+    """Twin of operators/textstats.py::partitioning_cost_audit —
+    distinct matched rows per shard, one summary row."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH qtok AS (
+  SELECT DISTINCT CAST(doc_id % {n_shards} AS INT) AS shard,
+         term, doc_id
+  FROM (SELECT doc_id, unnest({TOKS}) AS term FROM documents)
+  WHERE term IN ({inlist})
+),
+per_shard AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS rows_ FROM qtok GROUP BY 1
+)
+SELECT CAST({n_shards} AS BIGINT) AS n_shards,
+       CAST(sum(rows_) AS BIGINT) AS termp_network_rows,
+       CAST(max(rows_) AS BIGINT) AS docp_max_shard_rows,
+       CAST(min(rows_) AS BIGINT) AS docp_min_shard_rows,
+       round(CAST(max(rows_) AS DOUBLE) * {float(n_shards)!r}
+             / CAST(sum(rows_) AS DOUBLE), 6) AS docp_imbalance
+FROM per_shard
+"""
+
+
+# Twin of operators/textstats.py::hybrid_codec_assignment — the
+# three sibling codec formulas computed per term, argmin summary.
+HYBRID_CODEC_ASSIGNMENT = f"""
+WITH post AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+u AS (SELECT max(doc_id) + 1 AS u FROM post),
+per_term AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS ids FROM post GROUP BY term
+),
+g AS (
+  SELECT term, CAST(len(ids) AS BIGINT) AS df,
+         list_transform(ids, (x, i) ->
+           CASE WHEN i = 1 THEN x + 1 ELSE x - ids[i - 1] END) AS gaps
+  FROM per_term
+),
+sized AS (
+  SELECT term, df,
+         CAST(list_reduce(list_prepend(0, list_transform(gaps, gg ->
+           CASE WHEN gg < 128 THEN 1
+                WHEN gg < 16384 THEN 2
+                WHEN gg < 2097152 THEN 3
+                WHEN gg < 268435456 THEN 4
+                ELSE 5 END)), (x, y) -> x + y) AS BIGINT) AS vb,
+         greatest(0, length(bin(u.u // df)) - 1) AS l,
+         list_sort(list_transform(gaps, gg -> length(bin(gg)))) AS widths
+  FROM g CROSS JOIN u
+),
+costed AS (
+  SELECT term, df, vb,
+         (df * l + df + (SELECT u FROM u)
+            // (CAST(1 AS BIGINT) << l) + 1 + 7) // 8 AS eb,
+         (df * CAST(widths[CAST(ceil(0.9 * len(widths)) AS INT)]
+                    AS BIGINT) + 7) // 8
+           + 4 * CAST(len(list_filter(widths, w ->
+               w > widths[CAST(ceil(0.9 * len(widths)) AS INT)]))
+               AS BIGINT) AS pf
+  FROM sized
+),
+best AS (SELECT *, least(vb, eb, pf) AS best FROM costed)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN best = vb THEN 1 ELSE 0 END) AS BIGINT)
+         AS varbyte_wins,
+       CAST(sum(CASE WHEN best = eb AND eb < vb THEN 1 ELSE 0 END)
+            AS BIGINT) AS ef_wins,
+       CAST(sum(CASE WHEN best = pf AND pf < vb AND pf < eb
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pfor_wins,
+       CAST(sum(vb) AS BIGINT) AS varbyte_total,
+       CAST(sum(eb) AS BIGINT) AS ef_total,
+       CAST(sum(pf) AS BIGINT) AS pfor_total,
+       CAST(sum(best) AS BIGINT) AS hybrid_total,
+       round(1.0 - CAST(sum(best) AS DOUBLE)
+             / CAST(least(sum(vb), sum(eb), sum(pf)) AS DOUBLE), 6)
+         AS hybrid_saving
+FROM best
+"""
+
+
+def blockmax_metadata_sql(block: int = 64) -> str:
+    """Twin of operators/textstats.py::blockmax_metadata_overhead —
+    distinct block count per term, 6 bytes/block, varbyte base."""
+    return f"""
+WITH post AS (
+  SELECT term, doc_id FROM (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+per_term AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS ids FROM post GROUP BY term
+),
+g AS (
+  SELECT term,
+         CAST(len(list_distinct(list_transform(ids,
+              x -> x // {block}))) AS BIGINT) AS n_blocks,
+         list_transform(ids, (x, i) ->
+           CASE WHEN i = 1 THEN x + 1 ELSE x - ids[i - 1] END) AS gaps
+  FROM per_term
+),
+sized AS (
+  SELECT term, n_blocks,
+         CAST(list_reduce(list_prepend(0, list_transform(gaps, gg ->
+           CASE WHEN gg < 128 THEN 1
+                WHEN gg < 16384 THEN 2
+                WHEN gg < 2097152 THEN 3
+                WHEN gg < 268435456 THEN 4
+                ELSE 5 END)), (x, y) -> x + y) AS BIGINT) AS vb
+  FROM g
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(n_blocks) AS BIGINT) AS total_blocks,
+       CAST(sum(n_blocks) * 6 AS BIGINT) AS metadata_bytes,
+       CAST(sum(vb) AS BIGINT) AS postings_bytes,
+       round(CAST(sum(n_blocks) AS DOUBLE) * 6.0
+             / CAST(sum(vb) AS DOUBLE), 6) AS overhead_ratio
+FROM sized
+"""
