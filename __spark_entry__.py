@@ -2333,6 +2333,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockmax_metadata_overhead": _wrap(
             textstats.blockmax_metadata_overhead
         ),
+        # kNN label purity (embedding-space semantic QA)
+        "knn_label_purity": _wrap(similarity.knn_label_purity),
+        # Term position bias (lead-bias audit for positional boosts)
+        "term_position_bias": _wrap(textstats.term_position_bias),
+        # Heaps-law prefix fit extrapolated to the full corpus
+        "heaps_extrapolation": _wrap(textstats.heaps_extrapolation),
     }
 
 
@@ -3123,4 +3129,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_codec_assignment": oracles.HYBRID_CODEC_ASSIGNMENT,
         "blockmax_metadata_overhead": oracles.blockmax_metadata_sql(),
+        "knn_label_purity": oracles.KNN_LABEL_PURITY,
+        "term_position_bias": oracles.term_position_bias_sql(
+            ["the", "merge", "vector", "customer"]
+        ),
+        "heaps_extrapolation": oracles.HEAPS_EXTRAPOLATION,
     }

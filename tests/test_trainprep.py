@@ -4392,3 +4392,103 @@ def test_blockmax_metadata_overhead_recompute(spark, corpus, tables):
     assert row.metadata_bytes == blocks * 6
     assert row.postings_bytes == vb_t
     assert row.overhead_ratio == round(blocks * 6.0 / vb_t, 6)
+
+
+def test_knn_label_purity_recompute(spark, tables):
+    import math as _m
+
+    from unichem2index_spark.operators import similarity
+
+    rows = tables["embeddings"].select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label)
+            for r in rows}
+    nq, k = similarity.PURITY_QUERIES, similarity.PURITY_K
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (_m.sqrt(na) * _m.sqrt(nb))
+
+    got = {r.query_id: r for r in
+           similarity.knn_label_purity(spark, tables).collect()}
+    assert set(got) == set(range(nq))
+    for q in range(nq):
+        qv, ql = vecs[q]
+        scored = sorted(
+            ((cos(qv, v), vid, lbl)
+             for vid, (v, lbl) in vecs.items() if vid >= nq),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        same = sum(1 for _, _, lbl in scored if lbl == ql)
+        r = got[q]
+        assert r.qlabel == ql
+        assert r.n_same == same
+        assert r.purity == round(same / k, 6)
+    # the audit's honest finding on THIS corpus: labels are random wrt
+    # the embedding geometry, so purity sits at ~the 1/n_labels base
+    # rate (the "don't trust these labels for ANN eval" outcome) — it
+    # must not wildly exceed chance
+    n_labels = len({lbl for _, lbl in vecs.values()})
+    mean_purity = sum(r.purity for r in got.values()) / nq
+    assert mean_purity <= 3.0 / n_labels
+
+
+def test_term_position_bias_recompute(spark, corpus, tables):
+    _, by_id = corpus
+    terms = ["the", "merge", "vector", "customer"]
+    rels: dict[str, list[float]] = {t2: [] for t2 in terms}
+    for r in by_id.values():
+        ts = tokenize(r.text)
+        n = len(ts)
+        for i, t2 in enumerate(ts):
+            if t2 in rels:
+                rels[t2].append(i / n)
+    got = {r.term: r for r in
+           textstats.term_position_bias(spark, tables).collect()}
+    assert set(got) == {t2 for t2 in terms if rels[t2]}
+    for t2, xs in rels.items():
+        if not xs:
+            continue
+        r = got[t2]
+        assert r.n_occ == len(xs)
+        assert abs(r.mean_rel_pos - round(sum(xs) / len(xs), 6)) < 1e-6
+        assert r.first_decile_share == round(
+            sum(1 for x in xs if x < 0.1) / len(xs), 6
+        )
+        # uniform synthetic text: mean near the middle
+        assert 0.3 < r.mean_rel_pos < 0.7
+
+
+def test_heaps_extrapolation_recompute(spark, corpus, tables):
+    import math as _m
+
+    _, by_id = corpus
+    mx = max(by_id)
+
+    def vt(num, den):
+        toks = [
+            t2 for d, r in by_id.items()
+            if d * den <= mx * num
+            for t2 in tokenize(r.text)
+        ]
+        return len(set(toks)), len(toks)
+
+    v1, t1 = vt(1, 4)
+    v2, t2_ = vt(1, 2)
+    v_true, t_full = vt(1, 1)
+    beta = _m.log(v2 / v1) / _m.log(t2_ / t1)
+    k = v1 / (t1 ** beta)
+    v_pred = k * (t_full ** beta)
+    row = textstats.heaps_extrapolation(spark, tables).collect()[0]
+    assert (row.t1, row.v1, row.t2, row.v2) == (t1, v1, t2_, v2)
+    assert (row.t_full, row.v_true) == (t_full, v_true)
+    assert abs(row.beta - round(beta, 6)) < 1e-6
+    assert abs(row.v_pred - round(v_pred, 6)) < 1e-3
+    assert row.rel_err == round(abs(v_pred - v_true) / v_true, 6)
+    # the tiny closed vocabulary saturates early: sublinear growth
+    assert row.beta < 0.5

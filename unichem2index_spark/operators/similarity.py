@@ -1110,3 +1110,76 @@ def embedding_qa(spark: SparkSession, t) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+PURITY_QUERIES = 5
+PURITY_K = 10
+
+
+def knn_label_purity(
+    spark: SparkSession,
+    t,
+    n_queries: int = PURITY_QUERIES,
+    k: int = PURITY_K,
+) -> DataFrame:
+    """kNN label-purity evaluation (the ann-benchmarks-style quality
+    proxy when no judgments exist: if embeddings encode classes, a
+    query's neighbors should share its label): for each query vector,
+    the exact cosine top-k over the rest of the table, and the
+    fraction carrying the query's own label. The go/no-go number for
+    trusting an embedding space BEFORE building the ANN index over it
+    (embedding_qa checks geometry; this checks semantics). On THIS
+    synthetic corpus the labels are random with respect to the
+    vectors, so purity reports ~the 1/n_labels base rate — the "do
+    not use these labels as ANN ground truth" outcome, which is
+    precisely what the audit exists to catch.
+
+    Exactness: cosine reuses the fold-based dot/norm idiom
+    (bit-identical cross-engine); purity is one integer ratio,
+    round(6).
+
+    Scale shape: the brute-force leg IS the audited cosine_topk plan
+    (broadcast queries, one corpus pass); purity aggregates k-row
+    frames."""
+    emb = t["embeddings"].select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    corpus = emb.where(F.col("vec_id") >= n_queries)
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "qlabel",
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("qv"), F.col("v"))
+            / (_norm(F.col("qv")) * _norm(F.col("v")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    return (
+        topk.groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                (F.col("label") == F.col("qlabel")).cast("long")
+            ).cast("long").alias("n_same"),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").cast("long").alias("qlabel"),
+            "n_same",
+            F.round(
+                F.col("n_same").cast("double") / F.lit(float(k)), 6
+            ).alias("purity"),
+        )
+        .orderBy("query_id")
+    )

@@ -8231,3 +8231,131 @@ def blockmax_metadata_overhead(
             6,
         ).alias("overhead_ratio"),
     )
+
+
+def term_position_bias(
+    spark: SparkSession,
+    t,
+    terms: tuple[str, ...] = ("the", "merge", "vector", "customer"),
+) -> DataFrame:
+    """Term position-bias audit (the lead-bias statistic behind
+    first-paragraph boosts and span_first queries: do a term's
+    occurrences cluster at document starts?): per query term, the
+    mean and median RELATIVE position (pos / doclen, in [0, 1)) over
+    every occurrence, plus the fraction landing in the first decile
+    — uniform text sits near 0.5/0.1; a front-loaded term justifies
+    positional boosting (span_first_topk's premise).
+
+    Exactness: relative positions are one divide per occurrence of
+    two integers; mean/median round(6) (median is the interpolated
+    percentile both engines share — the event_bursts convention).
+
+    Scale shape: one filtered posexplode (terms pruned pre-shuffle)
+    and a per-term agg; occurrence-bounded."""
+    d = t["documents"]
+    tok = d.select("doc_id", tokens_col("text").alias("toks"))
+    pos = (
+        tok.select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        .where(F.col("term").isin(list(terms)))
+        .select(
+            "term",
+            (
+                F.col("pos").cast("double") / F.col("n").cast("double")
+            ).alias("rel"),
+        )
+    )
+    return (
+        pos.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.round(F.avg("rel"), 6).alias("mean_rel_pos"),
+            F.round(F.expr("percentile(rel, 0.5)"), 6).alias(
+                "median_rel_pos"
+            ),
+            F.round(
+                F.sum((F.col("rel") < 0.1).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("first_decile_share"),
+        )
+        .orderBy("term")
+    )
+
+
+def heaps_extrapolation(spark: SparkSession, t) -> DataFrame:
+    """Heaps-law capacity extrapolation (the dictionary-sizing
+    projection an indexer runs before provisioning term-dictionary
+    memory: fit V = K * T^beta on PREFIXES of the corpus, predict
+    the full vocabulary, compare with truth): two-point fit on the
+    doc_id-ordered quarter and half prefixes —
+    ``beta = ln(V2/V1)/ln(T2/T1)``, ``K = V1 / T1^beta`` — then
+    predict at the full token count. The complement of heaps_law
+    (which fits the observed curve): this measures how well the
+    early curve PREDICTS, i.e. whether provisioning from a sample is
+    safe.
+
+    Exactness: prefix membership is a doc_id threshold (deterministic
+    on both engines); V and T are integers; the fit is four libm ops
+    in a fixed shape; round(6) at emit.
+
+    Scale shape: three vocabulary aggs (quarter/half/full) — each
+    the standard one-shuffle distinct-term count with the prefix
+    predicate pushed to the scan."""
+    d = t["documents"]
+    ids = d.agg(F.max("doc_id").alias("mx"))
+    tok = d.select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    ).crossJoin(F.broadcast(ids))
+
+    def vt(frac_num: int, frac_den: int):
+        sub = tok.where(
+            F.col("doc_id") * frac_den <= F.col("mx") * frac_num
+        )
+        return sub.agg(
+            F.countDistinct("term").cast("long").alias("v"),
+            F.count(F.lit(1)).cast("long").alias("t"),
+        )
+
+    q1 = vt(1, 4).select(
+        F.col("v").alias("v1"), F.col("t").alias("t1")
+    )
+    q2 = vt(1, 2).select(
+        F.col("v").alias("v2"), F.col("t").alias("t2")
+    )
+    full = vt(1, 1).select(
+        F.col("v").alias("v_true"), F.col("t").alias("t_full")
+    )
+    beta = F.log(
+        F.col("v2").cast("double") / F.col("v1").cast("double")
+    ) / F.log(F.col("t2").cast("double") / F.col("t1").cast("double"))
+    kconst = F.col("v1").cast("double") / F.pow(
+        F.col("t1").cast("double"), F.col("beta")
+    )
+    pred = F.col("k") * F.pow(F.col("t_full").cast("double"), F.col("beta"))
+    return (
+        q1.crossJoin(q2)
+        .crossJoin(full)
+        .withColumn("beta", beta)
+        .withColumn("k", kconst)
+        .withColumn("v_pred", pred)
+        .select(
+            "t1",
+            "v1",
+            "t2",
+            "v2",
+            "t_full",
+            "v_true",
+            F.round("beta", 6).alias("beta"),
+            F.round("k", 6).alias("k"),
+            F.round("v_pred", 6).alias("v_pred"),
+            F.round(
+                F.abs(F.col("v_pred") - F.col("v_true").cast("double"))
+                / F.col("v_true").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -10847,3 +10847,105 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
              / CAST(sum(vb) AS DOUBLE), 6) AS overhead_ratio
 FROM sized
 """
+
+
+# Twin of operators/similarity.py::knn_label_purity — same fold-based
+# cosine, label-share purity over exact top-k.
+KNN_LABEL_PURITY = """
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv
+  FROM emb WHERE vec_id < 5
+),
+c AS (SELECT vec_id, label, v FROM emb WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM c CROSS JOIN q
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+SELECT query_id, CAST(qlabel AS BIGINT) AS qlabel,
+       CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       round(CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                  AS DOUBLE) / 10.0, 6) AS purity
+FROM topk GROUP BY query_id, qlabel ORDER BY query_id
+"""
+
+
+def term_position_bias_sql(terms: list[str]) -> str:
+    """Twin of operators/textstats.py::term_position_bias — same
+    relative positions and interpolated median."""
+    uniq = sorted(set(terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in uniq)
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+pos AS (
+  SELECT term, CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rel FROM (
+    SELECT doc_id, len(toks) AS n,
+           unnest(range(len(toks))) AS pos, unnest(toks) AS term
+    FROM tok
+  ) WHERE term IN ({inlist})
+)
+SELECT term, CAST(count(*) AS BIGINT) AS n_occ,
+       round(avg(rel), 6) AS mean_rel_pos,
+       round(quantile_cont(rel, 0.5), 6) AS median_rel_pos,
+       round(CAST(sum(CASE WHEN rel < 0.1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS first_decile_share
+FROM pos GROUP BY term ORDER BY term
+"""
+
+
+# Twin of operators/textstats.py::heaps_extrapolation — two-point
+# prefix fit, full-corpus prediction, one row.
+HEAPS_EXTRAPOLATION = f"""
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+q1 AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v1,
+         CAST(count(*) AS BIGINT) AS t1
+  FROM tok CROSS JOIN mx WHERE doc_id * 4 <= mx
+),
+q2 AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v2,
+         CAST(count(*) AS BIGINT) AS t2
+  FROM tok CROSS JOIN mx WHERE doc_id * 2 <= mx
+),
+fu AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_true,
+         CAST(count(*) AS BIGINT) AS t_full
+  FROM tok CROSS JOIN mx WHERE doc_id * 1 <= mx * 1
+),
+f AS (
+  SELECT t1, v1, t2, v2, t_full, v_true,
+         ln(CAST(v2 AS DOUBLE) / CAST(v1 AS DOUBLE))
+           / ln(CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE)) AS beta
+  FROM q1 CROSS JOIN q2 CROSS JOIN fu
+),
+g AS (
+  SELECT *, CAST(v1 AS DOUBLE) / power(CAST(t1 AS DOUBLE), beta) AS k
+  FROM f
+),
+h AS (
+  SELECT *, k * power(CAST(t_full AS DOUBLE), beta) AS v_pred FROM g
+)
+SELECT t1, v1, t2, v2, t_full, v_true,
+       round(beta, 6) AS beta, round(k, 6) AS k,
+       round(v_pred, 6) AS v_pred,
+       round(abs(v_pred - CAST(v_true AS DOUBLE))
+             / CAST(v_true AS DOUBLE), 6) AS rel_err
+FROM h
+"""
