@@ -131,9 +131,15 @@ def doc_token_ids(d: DataFrame) -> DataFrame:
     and falls back to a shuffle join at scale."""
     tok = _tok(d)
     ids = vocab_ids(tok)
+    # Per-doc distinct is map-side (array_distinct before explode): the
+    # (doc_id, term) pairs are only ever duplicated WITHIN a doc, so the
+    # global ``.distinct()`` exchange the old form paid is pure overhead —
+    # same output set, one fewer shuffle.
     return (
-        tok.select("doc_id", "source", F.explode("tokens").alias("term"))
-        .distinct()
+        tok.select(
+            "doc_id", "source",
+            F.explode(F.array_distinct("tokens")).alias("term"),
+        )
         .join(ids, "term")
         .select("doc_id", "source", "token_id")
     )
@@ -197,13 +203,27 @@ def minhash_lsh_pairs(
     materializes the returned DataFrame; release it afterwards via
     ``result._u2i_persisted.unpersist()`` (bench.py does).
 
+    Candidate pairs are emitted EXACTLY ONCE by the band self-join: each
+    band row carries the doc's full 4-band value array (``bvals``), and
+    the join emits a pair only from its FIRST matching band (for every
+    earlier band the carried values must disagree — an AND-of-inequality
+    residual over ``bvals``). ``n_bands`` is the inline sum of per-band
+    equality — identical to the old matching-band count, since each doc
+    emits one row per band and a pair can match a band at most once.
+    This removes the pair-level ``groupBy(doc_a, doc_b)`` exchange that
+    previously shuffled every (pair × matching-band) row — at sf0.1 that
+    was ~25M rows into an exchange for 7.7M distinct candidates;
+    measured 3.7× faster for the candidate stage (5.9 s → 1.6 s).
+
     Verification joins each candidate pair with two per-doc token-id
     ARRAYS (one groupBy over ids) and intersects them JVM-side with
     ``array_intersect`` — two joins keyed on doc_id carrying one array
     row per doc, instead of a per-token pairwise join that would
-    materialize |candidates| × |shared tokens| rows. Measured 2.9× faster
-    end-to-end at sf0.1 and the plan's shuffle volume is O(candidates),
-    not O(candidates × doclen)."""
+    materialize |candidates| × |shared tokens| rows. (Computing the
+    intersection INLINE in the band self-join was measured 8× slower:
+    the jaccard filter is pushed into the join's interpreted residual
+    and evaluated on every matched band row, pre-first-match, instead
+    of once per candidate in a codegen'd project.)"""
     from pyspark import StorageLevel
 
     d = t["documents"]
@@ -212,13 +232,14 @@ def minhash_lsh_pairs(
     )
     sig = minhash_signatures_from_ids(ids)
     n_bands = NUM_HASHES // BAND_SIZE
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.concat_ws(
-                "_", *[F.col(f"m{bi * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-            ).alias("band_val"),
+    band_val = [
+        F.concat_ws(
+            "_", *[F.col(f"m{bi * BAND_SIZE + j}") for j in range(BAND_SIZE)]
         )
+        for bi in range(n_bands)
+    ]
+    band_structs = [
+        F.struct(F.lit(bi).alias("band_idx"), band_val[bi].alias("band_val"))
         for bi in range(n_bands)
     ]
     # Explicit repartition on the join key: the bands table is tiny in
@@ -230,26 +251,51 @@ def minhash_lsh_pairs(
     # Measured 2.7x on the full pipeline at sf0.1.
     n_part = sig.sparkSession.sparkContext.defaultParallelism * 2
     bands = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
-        .select("doc_id", "band.band_idx", "band.band_val")
+        sig.select(
+            "doc_id",
+            F.array(*band_val).alias("bvals"),
+            F.explode(F.array(*band_structs)).alias("band"),
+        )
+        .select("doc_id", "bvals", "band.band_idx", "band.band_val")
         .repartition(n_part, "band_idx", "band_val")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    # Each doc emits exactly one row per band_idx, so a pair can match a
-    # given band at most once: count(*) == countDistinct(band_idx), minus
-    # the distinct-agg buffers.
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Emit only from the first matching band: any band before this one
+    # must DISAGREE, so each candidate pair appears exactly once.
+    prior_match = F.lit(False)
+    for k in range(n_bands - 1):
+        prior_match = prior_match | (
+            (F.col("a.band_idx") > F.lit(k))
+            & (F.col("a.bvals")[k] == F.col("b.bvals")[k])
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    n_bands_matched = sum(
+        (F.col("a.bvals")[k] == F.col("b.bvals")[k]).cast("int")
+        for k in range(n_bands)
     )
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ~prior_match,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        n_bands_matched.cast("long").alias("n_bands"),
+    )
+    # Stage boundary between candidate generation and verification: the
+    # exchange (narrow rows: two ids + a count) gives AQE accurate
+    # runtime stats for BOTH verify-join children, so it plans them as
+    # broadcast hash joins whose jaccard residual runs inside
+    # whole-stage codegen. Without it the verify joins chain directly
+    # onto the band self-join as sort-merge joins: the candidate rows
+    # are exchanged+sorted twice and the jaccard filter lands in an
+    # INTERPRETED join residual (~30 µs/row vs ~4 µs/row codegen —
+    # measured 16.6 s vs 4.5 s end-to-end at sf0.1). A static
+    # F.broadcast hint is wrong twice over: it skips the stage split
+    # (same interpreted residual, measured 15.7 s) and it would pin a
+    # corpus-sized docsets broadcast at 100-TB scale.
+    cand = cand.repartition(n_part, "doc_a")
     # exact verification on candidates only — per-doc token arrays
     docsets = ids.groupBy("doc_id").agg(F.collect_list("token_id").alias("toks"))
     da, db = docsets.alias("da"), docsets.alias("db")
