@@ -1837,6 +1837,17 @@ class IndexHandle:
             bool(mf.get("positions", False)),
         )
         if cache:
+            # Cache PRE-PARTITIONED by shard: every query path ends in
+            # groupBy("shard").applyInPandas, and a cached
+            # HashPartitioning(shard, n) is reused by that grouping —
+            # the per-request plan becomes ONE exchange-free stage
+            # (TakeOrdered <- FlatMapGroupsInPandas <- Sort(local) <-
+            # Filter <- InMemoryTableScan). Without it every query pays
+            # a shuffle that AQE's bytes-based coalescing then collapses
+            # to a SINGLE partition (the posting blocks are a few KB,
+            # but the per-shard Python kernel cost is invisible to
+            # byte stats) — measured 2x on the hot 20-query set and
+            # 2.6x on the batch path at sf0.1.
             h._segments_cached = h.segments(spark).persist()
             h._term_stats_cached = store.read(spark, "term_stats").persist()
             h._segments_cached.count()  # materialize eagerly
@@ -1853,14 +1864,32 @@ class IndexHandle:
     def multi_gen(self) -> bool:
         return len(self.generations or [0]) > 1
 
+    def _shard_partitions(self, spark: SparkSession) -> int:
+        """Explicit partition count for the (shard)-keyed exchange every
+        query kernel groups by: bounded by the shard count (a group
+        cannot split) and by the cluster's core count (more would only
+        add empty tasks). Scale-adaptive, no constant tuned to either
+        local mode or a cluster."""
+        return max(1, min(self.n_shards, spark.sparkContext.defaultParallelism))
+
     def segments(self, spark: SparkSession) -> DataFrame:
         """Committed generations only: partitions written by an in-flight
-        or crashed update are pruned by the gen filter."""
+        or crashed update are pruned by the gen filter.
+
+        Always returned hash-partitioned by ``shard`` with an EXPLICIT
+        partition count (REPARTITION_BY_NUM): every consumer groups by
+        shard for a per-shard Python kernel, and without the pin AQE's
+        bytes-based coalescing folds the tiny posting-block shuffle into
+        ONE partition, serializing the whole kernel (same blind spot as
+        the dedup band join — the byte stats can't see per-row Python
+        cost; measured 32-shards-in-1-task on the 20-query batch).
+        Term filters applied on top are pushed below the repartition by
+        Catalyst, so predicate pushdown to parquet is unaffected."""
         if self._segments_cached is not None:
             return self._segments_cached
         return self.store.read_committed(
             spark, "segments", self.generations or [0]
-        )
+        ).repartition(self._shard_partitions(spark), "shard")
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         if self._term_stats_cached is not None:
