@@ -336,8 +336,19 @@ def merge_runs_to_segments(
 ) -> DataFrame:
     """groupBy(shard, term) k-way merge. The (shard, term) key is the
     skew-aware shuffle: per-group size is bounded by shard size, never by a
-    term's global df — 'the' with df≈N still splits into n_shards groups."""
-    enriched = runs.join(term_stats.select("term", "idf"), "term")
+    term's global df — 'the' with df≈N still splits into n_shards groups.
+
+    The merge exchange is pinned to an explicit partition count
+    (REPARTITION_BY_NUM — exempt from AQE coalescing): encoded runs are
+    a few KB, so AQE's bytes-based coalescing folded EVERY (shard, term)
+    group into one partition and ran the whole Python k-way merge
+    serially (measured: 992 groups in 1 task, 4.8 s → 1.1 s at sf0.1).
+    Same blind spot as the dedup band join / query serving path — byte
+    stats cannot see per-group Python kernel cost."""
+    n_part = runs.sparkSession.sparkContext.defaultParallelism * 2
+    enriched = runs.join(term_stats.select("term", "idf"), "term").repartition(
+        n_part, "shard", "term"
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _merge_group(pdf, avgdl, block_size, gen, positions)
@@ -449,6 +460,16 @@ def build_index(
         source = source.where(
             (F.col(id_col) % n_shards).isin(target_shards)
         )
+    # Small inputs (one parquet file / few splits) would tokenize and
+    # SPIMI on a single core: spread them round-robin across the cluster
+    # BEFORE the tokens projection so the Python map stage parallelizes.
+    # Scale-adaptive no-op when the scan already has >= cores splits; the
+    # shuffle moves raw text once (deterministic — Spark sorts before a
+    # round-robin repartition). Output is partition-invariant by design
+    # (runs k-way-merge to the same postings; W1 pytest).
+    sc = spark.sparkContext
+    if source.rdd.getNumPartitions() < sc.defaultParallelism:
+        source = source.repartition(sc.defaultParallelism)
     tok = tokenized_docs(source, id_col=id_col, text_col=text_col)
 
     # Persist BEFORE the stats pass: tokenization (and everything upstream —
