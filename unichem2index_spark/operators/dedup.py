@@ -60,8 +60,8 @@ def _tok(d: DataFrame) -> DataFrame:
 
 def vocab_ids(tok: DataFrame) -> DataFrame:
     """Dense token ids == ``row_number() OVER (ORDER BY term) - 1`` (the
-    DuckDB-oracle form), computed scale-safely with a TWO-LEVEL
-    prefix-sum over prefix buckets:
+    DuckDB-oracle form), computed scale-safely with a prefix-bucket
+    rank:
 
     1. bucket = 3-char term prefix (prefix comparison is a prefix of
        full string comparison, so bucket order is consistent with term
@@ -71,48 +71,33 @@ def vocab_ids(tok: DataFrame) -> DataFrame:
        rank parallelism is one task per 3-char prefix: a natural-skew
        hot 2-char prefix ("co", "th", …) fans out over its 3rd
        character instead of landing on one task.
-    2. exclusive prefix-sum offsets over the bucket COUNT rows (never
-       vocabulary rows), hierarchically so no self-join is quadratic in
-       the full bucket count: level 1 sums 3-char siblings within their
-       2-char parent (O(k²) pairs per parent, k = 3rd-char alphabet);
-       level 2 sums the 2-char parent totals (O(#parents²) pairs, ~1.7M
-       at the full [a-z0-9]² alphabet). The same construction composes
-       to deeper levels if a vocabulary ever outgrows it; the fully
-       general fallback is the sampled range-partition rank used for
-       doc ids (operators/ingest.py:dedup_and_assign_doc_ids).
-    3. global id = parent offset + within-parent offset + parallel
-       within-bucket rank. No global-window single-partition stage
-       anywhere in the plan.
+    2. exclusive prefix-sum offsets over the bucket COUNT rows, computed
+       on the DRIVER: the bucket-count frame is bounded by the token
+       alphabet (≤ 36³ = 46,656 rows whatever the corpus size — a
+       bounded metadata collect, like a quantizer's centroid table),
+       sorted and cumsum'd in one pass, and re-entered as a broadcast
+       offsets table. This replaces the former two-level self-join
+       prefix-sum (2 joins + 3 aggregations + their codegen), which was
+       ~4 s of first-evaluation compile time and ~1 s of per-run stage
+       overhead at sf0.1 for the same bounded output. Token chars are
+       [a-z0-9], so Python's str sort == Spark's UTF8 binary order.
+    3. global id = bucket offset + parallel within-bucket rank. No
+       global-window single-partition stage anywhere in the plan.
     """
-    vocab = tok.select(F.explode("tokens").alias("term")).distinct()
+    spark = tok.sparkSession
+    # array_distinct before explode: per-doc duplicates are removed
+    # map-side, shrinking the distinct-aggregation input (same output).
+    vocab = tok.select(
+        F.explode(F.array_distinct("tokens")).alias("term")
+    ).distinct()
     bucketed = vocab.withColumn("b3", F.substring("term", 1, 3))
-    c3 = (
-        bucketed.groupBy("b3")
-        .agg(F.count(F.lit(1)).alias("n3"))
-        .withColumn("b2", F.substring("b3", 1, 2))
-    )
-    # level 1: exclusive sum over 3-char siblings of the same 2-char parent
-    x, y = c3.alias("x"), c3.alias("y")
-    within = (
-        x.join(
-            y,
-            (F.col("y.b2") == F.col("x.b2")) & (F.col("y.b3") < F.col("x.b3")),
-            "left",
-        )
-        .groupBy(F.col("x.b3").alias("b3"), F.col("x.b2").alias("b2"))
-        .agg(F.coalesce(F.sum("y.n3"), F.lit(0)).alias("_woff"))
-    )
-    # level 2: exclusive sum over the 2-char parent totals
-    c2 = c3.groupBy("b2").agg(F.sum("n3").alias("n2"))
-    p, q = c2.alias("p"), c2.alias("q")
-    parent_off = (
-        p.join(q, F.col("q.b2") < F.col("p.b2"), "left")
-        .groupBy(F.col("p.b2").alias("b2"))
-        .agg(F.coalesce(F.sum("q.n2"), F.lit(0)).alias("_poff"))
-    )
-    offsets = within.join(parent_off, "b2").select(
-        "b3", (F.col("_poff") + F.col("_woff")).alias("_off")
-    )
+    c3 = bucketed.groupBy("b3").agg(F.count(F.lit(1)).alias("n3")).collect()
+    off = 0
+    offs = []
+    for r in sorted(c3, key=lambda r: r.b3):
+        offs.append((r.b3, off))
+        off += r.n3
+    offsets = spark.createDataFrame(offs, "b3 string, _off long")
     w_rank = W.partitionBy("b3").orderBy("term")
     return (
         bucketed.join(F.broadcast(offsets), "b3")

@@ -58,17 +58,30 @@ def bm25_contribs_from_corpus(
     so boosted results stay score-identical across all three engines."""
     uniq = sorted(set(terms))
     tok = tokenized_docs(docs_df)
-    stats = corpus_stats(tok)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    # Corpus stats ride the SAME job as a broadcast 1-row aggregate
+    # instead of a separate collect() job (which serialized a full
+    # tokenize pass before the query could even plan). Float-identical
+    # to the literal form: count/sum are cast to double and divided with
+    # the same IEEE ops the Python floats used, so every downstream
+    # score is bit-equal (oracle hashes unchanged).
+    stats_row = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        (
+            F.coalesce(F.sum("doclen"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avgdl"),
+    )
     post = exact_postings(tok)
     # df must be computed over ALL postings (corpus-global), then filtered.
     tstats = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qpost = post.where(F.col("term").isin(uniq)).join(
-        F.broadcast(tstats.where(F.col("term").isin(uniq))), "term"
+    qpost = (
+        post.where(F.col("term").isin(uniq))
+        .join(F.broadcast(tstats.where(F.col("term").isin(uniq))), "term")
+        .crossJoin(F.broadcast(stats_row))
     )
     idf_expr = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (F.col("_n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     if boosts:
@@ -90,7 +103,7 @@ def bm25_contribs_from_corpus(
                     + F.lit(bm25.K1)
                     * (
                         F.lit(1.0 - bm25.B)
-                        + F.lit(bm25.B) * F.col("doclen") / F.lit(avgdl)
+                        + F.lit(bm25.B) * F.col("doclen") / F.col("_avgdl")
                     )
                 )
             )
