@@ -1862,7 +1862,15 @@ class IndexHandle:
             # byte stats) — measured 2x on the hot 20-query set and
             # 2.6x on the batch path at sf0.1.
             h._segments_cached = h.segments(spark).persist()
-            h._term_stats_cached = store.read(spark, "term_stats").persist()
+            # term_stats serves per-query idf lookups of a handful of
+            # terms: one cached partition turns the per-request collect
+            # into a single task (8 tasks -> 1, ~35 ms/query at sf0.1).
+            # Cached-batch min/max stats still prune the scan within the
+            # partition, so a large vocabulary costs batch-stat checks,
+            # not a full scan.
+            h._term_stats_cached = (
+                store.read(spark, "term_stats").coalesce(1).persist()
+            )
             h._segments_cached.count()  # materialize eagerly
             h._term_stats_cached.count()
         return h

@@ -2669,7 +2669,9 @@ def postings_size_estimate(spark: SparkSession, t) -> DataFrame:
 
     Scale shape: one postings agg (map-side combined) + per-term array
     ops over each term's own posting list; the gap/byte computation is
-    JVM array HOFs, no second shuffle. Ref analog: the reference sizes
+    JVM array HOFs, no second shuffle. Per-term arrays are max-df-
+    bounded (a stopword's is O(corpus) uncapped — see the
+    elias_fano_audit caveat). Ref analog: the reference sizes
     its ES bulk batches byte-wise (extractor/loader.go buffer flush) —
     this is the same arithmetic applied to the index itself."""
     d = _tok(t["documents"])
@@ -4472,8 +4474,14 @@ def elias_fano_audit(spark: SparkSession, t) -> DataFrame:
     frame of (df, gaps); u is one broadcast scalar; the EF arithmetic
     is exact integer math on (df, u) via bin()-length log2 — no
     doubles anywhere except the final rounded ratio, so both engines
-    hash-agree. At 10^12 docs this is the same single-shuffle plan the
-    varbyte estimate already runs; the audit adds zero shuffles."""
+    hash-agree. The audit adds zero shuffles beyond the varbyte
+    estimate's plan, but NOTE: like the sibling codec audits it
+    materializes each term's full sorted posting list in one
+    ``collect_list`` buffer, so the per-term memory bound is max df —
+    fine for audits over capped/sampled vocabularies, but a stopword's
+    buffer is O(corpus) at full web scale; the distributive form (lag
+    window over gaps + plain sum, no per-term array) is the drop-in
+    when the audit must run uncapped."""
     d = _tok(t["documents"])
     post = (
         d.select("doc_id", F.explode("tokens").alias("term"))
@@ -6576,7 +6584,9 @@ def pfor_audit(spark: SparkSession, t) -> DataFrame:
     Scale shape: the same one-shuffle postings agg as the sibling
     audits; per-term gap arrays are df-bounded and the order
     statistic is an in-array sort (array lambdas, no extra
-    shuffle)."""
+    shuffle). The max-df bound is the honest caveat: a stopword's
+    array is O(corpus) uncapped — cap or sample the vocabulary, or
+    switch to the distributive lag-window form, for full-scale runs."""
     d = _tok(t["documents"])
     post = (
         d.select("doc_id", F.explode("tokens").alias("term"))
@@ -8068,7 +8078,9 @@ def hybrid_codec_assignment(spark: SparkSession, t) -> DataFrame:
 
     Scale shape: the same single-shuffle postings agg as the
     siblings; the three costs are computed in ONE pass over the
-    per-term gap arrays (no extra shuffles vs running one audit)."""
+    per-term gap arrays (no extra shuffles vs running one audit).
+    Per-term arrays are max-df-bounded — see the elias_fano_audit
+    caveat for uncapped-vocabulary runs."""
     d = _tok(t["documents"])
     post = (
         d.select("doc_id", F.explode("tokens").alias("term"))
@@ -8189,7 +8201,8 @@ def blockmax_metadata_overhead(
 
     Scale shape: the sibling audits' one-shuffle postings agg; block
     counts are a closed-form array expression over per-term id
-    lists."""
+    lists (max-df-bounded — see the elias_fano_audit caveat for
+    uncapped-vocabulary runs)."""
     d = _tok(t["documents"])
     post = (
         d.select("doc_id", F.explode("tokens").alias("term"))

@@ -407,7 +407,13 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     ts_phys = store.stage_table(tstats, "term_stats", max_files=8)
     tstats_r = spark.read.parquet(store.path(ts_phys))
 
-    enriched = live_rows.join(tstats_r.select("term", "idf"), "term")
+    # Pin the re-chunk exchange to an explicit partition count: decoded
+    # rows are byte-tiny, and AQE's bytes-based coalescing would fold
+    # every (shard, term) group into one partition and run the Python
+    # re-chunk serially (same blind spot fixed in build's merge stage).
+    enriched = live_rows.join(tstats_r.select("term", "idf"), "term").repartition(
+        spark.sparkContext.defaultParallelism * 2, "shard", "term"
+    )
     compacted = enriched.groupBy("shard", "term").applyInPandas(
         _chunk_group(avgdl, block_size, positions),
         POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA,
@@ -607,7 +613,10 @@ def reindex(
     )
     dest.write_table(tstats, "term_stats", max_files=8)
     tstats_r = spark.read.parquet(dest.path("term_stats"))
-    enriched = rows.join(tstats_r.select("term", "idf"), "term")
+    # Same explicit partition pin as compact(): see comment there.
+    enriched = rows.join(tstats_r.select("term", "idf"), "term").repartition(
+        spark.sparkContext.defaultParallelism * 2, "shard", "term"
+    )
     segments = enriched.groupBy("shard", "term").applyInPandas(
         _chunk_group(avgdl, block_size, positions),
         POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA,
