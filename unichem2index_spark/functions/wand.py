@@ -24,7 +24,13 @@ INF = float("inf")
 
 @dataclass
 class TermBlocks:
-    """One term's posting blocks within one shard, sorted by block_id."""
+    """One term's posting blocks within one shard, sorted by block_id.
+
+    ``blk_cache`` maps block index → decoded :class:`PostingBlock` and is
+    SHARED between :meth:`fresh` clones: decoded blocks are immutable, so
+    a batch running many queries over the same shard decodes each block
+    at most once instead of once per query. Cursor state (``bi``/``pi``)
+    stays per-instance."""
 
     term: str
     idf: float
@@ -34,17 +40,37 @@ class TermBlocks:
     # iterator state
     bi: int = 0  # current block index
     pi: int = 0  # position within decoded block
-    _decoded: PostingBlock | None = field(default=None, repr=False)
     max_score: float = 0.0
+    blk_cache: dict = field(default_factory=dict, repr=False)
+    _cur_bi: int = field(default=-1, repr=False)
+    _cur_blk: PostingBlock | None = field(default=None, repr=False)
 
     def __post_init__(self):
         self.max_score = max(self.block_max_scores) if self.block_max_scores else 0.0
 
+    def fresh(self) -> "TermBlocks":
+        """Rewound cursor over the SAME immutable blocks + decode cache —
+        what a batch caller hands each query (wand_topk advances cursor
+        state, so instances cannot be reused directly)."""
+        return TermBlocks(
+            term=self.term,
+            idf=self.idf,
+            max_doc_ids=self.max_doc_ids,
+            block_max_scores=self.block_max_scores,
+            enc_blocks=self.enc_blocks,
+            blk_cache=self.blk_cache,
+        )
+
     # -- cursor ------------------------------------------------------------
     def _block(self) -> PostingBlock:
-        if self._decoded is None:
-            self._decoded = PostingBlock.decode(*self.enc_blocks[self.bi])
-        return self._decoded
+        if self._cur_bi != self.bi:
+            blk = self.blk_cache.get(self.bi)
+            if blk is None:
+                blk = PostingBlock.decode(*self.enc_blocks[self.bi])
+                self.blk_cache[self.bi] = blk
+            self._cur_blk = blk
+            self._cur_bi = self.bi
+        return self._cur_blk
 
     def cur_doc(self) -> float:
         if self.bi >= len(self.enc_blocks):
@@ -68,7 +94,7 @@ class TermBlocks:
             return
         if self.max_doc_ids[self.bi] < target:
             nb = bisect_left(self.max_doc_ids, target, self.bi + 1)
-            self.bi, self.pi, self._decoded = nb, 0, None
+            self.bi, self.pi = nb, 0
             if self.bi >= len(self.enc_blocks):
                 return
         blk = self._block()
@@ -76,7 +102,6 @@ class TermBlocks:
         if self.pi >= len(blk.doc_ids):  # target beyond this block's docs
             self.bi += 1
             self.pi = 0
-            self._decoded = None
             if self.bi < len(self.enc_blocks):
                 self.advance_to(target)
 
