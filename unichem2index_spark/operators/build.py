@@ -338,17 +338,15 @@ def merge_runs_to_segments(
     skew-aware shuffle: per-group size is bounded by shard size, never by a
     term's global df — 'the' with df≈N still splits into n_shards groups.
 
-    The merge exchange is pinned to an explicit partition count
-    (REPARTITION_BY_NUM — exempt from AQE coalescing): encoded runs are
-    a few KB, so AQE's bytes-based coalescing folded EVERY (shard, term)
-    group into one partition and ran the whole Python k-way merge
-    serially (measured: 992 groups in 1 task, 4.8 s → 1.1 s at sf0.1).
-    Same blind spot as the dedup band join / query serving path — byte
-    stats cannot see per-group Python kernel cost."""
-    n_part = runs.sparkSession.sparkContext.defaultParallelism * 2
-    enriched = runs.join(term_stats.select("term", "idf"), "term").repartition(
-        n_part, "shard", "term"
-    )
+    Partitioning note: encoded runs are a few KB at small corpus sizes,
+    and AQE's DEFAULT minPartitionSize (1m) folded every (shard, term)
+    group into one partition, running the whole Python k-way merge
+    serially (992 groups in 1 task, 4.8 s at sf0.1). The fix lives in
+    session.py (minPartitionSize=16k), NOT in an explicit repartition
+    here: a fixed REPARTITION_BY_NUM pin measured ~20% slower at 8M
+    docs on 4×2-core executors because it overrode AQE's byte-sized
+    task count for the big-corpus merge."""
+    enriched = runs.join(term_stats.select("term", "idf"), "term")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _merge_group(pdf, avgdl, block_size, gen, positions)

@@ -407,13 +407,12 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     ts_phys = store.stage_table(tstats, "term_stats", max_files=8)
     tstats_r = spark.read.parquet(store.path(ts_phys))
 
-    # Pin the re-chunk exchange to an explicit partition count: decoded
-    # rows are byte-tiny, and AQE's bytes-based coalescing would fold
-    # every (shard, term) group into one partition and run the Python
-    # re-chunk serially (same blind spot fixed in build's merge stage).
-    enriched = live_rows.join(tstats_r.select("term", "idf"), "term").repartition(
-        spark.sparkContext.defaultParallelism * 2, "shard", "term"
-    )
+    # Tiny-shuffle partition collapse for the re-chunk exchange is
+    # handled by the session's AQE minPartitionSize floor (see
+    # session.py / merge_runs_to_segments) — an explicit pin here
+    # measured slower at executor scale by overriding AQE's byte-sized
+    # task count.
+    enriched = live_rows.join(tstats_r.select("term", "idf"), "term")
     compacted = enriched.groupBy("shard", "term").applyInPandas(
         _chunk_group(avgdl, block_size, positions),
         POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA,
@@ -613,10 +612,9 @@ def reindex(
     )
     dest.write_table(tstats, "term_stats", max_files=8)
     tstats_r = spark.read.parquet(dest.path("term_stats"))
-    # Same explicit partition pin as compact(): see comment there.
-    enriched = rows.join(tstats_r.select("term", "idf"), "term").repartition(
-        spark.sparkContext.defaultParallelism * 2, "shard", "term"
-    )
+    # Same partitioning note as compact(): the session's AQE
+    # minPartitionSize floor handles the tiny-shuffle collapse.
+    enriched = rows.join(tstats_r.select("term", "idf"), "term")
     segments = enriched.groupBy("shard", "term").applyInPandas(
         _chunk_group(avgdl, block_size, positions),
         POS_SEGMENT_SCHEMA if positions else SEGMENT_SCHEMA,

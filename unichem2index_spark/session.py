@@ -29,6 +29,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing targets max(totalBytes/parallelism,
+        # minPartitionSize). The 1m default floor folds KB-sized
+        # shuffles into ONE partition — fatal for groupBy+applyInPandas
+        # stages whose encoded rows are tiny but whose per-group Python
+        # kernel cost is invisible to byte stats (the index-build merge
+        # ran 992 groups in 1 task at sf0.1). 16k keeps such stages at
+        # ~cores partitions while leaving large shuffles untouched
+        # (their target is totalBytes/parallelism either way) — the
+        # scale-adaptive fix; a fixed REPARTITION_BY_NUM pin on the
+        # merge measured ~20% SLOWER at 8M docs on 4x2-core executors
+        # by overriding AQE's byte-sized task count.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
